@@ -1,0 +1,35 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Settings chosen for correctness at local[32] *and* sanity on a real
+cluster: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), broadcast threshold generous enough that dimension tables
+(region/nation/supplier at test SF) broadcast, Arrow on for the few
+Pandas-UDF paths (similarity / multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "graphdb-neo4j-spark", **extra_conf: str) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.default.parallelism", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in extra_conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

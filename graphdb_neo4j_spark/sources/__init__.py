@@ -1,0 +1,12 @@
+from graphdb_neo4j_spark.sources.jaeger import TRACE_SCHEMA, read_spans, read_traces
+from graphdb_neo4j_spark.sources.tables import TABLE_NAMES, load_table, load_tables, register_views
+
+__all__ = [
+    "TRACE_SCHEMA",
+    "read_spans",
+    "read_traces",
+    "TABLE_NAMES",
+    "load_table",
+    "load_tables",
+    "register_views",
+]
