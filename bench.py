@@ -1,0 +1,90 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the full
+reference-corpus graph ingest.  Timings are end-to-end per query
+(plan + execute + fetch), warm session.
+
+Note q21 (exact n-gram Jaccard self-join) is deliberately NOT here:
+its shingle join is quadratic in docs-per-shingle and the LSH variant
+(q22) is the scale path — the bench measures what you'd run at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from graphdb_neo4j_spark import get_spark
+from graphdb_neo4j_spark.operators.ingest import build_graph
+from graphdb_neo4j_spark.workloads import QUERY_FNS
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CORPUS = "/root/reference/malware/*.json"
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_top_unshipped_orders",
+    "q05_region_nation_revenue",
+    "q07_window_top_orders_per_customer",
+    "q09_events_hourly_tumbling",
+    "q11_sessionization",
+    "q20_dedup_exact",
+    "q22_dedup_minhash_lsh",
+    "q23_dedup_simhash",
+    "q24_text_stats",
+    "q26_ann_bruteforce_topk",
+    "q27_ann_lsh_topk",
+    "q28_embedding_neardup_pairs",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def run(df) -> None:
+        # noop sink: full plan executes (no column pruning shortcut, no
+        # driver-side Python row materialization — we measure the engine)
+        df.write.format("noop").mode("overwrite").save()
+
+    # warm-up: JVM + parquet footer caches (not counted)
+    run(QUERY_FNS["q01_pricing_summary"](spark, SF_DIR))
+
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        run(QUERY_FNS[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    if os.path.exists("/root/reference/malware"):
+        t0 = time.perf_counter()
+        g = build_graph(spark, CORPUS)
+        g.node_counts()
+        g.edge_counts()
+        timings["ingest_corpus"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "workload_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

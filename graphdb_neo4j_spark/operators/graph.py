@@ -1,0 +1,169 @@
+"""Graph query layer — the implied Cypher surface as DataFrame combinators.
+
+The reference loads Neo4j so an analyst can run Cypher in the browser
+(``/root/reference/main.py:19``).  This module re-expresses that query
+surface (SURVEY.md §2.D) Spark-first:
+
+* keyed lookup            → ``match(label, key=...)`` (Parquet pushdown)
+* neighborhood            → ``out_neighbors`` / ``in_neighbors`` joins
+* fixed k-hop motif       → ``find("(a)-[SPAWNS]->(b); (b)-[CONNECTED_TO]->(c)")``
+  — a chain of hash joins Catalyst is free to reorder/broadcast
+* aggregation             → plain ``groupBy().agg`` on the result
+* existence/anti pattern  → ``semi`` / ``anti`` helpers
+* variable-length paths   → operators/traversal.py (iterative; no
+  Catalyst recursion)
+
+Everything is a pure DataFrame transformation: no collect, no UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.operators.ingest import PropertyGraph
+
+_MOTIF_RE = re.compile(
+    r"^\(\s*(?P<src>\w+)\s*\)\s*-\s*\[\s*(?:(?P<ev>\w+)\s*:)?\s*(?P<rel>\w+)\s*\]"
+    r"\s*->\s*\(\s*(?P<dst>\w+)\s*\)$"
+)
+
+
+@dataclass
+class GraphQuery:
+    """Combinator API over the canonical graph tables.
+
+    ``nodes``: (label, key [, extra property columns])
+    ``edges``: (rel, src, dst, event_id, ...props)
+    """
+
+    nodes: DataFrame
+    edges: DataFrame
+
+    @classmethod
+    def from_graph(cls, g: PropertyGraph) -> "GraphQuery":
+        return cls(nodes=g.nodes(), edges=g.edges)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "GraphQuery":
+        return cls(
+            nodes=spark.read.parquet(f"{path}/nodes"),
+            edges=spark.read.parquet(f"{path}/edges"),
+        )
+
+    # -- lookups -----------------------------------------------------------
+
+    def match(self, label: str, **props) -> DataFrame:
+        """``MATCH (n:Label {prop: val})`` — label + equality predicates;
+        label and key predicates push down to the partitioned scan."""
+        df = self.nodes.filter(F.col("label") == label)
+        for k, v in props.items():
+            df = df.filter(F.col(k) == v)
+        return df
+
+    def rel(self, rel: str) -> DataFrame:
+        return self.edges.filter(F.col("rel") == rel)
+
+    # -- neighborhood ------------------------------------------------------
+
+    def out_neighbors(self, keys: DataFrame, rel: str, key_col: str = "key") -> DataFrame:
+        """Keys → distinct destination keys over ``rel`` edges."""
+        e = self.rel(rel)
+        return (
+            keys.join(e, keys[key_col] == e["src"])
+            .select(F.col("dst").alias(key_col))
+            .distinct()
+        )
+
+    def in_neighbors(self, keys: DataFrame, rel: str, key_col: str = "key") -> DataFrame:
+        e = self.rel(rel)
+        return (
+            keys.join(e, keys[key_col] == e["dst"])
+            .select(F.col("src").alias(key_col))
+            .distinct()
+        )
+
+    # -- motif matching ----------------------------------------------------
+
+    def find(self, motif: str) -> DataFrame:
+        """Bounded pattern match, GraphFrames-style.
+
+        ``find("(a)-[SPAWNS]->(b); (b)-[e:CONNECTED_TO]->(c)")`` returns a
+        DataFrame with one column per node variable (the node key) and,
+        for named edge variables, a struct column with the edge props.
+
+        Each pattern adds one hash join on key equality; Catalyst's CBO /
+        AQE pick broadcast vs shuffle per join.  Node variables repeat to
+        express shared endpoints; a variable bound twice becomes an
+        equality condition, exactly like Cypher.
+        """
+        patterns = [p.strip() for p in motif.split(";") if p.strip()]
+        if not patterns:
+            raise ValueError("empty motif")
+        result: DataFrame | None = None
+        bound: set[str] = set()
+        for i, pat in enumerate(patterns):
+            m = _MOTIF_RE.match(pat)
+            if not m:
+                raise ValueError(f"bad motif pattern: {pat!r}")
+            src, rel_name, dst, ev = m["src"], m["rel"], m["dst"], m["ev"]
+            e = self.rel(rel_name)
+            prop_cols = [c for c in e.columns if c not in ("rel", "src", "dst")]
+            sel = [F.col("src").alias(f"__src{i}"), F.col("dst").alias(f"__dst{i}")]
+            if ev:
+                sel.append(F.struct(*[F.col(c) for c in prop_cols]).alias(ev))
+            e = e.select(*sel)
+            if result is None:
+                result = e
+            else:
+                conds = []
+                if src in bound:
+                    conds.append(result[src] == e[f"__src{i}"])
+                if dst in bound:
+                    conds.append(result[dst] == e[f"__dst{i}"])
+                if not conds:
+                    raise ValueError(
+                        f"pattern {pat!r} shares no variable with earlier patterns"
+                    )
+                cond = conds[0]
+                for c in conds[1:]:
+                    cond = cond & c
+                result = result.join(e, cond)
+            renames = {}
+            if src not in bound:
+                renames[f"__src{i}"] = src
+            if dst not in bound and dst != src:
+                renames[f"__dst{i}"] = dst
+            for old, new in renames.items():
+                result = result.withColumnRenamed(old, new)
+            result = result.drop(f"__src{i}", f"__dst{i}")
+            bound.update((src, dst))
+        return result
+
+    # -- set-style patterns --------------------------------------------------
+
+    def semi(self, keys: DataFrame, rel: str, key_col: str = "key") -> DataFrame:
+        """``WHERE (n)-[:rel]->()`` — keep keys having an outgoing rel."""
+        e = self.rel(rel).select(F.col("src").alias(key_col))
+        return keys.join(e, key_col, "left_semi")
+
+    def anti(self, keys: DataFrame, rel: str, key_col: str = "key") -> DataFrame:
+        """``WHERE NOT (n)-[:rel]->()`` — keys with no outgoing rel."""
+        e = self.rel(rel).select(F.col("src").alias(key_col))
+        return keys.join(e, key_col, "left_anti")
+
+    # -- analytics-lite ------------------------------------------------------
+
+    def degrees(self, rel: str | None = None) -> DataFrame:
+        """(key, in_degree, out_degree, degree) — one shuffle each side."""
+        e = self.edges if rel is None else self.rel(rel)
+        out_d = e.groupBy(F.col("src").alias("key")).agg(F.count("*").alias("out_degree"))
+        in_d = e.groupBy(F.col("dst").alias("key")).agg(F.count("*").alias("in_degree"))
+        return (
+            out_d.join(in_d, "key", "full_outer")
+            .fillna(0, subset=["in_degree", "out_degree"])
+            .withColumn("degree", F.col("in_degree") + F.col("out_degree"))
+        )

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+* **Brute-force top-k** — the exact baseline: cosine against a literal
+  query vector as a pure fold expression, ``ORDER BY sim DESC LIMIT k``
+  (Catalyst turns this into TakeOrderedAndProject — no global sort).
+  Per-row cost is O(d); the scan is embarrassingly parallel.  This is
+  the right plan even at 100 TB when k is small — one pass, no shuffle
+  beyond the top-k combine.
+* **Random-hyperplane LSH** — the sub-linear scale path: P signed
+  projections → P-bit bucket signature; candidates = same bucket (plus
+  optional multi-probe neighbors at Hamming distance 1); exact cosine
+  re-rank of candidates only.  Hyperplanes are deterministic
+  (seeded from md5) so results are reproducible across runs/engines.
+
+Determinism: all arithmetic in float64 with a left-fold (F.aggregate)
+— the same element order as the SQL oracle's list_reduce, so results
+match bit-for-bit, not just approximately.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ as a deterministic left fold in float64."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def topk_bruteforce(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    Returns (id, sim) ordered by (sim desc, id) — the id tiebreak makes
+    the result total-ordered and oracle-stable.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_expr(F.col(vec_col), q)
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return (
+        spread.select(F.col(id_col).alias("id"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def _plane_sign(seed: int, plane: int, dim: int) -> float:
+    """Deterministic ±1 from md5 — reproducible across engines/runs."""
+    h = hashlib.md5(f"{seed}|{plane}|{dim}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+
+def _signature_expr(vec: Column, dims: int, planes: int, seed: int) -> Column:
+    """P-bit signature string, bit p = sign(Σ_d vec[d]·plane[p][d])."""
+    bits = []
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(_plane_sign(seed, p, d)) for d in range(dims)]),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucket(
+    df: DataFrame,
+    dims: int = 64,
+    planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach a ``bucket`` signature column (map-side only, no shuffle)."""
+    return df.withColumn("bucket", _signature_expr(F.col(vec_col), dims, planes, seed))
+
+
+def topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    dims: int = 64,
+    planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates from the query's LSH bucket
+    (± Hamming-1 neighbors when ``multiprobe``), exact cosine re-rank.
+
+    Recall < 1.0 by construction; tests measure it against
+    :func:`topk_bruteforce`.  At scale the bucketed table is written
+    partitioned by ``bucket`` so a query reads only its probe buckets.
+    """
+    bucketed = lsh_bucket(df, dims=dims, planes=planes, seed=seed, vec_col=vec_col)
+
+    # driver-side: the query's signature and its probe set
+    sig_bits = []
+    for p in range(planes):
+        proj = sum(query_vec[d] * _plane_sign(seed, p, d) for d in range(dims))
+        sig_bits.append("1" if proj >= 0 else "0")
+    sig = "".join(sig_bits)
+    probes = {sig}
+    if multiprobe:
+        for p in range(planes):
+            flipped = sig[:p] + ("0" if sig[p] == "1" else "1") + sig[p + 1:]
+            probes.add(flipped)
+
+    candidates = bucketed.filter(F.col("bucket").isin(*sorted(probes)))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_expr(F.col(vec_col), q)
+    return (
+        candidates.select(F.col(id_col).alias("id"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("id"))
+        .limit(k)
+    )

@@ -1,0 +1,136 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Catalyst expressions (split/regexp/aggregate) — no Python in
+the hot path; at 100 TB these run inside whole-stage codegen next to
+the parquet scan.
+
+Cross-engine determinism: hashing uses md5 (identical in Spark and
+DuckDB); ratios divide exact integer counts so the doubles match
+bit-for-bit against the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small multilingual stopword table for the n-gram/stopword language vote
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+_WORD_RE = r"[^\s]+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped (split on \\s+ after
+    trim — matches ``regexp_split_to_array(trim(x), '\\s+')``)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(tokens(text)))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits runs of letters, digits, and
+    individual punctuation (a cheap BPE stand-in for budget estimates)."""
+    return F.size(
+        F.filter(
+            F.split(text, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+            lambda t: (t != "") & (t != " "),
+        )
+    )
+
+
+def char_len(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """punctuation chars / total chars (0.0 for empty)."""
+    total = F.length(text)
+    punct = total - F.length(F.regexp_replace(text, r"[\p{Punct}]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(punct / total)
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords if stopwords is not None else LANG_STOPWORDS["en"]
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    some stopwords (the classic Gopher-style trio, simplified)."""
+    n_tok = token_count(text)
+    len_ok = (n_tok >= 10) & (n_tok <= 100000)
+    punct_ok = punct_ratio(text) < 0.3
+    sw_ok = stopword_ratio(text) > 0.01
+    return (
+        len_ok.cast("int") + punct_ok.cast("int") + sw_ok.cast("int")
+    ) / F.lit(3.0)
+
+
+def lang_guess(text: Column) -> Column:
+    """Stopword-vote language ID: argmax over per-language stopword hits,
+    ties broken by language code order; 'und' when no hits."""
+    toks = tokens(F.lower(text))
+
+    def _hits(sw: list[str]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+    scores = [(code, _hits(sw)) for code, sw in sorted(LANG_STOPWORDS.items())]
+    best = F.greatest(*[s for _, s in scores])
+    guess = F.lit("und")
+    for code, s in reversed(scores):  # earlier codes win ties → apply last
+        guess = F.when((s == best) & (best > 0), F.lit(code)).otherwise(guess)
+    return guess
+
+
+def shingles_all(text: Column, n: int = 3) -> Column:
+    """All character n-grams of the lowercased text, in order, duplicates
+    kept (array<string>).  Texts shorter than n produce an empty array.
+    Prefer this + a relational ``distinct`` over :func:`shingles` when
+    the array is about to be exploded — ``array_distinct`` is O(len²)
+    per row and shows up hard on long documents."""
+    lowered = F.lower(text)
+    count = F.greatest(F.length(lowered) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.substring(lowered, i, F.lit(n)),
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of the lowercased text (array<string>).
+    Texts shorter than n produce an empty array."""
+    return F.array_distinct(shingles_all(text, n))
+
+
+def fingerprint(text: Column, n: int = 8) -> Column:
+    """Winnowing-style document fingerprint: the minimum md5 over the
+    text's character n-grams (deterministic, portable to SQL as
+    ``min(md5(shingle))``); NULL for texts shorter than n."""
+    return F.array_min(F.transform(shingles(text, n), F.md5))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_chars_calc": char_len(t),
+            "punct_ratio": punct_ratio(t),
+            "stopword_ratio": stopword_ratio(t),
+            "quality": quality_score(t),
+            "lang_guess": lang_guess(t),
+            "fingerprint": fingerprint(t),
+        }
+    )

@@ -1,0 +1,198 @@
+"""Iterative graph traversal & analytics — the pieces Catalyst can't do.
+
+Variable-length paths (``SPAWNS*1..``), reachability, shortest
+hop-count, connected components and PageRank need recursion, which
+Spark SQL lacks; the standard Spark-first answer (SURVEY.md §2.D, §4)
+is a driver-side loop over DataFrames:
+
+* **semi-naive frontier BFS** — each iteration expands only the delta
+  frontier (new nodes), unions into the visited set, and
+  ``localCheckpoint()``s to truncate lineage (without it the plan tree
+  doubles every iteration and the driver OOMs on plan analysis long
+  before data is a problem).
+* **HashMin connected components** — propagate min component id along
+  undirected edges until a fixed point; converges in O(diameter)
+  iterations.  (GraphX's alternating large-star/small-star converges in
+  O(log n); HashMin is simpler and fine for provenance graphs whose
+  diameter is a process-tree depth.  Swap-in point documented.)
+* **PageRank** — classic iterate: contributions = rank/out_degree
+  grouped by dst.  Fixed iteration count, no convergence test, matching
+  GraphX's default mode.
+
+Scale notes: every iteration is one shuffle (groupBy dst).  The frontier
+DataFrame stays partitioned by key; AQE coalesces as the frontier
+shrinks.  ``localCheckpoint(eager=True)`` materializes to executor
+storage — on a real cluster prefer reliable ``checkpoint()`` to survive
+executor loss on long traversals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_undirected(edges: DataFrame) -> DataFrame:
+    fwd = edges.select("src", "dst")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def bfs(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """Hop-count BFS from a set of source keys.
+
+    ``edges``: (src, dst [, ...]); ``sources``: single-column DataFrame of
+    start keys.  Returns (key, dist) with the minimum hop count, dist 0
+    for sources.  Semi-naive: only the newest frontier is expanded.
+    """
+    e = edges.select("src", "dst") if directed else _as_undirected(edges)
+    key_col = sources.columns[0]
+    visited = (
+        sources.select(F.col(key_col).alias("key")).distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited
+    hop = 0
+    while True:
+        hop += 1
+        if max_hops is not None and hop > max_hops:
+            break
+        nxt = (
+            frontier.join(e, frontier["key"] == e["src"])
+            .select(F.col("dst").alias("key"))
+            .distinct()
+            .join(visited.select("key"), "key", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def reachable(edges: DataFrame, sources: DataFrame, directed: bool = True) -> DataFrame:
+    """Transitive closure from sources — ``(s)-[*1..]->(n)`` node set
+    (sources included at dist 0)."""
+    return bfs(edges, sources, directed=directed)
+
+
+def shortest_path_length(
+    edges: DataFrame, src_key: str, dst_key: str, directed: bool = True,
+    max_hops: int = 64,
+) -> int | None:
+    """Hop-count shortest path between two keys; None if unreachable.
+    Early-exits as soon as the destination enters the visited set."""
+    spark = edges.sparkSession
+    e = edges.select("src", "dst") if directed else _as_undirected(edges)
+    visited = spark.createDataFrame([(src_key, 0)], ["key", "dist"]).localCheckpoint()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["key"] == e["src"])
+            .select(F.col("dst").alias("key"))
+            .distinct()
+            .join(visited.select("key"), "key", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            return None
+        if not nxt.filter(F.col("key") == dst_key).isEmpty():
+            return hop
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return None
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """(key, component) — component = min key (lexicographic) in the
+    weakly-connected component.  HashMin label propagation.
+    """
+    e = _as_undirected(edges).distinct().localCheckpoint()
+    key_col = nodes.columns[0]
+    comp = (
+        nodes.select(F.col(key_col).alias("key")).distinct()
+        .withColumn("component", F.col("key"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # candidate component = min over self and neighbors' components
+        msgs = (
+            comp.join(e, comp["key"] == e["src"])
+            .select(F.col("dst").alias("key"), "component")
+        )
+        new_comp = (
+            comp.select("key", "component").unionByName(msgs)
+            .groupBy("key")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "key")
+            .filter(F.col("n.component") != F.col("o.component"))
+        )
+        comp = new_comp
+        if changed.isEmpty():
+            break
+    return comp
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """(key, rank) after a fixed number of power iterations.
+
+    Matches the classic GraphX formulation: rank = (1-d) + d * Σ
+    incoming rank/out_degree; dangling nodes keep their base rank.
+    """
+    e = edges.select("src", "dst")
+    if nodes is None:
+        verts = (
+            e.select(F.col("src").alias("key"))
+            .unionByName(e.select(F.col("dst").alias("key")))
+            .distinct()
+        )
+    else:
+        verts = nodes.select(F.col(nodes.columns[0]).alias("key")).distinct()
+    verts = verts.localCheckpoint()
+    out_deg = e.groupBy(F.col("src").alias("key")).agg(F.count("*").alias("out_degree"))
+    # broadcast-able at corpus scale; at 100 TB this join co-partitions by key
+    links = e.join(out_deg, e["src"] == out_deg["key"]).select(
+        "src", "dst", "out_degree"
+    ).localCheckpoint()
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        contribs = (
+            links.join(ranks, links["src"] == ranks["key"])
+            .select(
+                F.col("dst").alias("key"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("key")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        ranks = (
+            verts.join(contribs, "key", "left")
+            .select(
+                "key",
+                (F.lit(1.0 - damping)
+                 + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

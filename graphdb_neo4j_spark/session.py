@@ -27,6 +27,9 @@ def get_spark(app_name: str = "graphdb-neo4j-spark", **extra_conf: str) -> Spark
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the driver testdata writes TIMESTAMP(NANOS) parquet, which Spark
+        # rejects natively; read as long and convert in sources/tables.py
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

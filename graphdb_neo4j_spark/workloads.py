@@ -1,0 +1,831 @@
+"""Named query workloads + DuckDB oracle SQL (the driver contract).
+
+Every entry in :data:`QUERY_FNS` has a matching SQL string in
+:data:`ORACLES` unless the operator is not SQL-expressible (iterative
+graph algorithms), in which case the driver records a rows-only check.
+
+Cross-engine determinism rules (Spark result must hash-equal DuckDB):
+
+* **money aggregates** → integer cents: ``CAST(ROUND(x*100) AS BIGINT)``
+  summed exactly, divided back to double at the end.  Double SUM order
+  differs between engines; bigint sums don't.
+* **arbitrary doubles** → ``CAST(x AS DECIMAL(18,6))`` before SUM (a
+  double can never sit exactly on a decimal rounding midpoint, so both
+  engines round identically), cast the exact sum back to double.
+* **ratios / averages** → derived from the exact sums with the same
+  double expression on both sides (IEEE division is deterministic).
+* **hashes** → md5 only (bit-identical in both engines).
+* **dot products** → left fold in float64; DuckDB ``list_reduce`` and
+  Spark ``F.aggregate`` fold in the same element order.
+* **top-k** → always totally ordered (unique-key tiebreak).
+* **time buckets** → epoch seconds as BIGINT (no timestamp formatting
+  ambiguity).
+* column names lowercase and identical on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.operators import dedup as D
+from graphdb_neo4j_spark.operators import similarity as S
+from graphdb_neo4j_spark.operators import text as T
+from graphdb_neo4j_spark.sources.tables import load_table
+
+QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERY_FNS[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _cents(col: Column) -> Column:
+    """Exact integer cents of a 2-decimal double column."""
+    return F.round(col * 100).cast("bigint")
+
+
+# ===========================================================================
+# relational core (TPC-H-flavored; SURVEY.md §2.D operator checklist)
+# ===========================================================================
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/1e4 AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                    * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS DOUBLE)/1e6 AS sum_charge,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100/COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    l = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    qty = _cents(F.col("l_quantity"))
+    ep = _cents(F.col("l_extendedprice"))
+    disc = _cents(F.col("l_discount"))
+    tax = _cents(F.col("l_tax"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty).cast("double") / 100).alias("sum_qty"),
+            (F.sum(ep).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(ep * (100 - disc)).cast("double") / 1e4).alias("sum_disc_price"),
+            (F.sum(ep * (100 - disc) * (100 + tax)).cast("double") / 1e6).alias("sum_charge"),
+            (F.sum(qty).cast("double") / 100 / F.count("*")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q03_top_unshipped_orders",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS DOUBLE)/1e4 AS revenue,
+           CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_epoch,
+           o.o_orderpriority AS orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+      AND l.l_shipdate > TIMESTAMP '1999-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) DESC,
+             l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    )
+    l = load_table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    )
+    rev_int = F.sum(
+        _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    )
+    return (
+        F.broadcast(c)
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev_int.alias("rev_int"))
+        .orderBy(F.col("rev_int").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            (F.col("rev_int").cast("double") / 1e4).alias("revenue"),
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+    )
+
+
+@query(
+    "q05_region_nation_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS DOUBLE)/1e4 AS revenue
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                                  AND s.s_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    r = load_table(spark, sf, "region")
+    n = load_table(spark, sf, "nation")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    rev_int = F.sum(
+        _cents(F.col("l_extendedprice")) * (100 - _cents(F.col("l_discount")))
+    )
+    return (
+        F.broadcast(r)
+        .join(F.broadcast(n), n["n_regionkey"] == r["r_regionkey"])
+        .join(c, c["c_nationkey"] == n["n_nationkey"])
+        .join(o, o["o_custkey"] == c["c_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (s["s_suppkey"] == l["l_suppkey"]) & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg((rev_int.cast("double") / 1e4).alias("revenue"))
+        .select(F.col("n_name").alias("nation"), "revenue")
+    )
+
+
+@query(
+    "q04_order_priority_semijoin",
+    """
+    SELECT o_orderpriority AS orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem").filter(F.col("l_quantity") >= 48)
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .select(F.col("o_orderpriority").alias("orderpriority"), "order_count")
+    )
+
+
+@query(
+    "q_parts_never_ordered_antijoin",
+    """
+    SELECT p_brand AS brand, COUNT(*) AS n_parts
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    GROUP BY p_brand
+    """,
+)
+def q_anti(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    l = load_table(spark, sf, "lineitem")
+    return (
+        p.join(l, p["p_partkey"] == l["l_partkey"], "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+        .select(F.col("p_brand").alias("brand"), "n_parts")
+    )
+
+
+@query(
+    "q06_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)/1e4 AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    l = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        (
+            F.sum(_cents(F.col("l_extendedprice")) * _cents(F.col("l_discount")))
+            .cast("double") / 1e4
+        ).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q07_window_top_orders_per_customer",
+    """
+    SELECT custkey, orderkey, rnk FROM (
+      SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            "rnk",
+        )
+    )
+
+
+@query(
+    "q08_running_total_per_customer",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE)/100 AS running_total
+    FROM orders
+    """,
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        (F.sum(_cents(F.col("o_totalprice"))).over(w).cast("double") / 100).alias(
+            "running_total"
+        ),
+    )
+
+
+# ===========================================================================
+# events: time windows, JSON, sessionization, set ops
+# ===========================================================================
+
+@query(
+    "q09_events_hourly_tumbling",
+    """
+    SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q10_events_json_extract",
+    """
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type, CAST(json_extract(props, '$.k') AS BIGINT) % 10
+    """,
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.groupBy("event_type", (k % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.sum(k).alias("sum_k"))
+    )
+
+
+@query(
+    "q11_sessionization",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                       OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "q12_set_ops_users",
+    """
+    SELECT
+      (SELECT COUNT(*) FROM (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'error')) AS n_both,
+      (SELECT COUNT(*) FROM (
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         EXCEPT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')) AS n_purchase_no_signup
+    """,
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    purchase = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    error = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    signup = e.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    n_both = purchase.intersect(error).count()
+    n_pns = purchase.exceptAll(signup).count()
+    return purchase.sparkSession.createDataFrame(
+        [(n_both, n_pns)], "n_both bigint, n_purchase_no_signup bigint"
+    )
+
+
+# ===========================================================================
+# graph-shaped queries over the star schema (k-hop = joins; SURVEY §2.D)
+# ===========================================================================
+
+@query(
+    "q30_khop_nation_to_parts",
+    """
+    SELECT p.p_brand AS brand, COUNT(DISTINCT p.p_partkey) AS n_parts
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE n.n_name = 'NATION_7'
+    GROUP BY p.p_brand
+    """,
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    n = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    return (
+        F.broadcast(n)
+        .join(c, c["c_nationkey"] == n["n_nationkey"])
+        .join(o, o["o_custkey"] == c["c_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), p["p_partkey"] == l["l_partkey"])
+        .groupBy("p_brand")
+        .agg(F.count_distinct("p_partkey").alias("n_parts"))
+        .select(F.col("p_brand").alias("brand"), "n_parts")
+    )
+
+
+@query(
+    "q31_supplier_part_degrees",
+    """
+    SELECT l_suppkey AS suppkey, COUNT(DISTINCT l_partkey) AS out_degree
+    FROM lineitem GROUP BY l_suppkey
+    ORDER BY out_degree DESC, l_suppkey LIMIT 10
+    """,
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    l = load_table(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_suppkey")
+        .agg(F.count_distinct("l_partkey").alias("out_degree"))
+        .orderBy(F.col("out_degree").desc(), F.col("l_suppkey"))
+        .limit(10)
+        .select(F.col("l_suppkey").alias("suppkey"), "out_degree")
+    )
+
+
+# ===========================================================================
+# dedup suite (documents)
+# ===========================================================================
+
+@query(
+    "q20_dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf, "documents"))
+
+
+def _shingle_sql(n: int) -> str:
+    """DuckDB: distinct character n-grams of lower(text)."""
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(length(lower(text)) - {n - 1}, 0) + 1), "
+        f"i -> substr(lower(text), CAST(i AS INT), {n})))"
+    )
+
+
+@query(
+    "q21_dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest({_shingle_sql(3)}) AS sh FROM documents
+    ),
+    sizes AS (SELECT id, COUNT(*) AS size FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (sa.size + sb.size - inter) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = inter.id_a
+               JOIN sizes sb ON sb.id = inter.id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.size + sb.size - inter) >= 0.62
+    """,
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), n=3, threshold=0.62
+    )
+
+
+def _minhash_sql(bands: int, rows: int, n: int = 3) -> str:
+    k = bands * rows
+    mins = ",\n        ".join(
+        f"list_min(list_transform(__sh, s -> md5('{i}|' || s))) AS mh_{i}"
+        for i in range(k)
+    )
+    band_rows = []
+    for b in range(bands):
+        cols = ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        band_rows.append(
+            f"SELECT id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig"
+        )
+    stacked = "\n      UNION ALL\n      ".join(band_rows)
+    return f"""
+    WITH sig AS (
+      SELECT doc_id AS id, {mins}
+      FROM (SELECT doc_id, {_shingle_sql(n)} AS __sh FROM documents
+            WHERE length(text) >= {n})
+    ),
+    stacked AS (
+      {stacked}
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM stacked a JOIN stacked b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    """
+
+
+@query("q22_dedup_minhash_lsh", _minhash_sql(bands=4, rows=4))
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf, "documents"), n=3, bands=4, rows_per_band=4
+    )
+
+
+def _simhash_sql() -> str:
+    """64-bit simhash as 16 hex nibbles — same construction as
+    operators/dedup.simhash_hex, over unnested tokens."""
+    hexd = "0123456789abcdef"
+    nibbles = []
+    for pos in range(1, 17):
+        nib = f"(instr('{hexd}', substr(md5(tok), {pos}, 1)) - 1)"
+        bit_terms = []
+        for bit in range(4):
+            vote = (
+                f"SUM(CASE WHEN ((({nib}) >> {bit}) & 1) = 1 THEN 1 ELSE -1 END)"
+            )
+            bit_terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << bit} ELSE 0 END)")
+        nibble_val = " + ".join(bit_terms)
+        nibbles.append(f"substr('{hexd}', CAST({nibble_val} AS INT) + 1, 1)")
+    concat = " || ".join(nibbles)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    sh AS (SELECT doc_id, {concat} AS simhash FROM toks GROUP BY doc_id)
+    SELECT simhash, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM sh GROUP BY simhash
+    """
+
+
+@query("q23_dedup_simhash", _simhash_sql())
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash_dedup(load_table(spark, sf, "documents"))
+
+
+# ===========================================================================
+# text analysis suite (documents)
+# ===========================================================================
+
+def _lang_guess_sql() -> str:
+    toks = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    scores = []
+    for code, sw in sorted(T.LANG_STOPWORDS.items()):
+        inlist = ", ".join(f"'{w}'" for w in sw)
+        scores.append(
+            (code, f"len(list_filter({toks}, t -> t IN ({inlist})))")
+        )
+    best = "greatest(" + ", ".join(s for _, s in scores) + ")"
+    expr = "'und'"
+    for code, s in reversed(scores):
+        expr = f"CASE WHEN ({s}) = ({best}) AND ({best}) > 0 THEN '{code}' ELSE {expr} END"
+    return expr
+
+
+_EN_SW = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
+
+@query(
+    "q24_text_stats",
+    f"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                AS DOUBLE) / length(text) AS punct_ratio,
+           CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                t -> t IN ({_EN_SW}))) AS DOUBLE)
+             / len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS stopword_ratio,
+           {_lang_guess_sql()} AS lang_guess,
+           list_min(list_transform(
+             range(1, greatest(length(lower(text)) - 7, 0) + 1),
+             i -> md5(substr(lower(text), CAST(i AS INT), 8)))) AS fingerprint
+    FROM documents
+    """,
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    # single-file input → one split; spread the regex/md5-heavy row work
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(t).cast("bigint").alias("n_tokens"),
+        T.punct_ratio(t).alias("punct_ratio"),
+        T.stopword_ratio(t).alias("stopword_ratio"),
+        T.lang_guess(t).alias("lang_guess"),
+        T.fingerprint(t).alias("fingerprint"),
+    )
+
+
+@query(
+    "q25_text_quality_by_source",
+    f"""
+    WITH scored AS (
+      SELECT source,
+             (CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                     BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                          AS DOUBLE) / length(text) < 0.3 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                t -> t IN ({_EN_SW}))) AS DOUBLE)
+                          / len(regexp_split_to_array(trim(lower(text)), '\\s+')) > 0.01
+                     THEN 1 ELSE 0 END) AS q3
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(q3) AS DOUBLE) / 3 / COUNT(*) AS avg_quality,
+           CAST(SUM(CASE WHEN q3 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
+    FROM scored GROUP BY source
+    """,
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    q3 = (T.quality_score(F.col("text")) * 3).cast("int")
+    return (
+        docs.select("source", q3.alias("q3"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("q3").cast("double") / 3 / F.count("*")).alias("avg_quality"),
+            F.sum(F.when(F.col("q3") == 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high_quality"),
+        )
+    )
+
+
+# ===========================================================================
+# similarity search (embeddings)
+# ===========================================================================
+
+_COS_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id AS id,
+         list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                     i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        * CAST(q.qv[CAST(i AS INT)] AS DOUBLE)), (a, b) -> a + b)
+         / (sqrt(list_reduce(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+          * sqrt(list_reduce(list_transform(q.qv,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))
+         AS sim
+  FROM embeddings e, q
+)
+SELECT id, ROUND(sim, 6) AS sim FROM sims
+ORDER BY ROUND(sim, 6) DESC, id LIMIT 10
+"""
+
+
+@query("q26_ann_bruteforce_topk", _COS_SQL)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    out = S.topk_bruteforce(emb, list(qvec), k=10)
+    return out.select("id", F.round("sim", 6).alias("sim")).orderBy(
+        F.col("sim").desc(), F.col("id")
+    )
+
+
+@query("q27_ann_lsh_topk")  # approximate → rows-only check (no SQL oracle)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.topk_lsh(emb, list(qvec), k=10, dims=len(qvec))
+
+
+@query(
+    "q28_embedding_neardup_pairs",
+    """
+    WITH normed AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) /
+               sqrt(list_reduce(list_transform(embedding,
+                    y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), (p, q) -> p + q))) AS vn
+      FROM embeddings)
+    SELECT id_a, id_b, cos FROM (
+      SELECT a.id AS id_a, b.id AS id_b,
+             ROUND(list_reduce(list_transform(range(1, len(a.vn) + 1),
+                   i -> a.vn[CAST(i AS INT)] * b.vn[CAST(i AS INT)]), (p, q) -> p + q), 6) AS cos
+      FROM normed a JOIN normed b ON a.id < b.id)
+    WHERE cos >= 0.55
+    """,
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    return D.embedding_neardup_pairs(load_table(spark, sf, "embeddings"), threshold=0.55)
+
+
+# ===========================================================================
+# provenance-graph analytics (iterative — not SQL-expressible → rows-only)
+# ===========================================================================
+
+_CORPUS = "/root/reference/malware/*.json"
+_graph_cache: dict[str, object] = {}
+
+
+def _corpus_graph(spark: SparkSession):
+    if "g" not in _graph_cache:
+        from graphdb_neo4j_spark.operators.ingest import build_graph
+
+        _graph_cache["g"] = build_graph(spark, _CORPUS)
+    return _graph_cache["g"]
+
+
+@query("g40_corpus_components")
+def g40(spark: SparkSession, sf: str) -> DataFrame:
+    """Weakly-connected components of the SPAWNS graph: component sizes."""
+    from graphdb_neo4j_spark.operators.traversal import connected_components
+
+    g = _corpus_graph(spark)
+    spawns = g.edges.filter(F.col("rel") == "SPAWNS")
+    nodes = g.process.select("key")
+    comp = connected_components(nodes, spawns)
+    return (
+        comp.groupBy("component").agg(F.count("*").alias("size"))
+        .orderBy(F.col("size").desc(), F.col("component"))
+        .limit(20)
+    )
+
+
+@query("g41_corpus_pagerank_top")
+def g41(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over SPAWNS: the most-structurally-central processes."""
+    from graphdb_neo4j_spark.operators.traversal import pagerank
+
+    g = _corpus_graph(spark)
+    spawns = g.edges.filter(F.col("rel") == "SPAWNS")
+    ranks = pagerank(spawns, iterations=10)
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("key"))
+        .limit(20)
+        .select("key", F.round("rank", 6).alias("rank"))
+    )
+
+
+@query("g42_corpus_bfs_depth")
+def g42(spark: SparkSession, sf: str) -> DataFrame:
+    """Process-tree depth distribution: BFS hops from root processes
+    (processes that are never a SPAWNS destination)."""
+    from graphdb_neo4j_spark.operators.traversal import bfs
+
+    g = _corpus_graph(spark)
+    spawns = g.edges.filter(F.col("rel") == "SPAWNS").select("src", "dst")
+    roots = (
+        spawns.select(F.col("src").alias("key")).distinct()
+        .join(spawns.select(F.col("dst").alias("key")).distinct(), "key", "left_anti")
+    )
+    depths = bfs(spawns, roots)
+    return depths.groupBy("dist").agg(F.count("*").alias("n_processes")).orderBy("dist")
+
+
+@query("g43_corpus_motif_injector_files")
+def g43(spark: SparkSession, sf: str) -> DataFrame:
+    """Motif: processes that injected a thread into a process that then
+    created a file — classic process-hollowing telemetry."""
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    g = _corpus_graph(spark)
+    gq = GraphQuery.from_graph(g)
+    hits = gq.find("(a)-[INJECTED_THREAD]->(b); (b)-[CREATED_FILE]->(f)")
+    return (
+        hits.groupBy("a").agg(F.count_distinct("f").alias("n_files"))
+        .orderBy(F.col("n_files").desc(), F.col("a"))
+        .limit(20)
+    )
