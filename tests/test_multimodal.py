@@ -1,0 +1,78 @@
+"""Multimodal plumbing tests: schema, Arrow batching, header decode."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.operators.multimodal import (
+    DECODED_SCHEMA,
+    MEDIA_SCHEMA,
+    extract_media_meta,
+    plan_resize_batches,
+    sniff_format,
+)
+
+
+def make_png(w: int, h: int) -> bytes:
+    ihdr = struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", make_png(640, 480), "image/png", "s3://x/1.png"),
+        (2, "image", b"\xff\xd8\xff\xe0fakejpeg", "image/jpeg", "s3://x/2.jpg"),
+        (3, "audio", b"RIFF\x00\x00\x00\x00WAVEfmt ", "audio/wav", "s3://x/3.wav"),
+        (4, "video", b"\x00\x00\x00 ftypisom", "video/mp4", "s3://x/4.mp4"),
+        (5, "image", None, "image/png", "s3://x/5.png"),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_sniff_format():
+    assert sniff_format(make_png(1, 1)) == "png"
+    assert sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+    assert sniff_format(None) == "empty"
+    assert sniff_format(b"garbage") == "unknown"
+
+
+def test_extract_media_meta_schema_and_real_png_dims(spark, media):
+    meta = extract_media_meta(media)
+    assert meta.schema == DECODED_SCHEMA
+    rows = {r.media_id: r for r in meta.collect()}
+    assert rows[1].format == "png"
+    assert (rows[1].width, rows[1].height) == (640, 480)  # real header decode
+    assert rows[3].format == "wav"
+    assert rows[4].format == "mp4"
+    assert rows[5].n_bytes == 0
+    # deterministic fake: same payload → same dims across runs
+    again = {r.media_id: r for r in extract_media_meta(media).collect()}
+    assert all(
+        (rows[i].width, rows[i].height) == (again[i].width, again[i].height)
+        for i in rows
+    )
+
+
+def test_decode_raises_without_fake(spark, media):
+    from graphdb_neo4j_spark.operators.multimodal import decode_image_meta
+
+    with pytest.raises(NotImplementedError):
+        decode_image_meta(b"\xff\xd8\xff\xe0fakejpeg", deterministic_fake=False)
+
+
+def test_plan_resize_batches(spark, media):
+    planned = plan_resize_batches(extract_media_meta(media))
+    buckets = {r.media_id: r.work_bucket for r in planned.collect()}
+    assert buckets[1] == "large"  # 640*480 = 4.7x target 256*256
+    assert set(buckets.values()) <= {"noop", "small", "large"}
