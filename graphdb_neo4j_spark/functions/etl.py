@@ -35,10 +35,11 @@ def tags_map(tags_col: Column) -> Column:
     * the string ``"0"`` (type=string) stays — it is truthy in Python.
 
     Duplicate keys: the reference keeps the *last* duplicate (dict
-    assignment); ``map_from_entries`` raises on duplicates in some
-    configs and keeps the first in others, so we deduplicate explicitly
-    keeping the last occurrence (corpus has zero duplicate-key spans;
-    this is belt-and-braces for parity).
+    assignment, events.py:17-22).  The session sets
+    ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (session.py) so
+    ``map_from_entries`` has exactly those semantics — no quadratic
+    dedup expression needed (the corpus has zero duplicate-key spans;
+    this matters for synthetic/adversarial inputs only).
     """
     normalized = F.transform(
         tags_col,
@@ -54,16 +55,7 @@ def tags_map(tags_col: Column) -> Column:
             .alias("value"),
         ),
     )
-    # keep-last-duplicate: reverse, keep first occurrence per key, i.e.
-    # filter out entries whose key appears again later in the original order.
-    deduped = F.filter(
-        normalized,
-        lambda t, i: ~F.exists(
-            F.slice(normalized, i + 2, F.size(normalized)),
-            lambda u: u["key"] == t["key"],
-        ),
-    )
-    return F.map_from_entries(deduped)
+    return F.map_from_entries(normalized)
 
 
 def tag(tags: Column, *keys: str) -> Column:

@@ -197,6 +197,14 @@ def _derive(spans: DataFrame) -> DataFrame:
 
 def build_graph_from_spans(traces: DataFrame, spans: DataFrame) -> PropertyGraph:
     d = _derive(spans).persist()
+    # ~22 event branches each scan this cache; right-size partitions to
+    # ~50k spans apiece so small corpora don't pay 22 × n_partitions of
+    # task overhead (a no-op at real scale, where spans >> 50k/partition)
+    n_spans = d.count()
+    current = d.rdd.getNumPartitions()
+    target = max(1, min(current, n_spans // 50_000 + 1))
+    if target < current:
+        d = d.coalesce(target)
     t = F.col("tags")
 
     # ------------------------------------------------------------------
@@ -487,5 +495,12 @@ def build_graph_from_spans(traces: DataFrame, spans: DataFrame) -> PropertyGraph
 
 
 def build_graph(spark: SparkSession, path: str) -> PropertyGraph:
-    """End-to-end: trace-JSON glob → property-graph tables."""
-    return build_graph_from_spans(read_traces(spark, path), read_spans(spark, path))
+    """End-to-end: trace-JSON glob → property-graph tables.
+
+    The JSON corpus is parsed ONCE: the trace-level DataFrame is
+    persisted and both the Trace nodes and the exploded span stream
+    derive from it (multiLine JSON parse dominates ingest cost)."""
+    from graphdb_neo4j_spark.sources.jaeger import spans_from_traces
+
+    traces = read_traces(spark, path).persist()
+    return build_graph_from_spans(traces, spans_from_traces(traces))

@@ -30,6 +30,10 @@ def get_spark(app_name: str = "graphdb-neo4j-spark", **extra_conf: str) -> Spark
         # the driver testdata writes TIMESTAMP(NANOS) parquet, which Spark
         # rejects natively; read as long and convert in sources/tables.py
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # duplicate tag keys keep the LAST occurrence — the reference's
+        # dict-assignment semantics (events.py:17-22) — without an O(n²)
+        # dedup expression in tags_map
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

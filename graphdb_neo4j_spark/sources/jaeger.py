@@ -99,14 +99,14 @@ def read_traces(spark: SparkSession, path: str) -> DataFrame:
     return raw.select(trace_id.alias("trace_id"), "file", "spans")
 
 
-def read_spans(spark: SparkSession, path: str) -> DataFrame:
-    """One row per span with the normalized tag map and ordering columns.
+def spans_from_traces(traces: DataFrame) -> DataFrame:
+    """Explode a :func:`read_traces` DataFrame into one row per span with
+    the normalized tag map and ordering columns.
 
     Columns: ``trace_id``, ``file``, ``span_idx`` (position within the
     file's spans array), ``start_time`` (missing → 0, the reference's
     sort default), ``tags`` (map<string,string>, falsy→NULL normalized).
     """
-    traces = read_traces(spark, path)
     exploded = traces.select(
         "trace_id",
         "file",
@@ -119,3 +119,8 @@ def read_spans(spark: SparkSession, path: str) -> DataFrame:
         F.coalesce(F.col("span.startTime"), F.lit(0)).alias("start_time"),
         tags_map(F.col("span.tags")).alias("tags"),
     )
+
+
+def read_spans(spark: SparkSession, path: str) -> DataFrame:
+    """One row per span (see :func:`spans_from_traces`)."""
+    return spans_from_traces(read_traces(spark, path))

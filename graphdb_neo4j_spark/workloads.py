@@ -829,3 +829,238 @@ def g43(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n_files").desc(), F.col("a"))
         .limit(20)
     )
+
+
+# ===========================================================================
+# temporal joins (as-of / range), rollup, pivot, lead-lag — extension ops
+# ===========================================================================
+
+@query(
+    "q13_asof_purchase_last_view",
+    """
+    WITH p AS (SELECT user_id, event_id AS purchase_event_id, epoch_us(ts) AS ts_us
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, event_id AS view_event_id, epoch_us(ts) AS view_ts_us
+               FROM events WHERE event_type = 'view')
+    SELECT p.user_id, p.purchase_event_id, v.view_event_id,
+           p.ts_us - v.view_ts_us AS gap_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND v.view_ts_us <= p.ts_us
+    """,
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdb_neo4j_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_event_id"), ts_us.alias("ts_us")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.col("event_id").alias("view_event_id"),
+        ts_us.alias("view_ts_us"),
+    )
+    joined = asof_join(
+        purchases, views, on="ts_us", by="user_id",
+        right_cols=["view_event_id", "view_ts_us"], suffix="",
+    )
+    return joined.select(
+        "user_id", "purchase_event_id", "view_event_id",
+        (F.col("ts_us") - F.col("view_ts_us")).alias("gap_us"),
+    )
+
+
+@query(
+    "q14_range_join_near_errors",
+    """
+    SELECT a.event_id AS error_event_id, a.user_id,
+           COUNT(*) AS n_nearby
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND b.event_type <> 'error'
+     AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN -3600000000 AND 3600000000
+    WHERE a.event_type = 'error'
+    GROUP BY a.event_id, a.user_id
+    """,
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdb_neo4j_spark.operators.temporal import range_join
+
+    e = load_table(spark, sf, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"), "user_id", ts_us.alias("ts_us")
+    )
+    others = e.filter(F.col("event_type") != "error").select(
+        "user_id", ts_us.alias("ts_us"), F.col("event_id").alias("other_id")
+    )
+    hour_us = 3_600_000_000
+    pairs = range_join(errors, others, on="ts_us", by="user_id",
+                       lower_us=-hour_us, upper_us=hour_us)
+    return pairs.groupBy("error_event_id", "user_id").agg(
+        F.count("*").alias("n_nearby")
+    )
+
+
+@query(
+    "q15_rollup_revenue",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    l = load_table(spark, sf, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        (F.sum(_cents(F.col("l_quantity"))).cast("double") / 100).alias("sum_qty"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@query(
+    "q16_pivot_event_counts",
+    "SELECT user_id, "
+    + ", ".join(
+        f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, subset=_EVENT_TYPES)
+    )
+
+
+@query(
+    "q17_lead_lag_rolling",
+    """
+    SELECT user_id, event_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS prev_gap_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_avg3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        (ts_us - F.lag(ts_us).over(w)).alias("prev_gap_us"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w3).cast("double")
+            / F.count("*").over(w3)
+        ).alias("rolling_avg3"),
+    )
+
+
+# ===========================================================================
+# graph layer under the oracle gate: motif find + bounded BFS over edges
+# derived from the star schema (k-hop == joins, provably)
+# ===========================================================================
+
+def _star_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Property-graph edges from the star schema with disjoint key
+    spaces: customer c:<key> -ORDERED-> order o:<key> -CONTAINS->
+    part p:<key>; supplier s:<key> -SUPPLIES-> part p:<key>."""
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    ordered = o.select(
+        F.lit("ORDERED").alias("rel"),
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("o:"), F.col("o_orderkey")).alias("dst"),
+    )
+    contains = l.select(
+        F.lit("CONTAINS").alias("rel"),
+        F.concat(F.lit("o:"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    supplies = l.select(
+        F.lit("SUPPLIES").alias("rel"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    return ordered.unionByName(contains).unionByName(supplies)
+
+
+@query(
+    "q33_graph_motif_customer_parts",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT 'c:' || o.o_custkey AS c, 'p:' || l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT c AS customer, COUNT(*) AS n_parts FROM pairs GROUP BY c
+    """,
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    edges = _star_edges(spark, sf)
+    nodes = edges.selectExpr("src AS key").union(edges.selectExpr("dst")).distinct()
+    gq = GraphQuery(nodes=nodes.select(F.lit("Any").alias("label"), "key"),
+                    edges=edges)
+    motif = gq.find("(c)-[ORDERED]->(o); (o)-[CONTAINS]->(p)")
+    return (
+        motif.select("c", "p").distinct()
+        .groupBy(F.col("c").alias("customer"))
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@query(
+    "q34_graph_bfs_bounded",
+    """
+    WITH roots AS (
+      SELECT DISTINCT 's:' || s_suppkey AS key FROM supplier WHERE s_suppkey <= 3
+    ),
+    hop1 AS (
+      SELECT DISTINCT 'p:' || l.l_partkey AS key
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_suppkey <= 3
+    ),
+    hop2 AS (
+      SELECT DISTINCT 'o:' || l.l_orderkey AS key
+      FROM lineitem l
+      WHERE 'p:' || l.l_partkey IN (SELECT key FROM hop1)
+    )
+    SELECT key, 0 AS dist FROM roots
+    UNION ALL SELECT key, 1 FROM hop1
+    UNION ALL SELECT key, 2 FROM hop2
+    """,
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdb_neo4j_spark.operators.traversal import bfs
+
+    l = load_table(spark, sf, "lineitem")
+    supplies = l.select(
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    part_in_order = l.select(
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("o:"), F.col("l_orderkey")).alias("dst"),
+    ).distinct()
+    edges = supplies.unionByName(part_in_order)
+    s = load_table(spark, sf, "supplier").filter(F.col("s_suppkey") <= 3)
+    roots = s.select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("key")).distinct()
+    return bfs(edges, roots, max_hops=2).select("key", F.col("dist").cast("int").alias("dist"))

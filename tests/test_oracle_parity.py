@@ -40,8 +40,10 @@ def _norm(v):
 
 def _canon(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    # None-safe total order (NULLs sort first within their column slot)
     return sorted(
-        tuple(_norm(row[i]) for i in order) for row in rows
+        (tuple(_norm(row[i]) for i in order) for row in rows),
+        key=lambda t: tuple((v is not None, str(v)) for v in t),
     )
 
 
