@@ -85,7 +85,14 @@ def canon_event_id(tags: Column) -> Column:
     tag occurs) and routes on ``str(ev_id)`` (events.py:323 et al.).
     """
     ev = tags["EventID"]
-    ev_canon = F.coalesce(ev.try_cast("long").cast("string"), ev)
+    as_long = ev.try_cast("long")
+    # a string EventID that coerces to int 0 becomes FALSY in Python and
+    # falls through to the ID tag (truthiness coalesce on the coerced
+    # value); unparseable strings stay as-is (truthy)
+    ev_canon = F.when(
+        as_long.isNotNull(),
+        F.when(as_long == 0, F.lit(None)).otherwise(as_long.cast("string")),
+    ).otherwise(ev)
     return F.coalesce(ev_canon, tags["ID"])
 
 

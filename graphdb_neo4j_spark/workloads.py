@@ -1064,3 +1064,15 @@ def q34(spark: SparkSession, sf: str) -> DataFrame:
     s = load_table(spark, sf, "supplier").filter(F.col("s_suppkey") <= 3)
     roots = s.select(F.concat(F.lit("s:"), F.col("s_suppkey")).alias("key")).distinct()
     return bfs(edges, roots, max_hops=2).select("key", F.col("dist").cast("int").alias("dist"))
+
+
+# ===========================================================================
+# sketches — oracle-exact approximate distinct (KMV)
+# ===========================================================================
+
+from graphdb_neo4j_spark.operators.sketch import kmv_distinct, kmv_distinct_sql  # noqa: E402
+
+
+@query("q18_kmv_distinct_orderkeys", kmv_distinct_sql("lineitem", "l_orderkey", k=128))
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    return kmv_distinct(load_table(spark, sf, "lineitem"), "l_orderkey", k=128)
