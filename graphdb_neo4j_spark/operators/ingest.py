@@ -40,6 +40,8 @@ staging write; everything else is unchanged.
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass
 from functools import reduce
 
@@ -121,6 +123,37 @@ class PropertyGraph:
         self.registry_value.write.format(fmt).mode("overwrite").save(
             f"{path}/registry_value"
         )
+
+    def save_bucketed(
+        self, name_prefix: str = "graph", buckets: int = 32
+    ) -> None:
+        """Write edges twice, bucketed+sorted by ``src`` and by ``dst``.
+
+        Bucketed tables let motif/traversal self-joins run WITHOUT a
+        shuffle: a chain hop joins ``edges_by_dst.dst == edges_by_src
+        .src`` and both sides arrive pre-bucketed on their join key, so
+        Catalyst plans a SortMergeJoin with no Exchange.  At 100 TB the
+        double write is the cheap part; the per-query shuffle it
+        removes is the expensive one.  (Managed tables — location under
+        spark.sql.warehouse.dir.)
+        """
+        spark = self.edges.sparkSession
+        for name, key in (
+            (f"{name_prefix}_edges_by_src", "src"),
+            (f"{name_prefix}_edges_by_dst", "dst"),
+        ):
+            # the default in-memory metastore forgets tables across
+            # sessions but their warehouse directories persist — clear
+            # both so overwrite is truly idempotent
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            loc = os.path.join(warehouse.removeprefix("file:"), name.lower())
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
+            (
+                self.edges.write.bucketBy(buckets, key).sortBy(key)
+                .mode("overwrite").format("parquet").saveAsTable(name)
+            )
 
     def unpersist(self) -> None:
         pass

@@ -1076,3 +1076,44 @@ from graphdb_neo4j_spark.operators.sketch import kmv_distinct, kmv_distinct_sql 
 @query("q18_kmv_distinct_orderkeys", kmv_distinct_sql("lineitem", "l_orderkey", k=128))
 def q18(spark: SparkSession, sf: str) -> DataFrame:
     return kmv_distinct(load_table(spark, sf, "lineitem"), "l_orderkey", k=128)
+
+
+@query(
+    "q19_session_windows",
+    """
+    WITH ordered AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                       >= 1800000000
+                       OR LAG(epoch_us(ts))
+                          OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                          IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, ts_us,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events
+    FROM tagged GROUP BY user_id, session_id
+    """,
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch session_window: Spark's gap-merged session semantics (merge
+    when the next event starts strictly inside the 30-min extension)
+    equal the classic lag/cumsum islands formulation in the oracle."""
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
