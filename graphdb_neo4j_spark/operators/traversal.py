@@ -196,3 +196,69 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame) -> int:
+    """Number of triangles in the undirected graph.
+
+    Canonicalize each edge to (min, max), then the classic two-join
+    enumeration a<b<c — each triangle counted exactly once.  Shuffles:
+    2 joins on node id; at scale pre-bucket the canonical edge table.
+    """
+    e = (
+        _as_undirected(edges)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    return (
+        ab.join(bc, ab["b"] == bc["b2"])
+        .join(ac, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .count()
+    )
+
+
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """Community detection by synchronous label propagation.
+
+    Each node adopts the most frequent label among its undirected
+    neighbors (ties → smallest label, deterministic).  Fixed iteration
+    count (LPA oscillates; GraphX's implementation is also fixed-iter).
+    Returns (key, label).
+    """
+    e = _as_undirected(edges).distinct().localCheckpoint()
+    key_col = nodes.columns[0]
+    labels = (
+        nodes.select(F.col(key_col).alias("key")).distinct()
+        .withColumn("label", F.col("key"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = (
+            labels.join(e, labels["key"] == e["src"])
+            .select(F.col("dst").alias("key"), "label")
+        )
+        votes = msgs.groupBy("key", "label").agg(F.count("*").alias("n"))
+        mx = votes.groupBy("key").agg(F.max("n").alias("mx"))
+        best = (
+            votes.join(mx, "key")
+            .filter(F.col("n") == F.col("mx"))
+            .groupBy("key")
+            .agg(F.min("label").alias("new_label"))  # ties → smallest label
+        )
+        labels = (
+            labels.join(best, "key", "left")
+            .select(
+                "key", F.coalesce(F.col("new_label"), F.col("label")).alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels

@@ -1117,3 +1117,89 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "q35_triangle_count_copurchase",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS pa,
+                      greatest(a.l_partkey, b.l_partkey) AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM pairs ab JOIN pairs bc ON ab.pb = bc.pa
+                  JOIN pairs ac ON ab.pa = ac.pa AND bc.pb = ac.pb
+    """,
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangles in the part co-purchase graph (parts sharing an order)
+    — the iterative-analytics operator under the oracle gate."""
+    from graphdb_neo4j_spark.operators.traversal import triangle_count
+
+    l = load_table(spark, sf, "lineitem")
+    pairs = (
+        l.alias("a")
+        .join(
+            l.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    n = triangle_count(pairs)
+    return spark.createDataFrame([(n,)], "n_triangles bigint")
+
+
+@query(
+    "q36_median_value_by_type",
+    """
+    SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS median_value,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median — Spark percentile() and DuckDB quantile_cont use
+    the same linear-interpolation definition; round(6) guards the one
+    differing multiply-order case."""
+    e = load_table(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("g44_corpus_golden_counts")
+def g44(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-corpus ingest label/rel counts — the golden-parity numbers
+    as a driver-visible result (rows-only check; the exact-match gate
+    lives in tests/test_ingest_golden.py)."""
+    g = _corpus_graph(spark)
+    nodes = g.nodes().groupBy("label").count().select(
+        F.concat(F.lit("node:"), F.col("label")).alias("kind"), F.col("count")
+    )
+    edges = g.edges.groupBy("rel").count().select(
+        F.concat(F.lit("edge:"), F.col("rel")).alias("kind"), F.col("count")
+    )
+    return nodes.unionByName(edges).orderBy("kind")
+
+
+@query("g45_corpus_label_propagation")
+def g45(spark: SparkSession, sf: str) -> DataFrame:
+    """LPA communities over the corpus SPAWNS graph: community sizes."""
+    from graphdb_neo4j_spark.operators.traversal import label_propagation
+
+    g = _corpus_graph(spark)
+    spawns = g.edges.filter(F.col("rel") == "SPAWNS")
+    nodes = g.process.select("key")
+    labels = label_propagation(nodes, spawns, max_iter=5)
+    return (
+        labels.groupBy("label").agg(F.count("*").alias("size"))
+        .orderBy(F.col("size").desc(), F.col("label"))
+        .limit(20)
+    )

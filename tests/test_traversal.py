@@ -89,3 +89,28 @@ def test_pagerank_sums_and_ranks(spark):
     assert max(ranks, key=ranks.get) == "hub"
     # spokes that receive nothing sit at the base rank (1 - d)
     assert ranks["s2"] == pytest.approx(0.15)
+
+
+def test_triangle_count(spark):
+    from graphdb_neo4j_spark.operators.traversal import triangle_count
+
+    # K4 has 4 triangles; plus a dangling edge adds none
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    edges = spark.createDataFrame(k4 + [("d", "e")], ["src", "dst"])
+    assert triangle_count(edges) == 4
+    # direction-insensitive: reversing edges changes nothing
+    rev = spark.createDataFrame([(b, a) for a, b in k4], ["src", "dst"])
+    assert triangle_count(rev) == 4
+
+
+def test_label_propagation_two_cliques(spark):
+    from graphdb_neo4j_spark.operators.traversal import label_propagation
+
+    clique1 = [(a, b) for a in "abc" for b in "abc" if a < b]
+    clique2 = [(a, b) for a in "xyz" for b in "xyz" if a < b]
+    edges = spark.createDataFrame(clique1 + clique2 + [("c", "x")], ["src", "dst"])
+    nodes = spark.createDataFrame([(k,) for k in "abcxyz"], ["key"])
+    labels = {r.key: r.label for r in label_propagation(nodes, edges, 8).collect()}
+    # the two cliques end up internally consistent
+    assert len({labels[k] for k in "ab"}) == 1
+    assert len({labels[k] for k in "yz"}) == 1
