@@ -260,3 +260,46 @@ def embedding_neardup_pairs(
     return pairs.select("id_a", "id_b", cos.alias("cos")).filter(
         F.col("cos") >= threshold
     )
+
+
+def neardup_clusters(
+    df: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    jaccard_threshold: float | None = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-level near-dup clustering: LSH candidates (optionally
+    verified by true Jaccard) → connected components → (id, cluster_id,
+    is_keeper).
+
+    The end-to-end shape of a production dedup pass: keep one doc per
+    cluster (the minimum id), drop the rest.  Cluster closure uses the
+    iterative HashMin components operator, so chains of pairwise
+    near-dups (A~B~C with A≁C) land in ONE cluster — pair-level dedup
+    alone would keep too much.
+    """
+    from graphdb_neo4j_spark.operators.traversal import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df, n=n, bands=bands, rows_per_band=rows_per_band,
+        text_col=text_col, id_col=id_col,
+    )
+    if jaccard_threshold is not None:
+        verified = ngram_jaccard_pairs(
+            df, n=n, threshold=jaccard_threshold, text_col=text_col, id_col=id_col
+        ).select("id_a", "id_b")
+        pairs = pairs.join(verified, ["id_a", "id_b"], "left_semi")
+    ids = df.select(F.col(id_col).cast("string").alias("key")).distinct()
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    comp = connected_components(ids, edges)
+    return comp.select(
+        F.col("key").alias("id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("key") == F.col("component")).alias("is_keeper"),
+    )

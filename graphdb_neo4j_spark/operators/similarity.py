@@ -166,3 +166,100 @@ def topk_lsh(
         .orderBy(F.col("sim").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def ivf_index(
+    df: DataFrame,
+    n_centroids: int = 16,
+    dims: int = 64,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF (inverted-file) ANN index: deterministic Lloyd's k-means.
+
+    Centroids initialize from the ``n_centroids`` rows with the
+    smallest md5(id) (reproducible, data-independent of ordering); a
+    few Lloyd iterations run as DataFrame joins with the centroid set
+    broadcast as literals (centroids are tiny — driver-side is the
+    right home for them).  Returns (assignments DF with ``centroid_id``
+    column, centroid list).
+    """
+    import math
+
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("__h", F.md5(F.col("id").cast("string")))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["v"]] for r in rows]
+
+    def assign_expr(cents):
+        vec = F.col(vec_col)
+        best_id = F.lit(0)
+        best_d = None
+        for ci, c in enumerate(cents):
+            carr = F.array(*[F.lit(x) for x in c])
+            d = F.aggregate(
+                F.zip_with(vec, carr, lambda a, b: (a.cast("double") - b) ** 2),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            if best_d is None:
+                best_d, best_id = d, F.lit(ci)
+            else:
+                best_id = F.when(d < best_d, F.lit(ci)).otherwise(best_id)
+                best_d = F.when(d < best_d, d).otherwise(best_d)
+        return best_id
+
+    for _ in range(iters):
+        assigned = df.withColumn("centroid_id", assign_expr(centroids))
+        sums = assigned.groupBy("centroid_id").agg(
+            *[
+                F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
+                for i in range(dims)
+            ],
+            F.count("*").alias("n"),
+        )
+        new_cents = list(centroids)
+        for r in sums.collect():
+            ci = r["centroid_id"]
+            new_cents[ci] = [r[f"s{i}"] / r["n"] for i in range(dims)]
+        centroids = new_cents
+
+    return df.withColumn("centroid_id", assign_expr(centroids)), centroids
+
+
+def topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Approximate top-k via IVF: score only the ``n_probe`` closest
+    centroids' inverted lists.  At scale the assignment DF is written
+    partitioned by ``centroid_id`` so a query scans n_probe/n_centroids
+    of the data."""
+    assigned, centroids = ivf_index(
+        df, n_centroids=n_centroids, dims=dims, id_col=id_col, vec_col=vec_col
+    )
+
+    def dist2(c):
+        return sum((query_vec[i] - c[i]) ** 2 for i in range(dims))
+
+    probe = sorted(range(len(centroids)), key=lambda ci: dist2(centroids[ci]))[:n_probe]
+    candidates = assigned.filter(F.col("centroid_id").isin(probe))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_expr(F.col(vec_col), q)
+    return (
+        candidates.select(F.col(id_col).alias("id"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("id"))
+        .limit(k)
+    )

@@ -81,6 +81,9 @@ def read_traces(spark: SparkSession, path: str) -> DataFrame:
     traceID is missing or empty (truthy ``or`` in the reference,
     events.py:510).
     """
+    from graphdb_neo4j_spark.sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)
     # NOTE: do NOT set an explicit `encoding` — in multiLine mode that
     # disables charset auto-detection and the corpus' UTF-8 BOM then
     # breaks the parse (all fields NULL under PERMISSIVE mode).

@@ -23,7 +23,24 @@ TABLE_NAMES = [
 ]
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make an externally-created SparkSession (e.g. the driver's) safe
+    for this engine: nanos parquet reads, UTC timestamp semantics, and
+    last-wins map keys are all runtime-settable SQL confs."""
+    for key, value in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # read-only in this deployment — keep going
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) parquet read as long ns (nanosAsLong);

@@ -145,3 +145,96 @@ def windowed_event_counts(
             "n_spans",
         )
     )
+
+
+def stateful_process_tracker(spans_stream: DataFrame, timeout_minutes: int = 60):
+    """Custom stateful streaming operator: per-process lifecycle state.
+
+    ``applyInPandasWithState`` keyed by process GUID/pid key; state =
+    (first_seen_us, last_seen_us, n_spans).  Emits one updated row per
+    key per micro-batch; state expires after ``timeout_minutes`` of
+    processing-time inactivity (bounded state — mandatory for an
+    unbounded stream).  This is the Spark-native shape for the
+    reference's implicit "process lifetime" notion (event 1 ↔ event 5).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from graphdb_neo4j_spark.operators.ingest import _derive
+
+    d = _derive(spans_stream).filter(F.col("pkey").isNotNull()).select(
+        F.col("pkey").alias("key"), F.col("ord.start_time").alias("start_us")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("first_seen_us", LongType()),
+            StructField("last_seen_us", LongType()),
+            StructField("n_spans", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("first_seen_us", LongType()),
+            StructField("last_seen_us", LongType()),
+            StructField("n_spans", LongType()),
+        ]
+    )
+
+    def track(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first, last, n = (
+            state.get if state.exists else (None, None, 0)
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            lo = int(pdf["start_us"].min())
+            hi = int(pdf["start_us"].max())
+            first = lo if first is None else min(first, lo)
+            last = hi if last is None else max(last, hi)
+            n += len(pdf)
+        state.update((first, last, n))
+        state.setTimeoutDuration(timeout_minutes * 60_000)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "first_seen_us": [first],
+                "last_seen_us": [last],
+                "n_spans": [n],
+            }
+        )
+
+    return d.groupBy("key").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def streaming_dedup_spans(
+    spans_stream: DataFrame, watermark_delay: str = "1 hour"
+) -> DataFrame:
+    """Stateful streaming dedup: drop re-delivered spans by
+    (trace_id, span identity) within the watermark horizon —
+    ``dropDuplicatesWithinWatermark`` keeps state bounded, unlike a
+    plain streaming dropDuplicates."""
+    keyed = spans_stream.select(
+        "trace_id",
+        F.col("span_idx"),
+        F.timestamp_micros(F.col("start_time")).alias("event_time"),
+        "tags",
+    ).withWatermark("event_time", watermark_delay)
+    return keyed.dropDuplicatesWithinWatermark(["trace_id", "span_idx"])

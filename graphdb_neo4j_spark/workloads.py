@@ -41,10 +41,20 @@ ORACLES: dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERY_FNS[name] = fn
+        def wrapped(spark: SparkSession, sf: str) -> DataFrame:
+            # the driver hands us ITS SparkSession — apply the engine's
+            # runtime-settable confs (UTC, nanos parquet, map dedup)
+            from graphdb_neo4j_spark.sources.tables import ensure_session_confs
+
+            ensure_session_confs(spark)
+            return fn(spark, sf)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERY_FNS[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 
@@ -1203,3 +1213,28 @@ def g45(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("size").desc(), F.col("label"))
         .limit(20)
     )
+
+
+@query("q29_neardup_clusters")  # connected components → not SQL-expressible
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end near-dup clustering on documents: LSH candidates →
+    Jaccard verify → transitive closure; rows-only driver check."""
+    from graphdb_neo4j_spark.operators.dedup import neardup_clusters
+
+    out = neardup_clusters(
+        load_table(spark, sf, "documents"), jaccard_threshold=0.62
+    )
+    return (
+        out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") > 1)
+        .orderBy(F.col("size").desc(), F.col("cluster_id"))
+    )
+
+
+@query("q37_ann_ivf_topk")  # iterative k-means index → rows-only
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    from graphdb_neo4j_spark.operators.similarity import topk_ivf
+
+    emb = load_table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return topk_ivf(emb, list(qvec), k=10, n_centroids=8, n_probe=3, dims=len(qvec))

@@ -100,3 +100,37 @@ def test_text_functions(spark):
     assert rows[1].n == 0 and rows[1].lang == "und"
     assert rows[2].lang == "es"
     assert 0.0 <= rows[0].q <= 1.0
+
+
+def test_neardup_clusters_transitive(spark):
+    from graphdb_neo4j_spark.operators.dedup import neardup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        (1, base),
+        (2, base + "!"),            # near dup of 1
+        (3, base + "!?"),           # near dup of 2 (chain → same cluster)
+        (4, "totally different text about query engines and columnar io"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.id: (r.cluster_id, r.is_keeper) for r in
+           neardup_clusters(docs, jaccard_threshold=0.5).collect()}
+    assert out["1"][0] == out["2"][0] == out["3"][0]  # transitive closure
+    assert out["4"][0] != out["1"][0]
+    keepers = [i for i, (_, keep) in out.items() if keep]
+    assert sorted(keepers) == ["1", "4"]
+
+
+def test_ivf_recall_and_partition_pruning_shape(spark):
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.operators.similarity import topk_bruteforce, topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).head()[1])
+    exact = {r.id for r in topk_bruteforce(emb, q, k=10).collect()}
+    approx_rows = topk_ivf(emb, q, k=10, n_centroids=8, n_probe=3, dims=len(q)).collect()
+    approx = {r.id for r in approx_rows}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    assert len(approx_rows) == 10
