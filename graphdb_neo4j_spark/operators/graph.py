@@ -132,6 +132,14 @@ class GraphQuery:
                 for c in conds[1:]:
                     cond = cond & c
                 result = result.join(e, cond)
+            if src == dst:
+                # self-loop pattern "(a)-[R]->(a)": src and dst are the
+                # same variable, so the equality must be an explicit
+                # filter — otherwise __dst{i} would be silently dropped
+                # and the result would contain ALL R edges
+                result = result.filter(
+                    F.col(f"__src{i}") == F.col(f"__dst{i}")
+                )
             renames = {}
             if src not in bound:
                 renames[f"__src{i}"] = src

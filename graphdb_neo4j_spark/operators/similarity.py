@@ -52,14 +52,20 @@ def topk_bruteforce(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_sim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector.
 
     Returns (id, sim) ordered by (sim desc, id) — the id tiebreak makes
-    the result total-ordered and oracle-stable.
+    the result total-ordered and oracle-stable.  ``round_sim`` rounds
+    BEFORE ranking so ties at the k boundary break on id, matching an
+    oracle that orders by the rounded value (ranking on raw sims and
+    rounding after can select a different id set near the boundary).
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_expr(F.col(vec_col), q)
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     return (
         spread.select(F.col(id_col).alias("id"), sim.alias("sim"))

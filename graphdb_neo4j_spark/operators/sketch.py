@@ -48,7 +48,14 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     If fewer than k distinct values exist the estimate equals the exact
     distinct count (degenerate case handled the standard way).
     """
-    hashes = df.select(F.md5(F.col(col).cast("string")).alias("h")).distinct()
+    # NULLs must not enter the sketch: md5(NULL) = NULL survives
+    # distinct() and sorts nulls-FIRST in Spark but nulls-LAST in
+    # DuckDB, skewing both the top-k set and the estimate.
+    hashes = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.md5(F.col(col).cast("string")).alias("h"))
+        .distinct()
+    )
     topk = hashes.orderBy("h").limit(k)
     agg = topk.agg(F.max("h").alias("kth_hash"), F.count("*").alias("n"))
     frac = _hex_frac(F.col("kth_hash"))
@@ -63,6 +70,7 @@ def kmv_distinct_sql(table: str, col_sql: str, k: int = 256) -> str:
     return f"""
     WITH topk AS (
       SELECT DISTINCT md5(CAST({col_sql} AS VARCHAR)) AS h FROM {table}
+      WHERE {col_sql} IS NOT NULL
       ORDER BY h LIMIT {k}
     ),
     agg AS (SELECT max(h) AS kth_hash, COUNT(*) AS n FROM topk)

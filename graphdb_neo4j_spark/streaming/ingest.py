@@ -23,7 +23,7 @@ path.  Design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graphdb_neo4j_spark.operators.ingest import PropertyGraph, build_graph_from_spans
@@ -77,10 +77,16 @@ def stream_graph_ingest(
         spans = batch_traces  # already exploded spans (stream_spans output)
         traces = spans.select("trace_id").distinct()
         g = build_graph_from_spans(traces, spans)
-        g.edges.write.mode("append").parquet(f"{log_path}/edges")
+        # batch_id is the cross-batch ordering key: compaction folds the
+        # log in batch order with the same last-non-null semantics the
+        # batch MERGE applies within a batch (see compact_graph_log)
+        bid = F.lit(int(batch_id)).alias("batch_id")
+        g.edges.select("*", bid).write.mode("append").parquet(f"{log_path}/edges")
         g.nodes().write.mode("append").parquet(f"{log_path}/nodes")
-        g.process.write.mode("append").parquet(f"{log_path}/process")
-        g.registry_value.write.mode("append").parquet(f"{log_path}/registry_value")
+        g.process.select("*", bid).write.mode("append").parquet(f"{log_path}/process")
+        g.registry_value.select("*", bid).write.mode("append").parquet(
+            f"{log_path}/registry_value"
+        )
 
     stream = stream_spans(spark, input_path)
     writer = stream.writeStream.foreachBatch(process_batch).option(
@@ -94,21 +100,52 @@ def stream_graph_ingest(
 def compact_graph_log(spark: SparkSession, log_path: str) -> dict[str, DataFrame]:
     """Fold the append log into canonical tables (MERGE-on-read).
 
-    Node/edge identity dedup is exact; per-batch conflict resolution
-    already applied the ordered-write semantics within each batch, and
-    cross-batch arrival order stands in for file order (the streaming
-    relaxation: a trace is always wholly inside one batch, and the
-    reference's cross-file ordering only affects property tie-breaks,
-    not graph shape).
+    Node/edge identity dedup is exact.  Property conflict resolution is
+    DETERMINISTIC: each log row carries its ``batch_id``, and the fold
+    replays batches in order with the same semantics the batch MERGE
+    applies within a batch —
+
+    * bare-``SET`` props (edge props except ``details``; registry
+      ``value_name``): last batch wins, including NULL;
+    * last-non-null props (``TAMPERED.details``; all Process props): a
+      later batch's NULL means "no write in that batch", so the older
+      value is kept — ``last(..., ignorenulls=True)`` over batch order.
+
+    Remaining relaxation (documented, not silent): the ON CREATE
+    GUID-drop asymmetry is applied per-batch, so a GUID-keyed process
+    first seen in batch N has its batch-N-create write's GUIDs dropped
+    even if the node already existed from batch < N.  Trace-scoped keys
+    (``{trace}:{pid}``) are unaffected — a trace is wholly inside one
+    batch.
     """
-    edges = (
-        spark.read.parquet(f"{log_path}/edges")
-        .dropDuplicates(["rel", "src", "dst"])
+    def fold(df: DataFrame, keys: list[str], last_nonnull: set[str]) -> DataFrame:
+        props = [c for c in df.columns if c not in (*keys, "batch_id")]
+        w = Window.partitionBy(*keys).orderBy("batch_id")
+        w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        out = df.select(
+            *keys,
+            *[
+                F.last(c, ignorenulls=(c in last_nonnull)).over(w_all).alias(c)
+                for c in props
+            ],
+        )
+        return out.dropDuplicates(keys)
+
+    edges = fold(
+        spark.read.parquet(f"{log_path}/edges"),
+        ["rel", "src", "dst"],
+        last_nonnull={"details"},
     )
     nodes = spark.read.parquet(f"{log_path}/nodes").dropDuplicates(["label", "key"])
-    process = spark.read.parquet(f"{log_path}/process").dropDuplicates(["key"])
-    registry_value = spark.read.parquet(f"{log_path}/registry_value").dropDuplicates(
-        ["path"]
+    process = fold(
+        spark.read.parquet(f"{log_path}/process"),
+        ["key"],
+        last_nonnull={"image", "command_line", "process_guid", "parent_process_guid"},
+    )
+    registry_value = fold(
+        spark.read.parquet(f"{log_path}/registry_value"),
+        ["path"],
+        last_nonnull=set(),
     )
     return {
         "edges": edges,

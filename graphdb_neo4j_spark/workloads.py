@@ -364,7 +364,7 @@ def q09(spark: SparkSession, sf: str) -> DataFrame:
     SELECT event_type,
            CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
            COUNT(*) AS n,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type, CAST(json_extract(props, '$.k') AS BIGINT) % 10
     """,
@@ -434,11 +434,13 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
     purchase = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
     error = e.filter(F.col("event_type") == "error").select("user_id").distinct()
     signup = e.filter(F.col("event_type") == "signup").select("user_id").distinct()
-    n_both = purchase.intersect(error).count()
-    n_pns = purchase.exceptAll(signup).count()
-    return purchase.sparkSession.createDataFrame(
-        [(n_both, n_pns)], "n_both bigint, n_purchase_no_signup bigint"
+    # Single declarative plan: two scalar aggregates cross-joined, so the
+    # driver runs ONE job instead of two .count() actions + createDataFrame.
+    n_both = purchase.intersect(error).agg(F.count("*").alias("n_both"))
+    n_pns = purchase.exceptAll(signup).agg(
+        F.count("*").alias("n_purchase_no_signup")
     )
+    return n_both.crossJoin(n_pns)
 
 
 # ===========================================================================
@@ -637,11 +639,13 @@ _EN_SW = ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"])
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0
                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-           CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
-                AS DOUBLE) / length(text) AS punct_ratio,
-           CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-                                t -> t IN ({_EN_SW}))) AS DOUBLE)
-             / len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS stopword_ratio,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                     AS DOUBLE) / length(text) END AS punct_ratio,
+           CASE WHEN trim(text) = '' THEN 0.0
+                ELSE CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                     t -> t IN ({_EN_SW}))) AS DOUBLE)
+                  / len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS stopword_ratio,
            {_lang_guess_sql()} AS lang_guess,
            list_min(list_transform(
              range(1, greatest(length(lower(text)) - 7, 0) + 1),
@@ -672,8 +676,9 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
              (CASE WHEN (CASE WHEN trim(text) = '' THEN 0
                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
                      BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
-              + CASE WHEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
-                          AS DOUBLE) / length(text) < 0.3 THEN 1 ELSE 0 END
+              + CASE WHEN length(text) = 0
+                          OR CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                             AS DOUBLE) / length(text) < 0.3 THEN 1 ELSE 0 END
               + CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
                                 t -> t IN ({_EN_SW}))) AS DOUBLE)
                           / len(regexp_split_to_array(trim(lower(text)), '\\s+')) > 0.01
@@ -728,10 +733,9 @@ ORDER BY ROUND(sim, 6) DESC, id LIMIT 10
 def q26(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    out = S.topk_bruteforce(emb, list(qvec), k=10)
-    return out.select("id", F.round("sim", 6).alias("sim")).orderBy(
-        F.col("sim").desc(), F.col("id")
-    )
+    # round BEFORE ranking (round_sim=6) so k-boundary ties break on id
+    # exactly as the oracle's ORDER BY ROUND(sim, 6) DESC, id does
+    return S.topk_bruteforce(emb, list(qvec), k=10, round_sim=6)
 
 
 @query("q27_ann_lsh_topk")  # approximate → rows-only check (no SQL oracle)

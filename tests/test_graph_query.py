@@ -21,6 +21,8 @@ def gq(spark):
             ("SPAWNS", "b", "d", 1),
             ("CONNECTED_TO", "d", "1.1.1.1", 3),
             ("CREATED_FILE", "c", "f1", 11),
+            ("SELF", "e", "e", 9),
+            ("SELF", "e", "f", 9),
         ],
         ["rel", "src", "dst", "event_id"],
     )
@@ -66,6 +68,13 @@ def test_semi_anti(gq):
     assert {r.key for r in spawned.collect()} == {"a", "b"}
     leaf = gq.anti(procs, "SPAWNS")
     assert {r.key for r in leaf.collect()} == {"c", "d", "e", "f"}
+
+
+def test_motif_self_loop(gq):
+    # "(s)-[R]->(s)" must keep ONLY true self-loops, not all R edges
+    rows = gq.find("(s)-[SELF]->(s)").collect()
+    assert {r.s for r in rows} == {"e"}
+    assert gq.find("(a)-[SPAWNS]->(a)").count() == 0
 
 
 def test_degrees(gq):

@@ -90,6 +90,43 @@ def test_streaming_ingest_incremental_restart(spark, trace_dir, tmp_path):
         os.remove(f"{trace_dir}/zz_extra.json")
 
 
+def test_compaction_cross_batch_last_non_null(spark, tmp_path):
+    """A property learned in an EARLIER batch survives a later batch's
+    NULL write: compaction folds in batch order with last-non-null, not
+    arbitrary dropDuplicates."""
+    import json
+
+    d = tmp_path / "traces"
+    d.mkdir()
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+
+    def trace(trace_id, tags):
+        return {
+            "traceID": trace_id,
+            "spans": [{"spanID": "s1", "startTime": 1,
+                       "tags": [{"key": k, "type": "string", "value": v}
+                                for k, v in tags.items()]}],
+        }
+
+    with open(d / "a_first.json", "w", encoding="utf-8-sig") as f:
+        json.dump(trace("t1", {"ID": "1", "ProcessGuid": "G-CROSS",
+                               "CommandLine": "CMD1"}), f)
+    q = stream_graph_ingest(spark, f"{d}/*.json", log, ckpt)
+    q.awaitTermination(300)
+
+    # later batch re-writes the same process with NO CommandLine
+    with open(d / "b_second.json", "w", encoding="utf-8-sig") as f:
+        json.dump(trace("t2", {"ID": "1", "ProcessGuid": "G-CROSS"}), f)
+    q2 = stream_graph_ingest(spark, f"{d}/*.json", log, ckpt)
+    q2.awaitTermination(300)
+
+    proc = compact_graph_log(spark, log)["process"]
+    rows = proc.filter(F.col("key") == "G-CROSS").collect()
+    assert len(rows) == 1
+    assert rows[0]["command_line"] == "CMD1"
+
+
 def test_windowed_event_counts(spark, trace_dir, tmp_path):
     stream = stream_spans(spark, f"{trace_dir}/*.json")
     agg = windowed_event_counts(stream, "1 hour", "2 hours")
