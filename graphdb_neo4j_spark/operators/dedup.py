@@ -61,16 +61,38 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for id_a < id_b with shingle-set Jaccard ≥
-    threshold.  Exact (no approximation) — quadratic in docs sharing a
-    shingle, so reserve for post-LSH verification or small corpora."""
+    threshold.  Exact (no approximation) by default — quadratic in docs
+    sharing a shingle, so reserve for post-LSH verification or small
+    corpora.
+
+    ``max_doc_freq`` is the hot-shingle guard for real corpora: a
+    shingle shared by d documents emits d²/2 join rows, so one
+    stop-shingle ("the", "ing") makes the self-join explode.  With the
+    cap set, shingles whose document frequency exceeds it are dropped
+    from BOTH the join and the set sizes — Jaccard is then computed
+    over the informative-shingle universe (consistent on both sides of
+    the ratio, and a standard, well-behaved approximation: stop-shingles
+    carry no dedup signal).  Candidate fan-out per shingle is bounded by
+    max_doc_freq²/2.
+    """
     # explode all shingles then relational distinct — array_distinct is
     # O(len²) per row, the hash-based distinct is not
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles_all(F.col(text_col), n)).alias("sh"),
     ).distinct()
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        # hot shingles are by definition few — broadcast the anti side
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -229,36 +251,105 @@ def simhash_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vn) with vn L2-normalized in float64 (left-fold norm —
+    bit-identical to the SQL oracle's list_reduce)."""
+    from graphdb_neo4j_spark.operators.similarity import norm_expr
+
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("norm", norm_expr(F.col("v")))
+        .select(
+            "id",
+            F.transform(
+                F.col("v"), lambda x: x.cast("double") / F.col("norm")
+            ).alias("vn"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
+    method: str = "lsh",
+    bands: int = 8,
+    rows_per_band: int = 8,
+    seed: int = 42,
+    dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id_a, id_b, cos) pairs with cosine ≥ threshold — brute force
-    O(n²) baseline; the LSH-bucketed scale path lives in similarity.py.
+    """(id_a, id_b, cos) pairs with cosine ≥ threshold.
 
-    Vectors are L2-normalized once, map-side, before the pair join, so
-    the O(n²) inner loop is a single 64-element dot fold instead of
-    three folds + sqrt — ~3× cheaper where it matters.  ``cos`` is
-    rounded to 6 decimals and the threshold applies to the rounded
-    value (oracle-stable).
+    ``method="lsh"`` (default, the scale path): banded random-hyperplane
+    LSH — ``bands × rows_per_band`` sign bits per vector from ONE
+    explode + hash-agg pass (integer fixed-point projections, see
+    :func:`~graphdb_neo4j_spark.operators.similarity.hyperplane_bits`),
+    candidates = pairs agreeing on ALL bits of some band (equi-join on
+    (band, bucket) — never an all-pairs join), then exact-cosine verify
+    of candidates only.  Recall < 1 by construction (standard LSH
+    trade: p_agree = 1 − θ/π per plane, pair recall = 1−(1−p^R)^B —
+    high for near-duplicate cosines, measured against the exact path in
+    tests).  At scale, bucket width is the knob: rows_per_band should
+    grow ~log2(n) to keep per-bucket populations (and the quadratic
+    within-bucket join) bounded.
+
+    ``method="exact"``: the O(n²) brute-force baseline (normalized
+    once map-side, single dot fold per pair).  Exact but quadratic —
+    only for small corpora or recall measurement.
+
+    ``cos`` is rounded to 6 decimals and the threshold applies to the
+    rounded value (oracle-stable) in both methods.
     """
-    from graphdb_neo4j_spark.operators.similarity import dot_expr, norm_expr
+    from graphdb_neo4j_spark.operators.similarity import dot_expr, hyperplane_bits
 
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    normed = spread.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("norm", norm_expr(F.col("v"))).select(
-        "id",
-        F.transform(F.col("v"), lambda x: x.cast("double") / F.col("norm")).alias("vn"),
+    normed = _normalized(df, id_col, vec_col)
+    if method == "exact":
+        spread = normed.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        a = spread.select(F.col("id").alias("id_a"), F.col("vn").alias("va"))
+        b = spread.select(F.col("id").alias("id_b"), F.col("vn").alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        cos = F.round(dot_expr(F.col("va"), F.col("vb")), 6)
+        return pairs.select("id_a", "id_b", cos.alias("cos")).filter(
+            F.col("cos") >= threshold
+        )
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r}")
+
+    bits = hyperplane_bits(
+        df, dims=dims, n_planes=bands * rows_per_band, seed=seed,
+        id_col=id_col, vec_col=vec_col,
     )
-    a = normed.select(F.col("id").alias("id_a"), F.col("vn").alias("va"))
-    b = normed.select(F.col("id").alias("id_b"), F.col("vn").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    band_structs = []
+    for b in range(bands):
+        bit_cols = [F.col(f"bit_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.concat(*bit_cols).alias("bucket"))
+        )
+    stacked = (
+        bits.select("id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .persist()
+    )
+    cand = (
+        stacked.alias("a")
+        .join(
+            stacked.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    na = normed.select(F.col("id").alias("id_a"), F.col("vn").alias("va"))
+    nb = normed.select(F.col("id").alias("id_b"), F.col("vn").alias("vb"))
     cos = F.round(dot_expr(F.col("va"), F.col("vb")), 6)
-    return pairs.select("id_a", "id_b", cos.alias("cos")).filter(
-        F.col("cos") >= threshold
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
     )
 
 

@@ -111,6 +111,68 @@ def lsh_bucket(
     )
 
 
+QUANT = 1 << 20  # fixed-point scale for integer hyperplane projections
+
+
+def hyperplane_bits(
+    df: DataFrame,
+    dims: int,
+    n_planes: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bit_0..bit_{P-1}) sign bits of ``n_planes`` hyperplane
+    projections, computed in ONE explode + hash-aggregate pass.
+
+    The projection uses FIXED-POINT arithmetic: each component is
+    ``floor(x * 2^20)`` (the scale is a power of two, so the multiply is
+    exact), and the per-plane sum is over 64-bit integers — order-free,
+    so the hash aggregate's arbitrary combine order cannot perturb the
+    result, and bit-identical in any engine (the float-fold alternative
+    is only deterministic as an interpreted left fold).  One shuffle
+    carrying (id, P partial sums) with map-side combine; all P planes
+    (across every LSH table) come out of a single scan.
+    """
+    sc_default = df.sparkSession.sparkContext.defaultParallelism
+    exploded = df.repartition(sc_default).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    )
+    q = F.floor(F.col("x").cast("double") * F.lit(float(QUANT))).cast("long")
+    sums = []
+    for p in range(n_planes):
+        signs = F.array(
+            *[F.lit(int(_plane_sign(seed, p, d))) for d in range(dims)]
+        )
+        sums.append(
+            F.sum(q * F.element_at(signs, F.col("d") + 1)).alias(f"proj_{p}")
+        )
+    agg = exploded.groupBy("id").agg(*sums)
+    bit_cols = [
+        F.when(F.col(f"proj_{p}") >= 0, F.lit("1"))
+        .otherwise(F.lit("0"))
+        .alias(f"bit_{p}")
+        for p in range(n_planes)
+    ]
+    return agg.select("id", *bit_cols)
+
+
+def _query_bits(query_vec: list[float], dims: int, n_planes: int, seed: int) -> str:
+    """Driver-side replica of :func:`hyperplane_bits` for a literal
+    query vector (same fixed-point arithmetic)."""
+    import math
+
+    bits = []
+    for p in range(n_planes):
+        proj = sum(
+            math.floor(float(query_vec[d]) * QUANT) * int(_plane_sign(seed, p, d))
+            for d in range(dims)
+        )
+        bits.append("1" if proj >= 0 else "0")
+    return "".join(bits)
+
+
 def _query_signature(query_vec: list[float], dims: int, planes: int, seed: int) -> str:
     bits = []
     for p in range(planes):

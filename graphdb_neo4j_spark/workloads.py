@@ -745,25 +745,95 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
     return S.topk_lsh(emb, list(qvec), k=10, dims=len(qvec))
 
 
-@query(
-    "q28_embedding_neardup_pairs",
-    """
-    WITH normed AS (
+_NORMED_CTE = """
+    normed AS (
       SELECT vec_id AS id,
              list_transform(embedding, x -> CAST(x AS DOUBLE) /
                sqrt(list_reduce(list_transform(embedding,
                     y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), (p, q) -> p + q))) AS vn
       FROM embeddings)
+"""
+
+_PAIR_COS = """ROUND(list_reduce(list_transform(range(1, len(na.vn) + 1),
+                   i -> na.vn[CAST(i AS INT)] * nb.vn[CAST(i AS INT)]), (p, q) -> p + q), 6)"""
+
+
+def _q28_lsh_sql(
+    threshold: float = 0.55,
+    bands: int = 8,
+    rows_per_band: int = 8,
+    seed: int = 42,
+    dims: int = 64,
+) -> str:
+    """DuckDB mirror of the banded sign-LSH near-dup algorithm — the
+    same deterministic md5-seeded hyperplanes, the same fixed-point
+    integer projections (floor(x·2²⁰): exact scaling, order-free BIGINT
+    sums), the same band buckets, the same exact-cosine verify.  An
+    algorithm-level cross-engine oracle, like q22's minhash mirror."""
+    from graphdb_neo4j_spark.operators.similarity import QUANT, _plane_sign
+
+    n_planes = bands * rows_per_band
+    proj_cols = []
+    for p in range(n_planes):
+        signs = ", ".join(
+            str(int(_plane_sign(seed, p, d))) for d in range(dims)
+        )
+        proj_cols.append(
+            f"SUM(q * (list_value({signs}))[d]) AS p{p}"
+        )
+    band_sigs = []
+    for b in range(bands):
+        bits = " || ".join(
+            f"(CASE WHEN p{b * rows_per_band + r} >= 0 THEN '1' ELSE '0' END)"
+            for r in range(rows_per_band)
+        )
+        band_sigs.append(f"({bits}) AS b{b}")
+    band_or = " OR ".join(f"a.b{b} = b.b{b}" for b in range(bands))
+    return f"""
+    WITH ex AS (
+      SELECT vec_id AS id, CAST(dd.d AS INT) AS d,
+             CAST(floor(CAST(embedding[CAST(dd.d AS INT)] AS DOUBLE) * {float(QUANT)!r})
+                  AS BIGINT) AS q
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, {dims + 1})) AS d) dd
+    ),
+    proj AS (SELECT id, {", ".join(proj_cols)} FROM ex GROUP BY id),
+    sig AS (SELECT id, {", ".join(band_sigs)} FROM proj),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sig a JOIN sig b ON a.id < b.id AND ({band_or})
+    ),
+    {_NORMED_CTE}
     SELECT id_a, id_b, cos FROM (
-      SELECT a.id AS id_a, b.id AS id_b,
-             ROUND(list_reduce(list_transform(range(1, len(a.vn) + 1),
-                   i -> a.vn[CAST(i AS INT)] * b.vn[CAST(i AS INT)]), (p, q) -> p + q), 6) AS cos
-      FROM normed a JOIN normed b ON a.id < b.id)
-    WHERE cos >= 0.55
+      SELECT id_a, id_b, {_PAIR_COS} AS cos
+      FROM cand JOIN normed na ON na.id = cand.id_a
+                JOIN normed nb ON nb.id = cand.id_b)
+    WHERE cos >= {threshold}
+    """
+
+
+@query("q28_embedding_neardup_pairs", _q28_lsh_sql())
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    # banded-LSH candidates + exact-cosine verify (the 100 TB plan: no
+    # all-pairs join anywhere); the oracle mirrors the same algorithm
+    return D.embedding_neardup_pairs(load_table(spark, sf, "embeddings"), threshold=0.55)
+
+
+@query(
+    "q38_embedding_neardup_exact",
+    f"""
+    WITH {_NORMED_CTE.strip()}
+    SELECT id_a, id_b, cos FROM (
+      SELECT na.id AS id_a, nb.id AS id_b, {_PAIR_COS} AS cos
+      FROM normed na JOIN normed nb ON na.id < nb.id)
+    WHERE cos >= 0.4
     """,
 )
-def q28(spark: SparkSession, sf: str) -> DataFrame:
-    return D.embedding_neardup_pairs(load_table(spark, sf, "embeddings"), threshold=0.55)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    # the exact quadratic baseline, kept oracle-gated at a threshold
+    # that yields rows on this corpus (max random-pair cos ≈ 0.6)
+    return D.embedding_neardup_pairs(
+        load_table(spark, sf, "embeddings"), threshold=0.4, method="exact"
+    )
 
 
 # ===========================================================================

@@ -84,6 +84,65 @@ def test_lsh_recall_against_bruteforce(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A shingle shared by every document must not quadratically blow up
+    the self-join when max_doc_freq is set — and true near-dups (which
+    share many RARE shingles) are still found."""
+    from graphdb_neo4j_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "zzz"  # one 3-gram present in every doc
+    rows = [(i, hot + f" unique text number {i} with its own words {i}")
+            for i in range(60)]
+    rows.append((1000, rows[0][1] + "!"))  # near-dup of doc 0
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = ngram_jaccard_pairs(docs, threshold=0.7, max_doc_freq=5)
+    pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (0, 1000) in pairs
+    # the hot shingle alone may never produce a candidate pair: docs
+    # sharing ONLY it (every unrelated pair) stay below threshold AND
+    # below the capped join entirely
+    assert len(pairs) <= 3
+
+    # plan sanity: the capped path bounds per-shingle fan-out — the
+    # pathological all-docs shingle is gone before the self-join
+    uncapped_inter = ngram_jaccard_pairs(docs, threshold=0.0)
+    capped_inter = ngram_jaccard_pairs(docs, threshold=0.0, max_doc_freq=5)
+    assert capped_inter.count() < uncapped_inter.count()
+
+
+def test_embedding_neardup_lsh_vs_exact(spark):
+    """Banded-LSH near-dup: candidates verified exactly (pairs ⊆ exact
+    with identical cos), high recall in the near-duplicate regime, and
+    no nested-loop join in the plan."""
+    import random
+
+    from graphdb_neo4j_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)]))
+    # plant 30 near-dups: tiny perturbations of existing vectors (cos ≈ 1)
+    for j in range(30):
+        base = rows[j][1]
+        rows.append((1000 + j, [x + rng.gauss(0, 0.02) for x in base]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {(r.id_a, r.id_b): r.cos for r in
+             embedding_neardup_pairs(df, threshold=0.95, method="exact").collect()}
+    lsh = {(r.id_a, r.id_b): r.cos for r in
+           embedding_neardup_pairs(df, threshold=0.95).collect()}
+    assert set(lsh) <= set(exact)
+    assert all(lsh[k] == exact[k] for k in lsh)  # verify step is exact
+    recall = len(lsh) / max(len(exact), 1)
+    assert len(exact) >= 30
+    assert recall >= 0.9, f"near-dup recall too low: {recall}"
+
+    plan = embedding_neardup_pairs(df, threshold=0.95)._jdf.queryExecution().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [("the cat and the dog of a!!!",), ("",), ("el gato de la casa y que",)],
