@@ -237,12 +237,43 @@ def simhash_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Groups of documents sharing an identical 64-bit simhash:
-    (simhash, keep_id, dup_count)."""
+    (simhash, keep_id, dup_count).
+
+    Relational formulation (same rewrite as minhash): explode tokens
+    once, md5 each token ONCE, then a single codegen'd hash-aggregate
+    computes all 64 bit votes as integer conditional sums — order-free,
+    so partial-aggregation combine order cannot perturb the result, and
+    it replaces 64 interpreted ``F.aggregate`` folds per row (each
+    re-hashing every token).  The shuffle carries (id, 64 small ints)
+    with map-side partial sums, never the documents.
+    """
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    return (
-        spread.select(simhash_hex(F.col(text_col)).alias("simhash"), F.col(id_col))
-        .groupBy("simhash")
-        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    toks = spread.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
+    )
+    hexdigits = "0123456789abcdef"
+    h = F.md5(F.col("t"))
+    vote_aggs = []
+    for pos in range(1, 17):  # 16 md5 nibbles = 64 bits
+        nib = F.instr(F.lit(hexdigits), F.substring(h, pos, 1)) - F.lit(1)
+        for bit in range(4):
+            is_set = F.shiftright(nib, bit).bitwiseAND(F.lit(1)) == 1
+            vote_aggs.append(
+                F.sum(F.when(is_set, 1).otherwise(-1)).alias(f"v{pos}_{bit}")
+            )
+    votes = toks.groupBy("id").agg(*vote_aggs)
+    nibble_cols = []
+    for pos in range(1, 17):
+        bits = [
+            F.when(F.col(f"v{pos}_{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+            for bit in range(4)
+        ]
+        nibble_val = bits[0] + bits[1] + bits[2] + bits[3]
+        nibble_cols.append(F.substring(F.lit(hexdigits), nibble_val + 1, 1))
+    sim = votes.select(F.concat(*nibble_cols).alias("simhash"), F.col("id"))
+    return sim.groupBy("simhash").agg(
+        F.min("id").alias("keep_id"), F.count("*").alias("dup_count")
     )
 
 
@@ -342,6 +373,7 @@ def embedding_neardup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    normed = normed.persist()  # read twice by the verify joins below
     na = normed.select(F.col("id").alias("id_a"), F.col("vn").alias("va"))
     nb = normed.select(F.col("id").alias("id_b"), F.col("vn").alias("vb"))
     cos = F.round(dot_expr(F.col("va"), F.col("vb")), 6)

@@ -134,21 +134,29 @@ def hyperplane_bits(
     carrying (id, P partial sums) with map-side combine; all P planes
     (across every LSH table) come out of a single scan.
     """
-    sc_default = df.sparkSession.sparkContext.defaultParallelism
-    exploded = df.repartition(sc_default).select(
+    # the ±1 plane matrix rides as a broadcast 64-row dimension table —
+    # joining it beats inlining dims×planes literals into the plan
+    # (thousands of literal-array element_at nodes ≈ seconds of plan
+    # compile per query, measured 2× the whole job)
+    spark = df.sparkSession
+    signs_rows = [
+        tuple([d] + [int(_plane_sign(seed, p, d)) for p in range(n_planes)])
+        for d in range(dims)
+    ]
+    signs_schema = "d int, " + ", ".join(f"s{p} long" for p in range(n_planes))
+    signs = spark.createDataFrame(signs_rows, signs_schema)
+
+    exploded = df.repartition(spark.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col)).alias("d", "x"),
     )
     q = F.floor(F.col("x").cast("double") * F.lit(float(QUANT))).cast("long")
-    sums = []
-    for p in range(n_planes):
-        signs = F.array(
-            *[F.lit(int(_plane_sign(seed, p, d))) for d in range(dims)]
-        )
-        sums.append(
-            F.sum(q * F.element_at(signs, F.col("d") + 1)).alias(f"proj_{p}")
-        )
-    agg = exploded.groupBy("id").agg(*sums)
+    joined = exploded.select("id", "d", q.alias("q")).join(F.broadcast(signs), "d")
+    sums = [
+        F.sum(F.col("q") * F.col(f"s{p}")).alias(f"proj_{p}")
+        for p in range(n_planes)
+    ]
+    agg = joined.groupBy("id").agg(*sums)
     bit_cols = [
         F.when(F.col(f"proj_{p}") >= 0, F.lit("1"))
         .otherwise(F.lit("0"))
@@ -181,6 +189,29 @@ def _query_signature(query_vec: list[float], dims: int, planes: int, seed: int) 
     return "".join(bits)
 
 
+def _table_probes(
+    query_vec: list[float],
+    dims: int,
+    planes: int,
+    tables: int,
+    seed: int,
+    multiprobe: bool,
+) -> list[list[str]]:
+    """Per-table probe signature sets for a query vector (exact bucket
+    ± Hamming-1 neighbors when ``multiprobe``) — table t owns global
+    planes [t·planes, (t+1)·planes)."""
+    all_bits = _query_bits(query_vec, dims, tables * planes, seed)
+    out = []
+    for t in range(tables):
+        sig = all_bits[t * planes:(t + 1) * planes]
+        probes = {sig}
+        if multiprobe:
+            for p in range(planes):
+                probes.add(sig[:p] + ("0" if sig[p] == "1" else "1") + sig[p + 1:])
+        out.append(sorted(probes))
+    return out
+
+
 def topk_lsh(
     df: DataFrame,
     query_vec: list[float],
@@ -195,40 +226,115 @@ def topk_lsh(
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
 
-    OR-construction: ``tables`` independent hash tables (one plane set
-    per table); candidates = union over tables of the query's bucket
-    (± Hamming-1 neighbors when ``multiprobe``); exact cosine re-rank of
-    candidates only.  More tables → higher recall, linearly more bucket
-    probes — the standard knob.  At scale each table's bucketed copy is
-    written partitioned by bucket so a query touches only probe buckets.
+    OR-construction: ``tables`` independent plane sets; candidates =
+    union over tables of the query's bucket (± Hamming-1 neighbors when
+    ``multiprobe``); exact cosine re-rank of candidates only.  More
+    tables → higher recall, linearly more bucket probes — the standard
+    knob.  ALL tables' signatures come from ONE scan
+    (:func:`hyperplane_bits` computes every plane in a single explode +
+    hash-agg pass); the probe is one disjunctive filter, so the plan
+    has exactly one pass over the data plus the candidate re-rank.
+
+    For repeated queries, write the index once with
+    :func:`lsh_index_write` and probe with :func:`topk_lsh_indexed` —
+    partition pruning then reads only the probed buckets.
 
     Recall < 1.0 by construction; tests measure it against
     :func:`topk_bruteforce`.
     """
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    candidate_parts = []
+    bits = hyperplane_bits(
+        df, dims=dims, n_planes=tables * planes, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    probes = _table_probes(query_vec, dims, planes, tables, seed, multiprobe)
+    cond = None
     for t in range(tables):
-        t_seed = seed + 1000 * t
-        bucketed = lsh_bucket(
-            spread, dims=dims, planes=planes, seed=t_seed, vec_col=vec_col
-        )
-        sig = _query_signature(query_vec, dims, planes, t_seed)
-        probes = {sig}
-        if multiprobe:
-            for p in range(planes):
-                probes.add(sig[:p] + ("0" if sig[p] == "1" else "1") + sig[p + 1:])
-        candidate_parts.append(
-            bucketed.filter(F.col("bucket").isin(*sorted(probes))).select(
-                F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
-            )
-        )
-    candidates = candidate_parts[0]
-    for extra in candidate_parts[1:]:
-        candidates = candidates.unionByName(extra)
-    candidates = candidates.dropDuplicates(["id"])
+        sig_t = F.concat(*[F.col(f"bit_{t * planes + r}") for r in range(planes)])
+        c = sig_t.isin(*probes[t])
+        cond = c if cond is None else (cond | c)
+    cand_ids = bits.filter(cond).select("id")
+    candidates = df.join(
+        cand_ids, df[id_col] == cand_ids["id"], "left_semi"
+    ).select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_expr(F.col("__v"), q)
+    return (
+        candidates.select("id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def lsh_index_write(
+    df: DataFrame,
+    path: str,
+    dims: int = 64,
+    planes: int = 6,
+    tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the LSH index: ``tables`` copies of (id, vec), each
+    partitioned by (lsh_table, bucket).
+
+    This is the at-scale layout the probe path needs: a query touches
+    ``tables × (1 + planes)`` bucket DIRECTORIES out of
+    ``tables × 2^planes`` — partition pruning turns the probe into a
+    sub-linear read instead of a full scan.  The ×tables storage is the
+    standard OR-construction trade.  One scan computes every table's
+    signature; one shuffle-free write fans rows out to partitions.
+    """
+    bits = hyperplane_bits(
+        df, dims=dims, n_planes=tables * planes, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    sig_structs = [
+        F.struct(
+            F.lit(t).alias("lsh_table"),
+            F.concat(
+                *[F.col(f"bit_{t * planes + r}") for r in range(planes)]
+            ).alias("bucket"),
+        )
+        for t in range(tables)
+    ]
+    stacked = bits.select(
+        "id", F.explode(F.array(*sig_structs)).alias("tb")
+    ).select("id", F.col("tb.lsh_table").alias("lsh_table"), F.col("tb.bucket").alias("bucket"))
+    rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    (
+        stacked.join(rows, "id")
+        .write.mode("overwrite")
+        .partitionBy("lsh_table", "bucket")
+        .parquet(path)
+    )
+
+
+def topk_lsh_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    dims: int = 64,
+    planes: int = 6,
+    tables: int = 4,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Probe a :func:`lsh_index_write` layout: the (lsh_table, bucket)
+    predicate is a pure partition filter, so only probed bucket
+    directories are read — the plan must show PartitionFilters and no
+    full scan (asserted in test_plan_audit)."""
+    idx = spark.read.parquet(path)
+    probes = _table_probes(query_vec, dims, planes, tables, seed, multiprobe)
+    cond = None
+    for t in range(tables):
+        c = (F.col("lsh_table") == t) & F.col("bucket").isin(*probes[t])
+        cond = c if cond is None else (cond | c)
+    candidates = idx.filter(cond).dropDuplicates(["id"])
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_expr(F.col("v"), q)
     return (
         candidates.select("id", sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("id"))
@@ -299,6 +405,71 @@ def ivf_index(
         centroids = new_cents
 
     return df.withColumn("centroid_id", assign_expr(centroids)), centroids
+
+
+def ivf_index_write(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    dims: int = 64,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize the IVF index: assignments partitioned by
+    ``centroid_id`` (probe = partition-pruned read of n_probe inverted
+    lists) plus the tiny centroid table alongside."""
+    assigned, centroids = ivf_index(
+        df, n_centroids=n_centroids, dims=dims, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    (
+        assigned.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "centroid_id"
+        )
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{path}/vectors")
+    )
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [(ci, c) for ci, c in enumerate(centroids)], "centroid_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return centroids
+
+
+def topk_ivf_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Probe an :func:`ivf_index_write` layout: rank centroids from the
+    tiny centroid table (driver-side — it is k rows), then read ONLY the
+    ``n_probe`` closest centroids' partitions (partition pruning) and
+    re-rank exactly."""
+    cents = {
+        r["centroid_id"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+
+    def dist2(c):
+        return sum((query_vec[i] - c[i]) ** 2 for i in range(dims))
+
+    probe = sorted(cents, key=lambda ci: dist2(cents[ci]))[:n_probe]
+    candidates = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("centroid_id").isin(probe)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_expr(F.col("v"), q)
+    return (
+        candidates.select("id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("id"))
+        .limit(k)
+    )
 
 
 def topk_ivf(

@@ -63,6 +63,18 @@ def test_dash_hostname_hub_exists(graph):
     ).count() == 1
 
 
+def test_staged_build_matches_golden(spark, graph, tmp_path):
+    """build_graph via the parquet stage (cold write, then warm read)
+    reproduces the exact golden counts — staging is a pure relayout."""
+    stage = str(tmp_path / "stage")
+    g_cold = build_graph(spark, CORPUS, stage_dir=stage)  # writes the stage
+    assert g_cold.node_counts() == GOLD_NODES
+    assert g_cold.edge_counts() == GOLD_EDGES
+    g_warm = build_graph(spark, CORPUS, stage_dir=stage)  # reads the stage
+    assert g_warm.node_counts() == GOLD_NODES
+    assert g_warm.edge_counts() == GOLD_EDGES
+
+
 def test_idempotency_under_reingest(spark, graph):
     """MERGE semantics: loading the corpus is idempotent — node/edge key
     sets do not change if the same data is ingested again (the batch

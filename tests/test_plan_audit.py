@@ -54,6 +54,62 @@ def test_queries_stay_in_codegen(spark):
         assert wholestage_codegen_spans(df) >= 1, name
 
 
+def test_lsh_index_probe_prunes_partitions(spark, tmp_path):
+    """The materialized LSH index read must be partition-pruned: the
+    (lsh_table, bucket) probe appears in PartitionFilters, and the
+    indexed probe returns exactly what the scan-based probe returns."""
+    from graphdb_neo4j_spark.operators.similarity import (
+        lsh_index_write,
+        topk_lsh,
+        topk_lsh_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).head()[1])
+    path = str(tmp_path / "lsh_idx")
+    lsh_index_write(emb, path, dims=len(q))
+
+    probe = topk_lsh_indexed(spark, path, q, k=10, dims=len(q))
+    plan = explain_str(probe)
+    pf = plan.split("PartitionFilters")[1][:400]
+    assert "lsh_table" in pf and "bucket" in pf
+
+    scan_based = [(r.id, r.sim) for r in topk_lsh(emb, q, k=10, dims=len(q)).collect()]
+    indexed = [(r.id, r.sim) for r in probe.collect()]
+    assert indexed == scan_based
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    from graphdb_neo4j_spark.operators.similarity import (
+        ivf_index_write,
+        topk_ivf,
+        topk_ivf_indexed,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).head()[1])
+    path = str(tmp_path / "ivf_idx")
+    ivf_index_write(emb, path, n_centroids=8, dims=len(q))
+
+    probe = topk_ivf_indexed(spark, path, q, k=10, n_probe=3, dims=len(q))
+    plan = explain_str(probe)
+    pf = plan.split("PartitionFilters")[1][:400]
+    assert "centroid_id" in pf
+
+    direct = [(r.id, r.sim) for r in
+              topk_ivf(emb, q, k=10, n_centroids=8, n_probe=3, dims=len(q)).collect()]
+    indexed = [(r.id, r.sim) for r in probe.collect()]
+    assert indexed == direct
+
+
+def test_q27_lsh_single_scan(spark):
+    """All 4 LSH tables' signatures come from ONE scan of the
+    embeddings parquet (plus the candidate re-rank scan) — not 4."""
+    df = QUERY_FNS["q27_ann_lsh_topk"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("embeddings.parquet") <= 2, plan
+
+
 def test_graph_rel_filter_prunes_partitions(spark, tmp_path):
     from graphdb_neo4j_spark.operators.ingest import build_graph
 
