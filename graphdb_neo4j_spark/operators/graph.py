@@ -38,10 +38,17 @@ class GraphQuery:
 
     ``nodes``: (label, key [, extra property columns])
     ``edges``: (rel, src, dst, event_id, ...props)
+    ``edges_by_src`` / ``edges_by_dst``: optional bucketed+sorted
+    orientations (written by ``PropertyGraph.save_bucketed``).  When
+    present, :meth:`find` picks the orientation whose bucket key is the
+    join key of each hop, so motif chains run WITHOUT a shuffle — both
+    join sides arrive pre-bucketed (SortMergeJoin, no Exchange).
     """
 
     nodes: DataFrame
     edges: DataFrame
+    edges_by_src: DataFrame | None = None
+    edges_by_dst: DataFrame | None = None
 
     @classmethod
     def from_graph(cls, g: PropertyGraph) -> "GraphQuery":
@@ -53,6 +60,21 @@ class GraphQuery:
             nodes=spark.read.parquet(f"{path}/nodes"),
             edges=spark.read.parquet(f"{path}/edges"),
         )
+
+    @classmethod
+    def load_bucketed(
+        cls, spark, nodes: DataFrame, name_prefix: str = "graph"
+    ) -> "GraphQuery":
+        """Bind the doubly-bucketed edge tables from the catalog (falls
+        back to plain ``edges`` orientation when a table is missing)."""
+        by_src = f"{name_prefix}_edges_by_src"
+        by_dst = f"{name_prefix}_edges_by_dst"
+        e_src = spark.table(by_src) if spark.catalog.tableExists(by_src) else None
+        e_dst = spark.table(by_dst) if spark.catalog.tableExists(by_dst) else None
+        base = e_src if e_src is not None else e_dst
+        if base is None:
+            raise ValueError(f"no bucketed tables with prefix {name_prefix!r}")
+        return cls(nodes=nodes, edges=base, edges_by_src=e_src, edges_by_dst=e_dst)
 
     # -- lookups -----------------------------------------------------------
 
@@ -66,6 +88,16 @@ class GraphQuery:
 
     def rel(self, rel: str) -> DataFrame:
         return self.edges.filter(F.col("rel") == rel)
+
+    def _rel_oriented(self, rel: str, prefer: str | None) -> DataFrame:
+        """``rel`` edges from the orientation bucketed on the join key
+        (``prefer`` ∈ {"src", "dst", None}); plain edges otherwise."""
+        table = self.edges
+        if prefer == "src" and self.edges_by_src is not None:
+            table = self.edges_by_src
+        elif prefer == "dst" and self.edges_by_dst is not None:
+            table = self.edges_by_dst
+        return table.filter(F.col("rel") == rel)
 
     # -- neighborhood ------------------------------------------------------
 
@@ -103,14 +135,31 @@ class GraphQuery:
         patterns = [p.strip() for p in motif.split(";") if p.strip()]
         if not patterns:
             raise ValueError("empty motif")
-        result: DataFrame | None = None
-        bound: set[str] = set()
-        for i, pat in enumerate(patterns):
+        parsed = []
+        for pat in patterns:
             m = _MOTIF_RE.match(pat)
             if not m:
                 raise ValueError(f"bad motif pattern: {pat!r}")
-            src, rel_name, dst, ev = m["src"], m["rel"], m["dst"], m["ev"]
-            e = self.rel(rel_name)
+            parsed.append((m["src"], m["rel"], m["dst"], m["ev"], pat))
+
+        result: DataFrame | None = None
+        bound: set[str] = set()
+        for i, (src, rel_name, dst, ev, pat) in enumerate(parsed):
+            # orientation choice: use the edge table bucketed on this
+            # hop's JOIN key so chained hops need no shuffle.  Pattern 0
+            # has no join yet — orient it by whichever of its variables
+            # the NEXT pattern shares (the key it will be joined on).
+            if i == 0:
+                prefer = None
+                if len(parsed) > 1:
+                    nxt_vars = {parsed[1][0], parsed[1][2]}
+                    if dst in nxt_vars:
+                        prefer = "dst"
+                    elif src in nxt_vars:
+                        prefer = "src"
+            else:
+                prefer = "src" if src in bound else ("dst" if dst in bound else None)
+            e = self._rel_oriented(rel_name, prefer)
             prop_cols = [c for c in e.columns if c not in ("rel", "src", "dst")]
             sel = [F.col("src").alias(f"__src{i}"), F.col("dst").alias(f"__dst{i}")]
             if ev:

@@ -405,7 +405,12 @@ def _build_graph_from_derived(traces: DataFrame, derived: DataFrame) -> Property
     edge(e13, "SET_REG_VALUE", F.col("pkey"), t["TargetObject"],
          event_id=evp, value_name=vn)
 
-    # 14: Registry rename
+    # 14: Registry rename.  NOTE deliberate parity-by-omission: the
+    # reference ships a RENAMED_REG_VALUE Cypher template
+    # (/root/reference/events.py:231-238) but its event-14 handler only
+    # ever calls renamed_reg_key (events.py:420-427) — the value-rename
+    # template is dead code, so no RENAMED_REG_VALUE edge exists here
+    # either.
     e14 = d.filter((F.col("ev") == "14") & F.col("pkey").isNotNull()
                    & t["TargetObject"].isNotNull()
                    & tag(t, "NewName", "NewDetails").isNotNull())

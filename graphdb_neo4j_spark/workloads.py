@@ -837,6 +837,90 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ===========================================================================
+# relational surface: correlated subqueries, grouping sets, range frames
+# ===========================================================================
+
+_Q39_SQL = """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE CAST(o_totalprice AS DECIMAL(18,4)) *
+          (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          > 2 * (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,4)))
+                 FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@query("q39_correlated_scalar_subquery", _Q39_SQL)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subqueries (orders > 2× their customer's
+    average).  The SAME SQL text runs on both engines — Catalyst
+    decorrelates the two scalar subqueries into aggregate+join under
+    one Exchange on o_custkey.  The avg compare is expressed
+    multiplicatively (price·n > 2·Σprice) so every intermediate stays
+    exact decimal — no division nondeterminism."""
+    from graphdb_neo4j_spark.sources.tables import register_views
+
+    register_views(spark, sf)
+    return spark.sql(_Q39_SQL)
+
+
+_Q40_SQL = """
+    WITH base AS (
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    SELECT nation, yr, CAST(SUM(price) AS DOUBLE) AS revenue, COUNT(*) AS n_orders
+    FROM base GROUP BY GROUPING SETS ((nation, yr), (nation), (yr), ())
+"""
+
+
+@query("q40_grouping_sets_revenue", _Q40_SQL)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPING SETS beyond rollup: the four grouping sets run as ONE
+    Expand + one hash aggregate (one scan, one shuffle) — not a union
+    of four groupBys."""
+    from graphdb_neo4j_spark.sources.tables import register_views
+
+    register_views(spark, sf)
+    return spark.sql(_Q40_SQL)
+
+
+@query(
+    "q41_range_frame_rolling",
+    """
+    SELECT event_id,
+           COUNT(*) OVER w AS n_last_10min,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_last_10min
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE window frame (trailing 10-minute per-user rolling stats):
+    a value-based frame, not a row-count frame — peers at equal
+    timestamps are included in both engines.  Decimal sums keep the
+    frame aggregation order-free."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_10min"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_last_10min"),
+    )
+
+
+# ===========================================================================
 # provenance-graph analytics (iterative — not SQL-expressible → rows-only)
 # ===========================================================================
 
