@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from graphdb_neo4j_spark.operators.text import shingles, shingles_all, tokens
+from graphdb_neo4j_spark.operators.text import (
+    exploded_shingles,
+    shingles,
+    shingles_all,
+    tokens,
+)
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -78,12 +83,9 @@ def ngram_jaccard_pairs(
     carry no dedup signal).  Candidate fan-out per shingle is bounded by
     max_doc_freq²/2.
     """
-    # explode all shingles then relational distinct — array_distinct is
-    # O(len²) per row, the hash-based distinct is not
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_all(F.col(text_col), n)).alias("sh"),
-    ).distinct()
+    # relational shingle explode then relational distinct — both the
+    # higher-order transform and array_distinct are O(len²) per row
+    sh = exploded_shingles(df, id_col=id_col, text_col=text_col, n=n).distinct()
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("sh")
@@ -133,17 +135,27 @@ def minhash_signatures(
     (id, shingle) rows with map-side partial mins, never the documents).
     Docs shorter than n chars have no shingles and are absent from the
     output (an empty shingle set has no meaningful minhash).
+
+    Hash budget: one md5 yields FOUR independent 32-bit minhash lanes
+    (8 hex chars each — md5's diffusion makes the chunks independent),
+    so K minhashes cost ⌈K/4⌉ md5 calls per shingle, not K.  The min of
+    an 8-hex-char string is the min of the 32-bit value (lexicographic
+    = numeric on fixed-width hex).
     """
-    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    sh = spread.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_all(F.col(text_col), n)).alias("sh"),
+    sh = exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
+    n_md5 = (num_hashes + 3) // 4
+    hashed = sh.select(
+        "id",
+        *[
+            F.md5(F.concat(F.lit(f"{g}|"), F.col("sh"))).alias(f"h{g}")
+            for g in range(n_md5)
+        ],
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh_{i}")
+        F.min(F.substring(F.col(f"h{i // 4}"), 8 * (i % 4) + 1, 8)).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(

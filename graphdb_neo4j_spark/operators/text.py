@@ -108,6 +108,34 @@ def shingles_all(text: Column, n: int = 3) -> Column:
     )
 
 
+def exploded_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, sh) — one row per character n-gram, duplicates kept.
+
+    Relational formulation of ``explode(shingles_all(...))``: lower the
+    text ONCE into a column, explode a position sequence, then one
+    codegen'd substring per row.  The higher-order-transform variant
+    re-evaluates the outer ``lower(text)`` expression per array element
+    (O(len²) per document) — measured ~10× slower on a 1.5M-shingle
+    corpus.  Texts shorter than n produce no rows.
+    """
+    return (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("__lt"))
+        .select(
+            "id",
+            "__lt",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("__lt") - F.lit(n - 1), F.lit(0))
+                )
+            ).alias("__i"),
+        )
+        .select("id", F.expr(f"substring(__lt, __i, {int(n)})").alias("sh"))
+    )
+
+
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct character n-grams of the lowercased text (array<string>).
     Texts shorter than n produce an empty array."""

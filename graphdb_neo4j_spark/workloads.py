@@ -547,8 +547,12 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
 
 def _minhash_sql(bands: int, rows: int, n: int = 3) -> str:
     k = bands * rows
+    # one md5 per shingle per 4 lanes: lane i reads 8 hex chars at
+    # offset 8·(i mod 4) of md5('(i div 4)|' ‖ shingle) — mirrors
+    # dedup.minhash_signatures' hash budget exactly
     mins = ",\n        ".join(
-        f"list_min(list_transform(__sh, s -> md5('{i}|' || s))) AS mh_{i}"
+        f"list_min(list_transform(__sh, s -> "
+        f"substr(md5('{i // 4}|' || s), {8 * (i % 4) + 1}, 8))) AS mh_{i}"
         for i in range(k)
     )
     band_rows = []
