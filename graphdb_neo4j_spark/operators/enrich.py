@@ -146,6 +146,91 @@ def identity_stitch_mapping(spans: DataFrame) -> DataFrame:
     )
 
 
+def identity_intervals(spans: DataFrame) -> DataFrame:
+    """Identity stitching v2 — TIME-SCOPED alias→canonical mapping:
+    (alias_key, canonical_key, valid_from_us, valid_to_us), half-open
+    intervals per alias.
+
+    PID reuse breaks the v1 min-GUID mapping: after a process dies the
+    OS hands its pid to an unrelated process, so one ``{trace}:{pid}``
+    alias legitimately denotes DIFFERENT GUIDs at different times.
+    Here each (alias, guid) witness pair opens an interval at the
+    guid's creation time (event 1 via :func:`process_lifetimes`, else
+    first witness) and closes where the alias's NEXT guid interval
+    opens (a lead() window per alias — one shuffle).  The first
+    interval is back-extended so pre-witness references still resolve.
+    Resolve references with :func:`resolve_aliases`.
+    """
+    d = _derive(spans)
+    t = F.col("tags")
+    pid = tag(t, "ProcessId", "process_id", "pid", "Pid", "processId")
+    ppid = tag(t, "ParentProcessId", "parent_pid", "ParentPid", "ppid",
+               "parentPid", "sysmon.ppid")
+    wit_main = d.filter(F.col("guid").isNotNull() & pid.isNotNull()).select(
+        F.concat(F.col("trace_id"), F.lit(":"), pid).alias("alias_key"),
+        F.col("guid").alias("canonical_key"),
+        F.col("ord.start_time").alias("t"),
+    )
+    wit_parent = d.filter(F.col("pguid").isNotNull() & ppid.isNotNull()).select(
+        F.concat(F.col("trace_id"), F.lit(":"), ppid).alias("alias_key"),
+        F.col("pguid").alias("canonical_key"),
+        F.col("ord.start_time").alias("t"),
+    )
+    wit = (
+        wit_main.unionByName(wit_parent)
+        .groupBy("alias_key", "canonical_key")
+        .agg(F.min("t").alias("wit_min"))
+    )
+    life = process_lifetimes(spans).select(
+        F.col("key").alias("canonical_key"), "start_us"
+    )
+    from pyspark.sql import Window
+
+    joined = wit.join(life, "canonical_key", "left").select(
+        "alias_key",
+        "canonical_key",
+        F.least(
+            F.coalesce(F.col("start_us"), F.col("wit_min")), F.col("wit_min")
+        ).alias("valid_from_us"),
+    )
+    w = Window.partitionBy("alias_key").orderBy("valid_from_us", "canonical_key")
+    first = F.row_number().over(w) == 1
+    nxt = F.lead("valid_from_us").over(w)
+    return joined.select(
+        "alias_key",
+        "canonical_key",
+        F.when(first, F.lit(-(2 ** 62))).otherwise(F.col("valid_from_us"))
+        .alias("valid_from_us"),
+        F.coalesce(nxt, F.lit(2 ** 62)).alias("valid_to_us"),
+    )
+
+
+def resolve_aliases(
+    refs: DataFrame,
+    intervals: DataFrame,
+    key_col: str = "key",
+    time_col: str = "t",
+) -> DataFrame:
+    """Resolve time-stamped alias references through an
+    :func:`identity_intervals` mapping: adds ``resolved_key`` — the
+    canonical GUID whose interval covers ``time_col``, or the original
+    key when no mapping exists.  Implemented as the union+window as-of
+    join (the two-big-tables plan — no range join, one shuffle)."""
+    from graphdb_neo4j_spark.operators.temporal import asof_join
+
+    right = intervals.select(
+        F.col("alias_key").alias(key_col),
+        F.col("valid_from_us").alias(time_col),
+        "canonical_key",
+    )
+    out = asof_join(refs, right, on=time_col, by=key_col,
+                    right_cols=["canonical_key"])
+    return out.withColumn(
+        "resolved_key",
+        F.coalesce(F.col("canonical_key_right"), F.col(key_col)),
+    ).drop("canonical_key_right")
+
+
 def stitch_graph(g: PropertyGraph, mapping: DataFrame) -> PropertyGraph:
     """Rewrite edges/process keys through the alias→canonical mapping.
 

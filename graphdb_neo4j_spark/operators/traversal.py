@@ -198,6 +198,226 @@ def pagerank(
     return ranks
 
 
+def strongly_connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_outer: int = 25,
+    max_prop: int = 50,
+) -> DataFrame:
+    """(key, component) — component = min key of the vertex's strongly-
+    connected component.  ColorSCC: per round, propagate the MIN vertex
+    id forward to a fixed point (``color(v)`` = min id that can reach
+    v); color roots (``color(v) == v``) anchor their SCC, which is the
+    backward closure from the root restricted to its color class; all
+    roots' SCCs extract in parallel per round, extracted vertices leave
+    the graph, repeat.  Trivial (single-vertex) SCCs — the vast
+    majority in provenance DAGs — drain in the first rounds, so the
+    outer loop runs O(condensation depth) times, each round costing
+    O(diameter) joins.  Every step is a DataFrame join/agg — no
+    driver-side graph state.
+    """
+    key_col = nodes.columns[0]
+    remaining = nodes.select(F.col(key_col).alias("key")).distinct().localCheckpoint()
+    e_all = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    parts: list[DataFrame] = []
+
+    def trim(rem: DataFrame, e: DataFrame):
+        """Bulk-peel trivial SCCs: a vertex with no incoming or no
+        outgoing edge (within the remaining graph) cannot be on a
+        cycle.  Peeling exposes new such vertices, so iterate to a
+        fixed point — a DAG (the overwhelmingly common provenance
+        shape) drains here entirely in ~depth/2 cheap rounds and the
+        expensive coloring loop below never touches it."""
+        while not rem.isEmpty():
+            has_in = e.select(F.col("dst").alias("key")).distinct()
+            has_out = e.select(F.col("src").alias("key")).distinct()
+            keep = (
+                rem.join(has_in, "key", "left_semi")
+                .join(has_out, "key", "left_semi")
+                .localCheckpoint()
+            )
+            trivial = rem.join(keep, "key", "left_anti")
+            if trivial.isEmpty():
+                break
+            parts.append(
+                trivial.select("key", F.col("key").alias("component")).localCheckpoint()
+            )
+            rem = keep
+            e = (
+                e.join(rem.select(F.col("key").alias("src")), "src", "left_semi")
+                .join(rem.select(F.col("key").alias("dst")), "dst", "left_semi")
+                .localCheckpoint()
+            )
+        return rem, e
+
+    # self-loops are cycles of length 1 but carry no inter-vertex SCC
+    # structure; with them filtered from e_all they trim as trivial,
+    # which is correct (a self-loop vertex is its own SCC)
+    remaining, e_rem = trim(remaining, e_all)
+    for _ in range(max_outer):
+        if remaining.isEmpty():
+            break
+        e = e_rem
+        # forward min-propagation to fixed point: color(v) = min id
+        # reaching v (including v itself)
+        color = remaining.withColumn("color", F.col("key")).localCheckpoint()
+        for _ in range(max_prop):
+            msgs = (
+                color.join(e, color["key"] == e["src"])
+                .select(F.col("dst").alias("key"), "color")
+            )
+            new_color = (
+                color.select("key", "color").unionByName(msgs)
+                .groupBy("key")
+                .agg(F.min("color").alias("color"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_color.alias("n")
+                .join(color.alias("o"), "key")
+                .filter(F.col("n.color") != F.col("o.color"))
+            )
+            color = new_color
+            if changed.isEmpty():
+                break
+        # SCC of root r = backward closure of r within color class r
+        assigned = (
+            color.filter(F.col("color") == F.col("key"))
+            .select("key", F.col("key").alias("component"))
+            .localCheckpoint()
+        )
+        frontier = assigned
+        while True:
+            preds = (
+                frontier.join(e, frontier["key"] == e["dst"])
+                .select(F.col("src").alias("key"), "component")
+                .distinct()
+            )
+            preds = (
+                preds.join(color, "key")
+                .filter(F.col("color") == F.col("component"))
+                .select("key", "component")
+                .join(assigned.select("key"), "key", "left_anti")
+                .localCheckpoint()
+            )
+            if preds.isEmpty():
+                break
+            assigned = assigned.unionByName(preds).localCheckpoint()
+            frontier = preds
+        parts.append(assigned)
+        remaining = remaining.join(
+            assigned.select("key"), "key", "left_anti"
+        ).localCheckpoint()
+        e_rem = (
+            e.join(remaining.select(F.col("key").alias("src")), "src", "left_semi")
+            .join(remaining.select(F.col("key").alias("dst")), "dst", "left_semi")
+            .localCheckpoint()
+        )
+        # extraction exposes new zero-degree vertices — re-trim before
+        # paying for another coloring fixed point
+        remaining, e_rem = trim(remaining, e_rem)
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, parts)
+
+
+def betweenness_approx(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_samples: int = 8,
+    max_hops: int = 32,
+    directed: bool = True,
+) -> DataFrame:
+    """(key, betweenness) — Brandes sampled approximation.
+
+    Exact betweenness is one Brandes sweep per vertex (O(V·E) total);
+    the standard scale answer samples ``n_samples`` pivot sources
+    (deterministically, by md5(key) order — reproducible) and scales
+    the accumulated dependencies by V/k.  Each sample is a forward
+    level-BFS that also accumulates shortest-path counts σ, then a
+    backward sweep by level accumulating dependencies
+    δ(u) += σ(u)/σ(v)·(1+δ(v)) over the shortest-path DAG — every step
+    a join/agg on DataFrames, O(diameter) rounds per sample.
+    """
+    key_col = nodes.columns[0]
+    verts = nodes.select(F.col(key_col).alias("key")).distinct().localCheckpoint()
+    e = (edges.select("src", "dst") if directed else _as_undirected(edges)).distinct().localCheckpoint()
+    n_vertices = verts.count()
+    pivots = [
+        r["key"]
+        for r in verts.withColumn("__h", F.md5(F.col("key")))
+        .orderBy("__h")
+        .limit(n_samples)
+        .collect()
+    ]
+    spark = edges.sparkSession
+    acc = verts.withColumn("betweenness", F.lit(0.0)).localCheckpoint()
+    for pivot in pivots:
+        # forward BFS with path counting: levels[h] = (key, sigma)
+        level = spark.createDataFrame([(pivot, 1.0)], ["key", "sigma"]).localCheckpoint()
+        levels = [level]
+        seen = level.select("key").localCheckpoint()
+        for _ in range(max_hops):
+            nxt = (
+                level.join(e, level["key"] == e["src"])
+                .groupBy(F.col("dst").alias("k2"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .select(F.col("k2").alias("key"), "sigma")
+                .join(seen, "key", "left_anti")
+                .localCheckpoint()
+            )
+            if nxt.isEmpty():
+                break
+            levels.append(nxt)
+            seen = seen.unionByName(nxt.select("key")).localCheckpoint()
+            level = nxt
+        # backward dependency sweep
+        delta = levels[-1].select("key", F.lit(0.0).alias("delta")).localCheckpoint()
+        for h in range(len(levels) - 1, 0, -1):
+            child = levels[h].join(delta, "key", "left").select(
+                "key",
+                "sigma",
+                F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
+            )
+            parent_sig = levels[h - 1]
+            contribs = (
+                parent_sig.join(e, parent_sig["key"] == e["src"])
+                .join(
+                    child.select(
+                        F.col("key").alias("c_key"),
+                        F.col("sigma").alias("c_sigma"),
+                        F.col("delta").alias("c_delta"),
+                    ),
+                    F.col("dst") == F.col("c_key"),
+                )
+                .select(
+                    "key",
+                    (
+                        (F.col("sigma") / F.col("c_sigma"))
+                        * (F.lit(1.0) + F.col("c_delta"))
+                    ).alias("contrib"),
+                )
+                .groupBy("key")
+                .agg(F.sum("contrib").alias("delta"))
+                .localCheckpoint()
+            )
+            delta = contribs  # level h-1's dependencies, consumed next round
+            if h - 1 > 0:  # the pivot's own dependency is not counted
+                acc = (
+                    acc.join(contribs, "key", "left")
+                    .select(
+                        "key",
+                        (
+                            F.col("betweenness")
+                            + F.coalesce(F.col("delta"), F.lit(0.0))
+                        ).alias("betweenness"),
+                    )
+                    .localCheckpoint()
+                )
+    scale = float(n_vertices) / float(max(len(pivots), 1))
+    return acc.select("key", (F.col("betweenness") * F.lit(scale)).alias("betweenness"))
+
+
 def triangle_count(edges: DataFrame) -> int:
     """Number of triangles in the undirected graph.
 

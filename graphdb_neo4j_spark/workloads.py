@@ -934,9 +934,14 @@ _graph_cache: dict[str, object] = {}
 
 def _corpus_graph(spark: SparkSession):
     if "g" not in _graph_cache:
+        import os
+
         from graphdb_neo4j_spark.operators.ingest import build_graph
 
-        _graph_cache["g"] = build_graph(spark, _CORPUS)
+        stage = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".stage"
+        )
+        _graph_cache["g"] = build_graph(spark, _CORPUS, stage_dir=stage)
     return _graph_cache["g"]
 
 
@@ -1374,6 +1379,48 @@ def g45(spark: SparkSession, sf: str) -> DataFrame:
         labels.groupBy("label").agg(F.count("*").alias("size"))
         .orderBy(F.col("size").desc(), F.col("label"))
         .limit(20)
+    )
+
+
+@query("g46_corpus_scc")
+def g46(spark: SparkSession, sf: str) -> DataFrame:
+    """Strongly-connected components of the SPAWNS graph (trim +
+    ColorSCC).  Provenance spawn graphs are DAGs, so the expected
+    answer is all-trivial — the query asserts that shape cheaply:
+    n_components == n_vertices, max size 1."""
+    from graphdb_neo4j_spark.operators.traversal import (
+        strongly_connected_components,
+    )
+
+    g = _corpus_graph(spark)
+    spawns = g.edges.filter(F.col("rel") == "SPAWNS")
+    nodes = g.process.select("key")
+    scc = strongly_connected_components(nodes, spawns)
+    return (
+        scc.groupBy("component").agg(F.count("*").alias("size"))
+        .agg(
+            F.count("*").alias("n_components"),
+            F.sum("size").cast("bigint").alias("n_vertices"),
+            F.max("size").alias("max_scc_size"),
+        )
+    )
+
+
+@query("g47_corpus_betweenness_approx")
+def g47(spark: SparkSession, sf: str) -> DataFrame:
+    """Sampled Brandes betweenness over SPAWNS: top-20 broker
+    processes (deterministic md5-ordered pivots)."""
+    from graphdb_neo4j_spark.operators.traversal import betweenness_approx
+
+    g = _corpus_graph(spark)
+    spawns = g.edges.filter(F.col("rel") == "SPAWNS")
+    nodes = g.process.select("key")
+    bw = betweenness_approx(nodes, spawns, n_samples=4)
+    return (
+        bw.filter(F.col("betweenness") > 0)
+        .orderBy(F.col("betweenness").desc(), F.col("key"))
+        .limit(20)
+        .select("key", F.round("betweenness", 6).alias("betweenness"))
     )
 
 

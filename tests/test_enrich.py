@@ -69,3 +69,42 @@ def test_identity_stitching_reduces_dual_parents(spark, spans):
     assert after < before / 2
     # stitching only ever reduces node count
     assert stitched.process.count() < g.process.count()
+
+
+def test_identity_intervals_pid_reuse(spark):
+    """v2 stitching: one {trace}:{pid} alias maps to DIFFERENT GUIDs in
+    different time windows (PID reuse); v1's min-GUID mapping cannot."""
+    from graphdb_neo4j_spark.operators.enrich import (
+        identity_intervals,
+        resolve_aliases,
+    )
+
+    def span(idx, start, tags):
+        return ("T", "f.json", idx, start, tags)
+
+    rows = [
+        # G-A lives [100, 200] as pid 100
+        span(0, 100, {"ID": "1", "ProcessGuid": "G-A", "ProcessId": "100"}),
+        span(1, 200, {"ID": "5", "ProcessGuid": "G-A"}),
+        # pid 100 reused by G-B from t=300
+        span(2, 300, {"ID": "1", "ProcessGuid": "G-B", "ProcessId": "100"}),
+    ]
+    spans = spark.createDataFrame(
+        rows, "trace_id string, file string, span_idx int, start_time long, "
+              "tags map<string,string>"
+    )
+    iv = identity_intervals(spans)
+    by_guid = {r.canonical_key: (r.valid_from_us, r.valid_to_us)
+               for r in iv.filter(F.col("alias_key") == "T:100").collect()}
+    assert set(by_guid) == {"G-A", "G-B"}
+    assert by_guid["G-A"][1] == 300  # A's window closes where B's opens
+    assert by_guid["G-B"][0] == 300
+
+    refs = spark.createDataFrame(
+        [("T:100", 150), ("T:100", 350), ("T:999", 150)], ["key", "t"]
+    )
+    res = {(r.key, r.t): r.resolved_key
+           for r in resolve_aliases(refs, iv).collect()}
+    assert res[("T:100", 150)] == "G-A"
+    assert res[("T:100", 350)] == "G-B"
+    assert res[("T:999", 150)] == "T:999"  # unmapped stays itself

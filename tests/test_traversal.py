@@ -114,3 +114,148 @@ def test_label_propagation_two_cliques(spark):
     # the two cliques end up internally consistent
     assert len({labels[k] for k in "ab"}) == 1
     assert len({labels[k] for k in "yz"}) == 1
+
+
+def py_scc(edges, nodes):
+    """Iterative Tarjan — ground-truth SCC partition."""
+    adj: dict[str, list[str]] = {n: [] for n in nodes}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        adj.setdefault(d, [])
+    index_of: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set[str] = set()
+    stack: list[str] = []
+    sccs: list[set[str]] = []
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index_of[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index_of:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index_of[w])
+            if not recurse:
+                if low[v] == index_of[v]:
+                    comp = set()
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        comp.add(w)
+                        if w == v:
+                            break
+                    sccs.append(comp)
+                if work:
+                    parent = work[-1][0]
+                    low[parent] = min(low[parent], low[v])
+
+    for n in sorted(adj):
+        if n not in index_of:
+            strongconnect(n)
+    return {frozenset(c) for c in sccs}
+
+
+def test_scc_matches_tarjan(spark):
+    from graphdb_neo4j_spark.operators.traversal import (
+        strongly_connected_components,
+    )
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),      # 3-cycle
+        ("c", "d"), ("d", "e"), ("e", "d"),      # 2-cycle downstream
+        ("e", "f"),                                # tail
+        ("g", "g"),                                # self-loop
+        ("h", "i"),                                # DAG pair
+    ]
+    nodes = sorted({x for e in edges for x in e})
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["key"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    out = strongly_connected_components(ndf, edf).collect()
+    got: dict[str, set[str]] = {}
+    for r in out:
+        got.setdefault(r.component, set()).add(r.key)
+    assert {frozenset(c) for c in got.values()} == py_scc(edges, nodes)
+    # component id is the min member, every node assigned exactly once
+    assert all(comp == min(members) for comp, members in got.items())
+    assert sum(len(m) for m in got.values()) == len(nodes)
+
+
+def py_brandes(edges, nodes, pivots, directed=True):
+    adj: dict[str, list[str]] = {n: [] for n in nodes}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        if not directed:
+            adj.setdefault(d, []).append(s)
+        adj.setdefault(d, [])
+    bc = {n: 0.0 for n in nodes}
+    for s in pivots:
+        # BFS
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = [s]
+        frontier = [s]
+        while frontier:
+            nxt = []
+            for v in frontier:
+                for w in adj[v]:
+                    if w not in dist:
+                        dist[w] = dist[v] + 1
+                        sigma[w] = 0.0
+                        nxt.append(w)
+                        order.append(w)
+            for v in frontier:
+                for w in adj[v]:
+                    if dist.get(w) == dist[v] + 1:
+                        sigma[w] += sigma[v]
+            frontier = nxt
+        delta = {v: 0.0 for v in order}
+        # dependency accumulation over predecessors
+        preds: dict[str, list[str]] = {v: [] for v in order}
+        for v in order:
+            for w in adj[v]:
+                if dist.get(w) == dist[v] + 1:
+                    preds[w].append(v)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += (sigma[v] / sigma[w]) * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    scale = len(nodes) / max(len(pivots), 1)
+    return {n: bc[n] * scale for n in nodes}
+
+
+def test_betweenness_approx_matches_python(spark):
+    import hashlib
+
+    from graphdb_neo4j_spark.operators.traversal import betweenness_approx
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "d"),
+        ("a", "e"), ("e", "d"),
+        ("d", "f"), ("f", "g"),
+        ("b", "e"),
+    ]
+    nodes = sorted({x for e in edges for x in e})
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["key"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    k = 4
+    out = {r.key: r.betweenness for r in
+           betweenness_approx(ndf, edf, n_samples=k).collect()}
+    pivots = sorted(nodes, key=lambda n: hashlib.md5(n.encode()).hexdigest())[:k]
+    expect = py_brandes(edges, nodes, pivots)
+    assert set(out) == set(expect)
+    for n in nodes:
+        assert out[n] == pytest.approx(expect[n], abs=1e-9), n
