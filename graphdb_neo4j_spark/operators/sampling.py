@@ -1,0 +1,142 @@
+"""Deterministic sampling / splitting / packing for training-data
+pipelines.
+
+Random sampling (``df.sample``, ``sampleBy``) is seed-and-partitioning
+dependent — rerun the job with a different partition count and the
+sample changes, and no other engine can reproduce it.  Every operator
+here derives its randomness from md5 of a stable key instead:
+
+* reproducible across runs, engines, partitionings, and cluster sizes;
+* a row's assignment never changes when the corpus grows (critical for
+  train/eval splits — no test-set contamination on incremental loads);
+* oracle-checkable bit-for-bit in DuckDB.
+
+The hash fraction uses the first 4 md5 nibbles (16 bits) — plenty for
+percent-level split boundaries, and cheap to mirror in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+_NIBBLES = 4
+_BUCKETS = 16 ** _NIBBLES  # 65536
+
+
+def _hash_bucket(key: Column, seed: str) -> Column:
+    """Stable bucket in [0, 65536) from md5(seed|key) — the nibble
+    arithmetic (instr on a hex alphabet) is portable to any SQL
+    engine, unlike hex→int casts."""
+    h = F.md5(F.concat(F.lit(f"{seed}|"), key.cast("string")))
+    val = F.lit(0)
+    for i in range(1, _NIBBLES + 1):
+        nib = F.instr(F.lit(_HEX), F.substring(h, i, 1)) - F.lit(1)
+        val = val * 16 + nib
+    return val
+
+
+def hash_bucket_sql(key_sql: str, seed: str) -> str:
+    """The same bucket as SQL (same association order)."""
+    expr = "0"
+    for i in range(1, _NIBBLES + 1):
+        nib = f"(instr('{_HEX}', substr(md5('{seed}|' || CAST({key_sql} AS VARCHAR)), {i}, 1)) - 1)"
+        expr = f"({expr} * 16 + {nib})"
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split with
+    the given weights (default 98/1/1 train/val/test).
+
+    Pure map-side expression — no shuffle, no state; the split of a
+    document is a function of its id alone, so it is stable under any
+    reprocessing.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    bucket = _hash_bucket(F.col(id_col), seed)
+    expr = None
+    upper = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        upper += weights[name]
+        cond = bucket < int(upper * _BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", split)
+
+
+def hash_split_sql(
+    id_sql: str,
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+) -> str:
+    """SQL CASE expression mirroring :func:`hash_split`."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    bucket = hash_bucket_sql(id_sql, seed)
+    names = list(weights)
+    clauses = []
+    upper = 0.0
+    for name in names[:-1]:
+        upper += weights[name]
+        clauses.append(f"WHEN {bucket} < {int(upper * _BUCKETS)} THEN '{name}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{names[-1]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum subsample: keep a row iff its hash
+    bucket falls below its stratum's fraction.  Unknown strata are
+    dropped (fraction 0).  Map-side only; reproducible regardless of
+    partitioning — unlike ``DataFrame.sampleBy``."""
+    bucket = _hash_bucket(F.col(id_col), seed)
+    thresh = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == stratum
+        t = F.lit(int(frac * _BUCKETS))
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = thresh.otherwise(F.lit(0)) if thresh is not None else F.lit(0)
+    return df.filter(bucket < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    by_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to training-sequence bins of ~``budget`` tokens:
+    adds ``bin`` = floor(exclusive-running-token-sum / budget) over a
+    deterministic ``order_col`` order (per ``by_col`` group when given).
+
+    This is contiguous streaming packing — the shape production
+    pipelines use at scale (one window, one shuffle on the group key)
+    — not bin-packing: a document may straddle a boundary, in which
+    case it lands in the bin its first token falls into, and bins
+    overflow by at most one document.  Exact first-fit would be a
+    sequential fold — O(n) driver state — for a marginal density gain.
+    """
+    from pyspark.sql import Window
+
+    if by_col is not None:
+        w = Window.partitionBy(by_col).orderBy(order_col)
+    else:
+        w = Window.partitionBy().orderBy(order_col)
+    cum_excl = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return df.withColumn("bin", F.floor(cum_excl / F.lit(budget)).cast("bigint"))

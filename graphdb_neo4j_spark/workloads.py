@@ -841,6 +841,102 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ===========================================================================
+# deterministic sampling / splitting / packing (training-data pipeline)
+# ===========================================================================
+
+from graphdb_neo4j_spark.operators import sampling as SP  # noqa: E402
+
+
+@query(
+    "q42_hash_split",
+    f"""
+    SELECT split, source, COUNT(*) AS n
+    FROM (SELECT source, {SP.hash_split_sql("doc_id")} AS split FROM documents)
+    GROUP BY split, source
+    """,
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test split: stable under
+    reprocessing and corpus growth (pure function of doc_id), unlike
+    seed+partitioning-dependent df.sample."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        SP.hash_split(docs)
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_Q43_FRACS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+@query(
+    "q43_stratified_sample",
+    f"""
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM (
+      SELECT source, text, {SP.hash_bucket_sql("doc_id", "sample")} AS bucket
+      FROM documents)
+    WHERE bucket < CASE source
+                     WHEN 'src0' THEN 65536
+                     WHEN 'src1' THEN {int(0.5 * 65536)}
+                     WHEN 'src2' THEN {int(0.25 * 65536)}
+                     WHEN 'src3' THEN {int(0.1 * 65536)}
+                     ELSE 0 END
+    GROUP BY source
+    """,
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-source downsampling (the rebalancing step of a
+    data-mixture pipeline) — keep-fraction by hash threshold, map-side
+    only, reproducible across engines and partitionings."""
+    docs = load_table(spark, sf, "documents")
+    kept = SP.stratified_sample(docs, _Q43_FRACS)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
+
+
+@query(
+    "q44_pack_sequences",
+    """
+    WITH toks AS (
+      SELECT source, doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT source, n_tokens,
+             CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 2048) AS BIGINT) AS bin
+      FROM toks)
+    SELECT source, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM packed GROUP BY source, bin
+    """,
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    """Contiguous packing of documents into ~2048-token training
+    sequences per source (one window, one shuffle on the group key);
+    reports per-bin document and token counts."""
+    docs = load_table(spark, sf, "documents").select(
+        "source", "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = SP.pack_sequences(
+        docs, budget=2048, token_col="n_tokens", order_col="doc_id",
+        by_col="source",
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+
+
+# ===========================================================================
 # relational surface: correlated subqueries, grouping sets, range frames
 # ===========================================================================
 

@@ -193,3 +193,46 @@ def test_ivf_recall_and_partition_pruning_shape(spark):
     recall = len(exact & approx) / 10
     assert recall >= 0.4, f"IVF recall too low: {recall}"
     assert len(approx_rows) == 10
+
+
+def test_sampling_determinism_and_packing(spark):
+    """hash_split is stable under corpus growth; pack_sequences bins
+    overflow by at most one document."""
+    from graphdb_neo4j_spark.operators.sampling import (
+        hash_split,
+        pack_sequences,
+        stratified_sample,
+    )
+
+    docs1 = spark.createDataFrame(
+        [(i, f"s{i % 3}", "w " * (i % 50 + 1)) for i in range(200)],
+        ["doc_id", "source", "text"],
+    )
+    docs2 = spark.createDataFrame(  # same ids + 100 more
+        [(i, f"s{i % 3}", "w " * (i % 50 + 1)) for i in range(300)],
+        ["doc_id", "source", "text"],
+    )
+    s1 = {r.doc_id: r.split for r in hash_split(docs1).collect()}
+    s2 = {r.doc_id: r.split for r in hash_split(docs2).collect()}
+    assert all(s2[i] == s1[i] for i in s1)  # old rows never move splits
+    assert set(s1.values()) <= {"train", "val", "test"}
+    n_train = sum(1 for v in s1.values() if v == "train")
+    assert n_train >= 180  # ~98%
+
+    kept = stratified_sample(docs1, {"s0": 1.0, "s1": 0.5}, strata_col="source")
+    by_src = {r[0]: r[1] for r in kept.groupBy("source").count().collect()}
+    assert by_src.get("s2") is None            # unlisted stratum dropped
+    assert by_src["s0"] == 67                  # fraction 1.0 keeps all
+    assert 0 < by_src.get("s1", 0) < 67        # fraction 0.5 keeps some
+
+    import pyspark.sql.functions as F2
+    toks = docs1.select(
+        "doc_id", "source",
+        F2.size(F2.split(F2.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    packed = pack_sequences(toks, budget=100, by_col="source")
+    stats = packed.groupBy("source", "bin").agg(
+        F2.sum("n_tokens").alias("tok"), F2.max("n_tokens").alias("mx")
+    ).collect()
+    for r in stats:
+        assert r.tok < 100 + r.mx  # overflow bounded by one document
