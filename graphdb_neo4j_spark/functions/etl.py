@@ -113,15 +113,21 @@ def _rstrip_backslashes(col: Column) -> Column:
 def reg_key_path(target: Column) -> Column:
     """Key part of ``parse_reg_target`` (events.py:30-36).
 
-    ``HKLM\\a\\b\\Name`` → ``HKLM\\a\\b``; single segment → NULL (the
-    reference returns ``(target, None)`` and then skips the key node).
-    Trailing backslashes are stripped before splitting.
+    ``HKLM\\a\\b\\Name`` → ``HKLM\\a\\b``.  A SINGLE-segment target
+    returns the ORIGINAL target itself (the reference returns
+    ``(target, None)`` — truthy — so event 13 still MERGEs the key node
+    and a self UNDER_KEY edge; caught by the hypothesis oracle).  A
+    leading-backslash target like ``\\Name`` yields an EMPTY key part,
+    which is falsy in the reference and skips the key node → NULL here.
+    Trailing backslashes are stripped before splitting only.
     """
     s = _rstrip_backslashes(target)
     name = F.substring_index(s, "\\", -1)
     # key = s minus ("\\" + name); only when s still contains a backslash
     key = F.substring(s, F.lit(1), F.length(s) - F.length(name) - F.lit(1))
-    return F.when(s.contains("\\"), key).otherwise(F.lit(None).cast("string"))
+    return F.when(
+        s.contains("\\"), F.when(key == "", F.lit(None).cast("string")).otherwise(key)
+    ).otherwise(target)
 
 
 def reg_value_name(target: Column) -> Column:

@@ -152,17 +152,37 @@ def test_on_create_omits_process_guid(spark, tmp_path):
     assert g2.process.collect()[0].process_guid == "G1"
 
 
-def test_single_segment_reg_target_no_under_key(spark, tmp_path):
+def test_single_segment_reg_target_self_under_key(spark, tmp_path):
+    """parse_reg_target('BareValue') == ('BareValue', None): the key
+    part is the TARGET ITSELF (truthy!), so the reference MERGEs a
+    RegistryKey node and a self UNDER_KEY edge alongside the
+    RegistryValue (events.py:30-36, 408-418)."""
     p = write_trace(tmp_path, "a.json", "t1", [
         span(1, tag("ID", 13), tag("ProcessGuid", "G1"),
              tag("TargetObject", "BareValue")),
     ])
     g = build_graph(spark, p)
-    assert g.edge_counts().get("UNDER_KEY", 0) == 0
+    assert g.edge_counts().get("UNDER_KEY", 0) == 1
     assert g.edge_counts()["SET_REG_VALUE"] == 1
     rv = g.registry_value.collect()[0]
     assert rv.path == "BareValue" and rv.value_name is None
+    assert g.node_counts().get("RegistryKey", 0) == 1
+    under = g.edges.filter(g.edges.rel == "UNDER_KEY").collect()[0]
+    assert under.src == "BareValue" and under.dst == "BareValue"
+
+
+def test_leading_backslash_reg_target_skips_key(spark, tmp_path):
+    """parse_reg_target('\\\\Name') == ('', 'Name'): EMPTY key part is
+    falsy → no key node, no UNDER_KEY; the value node still lands."""
+    p = write_trace(tmp_path, "a.json", "t1", [
+        span(1, tag("ID", 13), tag("ProcessGuid", "G1"),
+             tag("TargetObject", "\\Name")),
+    ])
+    g = build_graph(spark, p)
+    assert g.edge_counts().get("UNDER_KEY", 0) == 0
     assert g.node_counts().get("RegistryKey", 0) == 0
+    rv = g.registry_value.collect()[0]
+    assert rv.path == "\\Name" and rv.value_name == "Name"
 
 
 def test_reg_target_split_and_trailing_backslashes(spark, tmp_path):
