@@ -223,6 +223,7 @@ def topk_lsh(
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_sim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
 
@@ -259,6 +260,8 @@ def topk_lsh(
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = cosine_expr(F.col("__v"), q)
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)  # rank on rounded → id-tiebreak parity
     return (
         candidates.select("id", sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("id"))

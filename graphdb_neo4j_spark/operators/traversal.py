@@ -198,6 +198,39 @@ def pagerank(
     return ranks
 
 
+def k_core(nodes: DataFrame, edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+    """(key) — vertices of the k-core: the maximal subgraph where every
+    vertex has undirected degree ≥ k.  Iterative peel: drop sub-k
+    vertices, recompute degrees, repeat to a fixed point — each round
+    one degree aggregation + two semi-joins; rounds bounded by the
+    peeling depth (small for provenance graphs).
+    """
+    key_col = nodes.columns[0]
+    und = (
+        _as_undirected(edges)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    remaining = nodes.select(F.col(key_col).alias("key")).distinct().localCheckpoint()
+    for _ in range(max_iter):
+        e = (
+            und.join(remaining.select(F.col("key").alias("src")), "src", "left_semi")
+            .join(remaining.select(F.col("key").alias("dst")), "dst", "left_semi")
+        )
+        deg = e.groupBy(F.col("src").alias("key")).agg(F.count("*").alias("deg"))
+        keep = (
+            remaining.join(deg, "key", "left")
+            .filter(F.coalesce(F.col("deg"), F.lit(0)) >= k)
+            .select("key")
+            .localCheckpoint()
+        )
+        if keep.count() == remaining.count():
+            break
+        remaining = keep
+    return remaining
+
+
 def strongly_connected_components(
     nodes: DataFrame,
     edges: DataFrame,

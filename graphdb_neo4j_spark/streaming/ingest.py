@@ -261,6 +261,26 @@ def stateful_process_tracker(spans_stream: DataFrame, timeout_minutes: int = 60)
     )
 
 
+def streaming_neardup_dedup(
+    docs_stream: DataFrame,
+    watermark_delay: str = "1 hour",
+    time_col: str = "event_time",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming NEAR-duplicate dedup: fingerprint each document with
+    the per-row 64-bit simhash expression (pure Catalyst — works inside
+    a streaming plan, unlike the relational explode+agg batch variant)
+    and drop later documents with an identical simhash within the
+    watermark horizon.  ``dropDuplicatesWithinWatermark`` bounds the
+    dedup state — mandatory for an unbounded corpus stream."""
+    from graphdb_neo4j_spark.operators.dedup import simhash_hex
+
+    keyed = docs_stream.withColumn(
+        "simhash", simhash_hex(F.col(text_col))
+    ).withWatermark(time_col, watermark_delay)
+    return keyed.dropDuplicatesWithinWatermark(["simhash"])
+
+
 def streaming_dedup_spans(
     spans_stream: DataFrame, watermark_delay: str = "1 hour"
 ) -> DataFrame:

@@ -742,11 +742,78 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
     return S.topk_bruteforce(emb, list(qvec), k=10, round_sim=6)
 
 
-@query("q27_ann_lsh_topk")  # approximate → rows-only check (no SQL oracle)
+def _q27_lsh_sql(
+    k: int = 10,
+    dims: int = 64,
+    planes: int = 6,
+    tables: int = 4,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of multi-table multiprobe LSH top-k: the same
+    fixed-point integer projections for BOTH the rows and the query
+    vector, candidates = Hamming distance ≤ 1 to the query signature in
+    some table, exact-cosine re-rank rounded to 6 before ordering.
+    Turns the formerly rows-only q27 into a hash-exact oracle cell."""
+    from graphdb_neo4j_spark.operators.similarity import QUANT, _plane_sign
+
+    n = tables * planes
+
+    def projs(prefix: str) -> str:
+        cols = []
+        for p in range(n):
+            signs = ", ".join(str(int(_plane_sign(seed, p, d))) for d in range(dims))
+            cols.append(f"SUM(q * (list_value({signs}))[d]) AS {prefix}{p}")
+        return ", ".join(cols)
+
+    # per-table Hamming distance between row and query sign bits
+    table_conds = []
+    for t in range(tables):
+        terms = " + ".join(
+            f"(CASE WHEN (p{t * planes + r} >= 0) = (qp{t * planes + r} >= 0) "
+            f"THEN 0 ELSE 1 END)"
+            for r in range(planes)
+        )
+        table_conds.append(f"(({terms}) <= 1)")
+    probe = " OR ".join(table_conds)
+    return f"""
+    WITH qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    ex AS (
+      SELECT vec_id AS id, CAST(dd.d AS INT) AS d,
+             CAST(floor(CAST(embedding[CAST(dd.d AS INT)] AS DOUBLE) * {float(QUANT)!r})
+                  AS BIGINT) AS q
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, {dims + 1})) AS d) dd
+    ),
+    proj AS (SELECT id, {projs("p")} FROM ex GROUP BY id),
+    qex AS (
+      SELECT CAST(dd.d AS INT) AS d,
+             CAST(floor(CAST(v[CAST(dd.d AS INT)] AS DOUBLE) * {float(QUANT)!r})
+                  AS BIGINT) AS q
+      FROM qv CROSS JOIN (SELECT unnest(range(1, {dims + 1})) AS d) dd
+    ),
+    qproj AS (SELECT {projs("qp")} FROM qex),
+    cand AS (SELECT proj.id FROM proj, qproj WHERE {probe}),
+    sims AS (
+      SELECT e.vec_id AS id,
+             ROUND(
+               list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                      * CAST(q.v[CAST(i AS INT)] AS DOUBLE)), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(q.v,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))
+             , 6) AS sim
+      FROM embeddings e JOIN cand ON cand.id = e.vec_id, qv q
+    )
+    SELECT id, sim FROM sims ORDER BY sim DESC, id LIMIT {k}
+    """
+
+
+@query("q27_ann_lsh_topk", _q27_lsh_sql())
 def q27(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return S.topk_lsh(emb, list(qvec), k=10, dims=len(qvec))
+    return S.topk_lsh(emb, list(qvec), k=10, dims=len(qvec), round_sim=6)
 
 
 _NORMED_CTE = """
@@ -934,6 +1001,62 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
     )
+
+
+@query(
+    "q45_funnel_conversion",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT DISTINCT e.user_id
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) BETWEEN s.s_ts AND s.s_ts + 3600000000
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM conv) AS n_converted_1h
+    """,
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal motif / funnel: users whose first signup is followed by
+    a purchase within one hour.  The event-sequence join every product
+    pipeline runs — an equi-join on user plus a time-range predicate
+    (co-partitioned by user at scale, no shuffle beyond the key)."""
+    e = load_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts"))
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("s_ts"))
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(us.between(F.col("s_ts"), F.col("s_ts") + 3_600_000_000))
+        .select("user_id")
+        .distinct()
+    )
+    n_signup = s.agg(F.count("*").alias("n_signup"))
+    n_conv = conv.agg(F.count("*").alias("n_converted_1h"))
+    return n_signup.crossJoin(n_conv)
+
+
+@query("g48_corpus_kcore")
+def g48(spark: SparkSession, sf: str) -> DataFrame:
+    """k-core sizes of the undirected SPAWNS graph for k=1..3 — the
+    density skeleton of the process forest."""
+    from graphdb_neo4j_spark.operators.traversal import k_core
+
+    g = _corpus_graph(spark)
+    spawns = g.edges.filter(F.col("rel") == "SPAWNS")
+    nodes = g.process.select("key")
+    rows = []
+    for k in (1, 2, 3):
+        rows.append((k, k_core(nodes, spawns, k).count()))
+    return spark.createDataFrame(rows, "k int, core_size bigint")
 
 
 # ===========================================================================

@@ -218,3 +218,43 @@ def test_streaming_dedup_spans(spark, trace_dir, tmp_path):
     n_unique_spans = spark.read.parquet(out).select("trace_id", "span_idx").distinct().count()
     # the re-delivered file's spans share (trace_id, span_idx) → dropped
     assert res.count() == n_unique_spans
+
+
+def test_streaming_neardup_dedup(spark, tmp_path):
+    """Identical-simhash documents re-delivered within the watermark are
+    dropped; distinct documents pass through."""
+    from graphdb_neo4j_spark.streaming import streaming_neardup_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    base = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, base, 1_000_000),
+            (2, base, 2_000_000),            # exact re-delivery → dropped
+            (3, "completely different text about engines", 3_000_000),
+        ],
+        "doc_id long, text string, ts_us long",
+    )
+    df.write.mode("overwrite").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts_us long")
+        .parquet(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    q = (
+        streaming_neardup_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert 3 in kept
+    assert len(kept & {1, 2}) == 1  # exactly one of the near-dup pair

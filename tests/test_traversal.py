@@ -259,3 +259,34 @@ def test_betweenness_approx_matches_python(spark):
     assert set(out) == set(expect)
     for n in nodes:
         assert out[n] == pytest.approx(expect[n], abs=1e-9), n
+
+
+def test_k_core_matches_python(spark):
+    from graphdb_neo4j_spark.operators.traversal import k_core
+
+    edges = [
+        # a 4-clique (3-core)
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        # a tail hanging off it
+        ("d", "e"), ("e", "f"),
+        # a triangle (2-core)
+        ("x", "y"), ("y", "z"), ("z", "x"),
+    ]
+    nodes = sorted({v for e in edges for v in e})
+
+    def py_kcore(k):
+        adj = {n: set() for n in nodes}
+        for s, d in edges:
+            adj[s].add(d); adj[d].add(s)
+        alive = set(nodes)
+        while True:
+            low = {n for n in alive if len(adj[n] & alive) < k}
+            if not low:
+                return alive
+            alive -= low
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["key"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    for k in (1, 2, 3, 4):
+        got = {r.key for r in k_core(ndf, edf, k).collect()}
+        assert got == py_kcore(k), f"k={k}"
