@@ -52,8 +52,13 @@ def main() -> None:
         # driver-side Python row materialization — we measure the engine)
         df.write.format("noop").mode("overwrite").save()
 
-    # warm-up: JVM + parquet footer caches (not counted)
+    # warm-up: JVM + parquet footer caches (not counted) — touch every
+    # input table once so no measured query pays first-open costs
     run(QUERY_FNS["q01_pricing_summary"](spark, SF_DIR))
+    from graphdb_neo4j_spark.sources.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, SF_DIR, t).count()
 
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
