@@ -138,6 +138,75 @@ def extract_media_meta(df: DataFrame, deterministic_fake: bool = True) -> DataFr
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+def plan_frame_samples(
+    media: DataFrame,
+    fps: float = 1.0,
+    duration_col: str = "duration_us",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame-sampling plan for video payloads: one row per
+    (media_id, frame_idx, ts_us) at ``fps`` frames/second — pure
+    Catalyst (sequence + explode), no Python.
+
+    This is the fan-out half of video ingestion: the plan rows are what
+    a decode fleet consumes (each row = one seek+decode task), so
+    partitioning the PLAN spreads decode work independently of how the
+    source files are laid out.  Feed the result to
+    :func:`extract_frame_stub` for the (stubbed) decode itself.
+    """
+    step_us = int(1_000_000 / fps)
+    n_frames = (F.col(duration_col) / F.lit(step_us)).cast("long") + F.lit(1)
+    return (
+        media.select(
+            F.col(id_col).alias("media_id"),
+            F.explode(
+                F.sequence(F.lit(0), n_frames - F.lit(1))
+            ).alias("frame_idx"),
+        )
+        .withColumn("ts_us", F.col("frame_idx") * F.lit(step_us))
+    )
+
+
+def extract_frame_stub(
+    plan: DataFrame, deterministic_fake: bool = True
+) -> DataFrame:
+    """Arrow-batched frame extraction over a :func:`plan_frame_samples`
+    plan — the mapInPandas shape is real (batch in, compact features
+    out); the codec is honestly stubbed (no video libs in this
+    sandbox): deterministic fake features derived from (media_id,
+    frame_idx), or NotImplementedError when a real decode is demanded.
+    """
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "real video decode needs a codec library (PyAV/ffmpeg) "
+                    "not present in this environment"
+                )
+            feats = [
+                int(hashlib.md5(f"{m}|{i}".encode()).hexdigest()[:8], 16)
+                for m, i in zip(pdf["media_id"], pdf["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "ts_us": pdf["ts_us"],
+                    "feature_hash": feats,
+                }
+            )
+
+    return plan.mapInPandas(
+        run,
+        schema="media_id string, frame_idx long, ts_us long, feature_hash long",
+    )
+
+
 def plan_resize_batches(meta: DataFrame, target_pixels: int = 256 * 256) -> DataFrame:
     """Pure-Catalyst post-processing of decoded metadata: bucket media by
     resize work (pixels/target ratio) so heavy items spread evenly —

@@ -149,6 +149,42 @@ def fingerprint(text: Column, n: int = 8) -> Column:
     return F.array_min(F.transform(shingles(text, n), F.md5))
 
 
+# --- normalization / scrubbing (training-data cleanup) ---------------------
+# Patterns stay in the RE2 ∩ Java-regex common dialect so the SQL oracle
+# (DuckDB/RE2) and Catalyst (Java) agree byte-for-byte.
+
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+
+
+def strip_urls(text: Column) -> Column:
+    """Remove http(s) URLs (replaced with a space so adjacent tokens
+    don't fuse)."""
+    return F.regexp_replace(text, URL_RE, " ")
+
+
+def mask_emails(text: Column) -> Column:
+    """Replace e-mail addresses with the ``<email>`` sentinel — the
+    cheap PII scrub every public-corpus pipeline applies."""
+    return F.regexp_replace(text, EMAIL_RE, "<email>")
+
+
+def collapse_whitespace(text: Column) -> Column:
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def normalize_text(text: Column) -> Column:
+    """strip URLs → mask e-mails → collapse whitespace; pure codegen
+    (three regexp passes next to the scan, no UDF)."""
+    return collapse_whitespace(mask_emails(strip_urls(text)))
+
+
+def count_pattern(text: Column, pattern: str) -> Column:
+    """Occurrences of ``pattern`` — ``split`` produces n+1 pieces for n
+    matches, identical logic in the SQL oracle."""
+    return F.size(F.split(text, pattern)) - F.lit(1)
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.withColumns(

@@ -1004,6 +1004,76 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q46_text_normalize",
+    f"""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{T.URL_RE}', ' ', 'g'),
+                   '{T.EMAIL_RE}', '<email>', 'g'),
+               '\\s+', ' ', 'g')) AS clean_text,
+           len(regexp_split_to_array(text, '{T.URL_RE}')) - 1 AS n_urls,
+           len(regexp_split_to_array(text, '{T.EMAIL_RE}')) - 1 AS n_emails
+    FROM documents
+    """,
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    """Text normalization / PII scrub: URL strip, e-mail masking,
+    whitespace collapse — three codegen regexp passes next to the scan,
+    hash-checked byte-for-byte against the RE2 oracle."""
+    docs = load_table(spark, sf, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.normalize_text(t).alias("clean_text"),
+        T.count_pattern(t, T.URL_RE).cast("bigint").alias("n_urls"),
+        T.count_pattern(t, T.EMAIL_RE).cast("bigint").alias("n_emails"),
+    )
+
+
+@query(
+    "q47_token_budget_cap",
+    """
+    WITH toks AS (
+      SELECT source, doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT source, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks)
+    SELECT source, COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+    FROM cum WHERE cum_tokens <= 5000
+    GROUP BY source
+    """,
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token budget cap (data-mixture shaping): keep docs in
+    deterministic id order until the source's running token count
+    exceeds the budget — one window, one shuffle on source."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents").select(
+        "source", "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    capped = docs.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        F.col("cum_tokens") <= 5000
+    )
+    return capped.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+    )
+
+
+@query(
     "q45_funnel_conversion",
     """
     WITH s AS (

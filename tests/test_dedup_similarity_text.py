@@ -236,3 +236,25 @@ def test_sampling_determinism_and_packing(spark):
     ).collect()
     for r in stats:
         assert r.tok < 100 + r.mx  # overflow bounded by one document
+
+
+def test_text_normalize_scrubs(spark):
+    from graphdb_neo4j_spark.operators.text import (
+        count_pattern,
+        normalize_text,
+    )
+    from graphdb_neo4j_spark.operators.text import EMAIL_RE, URL_RE
+
+    df = spark.createDataFrame(
+        [("see https://ex.com/a?b=1 and   mail bob.smith+x@corp.example.org  now",),
+         ("no links here",)],
+        ["text"],
+    )
+    rows = df.select(
+        normalize_text(F.col("text")).alias("clean"),
+        count_pattern(F.col("text"), URL_RE).alias("u"),
+        count_pattern(F.col("text"), EMAIL_RE).alias("e"),
+    ).collect()
+    assert rows[0].clean == "see and mail <email> now"
+    assert rows[0].u == 1 and rows[0].e == 1
+    assert rows[1].clean == "no links here" and rows[1].u == 0

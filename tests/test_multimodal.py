@@ -76,3 +76,32 @@ def test_plan_resize_batches(spark, media):
     buckets = {r.media_id: r.work_bucket for r in planned.collect()}
     assert buckets[1] == "large"  # 640*480 = 4.7x target 256*256
     assert set(buckets.values()) <= {"noop", "small", "large"}
+
+
+def test_frame_sampling_plan_and_stub(spark):
+    from graphdb_neo4j_spark.operators.multimodal import (
+        extract_frame_stub,
+        plan_frame_samples,
+    )
+
+    media = spark.createDataFrame(
+        [("vid1", 3_500_000), ("vid2", 0), ("vid3", 1_000_000)],
+        "media_id string, duration_us long",
+    )
+    plan = plan_frame_samples(media, fps=1.0)
+    rows = {(r.media_id, r.frame_idx, r.ts_us) for r in plan.collect()}
+    # 3.5s at 1 fps → frames at 0,1,2,3s; 0s → single frame at 0
+    assert {(m, i) for m, i, _ in rows if m == "vid1"} == {("vid1", j) for j in range(4)}
+    assert ("vid2", 0, 0) in rows
+    assert ("vid3", 1, 1_000_000) in rows
+
+    feats = extract_frame_stub(plan).collect()
+    assert len(feats) == len(rows)
+    by_key = {(r.media_id, r.frame_idx): r.feature_hash for r in feats}
+    # deterministic: same key → same fake feature on recompute
+    feats2 = extract_frame_stub(plan).collect()
+    assert {(r.media_id, r.frame_idx): r.feature_hash for r in feats2} == by_key
+
+    import pytest as _pt
+    with _pt.raises(Exception):
+        extract_frame_stub(plan, deterministic_fake=False).collect()
