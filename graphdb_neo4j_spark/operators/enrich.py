@@ -231,6 +231,58 @@ def resolve_aliases(
     ).drop("canonical_key_right")
 
 
+def build_stitched_graph(traces: DataFrame, spans: DataFrame) -> "PropertyGraph":
+    """Opt-in: the full graph build with TIME-AWARE identity stitching
+    applied at the span level (stitching v2 end-to-end).
+
+    Every process reference (``pkey`` / ``parent_key`` / ``dst_key``)
+    is resolved through :func:`identity_intervals` BEFORE the graph
+    fold, using each span's own timestamp — so a ``{trace}:{pid}``
+    alias joins its GUID node, and a reused pid lands on the RIGHT
+    GUID for its time window (the post-hoc :func:`stitch_graph`
+    rewrite cannot disambiguate reuse because folded edges carry no
+    time).  Default builds stay bug-compatible with the reference;
+    this is the enriched variant.  Cost: one interval build + three
+    as-of window joins over the span stream — all key-partitioned.
+    """
+    from graphdb_neo4j_spark.operators.ingest import (
+        _build_graph_from_derived,
+        _derive,
+    )
+
+    d = _derive(spans)
+    iv = identity_intervals(spans)
+
+    def resolved(col_name: str) -> DataFrame:
+        refs = d.select(
+            F.col(col_name).alias("key"),
+            F.col("ord.start_time").alias("t"),
+        ).filter(F.col("key").isNotNull()).distinct()
+        return resolve_aliases(refs, iv).select(
+            F.col("key").alias(f"__{col_name}"),
+            F.col("t").alias(f"__t_{col_name}"),
+            F.col("resolved_key").alias(f"__r_{col_name}"),
+        )
+
+    out = d
+    for col_name in ("pkey", "parent_key", "dst_key"):
+        m = resolved(col_name)
+        out = (
+            out.join(
+                m,
+                (out[col_name] == m[f"__{col_name}"])
+                & (out["ord.start_time"] == m[f"__t_{col_name}"]),
+                "left",
+            )
+            .withColumn(
+                col_name,
+                F.coalesce(F.col(f"__r_{col_name}"), F.col(col_name)),
+            )
+            .drop(f"__{col_name}", f"__t_{col_name}", f"__r_{col_name}")
+        )
+    return _build_graph_from_derived(traces, out)
+
+
 def stitch_graph(g: PropertyGraph, mapping: DataFrame) -> PropertyGraph:
     """Rewrite edges/process keys through the alias→canonical mapping.
 

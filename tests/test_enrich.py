@@ -108,3 +108,40 @@ def test_identity_intervals_pid_reuse(spark):
     assert res[("T:100", 150)] == "G-A"
     assert res[("T:100", 350)] == "G-B"
     assert res[("T:999", 150)] == "T:999"  # unmapped stays itself
+
+
+def test_build_stitched_graph_time_aware(spark):
+    """End-to-end v2 stitching: pid-only spans fold into the GUID that
+    owned the pid AT THAT TIME — a reused pid splits across two GUIDs."""
+    from graphdb_neo4j_spark.operators.enrich import build_stitched_graph
+
+    def span(idx, start, tags):
+        return ("T", "f.json", idx, start, tags)
+
+    rows = [
+        # G-A owns pid 100 in [100, 200]
+        span(0, 100, {"ID": "1", "ProcessGuid": "G-A", "ProcessId": "100",
+                      "Image": "C:/a.exe"}),
+        span(1, 200, {"ID": "5", "ProcessGuid": "G-A"}),
+        # pid-only file-create at t=150 → must fold into G-A
+        span(2, 150, {"ID": "11", "ProcessId": "100",
+                      "TargetFilename": "early.txt"}),
+        # G-B reuses pid 100 from t=300
+        span(3, 300, {"ID": "1", "ProcessGuid": "G-B", "ProcessId": "100",
+                      "Image": "C:/b.exe"}),
+        # pid-only file-create at t=350 → must fold into G-B
+        span(4, 350, {"ID": "11", "ProcessId": "100",
+                      "TargetFilename": "late.txt"}),
+    ]
+    spans = spark.createDataFrame(
+        rows, "trace_id string, file string, span_idx int, start_time long, "
+              "tags map<string,string>"
+    )
+    traces = spans.select("trace_id").distinct()
+    g = build_stitched_graph(traces, spans)
+    created = {(r.src, r.dst) for r in
+               g.edges.filter(g.edges.rel == "CREATED_FILE").collect()}
+    assert ("G-A", "early.txt") in created
+    assert ("G-B", "late.txt") in created
+    # no T:100 alias node survives as an edge endpoint
+    assert not any(s == "T:100" for s, _ in created)
