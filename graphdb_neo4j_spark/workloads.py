@@ -1713,6 +1713,56 @@ def g47(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _corpus_derived(spark: SparkSession):
+    """Derived span stream of the corpus, via the parquet stage."""
+    import os
+
+    from graphdb_neo4j_spark.operators.ingest import stage_corpus
+
+    stage = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".stage"
+    )
+    sd = stage_corpus(spark, _CORPUS, stage)
+    return spark.read.parquet(os.path.join(sd, "spans"))
+
+
+@query("g49_corpus_temporal_motif")
+def g49(spark: SparkSession, sf: str) -> DataFrame:
+    """Temporal provenance motif: a process SPAWNS a child and the
+    child makes a network connection within 60 s — the classic
+    dropper→beacon hunt.  An equi-join on the child key plus a time
+    band; at scale both sides co-partition on the key (no range scan).
+    """
+    d = _corpus_derived(spark)
+    spawns = d.filter(
+        F.col("pkey").isNotNull() & F.col("parent_key").isNotNull()
+    ).select(
+        F.col("parent_key").alias("parent"),
+        F.col("pkey").alias("child"),
+        F.col("ord.start_time").alias("t_spawn"),
+    )
+    connects = d.filter(
+        (F.col("ev") == "3") & F.col("pkey").isNotNull()
+    ).select(
+        F.col("pkey").alias("child"),
+        F.coalesce(
+            F.col("tags")["DestinationIp"], F.lower(F.col("tags")["DestinationHostname"])
+        ).alias("dst"),
+        F.col("ord.start_time").alias("t_conn"),
+    ).filter(F.col("dst").isNotNull())
+    hits = (
+        spawns.join(connects, "child")
+        .filter(
+            (F.col("t_conn") >= F.col("t_spawn"))
+            & (F.col("t_conn") - F.col("t_spawn") <= 60_000_000)
+        )
+        .select("parent", "child", "dst",
+                (F.col("t_conn") - F.col("t_spawn")).alias("lag_us"))
+        .distinct()
+    )
+    return hits.orderBy("parent", "child", "dst", "lag_us").limit(100)
+
+
 @query("q29_neardup_clusters")  # connected components → not SQL-expressible
 def q29(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end near-dup clustering on documents: LSH candidates →
