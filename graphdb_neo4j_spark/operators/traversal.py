@@ -148,6 +148,79 @@ def connected_components(
     return comp
 
 
+def connected_components_twophase(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """(key, component) via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Converges in O(log n) rounds REGARDLESS of graph diameter — the
+    scale answer for long-chain graphs where HashMin
+    (:func:`connected_components`, O(diameter) rounds) crawls.  Each
+    round is two grouped aggregations (two shuffles); the edge list
+    contracts toward a star per component, whose center is the
+    component minimum.  Results are identical to HashMin.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: for every u, attach its LARGER neighbors to
+        # m(u) = min(N(u) ∪ {u})
+        sym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        grouped = sym.groupBy("src").agg(
+            F.min("dst").alias("min_n"), F.collect_set("dst").alias("ns")
+        )
+        m = F.least(F.col("min_n"), F.col("src"))
+        large = (
+            grouped.select(F.col("src"), m.alias("m"), F.explode("ns").alias("v"))
+            .filter(F.col("v") > F.col("src"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star: canonicalize to (hi, lo), hang each lo-neighbor
+        # (and hi itself) off the minimum
+        canon = large.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        g2 = canon.groupBy("u").agg(
+            F.min("v").alias("m"), F.collect_set("v").alias("ns")
+        )
+        small = (
+            g2.select(
+                "u",
+                "m",
+                F.explode(F.array_union(F.col("ns"), F.array(F.col("u")))).alias("v"),
+            )
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig_row = small.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).head()
+        sig = (sig_row["n"], sig_row["h"])
+        e = small
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    key_col = nodes.columns[0]
+    verts = nodes.select(F.col(key_col).alias("key")).distinct()
+    roots = e.select(F.col("src").alias("key"), F.col("dst").alias("component"))
+    return verts.join(roots, "key", "left").select(
+        "key", F.coalesce(F.col("component"), F.col("key")).alias("component")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,

@@ -290,3 +290,33 @@ def test_k_core_matches_python(spark):
     for k in (1, 2, 3, 4):
         got = {r.key for r in k_core(ndf, edf, k).collect()}
         assert got == py_kcore(k), f"k={k}"
+
+
+def test_twophase_components_match_hashmin(spark):
+    """Large-star/small-star equals HashMin on a branchy graph AND
+    converges on a 200-node chain where HashMin's O(diameter) rounds
+    would need 200 iterations."""
+    import random
+
+    from graphdb_neo4j_spark.operators.traversal import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    rng = random.Random(11)
+    edges = [(f"n{rng.randrange(60)}", f"n{rng.randrange(60)}") for _ in range(80)]
+    nodes = sorted({v for e in edges for v in e} | {"iso1", "iso2"})
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["key"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    hm = {r.key: r.component for r in connected_components(ndf, edf, 100).collect()}
+    tp = {r.key: r.component for r in
+          connected_components_twophase(ndf, edf).collect()}
+    assert tp == hm
+
+    # long chain: c000 - c001 - ... - c199 (diameter 199)
+    chain = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(199)]
+    cn = spark.createDataFrame([(f"c{i:03d}",) for i in range(200)], ["key"])
+    ce = spark.createDataFrame(chain, ["src", "dst"])
+    got = {r.key: r.component for r in
+           connected_components_twophase(cn, ce, max_iter=15).collect()}
+    assert set(got.values()) == {"c000"}  # one component, min root
