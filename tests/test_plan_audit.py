@@ -126,7 +126,9 @@ def test_motif_two_hop_zero_shuffle_on_bucketed_tables(spark):
     try:
         df = gq.find("(a)-[SPAWNS]->(b); (b)-[HAS_PROCESS]->(c)")
         plan = explain_str(df)
-        assert "Exchange hashpartitioning" not in plan, plan
+        # formatted plans put "Exchange" and its "hashpartitioning(...)"
+        # argument on separate lines — match the argument, not the pair
+        assert "hashpartitioning(" not in plan, plan
         # and it still answers correctly (joins actually line up)
         assert df.count() >= 0
     finally:
@@ -142,3 +144,41 @@ def test_graph_rel_filter_prunes_partitions(spark, tmp_path):
     edges = spark.read.parquet(f"{out}/edges")
     plan = explain_str(edges.filter(F.col("rel") == "SPAWNS"))
     assert "PartitionFilters" in plan and "rel" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_q40_grouping_sets_single_expand(spark):
+    """GROUPING SETS must plan as ONE Expand + one aggregate over one
+    scan — not a union of four groupBys."""
+    df = QUERY_FNS["q40_grouping_sets_revenue"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("Expand") >= 1
+    assert plan.count("orders.parquet") == 1
+    assert "Union" not in plan
+
+
+def test_q41_range_frame_single_window_shuffle(spark):
+    """RANGE-frame rolling stats: exactly one Exchange (the window
+    partition on user_id) and a Window node with both aggregates."""
+    df = QUERY_FNS["q41_range_frame_rolling"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("hashpartitioning(") == 1
+    assert "Window" in plan and "specifiedwindowframe(RangeFrame" in plan
+
+
+def test_q39_correlated_subquery_decorrelated(spark):
+    """Catalyst must decorrelate the scalar subqueries into aggregates
+    + joins — no per-row subquery execution plan nodes."""
+    df = QUERY_FNS["q39_correlated_scalar_subquery"](spark, SF)
+    plan = explain_str(df)
+    assert "Subquery" not in plan.split("== Physical Plan ==")[-1][:4000] or \
+           "Join" in plan
+    assert "Aggregate" in plan or "HashAggregate" in plan
+
+
+def test_q47_token_cap_single_window_shuffle(spark):
+    df = QUERY_FNS["q47_token_budget_cap"](spark, SF)
+    plan = explain_str(df)
+    # window on source + final groupBy on source share partitioning →
+    # expect at most 2 hash exchanges, and only one scan of documents
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("hashpartitioning(") <= 2
