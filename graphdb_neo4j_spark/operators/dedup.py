@@ -114,6 +114,45 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_verify_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact shingle-Jaccard for a GIVEN candidate pair set: (id_a,
+    id_b, jaccard) filtered to ≥ threshold.
+
+    Unlike :func:`ngram_jaccard_pairs` (a full self-join, quadratic in
+    docs-per-shingle), this only touches the candidates: each pair
+    pulls its two shingle sets through equi-joins, so cost is
+    O(|pairs| · shingles-per-doc) — the right verify step after LSH
+    candidate generation at scale.
+    """
+    sh = exploded_shingles(df, id_col=id_col, text_col=text_col, n=n).distinct().persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("size"))
+    a_sh = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh"))
+    b_sh = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh"))
+    inter = (
+        pairs.select("id_a", "id_b")
+        .join(a_sh, "id_a")
+        .join(b_sh, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("size").alias("size_b"))
+    jac = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -423,10 +462,12 @@ def neardup_clusters(
         text_col=text_col, id_col=id_col,
     )
     if jaccard_threshold is not None:
-        verified = ngram_jaccard_pairs(
-            df, n=n, threshold=jaccard_threshold, text_col=text_col, id_col=id_col
+        # exact Jaccard computed ONLY over the LSH candidates — never the
+        # full quadratic self-join
+        pairs = jaccard_verify_pairs(
+            df, pairs, n=n, threshold=jaccard_threshold,
+            text_col=text_col, id_col=id_col,
         ).select("id_a", "id_b")
-        pairs = pairs.join(verified, ["id_a", "id_b"], "left_semi")
     ids = df.select(F.col(id_col).cast("string").alias("key")).distinct()
     edges = pairs.select(
         F.col("id_a").cast("string").alias("src"),

@@ -258,3 +258,16 @@ def test_text_normalize_scrubs(spark):
     assert rows[0].clean == "see and mail <email> now"
     assert rows[0].u == 1 and rows[0].e == 1
     assert rows[1].clean == "no links here" and rows[1].u == 0
+
+
+def test_jaccard_verify_equals_full_join(spark, docs):
+    """Candidate-restricted Jaccard == the full self-join on the same
+    pairs (same values, same threshold behavior)."""
+    from graphdb_neo4j_spark.operators.dedup import jaccard_verify_pairs
+
+    full = {(r.id_a, r.id_b): r.jaccard for r in
+            ngram_jaccard_pairs(docs, n=3, threshold=0.0).collect()}
+    cand = spark.createDataFrame(list(full), ["id_a", "id_b"])
+    verified = {(r.id_a, r.id_b): r.jaccard for r in
+                jaccard_verify_pairs(docs, cand, n=3, threshold=0.0).collect()}
+    assert verified == full
