@@ -363,8 +363,7 @@ def ivf_index(
     right home for them).  Returns (assignments DF with ``centroid_id``
     column, centroid list).
     """
-    import math
-
+    spark = df.sparkSession
     rows = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("__h", F.md5(F.col("id").cast("string")))
@@ -374,40 +373,56 @@ def ivf_index(
     )
     centroids = [[float(x) for x in r["v"]] for r in rows]
 
-    def assign_expr(cents):
-        vec = F.col(vec_col)
+    # one exploded copy feeds every iteration: the centroid matrix rides
+    # as a broadcast dims-row table (joining beats inlining k*dims
+    # literals into the plan; the plan-construction cost of the literal
+    # form dominated the whole job), and the centroid UPDATE reuses the
+    # same exploded rows grouped by (centroid, dim) -- k*dims tiny rows
+    # to the driver, never the data
+    exploded = (
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+        .persist()
+    )
+
+    def assignment(cents) -> DataFrame:
+        k = len(cents)
+        cent_rows = [
+            tuple([d] + [cents[ci][d] for ci in range(k)]) for d in range(dims)
+        ]
+        schema = "d int, " + ", ".join(f"c{ci} double" for ci in range(k))
+        cent_df = spark.createDataFrame(cent_rows, schema)
+        joined = exploded.join(F.broadcast(cent_df), "d")
+        dist_aggs = [
+            F.sum((F.col("x") - F.col(f"c{ci}")) ** 2).alias(f"dist{ci}")
+            for ci in range(k)
+        ]
+        dists = joined.groupBy("id").agg(*dist_aggs)
         best_id = F.lit(0)
-        best_d = None
-        for ci, c in enumerate(cents):
-            carr = F.array(*[F.lit(x) for x in c])
-            d = F.aggregate(
-                F.zip_with(vec, carr, lambda a, b: (a.cast("double") - b) ** 2),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            if best_d is None:
-                best_d, best_id = d, F.lit(ci)
-            else:
-                best_id = F.when(d < best_d, F.lit(ci)).otherwise(best_id)
-                best_d = F.when(d < best_d, d).otherwise(best_d)
-        return best_id
+        best_d = F.col("dist0")
+        for ci in range(1, k):
+            d = F.col(f"dist{ci}")
+            best_id = F.when(d < best_d, F.lit(ci)).otherwise(best_id)
+            best_d = F.when(d < best_d, d).otherwise(best_d)
+        return dists.select(F.col("id").alias("__aid"), best_id.alias("centroid_id"))
 
     for _ in range(iters):
-        assigned = df.withColumn("centroid_id", assign_expr(centroids))
-        sums = assigned.groupBy("centroid_id").agg(
-            *[
-                F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
-                for i in range(dims)
-            ],
-            F.count("*").alias("n"),
+        asg = assignment(centroids)
+        stats = (
+            exploded.join(asg, exploded["id"] == asg["__aid"])
+            .groupBy("centroid_id", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
         )
-        new_cents = list(centroids)
-        for r in sums.collect():
-            ci = r["centroid_id"]
-            new_cents[ci] = [r[f"s{i}"] / r["n"] for i in range(dims)]
+        new_cents = [list(c) for c in centroids]
+        for r in stats:
+            new_cents[r["centroid_id"]][r["d"]] = r["s"] / r["n"]
         centroids = new_cents
 
-    return df.withColumn("centroid_id", assign_expr(centroids)), centroids
+    final = assignment(centroids)
+    assigned = df.join(final, df[id_col] == final["__aid"]).drop("__aid")
+    return assigned, centroids
 
 
 def ivf_index_write(
