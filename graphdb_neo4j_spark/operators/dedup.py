@@ -56,6 +56,51 @@ def exact_dedup(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    n-grams with an evaluation set (the standard 13-gram-overlap scheme
+    of public LLM pipelines, n configurable for short corpora).
+
+    Returns ``(doc_id, n_shared)`` — distinct shared n-grams per
+    contaminated corpus document, ``n_shared >= min_shared``, eval
+    documents themselves excluded.
+
+    100 TB shape: an eval suite is MB-scale, so its distinct-gram set is
+    **broadcast** — the corpus side is one scan that explodes grams and
+    hash-joins against the broadcast set map-side; the only shuffle
+    carries the (id, matched-gram) hits (tiny) into the per-doc count.
+    """
+    from graphdb_neo4j_spark.operators.text import word_ngrams
+
+    grams = F.explode(
+        F.array_distinct(word_ngrams(F.col(text_col), n))
+    ).alias("g")
+    eval_grams = (
+        eval_docs.select(grams).distinct()
+    )
+    corpus_grams = docs.join(
+        eval_docs.select(id_col), on=id_col, how="left_anti"
+    ).select(F.col(id_col), grams)
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), on="g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard pairs
 # ---------------------------------------------------------------------------
 

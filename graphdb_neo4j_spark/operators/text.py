@@ -51,6 +51,58 @@ def char_len(text: Column) -> Column:
     return F.length(text)
 
 
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Word n-grams of the whitespace-tokenized text, space-joined, in
+    order, duplicates kept (array<string>).  Texts with fewer than n
+    tokens produce an empty array (guarded: Spark's ``sequence(1, 0)``
+    DESCENDS instead of returning empty).  Mirrors the DuckDB idiom
+    ``list_transform(range(1, len(t)-n+2), i -> array_to_string(t[i:i+n-1], ' '))``.
+    """
+    t = tokens(text)
+    cnt = F.size(t) - F.lit(n - 1)
+    return F.when(
+        (F.trim(text) == "") | (cnt < 1), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(t, i, F.lit(n)), " "),
+        )
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality filters):
+
+    * ``n_tokens`` — whitespace token count;
+    * ``distinct_token_ratio`` — distinct tokens / tokens (type-token
+      ratio; low = repetitive);
+    * ``dup_bigram_ratio`` — 1 − distinct bigrams / bigrams (high =
+      repeated phrases).
+
+    Pure map-side codegen expressions next to the scan — no shuffle, no
+    UDF; at 100 TB this is a projection fused into the parquet read.
+    Empty / one-token documents get 0.0 ratios (guarded on both the
+    Spark and oracle side).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = token_count(t)
+    bigrams = word_ngrams(t, 2)
+    n_bi = F.size(bigrams)
+    return df.withColumns(
+        {
+            "n_tokens": n_tok.cast("bigint"),
+            "distinct_token_ratio": F.when(n_tok == 0, F.lit(0.0)).otherwise(
+                F.size(F.array_distinct(toks)).cast("double") / n_tok
+            ),
+            "dup_bigram_ratio": F.when(n_bi <= 0, F.lit(0.0)).otherwise(
+                F.lit(1.0)
+                - F.size(F.array_distinct(bigrams)).cast("double") / n_bi
+            ),
+        }
+    )
+
+
 def punct_ratio(text: Column) -> Column:
     """punctuation chars / total chars (0.0 for empty)."""
     total = F.length(text)

@@ -1786,3 +1786,66 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return topk_ivf(emb, list(qvec), k=10, n_centroids=8, n_probe=3, dims=len(qvec))
+
+
+@query(
+    "q48_eval_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, len(t) - 1),
+                 i -> array_to_string(t[i:i+2], ' ')))) AS g
+      FROM toks WHERE len(t) >= 3
+    ),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 53 = 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM grams JOIN ev USING (g)
+    WHERE doc_id % 53 <> 0
+    GROUP BY doc_id
+    """,
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing a word 3-gram with
+    the deterministic eval slice (doc_id % 53 == 0).  The eval gram set
+    is broadcast — the corpus side is one scan + map-side hash join; the
+    only shuffle carries matched (id, gram) hits."""
+    docs = load_table(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % 53 == 0)
+    return D.contaminated_docs(docs, ev, n=3, min_shared=1)
+
+
+@query(
+    "q49_repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CASE WHEN len(t) = 0 THEN 0.0
+                ELSE CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END
+               AS distinct_token_ratio,
+           CASE WHEN len(t) < 2 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                         range(1, len(t)),
+                         i -> t[i] || ' ' || t[i+1]))) AS DOUBLE) / (len(t) - 1)
+           END AS dup_bigram_ratio
+    FROM toks
+    """,
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality filters):
+    type-token ratio + duplicated-bigram ratio, pure map-side codegen
+    next to the parquet scan — the 100 TB plan is scan+project only."""
+    docs = load_table(spark, sf, "documents")
+    return T.repetition_stats(docs).select(
+        "doc_id", "n_tokens", "distinct_token_ratio", "dup_bigram_ratio"
+    )

@@ -271,3 +271,51 @@ def test_jaccard_verify_equals_full_join(spark, docs):
     verified = {(r.id_a, r.id_b): r.jaccard for r in
                 jaccard_verify_pairs(docs, cand, n=3, threshold=0.0).collect()}
     assert verified == full
+
+
+def test_contaminated_docs_broadcast_and_exclusion(spark):
+    """Eval docs never appear in the output; overlap counts are the
+    distinct shared word n-grams; the eval side is broadcast."""
+    from graphdb_neo4j_spark.operators.dedup import contaminated_docs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),        # eval member
+            (1, "alpha beta gamma epsilon"),      # shares "alpha beta gamma"
+            (2, "zeta eta theta iota"),           # clean
+            (3, "alpha beta gamma delta"),        # exact eval copy: 2 grams
+            (4, "x y"),                           # too short for 3-grams
+            (5, ""),                              # empty
+        ],
+        ["doc_id", "text"],
+    )
+    ev = docs.filter(F.col("doc_id") == 0)
+    out = contaminated_docs(docs, ev, n=3, min_shared=1)
+    rows = {r.doc_id: r.n_shared for r in out.collect()}
+    assert rows == {1: 1, 3: 2}
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_repetition_stats_guards(spark):
+    from graphdb_neo4j_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),     # 6 tokens, 2 distinct; bigrams all "a b"/"b a"
+            (1, "all words differ"),
+            (2, "one"),
+            (3, ""),
+            (4, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert rows[0].n_tokens == 6
+    assert rows[0].distinct_token_ratio == pytest.approx(2 / 6)
+    # 5 bigrams: ab,ba,ab,ba,ab -> 2 distinct -> dup ratio 3/5
+    assert rows[0].dup_bigram_ratio == pytest.approx(3 / 5)
+    assert rows[1].distinct_token_ratio == 1.0
+    assert rows[1].dup_bigram_ratio == 0.0
+    assert rows[2].n_tokens == 1 and rows[2].dup_bigram_ratio == 0.0
+    assert rows[3].n_tokens == 0 and rows[3].distinct_token_ratio == 0.0
+    assert rows[4].n_tokens == 0 and rows[4].dup_bigram_ratio == 0.0
