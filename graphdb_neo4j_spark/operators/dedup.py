@@ -220,23 +220,26 @@ def minhash_signatures(
     Docs shorter than n chars have no shingles and are absent from the
     output (an empty shingle set has no meaningful minhash).
 
-    Hash budget: one md5 yields FOUR independent 32-bit minhash lanes
-    (8 hex chars each — md5's diffusion makes the chunks independent),
-    so K minhashes cost ⌈K/4⌉ md5 calls per shingle, not K.  The min of
-    an 8-hex-char string is the min of the 32-bit value (lexicographic
-    = numeric on fixed-width hex).
+    Hash budget: ONE md5 per shingle, expanded to K lanes by
+    Kirsch–Mitzenmacher double hashing — split the digest into two
+    32-bit halves h1, h2 and take lane i = (h1 + i·h2) mod 2³².  This
+    preserves minwise-independence in practice (the standard Bloom/
+    minhash result) and replaces ⌈K/4⌉ crypto hashes per shingle with
+    one hash + K integer multiply-adds; lanes are BIGINT so the min agg
+    is a numeric min, not a string min.  At 10¹⁴ shingles (100 TB of
+    text) the saved md5 calls are the dominant CPU term.  Portable to
+    the DuckDB oracle via ``('0x' || substr(md5(s), …))::BIGINT``.
     """
     sh = exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
-    n_md5 = (num_hashes + 3) // 4
+    h = F.md5(F.col("sh"))
     hashed = sh.select(
         "id",
-        *[
-            F.md5(F.concat(F.lit(f"{g}|"), F.col("sh"))).alias(f"h{g}")
-            for g in range(n_md5)
-        ],
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("h2"),
     )
+    m = F.lit(4294967296)  # 2^32; h1 + 15*h2 < 2^36 fits a bigint
     aggs = [
-        F.min(F.substring(F.col(f"h{i // 4}"), 8 * (i % 4) + 1, 8)).alias(f"mh_{i}")
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % m).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return hashed.groupBy("id").agg(*aggs)

@@ -547,12 +547,14 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
 
 def _minhash_sql(bands: int, rows: int, n: int = 3) -> str:
     k = bands * rows
-    # one md5 per shingle per 4 lanes: lane i reads 8 hex chars at
-    # offset 8·(i mod 4) of md5('(i div 4)|' ‖ shingle) — mirrors
-    # dedup.minhash_signatures' hash budget exactly
+    # ONE md5 per shingle, Kirsch–Mitzenmacher-expanded to k lanes:
+    # lane i = (h1 + i*h2) mod 2^32 over the digest's two 32-bit halves
+    # — mirrors dedup.minhash_signatures' hash budget exactly
+    h1 = "(('0x' || substr(md5(s), 1, 8))::BIGINT)"
+    h2 = "(('0x' || substr(md5(s), 9, 8))::BIGINT)"
     mins = ",\n        ".join(
         f"list_min(list_transform(__sh, s -> "
-        f"substr(md5('{i // 4}|' || s), {8 * (i % 4) + 1}, 8))) AS mh_{i}"
+        f"({h1} + {i} * {h2}) % 4294967296)) AS mh_{i}"
         for i in range(k)
     )
     band_rows = []
