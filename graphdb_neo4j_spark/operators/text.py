@@ -11,7 +11,7 @@ bit-for-bit against the SQL oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # small multilingual stopword table for the n-gram/stopword language vote
@@ -100,6 +100,116 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 - F.size(F.array_distinct(bigrams)).cast("double") / n_bi
             ),
         }
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document:
+    ``(doc_id, term, tf, dfreq, tfidf)``.
+
+    ``tf`` = in-document term count, ``dfreq`` = number of documents
+    containing the term, ``tfidf = round(tf · ln((N+1)/(dfreq+1)), 6)``
+    (smoothed idf).  Ranking is on the ROUNDED score with a term-name
+    tiebreak so both engines rank identical values identically.
+
+    100 TB shape: two hash-aggregates with map-side partial combine —
+    (id, term) for tf, then (term) for dfreq computed FROM the tf
+    aggregate (no second corpus scan).  The tf⋈dfreq join shuffles on
+    the term key (AQE handles stop-word skew; a df-capped vocabulary
+    prune is the manual fallback), and the final per-doc top-k is one
+    window over the id partition.  The corpus itself is scanned once.
+    """
+    n_docs = df.groupBy().agg(F.count("*").alias("n_docs"))
+    toks = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+    )
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "tf",
+            "dfreq",
+            F.round(
+                F.col("tf")
+                * F.log(
+                    (F.col("n_docs") + F.lit(1.0)) / (F.col("dfreq") + F.lit(1.0))
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style overlapping chunking on whitespace-token boundaries:
+    ``(doc_id, chunk_id, tok_start, n_chunk_tokens, chunk_text)``.
+
+    Chunk ``c`` covers tokens ``[c·step + 1, c·step + chunk_tokens]``
+    (1-based, ``step = chunk_tokens − overlap``); the number of chunks
+    is ``max(1, ceil((n_tok − overlap) / step))`` so every token is
+    covered and the final chunk may be short.  Empty documents produce
+    no chunks.
+
+    Pure map-side explode fused into the scan — no shuffle, no UDF; at
+    100 TB this runs at parquet-read speed and the output inherits the
+    input partitioning.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    t = F.col("__toks")
+    n_tok = F.size(t)
+    # floor() explicitly on BOTH engines: Spark's double→int cast
+    # truncates but DuckDB's ROUNDS, so the oracle must mirror floor
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor(((n_tok - F.lit(overlap)) + F.lit(step - 1)) / F.lit(step)),
+    ).cast("int")
+    start = F.col("__c") * F.lit(step) + F.lit(1)
+    piece = F.slice(t, start, F.lit(chunk_tokens))
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            id_col,
+            "__toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("__c"),
+        )
+        .select(
+            id_col,
+            F.col("__c").alias("chunk_id"),
+            start.alias("tok_start"),
+            F.size(piece).alias("n_chunk_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
     )
 
 

@@ -524,6 +524,70 @@ def betweenness_approx(
     return acc.select("key", (F.col("betweenness") * F.lit(scale)).alias("betweenness"))
 
 
+def random_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    walk_length: int = 3,
+) -> DataFrame:
+    """Deterministic uniform random walks over the UNDIRECTED graph —
+    training-data generation for node-embedding models (DeepWalk /
+    node2vec p=q=1).  Returns ``(start, w, step, node)`` rows: walk
+    ``w ∈ [0, walks_per_node)`` from each node, positions
+    ``step ∈ [0, walk_length]`` (step 0 is the start node itself).
+
+    Determinism (no RNG state, reproducible and oracle-checkable): the
+    neighbor chosen at each step is
+    ``nbrs[ md5_32(start|w|step|cur) mod degree(cur) ]`` over the
+    SORTED distinct neighbor list — a counter-keyed hash, so the walk
+    is a pure function of the graph.  Undirected means every visited
+    node has ≥1 neighbor: no dead-end special case.
+
+    100 TB shape: adjacency is one (src → sorted neighbor array)
+    aggregate; each step is an equi-join of the walk frontier against
+    it (frontier carries (start, w, cur) only — paths are emitted as
+    rows, never accumulated into arrays).  With the adjacency table
+    bucketed by src the per-step join is shuffle-free on the adjacency
+    side; ``walk_length`` joins total, each frontier the same size
+    (nodes × walks_per_node).  Hot-node skew is bounded: the frontier
+    row count never grows, unlike BFS frontiers.
+    """
+    und = _as_undirected(edges).distinct()
+    adj = (
+        und.groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+        .persist()  # probed by every step's join AND the union branches
+    )
+    frontier = adj.select(
+        F.col("src").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("w"),
+        F.col("src").alias("cur"),
+    )
+    out = frontier.select("start", "w", F.lit(0).alias("step"),
+                          F.col("cur").alias("node"))
+    for step in range(1, walk_length + 1):
+        key = F.concat_ws(
+            "|", F.col("start"), F.col("w"), F.lit(step), F.col("cur")
+        )
+        h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+        frontier = (
+            frontier.join(adj, frontier["cur"] == adj["src"])
+            .select(
+                "start",
+                "w",
+                F.element_at(
+                    F.col("nbrs"), (h % F.size("nbrs")).cast("int") + F.lit(1)
+                ).alias("cur"),
+            )
+            .persist()  # each union branch re-reads this frontier; without
+            # this the step-s plan re-runs all s-1 prior joins (O(L²))
+        )
+        out = out.unionByName(
+            frontier.select("start", "w", F.lit(step).alias("step"),
+                            F.col("cur").alias("node"))
+        )
+    return out
+
+
 def triangle_count(edges: DataFrame) -> int:
     """Number of triangles in the undirected graph.
 

@@ -1851,3 +1851,109 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
     return T.repetition_stats(docs).select(
         "doc_id", "n_tokens", "distinct_token_ratio", "dup_bigram_ratio"
     )
+
+
+@query(
+    "q50_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+             CAST(dfreq AS BIGINT) AS dfreq,
+             ROUND(tf * ln((n_docs + 1.0) / (dfreq + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, dfreq, tfidf FROM ranked WHERE rn <= 5
+    """,
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document keyword extraction: top-5 TF-IDF terms.  Ranking is
+    on the ROUNDED score (term-name tiebreak) so both engines agree at
+    the k boundary; idf inputs are exact integers so the double math is
+    bit-identical."""
+    docs = load_table(spark, sf, "documents")
+    return T.tfidf_top_terms(docs, k=5)
+
+
+@query(
+    "q51_chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    chunked AS (
+      SELECT doc_id, len(t) AS n_tok, t,
+             unnest(range(GREATEST(1, CAST(FLOOR((len(t) - 16 + 47) / 48.0) AS BIGINT)))) AS c
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(c AS INT) AS chunk_id,
+           CAST(c * 48 + 1 AS INT) AS tok_start,
+           CAST(LEAST(64, n_tok - (c * 48 + 1) + 1) AS INT) AS n_chunk_tokens,
+           array_to_string(t[(c * 48 + 1):(c * 48 + 64)], ' ') AS chunk_text
+    FROM chunked
+    """,
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG chunking: 64-token chunks with 16-token overlap, emitted with
+    token offsets.  Map-side explode fused into the scan — no shuffle."""
+    docs = load_table(spark, sf, "documents")
+    return T.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+@query(
+    "q52_random_walks",
+    """
+    WITH RECURSIVE
+    e AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 'p' || l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs FROM und GROUP BY src),
+    walk(start, w, step, cur) AS (
+      SELECT src, w, 0, src
+      FROM adj CROSS JOIN (SELECT unnest(range(2)) AS w)
+      UNION ALL
+      SELECT wk.start, wk.w, wk.step + 1,
+             a.nbrs[CAST(('0x' || substr(md5(concat_ws('|',
+                 wk.start, wk.w, wk.step + 1, wk.cur)), 1, 8))::BIGINT
+                 % len(a.nbrs) AS INT) + 1]
+      FROM walk wk JOIN adj a ON a.src = wk.cur
+      WHERE wk.step < 3
+    )
+    SELECT start, CAST(w AS INT) AS w, CAST(step AS INT) AS step, cur AS node
+    FROM walk
+    """,
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic random walks (DeepWalk corpus generation) over the
+    undirected customer–part co-purchase graph: 2 walks per node, length
+    3.  The DuckDB oracle replays the identical counter-keyed-md5 walk
+    in a recursive CTE — a full hash-exact gate on an iterative graph
+    operator."""
+    from graphdb_neo4j_spark.operators.traversal import random_walks
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return random_walks(edges, walks_per_node=2, walk_length=3)

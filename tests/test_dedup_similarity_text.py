@@ -319,3 +319,74 @@ def test_repetition_stats_guards(spark):
     assert rows[2].n_tokens == 1 and rows[2].dup_bigram_ratio == 0.0
     assert rows[3].n_tokens == 0 and rows[3].distinct_token_ratio == 0.0
     assert rows[4].n_tokens == 0 and rows[4].dup_bigram_ratio == 0.0
+
+
+def test_tfidf_top_terms_small(spark):
+    from graphdb_neo4j_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "cherry cherry cherry"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(docs, k=2)
+    rows = {(r.doc_id, r.term): (r.tf, r.dfreq) for r in out.collect()}
+    # doc 0: apple tf=2 df=1 beats banana tf=1 df=2
+    assert rows[(0, "apple")] == (2, 1)
+    assert rows[(0, "banana")] == (1, 2)
+    assert (3, "") not in {k for k in rows}  # empty doc absent
+    top0 = [r for r in out.collect() if r.doc_id == 0]
+    assert max(r.tfidf for r in top0) == [r.tfidf for r in top0 if r.term == "apple"][0]
+
+
+def test_chunk_documents_coverage(spark):
+    from graphdb_neo4j_spark.operators.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(0, text), (1, "a b c"), (2, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 0: 100 tokens, step 24 -> ceil(92/24)=4 chunks
+    c0 = sorted(by_doc[0], key=lambda r: r.chunk_id)
+    assert [r.tok_start for r in c0] == [1, 25, 49, 73]
+    assert [r.n_chunk_tokens for r in c0] == [32, 32, 32, 28]
+    # consecutive chunks overlap by 8 tokens
+    assert c0[0].chunk_text.split()[-8:] == c0[1].chunk_text.split()[:8]
+    # full coverage: union of chunk tokens == original tokens
+    seen = set()
+    for r in c0:
+        seen.update(r.chunk_text.split())
+    assert seen == set(text.split())
+    # short doc: one short chunk; empty doc: no chunks
+    assert len(by_doc[1]) == 1 and by_doc[1][0].n_chunk_tokens == 3
+    assert 2 not in by_doc
+
+
+def test_random_walks_valid_and_deterministic(spark):
+    from graphdb_neo4j_spark.operators.traversal import random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("b", "d")],
+        ["src", "dst"],
+    )
+    und = {(s, d) for s, d in
+           [(r.src, r.dst) for r in edges.collect()]}
+    und |= {(d, s) for s, d in und}
+    out1 = sorted(map(tuple, random_walks(edges, 2, 4).collect()))
+    out2 = sorted(map(tuple, random_walks(edges, 2, 4).collect()))
+    assert out1 == out2  # deterministic
+    # 4 nodes x 2 walks x 5 positions
+    assert len(out1) == 4 * 2 * 5
+    # every consecutive transition is a real edge
+    pos = {(s, w, st): n for s, w, st, n in out1}
+    for (s, w, st), n in pos.items():
+        if st > 0:
+            assert (pos[(s, w, st - 1)], n) in und
