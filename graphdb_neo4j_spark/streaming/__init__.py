@@ -1,3 +1,7 @@
+from graphdb_neo4j_spark.streaming.ann import (
+    streaming_ann_candidates,
+    streaming_ann_topk,
+)
 from graphdb_neo4j_spark.streaming.ingest import (
     compact_graph_log,
     stream_graph_ingest,
@@ -11,6 +15,8 @@ __all__ = [
     "compact_graph_log",
     "stream_graph_ingest",
     "stream_spans",
+    "streaming_ann_candidates",
+    "streaming_ann_topk",
     "streaming_dedup_spans",
     "streaming_neardup_dedup",
     "windowed_event_counts",

@@ -258,3 +258,73 @@ def test_streaming_neardup_dedup(spark, tmp_path):
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert 3 in kept
     assert len(kept & {1, 2}) == 1  # exactly one of the near-dup pair
+
+
+def test_streaming_ann_probe(spark, tmp_path):
+    """Streaming ANN against the materialized LSH index: the
+    stream-static candidate join equals the same plan run in batch, a
+    query vector always matches itself at sim 1.0, and the foreachBatch
+    top-k equals a direct indexed probe."""
+    from graphdb_neo4j_spark.operators.similarity import (
+        lsh_index_write,
+        topk_lsh_indexed,
+    )
+    from graphdb_neo4j_spark.streaming.ann import (
+        streaming_ann_candidates,
+        streaming_ann_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx_path = str(tmp_path / "lsh_idx")
+    kw = dict(dims=64, planes=4, tables=2, seed=42)
+    lsh_index_write(emb, idx_path, **kw)
+    index = spark.read.parquet(idx_path)
+
+    qdir = str(tmp_path / "queries")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    queries.write.parquet(qdir)
+
+    # batch reference: same candidate plan on the same inputs
+    batch_cand = {
+        (r.query_id, r.match_id, r.sim)
+        for r in streaming_ann_candidates(
+            spark.read.parquet(qdir), index, **kw
+        ).collect()
+    }
+    assert batch_cand, "no candidates at all — bucket mismatch?"
+    for qid in (0, 1, 2):
+        assert (qid, qid, 1.0) in batch_cand  # self-match in own bucket
+
+    stream = spark.readStream.schema(
+        "query_id long, qv array<float>"
+    ).parquet(qdir)
+    (
+        streaming_ann_candidates(stream, index, **kw)
+        .writeStream.format("memory")
+        .queryName("ann_cand")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    stream_cand = {
+        (r.query_id, r.match_id, r.sim)
+        for r in spark.sql("SELECT * FROM ann_cand").collect()
+    }
+    assert stream_cand == batch_cand
+
+    out_path = str(tmp_path / "ann_out")
+    streaming_ann_topk(
+        stream, idx_path, out_path, k=5, **kw
+    ).trigger(availableNow=True).start().awaitTermination(120)
+    got = {
+        (r.query_id, r.id, r.sim)
+        for r in spark.read.parquet(out_path).collect()
+    }
+    want = set()
+    for qid in (0, 1, 2):
+        qv = [float(x) for x in emb.filter(F.col("vec_id") == qid).head()[1]]
+        for r in topk_lsh_indexed(spark, idx_path, qv, k=5, **kw).collect():
+            want.add((qid, r.id, r.sim))
+    assert got == want
