@@ -207,6 +207,35 @@ def extract_frame_stub(
     )
 
 
+def probe_batch_shapes(df: DataFrame, payload_col: str | None = "payload") -> DataFrame:
+    """Diagnostic: one output row PER ARROW BATCH entering ``mapInPandas``
+    — ``(batch_rows, batch_payload_bytes)``.
+
+    This is how you validate decode-fleet batch sizing before burning
+    GPU hours: batch row counts are governed by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` (default 10k), but
+    for multimodal BYTES per batch is what sizes worker memory — a 10k
+    batch of 4 MB images is 40 GB in flight.  Tune maxRecordsPerBatch
+    so ``batch_payload_bytes`` fits the decode worker's budget; the
+    shape probe costs one narrow pass, no shuffle.
+    """
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            nbytes = 0
+            if payload_col is not None and payload_col in pdf.columns:
+                nbytes = int(
+                    sum(0 if p is None else len(p) for p in pdf[payload_col])
+                )
+            yield pd.DataFrame(
+                {"batch_rows": [len(pdf)], "batch_payload_bytes": [nbytes]}
+            )
+
+    return df.mapInPandas(run, schema="batch_rows long, batch_payload_bytes long")
+
+
 def plan_resize_batches(meta: DataFrame, target_pixels: int = 256 * 256) -> DataFrame:
     """Pure-Catalyst post-processing of decoded metadata: bucket media by
     resize work (pixels/target ratio) so heavy items spread evenly —

@@ -105,3 +105,46 @@ def test_frame_sampling_plan_and_stub(spark):
     import pytest as _pt
     with _pt.raises(Exception):
         extract_frame_stub(plan, deterministic_fake=False).collect()
+
+
+def test_probe_batch_shapes_respects_arrow_batch_size(spark):
+    """Arrow batch row counts follow maxRecordsPerBatch, and the probe
+    reports payload bytes per batch (the decode-fleet sizing input)."""
+    from graphdb_neo4j_spark.operators.multimodal import probe_batch_shapes
+
+    n, payload = 1000, b"x" * 100
+    df = spark.range(n).select(
+        F.col("id").alias("media_id"), F.lit(payload).alias("payload")
+    ).coalesce(1)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+        shapes = probe_batch_shapes(df).collect()
+        rows = [r.batch_rows for r in shapes]
+        assert sum(rows) == n
+        # 1000 rows / 128 per batch -> 8 batches, all but last full
+        assert len(rows) == 8
+        assert all(r == 128 for r in rows[:-1]) and rows[-1] == n % 128
+        assert all(
+            r.batch_payload_bytes == r.batch_rows * len(payload) for r in shapes
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_media_parquet_prunes_payload_and_pushes_filters(spark, media, tmp_path):
+    """The 100 TB contract for multimodal tables: a metadata-only query
+    over the media parquet must NOT read the payload bytes (column
+    pruning) and must push the kind filter to the scan."""
+    p = str(tmp_path / "media")
+    media.write.parquet(p)
+    q = (
+        spark.read.parquet(p)
+        .filter(F.col("kind") == "image")
+        .select("media_id", "mime")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan.split("ReadSchema")[1][:200]
+    assert "PushedFilters: [" in plan and "kind" in plan.split("PushedFilters")[1][:80]
+    assert {r.media_id for r in q.collect()} == {1, 2, 5}
