@@ -182,3 +182,30 @@ def test_q47_token_cap_single_window_shuffle(spark):
     # expect at most 2 hash exchanges, and only one scan of documents
     assert plan.count("documents.parquet") == 1
     assert plan.count("hashpartitioning(") <= 2
+
+
+def test_q51_chunking_no_shuffle(spark):
+    """Chunking is a map-side explode fused into the scan: zero
+    Exchange nodes in the plan."""
+    df = QUERY_FNS["q51_chunk_documents"](spark, SF)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_q50_tfidf_partial_agg_and_broadcast_scalar(spark):
+    """TF-IDF: tf/dfreq aggregate partially map-side; the corpus-size
+    scalar rides a broadcast, never a shuffle."""
+    from graphdb_neo4j_spark.plans import has_partial_aggregate
+
+    df = QUERY_FNS["q50_tfidf_top_terms"](spark, SF)
+    assert has_partial_aggregate(df)
+    assert has_broadcast_join(df)
+
+
+def test_q52_walk_frontier_joins_broadcast_adjacency_or_shuffle_once(spark):
+    """Random-walk steps are equi-joins of the frontier against the
+    adjacency aggregate — never a nested-loop/cartesian plan."""
+    df = QUERY_FNS["q52_random_walks"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
