@@ -295,6 +295,65 @@ def minhash_lsh_pairs(
     )
 
 
+def cross_corpus_neardup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicates of ``new_docs`` against an EXISTING ``corpus``
+    (the production shape: dedup each incoming crawl batch against the
+    accumulated corpus before admitting it) — ``(new_id, corpus_id)``
+    pairs colliding in some minhash band.
+
+    Unlike the self-join in :func:`minhash_lsh_pairs` there is no
+    ``id_a < id_b`` ordering: the sides are different tables.  At
+    100 TB the corpus-side signatures are computed ONCE and persisted
+    (bucketed by (band, bucket)); each new batch computes only its own
+    signatures — batch-side cost is proportional to the batch, and the
+    join shuffles only (band, bucket, id) keys.  Identical ids on both
+    sides are excluded (a batch re-crawling an already-admitted URL is
+    "known", not "near-dup").
+    """
+    k = bands * rows_per_band
+
+    def _buckets(df: DataFrame, out_id: str) -> DataFrame:
+        sig = minhash_signatures(
+            df, n=n, num_hashes=k, text_col=text_col, id_col=id_col
+        )
+        band_structs = []
+        for b in range(bands):
+            cols = [
+                F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)
+            ]
+            band_structs.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+                )
+            )
+        return (
+            sig.select("id", F.explode(F.array(*band_structs)).alias("bb"))
+            .select(
+                F.col("id").alias(out_id),
+                F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"),
+            )
+        )
+
+    new_b = _buckets(new_docs, "new_id")
+    corp_b = _buckets(corpus, "corpus_id")
+    return (
+        new_b.join(corp_b, ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

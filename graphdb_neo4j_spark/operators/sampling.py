@@ -110,6 +110,30 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def mixture_resample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic per-source downsampling to hit a target domain
+    mixture (the "data mixing" step of an LLM pipeline: e.g. keep 10%
+    of web, 100% of books).  A row survives iff
+    ``md5_16(seed|id) / 2¹⁶ < rate(source)`` — a pure map-side filter,
+    reproducible across runs/engines, independent of partitioning, and
+    stable under corpus growth (a document's fate never changes when
+    other documents arrive).  Rates are compiled into a literal
+    CASE-WHEN chain — no join, no shuffle, fused into the scan.
+    """
+    u = _hash_bucket(F.col(id_col), seed) / F.lit(65536.0)
+    rate = F.lit(float(default_rate))
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)
+    return df.filter(u < rate)
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

@@ -28,7 +28,7 @@ executor loss on long traversals.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -584,6 +584,94 @@ def random_walks(
         out = out.unionByName(
             frontier.select("start", "w", F.lit(step).alias("step"),
                             F.col("cur").alias("node"))
+        )
+    return out
+
+
+def weighted_random_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    walk_length: int = 3,
+    weight_col: str = "w",
+) -> DataFrame:
+    """:func:`random_walks` with edge-weight-proportional transition
+    probabilities (integer weights, e.g. interaction multiplicities) —
+    still fully deterministic and oracle-checkable.
+
+    Neighbor selection is EXACT integer arithmetic end-to-end: the
+    adjacency build computes per-neighbor cumulative weights ONCE with
+    a window cumsum over the exploded edges (O(degree) relational work,
+    not O(degree²) per step), and each step picks
+    ``nbrs[|{c ∈ cumw : c ≤ md5_32(start|w|step|cur) mod total}| + 1]``
+    — no floating point anywhere, so any SQL engine replays the walk
+    bit-for-bit.  Parallel edges merge by summing weights; the graph is
+    made undirected first (each direction carries the edge's weight).
+
+    100 TB shape: identical to :func:`random_walks` — walk_length
+    equi-joins of a constant-size frontier against the (bucketed)
+    adjacency; the per-step filter over the cumw array is O(degree)
+    map-side work.
+    """
+    und = edges.select("src", "dst", weight_col).unionByName(
+        edges.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            F.col(weight_col),
+        )
+    )
+    wedges = und.groupBy("src", "dst").agg(
+        F.sum(weight_col).cast("long").alias("w")
+    )
+    win = Window.partitionBy("src").orderBy("dst").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = wedges.withColumn("cumw", F.sum("w").over(win))
+    adj = (
+        cum.groupBy("src")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("dst", "cumw"))
+            ).alias("arr")
+        )
+        .select(
+            "src",
+            F.transform("arr", lambda x: x["dst"]).alias("nbrs"),
+            F.transform("arr", lambda x: x["cumw"]).alias("cumw"),
+            F.element_at(F.transform("arr", lambda x: x["cumw"]), -1).alias(
+                "total"
+            ),
+        )
+        .persist()
+    )
+    frontier = adj.select(
+        F.col("src").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("w"),
+        F.col("src").alias("cur"),
+    )
+    out = frontier.select(
+        "start", "w", F.lit(0).alias("step"), F.col("cur").alias("node")
+    )
+    for step in range(1, walk_length + 1):
+        key = F.concat_ws(
+            "|", F.col("start"), F.col("w"), F.lit(step), F.col("cur")
+        )
+        h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+        r = h % F.col("total")
+        idx = F.size(F.filter("cumw", lambda c: c <= r)) + F.lit(1)
+        frontier = (
+            frontier.join(adj, frontier["cur"] == adj["src"])
+            .select(
+                "start",
+                "w",
+                F.element_at(F.col("nbrs"), idx).alias("cur"),
+            )
+            .persist()
+        )
+        out = out.unionByName(
+            frontier.select(
+                "start", "w", F.lit(step).alias("step"),
+                F.col("cur").alias("node"),
+            )
         )
     return out
 

@@ -1957,3 +1957,138 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return random_walks(edges, walks_per_node=2, walk_length=3)
+
+
+def _cross_corpus_sql(bands: int = 4, rows: int = 4, n: int = 3) -> str:
+    k = bands * rows
+    h1 = "(('0x' || substr(md5(s), 1, 8))::BIGINT)"
+    h2 = "(('0x' || substr(md5(s), 9, 8))::BIGINT)"
+    mins = ",\n        ".join(
+        f"list_min(list_transform(__sh, s -> "
+        f"({h1} + {i} * {h2}) % 4294967296)) AS mh_{i}"
+        for i in range(k)
+    )
+    band_rows = []
+    for b in range(bands):
+        cols = ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        band_rows.append(
+            f"SELECT id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig"
+        )
+    stacked = "\n      UNION ALL\n      ".join(band_rows)
+    return f"""
+    WITH sig AS (
+      SELECT doc_id AS id, {mins}
+      FROM (SELECT doc_id, {_shingle_sql(n)} AS __sh FROM documents
+            WHERE length(text) >= {n})
+    ),
+    stacked AS (
+      {stacked}
+    )
+    SELECT DISTINCT nb.id AS new_id, cb.id AS corpus_id
+    FROM (SELECT * FROM stacked WHERE id % 7 = 0) nb
+    JOIN (SELECT * FROM stacked WHERE id % 7 <> 0) cb
+      ON nb.band = cb.band AND nb.bucket = cb.bucket
+    """
+
+
+@query("q53_cross_corpus_neardup", _cross_corpus_sql())
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    """Incoming-batch-vs-corpus near-dup: the deterministic slice
+    doc_id % 7 == 0 plays the new crawl batch, the rest the admitted
+    corpus.  Signatures are per-document, so the oracle computes them
+    once over all docs and splits — identical values to the two-sided
+    Spark plan."""
+    docs = load_table(spark, sf, "documents")
+    new_docs = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return D.cross_corpus_neardup(new_docs, corpus, n=3, bands=4, rows_per_band=4)
+
+
+@query(
+    "q54_mixture_resample",
+    f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS kept
+    FROM documents
+    WHERE ({SP.hash_bucket_sql('doc_id', 'mix')}) / 65536.0 <
+          (CASE WHEN source = 'src0' THEN 1.0
+                WHEN source = 'src1' THEN 0.5
+                WHEN source = 'src2' THEN 0.1
+                ELSE 0.25 END)
+    GROUP BY source
+    """,
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture resampling: keep all of src0, half of src1, 10%
+    of src2, a quarter of everything else — deterministic per-document
+    md5 fate, map-side filter fused into the scan.  The query reports
+    surviving counts per source."""
+    docs = load_table(spark, sf, "documents")
+    kept = SP.mixture_resample(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.1}, default_rate=0.25
+    )
+    return kept.groupBy("source").agg(F.count("*").cast("bigint").alias("kept"))
+
+
+@query(
+    "q55_weighted_random_walks",
+    """
+    WITH RECURSIVE
+    e AS (
+      SELECT 'c' || o_custkey AS src, 'p' || l_partkey AS dst,
+             COUNT(*) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ),
+    und AS (
+      SELECT src, dst, w FROM e
+      UNION ALL
+      SELECT dst, src, w FROM e
+    ),
+    wedges AS (SELECT src, dst, SUM(w) AS w FROM und GROUP BY src, dst),
+    cum AS (
+      SELECT src, dst, w,
+             SUM(w) OVER (PARTITION BY src ORDER BY dst
+                          ROWS UNBOUNDED PRECEDING) AS cumw
+      FROM wedges
+    ),
+    adj AS (
+      SELECT src,
+             list(dst ORDER BY dst) AS nbrs,
+             list(cumw ORDER BY dst) AS cumw,
+             SUM(w) AS total
+      FROM cum GROUP BY src
+    ),
+    walk(start, w, step, cur) AS (
+      SELECT src, w, 0, src
+      FROM adj CROSS JOIN (SELECT unnest(range(2)) AS w)
+      UNION ALL
+      SELECT wk.start, wk.w, wk.step + 1,
+             a.nbrs[CAST(len(list_filter(a.cumw, c -> c <=
+                 ('0x' || substr(md5(concat_ws('|',
+                     wk.start, wk.w, wk.step + 1, wk.cur)), 1, 8))::BIGINT
+                 % a.total)) AS INT) + 1]
+      FROM walk wk JOIN adj a ON a.src = wk.cur
+      WHERE wk.step < 3
+    )
+    SELECT start, CAST(w AS INT) AS w, CAST(step AS INT) AS step, cur AS node
+    FROM walk
+    """,
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    """Weight-biased deterministic walks over the co-purchase graph —
+    transition probability proportional to purchase multiplicity, exact
+    integer cumulative-weight selection, replayed bit-for-bit by the
+    recursive-CTE oracle."""
+    from graphdb_neo4j_spark.operators.traversal import weighted_random_walks
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    return weighted_random_walks(edges, walks_per_node=2, walk_length=3)

@@ -390,3 +390,20 @@ def test_random_walks_valid_and_deterministic(spark):
     for (s, w, st), n in pos.items():
         if st > 0:
             assert (pos[(s, w, st - 1)], n) in und
+
+
+def test_weighted_random_walks_bias_and_validity(spark):
+    from graphdb_neo4j_spark.operators.traversal import weighted_random_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 1000)], ["src", "dst", "w"]
+    )
+    out = weighted_random_walks(edges, walks_per_node=50, walk_length=1).collect()
+    firsts = [r.node for r in out if r.start == "a" and r.step == 1]
+    assert len(firsts) == 50
+    assert all(n in ("b", "c") for n in firsts)
+    # weight 1000:1 -> overwhelmingly 'c' (deterministic, not flaky)
+    assert firsts.count("c") >= 45
+    # deterministic across runs
+    again = weighted_random_walks(edges, walks_per_node=50, walk_length=1).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
