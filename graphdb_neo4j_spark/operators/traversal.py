@@ -676,6 +676,111 @@ def weighted_random_walks(
     return out
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    walk_length: int = 3,
+    ret_w: int = 1,
+    base_w: int = 1,
+    far_w: int = 1,
+) -> DataFrame:
+    """node2vec second-order biased walks, fully deterministic.
+
+    The transition out of ``cur`` (having arrived from ``prev``) weights
+    each neighbor ``x`` by INTEGER bias weights — the node2vec
+    ``(1/p, 1, 1/q)`` triple scaled to integers so selection stays
+    exact-arithmetic and cross-engine replayable:
+
+    * ``ret_w``  if ``x == prev``            (return, node2vec 1/p)
+    * ``base_w`` if ``x ∈ N(prev)``          (stay close, weight 1)
+    * ``far_w``  otherwise                   (explore, node2vec 1/q)
+
+    Step 1 (no ``prev`` yet) is uniform, matching the reference
+    implementation.  Selection: ``r = md5_32(start|w|step|cur) mod
+    total`` then the first neighbor whose cumulative weight exceeds
+    ``r`` — all int64, no floating point.
+
+    Scale notes: the per-step weight/cum arrays are built by expression
+    over the CURRENT row's neighbor list — O(degree²) per frontier row
+    (membership test × neighbors).  That is the honest cost of exact
+    second-order bias computed on the fly; production node2vec
+    amortizes it with per-EDGE alias tables (O(Σ d_u·d̄) memory),
+    which is the right trade only when walks/node ≫ 1.  The frontier
+    itself stays constant-size and each step is two equi-joins against
+    the (bucketed) adjacency — cur's list and prev's list.
+    """
+    if min(ret_w, base_w, far_w) < 1:
+        raise ValueError("bias weights must be >= 1 (total must stay positive)")
+    und = _as_undirected(edges).distinct()
+    adj = (
+        und.groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+        .persist()
+    )
+    frontier = adj.select(
+        F.col("src").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("w"),
+        F.lit(None).cast("string").alias("prev"),
+        F.col("src").alias("cur"),
+    )
+    out = frontier.select(
+        "start", "w", F.lit(0).alias("step"), F.col("cur").alias("node")
+    )
+    a_cur = adj.select(F.col("src").alias("__cs"), F.col("nbrs").alias("__cn"))
+    a_prev = adj.select(F.col("src").alias("__ps"), F.col("nbrs").alias("__pn"))
+    for step in range(1, walk_length + 1):
+        key = F.concat_ws(
+            "|", F.col("start"), F.col("w"), F.lit(step), F.col("cur")
+        )
+        h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+        weights = F.when(
+            F.col("prev").isNull(),
+            F.transform(F.col("__cn"), lambda x: F.lit(1).cast("long")),
+        ).otherwise(
+            F.transform(
+                F.col("__cn"),
+                lambda x: F.when(x == F.col("prev"), F.lit(ret_w))
+                .when(F.array_contains(F.col("__pn"), x), F.lit(base_w))
+                .otherwise(F.lit(far_w))
+                .cast("long"),
+            )
+        )
+        total = F.aggregate(weights, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        cum = F.transform(
+            F.sequence(F.lit(1), F.size(weights)),
+            lambda i: F.aggregate(
+                F.slice(weights, 1, i), F.lit(0).cast("long"), lambda acc, x: acc + x
+            ),
+        )
+        r = h % total
+        idx = F.size(F.filter(cum, lambda c: c <= r)) + F.lit(1)
+        # two-step select: computing the pick and renaming cur->prev in ONE
+        # list would let Spark's lateral-column-alias resolution bind the
+        # `prev` inside `weights` to the new alias instead of the input row
+        frontier = (
+            frontier.join(a_cur, frontier["cur"] == a_cur["__cs"])
+            .join(a_prev, frontier["prev"] == a_prev["__ps"], "left")
+            .select(
+                "start", "w", "cur",
+                F.element_at(F.col("__cn"), idx).alias("__next"),
+            )
+            .select(
+                "start",
+                "w",
+                F.col("cur").alias("prev"),
+                F.col("__next").alias("cur"),
+            )
+            .persist()
+        )
+        out = out.unionByName(
+            frontier.select(
+                "start", "w", F.lit(step).alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out
+
+
 def triangle_count(edges: DataFrame) -> int:
     """Number of triangles in the undirected graph.
 

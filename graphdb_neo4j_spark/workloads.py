@@ -2092,3 +2092,63 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
     )
     return weighted_random_walks(edges, walks_per_node=2, walk_length=3)
+
+
+def _node2vec_sql(ret_w: int, base_w: int, far_w: int) -> str:
+    wts = f"""(CASE WHEN wk.prev IS NULL
+          THEN list_transform(a.nbrs, x -> CAST(1 AS BIGINT))
+          ELSE list_transform(a.nbrs, x ->
+                 CAST(CASE WHEN x = wk.prev THEN {ret_w}
+                      WHEN list_contains(ap.nbrs, x) THEN {base_w}
+                      ELSE {far_w} END AS BIGINT)) END)"""
+    rnd = """('0x' || substr(md5(concat_ws('|',
+                 wk.start, wk.w, wk.step + 1, wk.cur)), 1, 8))::BIGINT"""
+    return f"""
+    WITH RECURSIVE
+    e AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 'p' || l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    adj AS (SELECT src, list(dst ORDER BY dst) AS nbrs FROM und GROUP BY src),
+    walk(start, w, step, prev, cur) AS (
+      SELECT src, w, 0, CAST(NULL AS VARCHAR), src
+      FROM adj CROSS JOIN (SELECT unnest(range(2)) AS w)
+      UNION ALL
+      SELECT wk.start, wk.w, wk.step + 1, wk.cur,
+             a.nbrs[CAST(len(list_filter(
+                 list_transform(range(1, len({wts}) + 1),
+                                i -> list_sum(({wts})[1:i])),
+                 c -> c <= {rnd} % CAST(list_sum({wts}) AS BIGINT)
+             )) AS INT) + 1]
+      FROM walk wk
+      JOIN adj a ON a.src = wk.cur
+      LEFT JOIN adj ap ON ap.src = wk.prev
+      WHERE wk.step < 3
+    )
+    SELECT start, CAST(w AS INT) AS w, CAST(step AS INT) AS step, cur AS node
+    FROM walk
+    """
+
+
+@query("q56_node2vec_walks", _node2vec_sql(ret_w=1, base_w=4, far_w=16))
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    """node2vec exploration-biased walks (p=16, q=1/4 in scaled-integer
+    form: return 1, stay-close 4, explore 16) over the co-purchase
+    graph — second-order bias replayed exactly by the recursive-CTE
+    oracle, including the uniform first step."""
+    from graphdb_neo4j_spark.operators.traversal import node2vec_walks
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return node2vec_walks(
+        edges, walks_per_node=2, walk_length=3, ret_w=1, base_w=4, far_w=16
+    )

@@ -407,3 +407,30 @@ def test_weighted_random_walks_bias_and_validity(spark):
     # deterministic across runs
     again = weighted_random_walks(edges, walks_per_node=50, walk_length=1).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_node2vec_bias_direction(spark):
+    """On the path a-b-c-d, step 2 from b (prev=a) chooses between
+    returning (a, ret_w) and exploring (c, far_w since c not in N(a)):
+    the weight ratio controls the outcome."""
+    from graphdb_neo4j_spark.operators.traversal import node2vec_walks
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+
+    def step2_from_a(ret_w, base_w, far_w):
+        out = node2vec_walks(
+            edges, walks_per_node=40, walk_length=2,
+            ret_w=ret_w, base_w=base_w, far_w=far_w,
+        ).collect()
+        return [
+            r.node for r in out if r.start == "a" and r.step == 2
+        ]
+
+    returner = step2_from_a(1000, 1, 1)
+    assert returner.count("a") >= 38  # overwhelmingly returns
+    explorer = step2_from_a(1, 1, 1000)
+    assert explorer.count("c") >= 38  # overwhelmingly explores
+    # deterministic
+    assert step2_from_a(1000, 1, 1) == returner
