@@ -490,6 +490,320 @@ def topk_ivf_indexed(
     )
 
 
+def pq_train(
+    df: DataFrame,
+    m_subs: int = 8,
+    k_codes: int = 16,
+    dims: int = 64,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Train product-quantization codebooks: split each vector into
+    ``m_subs`` subvectors and run Lloyd's k-means with ``k_codes``
+    codewords independently per subspace.
+
+    ALL subspaces train jointly from ONE exploded pass: rows are
+    (id, sub, d, xq) with xq a fixed-point long (``floor(x * 2^20)``),
+    the codeword matrix rides as a broadcast ``dims``-row table, and the
+    per-(id, sub) distance aggregation is pure integer arithmetic —
+    order-free under the hash aggregate's arbitrary combine order, so
+    training is bit-deterministic across runs and cluster layouts.
+    Each iteration moves one shuffle of (id, sub, K sums) with map-side
+    combine; the centroid update collects ≤ ``k_codes × dims`` tiny
+    rows to the driver — never the data.
+
+    Returns ``cb[m][k][rd]`` fixed-point longs (divide by ``QUANT`` for
+    the float codeword).
+    """
+    import math
+
+    sub_dims = dims // m_subs
+    spark = df.sparkSession
+    # deterministic init: the k_codes rows with smallest md5(id) seed
+    # every subspace's codebook (data-order independent)
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("__h", F.md5(F.col("id").cast("string")))
+        .orderBy("__h")
+        .limit(k_codes)
+        .collect()
+    )
+    cb = [
+        [
+            [
+                math.floor(float(rows[k]["v"][m * sub_dims + rd]) * QUANT)
+                for rd in range(sub_dims)
+            ]
+            for k in range(len(rows))
+        ]
+        for m in range(m_subs)
+    ]
+
+    exploded = (
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .select(
+            "id",
+            "d",
+            F.floor(F.col("d") / sub_dims).cast("int").alias("sub"),
+            F.floor(F.col("x").cast("double") * F.lit(float(QUANT)))
+            .cast("long")
+            .alias("xq"),
+        )
+        .persist()
+    )
+    try:
+        for _ in range(iters):
+            asg = _pq_assignment(exploded, cb, sub_dims)
+            stats = (
+                exploded.join(asg, ["id", "sub"])
+                .groupBy("code", "d")
+                .agg(F.sum("xq").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            new_cb = [[list(c) for c in sub] for sub in cb]
+            for r in stats:
+                m, rd = r["d"] // sub_dims, r["d"] % sub_dims
+                new_cb[m][r["code"]][rd] = r["s"] // r["n"]  # floor div: exact
+            cb = new_cb
+    finally:
+        exploded.unpersist()
+    return cb
+
+
+def _pq_assignment(exploded: DataFrame, cb, sub_dims: int) -> DataFrame:
+    """(id, sub, code): nearest codeword per subspace, integer L2.
+
+    The codebook melts to (d, k, c) rows and broadcast-joins the
+    exploded vectors, then two narrow hash aggregates do the argmin:
+    sum the squared diffs per (id, sub, k), then ``min_by`` on the
+    (dist, k) struct per (id, sub).  A 16-wide conditional-sum
+    aggregate here blows the 64 KB Janino method limit and drops the
+    whole stage to interpreted mode (measured ~10× slower) — the melt
+    form stays inside whole-stage codegen.  Explicit multiply, not
+    ``**`` (double POWER in Spark), keeps everything in long
+    arithmetic; the (dist, k) struct tie-break makes the argmin
+    deterministic under any combine order.
+    """
+    spark = exploded.sparkSession
+    k_codes = len(cb[0])
+    dims = len(cb) * sub_dims
+    cent_rows = [
+        (d, k, cb[d // sub_dims][k][d % sub_dims])
+        for d in range(dims)
+        for k in range(k_codes)
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "d int, k int, c long")
+    joined = exploded.join(F.broadcast(cent_df), "d")
+    diff = F.col("xq") - F.col("c")
+    dists = joined.groupBy("id", "sub", "k").agg(F.sum(diff * diff).alias("dist"))
+    return dists.groupBy("id", "sub").agg(
+        F.min_by("k", F.struct("dist", "k")).alias("code")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    cb: list[list[list[int]]],
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int> of length M): each vector compressed to one
+    codeword index per subspace — 64 float32 (256 B) → 8 small ints.
+    At 100 TB this is the point of PQ: the ADC scan touches the codes
+    table only (~32× less I/O and memory than raw vectors)."""
+    m_subs = len(cb)
+    sub_dims = dims // m_subs
+    spark = df.sparkSession
+    exploded = (
+        df.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .select(
+            "id",
+            "d",
+            F.floor(F.col("d") / sub_dims).cast("int").alias("sub"),
+            F.floor(F.col("x").cast("double") * F.lit(float(QUANT)))
+            .cast("long")
+            .alias("xq"),
+        )
+    )
+    asg = _pq_assignment(exploded, cb, sub_dims)
+    pivots = [
+        F.max(F.when(F.col("sub") == m, F.col("code"))).alias(f"k{m}")
+        for m in range(m_subs)
+    ]
+    return (
+        asg.groupBy("id")
+        .agg(*pivots)
+        .select("id", F.array(*[F.col(f"k{m}") for m in range(m_subs)]).alias("codes"))
+    )
+
+
+def _pq_luts(query_vec: list[float], cb) -> tuple[list[list[int]], list[list[int]], int]:
+    """Driver-side ADC lookup tables in the SAME fixed-point domain as
+    the codebooks: dot[m][k] = <q_m, c_m[k]>, n2[m][k] = ||c_m[k]||²,
+    plus ||q||² — all exact integers."""
+    import math
+
+    m_subs = len(cb)
+    sub_dims = len(cb[0][0])
+    qq = [math.floor(float(x) * QUANT) for x in query_vec]
+    dot = [
+        [
+            sum(qq[m * sub_dims + rd] * cb[m][k][rd] for rd in range(sub_dims))
+            for k in range(len(cb[m]))
+        ]
+        for m in range(m_subs)
+    ]
+    n2 = [
+        [
+            sum(cb[m][k][rd] * cb[m][k][rd] for rd in range(sub_dims))
+            for k in range(len(cb[m]))
+        ]
+        for m in range(m_subs)
+    ]
+    q_n2 = sum(x * x for x in qq)
+    return dot, n2, q_n2
+
+
+def _pq_score(codes_col: Column, dot, n2, q_n2: int) -> Column:
+    """Approximate cosine from codes only (asymmetric distance
+    computation): Σ_m LUT_dot[m][code_m] / (‖q‖·‖recon‖).  Subspaces are
+    orthogonal so ‖recon‖² = Σ_m ‖c_m[code_m]‖² exactly.  Pure map-side
+    expression — M element_at lookups per row, no vector math."""
+    m_subs = len(dot)
+    dot_sum = None
+    n2_sum = None
+    for m in range(m_subs):
+        code_m = F.element_at(codes_col, m + 1) + 1  # element_at is 1-based
+        d = F.element_at(F.array(*[F.lit(v) for v in dot[m]]), code_m)
+        n = F.element_at(F.array(*[F.lit(v) for v in n2[m]]), code_m)
+        dot_sum = d if dot_sum is None else dot_sum + d
+        n2_sum = n if n2_sum is None else n2_sum + n
+    return F.when(
+        n2_sum > 0,
+        dot_sum.cast("double")
+        / (F.sqrt(F.lit(float(q_n2))) * F.sqrt(n2_sum.cast("double"))),
+    ).otherwise(F.lit(-1.0))
+
+
+def topk_pq(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m_subs: int = 8,
+    k_codes: int = 16,
+    dims: int = 64,
+    iters: int = 5,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via product quantization + exact re-rank.
+
+    The ADC scan ranks CODES (M small ints per row) with per-subspace
+    lookup tables — at scale the candidate generation reads the compact
+    codes table instead of raw vectors (≈32× less I/O); then the top
+    ``k × refine`` candidates are re-ranked with exact cosine against
+    the full vectors (a semi-joined pruned read).  Both stages are
+    TakeOrderedAndProject — no global sort.  Deterministic end-to-end:
+    integer codebooks, integer LUTs, id tiebreaks.
+    """
+    cb = pq_train(
+        df, m_subs=m_subs, k_codes=k_codes, dims=dims, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(df, cb, dims=dims, id_col=id_col, vec_col=vec_col)
+    dot, n2, q_n2 = _pq_luts(query_vec, cb)
+    cand = (
+        codes.select("id", _pq_score(F.col("codes"), dot, n2, q_n2).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(k * refine)
+        .select("id")
+    )
+    vecs = df.join(cand, df[id_col] == cand["id"], "left_semi").select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_expr(F.col("__v"), q)
+    return (
+        vecs.select("id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
+def pq_index_write(
+    df: DataFrame,
+    path: str,
+    m_subs: int = 8,
+    k_codes: int = 16,
+    dims: int = 64,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Materialize the PQ index: the compact codes table (+ raw vectors
+    for the re-rank read) and the codebooks alongside.  The codes file
+    is what the ADC scan reads — a 100 TB corpus compresses to ~3 TB of
+    codes, the piece that actually has to be fast."""
+    cb = pq_train(
+        df, m_subs=m_subs, k_codes=k_codes, dims=dims, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(df, cb, dims=dims, id_col=id_col, vec_col=vec_col)
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/vectors")
+    )
+    spark = df.sparkSession
+    cb_rows = [
+        (m, k, cb[m][k]) for m in range(len(cb)) for k in range(len(cb[m]))
+    ]
+    spark.createDataFrame(
+        cb_rows, "m int, k int, codeword array<long>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    return cb
+
+
+def topk_pq_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    refine: int = 4,
+) -> DataFrame:
+    """Probe a :func:`pq_index_write` layout: ADC over the codes file,
+    exact re-rank of the survivors against the vectors file."""
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m_subs = 1 + max(r["m"] for r in cb_rows)
+    k_codes = 1 + max(r["k"] for r in cb_rows)
+    cb = [[None] * k_codes for _ in range(m_subs)]
+    for r in cb_rows:
+        cb[r["m"]][r["k"]] = [int(x) for x in r["codeword"]]
+    dot, n2, q_n2 = _pq_luts(query_vec, cb)
+    codes = spark.read.parquet(f"{path}/codes")
+    cand = (
+        codes.select("id", _pq_score(F.col("codes"), dot, n2, q_n2).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(k * refine)
+        .select("id")
+    )
+    vecs = spark.read.parquet(f"{path}/vectors")
+    vecs = vecs.join(cand, "id", "left_semi")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_expr(F.col("v"), q)
+    return (
+        vecs.select("id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("id"))
+        .limit(k)
+    )
+
+
 def topk_ivf(
     df: DataFrame,
     query_vec: list[float],

@@ -1790,6 +1790,20 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
     return topk_ivf(emb, list(qvec), k=10, n_centroids=8, n_probe=3, dims=len(qvec))
 
 
+@query("q57_ann_pq_topk")  # iterative k-means codebooks → rows-only
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN: integer-deterministic per-subspace
+    k-means codebooks, ADC candidate scan over the compact codes table
+    (M ints/row — the ~32×-less-I/O path at 100 TB), exact cosine
+    re-rank of the top k×refine survivors.  Recall + index-replay gated
+    in test_dedup_similarity_text.py."""
+    from graphdb_neo4j_spark.operators.similarity import topk_pq
+
+    emb = load_table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return topk_pq(emb, list(qvec), k=10, m_subs=8, k_codes=16, dims=len(qvec))
+
+
 @query(
     "q48_eval_decontaminate",
     """

@@ -195,6 +195,48 @@ def test_ivf_recall_and_partition_pruning_shape(spark):
     assert len(approx_rows) == 10
 
 
+def test_pq_recall_determinism_and_index(spark, tmp_path):
+    """PQ ADC + exact re-rank: decent recall vs brute force, codes are
+    M small ints, training is bit-deterministic (integer k-means), and
+    the materialized index probe replays the scan path exactly."""
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.operators.similarity import (
+        pq_encode,
+        pq_index_write,
+        pq_train,
+        topk_bruteforce,
+        topk_pq,
+        topk_pq_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).head()[1])
+    exact = {r.id for r in topk_bruteforce(emb, q, k=10).collect()}
+    approx_rows = topk_pq(emb, q, k=10, m_subs=8, k_codes=16, dims=len(q)).collect()
+    approx = {r.id for r in approx_rows}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"PQ recall too low: {recall}"
+    assert len(approx_rows) == 10
+
+    # codes: one small int per subspace, every row encoded
+    cb = pq_train(emb, m_subs=8, k_codes=16, dims=len(q))
+    cb2 = pq_train(emb, m_subs=8, k_codes=16, dims=len(q))
+    assert cb == cb2  # integer training: bit-identical across runs
+    codes = pq_encode(emb, cb, dims=len(q))
+    head = codes.head()
+    assert len(head["codes"]) == 8
+    assert all(0 <= c < 16 for c in head["codes"])
+    assert codes.count() == emb.count()
+
+    # materialized index probe == in-memory path
+    path = str(tmp_path / "pq_idx")
+    pq_index_write(emb, path, m_subs=8, k_codes=16, dims=len(q))
+    via_idx = [(r.id, r.sim) for r in topk_pq_indexed(spark, path, q, k=10).collect()]
+    direct = [(r.id, r.sim) for r in approx_rows]
+    assert via_idx == direct
+
+
 def test_sampling_determinism_and_packing(spark):
     """hash_split is stable under corpus growth; pack_sequences bins
     overflow by at most one document."""
