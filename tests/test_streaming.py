@@ -328,3 +328,137 @@ def test_streaming_ann_probe(spark, tmp_path):
         for r in topk_lsh_indexed(spark, idx_path, qv, k=5, **kw).collect():
             want.add((qid, r.id, r.sim))
     assert got == want
+
+
+def _run_docs_stream(spark, src, ckpt, build):
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = build(stream).option("checkpointLocation", ckpt).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(300)
+
+
+def test_streaming_tfidf_prefix_equivalence(spark, tmp_path):
+    """Each micro-batch's documents are scored with the document
+    frequencies accumulated over all batches SO FAR — batch b's output
+    equals the batch operator run on the union of batches 0..b,
+    restricted to batch b's documents.  Second run reuses the
+    checkpoint (restart), so the dfreq state must survive."""
+    from graphdb_neo4j_spark.operators.text import tfidf_top_terms
+    from graphdb_neo4j_spark.streaming import compact_dfreq_log, streaming_tfidf
+
+    src, ckpt, state = (
+        str(tmp_path / "docs"),
+        str(tmp_path / "ck"),
+        str(tmp_path / "state"),
+    )
+    docs1 = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across the cluster"),
+            (2, "spark broadcasts small tables"),
+            (3, ""),  # empty doc: counted in N, contributes no terms
+        ],
+        "doc_id long, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [
+            (4, "spark prunes parquet partitions"),
+            (5, "the cluster prunes nothing"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def build(stream):
+        return streaming_tfidf(stream, state, k=3)
+
+    docs1.coalesce(1).write.mode("append").parquet(src)
+    _run_docs_stream(spark, src, ckpt, build)
+    docs2.coalesce(1).write.mode("append").parquet(src)
+    _run_docs_stream(spark, src, ckpt, build)
+
+    got = spark.read.parquet(f"{state}/topk")
+
+    def key(df):
+        return {
+            (r.doc_id, r.term, r.tf, r.dfreq, round(r.tfidf, 6))
+            for r in df.collect()
+        }
+
+    want1 = tfidf_top_terms(docs1, k=3)
+    assert key(got.filter(F.col("batch_id") == 0)) == key(want1)
+    want2 = tfidf_top_terms(docs1.unionByName(docs2), k=3).filter(
+        F.col("doc_id").isin(4, 5)
+    )
+    assert key(got.filter(F.col("batch_id") == 1)) == key(want2)
+
+    # compaction folds the delta log without changing the cumulative view
+    before = {
+        (r.term, r.dfreq)
+        for r in spark.read.parquet(f"{state}/dfreq_log")
+        .groupBy("term")
+        .agg(F.sum("df_delta").alias("dfreq"))
+        .collect()
+    }
+    compact_dfreq_log(spark, state)
+    after = {
+        (r.term, r.dfreq)
+        for r in spark.read.parquet(f"{state}/dfreq_log")
+        .groupBy("term")
+        .agg(F.sum("df_delta").alias("dfreq"))
+        .collect()
+    }
+    assert before == after
+
+
+def test_streaming_chunks_offset_continuity(spark, tmp_path):
+    """Global chunk sequence numbers are contiguous and gap-free across
+    micro-batches and a stream restart; chunk content matches the batch
+    operator on the full corpus."""
+    from graphdb_neo4j_spark.operators.text import chunk_documents
+    from graphdb_neo4j_spark.streaming import streaming_chunks
+
+    src, ckpt, state = (
+        str(tmp_path / "docs"),
+        str(tmp_path / "ck"),
+        str(tmp_path / "state"),
+    )
+    docs1 = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "k l m n o"),
+        ],
+        "doc_id long, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [(3, "p q r s t u v w")],
+        "doc_id long, text string",
+    )
+
+    def build(stream):
+        return streaming_chunks(stream, state, chunk_tokens=4, overlap=1)
+
+    docs1.coalesce(1).write.mode("append").parquet(src)
+    _run_docs_stream(spark, src, ckpt, build)
+    docs2.coalesce(1).write.mode("append").parquet(src)
+    _run_docs_stream(spark, src, ckpt, build)
+
+    got = spark.read.parquet(f"{state}/chunks").collect()
+    seqs = sorted(r.seq for r in got)
+    assert seqs == list(range(len(got)))  # contiguous, no dups, no gaps
+
+    # batch-0 docs occupy the low offsets, in (doc_id, chunk_id) order
+    b0 = sorted(
+        ((r.doc_id, r.chunk_id), r.seq) for r in got if r.batch_id == 0
+    )
+    assert [s for _, s in b0] == list(range(len(b0)))
+
+    want = {
+        (r.doc_id, r.chunk_id, r.tok_start, r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(
+            docs1.unionByName(docs2), chunk_tokens=4, overlap=1
+        ).collect()
+    }
+    assert {
+        (r.doc_id, r.chunk_id, r.tok_start, r.n_chunk_tokens, r.chunk_text)
+        for r in got
+    } == want
