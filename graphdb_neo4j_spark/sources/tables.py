@@ -43,12 +43,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) parquet read as long ns (nanosAsLong);
-        # convert to a µs timestamp with exact integer division (a double
-        # division would lose precision on 1e18-scale epochs)
+        # Normalize ts to a session-UTC TIMESTAMP regardless of how the
+        # generator wrote it: TIMESTAMP(NANOS) parquet arrives as long ns
+        # (nanosAsLong conf) and needs exact integer division (a double
+        # division would lose precision on 1e18-scale epochs), while
+        # timestamp[us] parquet arrives as TIMESTAMP_NTZ and just needs a
+        # cast (session tz is UTC, so the wall-clock value is unchanged).
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
