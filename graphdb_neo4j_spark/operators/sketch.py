@@ -80,3 +80,193 @@ def kmv_distinct_sql(table: str, col_sql: str, k: int = 256) -> str:
              AS est_distinct
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — deterministic, oracle-exact registers
+# ---------------------------------------------------------------------------
+#
+# Spark's native HLL++ sketch is not reproducible across engines; this
+# one is, by construction:
+#
+# * hash = md5 hex (identical in Spark and DuckDB),
+# * bucket = first 2 hex nibbles (m = 256 registers),
+# * rho    = 1 + number of leading zero BITS of the next 14 nibbles
+#            (found nibble-wise via a regexp on leading '0's — a pure
+#            string op both engines share), capped at 50,
+# * the register harmonic sum is kept as an exact BIGINT numerator
+#   Σ 2^(50-reg) (one left-shift per register, no floating point), so
+#   the only double ops are one constant division and (in the
+#   small-range regime) one ln — both bit-identical across engines.
+#
+# Execution shape: one map-side projection next to the scan, one
+# 256-group aggregation, one scalar fold.  The shuffle carries ≤
+# 256×partitions rows — the right cardinality probe at 100 TB.
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P  # 256
+_HLL_RHO_CAP = 50
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+# alpha * m^2 * 2^cap, folded to ONE double literal so both engines do a
+# single division by the exact integer harmonic numerator
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_RHO_CAP)
+_HLL_LINEAR_MAX = 2.5 * _HLL_M
+
+
+def hll_distinct(df: DataFrame, col: str) -> DataFrame:
+    """One row: (n_buckets, zero_registers, harmonic_num, est_distinct)
+    — deterministic HyperLogLog cardinality estimate (m=256).
+
+    NULLs are excluded (md5(NULL)=NULL would add a phantom register).
+    """
+    h = F.md5(F.col(col).cast("string"))
+    nib1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    nib2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    tail = F.substring(h, 3, 14)
+    z = F.length(F.regexp_extract(tail, "^0*", 0))  # leading zero nibbles
+    v = F.instr(F.lit(_HEX), F.substring(tail, z + 1, F.lit(1))) - 1
+    extra = (
+        F.when(v >= 8, 0).when(v >= 4, 1).when(v >= 2, 2).otherwise(3)
+    )
+    rho = F.when(z == 14, F.lit(4 * 14 + 1)).otherwise(z * 4 + extra + 1)
+    rho = F.least(rho, F.lit(_HLL_RHO_CAP))
+    regs = (
+        df.filter(F.col(col).isNotNull())
+        .select((nib1 * 16 + nib2).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    agg = regs.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.expr(f"CAST(1 AS BIGINT) << ({_HLL_RHO_CAP} - reg)")).alias("s_obs"),
+    )
+    zeros = F.lit(_HLL_M) - F.col("n_buckets")
+    s_num = F.col("s_obs") + zeros * F.lit(1 << _HLL_RHO_CAP)
+    raw = F.lit(_HLL_NUM) / s_num.cast("double")
+    est = F.when(
+        (raw <= F.lit(_HLL_LINEAR_MAX)) & (zeros > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        zeros.cast("bigint").alias("zero_registers"),
+        s_num.cast("bigint").alias("harmonic_num"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def hll_distinct_sql(table: str, col_sql: str) -> str:
+    """DuckDB oracle for :func:`hll_distinct` — same strings, same
+    integers, same single division."""
+    cap = _HLL_RHO_CAP
+    return f"""
+    WITH n AS (
+      SELECT (instr('{_HEX}', substr(h, 1, 1)) - 1) * 16
+             + (instr('{_HEX}', substr(h, 2, 1)) - 1) AS bucket,
+             substr(h, 3, 14) AS tail
+      FROM (SELECT md5(CAST({col_sql} AS VARCHAR)) AS h FROM {table}
+            WHERE {col_sql} IS NOT NULL)
+    ),
+    rho AS (
+      SELECT bucket,
+             LEAST(CASE WHEN z = 14 THEN 57
+                        ELSE 4*z + CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                                        WHEN v >= 2 THEN 2 ELSE 3 END + 1 END,
+                   {cap}) AS rho
+      FROM (SELECT bucket,
+                   length(regexp_extract(tail, '^0*')) AS z,
+                   instr('{_HEX}',
+                         substr(tail, length(regexp_extract(tail, '^0*')) + 1, 1)) - 1
+                     AS v
+            FROM n)
+    ),
+    regs AS (SELECT bucket, MAX(rho) AS reg FROM rho GROUP BY bucket),
+    agg AS (
+      SELECT COUNT(*) AS n_buckets,
+             SUM(CAST(1 AS BIGINT) << ({cap} - reg)) AS s_obs
+      FROM regs
+    )
+    SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST({_HLL_M} - n_buckets AS BIGINT) AS zero_registers,
+           CAST(s_obs + ({_HLL_M} - n_buckets) * (CAST(1 AS BIGINT) << {cap})
+                AS BIGINT) AS harmonic_num,
+           ROUND(CASE WHEN {_HLL_NUM!r} / CAST(s_obs + ({_HLL_M} - n_buckets)
+                               * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE)
+                           <= {_HLL_LINEAR_MAX!r}
+                       AND {_HLL_M} - n_buckets > 0
+                      THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+                               / CAST({_HLL_M} - n_buckets AS DOUBLE))
+                      ELSE {_HLL_NUM!r} / CAST(s_obs + ({_HLL_M} - n_buckets)
+                               * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE) END,
+                 4) AS est_distinct
+    FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — deterministic counters, oracle-exact
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # counter columns per row
+
+
+def _cms_bucket(row: int, col: Column) -> Column:
+    """Counter column for hash row ``row``: first 3 nibbles of
+    md5('<row>:'||value) → 0..4095, mod w.  Deterministic in both
+    engines (md5 + string instr arithmetic, no engine-native hashing)."""
+    h = F.md5(F.concat(F.lit(f"{row}:"), col.cast("string")))
+    n1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    n2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    n3 = F.instr(F.lit(_HEX), F.substring(h, 3, 1)) - 1
+    return (n1 * 256 + n2 * 16 + n3) % _CMS_W
+
+
+def _cms_bucket_sql(row: int, col_sql: str) -> str:
+    h = f"md5('{row}:' || CAST({col_sql} AS VARCHAR))"
+    return (
+        f"(((instr('{_HEX}', substr({h}, 1, 1)) - 1) * 256"
+        f" + (instr('{_HEX}', substr({h}, 2, 1)) - 1) * 16"
+        f" + (instr('{_HEX}', substr({h}, 3, 1)) - 1)) % {_CMS_W})"
+    )
+
+
+def cms_counters(items: DataFrame, col: str, weight_col: str | None = None) -> DataFrame:
+    """(r, bucket, cnt) — the d×w count-min counter matrix of ``items``.
+
+    Each item updates one counter per hash row; the matrix is a grouped
+    sum over at most d·w = 4096 cells — map-side partial aggregation
+    collapses 100 TB of updates into a tiny sketch, the whole point of
+    CMS.  ``weight_col`` lets pre-aggregated (item, count) inputs feed
+    the sketch without re-expansion.
+    """
+    wcol = F.col(weight_col) if weight_col else F.lit(1)
+    rows = F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
+    exploded = items.select(F.col(col).alias("item"), wcol.alias("w"), rows)
+    return (
+        exploded.select("r", _cms_bucket_by_row(F.col("item")).alias("bucket"), "w")
+        .groupBy("r", "bucket")
+        .agg(F.sum("w").cast("bigint").alias("cnt"))
+    )
+
+
+def _cms_bucket_by_row(item: Column) -> Column:
+    """Bucket of ``item`` under the hash row selected by column ``r``."""
+    bucket = F.lit(0)
+    for r in range(_CMS_D):
+        bucket = F.when(F.col("r") == F.lit(r), _cms_bucket(r, item)).otherwise(bucket)
+    return bucket
+
+
+def cms_estimate(candidates: DataFrame, counters: DataFrame, col: str) -> DataFrame:
+    """candidates + (cms_est) — point query: min over the d counters the
+    item hashes to.  The counter matrix is ≤4096 rows → broadcast join."""
+    rows = F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
+    probes = candidates.withColumn("r", rows)
+    probes = probes.withColumn("bucket", _cms_bucket_by_row(F.col(col)))
+    est = (
+        probes.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy(*[F.col(c) for c in candidates.columns])
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est

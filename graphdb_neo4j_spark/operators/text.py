@@ -360,3 +360,83 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint(t),
         }
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    min_mean_word_len: float = 2.5,
+    max_mean_word_len: float = 12.0,
+    max_dup_bigram_ratio: float = 0.30,
+    max_punct_ratio: float = 0.50,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Composite Gopher/C4-style document quality gate:
+    ``(doc_id, n_tokens, mean_word_len, dup_bigram_ratio, stop_hits,
+    flag_short, flag_word_len, flag_repeat, flag_punct, flag_stopword,
+    passed)``.
+
+    Rules (each an INT flag, 1 = reject signal):
+
+    * ``flag_short``    — fewer than ``min_tokens`` whitespace tokens;
+    * ``flag_word_len`` — mean token length outside
+      [``min_mean_word_len``, ``max_mean_word_len``] (garbled or
+      boilerplate text);
+    * ``flag_repeat``   — duplicated-bigram ratio above
+      ``max_dup_bigram_ratio`` (template/repetition);
+    * ``flag_punct``    — punctuation chars above ``max_punct_ratio``
+      of all chars;
+    * ``flag_stopword`` — fewer than ``min_stopword_hits`` DISTINCT
+      English stopwords present (non-linguistic content).
+
+    ``passed`` = 1 iff no flag fires.  Every signal is a pure Catalyst
+    expression over the tokenized text — the 100 TB plan is a single
+    scan+project with no shuffle and no UDF, and every ratio divides
+    exact integer counts so the doubles (and therefore the flags) are
+    bit-identical to the SQL oracle.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = token_count(t)
+    char_sum = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    mean_wl = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        char_sum.cast("double") / n_tok
+    )
+    bigrams = word_ngrams(t, 2)
+    n_bi = F.size(bigrams)
+    dup_bi = F.when(n_bi <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / n_bi
+    )
+    sw = LANG_STOPWORDS["en"]
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(F.lower(t))), F.array(*[F.lit(s) for s in sw])
+        )
+    )
+    p_ratio = punct_ratio(t)
+    flag_short = (n_tok < min_tokens).cast("int")
+    flag_word_len = (
+        (n_tok > 0)
+        & ((mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len))
+    ).cast("int")
+    flag_repeat = (dup_bi > max_dup_bigram_ratio).cast("int")
+    flag_punct = (p_ratio > max_punct_ratio).cast("int")
+    flag_stopword = (stop_hits < min_stopword_hits).cast("int")
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(dup_bi, 6).alias("dup_bigram_ratio"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+        flag_short.alias("flag_short"),
+        flag_word_len.alias("flag_word_len"),
+        flag_repeat.alias("flag_repeat"),
+        flag_punct.alias("flag_punct"),
+        flag_stopword.alias("flag_stopword"),
+        (
+            (flag_short + flag_word_len + flag_repeat + flag_punct + flag_stopword)
+            == 0
+        ).cast("int").alias("passed"),
+    )

@@ -845,3 +845,182 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """(key, rank) — PageRank with the restart mass concentrated on
+    ``sources`` (single-column DataFrame) instead of spread uniformly:
+
+        rank = (1-d)·restart(v) + d·Σ_{u→v} rank(u)/out_degree(u)
+
+    where restart(v) = 1/|S| for source vertices, 0 elsewhere.  The
+    stationary mass therefore measures proximity TO the sources — the
+    standard "relatedness" primitive for seed-expansion (find processes
+    most reachable from a known-bad seed set, docs related to a query
+    set, etc.).
+
+    Same execution shape as :func:`pagerank`: one co-partitioned
+    join + one grouped sum per iteration; dangling mass is dropped (not
+    redistributed), matching the GraphX ``personalizedPageRank``
+    convention.  The Python oracle in tests mirrors this exactly.
+    """
+    e = edges.select("src", "dst")
+    if nodes is None:
+        verts = (
+            e.select(F.col("src").alias("key"))
+            .unionByName(e.select(F.col("dst").alias("key")))
+            .distinct()
+        )
+    else:
+        verts = nodes.select(F.col(nodes.columns[0]).alias("key")).distinct()
+    verts = verts.localCheckpoint()
+    n_src = sources.count()
+    restart = (
+        sources.select(F.col(sources.columns[0]).alias("key")).distinct()
+        .withColumn("restart", F.lit(1.0 / float(n_src)))
+    )
+    base = verts.join(restart, "key", "left").select(
+        "key", F.coalesce(F.col("restart"), F.lit(0.0)).alias("restart")
+    ).localCheckpoint()
+    out_deg = e.groupBy(F.col("src").alias("key")).agg(F.count("*").alias("out_degree"))
+    links = e.join(out_deg, e["src"] == out_deg["key"]).select(
+        "src", "dst", "out_degree"
+    ).localCheckpoint()
+    ranks = base.select("key", F.col("restart").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            links.join(ranks, links["src"] == ranks["key"])
+            .select(
+                F.col("dst").alias("key"),
+                (F.col("rank") / F.col("out_degree")).alias("contrib"),
+            )
+            .groupBy("key")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        ranks = (
+            base.join(contribs, "key", "left")
+            .select(
+                "key",
+                (F.lit(1.0 - damping) * F.col("restart")
+                 + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    sources: DataFrame,
+    weight_col: str = "w",
+    directed: bool = True,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(key, dist) — single-source shortest paths with non-negative edge
+    weights, frontier-style Bellman-Ford:
+
+    each round relaxes only edges out of vertices whose distance
+    improved last round (the delta frontier), takes the min candidate
+    per destination, and merges improvements into the distance table.
+    Converges in ≤ longest-shortest-path-hops rounds; each round is one
+    co-partitioned join + one grouped min (two shuffles).  Unlike
+    Dijkstra there is no priority queue — the standard trade for a
+    BSP/dataflow engine (Pregel SSSP), and exact for non-negative
+    weights.  ``max_iter`` bounds adversarial inputs; negative weights
+    are rejected (a negative cycle would never converge).
+    """
+    w = F.col(weight_col).cast("double")
+    if directed:
+        e = edges.select("src", "dst", w.alias("w"))
+    else:
+        e = edges.select("src", "dst", w.alias("w")).unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), w.alias("w")
+            )
+        )
+    e = e.localCheckpoint()
+    if not e.filter(F.col("w") < 0).isEmpty():
+        raise ValueError("sssp_weighted requires non-negative weights")
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("key")).distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier["key"] == e["src"])
+            .select(F.col("dst").alias("key"), (F.col("dist") + F.col("w")).alias("cand"))
+            .groupBy("key")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            cand.join(dist, "key", "left")
+            .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            .select("key", F.col("cand").alias("dist"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.join(improved.select("key"), "key", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    return dist
+
+
+def k_truss(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
+    """(src, dst) — edges of the k-truss: the maximal subgraph in which
+    every edge participates in ≥ k-2 triangles (undirected, simple).
+
+    Iterative peel, the truss analogue of :func:`k_core`: per round,
+    count each surviving edge's triangle support with two hash joins
+    over the canonical (lo<hi) edge list, drop edges below k-2, repeat
+    to a fixed point.  Support counting is the standard
+    node-iterator join (adjacency ⋈ adjacency on the shared endpoint,
+    then a semi-join back onto the edge list); every step is a shuffle
+    join Catalyst plans — no driver-side adjacency.  Rounds are bounded
+    by the peeling depth.  Returns canonical src < dst pairs.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    while max_iter > 0:
+        max_iter -= 1
+        # adjacency both ways: wedge (a<b, b<c) centered anywhere
+        und = canon.unionByName(
+            canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # triangle (u,v,w): for edge (u,v), count common neighbors w
+        a = und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        b = und.select(F.col("src").alias("v"), F.col("dst").alias("w2"))
+        support = (
+            canon.join(a, canon["src"] == a["u"])
+            .join(b, (canon["dst"] == b["v"]) & (F.col("w") == F.col("w2")))
+            .groupBy(canon["src"], canon["dst"])
+            .agg(F.count("*").alias("support"))
+        )
+        keep = (
+            canon.join(support, ["src", "dst"], "left")
+            .filter(F.coalesce(F.col("support"), F.lit(0)) >= k - 2)
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        if keep.count() == canon.count():
+            break
+        canon = keep
+    return canon

@@ -2166,3 +2166,330 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
     return node2vec_walks(
         edges, walks_per_node=2, walk_length=3, ret_w=1, base_w=4, far_w=16
     )
+
+
+# ===========================================================================
+# deterministic sketches II (HLL, count-min) — oracle-exact registers
+# ===========================================================================
+
+from graphdb_neo4j_spark.operators import sketch as SK  # noqa: E402
+
+
+@query(
+    "q58_hll_distinct_orderkeys",
+    SK.hll_distinct_sql("lineitem", "l_orderkey"),
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic HyperLogLog (m=256) distinct-orderkey estimate —
+    md5-derived registers, exact-integer harmonic numerator, one double
+    division, so the DuckDB oracle matches bit-for-bit.  The 100 TB
+    plan is scan → 256-group partial agg → scalar fold: the shuffle
+    carries ≤256 rows per partition regardless of input size."""
+    li = load_table(spark, sf, "lineitem")
+    return SK.hll_distinct(li, "l_orderkey")
+
+
+def _cms_sql() -> str:
+    tok = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    buckets = " , ".join(SK._cms_bucket_sql(r, "item") for r in range(SK._CMS_D))
+    return f"""
+    WITH items AS (
+      SELECT unnest({tok}) AS item FROM documents WHERE trim(text) <> ''
+    ),
+    exact AS (SELECT item, COUNT(*) AS exact_cnt FROM items GROUP BY item),
+    cand AS (
+      SELECT item, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, item ASC LIMIT 20
+    ),
+    hashed AS (
+      SELECT item, r,
+             CASE r {" ".join(
+                 f"WHEN {r} THEN {SK._cms_bucket_sql(r, 'item')}"
+                 for r in range(SK._CMS_D))} END AS bucket
+      FROM items CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+    ),
+    counters AS (
+      SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM hashed GROUP BY r, bucket
+    ),
+    probe AS (
+      SELECT c.item, c.exact_cnt, r,
+             CASE r {" ".join(
+                 f"WHEN {r} THEN {SK._cms_bucket_sql(r, 'c.item')}"
+                 for r in range(SK._CMS_D))} END AS bucket
+      FROM cand c CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+    )
+    SELECT p.item AS term,
+           CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           MIN(k.cnt) AS cms_est
+    FROM probe p JOIN counters k USING (r, bucket)
+    GROUP BY p.item, p.exact_cnt
+    """
+
+
+@query("q59_cms_heavy_hitters", _cms_sql())
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy hitters with count-min-sketch estimates: exact top-20
+    corpus terms, each with its CMS point estimate (min over d=4
+    md5-hashed counter rows, w=1024).  The counter matrix is a ≤4096-
+    cell grouped sum (map-side combine collapses 100 TB of token
+    updates into the sketch); the probe is a broadcast join.  All
+    hashing is md5-derived so the oracle reproduces every counter
+    exactly."""
+    docs = load_table(spark, sf, "documents")
+    toks = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.trim(F.col("text")) != "")
+        .select(F.explode(T.tokens(F.lower(F.col("text")))).alias("item"))
+    )
+    toks = toks.persist()
+    exact = toks.groupBy("item").agg(F.count("*").alias("exact_cnt"))
+    cand = (
+        exact.orderBy(F.col("exact_cnt").desc(), F.col("item").asc())
+        .limit(20)
+        .withColumnRenamed("item", "term")
+    )
+    counters = SK.cms_counters(toks, "item")
+    out = SK.cms_estimate(cand, counters, "term")
+    return out.select("term", F.col("exact_cnt").cast("bigint"), "cms_est")
+
+
+# ===========================================================================
+# composite quality gate, SCD2 history, exact group quantiles
+# ===========================================================================
+
+def _quality_sql() -> str:
+    t = "regexp_split_to_array(trim(text), '\\s+')"
+    tl = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    n_tok = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({t}) END"
+    char_sum = f"list_sum(list_transform({t}, x -> length(x)))"
+    mean_wl = (
+        f"CASE WHEN {n_tok} = 0 THEN 0.0 "
+        f"ELSE CAST({char_sum} AS DOUBLE) / {n_tok} END"
+    )
+    bigrams = f"list_transform(range(1, len({t})), i -> {t}[i] || ' ' || {t}[i+1])"
+    dup_bi = (
+        f"CASE WHEN {n_tok} < 2 THEN 0.0 "
+        f"ELSE 1.0 - CAST(len(list_distinct({bigrams})) AS DOUBLE) / ({n_tok} - 1) END"
+    )
+    stop_hits = f"len(list_intersect(list_distinct({tl}), [{_EN_SW}]))"
+    p_ratio = (
+        "CASE WHEN length(text) = 0 THEN 0.0 "
+        "ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))"
+        " AS DOUBLE) / length(text) END"
+    )
+    f_short = f"CASE WHEN {n_tok} < 10 THEN 1 ELSE 0 END"
+    f_wl = (
+        f"CASE WHEN {n_tok} > 0 AND ({mean_wl} < 2.5 OR {mean_wl} > 12.0) "
+        "THEN 1 ELSE 0 END"
+    )
+    f_rep = f"CASE WHEN {dup_bi} > 0.30 THEN 1 ELSE 0 END"
+    f_punct = f"CASE WHEN {p_ratio} > 0.50 THEN 1 ELSE 0 END"
+    f_sw = f"CASE WHEN {stop_hits} < 2 THEN 1 ELSE 0 END"
+    return f"""
+    SELECT doc_id,
+           CAST({n_tok} AS BIGINT) AS n_tokens,
+           ROUND({mean_wl}, 6) AS mean_word_len,
+           ROUND({dup_bi}, 6) AS dup_bigram_ratio,
+           CAST({stop_hits} AS BIGINT) AS stop_hits,
+           CAST({f_short} AS INT) AS flag_short,
+           CAST({f_wl} AS INT) AS flag_word_len,
+           CAST({f_rep} AS INT) AS flag_repeat,
+           CAST({f_punct} AS INT) AS flag_punct,
+           CAST({f_sw} AS INT) AS flag_stopword,
+           CAST(CASE WHEN {f_short} + {f_wl} + {f_rep} + {f_punct} + {f_sw} = 0
+                THEN 1 ELSE 0 END AS INT) AS passed
+    FROM documents
+    """
+
+
+@query("q60_quality_filter", _quality_sql())
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite Gopher/C4-style quality gate: five reject-signal flags
+    (length, mean word length, bigram repetition, punctuation density,
+    stopword presence) + pass verdict per document.  Single
+    scan+project, no shuffle, no UDF — every ratio divides exact
+    integer counts so flags match the oracle bit-for-bit."""
+    docs = load_table(spark, sf, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return T.quality_filter(docs)
+
+
+@query(
+    "q61_scd2_user_state",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts_us
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           CAST(ts_us AS BIGINT) AS effective_from_us,
+           CAST(LEAD(ts_us) OVER v AS BIGINT) AS effective_to_us,
+           CAST(ROW_NUMBER() OVER v AS BIGINT) AS version,
+           CAST(CASE WHEN LEAD(ts_us) OVER v IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_current
+    FROM changes
+    WINDOW v AS (PARTITION BY user_id ORDER BY ts_us)
+    """,
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) history build from the
+    event log: collapse consecutive identical states per user, emit
+    [effective_from, effective_to) validity intervals + version numbers
+    + current flag.  Two windows over the same (user_id, ts) partition
+    — one shuffle, then both window passes run in-place; the classic
+    warehouse dimension-build expressed as pure Catalyst windows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", ts_us.alias("ts_us"), "event_id"
+    ).withColumn("prev_type", F.lag("event_type").over(w))
+    changes = ordered.filter(
+        F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
+    )
+    v = Window.partitionBy("user_id").orderBy("ts_us")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts_us").cast("bigint").alias("effective_from_us"),
+        F.lead("ts_us").over(v).cast("bigint").alias("effective_to_us"),
+        F.row_number().over(v).cast("bigint").alias("version"),
+        F.when(F.lead("ts_us").over(v).isNull(), 1).otherwise(0)
+        .cast("int").alias("is_current"),
+    )
+
+
+@query(
+    "q62_group_quantiles",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN value END) AS p25,
+           MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN value END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN value END) AS p75,
+           MAX(CASE WHEN rn = CAST(CEIL(0.90 * n) AS BIGINT) THEN value END) AS p90
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-group discrete quantiles (percentile_disc semantics:
+    value at row ⌈q·n⌉ of the sorted group) — one shuffle on the group
+    key, one window pass, one conditional aggregation.  Unlike
+    percentile_approx this is deterministic and engine-portable; the
+    ⌈q·n⌉ index math uses the same double literals in both engines."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select("event_type", "value", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+    agg = [
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias(name)
+        for q, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.90, "p90")]
+    ]
+    return ranked.groupBy("event_type").agg(*agg)
+
+
+# ===========================================================================
+# graph analytics III: personalized PageRank, weighted SSSP, k-truss
+# ===========================================================================
+
+@query("g50_corpus_personalized_pagerank")
+def g50(spark: SparkSession, sf: str) -> DataFrame:
+    """Seed-expansion: personalized PageRank from the root processes of
+    the SPAWNS forest — ranks measure reachability-weighted proximity
+    to the seeds (rows-only gate; the Python oracle in
+    tests/test_traversal.py is the correctness check)."""
+    from graphdb_neo4j_spark.operators.traversal import personalized_pagerank
+
+    g = _corpus_graph(spark)
+    spawns = g.edges.filter(F.col("rel") == "SPAWNS").select("src", "dst")
+    roots = (
+        spawns.select(F.col("src").alias("key")).distinct()
+        .join(spawns.select(F.col("dst").alias("key")).distinct(), "key", "left_anti")
+    )
+    ranks = personalized_pagerank(spawns, roots, iterations=10)
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .orderBy(F.col("rank").desc(), F.col("key"))
+        .limit(20)
+        .select("key", F.round("rank", 8).alias("rank"))
+    )
+
+
+@query("g51_copurchase_weighted_sssp")
+def g51(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted single-source shortest paths over the customer–part
+    co-purchase graph (edge cost = order count, i.e. well-trodden links
+    are cheap is NOT assumed — cost accumulates), frontier Bellman-Ford.
+    Rows-only gate; Python Dijkstra oracle in tests/test_traversal.py."""
+    from graphdb_neo4j_spark.operators.traversal import sssp_weighted
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    src = edges.selectExpr("min(src) AS key").select("key")
+    dist = sssp_weighted(edges, src, weight_col="w", directed=False)
+    return (
+        dist.groupBy(F.floor(F.col("dist")).alias("dist_band"))
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("dist_band")
+    )
+
+
+@query("g52_copurchase_ktruss")
+def g52(spark: SparkSession, sf: str) -> DataFrame:
+    """4-truss of the part–part co-purchase projection (parts bought
+    together in ≥2 orders): edges in cohesive clusters where every link
+    closes ≥2 triangles.  Iterative peel with hash-join support
+    counting.  Rows-only gate; Python oracle in tests."""
+    from graphdb_neo4j_spark.operators.traversal import k_truss
+
+    li = load_table(spark, sf, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    truss = k_truss(pairs, k=4)
+    return truss.agg(
+        F.count("*").alias("n_truss_edges"),
+        F.count_distinct(F.col("src")).alias("n_src"),
+        F.count_distinct(F.col("dst")).alias("n_dst"),
+    )

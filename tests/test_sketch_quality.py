@@ -1,0 +1,105 @@
+"""Deterministic-HLL, count-min, and composite quality-gate tests.
+
+Cross-engine hash parity for q58/q59/q60 is covered by
+test_oracle_parity; these tests pin the *estimator* properties
+(accuracy envelopes, one-sided CMS error, flag semantics) that parity
+alone would not catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.operators.sketch import (
+    cms_counters,
+    cms_estimate,
+    hll_distinct,
+)
+from graphdb_neo4j_spark.operators.text import quality_filter
+
+
+def test_hll_estimate_within_envelope(spark):
+    # m=256 -> relative standard error 1.04/sqrt(256) = 6.5%; allow 3 sigma
+    n = 5000
+    df = spark.range(n).select(F.col("id").cast("string").alias("v"))
+    row = hll_distinct(df, "v").head()
+    assert row.n_buckets <= 256
+    assert abs(row.est_distinct - n) / n < 0.20
+    # harmonic numerator is an exact integer within BIGINT range
+    assert 0 < row.harmonic_num < (1 << 60)
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    # 30 distinct values: most registers empty -> linear counting regime,
+    # which is near-exact at tiny cardinalities
+    df = spark.range(30).select(F.col("id").cast("string").alias("v"))
+    row = hll_distinct(df, "v").head()
+    assert row.zero_registers > 0
+    assert abs(row.est_distinct - 30) <= 2
+
+
+def test_hll_ignores_nulls_and_duplicates(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,), (None,)], ["v"]
+    )
+    row = hll_distinct(df, "v").head()
+    # linear counting at n=2 is exact
+    assert row.est_distinct == pytest.approx(2.0, abs=0.1)
+
+
+def test_cms_error_is_one_sided(spark):
+    # 1 hot item + 2000 rare ones: CMS never underestimates, and the
+    # deterministic md5 hashing makes the estimate reproducible
+    rows = [("hot",)] * 1000 + [(f"rare{i}",) for i in range(2000)]
+    items = spark.createDataFrame(rows, ["item"])
+    counters = cms_counters(items, "item")
+    cand = spark.createDataFrame([("hot", 1000), ("rare7", 1)], ["item", "exact"])
+    got = {r.item: r.cms_est for r in cms_estimate(cand, counters, "item").collect()}
+    assert got["hot"] >= 1000
+    assert got["rare7"] >= 1
+    # w=1024, N=3000 -> expected overcount per cell ~ 3; min over d=4 rows
+    # keeps the hot estimate tight
+    assert got["hot"] - 1000 <= 100
+    # counter matrix never exceeds d*w cells
+    assert counters.count() <= 4 * 1024
+
+
+def test_cms_weighted_counters_match_exploded(spark):
+    rows = [("a",)] * 5 + [("b",)] * 3
+    exploded = spark.createDataFrame(rows, ["item"])
+    pre = spark.createDataFrame([("a", 5), ("b", 3)], ["item", "cnt"])
+    c1 = {(r.r, r.bucket): r.cnt for r in cms_counters(exploded, "item").collect()}
+    c2 = {
+        (r.r, r.bucket): r.cnt
+        for r in cms_counters(pre, "item", weight_col="cnt").collect()
+    }
+    assert c1 == c2
+
+
+def test_quality_filter_flags(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away to find some more interesting text to read every day"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),  # passes everything
+            (2, ""),  # empty -> short + stopword
+            (3, "word " * 5),  # 5 tokens -> short; also repeat (dup bigrams)
+            (4, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+            (5, "!!! ??? ... ;;; ::: !!! ??? ... ;;; ::: !!! ???"),  # punct
+            (6, "a b c d e f g h i j k l m n o p q r s t"),  # 1-char words
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in quality_filter(docs).collect()}
+    assert out[1].passed == 1 and out[1].flag_short == 0
+    assert out[2].flag_short == 1 and out[2].passed == 0
+    assert out[2].n_tokens == 0 and out[2].mean_word_len == 0.0
+    assert out[3].flag_short == 1
+    assert out[4].flag_repeat == 1  # all bigrams identical
+    assert out[4].flag_stopword == 1  # no English stopwords
+    assert out[5].flag_punct == 1
+    assert out[6].flag_word_len == 1  # mean word length 1 < 2.5
+    assert out[6].passed == 0

@@ -320,3 +320,130 @@ def test_twophase_components_match_hashmin(spark):
     got = {r.key: r.component for r in
            connected_components_twophase(cn, ce, max_iter=15).collect()}
     assert set(got.values()) == {"c000"}  # one component, min root
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank / weighted SSSP / k-truss oracles
+# ---------------------------------------------------------------------------
+
+def py_ppr(edges, sources, iterations=10, d=0.85):
+    verts = sorted({v for e in edges for v in e})
+    out_deg: dict[str, int] = {}
+    for s, _ in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    restart = {v: (1.0 / len(sources) if v in sources else 0.0) for v in verts}
+    rank = dict(restart)
+    for _ in range(iterations):
+        contrib: dict[str, float] = {}
+        for s, t in edges:
+            contrib[t] = contrib.get(t, 0.0) + rank[s] / out_deg[s]
+        rank = {
+            v: (1 - d) * restart[v] + d * contrib.get(v, 0.0) for v in verts
+        }
+    return rank
+
+
+def test_personalized_pagerank_matches_python(spark, edges_df):
+    from graphdb_neo4j_spark.operators.traversal import personalized_pagerank
+
+    sources = spark.createDataFrame([("a",), ("x",)], ["key"])
+    got = {
+        r.key: r.rank
+        for r in personalized_pagerank(edges_df, sources, iterations=10).collect()
+    }
+    want = py_ppr(EDGES, {"a", "x"})
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12), k
+    # restart mass only at sources: nodes unreachable FROM sources get 0
+    # (none here), and sources keep (1-d)*restart even with no in-edges
+    assert got["x"] >= (1 - 0.85) * 0.5 - 1e-12
+
+
+def py_dijkstra(edges, source, directed=False):
+    import heapq
+
+    adj: dict[str, list[tuple[str, float]]] = {}
+    for s, t, w in edges:
+        adj.setdefault(s, []).append((t, w))
+        if not directed:
+            adj.setdefault(t, []).append((s, w))
+    dist = {source: 0.0}
+    pq = [(0.0, source)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, ()):
+            nd = du + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+WEDGES = [
+    ("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 10.0), ("c", "d", 1.0),
+    ("a", "d", 3.5), ("d", "e", 0.5), ("x", "y", 7.0),
+]
+
+
+def test_sssp_weighted_matches_dijkstra(spark):
+    from graphdb_neo4j_spark.operators.traversal import sssp_weighted
+
+    edges = spark.createDataFrame(WEDGES, ["src", "dst", "w"])
+    sources = spark.createDataFrame([("a",)], ["key"])
+    got = {r.key: r.dist for r in sssp_weighted(edges, sources, directed=False).collect()}
+    want = py_dijkstra(WEDGES, "a")
+    assert got == want  # exact doubles: same sums of the same literals
+    # x/y unreachable -> absent
+    assert "x" not in got and "y" not in got
+
+
+def test_sssp_weighted_rejects_negative(spark):
+    from graphdb_neo4j_spark.operators.traversal import sssp_weighted
+
+    edges = spark.createDataFrame([("a", "b", -1.0)], ["src", "dst", "w"])
+    sources = spark.createDataFrame([("a",)], ["key"])
+    with pytest.raises(ValueError):
+        sssp_weighted(edges, sources)
+
+
+def py_ktruss(edges, k):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        adj: dict[str, set[str]] = {}
+        for u, v in es:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        support = {
+            (u, v): len(adj[u] & adj[v]) for u, v in es
+        }
+        drop = {e for e, s in support.items() if s < k - 2}
+        if not drop:
+            return es
+        es -= drop
+
+
+def test_k_truss_matches_python(spark):
+    from graphdb_neo4j_spark.operators.traversal import k_truss
+
+    # two 4-cliques sharing vertex m, plus a tail that must peel away
+    k4a = [("a", "b"), ("a", "c"), ("a", "m"), ("b", "c"), ("b", "m"), ("c", "m")]
+    k4b = [("p", "q"), ("p", "r"), ("p", "m"), ("q", "r"), ("q", "m"), ("r", "m")]
+    tail = [("m", "t1"), ("t1", "t2"), ("t2", "a")]
+    all_edges = k4a + k4b + tail
+    edges = spark.createDataFrame(all_edges, ["src", "dst"])
+    got = {(r.src, r.dst) for r in k_truss(edges, k=4).collect()}
+    want = py_ktruss(all_edges, 4)
+    assert got == want
+    assert got == set(map(tuple, map(sorted, k4a + k4b)))  # tail peeled
+
+
+def test_k_truss_k3_keeps_all_triangles(spark):
+    from graphdb_neo4j_spark.operators.traversal import k_truss
+
+    tri = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    edges = spark.createDataFrame(tri, ["src", "dst"])
+    got = {(r.src, r.dst) for r in k_truss(edges, k=3).collect()}
+    assert got == {("a", "b"), ("b", "c"), ("a", "c")}
