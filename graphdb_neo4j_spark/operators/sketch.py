@@ -270,3 +270,102 @@ def cms_estimate(candidates: DataFrame, counters: DataFrame, col: str) -> DataFr
         .agg(F.min("cnt").alias("cms_est"))
     )
     return est
+
+
+def hll_distinct_by(df: DataFrame, group_col: str, col: str) -> DataFrame:
+    """(group, n_buckets, zero_registers, harmonic_num, est_distinct) —
+    per-group deterministic HLL.  Same register math as
+    :func:`hll_distinct`, keyed by ``group_col``: the shuffle carries at
+    most 256 rows per group regardless of group size, which is the
+    whole point — COUNT(DISTINCT) per group over 100 TB shuffles every
+    value, this shuffles a fixed-size sketch.  Sketches of disjoint
+    shards also merge by MAX(reg) — the property that makes HLL the
+    standard distributed distinct counter."""
+    h = F.md5(F.col(col).cast("string"))
+    nib1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    nib2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    tail = F.substring(h, 3, 14)
+    z = F.length(F.regexp_extract(tail, "^0*", 0))
+    v = F.instr(F.lit(_HEX), F.substring(tail, z + 1, F.lit(1))) - 1
+    extra = F.when(v >= 8, 0).when(v >= 4, 1).when(v >= 2, 2).otherwise(3)
+    rho = F.when(z == 14, F.lit(4 * 14 + 1)).otherwise(z * 4 + extra + 1)
+    rho = F.least(rho, F.lit(_HLL_RHO_CAP))
+    regs = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            (nib1 * 16 + nib2).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    agg = regs.groupBy("grp").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.expr(f"CAST(1 AS BIGINT) << ({_HLL_RHO_CAP} - reg)")).alias("s_obs"),
+    )
+    zeros = F.lit(_HLL_M) - F.col("n_buckets")
+    s_num = F.col("s_obs") + zeros * F.lit(1 << _HLL_RHO_CAP)
+    raw = F.lit(_HLL_NUM) / s_num.cast("double")
+    est = F.when(
+        (raw <= F.lit(_HLL_LINEAR_MAX)) & (zeros > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n_buckets").cast("bigint").alias("n_buckets"),
+        zeros.cast("bigint").alias("zero_registers"),
+        s_num.cast("bigint").alias("harmonic_num"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def hll_distinct_by_sql(
+    table: str, group_sql: str, col_sql: str, group_alias: str = "grp"
+) -> str:
+    """DuckDB oracle for :func:`hll_distinct_by`."""
+    cap = _HLL_RHO_CAP
+    return f"""
+    WITH n AS (
+      SELECT grp,
+             (instr('{_HEX}', substr(h, 1, 1)) - 1) * 16
+             + (instr('{_HEX}', substr(h, 2, 1)) - 1) AS bucket,
+             substr(h, 3, 14) AS tail
+      FROM (SELECT {group_sql} AS grp, md5(CAST({col_sql} AS VARCHAR)) AS h
+            FROM {table} WHERE {col_sql} IS NOT NULL)
+    ),
+    rho AS (
+      SELECT grp, bucket,
+             LEAST(CASE WHEN z = 14 THEN 57
+                        ELSE 4*z + CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                                        WHEN v >= 2 THEN 2 ELSE 3 END + 1 END,
+                   {cap}) AS rho
+      FROM (SELECT grp, bucket,
+                   length(regexp_extract(tail, '^0*')) AS z,
+                   instr('{_HEX}',
+                         substr(tail, length(regexp_extract(tail, '^0*')) + 1, 1)) - 1
+                     AS v
+            FROM n)
+    ),
+    regs AS (SELECT grp, bucket, MAX(rho) AS reg FROM rho GROUP BY grp, bucket),
+    agg AS (
+      SELECT grp, COUNT(*) AS n_buckets,
+             SUM(CAST(1 AS BIGINT) << ({cap} - reg)) AS s_obs
+      FROM regs GROUP BY grp
+    )
+    SELECT grp AS {group_alias},
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST({_HLL_M} - n_buckets AS BIGINT) AS zero_registers,
+           CAST(s_obs + ({_HLL_M} - n_buckets) * (CAST(1 AS BIGINT) << {cap})
+                AS BIGINT) AS harmonic_num,
+           ROUND(CASE WHEN {_HLL_NUM!r} / CAST(s_obs + ({_HLL_M} - n_buckets)
+                               * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE)
+                           <= {_HLL_LINEAR_MAX!r}
+                       AND {_HLL_M} - n_buckets > 0
+                      THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+                               / CAST({_HLL_M} - n_buckets AS DOUBLE))
+                      ELSE {_HLL_NUM!r} / CAST(s_obs + ({_HLL_M} - n_buckets)
+                               * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE) END,
+                 4) AS est_distinct
+    FROM agg
+    """

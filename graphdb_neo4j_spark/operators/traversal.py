@@ -1024,3 +1024,57 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:
             break
         canon = keep
     return canon
+
+
+def temporal_bfs(
+    edges: DataFrame,
+    sources: DataFrame,
+    time_col: str = "t",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(key, earliest) — earliest-arrival reachability over a temporal
+    graph: a path is valid only if edge timestamps are non-decreasing
+    along it (you can't ride an edge that fired before you arrived).
+
+    The fixpoint state is the earliest arrival time per vertex; each
+    round relaxes only edges out of vertices improved last round, with
+    the constraint ``edge.t >= arrival(src)``, candidate arrival =
+    ``edge.t``.  This is the standard time-respecting-path semantics
+    (Holme & Saramäki, "Temporal networks") that plain BFS gets wrong —
+    reachability through a node depends on WHEN you got there.
+    Sources start at arrival −∞ (they can take any first edge).
+    Same execution shape as :func:`sssp_weighted`: one co-partitioned
+    join + one grouped min per round.
+    """
+    e = edges.select("src", "dst", F.col(time_col).cast("long").alias("t"))
+    e = e.localCheckpoint()
+    neg_inf = F.lit(-(1 << 62)).cast("long")
+    arrive = (
+        sources.select(F.col(sources.columns[0]).alias("key")).distinct()
+        .withColumn("earliest", neg_inf)
+        .localCheckpoint()
+    )
+    frontier = arrive
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(e, frontier["key"] == e["src"])
+            .filter(F.col("t") >= F.col("earliest"))
+            .select(F.col("dst").alias("key"), F.col("t").alias("cand"))
+            .groupBy("key")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            cand.join(arrive, "key", "left")
+            .filter(F.col("earliest").isNull() | (F.col("cand") < F.col("earliest")))
+            .select("key", F.col("cand").alias("earliest"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        arrive = (
+            arrive.join(improved.select("key"), "key", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    return arrive

@@ -2493,3 +2493,131 @@ def g52(spark: SparkSession, sf: str) -> DataFrame:
         F.count_distinct(F.col("src")).alias("n_src"),
         F.count_distinct(F.col("dst")).alias("n_dst"),
     )
+
+
+@query(
+    "q63_hll_distinct_users_by_type",
+    SK.hll_distinct_by_sql("events", "event_type", "user_id", group_alias="event_type"),
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group deterministic HLL: distinct users per event type.  The
+    100 TB point: COUNT(DISTINCT user) per group shuffles every (group,
+    user) pair; this shuffles ≤256 register rows per group — constant
+    per group — and sketches from disjoint shards merge by MAX."""
+    e = load_table(spark, sf, "events")
+    return SK.hll_distinct_by(e, "event_type", "user_id")
+
+
+@query(
+    "q64_link_prediction_customers",
+    """
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    deg AS (SELECT cust, COUNT(*) AS deg FROM cp GROUP BY cust),
+    cn AS (
+      SELECT a.cust AS cust_a, b.cust AS cust_b, COUNT(*) AS common_parts
+      FROM cp a JOIN cp b ON a.part = b.part AND a.cust < b.cust
+      GROUP BY a.cust, b.cust
+    )
+    SELECT cust_a, cust_b,
+           CAST(common_parts AS BIGINT) AS common_parts,
+           CAST(da.deg * db.deg AS BIGINT) AS pref_attachment
+    FROM cn JOIN deg da ON cn.cust_a = da.cust
+            JOIN deg db ON cn.cust_b = db.cust
+    ORDER BY common_parts DESC, cust_a, cust_b
+    LIMIT 20
+    """,
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    """Link prediction over the customer–part bipartite graph: top
+    customer pairs by common-neighbor count, with the preferential-
+    attachment score — both exact integers, so the oracle hashes
+    bit-for-bit (Adamic-Adar's float sum is order-dependent across
+    engines and deliberately avoided).  Scale shape: the part-keyed
+    self-join is the standard wedge enumeration; hub parts (bought by
+    everyone) quadratically dominate — at 100 TB cap part degree first,
+    exactly like the hot-shingle df-cap in ngram_jaccard_pairs."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    cp = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    deg = cp.groupBy("cust").agg(F.count("*").alias("deg"))
+    a = cp.select(F.col("cust").alias("cust_a"), "part")
+    b = cp.select(F.col("cust").alias("cust_b"), "part")
+    cn = (
+        a.join(b, "part")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count("*").alias("common_parts"))
+    )
+    da = deg.select(F.col("cust").alias("cust_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("cust").alias("cust_b"), F.col("deg").alias("deg_b"))
+    return (
+        cn.join(F.broadcast(da), "cust_a")
+        .join(F.broadcast(db), "cust_b")
+        .select(
+            "cust_a", "cust_b",
+            F.col("common_parts").cast("bigint").alias("common_parts"),
+            (F.col("deg_a") * F.col("deg_b")).cast("bigint").alias("pref_attachment"),
+        )
+        .orderBy(F.col("common_parts").desc(), "cust_a", "cust_b")
+        .limit(20)
+    )
+
+
+def _profile_sql() -> str:
+    from graphdb_neo4j_spark.operators.profile import profile_columns_sql
+
+    return profile_columns_sql(
+        "events",
+        [("event_id", "num"), ("ts", "ts"), ("user_id", "num"),
+         ("event_type", "str"), ("value", "num"), ("props", "str")],
+    )
+
+
+@query("q65_profile_events", _profile_sql())
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    """One-pass data profiling of the events table: null density, exact
+    cardinality, numeric/string ranges per column, unpivoted to one row
+    per column.  Single scan + one Expand-backed wide aggregate — the
+    triage query you run before committing a 100 TB pipeline to a
+    layout."""
+    e = load_table(spark, sf, "events")
+    from graphdb_neo4j_spark.operators.profile import profile_columns
+
+    return profile_columns(e)
+
+
+@query("g53_corpus_temporal_reachability")
+def g53(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-respecting reachability from the earliest-seen process:
+    earliest-arrival BFS over SPAWNS edges timestamped by spawn time —
+    a process is only compromised-downstream if the spawn chain moves
+    forward in time.  Plain BFS overcounts; this is the fix.  Rows-only
+    gate; Python oracle in tests/test_traversal.py."""
+    from graphdb_neo4j_spark.operators.traversal import temporal_bfs
+
+    d = _corpus_derived(spark)
+    spawns = d.filter(
+        F.col("pkey").isNotNull() & F.col("parent_key").isNotNull()
+    ).select(
+        F.col("parent_key").alias("src"),
+        F.col("pkey").alias("dst"),
+        F.col("ord.start_time").alias("t"),
+    )
+    first = spawns.orderBy("t", "src").limit(1).select(F.col("src").alias("key"))
+    arrivals = temporal_bfs(spawns, first, time_col="t")
+    return (
+        arrivals.filter(F.col("earliest") > F.lit(-(1 << 62)))
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_reached"),
+            F.min("earliest").alias("first_arrival_us"),
+            F.max("earliest").alias("last_arrival_us"),
+        )
+    )

@@ -209,3 +209,56 @@ def test_q52_walk_frontier_joins_broadcast_adjacency_or_shuffle_once(spark):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q58_hll_is_scan_agg_fold(spark):
+    """HLL plan: one scan, a 256-group partial aggregate, a scalar
+    fold — and the md5/register math stays in codegen."""
+    df = QUERY_FNS["q58_hll_distinct_orderkeys"](spark, SF)
+    plan = explain_str(df)
+    assert "partial" in plan.lower()
+    # one scan NODE: the parquet path prints once per scan's Location
+    assert plan.count("lineitem.parquet") == 1
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_q60_quality_filter_no_shuffle(spark):
+    """Quality gate is scan+project only: no Exchange anywhere."""
+    df = QUERY_FNS["q60_quality_filter"](spark, SF)
+    plan = explain_str(df)
+    # the only Exchange is the deliberate round-robin spread of the
+    # single-file input; no hash shuffle anywhere
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_q59_cms_probe_broadcasts_counters(spark):
+    """The ≤4096-cell counter matrix must broadcast to the probe."""
+    df = QUERY_FNS["q59_cms_heavy_hitters"](spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_q62_quantiles_single_partition_shuffle(spark):
+    """Both window passes share one (event_type) partitioning: exactly
+    one hash Exchange on the group key before the windows."""
+    df = QUERY_FNS["q62_group_quantiles"](spark, SF)
+    plan = explain_str(df)
+    # Exchange arguments print once per node in formatted mode
+    assert plan.count("hashpartitioning(event_type") == 1, plan
+
+
+def test_q64_link_prediction_broadcasts_degrees(spark):
+    """Degree tables (≤ n_customers rows) broadcast onto the wedge
+    join; the top-k is TakeOrdered, not a global sort."""
+    df = QUERY_FNS["q64_link_prediction_customers"](spark, SF)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q65_profile_single_scan(spark):
+    """Profiling reads the table once — multi-column count_distinct
+    plans one Expand over a single scan, not one scan per column."""
+    df = QUERY_FNS["q65_profile_events"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("events.parquet") == 1
+    assert "Expand" in plan

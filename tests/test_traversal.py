@@ -447,3 +447,59 @@ def test_k_truss_k3_keeps_all_triangles(spark):
     edges = spark.createDataFrame(tri, ["src", "dst"])
     got = {(r.src, r.dst) for r in k_truss(edges, k=3).collect()}
     assert got == {("a", "b"), ("b", "c"), ("a", "c")}
+
+
+def py_temporal_bfs(edges, sources):
+    # earliest-arrival fixpoint over time-respecting paths
+    arrive = {s: float("-inf") for s in sources}
+    changed = True
+    while changed:
+        changed = False
+        for s, d, t in edges:
+            if s in arrive and t >= arrive[s] and t < arrive.get(d, float("inf")):
+                arrive[d] = t
+                changed = True
+    return arrive
+
+
+def test_temporal_bfs_respects_time(spark):
+    from graphdb_neo4j_spark.operators.traversal import temporal_bfs
+
+    # a->b fires at t=10, b->c at t=5: c is NOT reachable through b
+    # (the b->c edge fired before we arrived at b); d is (t=20 >= 10)
+    tedges = [
+        ("a", "b", 10), ("b", "c", 5), ("b", "d", 20),
+        ("d", "e", 20),  # equal times allowed (non-decreasing)
+        ("e", "a", 1),   # stale back-edge, must not fire
+    ]
+    edges = spark.createDataFrame(tedges, ["src", "dst", "t"])
+    sources = spark.createDataFrame([("a",)], ["key"])
+    got = {r.key: r.earliest for r in temporal_bfs(edges, sources).collect()}
+    want = py_temporal_bfs(tedges, {"a"})
+    assert set(got) == set(want)
+    for k, v in want.items():
+        if v == float("-inf"):
+            assert got[k] == -(1 << 62)
+        else:
+            assert got[k] == v
+    assert "c" not in got  # plain BFS would have reached it
+
+
+def test_temporal_bfs_earlier_arrival_reopens_paths(spark):
+    from graphdb_neo4j_spark.operators.traversal import temporal_bfs
+
+    # first discovery of m arrives at t=30 (too late for m->z at 25);
+    # a longer path arrives at t=20 and unlocks it -> relaxation must
+    # re-expand m when its arrival improves
+    tedges = [
+        ("s", "m", 30),
+        ("s", "x", 10), ("x", "y", 15), ("y", "m", 20),
+        ("m", "z", 25),
+    ]
+    edges = spark.createDataFrame(tedges, ["src", "dst", "t"])
+    sources = spark.createDataFrame([("s",)], ["key"])
+    got = {r.key: r.earliest for r in temporal_bfs(edges, sources).collect()}
+    want = py_temporal_bfs(tedges, {"s"})
+    assert {k: v for k, v in got.items() if k != "s"} == \
+        {k: v for k, v in want.items() if k != "s"}
+    assert got["z"] == 25
