@@ -79,3 +79,38 @@ def two_phase_agg(
         for out_name, (src, fn) in aggs.items()
     ]
     return partial.groupBy(key).agg(*final_exprs)
+
+
+def skew_report(df, key: str, top: int = 10):
+    """(key, cnt, share, cum_share) for the ``top`` heaviest keys plus
+    summary columns (n_rows, n_keys) — the pre-flight skew diagnostic
+    you run before joining/grouping 100 TB on ``key``.
+
+    share = key count / total rows; a single key above ~1/shuffle-
+    partitions predicts a straggler task and calls for
+    :func:`salted_join` / :func:`two_phase_agg` or AQE skew handling.
+    One grouped count + a tiny top-k — safe to run on the full input.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key).agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_rows"), F.count("*").alias("n_keys")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    topk = (
+        counts.orderBy(F.col("cnt").desc(), F.col(key))
+        .limit(top)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            key,
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+            F.round(F.sum("cnt").over(w) / F.col("n_rows"), 6).alias("cum_share"),
+            "n_rows",
+            "n_keys",
+        )
+    )
+    return topk

@@ -440,3 +440,85 @@ def quality_filter(
             == 0
         ).cast("int").alias("passed"),
     )
+
+
+def bpe_learn(
+    df: DataFrame,
+    num_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """(step, left, right, merged, pair_count) — byte-pair-encoding
+    vocabulary induction over the corpus, the standard subword-tokenizer
+    training loop (Sennrich et al. 2016), distributed:
+
+    1. aggregate the corpus to a (word, count) table — vocabulary-sized,
+       NOT corpus-sized: 100 TB of text collapses to a few million rows
+       and every later step runs on that table;
+    2. split words into character symbols + a ``</w>`` end marker;
+    3. per merge step: count adjacent symbol pairs (weighted by word
+       count, overlapping pairs counted, the reference convention),
+       take the most frequent (ties → lexicographically smallest, so
+       the result is deterministic), fetch that ONE row to the driver,
+       and fold the merge into every word's symbol array with a
+       left-to-right greedy ``aggregate`` (non-overlapping application,
+       e.g. merging (a,a) turns ``aaaa`` into ``aa aa``);
+    4. repeat.
+
+    Each step is one vocabulary-table shuffle + a 1-row driver fetch +
+    a map-side array fold; ``localCheckpoint`` truncates the per-step
+    lineage.  The merge table IS the tokenizer artifact.
+    """
+    spark = df.sparkSession
+    words = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = F.col("word")
+    syms = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, F.lit(1))
+        ),
+        F.array(F.lit("</w>")),
+    )
+    vocab = words.select("cnt", syms.alias("syms")).localCheckpoint()
+    merges = []
+    for step in range(1, num_merges + 1):
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        top = pairs.orderBy(F.col("pair_count").desc(), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["pair_count"]
+        merges.append((step, l, r, l + r, cnt))
+        ll, rr = F.lit(l), F.lit(r)
+        folded = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == ll) & (x == rr),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(ll, rr))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select("cnt", folded.alias("syms")).localCheckpoint()
+    return spark.createDataFrame(
+        merges, ["step", "left", "right", "merged", "pair_count"]
+    )

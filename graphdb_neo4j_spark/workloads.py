@@ -2621,3 +2621,47 @@ def g53(spark: SparkSession, sf: str) -> DataFrame:
             F.max("earliest").alias("last_arrival_us"),
         )
     )
+
+
+@query("q66_bpe_merges")  # iterative driver-fetch loop → rows-only gate
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE subword-vocabulary induction: first 10 merge
+    rules learned from the document corpus.  Each step shuffles only
+    the vocabulary-sized (word, count) table and fetches ONE row; the
+    Python oracle in tests/test_sketch_quality.py checks the loop
+    exactly (reference implementation: Sennrich et al. 2016)."""
+    docs = load_table(spark, sf, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return T.bpe_learn(docs, num_merges=10)
+
+
+@query(
+    "q67_skew_report_lineitem",
+    """
+    WITH counts AS (
+      SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ),
+    totals AS (SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys FROM counts),
+    topk AS (
+      SELECT l_partkey, cnt FROM counts
+      ORDER BY cnt DESC, l_partkey LIMIT 10
+    )
+    SELECT l_partkey, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(CAST(cnt AS DOUBLE) / n_rows, 6) AS share,
+           ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, l_partkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / n_rows, 6) AS cum_share,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_keys AS BIGINT) AS n_keys
+    FROM topk CROSS JOIN totals
+    """,
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew diagnostic on lineitem.l_partkey: heaviest keys
+    with row share and cumulative share — the pre-flight check that
+    decides between a plain shuffle join, a broadcast, or the salted
+    path in operators/skew.py."""
+    from graphdb_neo4j_spark.operators.skew import skew_report
+
+    li = load_table(spark, sf, "lineitem")
+    return skew_report(li, "l_partkey", top=10)

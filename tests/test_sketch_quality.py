@@ -103,3 +103,71 @@ def test_quality_filter_flags(spark):
     assert out[5].flag_punct == 1
     assert out[6].flag_word_len == 1  # mean word length 1 < 2.5
     assert out[6].passed == 0
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction
+# ---------------------------------------------------------------------------
+
+def py_bpe(texts, num_merges):
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            words[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in words.items()}
+    merges = []
+    for step in range(1, num_merges + 1):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, l + r, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_learn_matches_python(spark):
+    from graphdb_neo4j_spark.operators.text import bpe_learn
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest",
+        "low low low new new",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = [
+        (r.step, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_learn(docs, num_merges=8).orderBy("step").collect()
+    ]
+    want = py_bpe(texts, 8)
+    assert got == want
+
+
+def test_bpe_greedy_merge_is_nonoverlapping(spark):
+    from graphdb_neo4j_spark.operators.text import bpe_learn
+
+    # 'aaaa' -> merging (a,a) must produce 'aa aa', and the next merge
+    # is then (aa,aa) — overlap handling where naive implementations slip
+    docs = spark.createDataFrame([(1, "aaaa aaaa aaaa")], ["doc_id", "text"])
+    got = [
+        (r.step, r.left, r.right)
+        for r in bpe_learn(docs, num_merges=2).orderBy("step").collect()
+    ]
+    want = [(s, l, r) for s, l, r, _, _ in py_bpe(["aaaa aaaa aaaa"], 2)]
+    assert got == want
+    assert got[0][1] == "a" and got[0][2] == "a"
