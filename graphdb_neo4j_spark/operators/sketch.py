@@ -113,12 +113,13 @@ _HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_RHO_CAP)
 _HLL_LINEAR_MAX = 2.5 * _HLL_M
 
 
-def hll_distinct(df: DataFrame, col: str) -> DataFrame:
-    """One row: (n_buckets, zero_registers, harmonic_num, est_distinct)
-    — deterministic HyperLogLog cardinality estimate (m=256).
-
-    NULLs are excluded (md5(NULL)=NULL would add a phantom register).
-    """
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """(bucket, reg) — the m=256 HLL register table of a column.
+    Registers are the MERGEABLE form of the sketch: registers of any
+    two shards (or micro-batches) combine by ``groupBy(bucket).max``,
+    which is what makes HLL the standard distributed/incremental
+    distinct counter.  NULLs are excluded (md5(NULL)=NULL would add a
+    phantom register)."""
     h = F.md5(F.col(col).cast("string"))
     nib1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
     nib2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
@@ -130,12 +131,29 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
     )
     rho = F.when(z == 14, F.lit(4 * 14 + 1)).otherwise(z * 4 + extra + 1)
     rho = F.least(rho, F.lit(_HLL_RHO_CAP))
-    regs = (
+    return (
         df.filter(F.col(col).isNotNull())
         .select((nib1 * 16 + nib2).alias("bucket"), rho.alias("rho"))
         .groupBy("bucket")
         .agg(F.max("rho").alias("reg"))
     )
+
+
+def hll_merge_registers(*reg_tables: DataFrame) -> DataFrame:
+    """Union register tables from disjoint shards / micro-batches into
+    one sketch: MAX per bucket.  Exactly equivalent to sketching the
+    concatenated input — the merge property tests pin this."""
+    it = iter(reg_tables)
+    out = next(it)
+    for t in it:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """(n_buckets, zero_registers, harmonic_num, est_distinct) from a
+    (bucket, reg) table — the exact-integer fold shared by the batch
+    and streaming paths (bit-identical estimates by construction)."""
     agg = regs.agg(
         F.count("*").alias("n_buckets"),
         F.sum(F.expr(f"CAST(1 AS BIGINT) << ({_HLL_RHO_CAP} - reg)")).alias("s_obs"),
@@ -153,6 +171,14 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
         s_num.cast("bigint").alias("harmonic_num"),
         F.round(est, 4).alias("est_distinct"),
     )
+
+
+def hll_distinct(df: DataFrame, col: str) -> DataFrame:
+    """One row: (n_buckets, zero_registers, harmonic_num, est_distinct)
+    — deterministic HyperLogLog cardinality estimate (m=256).
+    Composition of :func:`hll_registers` + :func:`hll_estimate_from_registers`.
+    """
+    return hll_estimate_from_registers(hll_registers(df, col))
 
 
 def hll_distinct_sql(table: str, col_sql: str) -> str:

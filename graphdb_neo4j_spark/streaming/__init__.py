@@ -10,6 +10,13 @@ from graphdb_neo4j_spark.streaming.ingest import (
     streaming_neardup_dedup,
     windowed_event_counts,
 )
+from graphdb_neo4j_spark.streaming.sketch import (
+    cms_fold,
+    compact_sketch_log,
+    hll_estimate,
+    streaming_cms,
+    streaming_hll,
+)
 from graphdb_neo4j_spark.streaming.text import (
     compact_dfreq_log,
     streaming_chunks,
@@ -17,14 +24,19 @@ from graphdb_neo4j_spark.streaming.text import (
 )
 
 __all__ = [
+    "cms_fold",
     "compact_dfreq_log",
     "compact_graph_log",
+    "compact_sketch_log",
+    "hll_estimate",
     "stream_graph_ingest",
     "stream_spans",
     "streaming_ann_candidates",
     "streaming_ann_topk",
     "streaming_chunks",
+    "streaming_cms",
     "streaming_dedup_spans",
+    "streaming_hll",
     "streaming_neardup_dedup",
     "streaming_tfidf",
     "windowed_event_counts",

@@ -1,0 +1,113 @@
+"""Streaming sketch tests: batch ≡ stream equivalence (mergeability).
+
+The defining property of HLL / count-min: sketching micro-batches and
+folding the deltas must be BIT-IDENTICAL to sketching the whole input
+at once, for any batch split.  maxFilesPerTrigger forces a multi-batch
+split; the assertions compare full register/counter tables, not just
+estimates.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.operators.sketch import (
+    cms_counters,
+    cms_estimate,
+    hll_distinct,
+    hll_merge_registers,
+    hll_registers,
+)
+from graphdb_neo4j_spark.streaming.sketch import (
+    cms_fold,
+    compact_sketch_log,
+    hll_estimate,
+    streaming_cms,
+    streaming_hll,
+)
+
+
+@pytest.fixture(scope="module")
+def item_dir(spark, tmp_path_factory):
+    """8 parquet files of (item) rows with overlapping values."""
+    d = str(tmp_path_factory.mktemp("items"))
+    rows = [(f"v{i % 700}",) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["item"])
+    df.repartition(8).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_stream(builder):
+    q = builder.trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+
+def test_streaming_hll_matches_batch(spark, item_dir, tmp_path):
+    state = str(tmp_path / "hll_state")
+    stream = spark.readStream.schema("item string").option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(item_dir)
+    _run_stream(streaming_hll(stream, "item", state))
+
+    batch_all = spark.read.parquet(item_dir)
+    want = hll_distinct(batch_all, "item").head()
+    got = hll_estimate(spark, state).head()
+    assert got == want  # bit-identical, not approximately equal
+
+    # register log spans multiple batches (the split actually happened)
+    n_batches = (
+        spark.read.parquet(f"{state}/hll_log")
+        .select("batch_id").distinct().count()
+    )
+    assert n_batches >= 2
+
+    # compaction preserves the estimate and shrinks the log to 1 batch
+    compact_sketch_log(spark, state, "hll")
+    assert hll_estimate(spark, state).head() == want
+    assert (
+        spark.read.parquet(f"{state}/hll_log")
+        .select("batch_id").distinct().count()
+        == 1
+    )
+
+
+def test_streaming_cms_matches_batch(spark, item_dir, tmp_path):
+    state = str(tmp_path / "cms_state")
+    stream = spark.readStream.schema("item string").option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(item_dir)
+    _run_stream(streaming_cms(stream, "item", state))
+
+    batch_all = spark.read.parquet(item_dir)
+    want = {
+        (r.r, r.bucket): r.cnt for r in cms_counters(batch_all, "item").collect()
+    }
+    got = {(r.r, r.bucket): r.cnt for r in cms_fold(spark, state).collect()}
+    assert got == want
+
+    # point estimates through the folded counters match the batch path
+    cand = spark.createDataFrame([("v0", 0), ("v699", 0)], ["item", "x"])
+    est_stream = {
+        r.item: r.cms_est
+        for r in cms_estimate(cand, cms_fold(spark, state), "item").collect()
+    }
+    est_batch = {
+        r.item: r.cms_est
+        for r in cms_estimate(cand, cms_counters(batch_all, "item"), "item").collect()
+    }
+    assert est_stream == est_batch
+
+    compact_sketch_log(spark, state, "cms")
+    got2 = {(r.r, r.bucket): r.cnt for r in cms_fold(spark, state).collect()}
+    assert got2 == want
+
+
+def test_hll_merge_registers_equals_whole(spark):
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], ["v"])
+    b = spark.createDataFrame([(f"b{i}",) for i in range(300)], ["v"])
+    merged = hll_merge_registers(
+        hll_registers(a, "v"), hll_registers(b, "v")
+    )
+    whole = hll_registers(a.unionByName(b), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
