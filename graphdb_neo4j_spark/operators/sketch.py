@@ -395,3 +395,124 @@ def hll_distinct_by_sql(
                  4) AS est_distinct
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV set operations — distinct intersection / union / Jaccard, oracle-exact
+# ---------------------------------------------------------------------------
+
+def kmv_set_overlap(
+    df_a: DataFrame, df_b: DataFrame, col: str, k: int = 256
+) -> DataFrame:
+    """One row: (theta_hash, n_union_sample, n_inter_sample,
+    est_union, est_intersection, est_jaccard) — theta-sketch-style set
+    overlap between two columns' distinct values.
+
+    Method (Dasgupta et al., "Theta sketches"): take each side's k
+    minimum distinct md5 hashes; θ = the k-th smallest hash of the
+    UNION sample (both samples merged, deduped); every union hash < θ
+    is a uniform sample of A∪B, so
+
+    * ``est_union``        = (n_union_sample − 1)/θ  (KMV estimator),
+    * ``est_jaccard``      = |sample ∩ both sides| / n_union_sample,
+    * ``est_intersection`` = jaccard × est_union.
+
+    All inputs to the float math are exact integers plus one dyadic
+    hash fraction — bit-identical in DuckDB.  Degenerate small sets
+    (union sample < k) fall back to exact counts.  Scale shape: two
+    map-side top-k folds + a tiny driver-side-free merge; nothing
+    larger than 2k hashes ever moves.
+    """
+    ha = (
+        df_a.filter(F.col(col).isNotNull())
+        .select(F.md5(F.col(col).cast("string")).alias("h"))
+        .distinct().orderBy("h").limit(k)
+        .withColumn("in_a", F.lit(1)).withColumn("in_b", F.lit(0))
+    )
+    hb = (
+        df_b.filter(F.col(col).isNotNull())
+        .select(F.md5(F.col(col).cast("string")).alias("h"))
+        .distinct().orderBy("h").limit(k)
+        .withColumn("in_a", F.lit(0)).withColumn("in_b", F.lit(1))
+    )
+    both = (
+        ha.unionByName(hb)
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    from pyspark.sql import Window
+
+    ranked = both.withColumn(
+        "rn", F.row_number().over(Window.orderBy("h"))
+    ).filter(F.col("rn") <= k)
+    agg = ranked.agg(
+        F.max("h").alias("theta_hash"),
+        F.count("*").alias("n_union_sample"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("n_inter_sample"),
+    )
+    frac = _hex_frac(F.col("theta_hash"))
+    full = F.col("n_union_sample") < k
+    est_union = F.when(full, F.col("n_union_sample").cast("double")).otherwise(
+        F.lit(float(k - 1)) / frac
+    )
+    jac = F.when(
+        F.col("n_union_sample") == 0, F.lit(0.0)
+    ).otherwise(F.col("n_inter_sample").cast("double") / F.col("n_union_sample"))
+    return agg.select(
+        "theta_hash",
+        F.col("n_union_sample").cast("bigint").alias("n_union_sample"),
+        F.col("n_inter_sample").cast("bigint").alias("n_inter_sample"),
+        F.round(est_union, 4).alias("est_union"),
+        F.round(jac * est_union, 4).alias("est_intersection"),
+        F.round(jac, 6).alias("est_jaccard"),
+    )
+
+
+def kmv_set_overlap_sql(
+    table_a: str, col_a: str, table_b: str, col_b: str, k: int = 256
+) -> str:
+    """DuckDB oracle for :func:`kmv_set_overlap`."""
+    return f"""
+    WITH ha AS (
+      SELECT h, 1 AS in_a, 0 AS in_b FROM (
+        SELECT DISTINCT md5(CAST({col_a} AS VARCHAR)) AS h FROM {table_a}
+        WHERE {col_a} IS NOT NULL ORDER BY h LIMIT {k})
+    ),
+    hb AS (
+      SELECT h, 0 AS in_a, 1 AS in_b FROM (
+        SELECT DISTINCT md5(CAST({col_b} AS VARCHAR)) AS h FROM {table_b}
+        WHERE {col_b} IS NOT NULL ORDER BY h LIMIT {k})
+    ),
+    merged AS (
+      SELECT h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+      FROM (SELECT * FROM ha UNION ALL SELECT * FROM hb) GROUP BY h
+    ),
+    ranked AS (
+      SELECT h, in_a, in_b, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM merged
+    ),
+    agg AS (
+      SELECT MAX(h) AS theta_hash, COUNT(*) AS n_union_sample,
+             SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+               AS n_inter_sample
+      FROM ranked WHERE rn <= {k}
+    )
+    SELECT theta_hash,
+           CAST(n_union_sample AS BIGINT) AS n_union_sample,
+           CAST(n_inter_sample AS BIGINT) AS n_inter_sample,
+           ROUND(CASE WHEN n_union_sample < {k}
+                      THEN CAST(n_union_sample AS DOUBLE)
+                      ELSE {float(k - 1)!r} / {hex_frac_sql('theta_hash')} END, 4)
+             AS est_union,
+           ROUND((CASE WHEN n_union_sample = 0 THEN 0.0
+                       ELSE CAST(n_inter_sample AS DOUBLE) / n_union_sample END)
+                 * (CASE WHEN n_union_sample < {k}
+                         THEN CAST(n_union_sample AS DOUBLE)
+                         ELSE {float(k - 1)!r} / {hex_frac_sql('theta_hash')} END),
+                 4) AS est_intersection,
+           ROUND(CASE WHEN n_union_sample = 0 THEN 0.0
+                      ELSE CAST(n_inter_sample AS DOUBLE) / n_union_sample END,
+                 6) AS est_jaccard
+    FROM agg
+    """

@@ -2665,3 +2665,22 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
 
     li = load_table(spark, sf, "lineitem")
     return skew_report(li, "l_partkey", top=10)
+
+
+@query(
+    "q68_kmv_user_overlap",
+    SK.kmv_set_overlap_sql(
+        "(SELECT user_id FROM events WHERE event_type = 'view')", "user_id",
+        "(SELECT user_id FROM events WHERE event_type = 'purchase')", "user_id",
+    ),
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta-sketch-style audience overlap: estimated distinct-user
+    union / intersection / Jaccard between viewers and purchasers from
+    two k-minimum-values samples.  Nothing larger than 2k hashes moves
+    — the 100 TB way to answer "how much do these segments overlap"
+    without a COUNT(DISTINCT) shuffle of either side."""
+    e = load_table(spark, sf, "events")
+    viewers = e.filter(F.col("event_type") == "view").select("user_id")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return SK.kmv_set_overlap(viewers, buyers, "user_id")

@@ -171,3 +171,29 @@ def test_bpe_greedy_merge_is_nonoverlapping(spark):
     want = [(s, l, r) for s, l, r, _, _ in py_bpe(["aaaa aaaa aaaa"], 2)]
     assert got == want
     assert got[0][1] == "a" and got[0][2] == "a"
+
+
+def test_kmv_set_overlap_saturated_sketch(spark):
+    from graphdb_neo4j_spark.operators.sketch import kmv_set_overlap
+
+    # |A|=3000, |B|=3000, |A∩B|=1000  ->  union 5000, jaccard 0.2;
+    # k=256 << union so the ESTIMATION path (not the exact fallback) runs
+    a = spark.range(0, 3000).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    b = spark.range(2000, 5000).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    row = kmv_set_overlap(a, b, "v", k=256).head()
+    assert row.n_union_sample == 256  # saturated
+    assert abs(row.est_union - 5000) / 5000 < 0.20
+    assert abs(row.est_jaccard - 0.2) < 0.08
+    assert abs(row.est_intersection - 1000) / 1000 < 0.40
+
+
+def test_kmv_set_overlap_disjoint_and_identical(spark):
+    from graphdb_neo4j_spark.operators.sketch import kmv_set_overlap
+
+    a = spark.range(0, 50).select(F.concat(F.lit("x"), F.col("id")).alias("v"))
+    b = spark.range(50, 100).select(F.concat(F.lit("x"), F.col("id")).alias("v"))
+    row = kmv_set_overlap(a, b, "v").head()
+    assert row.est_jaccard == 0.0 and row.est_intersection == 0.0
+    assert row.est_union == 100.0  # exact fallback under k
+    same = kmv_set_overlap(a, a, "v").head()
+    assert same.est_jaccard == 1.0 and same.est_union == 50.0
