@@ -522,3 +522,60 @@ def bpe_learn(
     return spark.createDataFrame(
         merges, ["step", "left", "right", "merged", "pair_count"]
     )
+
+
+# fixed demo weights for the linear quality scorer (a trained model
+# would broadcast its own); order: [log_tokens, mean_word_len,
+# dup_bigram_ratio, punct_ratio, stopword_ratio, bias]
+QUALITY_WEIGHTS = [0.15, 0.08, -1.2, -0.9, 2.0, -0.5]
+
+
+def quality_feature_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, f_log_tokens, f_mean_word_len, f_dup_bigram,
+    f_punct, f_stopword, score) — the quality-classifier feature vector
+    as ONE wide projection plus a broadcast-weight linear score.
+
+    This is the standard shape for model-based corpus filtering at
+    scale: features are pure Catalyst expressions fused into the scan,
+    the model is a handful of literals (or a broadcast array for a real
+    trained model), and the score is a fixed-association dot product —
+    so the whole classifier runs inside whole-stage codegen with no
+    Python and no shuffle, and the doubles are bit-identical to the SQL
+    oracle (each feature divides exact integer counts; the dot product
+    adds terms in a fixed left-to-right order).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = token_count(t)
+    char_sum = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
+    mean_wl = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        char_sum.cast("double") / n_tok
+    )
+    bigrams = word_ngrams(t, 2)
+    n_bi = F.size(bigrams)
+    dup_bi = F.when(n_bi <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / n_bi
+    )
+    p_ratio = punct_ratio(t)
+    sw_ratio = stopword_ratio(t)
+    log_tok = F.log(F.lit(1.0) + n_tok.cast("double"))
+    w = QUALITY_WEIGHTS
+    score = (
+        F.lit(w[0]) * log_tok
+        + F.lit(w[1]) * mean_wl
+        + F.lit(w[2]) * dup_bi
+        + F.lit(w[3]) * p_ratio
+        + F.lit(w[4]) * sw_ratio
+        + F.lit(w[5])
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(log_tok, 6).alias("f_log_tokens"),
+        F.round(mean_wl, 6).alias("f_mean_word_len"),
+        F.round(dup_bi, 6).alias("f_dup_bigram"),
+        F.round(p_ratio, 6).alias("f_punct"),
+        F.round(sw_ratio, 6).alias("f_stopword"),
+        F.round(score, 6).alias("score"),
+    )

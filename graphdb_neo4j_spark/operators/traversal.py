@@ -1078,3 +1078,72 @@ def temporal_bfs(
         )
         frontier = improved
     return arrive
+
+
+def closeness_approx(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_samples: int = 8,
+    max_hops: int = 32,
+    directed: bool = True,
+) -> DataFrame:
+    """(key, closeness) — pivot-sampled harmonic closeness centrality:
+
+        closeness(v) = Σ_pivots 1/dist(pivot → v), scaled by V/k
+
+    (harmonic form, Boldi & Vigna "Axioms for centrality": sums of
+    reciprocal distances handle disconnected graphs without the ∞-mean
+    problem of classic closeness).  Pivots are the ``n_samples``
+    smallest md5(key) vertices — deterministic and reproducible, the
+    same convention as :func:`betweenness_approx`.  Cost is one
+    multi-source-tagged BFS per pivot, each O(diameter) join/agg
+    rounds; the reciprocal-distance sum accumulates in a (key, pivot)
+    long table folded once at the end, so per-round state is one
+    frontier DataFrame.
+    """
+    key_col = nodes.columns[0]
+    verts = nodes.select(F.col(key_col).alias("key")).distinct().localCheckpoint()
+    n_vertices = verts.count()
+    pivots = [
+        r["key"]
+        for r in verts.withColumn("__h", F.md5(F.col("key")))
+        .orderBy("__h")
+        .limit(n_samples)
+        .collect()
+    ]
+    spark = edges.sparkSession
+    e = (edges.select("src", "dst") if directed else _as_undirected(edges)).localCheckpoint()
+    # ONE tagged multi-source BFS: frontier rows carry their pivot, so
+    # all k sweeps advance together — k× fewer rounds/jobs than looping
+    # pivots, and each round is still a single co-partitioned join
+    visited = (
+        spark.createDataFrame([(p,) for p in pivots], ["pivot"])
+        .select("pivot", F.col("pivot").alias("key"))
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited
+    hop = 0
+    while hop < max_hops:
+        hop += 1
+        nxt = (
+            frontier.join(e, frontier["key"] == e["src"])
+            .select("pivot", F.col("dst").alias("key"))
+            .distinct()
+            .join(visited.select("pivot", "key"), ["pivot", "key"], "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    scale = float(n_vertices) / float(len(pivots)) if pivots else 0.0
+    summed = (
+        visited.filter(F.col("dist") > 0)
+        .groupBy("key")
+        .agg((F.sum(F.lit(1.0) / F.col("dist")) * F.lit(scale)).alias("closeness"))
+    )
+    return verts.join(summed, "key", "left").select(
+        "key", F.coalesce(F.col("closeness"), F.lit(0.0)).alias("closeness")
+    )

@@ -2684,3 +2684,73 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
     viewers = e.filter(F.col("event_type") == "view").select("user_id")
     buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
     return SK.kmv_set_overlap(viewers, buyers, "user_id")
+
+
+def _q69_sql() -> str:
+    w = T.QUALITY_WEIGHTS
+    t = "regexp_split_to_array(trim(text), '\\s+')"
+    n_tok = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({t}) END"
+    mean_wl = (
+        f"CASE WHEN {n_tok} = 0 THEN 0.0 ELSE "
+        f"CAST(list_sum(list_transform({t}, x -> length(x))) AS DOUBLE) / {n_tok} END"
+    )
+    bigrams = f"list_transform(range(1, len({t})), i -> {t}[i] || ' ' || {t}[i+1])"
+    dup_bi = (
+        f"CASE WHEN {n_tok} < 2 THEN 0.0 ELSE "
+        f"1.0 - CAST(len(list_distinct({bigrams})) AS DOUBLE) / ({n_tok} - 1) END"
+    )
+    p_ratio = (
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+        "CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))"
+        " AS DOUBLE) / length(text) END"
+    )
+    tl = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    sw_ratio = (
+        f"CASE WHEN trim(text) = '' THEN 0.0 ELSE "
+        f"CAST(len(list_filter({tl}, x -> x IN ({_EN_SW}))) AS DOUBLE)"
+        f" / len({tl}) END"
+    )
+    log_tok = f"ln(1.0 + CAST({n_tok} AS DOUBLE))"
+    score = (
+        f"{w[0]!r} * {log_tok} + {w[1]!r} * {mean_wl} + {w[2]!r} * {dup_bi}"
+        f" + {w[3]!r} * {p_ratio} + {w[4]!r} * {sw_ratio} + {w[5]!r}"
+    )
+    return f"""
+    SELECT doc_id,
+           ROUND({log_tok}, 6) AS f_log_tokens,
+           ROUND({mean_wl}, 6) AS f_mean_word_len,
+           ROUND({dup_bi}, 6) AS f_dup_bigram,
+           ROUND({p_ratio}, 6) AS f_punct,
+           ROUND({sw_ratio}, 6) AS f_stopword,
+           ROUND({score}, 6) AS score
+    FROM documents
+    """
+
+
+@query("q69_quality_feature_score", _q69_sql())
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-classifier feature vector + broadcast linear scorer as
+    one wide codegen projection — the model-based corpus filter shape:
+    no shuffle, no UDF, features and score bit-identical to the SQL
+    oracle (fixed-association dot product over exact-integer ratios)."""
+    docs = load_table(spark, sf, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return T.quality_feature_score(docs)
+
+
+@query("g54_corpus_closeness_approx")
+def g54(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot-sampled harmonic closeness over the SPAWNS graph — which
+    processes sit nearest the action.  Rows-only gate; exact-at-full-
+    sample Python oracle in tests/test_traversal.py."""
+    from graphdb_neo4j_spark.operators.traversal import closeness_approx
+
+    g = _corpus_graph(spark)
+    spawns = g.edges.filter(F.col("rel") == "SPAWNS").select("src", "dst")
+    nodes = g.process.select("key")
+    cl = closeness_approx(nodes, spawns, n_samples=8)
+    return (
+        cl.orderBy(F.col("closeness").desc(), F.col("key"))
+        .limit(20)
+        .select("key", F.round("closeness", 6).alias("closeness"))
+    )

@@ -503,3 +503,41 @@ def test_temporal_bfs_earlier_arrival_reopens_paths(spark):
     assert {k: v for k, v in got.items() if k != "s"} == \
         {k: v for k, v in want.items() if k != "s"}
     assert got["z"] == 25
+
+
+def test_closeness_approx_matches_python(spark, edges_df):
+    """With n_samples >= |V| every vertex is a pivot, so the sampled
+    estimate equals the exact harmonic closeness (scale = 1)."""
+    import hashlib
+
+    from graphdb_neo4j_spark.operators.traversal import closeness_approx
+
+    verts = sorted({v for e in EDGES for v in e})
+    nodes = spark.createDataFrame([(v,) for v in verts], ["key"])
+    got = {
+        r.key: r.closeness
+        for r in closeness_approx(nodes, edges_df, n_samples=len(verts)).collect()
+    }
+    # python oracle: pivots = all vertices (md5 order irrelevant at full
+    # sample), closeness(v) = sum over sources s of 1/dist(s,v)
+    want = {}
+    for v in verts:
+        total = 0.0
+        for s in verts:
+            d = py_bfs(EDGES, {s}).get(v)
+            if d and d > 0:
+                total += 1.0 / d
+        want[v] = total
+    # accumulate in the same per-pivot order Spark used (md5 ascending)
+    order = sorted(verts, key=lambda k: hashlib.md5(k.encode()).hexdigest())
+    want2 = {}
+    for v in verts:
+        t = 0.0
+        for s in order:
+            d = py_bfs(EDGES, {s}).get(v)
+            if d and d > 0:
+                t += 1.0 / d
+        want2[v] = t
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k] == pytest.approx(want2[k], abs=1e-9), k
