@@ -10,6 +10,10 @@ from graphdb_neo4j_spark.streaming.ingest import (
     streaming_neardup_dedup,
     windowed_event_counts,
 )
+from graphdb_neo4j_spark.streaming.dim import (
+    scd2_history,
+    streaming_scd2,
+)
 from graphdb_neo4j_spark.streaming.sketch import (
     cms_fold,
     compact_sketch_log,
@@ -29,6 +33,7 @@ __all__ = [
     "compact_graph_log",
     "compact_sketch_log",
     "hll_estimate",
+    "scd2_history",
     "stream_graph_ingest",
     "stream_spans",
     "streaming_ann_candidates",
@@ -38,6 +43,7 @@ __all__ = [
     "streaming_dedup_spans",
     "streaming_hll",
     "streaming_neardup_dedup",
+    "streaming_scd2",
     "streaming_tfidf",
     "windowed_event_counts",
 ]

@@ -111,3 +111,52 @@ def test_hll_merge_registers_equals_whole(spark):
     )
     whole = hll_registers(a.unionByName(b), "v")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+# ---------------------------------------------------------------------------
+# streaming SCD2 ≡ batch rebuild
+# ---------------------------------------------------------------------------
+
+def test_streaming_scd2_matches_batch(spark, tmp_path):
+    from graphdb_neo4j_spark.sources.tables import load_table
+    from graphdb_neo4j_spark.streaming.dim import scd2_history, streaming_scd2
+    from graphdb_neo4j_spark.workloads import QUERY_FNS
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    # append-ordered split: 3 sequential time slices (the CDC contract)
+    src = str(tmp_path / "ev_stream")
+    ordered = events.orderBy("ts", "event_id").collect()
+    n = len(ordered)
+    for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+        chunk = ordered[lo: lo + (n + 2) // 3]
+        spark.createDataFrame(chunk, events.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/part{i}")
+    state = str(tmp_path / "scd2_state")
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/part*")
+    q = streaming_scd2(stream, state).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+    got = {
+        tuple(r)
+        for r in scd2_history(spark, state)
+        .select("user_id", "state", "effective_from_us", "effective_to_us",
+                "version", "is_current")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in QUERY_FNS["q61_scd2_user_state"](spark, sf)
+        .select(F.col("user_id"), F.col("state"), F.col("effective_from_us"),
+                F.col("effective_to_us"), F.col("version"), F.col("is_current"))
+        .collect()
+    }
+    assert got == want
+    # multiple batches actually ran
+    n_batches = (
+        spark.read.parquet(f"{state}/meta").select("batch_id").distinct().count()
+    )
+    assert n_batches >= 3
