@@ -2754,3 +2754,37 @@ def g54(spark: SparkSession, sf: str) -> DataFrame:
         .limit(20)
         .select("key", F.round("closeness", 6).alias("closeness"))
     )
+
+
+@query(
+    "q70_equidepth_histogram",
+    """
+    WITH tiled AS (
+      SELECT value, NTILE(10) OVER (ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           MIN(value) AS lo, MAX(value) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM tiled GROUP BY bucket
+    """,
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth (10-bucket) histogram of event values — the
+    optimizer-statistics / drift-monitoring primitive.  The oracle uses
+    NTILE, but a Spark NTILE over an unpartitioned window collapses to
+    ONE task; the Spark side instead assigns identical buckets from a
+    DISTRIBUTED total order (range shuffle + per-partition rank +
+    driver-side cumulative partition counts — `operators/order.py`),
+    then a tiny 10-group aggregate."""
+    from graphdb_neo4j_spark.operators.order import ntile_distributed
+
+    e = load_table(spark, sf, "events")
+    tiled = ntile_distributed(
+        e.select("value", "event_id"), ["value", "event_id"], k=10
+    )
+    return tiled.groupBy("bucket").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").cast("bigint").alias("n"),
+    ).select(F.col("bucket").cast("int"), "lo", "hi", "n")

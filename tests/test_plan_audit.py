@@ -262,3 +262,28 @@ def test_q65_profile_single_scan(spark):
     plan = explain_str(df)
     assert plan.count("events.parquet") == 1
     assert "Expand" in plan
+
+
+def test_q69_scorer_no_hash_shuffle(spark):
+    """Feature vector + linear score is a pure projection: the only
+    Exchange is the deliberate round-robin input spread."""
+    df = QUERY_FNS["q69_quality_feature_score"](spark, SF)
+    plan = explain_str(df)
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_q68_overlap_moves_only_hashes(spark):
+    """Both KMV samples are map-side top-k folds (TakeOrdered), not
+    full sorts of the input."""
+    df = QUERY_FNS["q68_kmv_user_overlap"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_q70_histogram_no_single_partition_window(spark):
+    """Bucket assignment comes from the distributed contiguous index,
+    never a SinglePartition NTILE window."""
+    df = QUERY_FNS["q70_equidepth_histogram"](spark, SF)
+    plan = explain_str(df)
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan, plan

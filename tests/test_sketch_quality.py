@@ -197,3 +197,26 @@ def test_kmv_set_overlap_disjoint_and_identical(spark):
     assert row.est_union == 100.0  # exact fallback under k
     same = kmv_set_overlap(a, a, "v").head()
     assert same.est_jaccard == 1.0 and same.est_union == 50.0
+
+
+def test_ntile_distributed_matches_sql_ntile(spark):
+    from pyspark.sql import Window
+
+    from graphdb_neo4j_spark.operators.order import ntile_distributed
+
+    # n=103, k=10: first 3 buckets get 11 rows, the rest 10 — the
+    # uneven case where NTILE arithmetic goes wrong if off by one
+    df = spark.range(103).select(
+        (F.col("id") * 37 % 103).alias("v"), F.col("id").alias("tie")
+    )
+    got = {
+        (r.v, r.tie): r.bucket
+        for r in ntile_distributed(df, ["v", "tie"], k=10).collect()
+    }
+    want = {
+        (r.v, r.tie): r.nt
+        for r in df.withColumn(
+            "nt", F.ntile(10).over(Window.orderBy("v", "tie"))
+        ).collect()
+    }
+    assert got == want
