@@ -183,46 +183,11 @@ def compact_dfreq_log(spark: SparkSession, state_path: str) -> None:
 def _contiguous_index(
     df: DataFrame, order_cols: list[str], out_col: str = "seq"
 ) -> tuple[DataFrame, DataFrame]:
-    """Contiguous 0-based global index in (``order_cols``) order
-    WITHOUT collapsing to one partition: range-partition on the order
-    key, rank within each partition, then add the cumulative row count
-    of earlier partitions (one int per partition fetched to the
-    driver — never data rows).
+    """Delegates to :func:`graphdb_neo4j_spark.operators.order.
+    contiguous_index` (lifted there so batch operators share it)."""
+    from graphdb_neo4j_spark.operators.order import contiguous_index
 
-    Returns ``(indexed_df, persisted_handle)``: the range-partitioned
-    intermediate MUST stay persisted until the caller consumes the
-    result (range boundaries are sampled per evaluation, so a
-    recomputation between the counts pass and the rank pass could
-    repartition differently and corrupt the offsets) — the caller
-    unpersists the handle when done."""
-    spark = df.sparkSession
-    np = spark.sparkContext.defaultParallelism
-    keyed = (
-        df.repartitionByRange(np, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
-    counts = dict(
-        (r["__pid"], r["n"])
-        for r in keyed.groupBy("__pid").agg(F.count("*").alias("n")).collect()
-    )
-    base, offs = 0, {}
-    for pid in sorted(counts):
-        offs[pid] = base
-        base += counts[pid]
-    off_df = spark.createDataFrame(
-        [(int(pid), int(off)) for pid, off in offs.items()] or [(0, 0)],
-        "__pid int, __off long",
-    )
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
-    out = (
-        keyed.join(F.broadcast(off_df), "__pid")
-        .withColumn(
-            out_col, F.col("__off") + F.row_number().over(w) - F.lit(1)
-        )
-        .drop("__pid", "__off")
-    )
-    return out, keyed
+    return contiguous_index(df, order_cols, out_col)
 
 
 def streaming_chunks(
