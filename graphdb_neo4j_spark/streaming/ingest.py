@@ -295,3 +295,44 @@ def streaming_dedup_spans(
         "tags",
     ).withWatermark("event_time", watermark_delay)
     return keyed.dropDuplicatesWithinWatermark(["trace_id", "span_idx"])
+
+
+def progress_metrics(query) -> dict:
+    """Operational metrics of a streaming query, folded over all
+    progress events so far: rows processed, state rows, and — the one
+    that matters for correctness monitoring — ``late_rows_dropped``
+    (events that arrived beyond the watermark and were silently
+    discarded by a stateful operator).
+
+    Scope note: Spark only counts ``numRowsDroppedByWatermark`` for
+    rows that REACH a state operator (stream-stream joins, streaming
+    dedup, *GroupsWithState); plain append-mode aggregations filter
+    late rows before the state store, so their drops surface only as
+    sink-output absence — assert on the sink (the tests do) and treat
+    this metric as the join/dedup-path counter.
+
+    At 100 TB a nonzero drop rate is the difference between "the
+    pipeline is fine" and "we quietly lost a shard's worth of events";
+    surface it next to every watermarked aggregation.
+    """
+    out = {
+        "n_progress_events": 0,
+        "input_rows": 0,
+        "late_rows_dropped": 0,
+        "state_rows": 0,
+        "last_watermark": None,
+    }
+    for p in query.recentProgress:
+        out["n_progress_events"] += 1
+        out["input_rows"] += int(p.get("numInputRows") or 0)
+        wm = (p.get("eventTime") or {}).get("watermark")
+        if wm and wm != "1970-01-01T00:00:00.000Z":
+            out["last_watermark"] = wm
+        for op in p.get("stateOperators") or []:
+            out["late_rows_dropped"] += int(
+                op.get("numRowsDroppedByWatermark") or 0
+            )
+            out["state_rows"] = max(
+                out["state_rows"], int(op.get("numRowsTotal") or 0)
+            )
+    return out

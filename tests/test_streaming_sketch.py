@@ -160,3 +160,62 @@ def test_streaming_scd2_matches_batch(spark, tmp_path):
         spark.read.parquet(f"{state}/meta").select("batch_id").distinct().count()
     )
     assert n_batches >= 3
+
+
+def test_progress_metrics_counts_late_drops(spark, tmp_path):
+    """An event older than (max event time − watermark) at batch
+    boundary is dropped by the watermarked aggregation: absent from the
+    sink, with watermark progression visible in progress_metrics."""
+    import time as _time
+
+    from graphdb_neo4j_spark.streaming.ingest import progress_metrics
+
+    src = str(tmp_path / "late_src")
+    base = 1_700_000_000_000_000  # µs
+    hour = 3_600_000_000
+    on_time = [(base + i * hour, f"u{i}") for i in range(6)]
+    spark.createDataFrame(on_time, "t long, u string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f0")
+    # second file: one fresh row + one row 5h older than the max seen
+    spark.createDataFrame(
+        [(base + 7 * hour, "fresh"), (base, "too_late")], "t long, u string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+
+    stream = spark.readStream.schema("t long, u string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/f*")
+    agg = (
+        stream.select(F.timestamp_micros("t").alias("et"), "u")
+        .withWatermark("et", "1 hour")
+        .groupBy(F.window("et", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    out = str(tmp_path / "late_out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{out}_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    for _ in range(20):
+        m = progress_metrics(q)
+        if m["n_progress_events"]:
+            break
+        _time.sleep(0.5)
+    assert m["input_rows"] == 8
+    # watermark advanced past the first batch's max event time - delay
+    assert m["last_watermark"] is not None
+    # the data-level proof of the drop: the too_late row's window
+    # ([base, base+1h), already expired+emitted in batch 1) would have
+    # counted 2 rows if it had been accepted — the sink shows 1
+    res = {
+        (r["window"]["start"].isoformat(), r["n"])
+        for r in spark.read.parquet(out).collect()
+    }
+    base_s = "2023-11-14T22:13:20"
+    counts = {w: n for w, n in res}
+    assert counts.get(base_s, 1) == 1  # too_late did NOT increment it
