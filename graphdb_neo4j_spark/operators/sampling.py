@@ -164,3 +164,58 @@ def pack_sequences(
         F.lit(0),
     )
     return df.withColumn("bin", F.floor(cum_excl / F.lit(budget)).cast("bigint"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k items
+    with inclusion probability ∝ ``weight_col`` — Efraimidis-Spirakis
+    A-ES: each item gets key = ln(u)/w for u uniform in (0,1); the k
+    LARGEST keys are the sample.  (Equivalent to ranking u^(1/w); the
+    ln form avoids pow.)
+
+    u comes from the md5 hash of ``seed|id`` via the 52-bit dyadic
+    fraction — so the "randomness" is a pure function of the id, the
+    sample is reproducible under reprocessing/retries (the property
+    that matters in a 100 TB pipeline), and the DuckDB oracle replays
+    it bit-for-bit (ln over identical doubles, one division by the
+    exact weight).  Execution: map-side key computation fused into the
+    scan + one TakeOrdered top-k — no global sort, no shuffle of the
+    un-sampled mass.  Zero/negative weights are excluded (their
+    inclusion probability is 0).
+    """
+    from graphdb_neo4j_spark.operators.sketch import _hex_frac
+
+    u = _hex_frac(F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string"))))
+    # ln differs in the last ulp between engines for some inputs; rank
+    # on the 12-dp ROUNDED key (id tiebreak) so both engines agree at
+    # the k boundary — the same round-before-rank rule as q26/q50
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 12)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", key)
+        .orderBy(F.col("es_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(
+    table: str, k: int, weight_sql: str, id_sql: str = "doc_id", seed: str = "ws"
+) -> str:
+    """DuckDB oracle for :func:`weighted_sample` (same hash fraction,
+    same ln, same division, same (key DESC, id) ranking)."""
+    from graphdb_neo4j_spark.operators.sketch import hex_frac_sql
+
+    frac = hex_frac_sql(f"md5('{seed}|' || CAST({id_sql} AS VARCHAR))")
+    return f"""
+    SELECT *, ROUND(ln({frac}) / CAST({weight_sql} AS DOUBLE), 12) AS es_key
+    FROM {table}
+    WHERE {weight_sql} > 0
+    ORDER BY es_key DESC, {id_sql}
+    LIMIT {k}
+    """

@@ -2788,3 +2788,20 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
         F.max("value").alias("hi"),
         F.count("*").cast("bigint").alias("n"),
     ).select(F.col("bucket").cast("int"), "lo", "hi", "n")
+
+
+@query(
+    "q71_weighted_sample_docs",
+    SP.weighted_sample_sql(
+        "(SELECT doc_id, source, n_chars FROM documents)",
+        k=50, weight_sql="n_chars", id_sql="doc_id",
+    ),
+)
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES keys
+    from md5-derived uniforms): 50 documents with inclusion probability
+    ∝ length — the quality/length-weighted corpus subsampling primitive,
+    reproducible under retries and replayed exactly by the oracle.
+    Map-side keys + TakeOrdered top-k; nothing else moves."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return SP.weighted_sample(docs, k=50, weight_col="n_chars", id_col="doc_id")

@@ -287,3 +287,11 @@ def test_q70_histogram_no_single_partition_window(spark):
     plan = explain_str(df)
     assert "SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan, plan
+
+
+def test_q71_weighted_sample_is_takeordered(spark):
+    """Sampling k of N must be a TakeOrdered top-k, never a global sort
+    of the corpus."""
+    df = QUERY_FNS["q71_weighted_sample_docs"](spark, SF)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan

@@ -220,3 +220,24 @@ def test_ntile_distributed_matches_sql_ntile(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_weighted_sample_prefers_heavy_items(spark):
+    from graphdb_neo4j_spark.operators.sampling import weighted_sample
+
+    # 100 heavy items (w=50) vs 900 light (w=1): a 100-sample should be
+    # dominated by heavy items (E[heavy] ≈ 85; deterministic given md5)
+    rows = [(i, 50 if i < 100 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = weighted_sample(df, k=100, weight_col="w", id_col="doc_id").collect()
+    n_heavy = sum(1 for r in got if r.doc_id < 100)
+    assert n_heavy > 60
+    # reproducible: same input -> same sample
+    again = weighted_sample(df, k=100, weight_col="w", id_col="doc_id").collect()
+    assert {r.doc_id for r in got} == {r.doc_id for r in again}
+    # zero-weight items can never appear
+    with_zero = spark.createDataFrame(
+        [(1, 0), (2, 5)], ["doc_id", "w"]
+    )
+    only = weighted_sample(with_zero, k=5, weight_col="w", id_col="doc_id").collect()
+    assert [r.doc_id for r in only] == [2]
