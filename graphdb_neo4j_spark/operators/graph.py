@@ -200,6 +200,24 @@ class GraphQuery:
             bound.update((src, dst))
         return result
 
+    def find_optional(self, motif: str, optional: str) -> DataFrame:
+        """``MATCH motif OPTIONAL MATCH optional`` — the required motif
+        result left-joined against the optional pattern group on their
+        shared node variables; optional-only variables (and edge-prop
+        structs) come back NULL where the optional group has no match.
+        Cypher semantics per optional GROUP: rows multiply when the
+        optional part matches several times, and survive (with NULLs)
+        when it matches none.  One extra left hash join — AQE/CBO still
+        free to broadcast the smaller side."""
+        req = self.find(motif)
+        opt = self.find(optional)
+        shared = [c for c in req.columns if c in opt.columns]
+        if not shared:
+            raise ValueError(
+                "optional pattern shares no node variable with the motif"
+            )
+        return req.join(opt, on=shared, how="left")
+
     # -- set-style patterns --------------------------------------------------
 
     def semi(self, keys: DataFrame, rel: str, key_col: str = "key") -> DataFrame:

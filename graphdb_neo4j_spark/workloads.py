@@ -2805,3 +2805,27 @@ def q71(spark: SparkSession, sf: str) -> DataFrame:
     Map-side keys + TakeOrdered top-k; nothing else moves."""
     docs = load_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
     return SP.weighted_sample(docs, k=50, weight_col="n_chars", id_col="doc_id")
+
+
+@query("g55_optional_match_spawn_files")
+def g55(spark: SparkSession, sf: str) -> DataFrame:
+    """OPTIONAL MATCH over the provenance graph: every SPAWNS edge,
+    left-extended by the child's CREATED_FILE targets — parents whose
+    children touch no files keep a NULL file column (count_distinct
+    skips them), the Cypher OPTIONAL MATCH shape analysts reach for
+    first.  Rows-only gate; exact semantics pinned in
+    tests/test_graph_query.py."""
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    g = _corpus_graph(spark)
+    gq = GraphQuery.from_graph(g)
+    out = gq.find_optional("(a)-[SPAWNS]->(b)", "(b)-[CREATED_FILE]->(f)")
+    return (
+        out.groupBy("a")
+        .agg(
+            F.count_distinct("b").alias("n_children"),
+            F.count_distinct("f").alias("n_files"),
+        )
+        .orderBy(F.col("n_files").desc(), F.col("n_children").desc(), F.col("a"))
+        .limit(20)
+    )

@@ -82,3 +82,34 @@ def test_degrees(gq):
     assert d["a"] == (0, 2)
     assert d["d"] == (1, 1)
     assert d["1.1.1.1"] == (1, 0)
+
+
+def test_find_optional_match(spark):
+    """OPTIONAL MATCH: required rows survive with NULLs when the
+    optional hop has no match, multiply when it has several."""
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    nodes = spark.createDataFrame(
+        [("P", k) for k in ["p1", "p2", "c1", "c2"]] + [("F", "f1"), ("F", "f2")],
+        ["label", "key"],
+    )
+    edges = spark.createDataFrame(
+        [
+            ("SPAWNS", "p1", "c1", None),
+            ("SPAWNS", "p2", "c2", None),
+            ("CREATED_FILE", "c1", "f1", None),
+            ("CREATED_FILE", "c1", "f2", None),
+            # c2 creates nothing
+        ],
+        "rel string, src string, dst string, event_id string",
+    )
+    gq = GraphQuery(nodes=nodes, edges=edges)
+    out = gq.find_optional("(a)-[SPAWNS]->(b)", "(b)-[CREATED_FILE]->(f)")
+    rows = {(r.a, r.b, r.f) for r in out.collect()}
+    assert rows == {
+        ("p1", "c1", "f1"),
+        ("p1", "c1", "f2"),
+        ("p2", "c2", None),  # survives with NULL
+    }
+    with pytest.raises(ValueError):
+        gq.find_optional("(a)-[SPAWNS]->(b)", "(x)-[CREATED_FILE]->(y)")
