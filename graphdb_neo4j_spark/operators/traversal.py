@@ -1147,3 +1147,114 @@ def closeness_approx(
     return verts.join(summed, "key", "left").select(
         "key", F.coalesce(F.col("closeness"), F.lit(0.0)).alias("closeness")
     )
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    weight_col: str = "w",
+    iterations: int = 10,
+    damping: float = 0.85,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """(key, rank) — PageRank over WEIGHTED edges: a vertex splits its
+    rank across out-edges proportionally to edge weight
+    (contribution = rank · w/Σ_out w) instead of uniformly.  The
+    natural formulation for co-occurrence / co-purchase graphs where
+    edge multiplicity is signal.  Same execution shape as
+    :func:`pagerank`: the weighted out-degree joins once up front, then
+    one co-partitioned join + grouped sum per iteration.
+    """
+    w = F.col(weight_col).cast("double")
+    e = edges.select("src", "dst", w.alias("w")).filter(F.col("w") > 0)
+    if nodes is None:
+        verts = (
+            e.select(F.col("src").alias("key"))
+            .unionByName(e.select(F.col("dst").alias("key")))
+            .distinct()
+        )
+    else:
+        verts = nodes.select(F.col(nodes.columns[0]).alias("key")).distinct()
+    verts = verts.localCheckpoint()
+    out_w = e.groupBy(F.col("src").alias("key")).agg(F.sum("w").alias("out_w"))
+    links = e.join(out_w, e["src"] == out_w["key"]).select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("frac")
+    ).localCheckpoint()
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        contribs = (
+            links.join(ranks, links["src"] == ranks["key"])
+            .select(
+                F.col("dst").alias("key"),
+                (F.col("rank") * F.col("frac")).alias("contrib"),
+            )
+            .groupBy("key")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        ranks = (
+            verts.join(contribs, "key", "left")
+            .select(
+                "key",
+                (F.lit(1.0 - damping)
+                 + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                 ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def densest_subgraph(
+    edges: DataFrame, epsilon: float = 0.1, max_iter: int = 50
+) -> tuple[DataFrame, float]:
+    """(vertices DataFrame, density) — greedy densest-subgraph
+    2(1+ε)-approximation (Bahmani, Kumar & Vassilvitskii, "Densest
+    Subgraph in Streaming and MapReduce", VLDB 2012):
+
+    repeat: compute average degree ρ of the current subgraph; remove
+    EVERY vertex with degree ≤ (1+ε)·ρ at once; keep the iterate with
+    the best density seen.  Each round is one degree aggregation + two
+    semi-joins, and the vertex set shrinks geometrically — O(log n)
+    rounds total, the property that makes this THE dataflow-friendly
+    densest-subgraph algorithm (sequential Charikar peeling is O(n)
+    rounds).  Undirected simple graph; density = |E|/|V|.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur_edges = und
+    best_verts: DataFrame | None = None
+    best_density = -1.0
+    for _ in range(max_iter):
+        n_e = cur_edges.count()
+        if n_e == 0:
+            break
+        deg = (
+            cur_edges.select(F.col("src").alias("key"))
+            .unionByName(cur_edges.select(F.col("dst").alias("key")))
+            .groupBy("key")
+            .agg(F.count("*").alias("deg"))
+            .localCheckpoint()
+        )
+        n_v = deg.count()
+        density = n_e / n_v
+        if density > best_density:
+            best_density = density
+            best_verts = deg.select("key")
+        threshold = (1.0 + epsilon) * 2.0 * density  # avg degree = 2|E|/|V|
+        keep = deg.filter(F.col("deg") > threshold).select("key").localCheckpoint()
+        if keep.isEmpty():
+            break
+        cur_edges = (
+            cur_edges.join(keep.withColumnRenamed("key", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("key", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    if best_verts is None:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "key string"), 0.0
+    return best_verts, best_density

@@ -2829,3 +2829,43 @@ def g55(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("n_files").desc(), F.col("n_children").desc(), F.col("a"))
         .limit(20)
     )
+
+
+@query("g56_copurchase_weighted_pagerank")
+def g56(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted PageRank over the part co-purchase graph — edge weight
+    = co-purchase multiplicity, so rank flows along the strong links.
+    Rows-only gate; Python oracle in tests/test_traversal.py."""
+    from graphdb_neo4j_spark.operators.traversal import pagerank_weighted
+
+    li = load_table(spark, sf, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") != F.col("pb"))
+        .groupBy(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    ranks = pagerank_weighted(pairs, iterations=8)
+    return (
+        ranks.orderBy(F.col("rank").desc(), F.col("key"))
+        .limit(20)
+        .select("key", F.round("rank", 6).alias("rank"))
+    )
+
+
+@query("g57_corpus_densest_subgraph")
+def g57(spark: SparkSession, sf: str) -> DataFrame:
+    """Densest subgraph of the undirected provenance graph (Bahmani et
+    al. MapReduce peel, 2(1+ε)-approx) — the tightest activity cluster,
+    where injection/lateral-movement hubs concentrate.  Rows-only gate;
+    planted-clique oracle test in tests/test_traversal.py."""
+    from graphdb_neo4j_spark.operators.traversal import densest_subgraph
+
+    g = _corpus_graph(spark)
+    verts, density = densest_subgraph(g.edges.select("src", "dst"), epsilon=0.1)
+    n = verts.count()
+    return spark.createDataFrame(
+        [(n, float(round(density, 6)))], "n_vertices long, density double"
+    )

@@ -541,3 +541,61 @@ def test_closeness_approx_matches_python(spark, edges_df):
     assert set(got) == set(want)
     for k in got:
         assert got[k] == pytest.approx(want2[k], abs=1e-9), k
+
+
+def py_pagerank_weighted(edges, iterations=10, d=0.85):
+    verts = sorted({v for s, t, _ in edges for v in (s, t)})
+    out_w: dict[str, float] = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0.0) + w
+    rank = {v: 1.0 for v in verts}
+    for _ in range(iterations):
+        contrib: dict[str, float] = {}
+        for s, t, w in edges:
+            contrib[t] = contrib.get(t, 0.0) + rank[s] * (w / out_w[s])
+        rank = {v: (1 - d) + d * contrib.get(v, 0.0) for v in verts}
+    return rank
+
+
+def test_pagerank_weighted_matches_python(spark):
+    from graphdb_neo4j_spark.operators.traversal import pagerank_weighted
+
+    wedges = [
+        ("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0),
+        ("c", "a", 1.0), ("c", "b", 1.0),
+    ]
+    edges = spark.createDataFrame(wedges, ["src", "dst", "w"])
+    got = {r.key: r.rank for r in pagerank_weighted(edges, iterations=10).collect()}
+    want = py_pagerank_weighted(wedges)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+    # b gets 3x a's mass vs c's 1x: with equal damping, b outranks c's
+    # share from a — weighted split actually happened
+    uw = {r.key: r.rank for r in pagerank_weighted(
+        edges.withColumn("w", F.lit(1.0)), iterations=10).collect()}
+    assert got["b"] > uw["b"]
+
+
+def test_densest_subgraph_finds_planted_clique(spark):
+    from graphdb_neo4j_spark.operators.traversal import densest_subgraph
+
+    # planted K6 (density 15/6 = 2.5) + a long sparse path (density ~1)
+    clique = [(f"k{i}", f"k{j}") for i in range(6) for j in range(i + 1, 6)]
+    path = [(f"p{i}", f"p{i+1}") for i in range(30)] + [("p0", "k0")]
+    edges = spark.createDataFrame(clique + path, ["src", "dst"])
+    verts, density = densest_subgraph(edges, epsilon=0.05)
+    got = {r.key for r in verts.collect()}
+    # 2(1+eps)-approx guarantee: density >= OPT/2(1+eps); OPT >= 2.5
+    assert density >= 2.5 / (2 * 1.05) - 1e-9
+    # the clique survives peeling (sparse path peels away first)
+    assert {f"k{i}" for i in range(6)} <= got
+    assert density > 1.2
+
+
+def test_densest_subgraph_empty(spark):
+    from graphdb_neo4j_spark.operators.traversal import densest_subgraph
+
+    edges = spark.createDataFrame([], "src string, dst string")
+    verts, density = densest_subgraph(edges)
+    assert verts.count() == 0 and density == 0.0
