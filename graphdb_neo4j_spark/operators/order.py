@@ -19,19 +19,21 @@ def contiguous_index(
     """Contiguous 0-based global index in (``order_cols``) order
     without collapsing to one partition.
 
-    Returns ``(indexed_df, persisted_handle)``: the range-partitioned
-    intermediate MUST stay persisted until the caller consumes the
-    result (range boundaries are sampled per evaluation, so a
-    recomputation between the counts pass and the rank pass could
-    repartition differently and corrupt the offsets) — the caller
-    unpersists the handle when done.
+    Returns ``(indexed_df, checkpoint_handle)``: the range-partitioned
+    intermediate is ``localCheckpoint``-ed (not merely cached) — range
+    boundaries are sampled per evaluation, so a recomputation between
+    the counts pass and the rank pass could repartition differently and
+    corrupt the offsets; checkpointing freezes the partitioning, and a
+    lost block fails loudly instead of silently resampling.  Blocks are
+    released when the handle is garbage-collected (or explicitly via
+    ``handle.unpersist()`` once the caller's final action has run).
     """
     spark = df.sparkSession
     np = spark.sparkContext.defaultParallelism
     keyed = (
         df.repartitionByRange(np, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = dict(
         (r["__pid"], r["n"])
@@ -74,6 +76,7 @@ def ntile_distributed(
         F.col("__seq") < cut, F.floor(F.col("__seq") / size_big)
     ).otherwise(big + F.floor((F.col("__seq") - cut) / size_small))
     out = indexed.withColumn(out_col, (bucket + 1).cast("int")).drop("__seq")
-    # the handle stays persisted through this plan; safe to let the
-    # caller's action consume it (unpersist happens at GC / session end)
+    # the checkpointed handle backs this plan; its blocks are released
+    # when the handle is GC-d after the caller's action consumes `out`
+    # (localCheckpoint, unlike persist, is not pinned for the session)
     return out

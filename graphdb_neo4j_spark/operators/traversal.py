@@ -880,11 +880,16 @@ def personalized_pagerank(
     else:
         verts = nodes.select(F.col(nodes.columns[0]).alias("key")).distinct()
     verts = verts.localCheckpoint()
-    n_src = sources.count()
-    restart = (
-        sources.select(F.col(sources.columns[0]).alias("key")).distinct()
-        .withColumn("restart", F.lit(1.0 / float(n_src)))
+    # restart mass is assigned to DISTINCT sources, so |S| must be the
+    # distinct count too — a duplicated source row must not deflate the
+    # restart vector below sum=1
+    src_distinct = (
+        sources.select(F.col(sources.columns[0]).alias("key"))
+        .distinct()
+        .localCheckpoint()
     )
+    n_src = src_distinct.count()
+    restart = src_distinct.withColumn("restart", F.lit(1.0 / float(n_src)))
     base = verts.join(restart, "key", "left").select(
         "key", F.coalesce(F.col("restart"), F.lit(0.0)).alias("restart")
     ).localCheckpoint()

@@ -16,6 +16,21 @@ Exactly-once: the per-batch partition is overwritten on replay
 replay anyway (MAX and per-partition-replaced SUM), so a crashed batch
 re-runs harmlessly.
 
+Compaction crash-safety protocol (no transaction log needed):
+
+* only checkpoint-COMMITTED batch ids are folded (read from the
+  stream's ``commits/`` directory), so a batch that is later replayed
+  can never already be inside the fold — replay re-creates its own
+  partition via dynamic overwrite, exactly as before compaction;
+* the fold lands in the ``batch_id = -1`` partition (one atomic
+  job-commit via dynamic partition overwrite) carrying a
+  ``compacted_through`` watermark column = the max batch id folded;
+* BOTH the read-side folds and the next compaction ignore rows with
+  ``0 <= batch_id <= compacted_through`` — so deleting the consumed
+  source partitions is pure garbage collection: a crash between the
+  fold commit and the deletes leaves duplicates on disk that no
+  reader ever counts, and re-running compaction completes the GC.
+
 Equivalence guarantee, pinned by tests/test_streaming_sketch.py:
 folding the log over ANY batch split of the input yields bit-identical
 estimates to the batch operator on the whole input — the defining
@@ -36,11 +51,50 @@ from graphdb_neo4j_spark.operators.sketch import (
 
 def _write_by_batch(df: DataFrame, path: str) -> None:
     (
-        df.write.mode("overwrite")
+        # compacted_through = -1 marks a raw delta; only the batch_id=-1
+        # fold partition carries a real watermark (see module docstring)
+        df.withColumn("compacted_through", F.lit(-1))
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(path)
     )
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def _committed_batch_ids(spark: SparkSession, ckpt_path: str) -> set[int] | None:
+    """Batch ids the streaming checkpoint has committed, or ``None`` if
+    no commits directory exists (non-streaming / test-only logs, where
+    every written partition is final by construction)."""
+    fs, p = _hadoop_path(spark, f"{ckpt_path}/commits")
+    if not fs.exists(p):
+        return None
+    ids: set[int] = set()
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.isdigit():
+            ids.add(int(name))
+    return ids
+
+
+def _live_rows(log: DataFrame) -> tuple[DataFrame, int]:
+    """(live, compacted_through): drop source partitions already folded
+    into ``batch_id = -1`` — leftovers from a crash between the fold
+    commit and the partition GC must never be double-counted."""
+    ct_row = (
+        log.where(F.col("batch_id") == -1)
+        .agg(F.max("compacted_through"))
+        .head()
+    )
+    ct = ct_row[0] if ct_row and ct_row[0] is not None else -1
+    live = log.where((F.col("batch_id") == -1) | (F.col("batch_id") > ct))
+    return live, int(ct)
 
 
 def streaming_hll(stream_df: DataFrame, col: str, state_path: str):
@@ -62,7 +116,7 @@ def streaming_hll(stream_df: DataFrame, col: str, state_path: str):
 def hll_estimate(spark: SparkSession, state_path: str) -> DataFrame:
     """Live estimate from the streaming register log — bit-identical to
     the batch estimate over all data seen (merge = MAX per bucket)."""
-    log = spark.read.parquet(f"{state_path}/hll_log")
+    log, _ = _live_rows(spark.read.parquet(f"{state_path}/hll_log"))
     regs = log.groupBy("bucket").agg(F.max("reg").alias("reg"))
     return hll_estimate_from_registers(regs)
 
@@ -92,33 +146,70 @@ def cms_fold(spark: SparkSession, state_path: str) -> DataFrame:
     """(r, bucket, cnt) — the live counter matrix: per-cell SUM over
     all batch deltas.  Feed straight into
     :func:`~graphdb_neo4j_spark.operators.sketch.cms_estimate`."""
-    log = spark.read.parquet(f"{state_path}/cms_log")
+    log, _ = _live_rows(spark.read.parquet(f"{state_path}/cms_log"))
     return log.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def compact_sketch_log(spark: SparkSession, state_path: str, kind: str) -> None:
-    """Fold a sketch log to a single ``batch_id = -1`` partition so the
-    read side stays O(cells) regardless of stream age.  ``kind`` is
-    ``'hll'`` or ``'cms'``.  Safe to run between triggers: the fold is
-    itself a valid delta, and replacing the log with it preserves every
-    future fold's result (associativity of MAX / SUM)."""
+    """Fold a sketch log into the single ``batch_id = -1`` partition so
+    the read side stays O(cells) regardless of stream age.  ``kind`` is
+    ``'hll'`` or ``'cms'``.
+
+    Crash-safe and replay-safe (module docstring): only
+    checkpoint-committed batches are folded, the fold is ONE atomic
+    dynamic-partition-overwrite of the ``-1`` partition stamped with a
+    ``compacted_through`` watermark, and source-partition deletion is
+    idempotent GC that readers never depend on.  Safe to run between
+    triggers: an in-flight (uncommitted) batch is left untouched and a
+    replayed one rewrites its own partition above the watermark.
+    """
     if kind == "hll":
         path = f"{state_path}/hll_log"
-        folded = (
-            spark.read.parquet(path)
-            .groupBy("bucket").agg(F.max("reg").alias("reg"))
-            .withColumn("batch_id", F.lit(-1))
-        )
+        key_cols, agg = ["bucket"], F.max("reg").alias("reg")
     elif kind == "cms":
         path = f"{state_path}/cms_log"
-        folded = (
-            spark.read.parquet(path)
-            .groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
-            .withColumn("batch_id", F.lit(-1))
-        )
+        key_cols, agg = ["r", "bucket"], F.sum("cnt").alias("cnt")
     else:
         raise ValueError(f"unknown sketch kind: {kind}")
-    # materialize before the destructive rewrite (read-before-overwrite)
+
+    log = spark.read.parquet(path)
+    live, ct_old = _live_rows(log)
+    committed = _committed_batch_ids(spark, f"{state_path}/_ckpt_{kind}")
+    present = {
+        int(r["batch_id"])
+        for r in live.select("batch_id").distinct().collect()
+    }
+    eligible = sorted(
+        b for b in present
+        if b >= 0 and (committed is None or b in committed)
+    )
+    if not eligible:
+        return  # nothing committed beyond the current watermark
+    ct_new = max(eligible)
+
+    folded = (
+        live.where(
+            (F.col("batch_id") == -1) | F.col("batch_id").isin(eligible)
+        )
+        .groupBy(*key_cols)
+        .agg(agg)
+        .withColumn("compacted_through", F.lit(ct_new))
+        .withColumn("batch_id", F.lit(-1))
+    )
+    # materialize before rewriting the partition the plan reads from;
+    # sketch state is O(cells) by construction, never data-proportional
     rows = folded.collect()
-    compacted = spark.createDataFrame(rows, folded.schema)
-    compacted.write.mode("overwrite").partitionBy("batch_id").parquet(path)
+    (
+        spark.createDataFrame(rows, folded.schema)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+    # GC the consumed source partitions — readers already ignore
+    # batch_id <= ct_new, so a crash anywhere below is harmless and a
+    # re-run of compact completes the cleanup
+    fs, _ = _hadoop_path(spark, path)
+    jvm = spark._jvm
+    for b in eligible:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id={b}"), True)

@@ -2325,7 +2325,7 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ),
     changes AS (
-      SELECT user_id, event_type, ts_us
+      SELECT user_id, event_type, ts_us, event_id
       FROM ordered
       WHERE prev_type IS NULL OR event_type <> prev_type
     )
@@ -2337,7 +2337,7 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
            CAST(CASE WHEN LEAD(ts_us) OVER v IS NULL THEN 1 ELSE 0 END AS INT)
              AS is_current
     FROM changes
-    WINDOW v AS (PARTITION BY user_id ORDER BY ts_us)
+    WINDOW v AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     """,
 )
 def q61(spark: SparkSession, sf: str) -> DataFrame:
@@ -2358,7 +2358,9 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
     changes = ordered.filter(
         F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type"))
     )
-    v = Window.partitionBy("user_id").orderBy("ts_us")
+    # event_id tie-breaks same-microsecond state changes so the second
+    # window is deterministic between Spark, DuckDB, and streaming
+    v = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     return changes.select(
         "user_id",
         F.col("event_type").alias("state"),

@@ -360,6 +360,22 @@ def test_personalized_pagerank_matches_python(spark, edges_df):
     assert got["x"] >= (1 - 0.85) * 0.5 - 1e-12
 
 
+def test_personalized_pagerank_duplicate_sources(spark, edges_df):
+    """Duplicate source rows must not deflate the restart vector:
+    restart(v) = 1/|distinct S|, so ranks are identical to the
+    deduplicated source set (ADVICE r2, traversal.py personalized_pagerank)."""
+    from graphdb_neo4j_spark.operators.traversal import personalized_pagerank
+
+    dup = spark.createDataFrame([("a",), ("a",), ("x",), ("a",)], ["key"])
+    got = {
+        r.key: r.rank
+        for r in personalized_pagerank(edges_df, dup, iterations=10).collect()
+    }
+    want = py_ppr(EDGES, {"a", "x"})
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12), k
+
+
 def py_dijkstra(edges, source, directed=False):
     import heapq
 
