@@ -10,8 +10,9 @@ surface (SURVEY.md §2.D) Spark-first:
   — a chain of hash joins Catalyst is free to reorder/broadcast
 * aggregation             → plain ``groupBy().agg`` on the result
 * existence/anti pattern  → ``semi`` / ``anti`` helpers
-* variable-length paths   → operators/traversal.py (iterative; no
-  Catalyst recursion)
+* variable-length paths   → bounded ``find("(a)-[REL*1..3]->(b)")``
+  (union of chain joins, Cypher path multiplicity); unbounded reach →
+  operators/traversal.py (iterative; no Catalyst recursion)
 
 Everything is a pure DataFrame transformation: no collect, no UDFs.
 """
@@ -27,9 +28,36 @@ from pyspark.sql import functions as F
 from graphdb_neo4j_spark.operators.ingest import PropertyGraph
 
 _MOTIF_RE = re.compile(
-    r"^\(\s*(?P<src>\w+)\s*\)\s*-\s*\[\s*(?:(?P<ev>\w+)\s*:)?\s*(?P<rel>\w+)\s*\]"
+    r"^\(\s*(?P<src>\w+)\s*\)\s*-\s*\[\s*(?:(?P<ev>\w+)\s*:)?\s*(?P<rel>\w+)"
+    r"\s*(?:\*\s*(?P<vspec>[\d.\s]*))?\s*\]"
     r"\s*->\s*\(\s*(?P<dst>\w+)\s*\)$"
 )
+
+
+def _parse_varlen(vspec: str | None, pat: str) -> tuple[int, int] | None:
+    """``*lo..hi`` / ``*..hi`` / ``*k`` → (lo, hi); ``None`` for a plain
+    single hop.  Unbounded forms (``*``, ``*2..``) are rejected — an
+    unbounded traversal belongs to :mod:`~graphdb_neo4j_spark.operators.
+    traversal` (iterative BFS), not a join chain."""
+    if vspec is None:
+        return None
+    s = vspec.replace(" ", "")
+    unbounded = ValueError(
+        f"unbounded variable-length hop in {pat!r}: give an upper bound "
+        "(e.g. [REL*1..4]) or use traversal.bfs for open-ended reach"
+    )
+    if s == "":
+        raise unbounded
+    if ".." in s:
+        lo_s, hi_s = s.split("..", 1)
+        if hi_s == "" or ".." in hi_s:
+            raise unbounded
+        lo, hi = (int(lo_s) if lo_s else 1), int(hi_s)
+    else:
+        lo = hi = int(s)
+    if lo < 1 or hi < lo:
+        raise ValueError(f"bad variable-length bounds in {pat!r}: *{s}")
+    return lo, hi
 
 
 @dataclass
@@ -120,12 +148,45 @@ class GraphQuery:
 
     # -- motif matching ----------------------------------------------------
 
+    def _varlen_pairs(self, rel: str, lo: int, hi: int) -> DataFrame:
+        """(src, dst) endpoint pairs of ``rel``-paths of length lo..hi,
+        ONE ROW PER PATH — Cypher's ``-[:REL*lo..hi]->`` multiplicity.
+        Built as a union of k-fold chain joins (k bounded by the
+        pattern), so Catalyst plans ordinary equi-joins; on a 1000-node
+        cluster each extension is one shuffle on the frontier key.
+
+        Walk semantics: an edge may repeat along a path (matters only on
+        cyclic graphs; on DAGs — process trees, order chains — this is
+        exactly Cypher's relationship-unique semantics, since a DAG path
+        can never reuse an edge).
+        """
+        e = self._rel_oriented(rel, "src").select("src", "dst")
+        out: DataFrame | None = None
+        cur = e  # paths of length 1
+        for k in range(1, hi + 1):
+            if k >= lo:
+                out = cur if out is None else out.unionByName(cur)
+            if k < hi:
+                ext = e.select(
+                    F.col("src").alias(f"__h{k}"), F.col("dst").alias(f"__t{k}")
+                )
+                cur = cur.join(ext, cur["dst"] == ext[f"__h{k}"]).select(
+                    cur["src"].alias("src"), F.col(f"__t{k}").alias("dst")
+                )
+        return out
+
     def find(self, motif: str) -> DataFrame:
         """Bounded pattern match, GraphFrames-style.
 
         ``find("(a)-[SPAWNS]->(b); (b)-[e:CONNECTED_TO]->(c)")`` returns a
         DataFrame with one column per node variable (the node key) and,
         for named edge variables, a struct column with the edge props.
+
+        Variable-length hops use Cypher's star syntax —
+        ``find("(a)-[SPAWNS*1..3]->(b)")`` — expanded as a union of
+        bounded chain joins, one row per path (see :meth:`_varlen_pairs`).
+        Edge variables are not allowed on a variable-length hop (a path
+        has a LIST of edges, not one).
 
         Each pattern adds one hash join on key equality; Catalyst's CBO /
         AQE pick broadcast vs shuffle per join.  Node variables repeat to
@@ -140,11 +201,17 @@ class GraphQuery:
             m = _MOTIF_RE.match(pat)
             if not m:
                 raise ValueError(f"bad motif pattern: {pat!r}")
-            parsed.append((m["src"], m["rel"], m["dst"], m["ev"], pat))
+            vl = _parse_varlen(m["vspec"], pat)
+            if vl is not None and m["ev"]:
+                raise ValueError(
+                    f"edge variable on variable-length hop in {pat!r}: "
+                    "a path binds a list of edges, which has no struct column"
+                )
+            parsed.append((m["src"], m["rel"], m["dst"], m["ev"], vl, pat))
 
         result: DataFrame | None = None
         bound: set[str] = set()
-        for i, (src, rel_name, dst, ev, pat) in enumerate(parsed):
+        for i, (src, rel_name, dst, ev, vl, pat) in enumerate(parsed):
             # orientation choice: use the edge table bucketed on this
             # hop's JOIN key so chained hops need no shuffle.  Pattern 0
             # has no join yet — orient it by whichever of its variables
@@ -159,12 +226,21 @@ class GraphQuery:
                         prefer = "src"
             else:
                 prefer = "src" if src in bound else ("dst" if dst in bound else None)
-            e = self._rel_oriented(rel_name, prefer)
-            prop_cols = [c for c in e.columns if c not in ("rel", "src", "dst")]
-            sel = [F.col("src").alias(f"__src{i}"), F.col("dst").alias(f"__dst{i}")]
-            if ev:
-                sel.append(F.struct(*[F.col(c) for c in prop_cols]).alias(ev))
-            e = e.select(*sel)
+            if vl is not None:
+                e = self._varlen_pairs(rel_name, *vl).select(
+                    F.col("src").alias(f"__src{i}"),
+                    F.col("dst").alias(f"__dst{i}"),
+                )
+            else:
+                e = self._rel_oriented(rel_name, prefer)
+                prop_cols = [c for c in e.columns if c not in ("rel", "src", "dst")]
+                sel = [
+                    F.col("src").alias(f"__src{i}"),
+                    F.col("dst").alias(f"__dst{i}"),
+                ]
+                if ev:
+                    sel.append(F.struct(*[F.col(c) for c in prop_cols]).alias(ev))
+                e = e.select(*sel)
             if result is None:
                 result = e
             else:

@@ -2871,3 +2871,74 @@ def g57(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, float(round(density, 6)))], "n_vertices long, density double"
     )
+
+
+# ===========================================================================
+# variable-length motif syntax: [REL*lo..hi] inside GraphQuery.find
+# (the reference's core implied query, SURVEY.md §2.D "variable-length
+# path" — Cypher (a)-[:R*1..3]->(b) as a union of bounded chain joins)
+# ===========================================================================
+
+
+@query(
+    "q72_motif_varlen_order_chain",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT 'o:' || a.o_orderkey AS src, 'o:' || b.o_orderkey AS dst
+    FROM seq a JOIN seq b
+      ON a.o_custkey = b.o_custkey AND b.rn - a.rn BETWEEN 1 AND 3
+    """,
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    """Variable-length motif over a NEXT-order chain: each customer's
+    orders chained chronologically, then ``(a)-[NEXT*1..3]->(b)`` via
+    the motif parser.  On a chain every (src,dst) pair has exactly one
+    path, so Cypher path multiplicity equals the pair set and the
+    oracle is the rank-difference self-join — a hash-checkable proof of
+    the chain-join expansion.  One window shuffle to build edges, then
+    k bounded equi-joins AQE is free to broadcast."""
+    from pyspark.sql import Window
+
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = (
+        o.select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("nxt_key", F.lead("o_orderkey").over(w))
+        .where(F.col("nxt_key").isNotNull())
+    )
+    edges = nxt.select(
+        F.lit("NEXT").alias("rel"),
+        F.concat(F.lit("o:"), F.col("o_orderkey")).alias("src"),
+        F.concat(F.lit("o:"), F.col("nxt_key")).alias("dst"),
+    )
+    nodes = edges.select(F.lit("Any").alias("label"), F.col("src").alias("key"))
+    gq = GraphQuery(nodes=nodes, edges=edges)
+    return gq.find("(a)-[NEXT*1..3]->(b)").select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+
+
+@query("g58_corpus_varlen_spawns")
+def g58(spark: SparkSession, sf: str) -> DataFrame:
+    """``(a)-[SPAWNS*1..3]->(b)`` over the corpus process tree — the
+    analyst's "descendants within 3 generations" ask, straight from the
+    motif parser.  The process tree is a DAG, so per-path rows equal
+    Cypher's relationship-unique semantics.  Rows-only driver gate; the
+    layered-join hash-equality oracle is
+    tests/test_graph_query.py::test_varlen_corpus_matches_layered_joins."""
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    g = _corpus_graph(spark)
+    gq = GraphQuery.from_graph(g)
+    paths = gq.find("(a)-[SPAWNS*1..3]->(b)")
+    return paths.agg(
+        F.count("*").alias("n_paths"),
+        F.count_distinct("a", "b").alias("n_pairs"),
+    )

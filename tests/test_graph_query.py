@@ -113,3 +113,86 @@ def test_find_optional_match(spark):
     }
     with pytest.raises(ValueError):
         gq.find_optional("(a)-[SPAWNS]->(b)", "(x)-[CREATED_FILE]->(y)")
+
+
+# ---------------------------------------------------------------------------
+# variable-length hops: (a)-[REL*lo..hi]->(b)
+# ---------------------------------------------------------------------------
+
+
+def test_motif_varlen_multiplicity(spark):
+    """Cypher path multiplicity: a diamond has TWO length-2 paths a→d,
+    so (a,d) appears twice — one row per path, not per pair."""
+    from collections import Counter
+
+    edges = spark.createDataFrame(
+        [("R", "a", "b"), ("R", "a", "c"), ("R", "b", "d"), ("R", "c", "d")],
+        ["rel", "src", "dst"],
+    )
+    nodes = edges.select(F.lit("N").alias("label"), F.col("src").alias("key"))
+    q = GraphQuery(nodes=nodes, edges=edges)
+    c = Counter((r.x, r.y) for r in q.find("(x)-[R*1..2]->(y)").collect())
+    assert c[("a", "d")] == 2
+    assert c[("a", "b")] == 1 and c[("b", "d")] == 1
+    assert sum(c.values()) == 6  # 4 length-1 paths + 2 length-2 paths
+
+
+def test_motif_varlen_bounds_and_chaining(gq):
+    # *2 — exactly two hops
+    assert {(r.x, r.y) for r in gq.find("(x)-[SPAWNS*2]->(y)").collect()} == {
+        ("a", "d")
+    }
+    # *..2 — implicit lower bound of 1
+    assert {(r.x, r.y) for r in gq.find("(x)-[SPAWNS*..2]->(y)").collect()} == {
+        ("a", "b"), ("a", "c"), ("b", "d"), ("a", "d")
+    }
+    # variable-length hop composes with plain hops in one motif
+    rows = {
+        (r.x, r.y, r.ip)
+        for r in gq.find(
+            "(x)-[SPAWNS*1..3]->(y); (y)-[CONNECTED_TO]->(ip)"
+        ).collect()
+    }
+    assert rows == {("a", "d", "1.1.1.1"), ("b", "d", "1.1.1.1")}
+
+
+def test_motif_varlen_rejects(gq):
+    for bad in [
+        "(x)-[SPAWNS*]->(y)",       # unbounded
+        "(x)-[SPAWNS*2..]->(y)",    # unbounded above
+        "(x)-[e:SPAWNS*1..2]->(y)", # edge var binds a list, not a struct
+        "(x)-[SPAWNS*3..2]->(y)",   # inverted bounds
+        "(x)-[SPAWNS*0..2]->(y)",   # zero-length hop
+    ]:
+        with pytest.raises(ValueError):
+            gq.find(bad)
+
+
+def test_varlen_corpus_matches_layered_joins(spark):
+    """g58's oracle: motif [SPAWNS*1..3] over the corpus process tree is
+    an exact multiset match of the explicit layered-join formulation
+    SPAWNS ∪ SPAWNS² ∪ SPAWNS³."""
+    from graphdb_neo4j_spark.workloads import _corpus_graph
+
+    g = _corpus_graph(spark)
+    q = GraphQuery.from_graph(g)
+    got = (
+        q.find("(a)-[SPAWNS*1..3]->(b)")
+        .groupBy("a", "b").agg(F.count("*").alias("n"))
+    )
+    e = g.edges.filter(F.col("rel") == "SPAWNS").select("src", "dst")
+
+    def ext(cur):
+        nxt = e.select(F.col("src").alias("m"), F.col("dst").alias("d2"))
+        return cur.join(nxt, cur["dst"] == nxt["m"]).select(
+            cur["src"].alias("src"), F.col("d2").alias("dst")
+        )
+
+    e2 = ext(e)
+    e3 = ext(e2)
+    want = (
+        e.union(e2).union(e3)
+        .groupBy(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
