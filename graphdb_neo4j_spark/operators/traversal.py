@@ -112,6 +112,140 @@ def shortest_path_length(
     return None
 
 
+def bfs_tree(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int | None = None,
+    directed: bool = True,
+    until: DataFrame | None = None,
+) -> DataFrame:
+    """(key, dist, pred) — the BFS shortest-path FOREST from the source
+    set: minimum hop count plus one deterministic predecessor per
+    reached node (min frontier key among equal-distance parents, so the
+    tree — and every reconstructed path — is stable across runs and
+    partitionings).  ``pred`` is NULL for sources.  Same semi-naive
+    frontier shape as :func:`bfs`: one join + one grouped min per hop.
+    ``until`` (single-column key set) stops the expansion early once
+    every listed key is visited — the two-endpoint fast path.
+    """
+    e = edges.select("src", "dst") if directed else _as_undirected(edges)
+    key_col = sources.columns[0]
+    stop = (
+        until.select(F.col(until.columns[0]).alias("key")).distinct()
+        if until is not None else None
+    )
+    visited = (
+        sources.select(F.col(key_col).alias("key")).distinct()
+        .withColumn("dist", F.lit(0))
+        .withColumn("pred", F.lit(None).cast(e.schema["src"].dataType))
+        .localCheckpoint()
+    )
+    frontier = visited
+    hop = 0
+    while True:
+        hop += 1
+        if max_hops is not None and hop > max_hops:
+            break
+        nxt = (
+            frontier.join(e, frontier["key"] == e["src"])
+            .select(F.col("dst").alias("key"), frontier["key"].alias("pred"))
+            .groupBy("key")
+            .agg(F.min("pred").alias("pred"))
+            .join(visited.select("key"), "key", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .select("key", "dist", "pred")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+        if stop is not None and stop.join(visited, "key", "left_anti").isEmpty():
+            break
+    return visited
+
+
+def _backtrace_paths(
+    tree: DataFrame, targets: DataFrame | None = None, max_rounds: int = 256
+) -> DataFrame:
+    """(key, dist, path) from a predecessor table (key, dist, pred):
+    level-synchronous backtrace — ALL rows walk one pred-link per round
+    (one equi-join), so rounds = max path length, never per-row work on
+    the driver.  ``targets`` (single-column) restricts which rows get a
+    path (the pred table still serves every link).  Output size is the
+    inherent Σ|path| — materialize paths only for the rows you need.
+    """
+    start = tree
+    if targets is not None:
+        t = targets.select(
+            F.col(targets.columns[0]).alias("key")
+        ).distinct()
+        start = tree.join(t, "key", "left_semi")
+    paths = start.select(
+        "key", "dist",
+        F.col("pred").alias("cur"),
+        F.array("key").alias("path"),
+    ).localCheckpoint()
+    done = paths.filter(F.col("cur").isNull()).select("key", "dist", "path")
+    todo = paths.filter(F.col("cur").isNotNull())
+    links = tree.select(F.col("key").alias("cur"), F.col("pred").alias("nxt"))
+    rounds = 0
+    while not todo.isEmpty() and rounds < max_rounds:
+        rounds += 1
+        stepped = (
+            todo.join(links, "cur")
+            .select(
+                "key", "dist",
+                F.col("nxt").alias("cur"),
+                F.concat(F.array(F.col("cur")), F.col("path")).alias("path"),
+            )
+            .localCheckpoint()
+        )
+        done = done.unionByName(
+            stepped.filter(F.col("cur").isNull()).select("key", "dist", "path")
+        ).localCheckpoint()
+        todo = stepped.filter(F.col("cur").isNotNull())
+    return done
+
+
+def bfs_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    targets: DataFrame | None = None,
+    max_hops: int | None = None,
+    directed: bool = True,
+) -> DataFrame:
+    """(key, dist, path) — minimum hop count AND one reconstructed
+    shortest path (array of keys, source first) per reached node;
+    Cypher's ``shortestPath((s)-[*]->(n))`` surface.  BFS forest via
+    :func:`bfs_tree`, then a level-synchronous backtrace; pass
+    ``targets`` to materialize paths only where you need them (path
+    bytes are the dominant cost at scale, not the traversal)."""
+    tree = bfs_tree(edges, sources, max_hops=max_hops, directed=directed)
+    return _backtrace_paths(tree, targets=targets)
+
+
+def shortest_path(
+    edges: DataFrame, src_key: str, dst_key: str, directed: bool = True,
+    max_hops: int = 64,
+) -> list | None:
+    """The actual shortest path [src, ..., dst] between two keys (hop
+    metric), or None if unreachable — :func:`shortest_path_length` with
+    reconstruction.  Deterministic: min-predecessor tie-break."""
+    spark = edges.sparkSession
+    srcs = spark.createDataFrame([(src_key,)], ["key"])
+    dst_set = spark.createDataFrame([(dst_key,)], ["key"])
+    tree = bfs_tree(
+        edges, srcs, max_hops=max_hops, directed=directed, until=dst_set
+    )
+    hit = tree.filter(F.col("key") == dst_key)
+    if hit.isEmpty():
+        return None
+    dsts = spark.createDataFrame([(dst_key,)], ["key"])
+    row = _backtrace_paths(tree, targets=dsts).head()
+    return list(row["path"])
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iter: int = 50
 ) -> DataFrame:
@@ -927,6 +1061,7 @@ def sssp_weighted(
     weight_col: str = "w",
     directed: bool = True,
     max_iter: int = 50,
+    with_pred: bool = False,
 ) -> DataFrame:
     """(key, dist) — single-source shortest paths with non-negative edge
     weights, frontier-style Bellman-Ford:
@@ -940,6 +1075,13 @@ def sssp_weighted(
     BSP/dataflow engine (Pregel SSSP), and exact for non-negative
     weights.  ``max_iter`` bounds adversarial inputs; negative weights
     are rejected (a negative cycle would never converge).
+
+    ``with_pred=True`` adds a ``pred`` column — the parent on one
+    shortest path, tie-broken by min parent key via a struct-min, so
+    the shortest-path tree is deterministic.  At the fixpoint every
+    pred edge is tight (dist[pred] + w == dist[key]): any later
+    improvement of pred's own distance re-improves — and re-parents —
+    the child.
     """
     w = F.col(weight_col).cast("double")
     if directed:
@@ -956,20 +1098,31 @@ def sssp_weighted(
     dist = (
         sources.select(F.col(sources.columns[0]).alias("key")).distinct()
         .withColumn("dist", F.lit(0.0))
+        .withColumn("pred", F.lit(None).cast(e.schema["src"].dataType))
         .localCheckpoint()
     )
     frontier = dist
     for _ in range(max_iter):
         cand = (
             frontier.join(e, frontier["key"] == e["src"])
-            .select(F.col("dst").alias("key"), (F.col("dist") + F.col("w")).alias("cand"))
+            .select(
+                F.col("dst").alias("key"),
+                (F.col("dist") + F.col("w")).alias("cand"),
+                frontier["key"].alias("parent"),
+            )
             .groupBy("key")
-            .agg(F.min("cand").alias("cand"))
+            # struct-min: least candidate distance, then least parent key
+            .agg(F.min(F.struct("cand", "parent")).alias("m"))
+            .select(
+                "key", F.col("m.cand").alias("cand"), F.col("m.parent").alias("parent")
+            )
         )
         improved = (
-            cand.join(dist, "key", "left")
+            cand.join(dist.select("key", "dist"), "key", "left")
             .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
-            .select("key", F.col("cand").alias("dist"))
+            .select(
+                "key", F.col("cand").alias("dist"), F.col("parent").alias("pred")
+            )
             .localCheckpoint()
         )
         if improved.isEmpty():
@@ -980,7 +1133,28 @@ def sssp_weighted(
             .localCheckpoint()
         )
         frontier = improved
-    return dist
+    return dist if with_pred else dist.select("key", "dist")
+
+
+def sssp_weighted_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    targets: DataFrame | None = None,
+    weight_col: str = "w",
+    directed: bool = True,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(key, dist, path) — weighted shortest paths WITH reconstruction:
+    :func:`sssp_weighted`'s predecessor tree + the level-synchronous
+    backtrace of :func:`_backtrace_paths`.  ``targets`` limits path
+    materialization (Σ|path| bytes is the real cost at scale).  Caveat:
+    zero-weight cycles can make the pred forest cyclic; the backtrace
+    round bound cuts such walks rather than looping forever."""
+    tree = sssp_weighted(
+        edges, sources, weight_col=weight_col, directed=directed,
+        max_iter=max_iter, with_pred=True,
+    )
+    return _backtrace_paths(tree, targets=targets)
 
 
 def k_truss(edges: DataFrame, k: int, max_iter: int = 30) -> DataFrame:

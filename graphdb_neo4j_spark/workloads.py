@@ -2942,3 +2942,47 @@ def g58(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_paths"),
         F.count_distinct("a", "b").alias("n_pairs"),
     )
+
+
+@query("g59_corpus_provenance_paths")
+def g59(spark: SparkSession, sf: str) -> DataFrame:
+    """Reconstructed provenance chains Trace → Process* → File — the
+    analyst's #1 ask, Cypher ``shortestPath`` with the actual node
+    sequence: BFS forest over SPAWNS ∪ CREATED_FILE from the root
+    processes (never a SPAWNS destination), paths materialized ONLY for
+    File targets (path bytes, not traversal, dominate at scale), then
+    the root's trace prepended via one HAS_PROCESS min-join.  Returns
+    the 20 deepest chains; deterministic via min-predecessor trees,
+    min-trace attribution, and (hops desc, file) ordering.  Rows-only
+    driver gate; path validity + NetworkX oracles in
+    tests/test_traversal.py."""
+    from graphdb_neo4j_spark.operators.traversal import bfs_paths
+
+    g = _corpus_graph(spark)
+    spawns = g.edges.filter(F.col("rel") == "SPAWNS").select("src", "dst")
+    created = g.edges.filter(F.col("rel") == "CREATED_FILE").select("src", "dst")
+    roots = (
+        spawns.select(F.col("src").alias("key")).distinct()
+        .join(spawns.select(F.col("dst").alias("key")).distinct(),
+              "key", "left_anti")
+    )
+    files = g.nodes().filter(F.col("label") == "File").select("key")
+    chains = bfs_paths(spawns.unionByName(created), roots, targets=files)
+    trace_of = (
+        g.edges.filter(F.col("rel") == "HAS_PROCESS")
+        .groupBy(F.col("dst").alias("root"))
+        .agg(F.min("src").alias("trace"))
+    )
+    return (
+        chains.withColumn("root", F.col("path")[0])
+        .join(F.broadcast(trace_of), "root", "left")
+        .select(
+            F.col("key").alias("file"),
+            (F.col("dist") + 1).cast("int").alias("hops"),
+            F.concat_ws(
+                " -> ", F.concat(F.array(F.col("trace")), F.col("path"))
+            ).alias("chain"),
+        )
+        .orderBy(F.col("hops").desc(), F.col("file"))
+        .limit(20)
+    )

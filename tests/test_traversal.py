@@ -615,3 +615,103 @@ def test_densest_subgraph_empty(spark):
     edges = spark.createDataFrame([], "src string, dst string")
     verts, density = densest_subgraph(edges)
     assert verts.count() == 0 and density == 0.0
+
+
+# ---------------------------------------------------------------------------
+# path reconstruction: bfs_tree / bfs_paths / shortest_path /
+# sssp_weighted_paths — NetworkX oracles + structural validity
+# ---------------------------------------------------------------------------
+
+
+def test_shortest_path_reconstruction(spark, edges_df):
+    from graphdb_neo4j_spark.operators.traversal import shortest_path
+
+    # EDGES: a->b->c->d, a->e, d->a cycle; x->y separate
+    assert shortest_path(edges_df, "a", "d") == ["a", "b", "c", "d"]
+    assert shortest_path(edges_df, "d", "b") == ["d", "a", "b"]
+    assert shortest_path(edges_df, "a", "x") is None
+    assert shortest_path(edges_df, "a", "a") == ["a"]
+
+
+def test_bfs_paths_valid_and_deterministic(spark):
+    """Every path starts at a source, steps along real edges, has
+    length dist+1 — and the min-predecessor tie-break makes the chosen
+    path the lexicographically-least parent chain."""
+    from graphdb_neo4j_spark.operators.traversal import bfs_paths
+
+    # diamond with two equal-length routes a->b->d / a->c->d
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")],
+        ["src", "dst"],
+    )
+    sources = spark.createDataFrame([("a",)], ["key"])
+    rows = {r.key: (r.dist, list(r.path)) for r in bfs_paths(edges, sources).collect()}
+    eset = {("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")}
+    for k, (dist, path) in rows.items():
+        assert path[0] == "a" and path[-1] == k and len(path) == dist + 1
+        assert all((u, v) in eset for u, v in zip(path, path[1:]))
+    # deterministic tie-break: d's parent is min(b, c) = b
+    assert rows["d"][1] == ["a", "b", "d"]
+    assert rows["e"][1] == ["a", "b", "d", "e"]
+
+
+def test_bfs_paths_matches_networkx(spark):
+    networkx = pytest.importorskip("networkx")
+
+    rng_edges = [
+        (f"n{(7 * i + 3) % 40}", f"n{(11 * i + 5) % 40}") for i in range(120)
+    ]
+    rng_edges = [(u, v) for u, v in rng_edges if u != v]
+    g = networkx.DiGraph(rng_edges)
+    edges = spark.createDataFrame(rng_edges, ["src", "dst"])
+    sources = spark.createDataFrame([("n0",)], ["key"])
+    from graphdb_neo4j_spark.operators.traversal import bfs_paths
+
+    got = {r.key: (r.dist, list(r.path)) for r in bfs_paths(edges, sources).collect()}
+    want = networkx.single_source_shortest_path_length(g, "n0")
+    assert {k: d for k, (d, _) in got.items()} == dict(want)
+    eset = set(rng_edges)
+    for k, (dist, path) in got.items():
+        assert len(path) == dist + 1 and path[0] == "n0" and path[-1] == k
+        assert all((u, v) in eset for u, v in zip(path, path[1:]))
+
+
+def test_sssp_weighted_paths_matches_networkx(spark):
+    networkx = pytest.importorskip("networkx")
+
+    from graphdb_neo4j_spark.operators.traversal import sssp_weighted_paths
+
+    edges = spark.createDataFrame(WEDGES, ["src", "dst", "w"])
+    sources = spark.createDataFrame([("a",)], ["key"])
+    got = {
+        r.key: (r.dist, list(r.path))
+        for r in sssp_weighted_paths(edges, sources, directed=False).collect()
+    }
+    g = networkx.Graph()
+    g.add_weighted_edges_from(WEDGES)
+    want_dist, want_path = networkx.single_source_dijkstra(g, "a")
+    assert {k: d for k, (d, _) in got.items()} == {
+        k: v for k, v in want_dist.items() if k not in ("x", "y")
+    }
+    # path validity: edge-by-edge weights sum exactly to dist
+    wmap = {}
+    for u, v, w in WEDGES:
+        wmap[(u, v)] = w
+        wmap[(v, u)] = w
+    for k, (dist, path) in got.items():
+        assert path[0] == "a" and path[-1] == k
+        assert sum(wmap[(u, v)] for u, v in zip(path, path[1:])) == dist
+
+
+def test_sssp_paths_targets_only(spark):
+    """targets= restricts which rows materialize a path."""
+    from graphdb_neo4j_spark.operators.traversal import bfs_paths
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    sources = spark.createDataFrame([("a",)], ["key"])
+    targets = spark.createDataFrame([("d",)], ["key"])
+    rows = bfs_paths(edges, sources, targets=targets).collect()
+    assert len(rows) == 1
+    assert list(rows[0].path) == ["a", "b", "c", "d"]
