@@ -568,16 +568,21 @@ def betweenness_approx(
     max_hops: int = 32,
     directed: bool = True,
 ) -> DataFrame:
-    """(key, betweenness) — Brandes sampled approximation.
+    """(key, betweenness) — Brandes sampled approximation, ALL pivots
+    advanced in one tagged multi-source sweep.
 
     Exact betweenness is one Brandes sweep per vertex (O(V·E) total);
     the standard scale answer samples ``n_samples`` pivot sources
     (deterministically, by md5(key) order — reproducible) and scales
-    the accumulated dependencies by V/k.  Each sample is a forward
-    level-BFS that also accumulates shortest-path counts σ, then a
-    backward sweep by level accumulating dependencies
-    δ(u) += σ(u)/σ(v)·(1+δ(v)) over the shortest-path DAG — every step
-    a join/agg on DataFrames, O(diameter) rounds per sample.
+    the accumulated dependencies by V/k.  Frontier rows carry their
+    pivot tag (the :func:`closeness_approx` formulation, whose
+    docstring measured 3× vs per-pivot sweeps), so the forward σ pass
+    and the level-synchronous backward δ pass
+    (δ(u) += σ(u)/σ(v)·(1+δ(v)) over each pivot's shortest-path DAG)
+    both run O(max_depth) join/agg rounds TOTAL — the driver-side job
+    count is independent of ``n_samples``, which dominates wall-clock
+    at cluster scale.  A pivot with a shallower BFS than the global
+    max simply contributes no rows at the deeper levels.
     """
     key_col = nodes.columns[0]
     verts = nodes.select(F.col(key_col).alias("key")).distinct().localCheckpoint()
@@ -592,68 +597,82 @@ def betweenness_approx(
     ]
     spark = edges.sparkSession
     acc = verts.withColumn("betweenness", F.lit(0.0)).localCheckpoint()
-    for pivot in pivots:
-        # forward BFS with path counting: levels[h] = (key, sigma)
-        level = spark.createDataFrame([(pivot, 1.0)], ["key", "sigma"]).localCheckpoint()
-        levels = [level]
-        seen = level.select("key").localCheckpoint()
-        for _ in range(max_hops):
-            nxt = (
-                level.join(e, level["key"] == e["src"])
-                .groupBy(F.col("dst").alias("k2"))
-                .agg(F.sum("sigma").alias("sigma"))
-                .select(F.col("k2").alias("key"), "sigma")
-                .join(seen, "key", "left_anti")
-                .localCheckpoint()
+    if not pivots:
+        return acc.select("key", "betweenness")
+    # forward pass: tagged path counts σ per (pivot, key), one level of
+    # ALL pivots per round; levels[h] = (pivot, key, sigma)
+    level = (
+        spark.createDataFrame([(p,) for p in pivots], ["pivot"])
+        .select("pivot", F.col("pivot").alias("key"))
+        .withColumn("sigma", F.lit(1.0))
+        .localCheckpoint()
+    )
+    levels = [level]
+    seen = level.select("pivot", "key").localCheckpoint()
+    for _ in range(max_hops):
+        nxt = (
+            level.join(e, level["key"] == e["src"])
+            .groupBy("pivot", F.col("dst").alias("k2"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .select("pivot", F.col("k2").alias("key"), "sigma")
+            .join(seen, ["pivot", "key"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        seen = seen.unionByName(nxt.select("pivot", "key")).localCheckpoint()
+        level = nxt
+    # backward dependency sweep, level-synchronous across pivots
+    delta = levels[-1].select(
+        "pivot", "key", F.lit(0.0).alias("delta")
+    ).localCheckpoint()
+    for h in range(len(levels) - 1, 0, -1):
+        child = levels[h].join(delta, ["pivot", "key"], "left").select(
+            "pivot",
+            "key",
+            "sigma",
+            F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
+        )
+        parent_sig = levels[h - 1]
+        contribs = (
+            parent_sig.join(e, parent_sig["key"] == e["src"])
+            .join(
+                child.select(
+                    F.col("pivot").alias("c_pivot"),
+                    F.col("key").alias("c_key"),
+                    F.col("sigma").alias("c_sigma"),
+                    F.col("delta").alias("c_delta"),
+                ),
+                (F.col("dst") == F.col("c_key"))
+                & (parent_sig["pivot"] == F.col("c_pivot")),
             )
-            if nxt.isEmpty():
-                break
-            levels.append(nxt)
-            seen = seen.unionByName(nxt.select("key")).localCheckpoint()
-            level = nxt
-        # backward dependency sweep
-        delta = levels[-1].select("key", F.lit(0.0).alias("delta")).localCheckpoint()
-        for h in range(len(levels) - 1, 0, -1):
-            child = levels[h].join(delta, "key", "left").select(
+            .select(
+                "pivot",
                 "key",
-                "sigma",
-                F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta"),
+                (
+                    (F.col("sigma") / F.col("c_sigma"))
+                    * (F.lit(1.0) + F.col("c_delta"))
+                ).alias("contrib"),
             )
-            parent_sig = levels[h - 1]
-            contribs = (
-                parent_sig.join(e, parent_sig["key"] == e["src"])
-                .join(
-                    child.select(
-                        F.col("key").alias("c_key"),
-                        F.col("sigma").alias("c_sigma"),
-                        F.col("delta").alias("c_delta"),
-                    ),
-                    F.col("dst") == F.col("c_key"),
-                )
+            .groupBy("pivot", "key")
+            .agg(F.sum("contrib").alias("delta"))
+            .localCheckpoint()
+        )
+        delta = contribs  # level h-1's dependencies, consumed next round
+        if h - 1 > 0:  # each pivot's own dependency is not counted
+            per_key = contribs.groupBy("key").agg(F.sum("delta").alias("__d"))
+            acc = (
+                acc.join(per_key, "key", "left")
                 .select(
                     "key",
                     (
-                        (F.col("sigma") / F.col("c_sigma"))
-                        * (F.lit(1.0) + F.col("c_delta"))
-                    ).alias("contrib"),
+                        F.col("betweenness")
+                        + F.coalesce(F.col("__d"), F.lit(0.0))
+                    ).alias("betweenness"),
                 )
-                .groupBy("key")
-                .agg(F.sum("contrib").alias("delta"))
                 .localCheckpoint()
             )
-            delta = contribs  # level h-1's dependencies, consumed next round
-            if h - 1 > 0:  # the pivot's own dependency is not counted
-                acc = (
-                    acc.join(contribs, "key", "left")
-                    .select(
-                        "key",
-                        (
-                            F.col("betweenness")
-                            + F.coalesce(F.col("delta"), F.lit(0.0))
-                        ).alias("betweenness"),
-                    )
-                    .localCheckpoint()
-                )
     scale = float(n_vertices) / float(max(len(pivots), 1))
     return acc.select("key", (F.col("betweenness") * F.lit(scale)).alias("betweenness"))
 
