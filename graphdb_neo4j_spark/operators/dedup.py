@@ -391,19 +391,20 @@ def simhash_hex(text: Column) -> Column:
     return F.concat(*nibble_cols)
 
 
-def simhash_dedup(
+def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Groups of documents sharing an identical 64-bit simhash:
-    (simhash, keep_id, dup_count).
-
-    Relational formulation (same rewrite as minhash): explode tokens
-    once, md5 each token ONCE, then a single codegen'd hash-aggregate
-    computes all 64 bit votes as integer conditional sums — order-free,
-    so partial-aggregation combine order cannot perturb the result, and
-    it replaces 64 interpreted ``F.aggregate`` folds per row (each
+    """(id, simhash) — per-document 64-bit simhash, RELATIONAL
+    formulation (same rewrite as minhash): explode tokens once, md5
+    each token ONCE, then a single codegen'd hash-aggregate computes
+    all 64 bit votes as integer conditional sums — order-free, so
+    partial-aggregation combine order cannot perturb the result, and it
+    replaces 64 interpreted ``F.aggregate`` folds per row (each
     re-hashing every token).  The shuffle carries (id, 64 small ints)
-    with map-side partial sums, never the documents.
+    with map-side partial sums, never the documents.  NULL-text rows
+    drop out (explode of a NULL array), matching the SQL oracle's
+    ``unnest``.  Shared by the batch dedup and the streaming
+    foreachBatch path.
     """
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = spread.select(
@@ -429,7 +430,16 @@ def simhash_dedup(
         ]
         nibble_val = bits[0] + bits[1] + bits[2] + bits[3]
         nibble_cols.append(F.substring(F.lit(hexdigits), nibble_val + 1, 1))
-    sim = votes.select(F.concat(*nibble_cols).alias("simhash"), F.col("id"))
+    return votes.select("id", F.concat(*nibble_cols).alias("simhash"))
+
+
+def simhash_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of documents sharing an identical 64-bit simhash:
+    (simhash, keep_id, dup_count) — :func:`simhash_signatures` plus one
+    grouped min/count."""
+    sim = simhash_signatures(df, text_col=text_col, id_col=id_col)
     return sim.groupBy("simhash").agg(
         F.min("id").alias("keep_id"), F.count("*").alias("dup_count")
     )

@@ -4,6 +4,7 @@ from graphdb_neo4j_spark.streaming.ann import (
 )
 from graphdb_neo4j_spark.streaming.ingest import (
     compact_graph_log,
+    neardup_kept,
     stream_graph_ingest,
     stream_spans,
     streaming_dedup_spans,
@@ -33,6 +34,7 @@ __all__ = [
     "compact_graph_log",
     "compact_sketch_log",
     "hll_estimate",
+    "neardup_kept",
     "scd2_history",
     "stream_graph_ingest",
     "stream_spans",

@@ -261,24 +261,123 @@ def stateful_process_tracker(spans_stream: DataFrame, timeout_minutes: int = 60)
     )
 
 
+_DELAY_UNITS_US = {
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+}
+
+
+def _delay_us(delay: str) -> int:
+    n, unit = delay.strip().split()
+    return int(n) * _DELAY_UNITS_US[unit.lower()]
+
+
 def streaming_neardup_dedup(
     docs_stream: DataFrame,
+    state_path: str,
     watermark_delay: str = "1 hour",
     time_col: str = "event_time",
     text_col: str = "text",
-) -> DataFrame:
-    """Streaming NEAR-duplicate dedup: fingerprint each document with
-    the per-row 64-bit simhash expression (pure Catalyst — works inside
-    a streaming plan, unlike the relational explode+agg batch variant)
-    and drop later documents with an identical simhash within the
-    watermark horizon.  ``dropDuplicatesWithinWatermark`` bounds the
-    dedup state — mandatory for an unbounded corpus stream."""
-    from graphdb_neo4j_spark.operators.dedup import simhash_hex
+    id_col: str = "doc_id",
+):
+    """``writeStream`` builder: streaming NEAR-duplicate dedup with the
+    RELATIONAL simhash — per micro-batch, one explode + codegen'd
+    hash-aggregate computes every document's 64-bit signature (one md5
+    per token, :func:`~graphdb_neo4j_spark.operators.dedup.
+    simhash_signatures` — the batch formulation, NOT the interpreted
+    64-fold per-row expression whose every bit vote re-hashes every
+    token).  A document is kept iff its simhash was not seen earlier in
+    the batch (first by event time, id tie-break) nor within the
+    watermark horizon of any earlier batch.
 
-    keyed = docs_stream.withColumn(
-        "simhash", simhash_hex(F.col(text_col))
-    ).withWatermark(time_col, watermark_delay)
-    return keyed.dropDuplicatesWithinWatermark(["simhash"])
+    State = a (simhash, last_seen_us) snapshot pruned to the horizon
+    each batch — bounded, like ``dropDuplicatesWithinWatermark``'s
+    store.  Kept docs land in ``{state_path}/kept`` partitioned by
+    batch_id (replays overwrite their own partition); the snapshot and
+    a meta marker (written last) give exactly-once replay, the
+    :mod:`~graphdb_neo4j_spark.streaming.dim` pattern.  Read results
+    with :func:`neardup_kept`.
+    """
+    from graphdb_neo4j_spark.operators.dedup import simhash_signatures
+    from graphdb_neo4j_spark.streaming.dim import _done_batches, _read_or_none
+
+    horizon_us = _delay_us(watermark_delay)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id in _done_batches(spark, f"{state_path}/meta"):
+            return
+        meta = _read_or_none(spark, f"{state_path}/meta")
+        prior = None
+        if meta is not None and not meta.isEmpty():
+            last = meta.agg(F.max("batch_id")).head()[0]
+            prior = (
+                spark.read.parquet(f"{state_path}/seen")
+                .filter(F.col("batch_id") == last)
+                .drop("batch_id")
+            )
+        if prior is None:
+            prior = spark.createDataFrame(
+                [], "simhash string, last_seen_us bigint"
+            )
+        docs = batch_df.withColumn(
+            "__ts_us", F.unix_micros(F.col(time_col).cast("timestamp"))
+        )
+        sigs = simhash_signatures(docs, text_col=text_col, id_col=id_col)
+        keyed = docs.join(
+            sigs.withColumnRenamed("id", id_col), id_col
+        ).localCheckpoint()
+        # a signature expires once the batch's max event time passes
+        # last_seen + delay — dropDuplicatesWithinWatermark's contract;
+        # prune BEFORE the anti-join so an expired duplicate re-enters
+        max_ts = keyed.agg(F.max("__ts_us")).head()[0]
+        horizon = (max_ts or 0) - horizon_us
+        prior = prior.filter(F.col("last_seen_us") >= F.lit(horizon))
+        # in-batch winner per signature: first by (event time, id)
+        w = Window.partitionBy("simhash").orderBy("__ts_us", id_col)
+        firsts = (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        kept = firsts.join(prior.select("simhash"), "simhash", "left_anti")
+        kept = kept.localCheckpoint()
+        # new horizon-pruned snapshot: every signature seen recently
+        seen = (
+            prior.unionByName(
+                keyed.groupBy("simhash").agg(
+                    F.max("__ts_us").alias("last_seen_us")
+                )
+            )
+            .groupBy("simhash")
+            .agg(F.max("last_seen_us").alias("last_seen_us"))
+            .filter(F.col("last_seen_us") >= F.lit(horizon))
+        )
+        for df, sub in (
+            (kept.drop("__ts_us"), "kept"),
+            (seen, "seen"),
+        ):
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(f"{state_path}/{sub}")
+            )
+        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+            "append"
+        ).parquet(f"{state_path}/meta")
+
+    return docs_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", f"{state_path}/_ckpt_neardup"
+    )
+
+
+def neardup_kept(spark: SparkSession, state_path: str) -> DataFrame:
+    """All surviving (deduplicated) documents across batches."""
+    return spark.read.parquet(f"{state_path}/kept").drop("batch_id")
 
 
 def streaming_dedup_spans(

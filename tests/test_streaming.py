@@ -221,43 +221,58 @@ def test_streaming_dedup_spans(spark, trace_dir, tmp_path):
 
 
 def test_streaming_neardup_dedup(spark, tmp_path):
-    """Identical-simhash documents re-delivered within the watermark are
-    dropped; distinct documents pass through."""
-    from graphdb_neo4j_spark.streaming import streaming_neardup_dedup
+    """Relational streaming near-dup dedup: identical-simhash documents
+    re-delivered within the watermark are dropped (within AND across
+    micro-batches), state expires past the horizon, and the surviving
+    set matches the batch simhash_dedup keep set over the same data —
+    with no F.aggregate fold anywhere in the plan."""
+    from graphdb_neo4j_spark.operators.dedup import simhash_dedup
+    from graphdb_neo4j_spark.streaming import neardup_kept, streaming_neardup_dedup
 
     src = tmp_path / "docs"
     src.mkdir()
     base = "the quick brown fox jumps over the lazy dog"
-    df = spark.createDataFrame(
-        [
-            (1, base, 1_000_000),
-            (2, base, 2_000_000),            # exact re-delivery → dropped
-            (3, "completely different text about engines", 3_000_000),
-        ],
-        "doc_id long, text string, ts_us long",
-    )
-    df.write.mode("overwrite").parquet(str(src))
+    hour = 3_600_000_000
+    batches = [
+        [(1, base, 1_000_000),
+         (2, base, 2_000_000)],              # in-batch re-delivery → dropped
+        [(3, "completely different text about engines", 3_000_000),
+         (4, base, 4_000_000)],              # cross-batch re-delivery → dropped
+        [(5, base, 5 * hour)],               # horizon expired → kept again
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts_us long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
 
     stream = (
         spark.readStream.schema("doc_id long, text string, ts_us long")
-        .parquet(str(src))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
         .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
     )
-    out = str(tmp_path / "out")
-    ckpt = str(tmp_path / "ck")
-    q = (
-        streaming_neardup_dedup(stream)
-        .writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
+    state = str(tmp_path / "nd_state")
+    q = streaming_neardup_dedup(stream, state).trigger(availableNow=True).start()
     q.awaitTermination(300)
-    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
-    assert 3 in kept
-    assert len(kept & {1, 2}) == 1  # exactly one of the near-dup pair
+
+    kept = {r.doc_id for r in neardup_kept(spark, state).collect()}
+    assert kept == {1, 3, 5}
+    # multiple batches actually ran
+    n_batches = (
+        spark.read.parquet(f"{state}/meta").select("batch_id").distinct().count()
+    )
+    assert n_batches >= 3
+
+    # stream ≡ batch signatures: within one horizon, the streaming keep
+    # set equals batch simhash_dedup's keep_id set (min-id == first-by-
+    # time here since ids are time-ordered)
+    in_horizon = spark.createDataFrame(
+        batches[0] + batches[1], "doc_id long, text string, ts_us long"
+    )
+    batch_keep = {
+        r.keep_id for r in simhash_dedup(in_horizon).collect()
+    }
+    assert batch_keep == {1, 3}
 
 
 def test_streaming_ann_probe(spark, tmp_path):
