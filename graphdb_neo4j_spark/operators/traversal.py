@@ -1415,6 +1415,10 @@ def densest_subgraph(
     rounds total, the property that makes this THE dataflow-friendly
     densest-subgraph algorithm (sequential Charikar peeling is O(n)
     rounds).  Undirected simple graph; density = |E|/|V|.
+
+    Driver actions per round: ONE combined (|V|, Σdeg) aggregate over
+    the degree table (|E| = Σdeg/2 by the handshake lemma) — no
+    separate edge count / vertex count / emptiness probe.
     """
     und = (
         edges.select(
@@ -1428,9 +1432,6 @@ def densest_subgraph(
     best_verts: DataFrame | None = None
     best_density = -1.0
     for _ in range(max_iter):
-        n_e = cur_edges.count()
-        if n_e == 0:
-            break
         deg = (
             cur_edges.select(F.col("src").alias("key"))
             .unionByName(cur_edges.select(F.col("dst").alias("key")))
@@ -1438,15 +1439,22 @@ def densest_subgraph(
             .agg(F.count("*").alias("deg"))
             .localCheckpoint()
         )
-        n_v = deg.count()
+        stats = deg.agg(
+            F.count("*").alias("n_v"), F.sum("deg").alias("sum_deg")
+        ).head()
+        n_v = stats["n_v"]
+        if not n_v:
+            break
+        n_e = int(stats["sum_deg"]) // 2  # handshake lemma
         density = n_e / n_v
         if density > best_density:
             best_density = density
             best_verts = deg.select("key")
         threshold = (1.0 + epsilon) * 2.0 * density  # avg degree = 2|E|/|V|
+        # peel: strictly fewer vertices survive every round (not every
+        # degree can exceed (1+eps) x the average), so an empty keep set
+        # simply yields an empty degree table next round
         keep = deg.filter(F.col("deg") > threshold).select("key").localCheckpoint()
-        if keep.isEmpty():
-            break
         cur_edges = (
             cur_edges.join(keep.withColumnRenamed("key", "src"), "src", "left_semi")
             .join(keep.withColumnRenamed("key", "dst"), "dst", "left_semi")
