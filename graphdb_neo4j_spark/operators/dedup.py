@@ -159,6 +159,81 @@ def ngram_jaccard_pairs(
     )
 
 
+def repeated_passages(
+    df: DataFrame,
+    n: int = 5,
+    min_grams: int = 2,
+    max_doc_freq: int | None = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, start_a, start_b, length) — repeated token passages
+    WITHIN and ACROSS documents (substring-level dedup: the
+    suffix-array repeated-substring stage of Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022, re-expressed
+    relationally): a passage of L tokens repeated at (a, start_a) and
+    (b, start_b) is exactly a run of L−n+1 consecutive shared word
+    n-grams at constant offset.
+
+    1. positional word n-grams per document (md5'd to fixed width) —
+       one posexplode scan;
+    2. grams in more than ``max_doc_freq`` documents are dropped via a
+       broadcast anti-join (stop-phrases carry no dedup signal and
+       their pair fan-out is quadratic — the
+       :func:`ngram_jaccard_pairs` guard);
+    3. postings equi-join on gram, (a < b) cross-doc or ordered
+       positions within one doc — candidates are bucketed by gram,
+       never an all-pairs product;
+    4. runs via the pos − row_number trick per (a, b, offset) group;
+       passage length = run + n − 1 tokens.
+
+    Returns runs of ≥ ``min_grams`` shared grams (= passages of ≥
+    min_grams + n − 1 tokens), start positions 0-based in token space.
+    Mirror image of each cross-doc passage is emitted once (a < b).
+    Runs are maximal up to df-capped grams (a dropped hot gram inside a
+    long passage splits it in two).  After step 1 only (id, pos, 32-hex
+    gram) rows cross the wire — never the text.
+    """
+    from pyspark.sql import Window
+
+    from graphdb_neo4j_spark.operators.text import word_ngrams
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(word_ngrams(F.lower(F.col(text_col)), n)).alias("pos", "g"),
+    ).select("id", "pos", F.md5("g").alias("g"))
+    if max_doc_freq is not None:
+        hot = (
+            grams.groupBy("g")
+            .agg(F.count_distinct("id").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("g")
+        )
+        grams = grams.join(F.broadcast(hot), "g", "left_anti")
+    a = grams.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "g")
+    b = grams.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "g")
+    pairs = a.join(b, "g").filter(
+        (F.col("id_a") < F.col("id_b"))
+        | ((F.col("id_a") == F.col("id_b")) & (F.col("pos_a") < F.col("pos_b")))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diff").orderBy("pos_a")
+    return (
+        pairs.withColumn("diff", F.col("pos_a") - F.col("pos_b"))
+        .withColumn("run", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diff", "run")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            F.count("*").alias("n_grams"),
+        )
+        .filter(F.col("n_grams") >= min_grams)
+        .select(
+            "id_a", "id_b", "start_a", "start_b",
+            (F.col("n_grams") + F.lit(n - 1)).cast("bigint").alias("length"),
+        )
+    )
+
+
 def jaccard_verify_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -2986,3 +2986,58 @@ def g59(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("hops").desc(), F.col("file"))
         .limit(20)
     )
+
+
+@query(
+    "q73_repeated_passages",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT id, CAST(i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(t[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')) AS g
+      FROM toks, UNNEST(range(1, len(t) - 5 + 2)) AS r(i)
+    ),
+    hot AS (
+      SELECT g FROM (
+        SELECT g, COUNT(DISTINCT id) AS d FROM grams GROUP BY g
+      ) WHERE d > 64
+    ),
+    kept AS (SELECT * FROM grams WHERE g NOT IN (SELECT g FROM hot)),
+    pairs AS (
+      SELECT a.id AS id_a, a.pos AS pos_a, b.id AS id_b, b.pos AS pos_b
+      FROM kept a JOIN kept b ON a.g = b.g
+      WHERE a.id < b.id OR (a.id = b.id AND a.pos < b.pos)
+    ),
+    runs AS (
+      SELECT id_a, id_b, pos_a - pos_b AS diff, pos_a, pos_b,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+             ) AS run
+      FROM pairs
+    )
+    SELECT id_a, id_b,
+           MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+           CAST(COUNT(*) + 4 AS BIGINT) AS length
+    FROM runs GROUP BY id_a, id_b, diff, run
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level dedup: repeated token passages (≥ 6 tokens =
+    ≥ 2 consecutive shared 5-grams) within and across documents —
+    operators/dedup.repeated_passages, the relational form of the Lee
+    et al. suffix-array substring-dedup stage.  Shuffles carry (id,
+    pos, 32-hex gram) postings only; hot grams df-capped; runs found
+    with one window pass."""
+    out = D.repeated_passages(
+        load_table(spark, sf, "documents"), n=5, min_grams=2, max_doc_freq=64
+    )
+    return out.select(
+        "id_a", "id_b",
+        F.col("start_a").cast("bigint").alias("start_a"),
+        F.col("start_b").cast("bigint").alias("start_b"),
+        "length",
+    )

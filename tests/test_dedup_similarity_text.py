@@ -476,3 +476,62 @@ def test_node2vec_bias_direction(spark):
     assert explorer.count("c") >= 38  # overwhelmingly explores
     # deterministic
     assert step2_from_a(1000, 1, 1) == returner
+
+
+# ---------------------------------------------------------------------------
+# substring-level dedup: repeated_passages
+# ---------------------------------------------------------------------------
+
+
+def test_repeated_passages_planted(spark):
+    """A passage planted in two documents (and twice in a third) is
+    found with exact start positions and token length; unrelated text
+    yields nothing."""
+    from graphdb_neo4j_spark.operators.dedup import repeated_passages
+
+    passage = "pack my box with five dozen liquor jugs today"  # 9 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + passage + " gamma delta epsilon"),
+            (2, "zeta eta theta iota " + passage),
+            (3, "one two three " + passage + " four " + passage),
+            (4, "totally unrelated words that repeat nothing at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b, r.start_a, r.start_b, r.length)
+        for r in repeated_passages(docs, n=5, min_grams=2).collect()
+    }
+    # 9-token passage with n=5 → 5 consecutive shared grams → length 9
+    assert (1, 2, 2, 4, 9) in got
+    assert (1, 3, 2, 3, 9) in got
+    assert (1, 3, 2, 13, 9) in got
+    assert (2, 3, 4, 3, 9) in got
+    assert (2, 3, 4, 13, 9) in got
+    # within-document repeat in doc 3 (positions 3 and 13)
+    assert (3, 3, 3, 13, 9) in got
+    # doc 4 pairs with nothing
+    assert not any(4 in (a, b) for a, b, *_ in got)
+
+
+def test_repeated_passages_min_grams_and_cap(spark):
+    """min_grams gates short overlaps; a df-capped hot gram drops out of
+    the postings entirely."""
+    from graphdb_neo4j_spark.operators.dedup import repeated_passages
+
+    shared5 = "a b c d e"  # exactly one 5-gram → run of 1
+    docs = spark.createDataFrame(
+        [(1, "x " + shared5 + " y"), (2, shared5 + " z q")],
+        "doc_id long, text string",
+    )
+    # one shared gram < min_grams=2 → filtered
+    assert repeated_passages(docs, n=5, min_grams=2).count() == 0
+    # but min_grams=1 finds it
+    got = repeated_passages(docs, n=5, min_grams=1).collect()
+    assert {(r.id_a, r.id_b, r.length) for r in got} == {(1, 2, 5)}
+    # hot-gram cap: the same gram in >max_doc_freq docs is dropped
+    many = spark.createDataFrame(
+        [(i, shared5) for i in range(5)], "doc_id long, text string"
+    )
+    assert repeated_passages(many, n=5, min_grams=1, max_doc_freq=4).count() == 0
