@@ -524,6 +524,122 @@ def bpe_learn(
     )
 
 
+def bpe_encode_words(words: DataFrame, merges_df: DataFrame) -> DataFrame:
+    """(word, syms) — apply a learned merge table (:func:`bpe_learn`'s
+    output) to a word vocabulary, replaying every merge in step order
+    with the SAME left-to-right greedy non-overlapping fold used during
+    learning, so encode(learn-corpus) reproduces the training-time
+    segmentation exactly.  Vocabulary-sized work: each merge is one
+    map-side array fold over the (distinct-word) table, never the
+    corpus.  Words must be non-empty (the :func:`bpe_learn` universe).
+    """
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("step").select("left", "right").collect()
+    ]
+    w = F.col("word")
+    syms = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)), lambda i: F.substring(w, i, F.lit(1))
+        ),
+        F.array(F.lit("</w>")),
+    )
+    vocab = words.select("word", syms.alias("syms")).localCheckpoint()
+    for l, r in merges:
+        ll, rr = F.lit(l), F.lit(r)
+        folded = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0) & (F.element_at(acc, -1) == ll) & (x == rr),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.concat(ll, rr))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select("word", folded.alias("syms")).localCheckpoint()
+    return vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, bpe_tokens) — encode each document with a learned BPE merge
+    table: the tokenizer-apply stage the merge table exists for.
+
+    100 TB shape: the expensive merge replay runs ONCE per distinct
+    word (:func:`bpe_encode_words` — vocabulary-sized), then the corpus
+    is one posexplode + equi-join + ordered reassembly (array_sort on
+    (pos, syms) structs, flatten).  The corpus-side shuffle carries
+    (id, pos, word) and the joined symbol arrays; no per-document merge
+    folds.  Empty/whitespace documents encode to an empty array.
+    """
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    exploded = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "word"),
+        )
+    )
+    encoded = bpe_encode_words(
+        exploded.select("word").distinct(), merges_df
+    )
+    per_doc = (
+        exploded.join(encoded, "word")
+        .groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda s: s["syms"],
+                )
+            ).alias("bpe_tokens")
+        )
+    )
+    return ids.join(per_doc, "id", "left").select(
+        "id",
+        F.coalesce(
+            F.col("bpe_tokens"), F.array().cast("array<string>")
+        ).alias("bpe_tokens"),
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens) — per-document BPE token counts under a learned
+    merge table, without materializing the token arrays: per-word
+    symbol counts join the exploded corpus and sum per document.  The
+    real-tokenizer replacement for the :func:`bpe_ish_token_count`
+    heuristic in packing/budgeting pipelines."""
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    exploded = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+        )
+    )
+    word_counts = bpe_encode_words(
+        exploded.select("word").distinct(), merges_df
+    ).select("word", F.size("syms").alias("n_syms"))
+    per_doc = (
+        exploded.join(word_counts, "word")
+        .groupBy("id")
+        .agg(F.sum("n_syms").alias("n_tokens"))
+    )
+    return ids.join(per_doc, "id", "left").select(
+        "id", F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens")
+    )
+
+
 # fixed demo weights for the linear quality scorer (a trained model
 # would broadcast its own); order: [log_tokens, mean_word_len,
 # dup_bigram_ratio, punct_ratio, stopword_ratio, bias]

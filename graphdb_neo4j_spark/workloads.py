@@ -3041,3 +3041,28 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
         F.col("start_b").cast("bigint").alias("start_b"),
         "length",
     )
+
+
+@query("q74_pack_sequences_bpe")  # merge learning is an iterative driver loop → rows-only gate
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    """q44's sequence packing driven by REAL learned-BPE token counts
+    (text.bpe_learn, 20 merges on this corpus, then
+    text.bpe_token_counts — vocabulary-sized merge replay + one corpus
+    join) instead of the whitespace heuristic: the budget/packing
+    numbers a training pipeline actually uses.  Deterministic
+    end-to-end (lexicographic merge tie-break, hash-free counts);
+    exact Python encode oracle in tests/test_sketch_quality.py."""
+    docs = load_table(spark, sf, "documents")
+    merges = T.bpe_learn(docs, num_merges=20)
+    counts = T.bpe_token_counts(docs, merges).select(
+        F.col("id").alias("doc_id"), "n_tokens"
+    )
+    keyed = docs.select("source", "doc_id").join(counts, "doc_id")
+    packed = SP.pack_sequences(
+        keyed, budget=2048, token_col="n_tokens", order_col="doc_id",
+        by_col="source",
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )

@@ -241,3 +241,60 @@ def test_weighted_sample_prefers_heavy_items(spark):
     )
     only = weighted_sample(with_zero, k=5, weight_col="w", id_col="doc_id").collect()
     assert [r.doc_id for r in only] == [2]
+
+
+def py_bpe_encode(texts, merges):
+    """Reference greedy BPE application (merge list from py_bpe)."""
+    out = []
+    for t in texts:
+        toks = []
+        for w in t.lower().split():
+            syms = list(w) + ["</w>"]
+            for _, l, r, _, _ in merges:
+                new = []
+                for x in syms:
+                    if new and new[-1] == l and x == r:
+                        new[-1] = l + r
+                    else:
+                        new.append(x)
+                syms = new
+            toks.extend(syms)
+        out.append(toks)
+    return out
+
+
+def test_bpe_encode_matches_python(spark):
+    """Encode replays the learned merges exactly: per-document symbol
+    sequences equal the reference implementation, counts equal their
+    lengths, and empty documents encode to []."""
+    from graphdb_neo4j_spark.operators.text import (
+        bpe_encode,
+        bpe_learn,
+        bpe_token_counts,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest",
+        "low low low new new",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges_df = bpe_learn(docs, num_merges=8)
+    merges = py_bpe(texts, 8)
+
+    got = {r.id: list(r.bpe_tokens) for r in bpe_encode(docs, merges_df).collect()}
+    want = {i: toks for i, toks in enumerate(py_bpe_encode(texts, merges))}
+    assert got == want
+
+    counts = {r.id: r.n_tokens for r in bpe_token_counts(docs, merges_df).collect()}
+    assert counts == {i: len(toks) for i, toks in want.items()}
+    assert counts[4] == 0  # empty document
+
+    # lossless round trip: stripping </w> markers reassembles the words
+    for i, t in enumerate(texts):
+        rebuilt = "".join(got[i]).replace("</w>", " ").strip()
+        assert rebuilt == " ".join(t.lower().split())
