@@ -15,6 +15,10 @@ from graphdb_neo4j_spark.streaming.dim import (
     scd2_history,
     streaming_scd2,
 )
+from graphdb_neo4j_spark.streaming.drift import (
+    drift_timeline,
+    streaming_drift,
+)
 from graphdb_neo4j_spark.streaming.sketch import (
     cms_fold,
     compact_sketch_log,
@@ -33,6 +37,7 @@ __all__ = [
     "compact_dfreq_log",
     "compact_graph_log",
     "compact_sketch_log",
+    "drift_timeline",
     "hll_estimate",
     "neardup_kept",
     "scd2_history",
@@ -43,6 +48,7 @@ __all__ = [
     "streaming_chunks",
     "streaming_cms",
     "streaming_dedup_spans",
+    "streaming_drift",
     "streaming_hll",
     "streaming_neardup_dedup",
     "streaming_scd2",

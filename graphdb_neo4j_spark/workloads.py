@@ -3066,3 +3066,29 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
     )
+
+
+from graphdb_neo4j_spark.operators.drift import psi_drift, psi_drift_sql  # noqa: E402
+
+
+@query(
+    "q75_drift_psi_events",
+    psi_drift_sql(
+        ref_where="ts < TIMESTAMP '2024-01-16'",
+        cur_where="ts >= TIMESTAMP '2024-01-16'",
+        col="value",
+        table="events",
+        n_buckets=10,
+    ),
+)
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-drift monitoring: PSI of the event value distribution,
+    second half of January vs the first (operators/drift.psi_drift) —
+    fixed-width buckets frozen on the reference window, ε-smoothed,
+    one hash-agg per side + a 10-row join.  The model-monitoring
+    statistic a training pipeline runs per snapshot."""
+    e = load_table(spark, sf, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    ref = e.filter(F.col("ts") < split)
+    cur = e.filter(F.col("ts") >= split)
+    return psi_drift(ref, cur, "value", n_buckets=10)

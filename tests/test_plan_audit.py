@@ -295,3 +295,30 @@ def test_q71_weighted_sample_is_takeordered(spark):
     df = QUERY_FNS["q71_weighted_sample_docs"](spark, SF)
     plan = explain_str(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q73_repeated_passages_plan(spark):
+    """Substring dedup stays bucketed: the postings self-join is an
+    equi-join on the gram hash (no cartesian/broadcast-nested-loop),
+    and the hot-gram guard is a BROADCAST anti-join."""
+    df = QUERY_FNS["q73_repeated_passages"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_varlen_motif_plan_no_cartesian(spark):
+    """[REL*1..3] expands to chained equi-joins — never a cartesian
+    product, and the chain reads the edge table, not per-depth copies
+    of the raw input."""
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    edges = spark.createDataFrame(
+        [("R", f"n{i}", f"n{i+1}") for i in range(20)], ["rel", "src", "dst"]
+    )
+    nodes = edges.select(F.lit("N").alias("label"), F.col("src").alias("key"))
+    gq = GraphQuery(nodes=nodes, edges=edges)
+    plan = explain_str(gq.find("(a)-[R*1..3]->(b)"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -298,3 +298,86 @@ def test_bpe_encode_matches_python(spark):
     for i, t in enumerate(texts):
         rebuilt = "".join(got[i]).replace("</w>", " ").strip()
         assert rebuilt == " ".join(t.lower().split())
+
+
+# ---------------------------------------------------------------------------
+# drift monitoring: PSI
+# ---------------------------------------------------------------------------
+
+
+def py_psi(ref, cur, n_buckets=10, eps=1e-6):
+    lo, hi = min(ref), max(ref)
+    w = (hi - lo) / n_buckets if hi > lo else 1.0
+    import math
+
+    def shares(vals):
+        counts = [0] * n_buckets
+        for v in vals:
+            b = min(max(int(math.floor((v - lo) / w)), 0), n_buckets - 1)
+            counts[b] += 1
+        return [c / len(vals) for c in counts]
+
+    pr, pc = shares(ref), shares(cur)
+    return round(
+        sum((c + eps - (r + eps)) * math.log((c + eps) / (r + eps))
+            for r, c in zip(pr, pc)),
+        6,
+    )
+
+
+def test_psi_drift_matches_python(spark):
+    from graphdb_neo4j_spark.operators.drift import psi_drift
+
+    ref_vals = [float(i % 50) for i in range(1000)]          # uniform 0..49
+    same_vals = [float((i * 7) % 50) for i in range(800)]    # same distribution
+    drifted = [float(i % 20) + 30.0 for i in range(800)]     # mass shifted right
+
+    ref = spark.createDataFrame([(v,) for v in ref_vals], ["value"])
+    same = spark.createDataFrame([(v,) for v in same_vals], ["value"])
+    drift = spark.createDataFrame([(v,) for v in drifted], ["value"])
+
+    psi_same = psi_drift(ref, same, "value").head()["psi"]
+    psi_drifted = psi_drift(ref, drift, "value").head()["psi"]
+    assert psi_same == py_psi(ref_vals, same_vals)
+    assert psi_drifted == py_psi(ref_vals, drifted)
+    # sensitivity: identical distribution ≈ 0, shifted mass >> 0.25
+    assert psi_same < 0.01 < 0.25 < psi_drifted
+
+
+def test_streaming_drift_matches_batch(spark, tmp_path):
+    """Per-batch streaming PSI is bit-identical to batch psi_drift on
+    each batch's rows, and the timeline flags the drifted batch."""
+    from graphdb_neo4j_spark.operators.drift import psi_drift
+    from graphdb_neo4j_spark.streaming.drift import drift_timeline, streaming_drift
+
+    ref_vals = [float(i % 50) for i in range(1000)]
+    batches = [
+        [float((i * 3) % 50) for i in range(500)],   # in-distribution
+        [float(i % 10) + 40.0 for i in range(500)],  # drifted
+    ]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], ["value"])
+    src = tmp_path / "vals"
+    src.mkdir()
+    for i, vals in enumerate(batches):
+        spark.createDataFrame([(v,) for v in vals], ["value"]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"b{i}"))
+    stream = spark.readStream.schema("value double").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "b*"))
+    state = str(tmp_path / "drift_state")
+    q = streaming_drift(stream, ref, "value", state).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(300)
+
+    timeline = {r.batch_id: r.psi for r in drift_timeline(spark, state).collect()}
+    assert len(timeline) == 2
+    want = [
+        psi_drift(
+            ref, spark.createDataFrame([(v,) for v in vals], ["value"]), "value"
+        ).head()["psi"]
+        for vals in batches
+    ]
+    assert sorted(timeline.values()) == sorted(want)
+    assert max(timeline.values()) > 0.25 > min(timeline.values())
