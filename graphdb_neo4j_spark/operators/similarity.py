@@ -74,6 +74,94 @@ def topk_bruteforce(
     )
 
 
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    method: str = "lsh",
+    bands: int = 8,
+    rows_per_band: int = 4,
+    seed: int = 42,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    query_id_col: str | None = None,
+    vec_col: str = "embedding",
+    round_sim: int = 6,
+) -> DataFrame:
+    """(query_id, id, sim, rank) — top-k corpus neighbors for EVERY
+    query row: the batch retrieval / RAG-indexing workload (a k-NN
+    JOIN, not a single-vector probe like :func:`topk_bruteforce`).
+
+    ``method="brute"``: the query side is broadcast and similarities
+    are computed map-side on corpus partitions — the only shuffle is
+    the per-query top-k window on ``query_id``.  Exact; right whenever
+    |queries| is broadcastable (the common case: a query/eval set
+    against a huge corpus).
+
+    ``method="lsh"``: banded sign-LSH on BOTH sides (one
+    :func:`hyperplane_bits` scan each, band structs exploded),
+    candidates = equi-join on (band, bucket), exact-cosine re-rank of
+    candidates only — sub-linear and never all-pairs; a query with no
+    co-bucketed neighbor returns fewer than k rows (the standard
+    recall trade, measured by the recall test).
+
+    Determinism: sims round to ``round_sim`` BEFORE ranking and ties
+    break on id, so the k-boundary is oracle-stable across engines.
+    """
+    from pyspark.sql import Window
+
+    qid = query_id_col or id_col
+    qdf = queries.select(
+        F.col(qid).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cdf = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cv"))
+    sim = F.round(cosine_expr(F.col("cv"), F.col("qv")), round_sim)
+    if method == "brute":
+        scored = cdf.crossJoin(F.broadcast(qdf)).select(
+            "query_id", "id", sim.alias("sim")
+        )
+    elif method == "lsh":
+        n_planes = bands * rows_per_band
+
+        def _buckets(bits: DataFrame, out: str) -> DataFrame:
+            structs = [
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat(
+                        *[
+                            F.col(f"bit_{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+            return bits.select(
+                F.col("id").alias(out), F.explode(F.array(*structs)).alias("bb")
+            ).select(out, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+        qb = _buckets(
+            hyperplane_bits(qdf, dims, n_planes, seed, id_col="query_id", vec_col="qv"),
+            "query_id",
+        )
+        cb = _buckets(
+            hyperplane_bits(cdf, dims, n_planes, seed, id_col="id", vec_col="cv"),
+            "id",
+        )
+        cand = qb.join(cb, ["band", "bucket"]).select("query_id", "id").distinct()
+        scored = (
+            cand.join(qdf, "query_id")
+            .join(cdf, "id")
+            .select("query_id", "id", sim.alias("sim"))
+        )
+    else:
+        raise ValueError(f"unknown knn_join method: {method!r}")
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def _plane_sign(seed: int, plane: int, dim: int) -> float:
     """Deterministic ±1 from md5 — reproducible across engines/runs."""
     h = hashlib.md5(f"{seed}|{plane}|{dim}".encode()).hexdigest()

@@ -3092,3 +3092,42 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
     ref = e.filter(F.col("ts") < split)
     cur = e.filter(F.col("ts") >= split)
     return psi_drift(ref, cur, "value", n_buckets=10)
+
+
+@query(
+    "q76_knn_join_brute",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20
+    ),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS id,
+             ROUND(
+               list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                           i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                              * CAST(q.qv[CAST(i AS INT)] AS DOUBLE)), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(q.qv,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))),
+               6) AS sim
+      FROM embeddings e, q
+    ),
+    ranked AS (
+      SELECT query_id, id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, id) AS INT) AS rank
+      FROM sims
+    )
+    SELECT query_id, id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN JOIN: top-5 corpus neighbors for each of 20 query vectors
+    in one batch (similarity.knn_join, brute path — broadcast query
+    side, map-side cosine, one window shuffle).  The batch retrieval
+    workload behind RAG indexing and embedding-dedup verification; the
+    LSH path's recall is pinned in tests/test_dedup_similarity_text.py."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.knn_join(queries, emb, k=5, method="brute")

@@ -535,3 +535,32 @@ def test_repeated_passages_min_grams_and_cap(spark):
         [(i, shared5) for i in range(5)], "doc_id long, text string"
     )
     assert repeated_passages(many, n=5, min_grams=1, max_doc_freq=4).count() == 0
+
+
+def test_knn_join_lsh_recall_and_self_match(spark):
+    """LSH k-NN join: every query's nearest neighbor is itself at sim
+    1.0 (identical vectors always share every bucket), and recall@5
+    against the brute-force join is high on real embeddings."""
+    from graphdb_neo4j_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = knn_join(queries, emb, k=5, method="brute").collect()
+    lsh = knn_join(queries, emb, k=5, method="lsh", bands=8, rows_per_band=4).collect()
+
+    # self-match at rank 1, sim 1.0 on both paths
+    for rows in (brute, lsh):
+        top1 = {r.query_id: (r.id, r.sim) for r in rows if r.rank == 1}
+        assert all(top1[q] == (q, 1.0) for q in top1)
+        assert set(top1) == set(range(10))
+
+    want = {(r.query_id, r.id) for r in brute}
+    got = {(r.query_id, r.id) for r in lsh}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.6, recall  # banded 8x4 on 64-dim embeddings
+
+    # per-query ordering is dense and deterministic
+    ranks = {}
+    for r in lsh:
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
