@@ -165,6 +165,44 @@ def bfs_tree(
     return visited
 
 
+def _backtrace_paths_doubling(tree: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """(key, dist, path) for EVERY row of a predecessor table via
+    pointer doubling: each row carries (anc, seg) where ``seg`` is the
+    path from ``anc`` (exclusive) to the row (inclusive); one self-join
+    per round composes seg(anc) ++ seg, doubling the ancestor distance
+    — O(log max_depth) rounds instead of O(max_depth).  The right
+    strategy when paths are materialized for the WHOLE table (each
+    round touches all n rows but there are only log d of them); the
+    step backtrace wins when ``targets`` narrows the output."""
+    p = tree.select(
+        "key", "dist",
+        F.col("pred").alias("anc"),
+        F.array("key").alias("seg"),
+    ).localCheckpoint()
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        todo = p.filter(F.col("anc").isNotNull())
+        if todo.isEmpty():
+            break
+        links = p.select(
+            F.col("key").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("seg").alias("seg2"),
+        )
+        stepped = todo.join(links, "anc").select(
+            "key", "dist",
+            F.col("anc2").alias("anc"),
+            F.concat(F.col("seg2"), F.col("seg")).alias("seg"),
+        )
+        p = (
+            p.filter(F.col("anc").isNull())
+            .unionByName(stepped)
+            .localCheckpoint()
+        )
+    return p.select("key", "dist", F.col("seg").alias("path"))
+
+
 def _backtrace_paths(
     tree: DataFrame, targets: DataFrame | None = None, max_rounds: int = 256
 ) -> DataFrame:
@@ -174,6 +212,8 @@ def _backtrace_paths(
     the driver.  ``targets`` (single-column) restricts which rows get a
     path (the pred table still serves every link).  Output size is the
     inherent Σ|path| — materialize paths only for the rows you need.
+    For whole-table materialization :func:`_backtrace_paths_doubling`
+    does the same in O(log max_depth) rounds.
     """
     start = tree
     if targets is not None:
@@ -218,10 +258,14 @@ def bfs_paths(
     """(key, dist, path) — minimum hop count AND one reconstructed
     shortest path (array of keys, source first) per reached node;
     Cypher's ``shortestPath((s)-[*]->(n))`` surface.  BFS forest via
-    :func:`bfs_tree`, then a level-synchronous backtrace; pass
-    ``targets`` to materialize paths only where you need them (path
-    bytes are the dominant cost at scale, not the traversal)."""
+    :func:`bfs_tree`, then a backtrace; pass ``targets`` to materialize
+    paths only where you need them (path bytes are the dominant cost at
+    scale, not the traversal).  Whole-table materialization uses the
+    pointer-doubling backtrace (O(log depth) rounds); a targeted one
+    walks single links (O(depth) rounds over only the targets' rows)."""
     tree = bfs_tree(edges, sources, max_hops=max_hops, directed=directed)
+    if targets is None:
+        return _backtrace_paths_doubling(tree)
     return _backtrace_paths(tree, targets=targets)
 
 
@@ -1173,6 +1217,8 @@ def sssp_weighted_paths(
         edges, sources, weight_col=weight_col, directed=directed,
         max_iter=max_iter, with_pred=True,
     )
+    if targets is None:
+        return _backtrace_paths_doubling(tree)
     return _backtrace_paths(tree, targets=targets)
 
 

@@ -715,3 +715,27 @@ def test_sssp_paths_targets_only(spark):
     rows = bfs_paths(edges, sources, targets=targets).collect()
     assert len(rows) == 1
     assert list(rows[0].path) == ["a", "b", "c", "d"]
+
+
+def test_backtrace_doubling_equals_step(spark):
+    """Pointer-doubling backtrace returns exactly the step backtrace's
+    paths on a deep chain + branches (log rounds vs linear is plan-level
+    only)."""
+    from graphdb_neo4j_spark.operators.traversal import (
+        _backtrace_paths,
+        _backtrace_paths_doubling,
+        bfs_tree,
+    )
+
+    chain = [(f"n{i}", f"n{i+1}") for i in range(40)]
+    branches = [(f"n{i}", f"m{i}") for i in range(0, 40, 7)]
+    edges = spark.createDataFrame(chain + branches, ["src", "dst"])
+    sources = spark.createDataFrame([("n0",)], ["key"])
+    tree = bfs_tree(edges, sources)
+    step = {r.key: (r.dist, list(r.path)) for r in _backtrace_paths(tree).collect()}
+    dbl = {
+        r.key: (r.dist, list(r.path))
+        for r in _backtrace_paths_doubling(tree).collect()
+    }
+    assert dbl == step
+    assert dbl["n40"][0] == 40 and len(dbl["n40"][1]) == 41
