@@ -14,7 +14,10 @@ from pyspark.sql import functions as F
 
 
 def contiguous_index(
-    df: DataFrame, order_cols: list[str], out_col: str = "seq"
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "seq",
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Contiguous 0-based global index in (``order_cols``) order
     without collapsing to one partition.
@@ -27,14 +30,19 @@ def contiguous_index(
     lost block fails loudly instead of silently resampling.  Blocks are
     released when the handle is garbage-collected (or explicitly via
     ``handle.unpersist()`` once the caller's final action has run).
+
+    ``checkpoint=False`` skips the freeze and is for PLAN INSPECTION
+    ONLY (the checkpoint truncates the explained plan, hiding the range
+    shuffle from audits): without it a recomputation may resample range
+    boundaries between the counts pass and the rank pass.
     """
     spark = df.sparkSession
     np = spark.sparkContext.defaultParallelism
-    keyed = (
-        df.repartitionByRange(np, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    keyed = df.repartitionByRange(np, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
     )
+    if checkpoint:
+        keyed = keyed.localCheckpoint(eager=True)
     counts = dict(
         (r["__pid"], r["n"])
         for r in keyed.groupBy("__pid").agg(F.count("*").alias("n")).collect()

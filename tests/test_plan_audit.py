@@ -282,11 +282,21 @@ def test_q68_overlap_moves_only_hashes(spark):
 
 def test_q70_histogram_no_single_partition_window(spark):
     """Bucket assignment comes from the distributed contiguous index,
-    never a SinglePartition NTILE window."""
+    never a SinglePartition NTILE window.  The production path
+    localCheckpoints the range-partitioned intermediate (which truncates
+    the visible plan), so the range shuffle is asserted on the
+    un-checkpointed variant of the same builder."""
     df = QUERY_FNS["q70_equidepth_histogram"](spark, SF)
     plan = explain_str(df)
     assert "SinglePartition" not in plan, plan
-    assert "rangepartitioning" in plan, plan
+
+    from graphdb_neo4j_spark.operators.order import contiguous_index
+
+    events = load_table(spark, SF, "events")
+    raw, _ = contiguous_index(events, ["value", "event_id"], checkpoint=False)
+    raw_plan = explain_str(raw)
+    assert "rangepartitioning" in raw_plan, raw_plan
+    assert "SinglePartition" not in raw_plan, raw_plan
 
 
 def test_q71_weighted_sample_is_takeordered(spark):
