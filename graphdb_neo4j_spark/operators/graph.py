@@ -28,9 +28,10 @@ from pyspark.sql import functions as F
 from graphdb_neo4j_spark.operators.ingest import PropertyGraph
 
 _MOTIF_RE = re.compile(
-    r"^\(\s*(?P<src>\w+)\s*\)\s*-\s*\[\s*(?:(?P<ev>\w+)\s*:)?\s*(?P<rel>\w+)"
+    r"^\(\s*(?P<src>\w+)(?:\s*:\s*(?P<src_label>\w+))?\s*\)"
+    r"\s*-\s*\[\s*(?:(?P<ev>\w+)\s*:)?\s*(?P<rel>\w+)"
     r"\s*(?:\*\s*(?P<vspec>[\d.\s]*))?\s*\]"
-    r"\s*->\s*\(\s*(?P<dst>\w+)\s*\)$"
+    r"\s*->\s*\(\s*(?P<dst>\w+)(?:\s*:\s*(?P<dst_label>\w+))?\s*\)$"
 )
 
 
@@ -188,6 +189,11 @@ class GraphQuery:
         Edge variables are not allowed on a variable-length hop (a path
         has a LIST of edges, not one).
 
+        Node labels use Cypher's colon syntax —
+        ``find("(a:Process)-[SPAWNS]->(b:Process)")`` — each labeled
+        variable adds one semi-join against the (label-pruned) node
+        table; the same variable must not claim two different labels.
+
         Each pattern adds one hash join on key equality; Catalyst's CBO /
         AQE pick broadcast vs shuffle per join.  Node variables repeat to
         express shared endpoints; a variable bound twice becomes an
@@ -197,6 +203,7 @@ class GraphQuery:
         if not patterns:
             raise ValueError("empty motif")
         parsed = []
+        labels: dict[str, str] = {}
         for pat in patterns:
             m = _MOTIF_RE.match(pat)
             if not m:
@@ -207,6 +214,14 @@ class GraphQuery:
                     f"edge variable on variable-length hop in {pat!r}: "
                     "a path binds a list of edges, which has no struct column"
                 )
+            for var, lab in ((m["src"], m["src_label"]), (m["dst"], m["dst_label"])):
+                if lab:
+                    if labels.get(var, lab) != lab:
+                        raise ValueError(
+                            f"conflicting labels for {var!r}: "
+                            f"{labels[var]!r} vs {lab!r}"
+                        )
+                    labels[var] = lab
             parsed.append((m["src"], m["rel"], m["dst"], m["ev"], vl, pat))
 
         result: DataFrame | None = None
@@ -274,6 +289,15 @@ class GraphQuery:
                 result = result.withColumnRenamed(old, new)
             result = result.drop(f"__src{i}", f"__dst{i}")
             bound.update((src, dst))
+        # label constraints — one semi-join per labeled variable against
+        # the node table ("(a:Process)" ≡ Cypher's label predicate);
+        # label is a partition column of the canonical layout, so each
+        # semi-join side is a pruned scan
+        for var, lab in labels.items():
+            keys = self.nodes.filter(F.col("label") == lab).select(
+                F.col("key").alias(var)
+            )
+            result = result.join(keys, var, "left_semi")
         return result
 
     def find_optional(self, motif: str, optional: str) -> DataFrame:

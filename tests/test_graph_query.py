@@ -196,3 +196,30 @@ def test_varlen_corpus_matches_layered_joins(spark):
         .agg(F.count("*").alias("n"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# ---------------------------------------------------------------------------
+# node labels in motifs: (a:Label)
+# ---------------------------------------------------------------------------
+
+
+def test_motif_labels(gq):
+    # unlabeled: CREATED_FILE matches regardless of endpoint labels
+    assert gq.find("(p)-[CREATED_FILE]->(f)").count() == 1
+    # labeled endpoints constrain to the node table
+    rows = gq.find("(p:Process)-[CREATED_FILE]->(f:File)").collect()
+    assert [(r.p, r.f) for r in rows] == [("c", "f1")]
+    # wrong label → empty, not an error
+    assert gq.find("(p:File)-[CREATED_FILE]->(f)").count() == 0
+    # labels compose with multi-hop chains and varlen hops
+    rows = gq.find(
+        "(a:Process)-[SPAWNS*1..2]->(b:Process); (b)-[CONNECTED_TO]->(ip:Ip)"
+    ).collect()
+    assert {(r.a, r.b, r.ip) for r in rows} == {
+        ("a", "d", "1.1.1.1"), ("b", "d", "1.1.1.1")
+    }
+
+
+def test_motif_label_conflict_rejected(gq):
+    with pytest.raises(ValueError):
+        gq.find("(a:Process)-[SPAWNS]->(b); (a:File)-[SPAWNS]->(c)")
