@@ -739,3 +739,118 @@ def test_backtrace_doubling_equals_step(spark):
     }
     assert dbl == step
     assert dbl["n40"][0] == 40 and len(dbl["n40"][1]) == 41
+
+
+# ---------------------------------------------------------------------------
+# public Pregel / aggregateMessages primitive
+# ---------------------------------------------------------------------------
+
+
+def test_aggregate_messages_degrees(spark, edges_df):
+    """Degree counting via one aggregate_messages round equals the
+    query layer's degrees()."""
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+    from graphdb_neo4j_spark.operators.pregel import aggregate_messages
+
+    verts = (
+        edges_df.select(F.col("src").alias("key"))
+        .unionByName(edges_df.select(F.col("dst").alias("key")))
+        .distinct()
+    )
+    deg = {
+        r.key: r.msg
+        for r in aggregate_messages(
+            verts, edges_df, to_dst=F.lit(1), to_src=F.lit(1)
+        ).collect()
+    }
+    gq = GraphQuery(
+        nodes=verts.select(F.lit("N").alias("label"), "key"),
+        edges=edges_df.withColumn("rel", F.lit("E")),
+    )
+    want = {r.key: r.degree for r in gq.degrees().collect()}
+    assert deg == want
+
+
+def test_pregel_pagerank_equals_operator(spark, edges_df):
+    """PageRank written as a USER algorithm on the pregel primitive is
+    bit-identical to the built-in operator (same conventions: rank =
+    0.15 + 0.85·Σ rank/out_degree, dangling keep base)."""
+    from graphdb_neo4j_spark.operators.pregel import pregel
+    from graphdb_neo4j_spark.operators.traversal import pagerank
+
+    e = edges_df.select("src", "dst")
+    verts = (
+        e.select(F.col("src").alias("key"))
+        .unionByName(e.select(F.col("dst").alias("key")))
+        .distinct()
+    )
+    out_deg = e.groupBy(F.col("src").alias("key")).agg(
+        F.count("*").alias("out_degree")
+    )
+    state = verts.join(out_deg, "key", "left").select(
+        "key",
+        F.lit(1.0).alias("rank"),
+        F.coalesce(F.col("out_degree"), F.lit(0)).alias("out_degree"),
+    )
+
+    def update(s):
+        # the same float constants the operator builds (1.0 - 0.85 is
+        # NOT the double 0.15 — exact equality needs the same literals)
+        return s.select(
+            "key",
+            (F.lit(1.0 - 0.85)
+             + F.lit(0.85) * F.coalesce(F.col("msg"), F.lit(0.0))).alias("rank"),
+            "out_degree",
+        )
+
+    got = {
+        r.key: r.rank
+        for r in pregel(
+            state, e,
+            update=update,
+            to_dst=F.col("src_rank") / F.col("src_out_degree"),
+            max_iter=10,
+        ).collect()
+    }
+    want = {r.key: r.rank for r in pagerank(edges_df, iterations=10).collect()}
+    assert got == want  # exact doubles: same expressions, same order
+
+
+def test_pregel_components_fixpoint(spark, edges_df):
+    """HashMin components as a pregel user algorithm with
+    stop_at_fixpoint equals the built-in operator."""
+    from graphdb_neo4j_spark.operators.pregel import pregel
+    from graphdb_neo4j_spark.operators.traversal import connected_components
+
+    verts = (
+        edges_df.select(F.col("src").alias("key"))
+        .unionByName(edges_df.select(F.col("dst").alias("key")))
+        .distinct()
+    )
+    state = verts.withColumn("component", F.col("key"))
+
+    def update(s):
+        return s.select(
+            "key",
+            F.least(
+                F.col("component"), F.coalesce(F.col("msg"), F.col("component"))
+            ).alias("component"),
+        )
+
+    got = {
+        r.key: r.component
+        for r in pregel(
+            state, edges_df.select("src", "dst"),
+            update=update,
+            to_dst=F.col("src_component"),
+            to_src=F.col("dst_component"),
+            agg=F.min,
+            max_iter=30,
+            stop_at_fixpoint=True,
+        ).collect()
+    }
+    want = {
+        r.key: r.component
+        for r in connected_components(verts, edges_df).collect()
+    }
+    assert got == want
