@@ -102,9 +102,11 @@ def pregel(
     dropped if the update leaves it in place).
 
     ``stop_at_fixpoint=True`` early-exits when the state is EXACTLY
-    unchanged (``exceptAll`` emptiness — right for integer/label states
-    like components or BFS levels; leave it off for float states like
-    PageRank, where fixed iteration counts are the convention).
+    unchanged as a multiset — both ``exceptAll`` directions empty, so
+    an update that merely SHRINKS the state (active-set pruning) is
+    not mistaken for convergence.  Right for integer/label states like
+    components or BFS levels; leave it off for float states like
+    PageRank, where fixed iteration counts are the convention.
     """
     cur = vertices.localCheckpoint()
     for _ in range(max_iter):
@@ -115,7 +117,11 @@ def pregel(
         if "msg" in nxt.columns:
             nxt = nxt.drop("msg")
         nxt = nxt.localCheckpoint()
-        if stop_at_fixpoint and nxt.exceptAll(cur).isEmpty():
+        if (
+            stop_at_fixpoint
+            and nxt.exceptAll(cur).isEmpty()
+            and cur.exceptAll(nxt).isEmpty()
+        ):
             cur = nxt
             break
         cur = nxt

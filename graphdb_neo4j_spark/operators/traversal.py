@@ -165,7 +165,9 @@ def bfs_tree(
     return visited
 
 
-def _backtrace_paths_doubling(tree: DataFrame, max_rounds: int = 64) -> DataFrame:
+def _backtrace_paths_doubling(
+    tree: DataFrame, max_rounds: int | None = None
+) -> DataFrame:
     """(key, dist, path) for EVERY row of a predecessor table via
     pointer doubling: each row carries (anc, seg) where ``seg`` is the
     path from ``anc`` (exclusive) to the row (inclusive); one self-join
@@ -173,7 +175,18 @@ def _backtrace_paths_doubling(tree: DataFrame, max_rounds: int = 64) -> DataFram
     — O(log max_depth) rounds instead of O(max_depth).  The right
     strategy when paths are materialized for the WHOLE table (each
     round touches all n rows but there are only log d of them); the
-    step backtrace wins when ``targets`` narrows the output."""
+    step backtrace wins when ``targets`` narrows the output.
+
+    The round bound defaults to ⌈log₂ n⌉+1 (a forest path visits ≤ n
+    nodes, and doubling covers length n in log rounds), which also
+    caps segment growth at O(n) per row on a CYCLIC pred forest
+    (zero-weight-cycle SSSP): cycle rows never reach a root and are
+    dropped at the bound instead of doubling forever."""
+    import math
+
+    if max_rounds is None:
+        n = tree.count()
+        max_rounds = math.ceil(math.log2(max(n, 2))) + 1
     p = tree.select(
         "key", "dist",
         F.col("pred").alias("anc"),
@@ -200,11 +213,16 @@ def _backtrace_paths_doubling(tree: DataFrame, max_rounds: int = 64) -> DataFram
             .unionByName(stepped)
             .localCheckpoint()
         )
-    return p.select("key", "dist", F.col("seg").alias("path"))
+    # rows still carrying an ancestor at the bound are cyclic pred
+    # chains (never reach a root) — cut, not returned with partial paths
+    return p.filter(F.col("anc").isNull()).select(
+        "key", "dist", F.col("seg").alias("path")
+    )
 
 
 def _backtrace_paths(
-    tree: DataFrame, targets: DataFrame | None = None, max_rounds: int = 256
+    tree: DataFrame, targets: DataFrame | None = None,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """(key, dist, path) from a predecessor table (key, dist, pred):
     level-synchronous backtrace — ALL rows walk one pred-link per round
@@ -214,7 +232,15 @@ def _backtrace_paths(
     inherent Σ|path| — materialize paths only for the rows you need.
     For whole-table materialization :func:`_backtrace_paths_doubling`
     does the same in O(log max_depth) rounds.
+
+    The round bound defaults to the tree's row count + 1 — a forest
+    path visits each node at most once, so every acyclic path
+    completes regardless of depth (the loop exits as soon as all rows
+    finish); only cyclic pred chains (zero-weight-cycle SSSP) hit the
+    bound and are cut.
     """
+    if max_rounds is None:
+        max_rounds = tree.count() + 1
     start = tree
     if targets is not None:
         t = targets.select(
@@ -285,8 +311,7 @@ def shortest_path(
     hit = tree.filter(F.col("key") == dst_key)
     if hit.isEmpty():
         return None
-    dsts = spark.createDataFrame([(dst_key,)], ["key"])
-    row = _backtrace_paths(tree, targets=dsts).head()
+    row = _backtrace_paths(tree, targets=dst_set).head()
     return list(row["path"])
 
 

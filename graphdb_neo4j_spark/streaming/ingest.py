@@ -326,9 +326,15 @@ def streaming_neardup_dedup(
             "__ts_us", F.unix_micros(F.col(time_col).cast("timestamp"))
         )
         sigs = simhash_signatures(docs, text_col=text_col, id_col=id_col)
-        keyed = docs.join(
-            sigs.withColumnRenamed("id", id_col), id_col
-        ).localCheckpoint()
+        # LEFT join: simhash_signatures drops NULL-text rows (explode of
+        # a NULL token array); such docs must still flow through — they
+        # dedup among themselves under the sentinel signature, never
+        # silently vanish
+        keyed = (
+            docs.join(sigs.withColumnRenamed("id", id_col), id_col, "left")
+            .withColumn("simhash", F.coalesce(F.col("simhash"), F.lit("")))
+            .localCheckpoint()
+        )
         # a signature expires once the batch's max event time passes
         # last_seen + delay — dropDuplicatesWithinWatermark's contract;
         # prune BEFORE the anti-join so an expired duplicate re-enters
@@ -369,6 +375,18 @@ def streaming_neardup_dedup(
         spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
             "append"
         ).parquet(f"{state_path}/meta")
+        # GC superseded snapshots — only the latest (per meta) is ever
+        # read, so state storage stays O(horizon), not O(batches);
+        # idempotent and crash-safe (leftovers are cleaned next batch)
+        from graphdb_neo4j_spark.streaming.sketch import _hadoop_path
+
+        fs, seen_root = _hadoop_path(spark, f"{state_path}/seen")
+        if fs.exists(seen_root):
+            for st in fs.listStatus(seen_root):
+                name = st.getPath().getName()
+                if name.startswith("batch_id=") and name.split("=")[1].isdigit():
+                    if int(name.split("=")[1]) < batch_id:
+                        fs.delete(st.getPath(), True)
 
     return docs_stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", f"{state_path}/_ckpt_neardup"

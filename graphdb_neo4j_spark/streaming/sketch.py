@@ -68,10 +68,19 @@ def _hadoop_path(spark: SparkSession, path: str):
     return fs, p
 
 
-def _committed_batch_ids(spark: SparkSession, ckpt_path: str) -> set[int] | None:
-    """Batch ids the streaming checkpoint has committed, or ``None`` if
-    no commits directory exists (non-streaming / test-only logs, where
-    every written partition is final by construction)."""
+def _committed_batch_ids(
+    spark: SparkSession, ckpt_path: str
+) -> tuple[set[int], int] | None:
+    """(retained commit ids, floor) from the streaming checkpoint, or
+    ``None`` if no commits directory exists (non-streaming / test-only
+    logs, where every written partition is final by construction).
+
+    Spark purges old commit-log entries (minBatchesToRetain), and it
+    purges OLDEST-FIRST — so any batch id below the smallest retained
+    entry (``floor``) was necessarily committed too.  Treating purged
+    ids as uncommitted would strand their deltas below the compaction
+    watermark forever (never folded, ignored by readers).
+    """
     fs, p = _hadoop_path(spark, f"{ckpt_path}/commits")
     if not fs.exists(p):
         return None
@@ -80,13 +89,16 @@ def _committed_batch_ids(spark: SparkSession, ckpt_path: str) -> set[int] | None
         name = st.getPath().getName()
         if name.isdigit():
             ids.add(int(name))
-    return ids
+    return ids, (min(ids) if ids else 0)
 
 
 def _live_rows(log: DataFrame) -> tuple[DataFrame, int]:
     """(live, compacted_through): drop source partitions already folded
     into ``batch_id = -1`` — leftovers from a crash between the fold
     commit and the partition GC must never be double-counted."""
+    if "compacted_through" not in log.columns:
+        # pre-watermark log (never compacted by this version): all live
+        return log, -1
     ct_row = (
         log.where(F.col("batch_id") == -1)
         .agg(F.max("compacted_through"))
@@ -173,15 +185,24 @@ def compact_sketch_log(spark: SparkSession, state_path: str, kind: str) -> None:
         raise ValueError(f"unknown sketch kind: {kind}")
 
     log = spark.read.parquet(path)
+    if "compacted_through" not in log.columns:
+        # legacy log written before the watermark column: uniform the
+        # schema first (all rows are raw deltas)
+        log = log.withColumn("compacted_through", F.lit(-1))
     live, ct_old = _live_rows(log)
-    committed = _committed_batch_ids(spark, f"{state_path}/_ckpt_{kind}")
+    commit_info = _committed_batch_ids(spark, f"{state_path}/_ckpt_{kind}")
     present = {
         int(r["batch_id"])
         for r in live.select("batch_id").distinct().collect()
     }
     eligible = sorted(
         b for b in present
-        if b >= 0 and (committed is None or b in committed)
+        if b >= 0
+        and (
+            commit_info is None
+            or b in commit_info[0]
+            or b < commit_info[1]  # purged from commits ⇒ committed
+        )
     )
     if not eligible:
         return  # nothing committed beyond the current watermark

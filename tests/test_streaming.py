@@ -477,3 +477,81 @@ def test_streaming_chunks_offset_continuity(spark, tmp_path):
         (r.doc_id, r.chunk_id, r.tok_start, r.n_chunk_tokens, r.chunk_text)
         for r in got
     } == want
+
+
+def test_streaming_neardup_null_text_and_seen_gc(spark, tmp_path):
+    """NULL-text documents flow through under the sentinel signature
+    (dedup among themselves, never silently lost), and superseded
+    seen-snapshot partitions are garbage-collected so state storage is
+    O(horizon), not O(batches)."""
+    import os
+
+    from graphdb_neo4j_spark.streaming import neardup_kept, streaming_neardup_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    batches = [
+        [(1, "real text document here", 1_000_000), (2, None, 2_000_000)],
+        [(3, None, 3_000_000), (4, "another real document", 4_000_000)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts_us long"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "b*"))
+        .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    )
+    state = str(tmp_path / "nd_state")
+    q = streaming_neardup_dedup(stream, state).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+    kept = {r.doc_id for r in neardup_kept(spark, state).collect()}
+    # doc 2 (first NULL) kept; doc 3 (second NULL, same sentinel) dropped
+    assert kept == {1, 2, 4}
+    # GC: only the latest seen snapshot partition remains
+    parts = [
+        d for d in os.listdir(f"{state}/seen") if d.startswith("batch_id=")
+    ]
+    assert len(parts) == 1
+
+
+def test_sketch_compaction_survives_commit_log_purge(spark, tmp_path):
+    """Batches whose commit-log entries Spark has purged are still
+    folded (purge is oldest-first, so ids below the retained floor were
+    committed): the estimate is unchanged and no delta is stranded."""
+    import os
+
+    from graphdb_neo4j_spark.streaming.sketch import (
+        compact_sketch_log,
+        hll_estimate,
+        streaming_hll,
+    )
+    from graphdb_neo4j_spark.operators.sketch import hll_distinct
+
+    d = str(tmp_path / "items")
+    rows = [(f"v{i % 300}",) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["item"])
+    df.repartition(6).write.mode("overwrite").parquet(d)
+    state = str(tmp_path / "hll_state")
+    stream = spark.readStream.schema("item string").option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(d)
+    q = streaming_hll(stream, "item", state).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    want = hll_distinct(df, "item").head()
+
+    # simulate Spark's commit-log retention purge: drop the oldest entry
+    commits = f"{state}/_ckpt_hll/commits"
+    oldest = sorted(f for f in os.listdir(commits) if f.isdigit())[0]
+    os.remove(f"{commits}/{oldest}")
+
+    compact_sketch_log(spark, state, "hll")
+    assert hll_estimate(spark, state).head() == want
+    n_parts = (
+        spark.read.parquet(f"{state}/hll_log")
+        .select("batch_id").distinct().count()
+    )
+    assert n_parts == 1  # everything folded — nothing stranded

@@ -854,3 +854,41 @@ def test_pregel_components_fixpoint(spark, edges_df):
         for r in connected_components(verts, edges_df).collect()
     }
     assert got == want
+
+
+def test_backtrace_deep_chain_beyond_256(spark):
+    """Paths deeper than the old fixed round bound (256) must complete,
+    not silently vanish (round bounds now derive from the tree)."""
+    from graphdb_neo4j_spark.operators.traversal import (
+        _backtrace_paths,
+        _backtrace_paths_doubling,
+    )
+
+    n = 300
+    rows = [("n0", 0, None)] + [
+        (f"n{i}", i, f"n{i-1}") for i in range(1, n + 1)
+    ]
+    tree = spark.createDataFrame(rows, "key string, dist int, pred string")
+    got = _backtrace_paths_doubling(tree).filter(F.col("key") == f"n{n}").head()
+    assert got is not None and len(got["path"]) == n + 1
+    assert got["path"][0] == "n0" and got["path"][-1] == f"n{n}"
+
+    targets = spark.createDataFrame([(f"n{n}",)], ["key"])
+    got2 = _backtrace_paths(tree, targets=targets).head()
+    assert got2 is not None and list(got2["path"]) == list(got["path"])
+
+
+def test_backtrace_doubling_cuts_cycles_without_blowup(spark):
+    """A cyclic pred forest (the zero-weight-cycle SSSP case) is cut at
+    the log-derived bound — cycle rows are dropped, acyclic rows keep
+    exact paths, and segments never grow past O(n)."""
+    from graphdb_neo4j_spark.operators.traversal import _backtrace_paths_doubling
+
+    rows = [
+        ("r", 0, None), ("a", 1, "r"), ("b", 2, "a"),
+        # 3-cycle never reaching a root
+        ("x", 5, "z"), ("y", 5, "x"), ("z", 5, "y"),
+    ]
+    tree = spark.createDataFrame(rows, "key string, dist int, pred string")
+    got = {r.key: list(r.path) for r in _backtrace_paths_doubling(tree).collect()}
+    assert got == {"r": ["r"], "a": ["r", "a"], "b": ["r", "a", "b"]}
