@@ -922,3 +922,86 @@ def topk_ivf(
         .orderBy(F.col("sim").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_k: int | None = None,
+    max_neighbor_degree: int | None = None,
+) -> DataFrame:
+    """Node-similarity: Jaccard over neighbor sets of a bipartite
+    adjacency (node → neighbor), e.g. suppliers over the parts they
+    ship, customers over the parts they buy — the collaborative-
+    filtering / entity-resolution primitive (Neo4j GDS
+    ``nodeSimilarity`` surface; the reference's implied analyst layer,
+    /root/reference/main.py:19).
+
+    Returns (node_a, node_b, inter, union_size, jaccard) for
+    node_a < node_b with at least one shared neighbor.
+
+    Scale shape: one distinct-project of the adjacency, a degree
+    hash-agg, and an intersection self-join keyed on the *neighbor*
+    column — candidate pairs are generated only through shared
+    neighbors (never node × node).  The quadratic risk is a hot
+    neighbor shared by many nodes (same failure mode as a hot shingle
+    in n-gram dedup); ``max_neighbor_degree`` drops such hub neighbors
+    via a broadcast anti-join, exactly like ``dedup.max_doc_freq``.
+    ``jaccard`` is one float64 division of exact integer counts —
+    bit-identical cross-engine.  ``top_k`` uses a totally-ordered
+    ``orderBy().limit`` (TakeOrderedAndProject — no single-partition
+    window)."""
+    e = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .where(F.col("node").isNotNull() & F.col("nbr").isNotNull())
+        .distinct()
+    )
+    if max_neighbor_degree is not None:
+        hot = (
+            e.groupBy("nbr")
+            .agg(F.count("*").alias("nd"))
+            .filter(F.col("nd") > max_neighbor_degree)
+            .select("nbr")
+        )
+        e = e.join(F.broadcast(hot), "nbr", "left_anti")
+    deg = e.groupBy("node").agg(F.count("*").cast("bigint").alias("deg"))
+    inter = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.nbr") == F.col("b.nbr"))
+            & (F.col("a.node") < F.col("b.node")),
+        )
+        .groupBy(
+            F.col("a.node").alias("node_a"), F.col("b.node").alias("node_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    out = (
+        inter.join(deg.withColumnRenamed("node", "node_a"), "node_a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.withColumnRenamed("node", "node_b").withColumnRenamed(
+                "deg", "deg_b"
+            ),
+            "node_b",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            "inter",
+            (F.col("deg_a") + F.col("deg_b") - F.col("inter")).alias(
+                "union_size"
+            ),
+            (
+                F.col("inter").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    if top_k is not None:
+        out = out.orderBy(
+            F.col("jaccard").desc(), F.col("node_a"), F.col("node_b")
+        ).limit(top_k)
+    return out

@@ -516,3 +516,102 @@ def kmv_set_overlap_sql(
                  6) AS est_jaccard
     FROM agg
     """
+
+
+# --------------------------------------------------------------------------
+# hash-sample quantile sketch (mergeable bottom-k uniform sample)
+# --------------------------------------------------------------------------
+
+def quantile_positions(k: int, quantiles: list[float]) -> list[tuple[float, int]]:
+    """(q, 1-based rank in a k-row sample) for each requested quantile —
+    computed ONCE driver-side in exact integer/float math and inlined as
+    literals into BOTH engines' plans (DuckDB parses ``0.9`` as DECIMAL,
+    so ``CEIL(0.9*k)`` can disagree with IEEE-double ``ceil`` by one
+    rank; pinning the integer here removes the ambiguity)."""
+    import math
+
+    out = []
+    for q in quantiles:
+        pos = max(1, min(k, int(math.ceil(round(q * k, 9)))))
+        out.append((float(q), pos))
+    return out
+
+
+def hash_sample_quantiles(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 1000,
+    quantiles: list[float] | None = None,
+) -> DataFrame:
+    """Deterministic MERGEABLE quantile sketch: the k rows with the
+    smallest ``md5(key)`` form a uniform pseudo-random sample (the same
+    bottom-k-by-hash trick as the KMV distinct sketch), and quantiles
+    are read off the ordered sample: ``(q, value)``.
+
+    Mergeability (what KLL/GK buy, here for free): the bottom-k of a
+    union is the bottom-k of the per-shard bottom-k's — per-partition
+    partial top-k, tiny combine, and sketches from different shards,
+    days, or streaming micro-batches merge by union + re-trim with NO
+    error drift; the merged sketch is bit-identical to the sketch of
+    the concatenated data (tested in tests/test_round3b.py).
+
+    100 TB shape: ``orderBy(h).limit(k)`` is TakeOrderedAndProject —
+    map-side partial top-k per partition, no global sort, no shuffle of
+    the data; the only single-partition work is ranking the k sample
+    rows.  Error is the usual sampling bound O(1/√k) on quantile rank.
+
+    Determinism: md5 keys, total order (value, hash) inside the sample,
+    and integer rank literals from `quantile_positions` — bit-identical
+    to the SQL oracle."""
+    if quantiles is None:
+        quantiles = [0.25, 0.5, 0.75, 0.9, 0.99]
+    h = F.md5(
+        F.concat_ws("-", *[F.col(c).cast("string") for c in key_cols])
+    )
+    sample = (
+        df.select(F.col(value_col).alias("v"), h.alias("h"))
+        .orderBy("h")
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v", "h")  # k rows — bounded single partition
+    ranked = sample.select(
+        "v", F.row_number().over(w).alias("rn")
+    )
+    spark = df.sparkSession
+    pos = spark.createDataFrame(
+        quantile_positions(k, quantiles), "q double, rn int"
+    )
+    return (
+        ranked.join(F.broadcast(pos), "rn")
+        .select("q", F.col("v").alias("value"))
+    )
+
+
+def hash_sample_quantiles_sql(
+    table: str,
+    key_sql: str,
+    value_sql: str,
+    k: int = 1000,
+    quantiles: list[float] | None = None,
+) -> str:
+    """DuckDB mirror of `hash_sample_quantiles` (same bottom-k sample,
+    same total order, same integer rank literals)."""
+    if quantiles is None:
+        quantiles = [0.25, 0.5, 0.75, 0.9, 0.99]
+    pos = quantile_positions(k, quantiles)
+    values = ", ".join(f"({q!r}, {rn})" for q, rn in pos)
+    return f"""
+    WITH sample AS (
+      SELECT {value_sql} AS v, md5({key_sql}) AS h
+      FROM {table} ORDER BY h LIMIT {k}
+    ),
+    ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v, h) AS rn FROM sample
+    ),
+    pos(q, rn) AS (VALUES {values})
+    SELECT CAST(pos.q AS DOUBLE) AS q, ranked.v AS value
+    FROM ranked JOIN pos ON ranked.rn = pos.rn
+    """

@@ -647,7 +647,10 @@ QUALITY_WEIGHTS = [0.15, 0.08, -1.2, -0.9, 2.0, -0.5]
 
 
 def quality_feature_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weights: list[float] | None = None,
 ) -> DataFrame:
     """(doc_id, f_log_tokens, f_mean_word_len, f_dup_bigram,
     f_punct, f_stopword, score) — the quality-classifier feature vector
@@ -677,7 +680,7 @@ def quality_feature_score(
     p_ratio = punct_ratio(t)
     sw_ratio = stopword_ratio(t)
     log_tok = F.log(F.lit(1.0) + n_tok.cast("double"))
-    w = QUALITY_WEIGHTS
+    w = QUALITY_WEIGHTS if weights is None else list(weights)
     score = (
         F.lit(w[0]) * log_tok
         + F.lit(w[1]) * mean_wl
@@ -695,3 +698,81 @@ def quality_feature_score(
         F.round(sw_ratio, 6).alias("f_stopword"),
         F.round(score, 6).alias("score"),
     )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame, col: str, max_dist: int = 2
+) -> DataFrame:
+    """Fuzzy self-match over a string column: (val_a, val_b, dist) for
+    distinct value pairs with ``levenshtein(val_a, val_b) <= max_dist``
+    and val_a < val_b — the entity-resolution / catalog-dedup
+    primitive.
+
+    Scale shape: the expensive step is pushed onto the DISTINCT VALUE
+    SPACE, not the row count — a hash-agg distinct-project first (name
+    spaces are orders of magnitude smaller than fact tables), then an
+    all-pairs join over the distinct set pruned by the SOUND length
+    filter ``|len(a)-len(b)| <= max_dist`` (edit distance can never be
+    below the length difference).  ``levenshtein`` runs JVM-side inside
+    codegen.  For value spaces too large for the pruned all-pairs,
+    block first with `dedup.minhash_signatures` n-gram LSH and feed the
+    candidate pairs through the same levenshtein verify."""
+    names = (
+        df.select(F.col(col).alias("val"))
+        .where(F.col("val").isNotNull())
+        .distinct()
+    )
+    return (
+        names.alias("a")
+        .join(
+            names.alias("b"),
+            (F.col("a.val") < F.col("b.val"))
+            & (
+                F.abs(F.length(F.col("a.val")) - F.length(F.col("b.val")))
+                <= max_dist
+            ),
+        )
+        .select(
+            F.col("a.val").alias("val_a"),
+            F.col("b.val").alias("val_b"),
+            F.levenshtein(F.col("a.val"), F.col("b.val"))
+            .cast("int")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def load_model_weights(path: str) -> list[float]:
+    """Load a trained linear-classifier weight vector from a JSON model
+    artifact ``{"weights": [...], "bias": b}`` (the fastText/logreg
+    quality-classifier deployment shape: the model is a tiny driver-side
+    artifact, broadcast into the plan as literals — no model server, no
+    UDF)."""
+    import json
+
+    with open(path) as fh:
+        m = json.load(fh)
+    return [float(x) for x in m["weights"]] + [float(m.get("bias", 0.0))]
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Apply a TRAINED quality classifier (externally learned weights,
+    e.g. from `load_model_weights`) over the standard feature
+    projection and emit a keep/drop decision: quality_feature_score
+    columns plus ``keep = score > threshold``.
+
+    The decision threshold compares the 6-decimal-rounded score so the
+    boundary is bit-identical cross-engine (see workloads q84 oracle).
+    Same 100 TB shape as q69: one wide codegen projection fused into
+    the scan, zero shuffle, zero Python."""
+    scored = quality_feature_score(
+        df, id_col=id_col, text_col=text_col, weights=weights
+    )
+    return scored.withColumn("keep", F.col("score") > F.lit(float(threshold)))

@@ -2688,8 +2688,11 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
     return SK.kmv_set_overlap(viewers, buyers, "user_id")
 
 
-def _q69_sql() -> str:
-    w = T.QUALITY_WEIGHTS
+def _q69_sql(weights=None, keep_threshold=None) -> str:
+    """Quality-scorer oracle SQL; ``weights`` defaults to the demo
+    model (q69) and ``keep_threshold`` adds the trained-classifier
+    decision column (q84) — identical feature expressions either way."""
+    w = T.QUALITY_WEIGHTS if weights is None else list(weights)
     t = "regexp_split_to_array(trim(text), '\\s+')"
     n_tok = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({t}) END"
     mean_wl = (
@@ -2717,6 +2720,11 @@ def _q69_sql() -> str:
         f"{w[0]!r} * {log_tok} + {w[1]!r} * {mean_wl} + {w[2]!r} * {dup_bi}"
         f" + {w[3]!r} * {p_ratio} + {w[4]!r} * {sw_ratio} + {w[5]!r}"
     )
+    keep = (
+        f",\n           ROUND({score}, 6) > {float(keep_threshold)!r} AS keep"
+        if keep_threshold is not None
+        else ""
+    )
     return f"""
     SELECT doc_id,
            ROUND({log_tok}, 6) AS f_log_tokens,
@@ -2724,7 +2732,7 @@ def _q69_sql() -> str:
            ROUND({dup_bi}, 6) AS f_dup_bigram,
            ROUND({p_ratio}, 6) AS f_punct,
            ROUND({sw_ratio}, 6) AS f_stopword,
-           ROUND({score}, 6) AS score
+           ROUND({score}, 6) AS score{keep}
     FROM documents
     """
 
@@ -3131,3 +3139,419 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return S.knn_join(queries, emb, k=5, method="brute")
+
+
+# ===========================================================================
+# round-3 additions II: TPC-H-style subquery/predicate coverage, fuzzy
+# matching, node similarity, trained-classifier filtering, quantile sketch
+# ===========================================================================
+
+@query(
+    "q77_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS cost_c
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+      SELECT p_partkey, p_name, s_suppkey, s_name, cost_c,
+             ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                ORDER BY cost_c, s_suppkey) AS rn
+      FROM cost
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      WHERE p_type = 'ECONOMY'
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name,
+           CAST(cost_c AS DOUBLE)/1e4 AS supply_cost
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 flavor: cheapest supplier per ECONOMY part (min over a
+    correlated group, decided by window rank — no re-join on the MIN
+    value).  100 TB shape: ONE partial hash-agg on (part,supp) does the
+    heavy lifting; part/supplier dims broadcast; the rank window
+    partitions on p_partkey so no single-partition stage.  Exact
+    integer cents make the min deterministic; ties break on suppkey."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf, "supplier")
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(
+            _cents(F.col("l_extendedprice"))
+            * (F.lit(100) - _cents(F.col("l_discount")))
+        ).alias("cost_c")
+    )
+    w = Window.partitionBy("p_partkey").orderBy("cost_c", "s_suppkey")
+    return (
+        cost.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            (F.col("cost_c").cast("double") / 1e4).alias("supply_cost"),
+        )
+    )
+
+
+@query(
+    "q78_large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS qty_c
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) > 28000
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch,
+           CAST(qty_c AS DOUBLE)/100 AS total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18: large-volume customers — orders whose total quantity
+    exceeds 280, joined back to customer.  100 TB shape: the HAVING agg
+    reduces lineitem to a tiny order set BEFORE any join (partial
+    map-side sums), then two key joins; the big-order set is small
+    enough for AQE to broadcast it into orders."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("qty_c"))
+        .filter(F.col("qty_c") > 28000)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            (F.col("qty_c").cast("double") / 100).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q79_disjunctive_predicate_revenue",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/1e4
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19: disjunctive multi-attribute predicate revenue (OR of
+    AND-branches spanning both join sides).  What it pins at scale:
+    Catalyst pushes the common p_partkey equi-key through the OR (the
+    join stays a broadcast hash join, never a nested-loop), and the
+    per-side conjuncts (p_brand/p_size; l_quantity) are pushed to their
+    scans as derived filters."""
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    j = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    qty = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 35)
+            & qty.between(20, 30)
+        )
+    )
+    return j.filter(branch).agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        (
+            F.sum(
+                _cents(F.col("l_extendedprice"))
+                * (F.lit(100) - _cents(F.col("l_discount")))
+            ).cast("double")
+            / 1e4
+        ).alias("revenue"),
+    )
+
+
+@query(
+    "q80_sole_late_supplier",
+    """
+    WITH per_os AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS m
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    multi AS (
+      SELECT l_orderkey FROM per_os GROUP BY l_orderkey HAVING COUNT(*) > 1
+    ),
+    order_max AS (
+      SELECT p.l_orderkey, MAX(p.m) AS mx
+      FROM per_os p JOIN multi USING (l_orderkey)
+      GROUP BY p.l_orderkey
+    ),
+    winners AS (
+      SELECT p.l_orderkey, p.l_suppkey
+      FROM per_os p JOIN order_max o
+        ON p.l_orderkey = o.l_orderkey AND p.m = o.mx
+    ),
+    sole AS (
+      SELECT l_orderkey, MIN(l_suppkey) AS l_suppkey
+      FROM winners GROUP BY l_orderkey HAVING COUNT(*) = 1
+    ),
+    counted AS (
+      SELECT l_suppkey, COUNT(*) AS numwait FROM sole GROUP BY l_suppkey
+    ),
+    ranked AS (
+      SELECT s_suppkey, s_name, CAST(numwait AS BIGINT) AS numwait,
+             ROW_NUMBER() OVER (ORDER BY numwait DESC, s_suppkey) AS rn
+      FROM counted JOIN supplier ON s_suppkey = l_suppkey
+    )
+    SELECT s_suppkey, s_name, numwait FROM ranked WHERE rn <= 10
+    """,
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 flavor: suppliers who were the STRICT last shipper in
+    multi-supplier orders (their max shipdate beats every other
+    supplier's) — the multi-level exists/anti pattern, expressed as
+    aggregates instead of four correlated EXISTS.  100 TB shape: one
+    (order,supp) partial agg off the scan, then order-keyed aggs whose
+    inputs shrink monotonically; supplier dim broadcasts; top-10 is
+    TakeOrdered."""
+    l = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    per_os = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("m")
+    )
+    multi = (
+        per_os.groupBy("l_orderkey")
+        .agg(F.count("*").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    order_max = (
+        per_os.join(multi, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.max("m").alias("mx"))
+    )
+    winners = per_os.alias("p").join(
+        order_max.alias("o"),
+        (F.col("p.l_orderkey") == F.col("o.l_orderkey"))
+        & (F.col("p.m") == F.col("o.mx")),
+    ).select(F.col("p.l_orderkey").alias("l_orderkey"), "l_suppkey")
+    sole = (
+        winners.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("l_suppkey"), F.count("*").alias("nw"))
+        .filter(F.col("nw") == 1)
+    )
+    counted = sole.groupBy("l_suppkey").agg(
+        F.count("*").cast("bigint").alias("numwait")
+    )
+    return (
+        counted.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q81_sales_opportunity",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)
+             / 100 / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100
+             AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    GROUP BY c_nationkey
+    """,
+)
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 flavor: untapped customers — above-average balance but
+    never placed a big (>400k) order, grouped by nation.  Pins the
+    scalar-subquery × anti-join combination.  100 TB shape: the scalar
+    average is a 1-row broadcast crossJoin (exact cents so the
+    threshold compare is bit-stable); the NOT EXISTS is a left_anti
+    hash join against a PRE-FILTERED orders side (the o_totalprice
+    pushdown shrinks the anti build input before the shuffle)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(_cents(F.col("c_acctbal"))).cast("double")
+                / 100
+                / F.count("*")
+            ).alias("ab")
+        )
+    )
+    big_orders = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            big_orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cust"),
+            (F.sum(_cents(F.col("c_acctbal"))).cast("double") / 100).alias(
+                "total_bal"
+            ),
+        )
+    )
+
+
+@query(
+    "q82_fuzzy_part_names",
+    """
+    WITH names AS (SELECT DISTINCT p_name AS val FROM part
+                   WHERE p_name IS NOT NULL)
+    SELECT a.val AS val_a, b.val AS val_b,
+           CAST(levenshtein(a.val, b.val) AS INT) AS dist
+    FROM names a JOIN names b
+      ON a.val < b.val AND abs(length(a.val) - length(b.val)) <= 4
+    WHERE levenshtein(a.val, b.val) <= 4
+    """,
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy catalog matching: distinct part-name pairs within edit
+    distance 4 (text.fuzzy_match_pairs) — the entity-resolution
+    primitive.  100 TB shape: the all-pairs cost lands on the DISTINCT
+    NAME SPACE (a hash-agg first), sound length pruning cuts the
+    candidate grid, and levenshtein evaluates JVM-side in codegen; LSH
+    blocking takes over when the name space itself is huge."""
+    p = load_table(spark, sf, "part")
+    return T.fuzzy_match_pairs(p, "p_name", max_dist=4)
+
+
+@query(
+    "q83_supplier_part_jaccard",
+    """
+    WITH sp AS (SELECT DISTINCT l_suppkey AS node, l_partkey AS nbr
+                FROM lineitem),
+    deg AS (SELECT node, COUNT(*) AS deg FROM sp GROUP BY node),
+    it AS (
+      SELECT a.node AS node_a, b.node AS node_b, COUNT(*) AS inter
+      FROM sp a JOIN sp b ON a.nbr = b.nbr AND a.node < b.node
+      GROUP BY a.node, b.node
+    ),
+    sim AS (
+      SELECT node_a, node_b, CAST(inter AS BIGINT) AS inter,
+             CAST(da.deg + db.deg - inter AS BIGINT) AS union_size,
+             CAST(inter AS DOUBLE) / (da.deg + db.deg - inter) AS jaccard
+      FROM it
+      JOIN deg da ON da.node = node_a
+      JOIN deg db ON db.node = node_b
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard DESC, node_a, node_b)
+               AS rn
+      FROM sim
+    )
+    SELECT node_a, node_b, inter, union_size, jaccard
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph node-similarity (Neo4j GDS nodeSimilarity surface): top-20
+    supplier pairs by Jaccard over the part sets they ship
+    (similarity.neighbor_jaccard).  100 TB shape: candidates only via
+    shared neighbors (never node×node), hub neighbors cappable like hot
+    shingles, exact-integer Jaccard, TakeOrdered top-k."""
+    l = load_table(spark, sf, "lineitem")
+    edges = l.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return S.neighbor_jaccard(edges, top_k=20)
+
+
+# an externally-"trained" quality model: same feature basis as q69 but
+# different weights + a decision threshold (the load_model_weights path)
+TRAINED_QUALITY_WEIGHTS = [0.32, 0.15, -2.1, -1.4, 1.7, -0.8]
+TRAINED_QUALITY_THRESHOLD = 0.5
+
+
+@query(
+    "q84_classifier_filter",
+    _q69_sql(TRAINED_QUALITY_WEIGHTS, keep_threshold=TRAINED_QUALITY_THRESHOLD),
+)
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained-classifier corpus filtering: a LOADED weight vector (the
+    fastText/logreg deployment shape — `text.load_model_weights` reads
+    the tiny JSON artifact; here the trained vector is pinned as a
+    constant) applied over the standard feature projection, plus the
+    keep/drop decision at logit > 0.5 (`text.classifier_score`).  Same
+    100 TB shape as q69: one wide codegen projection fused into the
+    scan — the model ships as plan literals, zero Python, zero
+    shuffle."""
+    docs = load_table(spark, sf, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return T.classifier_score(
+        docs,
+        weights=TRAINED_QUALITY_WEIGHTS,
+        threshold=TRAINED_QUALITY_THRESHOLD,
+    )
+
+
+def _q85_sql() -> str:
+    from graphdb_neo4j_spark.operators.sketch import hash_sample_quantiles_sql
+
+    return hash_sample_quantiles_sql(
+        "lineitem",
+        "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)",
+        "l_extendedprice",
+        k=1000,
+    )
+
+
+@query("q85_hash_sample_quantiles", _q85_sql())
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable quantile sketch: deterministic bottom-k-by-md5 uniform
+    sample (KMV-style; shard/stream sketches merge by union+re-trim
+    with no error drift), quantiles read off the ordered sample
+    (sketch.hash_sample_quantiles).  100 TB shape: TakeOrdered partial
+    top-k per partition — no global sort, no full-table window; only
+    the k sample rows ever sit in one task.  The KLL/GK role with exact
+    cross-engine determinism."""
+    from graphdb_neo4j_spark.operators.sketch import hash_sample_quantiles
+
+    l = load_table(spark, sf, "lineitem")
+    return hash_sample_quantiles(
+        l, ["l_orderkey", "l_linenumber"], "l_extendedprice", k=1000
+    )

@@ -564,3 +564,77 @@ def test_knn_join_lsh_recall_and_self_match(spark):
     for r in lsh:
         ranks.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+
+
+# --------------------------------------------------------------------------
+# round 3: node similarity, fuzzy matching, trained-classifier filter
+# --------------------------------------------------------------------------
+
+def test_neighbor_jaccard_python_oracle(spark):
+    from graphdb_neo4j_spark.operators.similarity import neighbor_jaccard
+
+    edges = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "b"), (2, "c"), (2, "d"),
+        (3, "x"),
+        (1, "b"),  # duplicate edge must not inflate counts
+    ]
+    df = spark.createDataFrame(edges, "src int, dst string")
+    got = {
+        (r.node_a, r.node_b): (r.inter, r.union_size, r.jaccard)
+        for r in neighbor_jaccard(df).collect()
+    }
+    # sets: 1->{a,b,c}, 2->{b,c,d}, 3->{x}
+    assert got == {(1, 2): (2, 4, 0.5)}
+
+
+def test_neighbor_jaccard_hub_cap_drops_hot_neighbor(spark):
+    from graphdb_neo4j_spark.operators.similarity import neighbor_jaccard
+
+    # "h" is shared by everyone (a hub) — with the cap it must not
+    # generate candidate pairs on its own
+    edges = [(i, "h") for i in range(1, 6)] + [(1, "p"), (2, "p")]
+    df = spark.createDataFrame(edges, "src int, dst string")
+    capped = neighbor_jaccard(df, max_neighbor_degree=3).collect()
+    assert {(r.node_a, r.node_b) for r in capped} == {(1, 2)}
+    # degrees are computed AFTER the cap (consistent candidate/degree space)
+    row = capped[0]
+    assert (row.inter, row.union_size) == (1, 1)
+
+
+def test_fuzzy_match_pairs_python_oracle(spark):
+    from graphdb_neo4j_spark.operators.text import fuzzy_match_pairs
+
+    vals = ["red gear", "red bear", "red gearx", "blue whale", "red gear"]
+    df = spark.createDataFrame([(v,) for v in vals], "name string")
+    got = {(r.val_a, r.val_b): r.dist for r in fuzzy_match_pairs(df, "name", max_dist=2).collect()}
+    assert got == {
+        ("red bear", "red gear"): 1,
+        ("red gear", "red gearx"): 1,
+        ("red bear", "red gearx"): 2,
+    }
+
+
+def test_classifier_score_threshold_and_weights(spark):
+    from graphdb_neo4j_spark.operators.text import classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, "x x x x x x")],
+        "doc_id int, text string",
+    )
+    # a weight vector that scores ONLY the dup-bigram ratio negatively:
+    # doc 2 is pure repetition -> dup_bi = 1 -> score -5 < 0 -> dropped
+    out = {r.doc_id: r.keep for r in classifier_score(
+        df, weights=[0.0, 0.0, -5.0, 0.0, 0.0, 0.1], threshold=0.0
+    ).collect()}
+    assert out == {1: True, 2: False}
+
+
+def test_load_model_weights_roundtrip(tmp_path):
+    import json
+
+    from graphdb_neo4j_spark.operators.text import load_model_weights
+
+    p = tmp_path / "model.json"
+    p.write_text(json.dumps({"weights": [1, 2, 3, 4, 5], "bias": -0.5}))
+    assert load_model_weights(str(p)) == [1.0, 2.0, 3.0, 4.0, 5.0, -0.5]

@@ -381,3 +381,61 @@ def test_streaming_drift_matches_batch(spark, tmp_path):
     ]
     assert sorted(timeline.values()) == sorted(want)
     assert max(timeline.values()) > 0.25 > min(timeline.values())
+
+
+# --------------------------------------------------------------------------
+# hash-sample quantile sketch (round 3: mergeable bottom-k sample)
+# --------------------------------------------------------------------------
+
+def test_hash_sample_quantiles_exact_when_k_covers_all(spark):
+    from graphdb_neo4j_spark.operators.sketch import hash_sample_quantiles
+
+    # k >= n: the "sample" is the whole dataset, so quantiles are exact
+    # order statistics at the pinned integer positions
+    df = spark.range(1, 101).select(
+        F.col("id").alias("k"), (F.col("id") * 10).cast("double").alias("v")
+    )
+    out = hash_sample_quantiles(df, ["k"], "v", k=100, quantiles=[0.5, 0.9])
+    got = {r.q: r.value for r in out.collect()}
+    assert got == {0.5: 500.0, 0.9: 900.0}
+
+
+def test_hash_sample_quantiles_mergeable(spark):
+    """bottom-k(union) == bottom-k(bottom-k(A) ∪ bottom-k(B)): sharded
+    sketches merged by union+re-trim are bit-identical to the sketch of
+    the concatenated data — the KLL/GK mergeability contract."""
+    from graphdb_neo4j_spark.operators.sketch import hash_sample_quantiles
+
+    df = spark.range(1, 2001).select(
+        F.col("id").alias("k"), F.pmod(F.col("id") * 7919, F.lit(9973)).cast("double").alias("v")
+    )
+    whole = hash_sample_quantiles(df, ["k"], "v", k=200)
+    a = df.filter(F.col("k") <= 1000)
+    b = df.filter(F.col("k") > 1000)
+    # per-shard bottom-k SAMPLES (pre-quantile state), merged and re-trimmed
+    h = F.md5(F.concat_ws("-", F.col("k").cast("string")))
+    sample = lambda d: d.select(F.col("v"), h.alias("h")).orderBy("h").limit(200)
+    merged = sample(a).unionAll(sample(b)).orderBy("h").limit(200)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("v", "h")
+    ranked = merged.select("v", F.row_number().over(w).alias("rn"))
+    from graphdb_neo4j_spark.operators.sketch import quantile_positions
+
+    pos = spark.createDataFrame(
+        quantile_positions(200, [0.25, 0.5, 0.75, 0.9, 0.99]), "q double, rn int"
+    )
+    remerged = ranked.join(F.broadcast(pos), "rn").select("q", F.col("v").alias("value"))
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, remerged.collect()))
+
+
+def test_hash_sample_quantile_positions_pin_decimal_ambiguity():
+    from graphdb_neo4j_spark.operators.sketch import quantile_positions
+
+    # 0.9*1000 is 900.0000000000001 in IEEE double: position must be the
+    # ROUND-corrected 900, not ceil's 901 (and DuckDB's decimal 0.9*1000
+    # = 900 exactly — the helper pins both engines to one answer)
+    assert quantile_positions(1000, [0.9]) == [(0.9, 900)]
+    assert quantile_positions(1000, [0.25, 0.999]) == [(0.25, 250), (0.999, 999)]
+    # clamped into [1, k]
+    assert quantile_positions(10, [0.0, 1.0]) == [(0.0, 1), (1.0, 10)]
