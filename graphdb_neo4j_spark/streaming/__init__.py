@@ -11,6 +11,10 @@ from graphdb_neo4j_spark.streaming.ingest import (
     streaming_neardup_dedup,
     windowed_event_counts,
 )
+from graphdb_neo4j_spark.streaming.join import (
+    interval_join,
+    run_interval_join_stream,
+)
 from graphdb_neo4j_spark.streaming.dim import (
     scd2_history,
     streaming_scd2,
@@ -39,9 +43,11 @@ __all__ = [
     "compact_sketch_log",
     "drift_timeline",
     "hll_estimate",
+    "interval_join",
     "neardup_kept",
     "scd2_history",
     "stream_graph_ingest",
+    "run_interval_join_stream",
     "stream_spans",
     "streaming_ann_candidates",
     "streaming_ann_topk",

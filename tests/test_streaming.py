@@ -555,3 +555,86 @@ def test_sketch_compaction_survives_commit_log_purge(spark, tmp_path):
         .select("batch_id").distinct().count()
     )
     assert n_parts == 1  # everything folded — nothing stranded
+
+
+# --------------------------------------------------------------------------
+# stream-stream interval join (round 3)
+# --------------------------------------------------------------------------
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Inner stream-stream interval join (purchases ⋈ views within the
+    preceding hour, keyed on user) equals the identical batch join —
+    watermark + event-time constraint bound the state, so this is the
+    production correlation shape, not a toy."""
+    from graphdb_neo4j_spark.sources.tables import load_table
+    from graphdb_neo4j_spark.streaming.join import (
+        interval_join,
+        run_interval_join_stream,
+    )
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_type", "value", "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type") == "view")
+
+    batch = interval_join(purchases, views, lookback="1 hour")
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert batch_rows, "fixture must produce at least one joined pair"
+
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    # two files per side so the join spans micro-batch input splits
+    purchases.repartition(2).write.parquet(lsrc)
+    views.repartition(2).write.parquet(rsrc)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, event_type string, value double, event_id long"
+    run_interval_join_stream(
+        lsrc, rsrc, out, ckpt, spark, schema, lookback="1 hour"
+    )
+    got = {tuple(r) for r in spark.read.parquet(out).select(*batch.columns).collect()}
+    assert got == batch_rows
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """left_outer: purchases with no preceding view emit NULL right
+    columns once the right watermark passes their window.  A far-future
+    sentinel row on the view side pushes the final watermark so all
+    outer results flush under availableNow."""
+    import datetime as dt
+
+    from graphdb_neo4j_spark.streaming.join import run_interval_join_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    far = dt.datetime(2024, 3, 1, 0, 0, 0)
+    # the GLOBAL watermark is the MIN across both inputs, so BOTH sides
+    # need a far-future sentinel for outer-state eviction to reach t0
+    # (the sentinels themselves stay in state at shutdown — fine)
+    purchases = spark.createDataFrame(
+        [
+            (1, t0, "purchase", 5.0, 101),
+            (2, t0, "purchase", 7.0, 102),
+            (8, far, "purchase", 0.0, 998),  # watermark sentinel
+        ],
+        "user_id long, ts timestamp, event_type string, value double, event_id long",
+    )
+    views = spark.createDataFrame(
+        [
+            (1, t0 - dt.timedelta(minutes=30), "view", 1.0, 201),
+            (9, far, "view", 0.0, 999),  # watermark sentinel
+        ],
+        "user_id long, ts timestamp, event_type string, value double, event_id long",
+    )
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    purchases.write.parquet(lsrc)
+    views.write.parquet(rsrc)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, event_type string, value double, event_id long"
+    run_interval_join_stream(
+        lsrc, rsrc, out, ckpt, spark, schema,
+        lookback="1 hour", how="left_outer",
+    )
+    got = spark.read.parquet(out)
+    matched = got.filter(F.col("user_id") == 1).collect()
+    unmatched = got.filter(F.col("user_id") == 2).collect()
+    assert len(matched) == 1 and matched[0].r_event_id == 201
+    assert len(unmatched) == 1 and unmatched[0].r_event_id is None
