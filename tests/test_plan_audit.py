@@ -332,3 +332,52 @@ def test_varlen_motif_plan_no_cartesian(spark):
     plan = explain_str(gq.find("(a)-[R*1..3]->(b)"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------------------------
+# round 3 session 2: TPC-H subquery block, similarity, quantile sketch
+# --------------------------------------------------------------------------
+
+def test_q77_partial_agg_and_broadcast_dims(spark):
+    # the (part,supp) cost agg must partial-combine map-side; part and
+    # supplier dims must broadcast (never shuffle lineitem on a dim key)
+    df = QUERY_FNS["q77_min_cost_supplier"](spark, SF)
+    plan = explain_str(df)
+    assert "partial" in plan.lower()
+    assert has_broadcast_join(df)
+
+
+def test_q79_or_predicate_keeps_hash_join_and_pushes_filters(spark):
+    # the disjunction must NOT degrade the equi-join to nested-loop, and
+    # the single-side conjuncts must reach the scans
+    df = QUERY_FNS["q79_disjunctive_predicate_revenue"](spark, SF)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any("l_quantity" in f for f in pushed_filters(df))
+
+
+def test_q81_anti_join_on_prefiltered_orders(spark):
+    df = QUERY_FNS["q81_sales_opportunity"](spark, SF)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan
+    # the o_totalprice prefilter must reach the orders scan
+    assert any("o_totalprice" in f for f in pushed_filters(df))
+
+
+def test_q83_topk_is_takeordered_not_global_sort(spark):
+    df = QUERY_FNS["q83_supplier_part_jaccard"](spark, SF)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q85_sample_is_takeordered_no_full_table_window(spark):
+    # bottom-k by hash must be TakeOrderedAndProject; the only window
+    # runs over the k sample rows AFTER the limit, never the full table
+    df = QUERY_FNS["q85_hash_sample_quantiles"](spark, SF)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    # the Window must sit ABOVE the TakeOrdered (i.e. over the k sample
+    # rows), and there must be no range-partitioned global sort shuffle
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    assert "rangepartitioning" not in plan.lower()
