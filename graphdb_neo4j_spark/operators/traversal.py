@@ -1535,3 +1535,50 @@ def densest_subgraph(
         spark = edges.sparkSession
         return spark.createDataFrame([], "key string"), 0.0
     return best_verts, best_density
+
+
+def four_clique_count(edges: DataFrame) -> DataFrame:
+    """Number of 4-cliques in the undirected graph as a 1-row DataFrame
+    ``(n_4cliques)`` — the next motif up from `triangle_count` (dense
+    community / collusion detection).
+
+    Canonical orientation a<b<c<d makes every clique enumerate exactly
+    once and keeps each join a strictly-growing equi-join (the ordered
+    orientation is the same trick worst-case-optimal engines use to cut
+    the search space; at scale, orienting by DEGREE order instead of id
+    order further caps the fan-out of hub nodes).  Shape: triangle
+    enumeration (2 joins) + one extension join checking the 3 closing
+    edges — all equi-joins on node ids over one canonical edge table,
+    which AQE can broadcast when the graph is small and which should be
+    pre-bucketed by src at 100 TB.
+    """
+    e = (
+        _as_undirected(edges)
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    ac = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        ab.join(bc, ab["b"] == bc["b2"])
+        .join(ac, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    # broadcast the (small) canonical edge table into every extension
+    # join: the HUGE side is the triangle/extension intermediate, and
+    # broadcasting e means it streams through build-side hash joins
+    # without ever shuffling (at true scale switch to bucketed e)
+    ad = F.broadcast(e.select(F.col("a").alias("a4"), F.col("b").alias("d")))
+    bd = F.broadcast(e.select(F.col("a").alias("b5"), F.col("b").alias("d5")))
+    cd = F.broadcast(e.select(F.col("a").alias("c6"), F.col("b").alias("d6")))
+    return (
+        tri.join(ad, (F.col("a") == F.col("a4")) & (F.col("c") < F.col("d")))
+        .join(bd, (F.col("b") == F.col("b5")) & (F.col("d") == F.col("d5")))
+        .join(cd, (F.col("c") == F.col("c6")) & (F.col("d") == F.col("d6")))
+        .agg(F.count("*").cast("bigint").alias("n_4cliques"))
+    )

@@ -3555,3 +3555,46 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
     return hash_sample_quantiles(
         l, ["l_orderkey", "l_linenumber"], "l_extendedprice", k=1000
     )
+
+
+@query(
+    "q86_four_clique_count",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS pa,
+                      greatest(a.l_partkey, b.l_partkey) AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT ab.pa AS a, ab.pb AS b, bc.pb AS c
+      FROM pairs ab JOIN pairs bc ON ab.pb = bc.pa
+                    JOIN pairs ac ON ab.pa = ac.pa AND bc.pb = ac.pb
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_4cliques FROM tri
+    JOIN pairs ad ON tri.a = ad.pa AND tri.c < ad.pb
+    JOIN pairs bd ON tri.b = bd.pa AND ad.pb = bd.pb
+    JOIN pairs cd ON tri.c = cd.pa AND ad.pb = cd.pb
+    """,
+)
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    """4-clique count in the part co-purchase graph
+    (traversal.four_clique_count) — dense-motif mining one step past
+    triangles, each clique enumerated once via the canonical a<b<c<d
+    orientation (degree-ordering is the documented scale knob)."""
+    from graphdb_neo4j_spark.operators.traversal import four_clique_count
+
+    l = load_table(spark, sf, "lineitem")
+    pairs = (
+        l.alias("a")
+        .join(
+            l.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return four_clique_count(pairs)

@@ -892,3 +892,18 @@ def test_backtrace_doubling_cuts_cycles_without_blowup(spark):
     tree = spark.createDataFrame(rows, "key string, dist int, pred string")
     got = {r.key: list(r.path) for r in _backtrace_paths_doubling(tree).collect()}
     assert got == {"r": ["r"], "a": ["r", "a"], "b": ["r", "a", "b"]}
+
+
+def test_four_clique_count_known_graphs(spark):
+    from graphdb_neo4j_spark.operators.traversal import four_clique_count
+
+    # K5: C(5,4) = 5 four-cliques; edges given in arbitrary orientation
+    # with duplicates to exercise canonicalization
+    k5 = [(i, j) for i in range(5) for j in range(5) if i != j]
+    df = spark.createDataFrame(k5, "src int, dst int")
+    assert four_clique_count(df).head().n_4cliques == 5
+    # a triangle plus a pendant vertex has none
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int"
+    )
+    assert four_clique_count(tri).head().n_4cliques == 0
