@@ -1,0 +1,456 @@
+"""Cypher front-end — the reference's ACTUAL analyst language, compiled
+to DataFrame plans.
+
+The reference's deliverable is "open Neo4j Browser and run Cypher"
+(/root/reference/main.py:19).  `GraphQuery` re-expresses that surface as
+combinators; this module closes the last gap for a migrating analyst by
+accepting the Cypher TEXT itself for the read-query subset the
+reference's schema implies:
+
+    MATCH (a:Process {image: 'powershell.exe'})-[:SPAWNS*1..3]->(b),
+          (b)-[:CONNECTED_TO]->(ip:Ip)
+    OPTIONAL MATCH (b)-[:CREATED_FILE]->(f:File)
+    WHERE ip.key STARTS WITH '10.' AND b <> a
+    RETURN a AS root, b, ip.key AS addr, count(f) AS n_files
+    ORDER BY n_files DESC, root LIMIT 10
+
+Supported subset (every construct maps to a relational plan — nothing
+is interpreted row-by-row):
+
+* ``MATCH`` with comma-separated patterns; chains
+  ``(a)-[:R]->(b)-[:S]->(c)``; reverse arrows ``<-[:R]-``; node labels
+  ``(a:Label)``; inline property maps ``{p: lit}``; edge variables
+  ``[e:R]``; bounded variable-length ``[:R*lo..hi]`` (unbounded ``*``
+  is rejected — open-ended reach is `traversal.bfs`, not a join chain);
+  single-node patterns ``MATCH (n:Label)``.
+* one ``OPTIONAL MATCH`` group (left join on shared variables).
+* ``WHERE`` — any Spark-SQL-expressible boolean over node variables
+  (``a`` = the node key), node properties (``a.prop``, resolved through
+  the per-label property tables), and edge-variable fields
+  (``e.event_id``); Cypher spellings ``STARTS WITH`` / ``ENDS WITH`` /
+  ``CONTAINS`` / ``<>`` / ``IN [..]`` are rewritten to their SQL
+  equivalents.
+* ``RETURN [DISTINCT]`` items with ``AS`` aliases; aggregates
+  count/sum/min/max/avg/collect with Cypher's implicit grouping (all
+  non-aggregate items become the GROUP BY key).
+* ``ORDER BY`` on returned columns, ``LIMIT`` (a totally-ordered limit
+  plans as TakeOrderedAndProject — no global sort).
+
+Execution inherits everything GraphQuery already guarantees: each hop
+is a key equi-join Catalyst/AQE may broadcast or bucket, labels are
+semi-joins against the pruned node table, and property access joins the
+label's property table only for properties the query actually touches.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+# -- clause-level splitting (quote-aware) -----------------------------------
+
+_CLAUSE_KEYWORDS = [
+    "OPTIONAL MATCH",
+    "MATCH",
+    "WHERE",
+    "RETURN",
+    "ORDER BY",
+    "LIMIT",
+]
+
+
+def _split_clauses(q: str) -> list[tuple[str, str]]:
+    """[(keyword, body)] in source order; single-quoted strings are
+    opaque to keyword detection."""
+    # positions of every top-level keyword occurrence
+    upper = q.upper()
+    hits: list[tuple[int, str]] = []
+    in_str = False
+    i = 0
+    while i < len(upper):
+        ch = q[i]
+        if ch == "'":
+            in_str = not in_str
+            i += 1
+            continue
+        if not in_str:
+            for kw in _CLAUSE_KEYWORDS:
+                end = i + len(kw)
+                if (
+                    upper.startswith(kw, i)
+                    and (i == 0 or not upper[i - 1].isalnum())
+                    and (end >= len(upper) or not upper[end].isalnum())
+                ):
+                    # "MATCH" must not re-match inside "OPTIONAL MATCH"
+                    if kw == "MATCH" and hits and hits[-1][1] == "OPTIONAL MATCH" and (
+                        i - hits[-1][0] == len("OPTIONAL ")
+                    ):
+                        break
+                    hits.append((i, kw))
+                    i = end - 1
+                    break
+        i += 1
+    if not hits or hits[0][0] != 0:
+        raise ValueError("query must start with MATCH")
+    out = []
+    for n, (pos, kw) in enumerate(hits):
+        end = hits[n + 1][0] if n + 1 < len(hits) else len(q)
+        out.append((kw, q[pos + len(kw):end].strip()))
+    return out
+
+
+def _split_top_commas(s: str) -> list[str]:
+    """Split on commas outside (), [], {}, and quotes."""
+    parts, depth, in_str, cur = [], 0, False, []
+    for ch in s:
+        if ch == "'":
+            in_str = not in_str
+        if not in_str:
+            if ch in "([{":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+                continue
+        cur.append(ch)
+    if "".join(cur).strip():
+        parts.append("".join(cur).strip())
+    return parts
+
+
+# -- pattern parsing ---------------------------------------------------------
+
+_NODE_RE = re.compile(
+    r"\(\s*(?P<var>\w+)?\s*(?::\s*(?P<label>\w+))?\s*"
+    r"(?P<props>\{[^}]*\})?\s*\)"
+)
+_EDGE_RE = re.compile(
+    r"(?P<back><)?-\s*\[\s*(?:(?P<ev>\w+))?\s*:\s*(?P<rel>\w+)\s*"
+    r"(?P<vspec>\*[\d.\s]*)?\s*\]\s*-(?P<fwd>>)?"
+)
+
+
+@dataclass
+class _Hop:
+    src: str
+    rel: str
+    dst: str
+    ev: str | None
+    vspec: str | None  # raw "*lo..hi" text (validated by GraphQuery)
+
+
+@dataclass
+class _Parsed:
+    hops: list[_Hop] = field(default_factory=list)
+    single_nodes: list[str] = field(default_factory=list)  # vars with no hop
+    labels: dict[str, str] = field(default_factory=dict)
+    inline_preds: list[str] = field(default_factory=list)  # SQL predicates
+    opt_hops: list[_Hop] = field(default_factory=list)
+    opt_labels: dict[str, str] = field(default_factory=dict)
+
+
+def _parse_patterns(body: str, parsed: _Parsed, into_optional: bool) -> None:
+    hops = parsed.opt_hops if into_optional else parsed.hops
+    labels = parsed.opt_labels if into_optional else parsed.labels
+    anon = [0]
+
+    def node(m: re.Match) -> str:
+        var = m["var"]
+        if var is None:
+            anon[0] += 1
+            var = f"__anon{anon[0]}"
+        if m["label"]:
+            if labels.get(var, m["label"]) != m["label"]:
+                raise ValueError(f"conflicting labels for {var!r}")
+            labels[var] = m["label"]
+        if m["props"]:
+            inner = m["props"].strip()[1:-1].strip()
+            if inner:
+                for kv in _split_top_commas(inner):
+                    k, _, v = kv.partition(":")
+                    if not _:
+                        raise ValueError(f"bad property map entry {kv!r}")
+                    k, v = k.strip(), v.strip()
+                    col = var if k == "key" else f"{var}.{k}"
+                    parsed.inline_preds.append(f"{col} = {v}")
+        return var
+
+    for pat in _split_top_commas(body):
+        pos = 0
+        m = _NODE_RE.match(pat, pos)
+        if not m:
+            raise ValueError(f"bad pattern {pat!r}")
+        prev = node(m)
+        pos = m.end()
+        had_hop = False
+        while pos < len(pat):
+            em = _EDGE_RE.match(pat, pos)
+            if not em:
+                raise ValueError(f"bad pattern tail {pat[pos:]!r}")
+            nm = _NODE_RE.match(pat, em.end())
+            if not nm:
+                raise ValueError(f"edge without target node in {pat!r}")
+            nxt = node(nm)
+            if bool(em["back"]) == bool(em["fwd"]):
+                raise ValueError(f"undirected edge in {pat!r}: give a direction")
+            vspec = em["vspec"][1:].strip() if em["vspec"] else None
+            if em["back"]:
+                hops.append(_Hop(nxt, em["rel"], prev, em["ev"], vspec))
+            else:
+                hops.append(_Hop(prev, em["rel"], nxt, em["ev"], vspec))
+            prev = nxt
+            pos = nm.end()
+            had_hop = True
+        if not had_hop:
+            if into_optional:
+                raise ValueError("OPTIONAL MATCH needs at least one hop")
+            parsed.single_nodes.append(prev)
+
+
+# -- expression rewriting ----------------------------------------------------
+
+_PROP_REF = re.compile(r"\b(\w+)\s*\.\s*(\w+)\b")
+
+
+def _rewrite_expr(
+    expr: str, node_vars: set[str], edge_vars: set[str]
+) -> tuple[str, set[tuple[str, str]]]:
+    """Cypher expression → Spark SQL expression.  Returns the rewritten
+    text and the set of (node_var, prop) references that need property
+    joins.  Edge-variable fields stay dotted (struct access)."""
+    refs: set[tuple[str, str]] = set()
+
+    def prop(m: re.Match) -> str:
+        var, p = m.group(1), m.group(2)
+        if var in edge_vars:
+            return f"{var}.{p}"  # struct field — Spark SQL native
+        if var in node_vars:
+            if p == "key":
+                return var
+            refs.add((var, p))
+            return f"__{var}__{p}"
+        return m.group(0)  # function call like round(x, 2) — leave alone
+
+    # protect string literals from rewriting
+    chunks = re.split(r"('[^']*')", expr)
+    for i in range(0, len(chunks), 2):
+        c = _PROP_REF.sub(prop, chunks[i])
+        c = re.sub(r"\bSTARTS\s+WITH\b", "STARTSWITH_OP", c, flags=re.I)
+        c = re.sub(r"\bENDS\s+WITH\b", "ENDSWITH_OP", c, flags=re.I)
+        c = re.sub(r"\bCONTAINS\b", "CONTAINS_OP", c, flags=re.I)
+        chunks[i] = c
+    out = "".join(chunks)
+    # infix pseudo-ops → function calls: "x OP 'lit'" (rhs = literal or column)
+    for op, fn in (
+        ("STARTSWITH_OP", "startswith"),
+        ("ENDSWITH_OP", "endswith"),
+        ("CONTAINS_OP", "contains"),
+    ):
+        out = re.sub(
+            rf"(\S+)\s+{op}\s+('[^']*'|\S+)", rf"{fn}(\1, \2)", out
+        )
+    # Cypher list literal in IN: [1, 2] → (1, 2)
+    out = re.sub(
+        r"\bIN\s*\[([^\]]*)\]", lambda m: f"IN ({m.group(1)})", out, flags=re.I
+    )
+    # Cypher collect() → Spark collect_list()
+    out = re.sub(r"\bcollect\s*\(", "collect_list(", out, flags=re.I)
+    return out, refs
+
+
+_AGG_RE = re.compile(r"^\s*(count|sum|min|max|avg|collect)\s*\(", re.I)
+
+
+def _is_agg(expr: str) -> bool:
+    return bool(_AGG_RE.match(expr))
+
+
+def _default_alias(expr: str) -> str:
+    return re.sub(r"\W+", "_", expr.strip()).strip("_")
+
+
+# -- the compiler ------------------------------------------------------------
+
+def cypher(
+    gq: GraphQuery,
+    query: str,
+    props: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Compile a Cypher read query (see module docstring for the
+    subset) against a :class:`GraphQuery` and return the DataFrame.
+
+    ``props`` maps node label → property DataFrame keyed by ``key``
+    (e.g. ``{"Process": g.process}``); it is only required when the
+    query dereferences ``var.prop`` on that label."""
+    parsed = _Parsed()
+    where_sql: str | None = None
+    return_body: str | None = None
+    order_body: str | None = None
+    limit_n: int | None = None
+    for kw, body in _split_clauses(query.strip().rstrip(";")):
+        if kw == "MATCH":
+            _parse_patterns(body, parsed, into_optional=False)
+        elif kw == "OPTIONAL MATCH":
+            _parse_patterns(body, parsed, into_optional=True)
+        elif kw == "WHERE":
+            where_sql = body
+        elif kw == "RETURN":
+            return_body = body
+        elif kw == "ORDER BY":
+            order_body = body
+        elif kw == "LIMIT":
+            limit_n = int(body)
+    if return_body is None:
+        raise ValueError("query needs a RETURN clause")
+    if not parsed.hops and not parsed.single_nodes:
+        raise ValueError("query needs at least one MATCH pattern")
+
+    node_vars = {h.src for h in parsed.hops} | {h.dst for h in parsed.hops}
+    node_vars |= set(parsed.single_nodes)
+    node_vars |= {h.src for h in parsed.opt_hops} | {
+        h.dst for h in parsed.opt_hops
+    }
+    edge_vars = {h.ev for h in parsed.hops if h.ev} | {
+        h.ev for h in parsed.opt_hops if h.ev
+    }
+
+    def motif(hops: list[_Hop], labels: dict[str, str]) -> str:
+        pats = []
+        for h in hops:
+            s_lab = f":{labels[h.src]}" if h.src in labels else ""
+            d_lab = f":{labels[h.dst]}" if h.dst in labels else ""
+            ev = f"{h.ev}:" if h.ev else ""
+            star = f"*{h.vspec}" if h.vspec is not None else ""
+            pats.append(
+                f"({h.src}{s_lab})-[{ev}{h.rel}{star}]->({h.dst}{d_lab})"
+            )
+        return "; ".join(pats)
+
+    if parsed.hops:
+        df = gq.find(motif(parsed.hops, parsed.labels))
+    else:
+        df = None
+    for var in parsed.single_nodes:
+        lab = parsed.labels.get(var)
+        if lab is None:
+            nd = gq.nodes.select(F.col("key").alias(var))
+        else:
+            nd = gq.match(lab).select(F.col("key").alias(var))
+        if df is None:
+            df = nd
+        elif var in df.columns:
+            df = df.join(nd, var, "left_semi")
+        else:
+            raise ValueError(
+                f"single-node pattern ({var}) shares no variable with the "
+                "rest of the MATCH — a cartesian product is never implicit"
+            )
+    if parsed.opt_hops:
+        opt = gq.find(motif(parsed.opt_hops, parsed.opt_labels))
+        shared = [c for c in df.columns if c in opt.columns]
+        if not shared:
+            raise ValueError(
+                "OPTIONAL MATCH shares no variable with the MATCH"
+            )
+        df = df.join(opt, on=shared, how="left")
+
+    # gather every expression we must compile, collecting property refs
+    all_refs: set[tuple[str, str]] = set()
+
+    def compile_expr(e: str) -> str:
+        out, refs = _rewrite_expr(e, node_vars, edge_vars)
+        all_refs.update(refs)
+        return out
+
+    inline_sql = [compile_expr(p) for p in parsed.inline_preds]
+    where_compiled = compile_expr(where_sql) if where_sql else None
+
+    distinct = False
+    rb = return_body.strip()
+    if rb.upper().startswith("DISTINCT"):
+        distinct = True
+        rb = rb[len("DISTINCT"):].strip()
+    items: list[tuple[str, str, bool]] = []  # (sql, alias, is_agg)
+    for item in _split_top_commas(rb):
+        m = re.search(r"\s+AS\s+(\w+)\s*$", item, flags=re.I)
+        if m:
+            expr_txt, alias = item[: m.start()].strip(), m.group(1)
+        else:
+            expr_txt = item.strip()
+            alias = expr_txt if re.fullmatch(r"\w+", expr_txt) else _default_alias(expr_txt)
+        items.append((compile_expr(expr_txt), alias, _is_agg(expr_txt)))
+
+    order_items: list[tuple[str, bool]] = []
+    if order_body:
+        for item in _split_top_commas(order_body):
+            desc = bool(re.search(r"\s+DESC\s*$", item, flags=re.I))
+            item = re.sub(r"\s+(ASC|DESC)\s*$", "", item, flags=re.I)
+            order_items.append((compile_expr(item), desc))
+
+    # property joins — only the (var, prop) pairs actually referenced;
+    # each is ONE key join against the label's property table (broadcast
+    # when small), projecting just the needed columns
+    props = props or {}
+    by_var: dict[str, set[str]] = {}
+    for var, p in all_refs:
+        by_var.setdefault(var, set()).add(p)
+    for var, wanted in by_var.items():
+        lab = parsed.labels.get(var) or parsed.opt_labels.get(var)
+        if lab is None:
+            raise ValueError(
+                f"{var}.{next(iter(wanted))}: {var!r} has no label, so its "
+                "property table is unknown — label the variable"
+            )
+        if lab not in props:
+            raise ValueError(
+                f"{var}.{next(iter(wanted))}: no property table for label "
+                f"{lab!r} — pass props={{{lab!r}: df}}"
+            )
+        pt = props[lab]
+        missing = wanted - set(pt.columns)
+        if missing:
+            raise ValueError(f"label {lab!r} has no properties {sorted(missing)}")
+        sel = pt.select(
+            F.col("key").alias(var),
+            *[F.col(p).alias(f"__{var}__{p}") for p in sorted(wanted)],
+        )
+        how = "left" if (var in parsed.opt_labels and var not in parsed.labels
+                         and var not in {h.src for h in parsed.hops}
+                         | {h.dst for h in parsed.hops}) else "inner"
+        df = df.join(sel, var, how)
+
+    for p in inline_sql:
+        df = df.filter(F.expr(p))
+    if where_compiled:
+        df = df.filter(F.expr(where_compiled))
+
+    aggs = [it for it in items if it[2]]
+    if aggs:
+        keys = [F.expr(sql).alias(alias) for sql, alias, is_a in items if not is_a]
+        agg_cols = [F.expr(sql).alias(alias) for sql, alias, is_a in items if is_a]
+        if keys:
+            df = df.groupBy(*keys).agg(*agg_cols)
+        else:
+            df = df.agg(*agg_cols)
+        df = df.select(*[alias for _, alias, _ in items])
+    else:
+        df = df.select(*[F.expr(sql).alias(alias) for sql, alias, _ in items])
+        if distinct:
+            df = df.distinct()
+    if order_items:
+        df = df.orderBy(
+            *[
+                F.expr(sql).desc() if desc else F.expr(sql)
+                for sql, desc in order_items
+            ]
+        )
+    if limit_n is not None:
+        df = df.limit(limit_n)
+    return df

@@ -3598,3 +3598,103 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     return four_clique_count(pairs)
+
+
+@query(
+    "q87_cypher_order_graph",
+    """
+    WITH placed AS (
+      SELECT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+             'O' || CAST(o_orderkey AS VARCHAR) AS dst
+      FROM orders
+    ),
+    contains_e AS (
+      SELECT DISTINCT 'O' || CAST(l_orderkey AS VARCHAR) AS src,
+                      'P' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem
+    ),
+    grouped AS (
+      SELECT pl.src AS cust, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM placed pl
+      JOIN contains_e ce ON pl.dst = ce.src
+      JOIN part ON 'P' || CAST(p_partkey AS VARCHAR) = ce.dst
+      WHERE p_type = 'ECONOMY'
+      GROUP BY pl.src
+    ),
+    ranked AS (
+      SELECT cust, n_parts,
+             ROW_NUMBER() OVER (ORDER BY n_parts DESC, cust) AS rn
+      FROM grouped
+    )
+    SELECT cust, n_parts FROM ranked WHERE rn <= 10
+    """,
+)
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    """The CYPHER FRONT-END under the oracle gate: the reference's
+    analyst language (operators/cypher.py — MATCH chain, label
+    semi-joins, property predicate through a joined property table,
+    implicit-grouping count, ORDER/LIMIT) compiled to the same
+    DataFrame plan GraphQuery produces, on a property graph derived
+    from the TPC-H tables (Customer-PLACED->Order-CONTAINS->Part).
+    A Neo4j user's query text runs verbatim and hash-matches DuckDB."""
+    from graphdb_neo4j_spark.operators.cypher import cypher
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    ckey = F.concat(F.lit("C"), F.col("o_custkey").cast("string"))
+    okey = F.concat(F.lit("O"), F.col("o_orderkey").cast("string"))
+    placed = o.select(
+        F.lit("PLACED").alias("rel"), ckey.alias("src"), okey.alias("dst")
+    )
+    contains = l.select(
+        F.lit("CONTAINS").alias("rel"),
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = placed.unionByName(contains)
+    nodes = (
+        placed.select(F.lit("Customer").alias("label"), F.col("src").alias("key"))
+        .unionByName(
+            placed.select(F.lit("Order").alias("label"), F.col("dst").alias("key"))
+        )
+        .unionByName(
+            contains.select(F.lit("Part").alias("label"), F.col("dst").alias("key"))
+        )
+        .distinct()
+    )
+    gq = GraphQuery(nodes=nodes, edges=edges)
+    part_props = p.select(
+        F.concat(F.lit("P"), F.col("p_partkey").cast("string")).alias("key"),
+        "p_type",
+    )
+    return cypher(
+        gq,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part) "
+        "WHERE p.p_type = 'ECONOMY' "
+        "RETURN c AS cust, count(*) AS n_parts "
+        "ORDER BY n_parts DESC, cust LIMIT 10",
+        props={"Part": part_props},
+    )
+
+
+@query("g60_corpus_cypher_hubs")
+def g60(spark: SparkSession, sf: str) -> DataFrame:
+    """Cypher text on the reference corpus graph: which network
+    endpoints do spawned processes reach (the Neo4j Browser query an
+    analyst would actually type, /root/reference/main.py:19).  Rows-only
+    gate; plan equivalence vs the hand-built GraphQuery formulation is
+    pinned in tests/test_cypher.py."""
+    from graphdb_neo4j_spark.operators.cypher import cypher
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    g = _corpus_graph(spark)
+    gq = GraphQuery.from_graph(g)
+    return cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process), "
+        "(b)-[:CONNECTED_TO]->(ip:Ip) "
+        "RETURN ip AS addr, count(*) AS n_conn "
+        "ORDER BY n_conn DESC, addr LIMIT 20",
+    )

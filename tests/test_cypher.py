@@ -1,0 +1,156 @@
+"""Cypher front-end tests: the reference's analyst language compiled to
+DataFrame plans (operators/cypher.py), checked against hand-built
+GraphQuery/DataFrame equivalents on a process-tree fixture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.operators.cypher import cypher
+from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+
+@pytest.fixture(scope="module")
+def gq(spark):
+    nodes = spark.createDataFrame(
+        [("Process", k) for k in "abcdef"]
+        + [("File", "f1"), ("File", "f2"), ("Ip", "10.0.0.1"), ("Ip", "8.8.8.8")],
+        ["label", "key"],
+    )
+    edges = spark.createDataFrame(
+        [
+            ("SPAWNS", "a", "b", 1),
+            ("SPAWNS", "a", "c", 1),
+            ("SPAWNS", "b", "d", 1),
+            ("CONNECTED_TO", "d", "10.0.0.1", 3),
+            ("CONNECTED_TO", "c", "8.8.8.8", 3),
+            ("CREATED_FILE", "c", "f1", 11),
+            ("CREATED_FILE", "d", "f2", 11),
+        ],
+        ["rel", "src", "dst", "event_id"],
+    )
+    return GraphQuery(nodes=nodes, edges=edges)
+
+
+@pytest.fixture(scope="module")
+def props(spark):
+    return {
+        "Process": spark.createDataFrame(
+            [
+                ("a", "explorer.exe", 100),
+                ("b", "powershell.exe", 200),
+                ("c", "powershell.exe", 300),
+                ("d", "evil.exe", 400),
+                ("e", "svchost.exe", 500),
+                ("f", "svchost.exe", 600),
+            ],
+            ["key", "image", "pid"],
+        )
+    }
+
+
+def test_chain_pattern_and_where(gq, props):
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process)-[:SPAWNS]->(c:Process) "
+        "WHERE c.image = 'evil.exe' RETURN a, b, c",
+        props=props,
+    ).collect()
+    assert [(r.a, r.b, r.c) for r in rows] == [("a", "b", "d")]
+
+
+def test_reverse_arrow(gq):
+    rows = cypher(
+        gq, "MATCH (ip:Ip)<-[:CONNECTED_TO]-(p:Process) RETURN p, ip"
+    ).collect()
+    assert {(r.p, r.ip) for r in rows} == {("d", "10.0.0.1"), ("c", "8.8.8.8")}
+
+
+def test_inline_property_map(gq, props):
+    rows = cypher(
+        gq,
+        "MATCH (p:Process {image: 'powershell.exe'})-[:CREATED_FILE]->(f:File) "
+        "RETURN p, f",
+        props=props,
+    ).collect()
+    assert {(r.p, r.f) for r in rows} == {("c", "f1")}
+
+
+def test_varlen_with_aggregate_and_order(gq):
+    got = cypher(
+        gq,
+        "MATCH (root:Process)-[:SPAWNS*1..2]->(d:Process) "
+        "RETURN root, count(*) AS n ORDER BY n DESC, root LIMIT 2",
+    ).collect()
+    # a reaches b, c (1 hop) and d (2 hops) = 3; b reaches d = 1
+    assert [(r.root, r.n) for r in got] == [("a", 3), ("b", 1)]
+
+
+def test_optional_match_nulls(gq):
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) "
+        "OPTIONAL MATCH (b)-[:CONNECTED_TO]->(ip:Ip) "
+        "RETURN a, b, ip",
+    ).collect()
+    got = {(r.a, r.b, r.ip) for r in rows}
+    assert got == {("a", "b", None), ("a", "c", "8.8.8.8"), ("b", "d", "10.0.0.1")}
+
+
+def test_where_starts_with_and_in(gq, props):
+    rows = cypher(
+        gq,
+        "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) "
+        "WHERE ip.key STARTS WITH '10.' AND p.image IN ['evil.exe', 'x.exe'] "
+        "RETURN p, ip.key AS addr",
+        props=props,
+    ).collect()
+    assert [(r.p, r.addr) for r in rows] == [("d", "10.0.0.1")]
+
+
+def test_edge_variable_struct_field(gq):
+    rows = cypher(
+        gq,
+        "MATCH (p:Process)-[e:CONNECTED_TO]->(ip:Ip) "
+        "WHERE e.event_id = 3 RETURN p, e.event_id AS ev",
+    ).collect()
+    assert {(r.p, r.ev) for r in rows} == {("d", 3), ("c", 3)}
+
+
+def test_return_distinct_and_property_projection(gq, props):
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) "
+        "RETURN DISTINCT a.image AS img",
+        props=props,
+    ).collect()
+    assert {r.img for r in rows} == {"explorer.exe", "powershell.exe"}
+
+
+def test_single_node_match(gq):
+    rows = cypher(gq, "MATCH (n:Ip) RETURN n ORDER BY n").collect()
+    assert [r.n for r in rows] == ["10.0.0.1", "8.8.8.8"]
+
+
+def test_collect_aggregate(gq):
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) "
+        "RETURN a, collect(b) AS kids",
+    ).collect()
+    got = {r.a: sorted(r.kids) for r in rows}
+    assert got == {"a": ["b", "c"], "b": ["d"]}
+
+
+def test_errors(gq, props):
+    with pytest.raises(ValueError, match="RETURN"):
+        cypher(gq, "MATCH (a)-[:SPAWNS]->(b)")
+    with pytest.raises(ValueError, match="direction"):
+        cypher(gq, "MATCH (a)-[:SPAWNS]-(b) RETURN a")
+    with pytest.raises(ValueError, match="no label"):
+        cypher(gq, "MATCH (a)-[:SPAWNS]->(b) WHERE a.image = 'x' RETURN a")
+    with pytest.raises(ValueError, match="property table"):
+        cypher(gq, "MATCH (a:File)-[:X]->(b) WHERE a.sz = 1 RETURN a", props=props)
+    with pytest.raises(ValueError, match="cartesian"):
+        cypher(gq, "MATCH (a:Process)-[:SPAWNS]->(b), (z:File) RETURN a, z")
