@@ -147,6 +147,19 @@ class _Hop:
 
 
 @dataclass
+@dataclass
+class _ShortestPath:
+    path_var: str
+    src: str
+    src_key: str  # literal (unquoted)
+    rel: str
+    dst: str
+    dst_key: str | None  # literal, or None = all reachable
+    lo: int
+    hi: int | None  # None = unbounded (iterative BFS, not a join chain)
+
+
+@dataclass
 class _Parsed:
     hops: list[_Hop] = field(default_factory=list)
     single_nodes: list[str] = field(default_factory=list)  # vars with no hop
@@ -154,6 +167,7 @@ class _Parsed:
     inline_preds: list[str] = field(default_factory=list)  # SQL predicates
     opt_hops: list[_Hop] = field(default_factory=list)
     opt_labels: dict[str, str] = field(default_factory=dict)
+    paths: list[_ShortestPath] = field(default_factory=list)
 
 
 def _parse_patterns(body: str, parsed: _Parsed, into_optional: bool) -> None:
@@ -183,6 +197,12 @@ def _parse_patterns(body: str, parsed: _Parsed, into_optional: bool) -> None:
         return var
 
     for pat in _split_top_commas(body):
+        sp = _SSP_RE.match(pat)
+        if sp:
+            if into_optional:
+                raise ValueError("shortestPath is not supported in OPTIONAL MATCH")
+            parsed.paths.append(_parse_shortest_path(sp, labels))
+            continue
         pos = 0
         m = _NODE_RE.match(pat, pos)
         if not m:
@@ -212,6 +232,79 @@ def _parse_patterns(body: str, parsed: _Parsed, into_optional: bool) -> None:
             if into_optional:
                 raise ValueError("OPTIONAL MATCH needs at least one hop")
             parsed.single_nodes.append(prev)
+
+
+_SSP_RE = re.compile(
+    r"^\s*(?P<pv>\w+)\s*=\s*shortestPath\s*\(\s*(?P<inner>.+)\)\s*$",
+    re.I | re.S,
+)
+
+
+def _key_pin(props_text: str | None) -> str | None:
+    """Extract the literal from an endpoint's ``{key: 'lit'}`` map."""
+    if not props_text:
+        return None
+    inner = props_text.strip()[1:-1].strip()
+    for kv in _split_top_commas(inner):
+        k, _, v = kv.partition(":")
+        if k.strip() == "key":
+            v = v.strip()
+            if not (v.startswith("'") and v.endswith("'")):
+                raise ValueError(
+                    f"shortestPath endpoint key must be a string literal, got {v!r}"
+                )
+            return v[1:-1]
+    return None
+
+
+def _parse_shortest_path(
+    sp: re.Match, labels: dict[str, str]
+) -> _ShortestPath:
+    """``p = shortestPath((a {key:'X'})-[:REL*]->(b))`` — source pinned,
+    destination pinned or free; ``*`` / ``*..k`` / ``*lo..hi`` bounds.
+    Unbounded reach is legal HERE (it compiles to the iterative BFS in
+    operators/traversal.py, not a join chain)."""
+    inner = sp["inner"].strip()
+    m1 = _NODE_RE.match(inner)
+    if not m1:
+        raise ValueError(f"bad shortestPath pattern: {inner!r}")
+    em = _EDGE_RE.match(inner, m1.end())
+    if not em or em["back"] or not em["fwd"]:
+        raise ValueError(
+            f"shortestPath needs a forward -[:REL*..]-> hop: {inner!r}"
+        )
+    m2 = _NODE_RE.match(inner, em.end())
+    if not m2 or inner[m2.end():].strip():
+        raise ValueError(f"bad shortestPath pattern tail: {inner!r}")
+    if em["ev"]:
+        raise ValueError("shortestPath binds a path, not an edge variable")
+    if em["vspec"] is None:
+        raise ValueError("shortestPath needs a variable-length hop (e.g. *, *..8)")
+    s = em["vspec"][1:].replace(" ", "")
+    lo, hi = 1, None
+    if s:
+        if ".." in s:
+            lo_s, hi_s = s.split("..", 1)
+            lo = int(lo_s) if lo_s else 1
+            hi = int(hi_s) if hi_s else None
+        else:
+            lo = hi = int(s)
+    src, dst = m1["var"] or "__sp_src", m2["var"] or "__sp_dst"
+    for m in (m1, m2):
+        var = m["var"] or (src if m is m1 else dst)
+        if m["label"]:
+            if labels.get(var, m["label"]) != m["label"]:
+                raise ValueError(f"conflicting labels for {var!r}")
+            labels[var] = m["label"]
+    src_key = _key_pin(m1["props"])
+    if src_key is None:
+        raise ValueError(
+            "shortestPath source must be pinned: ({var} {key: 'literal'})"
+        )
+    return _ShortestPath(
+        path_var=sp["pv"], src=src, src_key=src_key, rel=em["rel"],
+        dst=dst, dst_key=_key_pin(m2["props"]), lo=lo, hi=hi,
+    )
 
 
 # -- expression rewriting ----------------------------------------------------
@@ -309,7 +402,7 @@ def cypher(
             limit_n = int(body)
     if return_body is None:
         raise ValueError("query needs a RETURN clause")
-    if not parsed.hops and not parsed.single_nodes:
+    if not parsed.hops and not parsed.single_nodes and not parsed.paths:
         raise ValueError("query needs at least one MATCH pattern")
 
     node_vars = {h.src for h in parsed.hops} | {h.dst for h in parsed.hops}
@@ -317,6 +410,8 @@ def cypher(
     node_vars |= {h.src for h in parsed.opt_hops} | {
         h.dst for h in parsed.opt_hops
     }
+    node_vars |= {p.src for p in parsed.paths} | {p.dst for p in parsed.paths}
+    path_vars = {p.path_var for p in parsed.paths}
     edge_vars = {h.ev for h in parsed.hops if h.ev} | {
         h.ev for h in parsed.opt_hops if h.ev
     }
@@ -352,6 +447,46 @@ def cypher(
                 f"single-node pattern ({var}) shares no variable with the "
                 "rest of the MATCH — a cartesian product is never implicit"
             )
+    for ps in parsed.paths:
+        # shortestPath compiles to the ITERATIVE BFS + backtrace
+        # (traversal.bfs_paths) — the documented home of unbounded
+        # reach; the result rejoins the relational plan as a
+        # (src, dst, path) table keyed on its endpoint variables
+        from graphdb_neo4j_spark.operators.traversal import bfs_paths
+
+        spark = gq.edges.sparkSession
+        e = gq.rel(ps.rel).select("src", "dst")
+        srcs = spark.createDataFrame([(ps.src_key,)], ["key"])
+        targets = (
+            spark.createDataFrame([(ps.dst_key,)], ["key"])
+            if ps.dst_key is not None
+            else None
+        )
+        pb = bfs_paths(e, srcs, targets=targets, max_hops=ps.hi)
+        pb = pb.filter(F.col("dist") >= ps.lo)
+        pdf = pb.select(
+            F.lit(ps.src_key).alias(ps.src),
+            F.col("key").alias(ps.dst),
+            F.col("path").alias(ps.path_var),
+        )
+        for var in (ps.src, ps.dst):
+            lab = parsed.labels.get(var)
+            if lab is not None:
+                keys = gq.nodes.filter(F.col("label") == lab).select(
+                    F.col("key").alias(var)
+                )
+                pdf = pdf.join(keys, var, "left_semi")
+        if df is None:
+            df = pdf
+        else:
+            shared = [c for c in df.columns if c in pdf.columns]
+            if not shared:
+                raise ValueError(
+                    "shortestPath shares no variable with the rest of the "
+                    "MATCH — a cartesian product is never implicit"
+                )
+            df = df.join(pdf, on=shared, how="inner")
+
     if parsed.opt_hops:
         opt = gq.find(motif(parsed.opt_hops, parsed.opt_labels))
         shared = [c for c in df.columns if c in opt.columns]
@@ -366,6 +501,12 @@ def cypher(
 
     def compile_expr(e: str) -> str:
         out, refs = _rewrite_expr(e, node_vars, edge_vars)
+        # Cypher length(path) = relationship count = node count - 1
+        for pv in path_vars:
+            out = re.sub(
+                rf"\blength\s*\(\s*{pv}\s*\)", f"(size({pv}) - 1)", out,
+                flags=re.I,
+            )
         all_refs.update(refs)
         return out
 

@@ -3698,3 +3698,30 @@ def g60(spark: SparkSession, sf: str) -> DataFrame:
         "RETURN ip AS addr, count(*) AS n_conn "
         "ORDER BY n_conn DESC, addr LIMIT 20",
     )
+
+
+@query("g61_corpus_cypher_shortest_paths")
+def g61(spark: SparkSession, sf: str) -> DataFrame:
+    """Cypher shortestPath on the corpus: how far does the busiest
+    spawner's influence reach (hop distance to every descendant
+    process).  The path clause compiles to the iterative BFS +
+    deterministic backtrace — the Neo4j Browser idiom
+    ``shortestPath((root)-[:SPAWNS*]->(p))`` verbatim.  Rows-only gate;
+    semantics pinned by tests/test_cypher.py."""
+    from graphdb_neo4j_spark.operators.cypher import cypher
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    g = _corpus_graph(spark)
+    gq = GraphQuery.from_graph(g)
+    root = (
+        gq.rel("SPAWNS")
+        .groupBy("src")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "src")
+        .head()
+    )["src"]
+    return cypher(
+        gq,
+        f"MATCH p = shortestPath((a {{key: '{root}'}})-[:SPAWNS*]->(b:Process)) "
+        "RETURN b, length(p) AS hops ORDER BY hops, b LIMIT 20",
+    )

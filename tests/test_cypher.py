@@ -154,3 +154,51 @@ def test_errors(gq, props):
         cypher(gq, "MATCH (a:File)-[:X]->(b) WHERE a.sz = 1 RETURN a", props=props)
     with pytest.raises(ValueError, match="cartesian"):
         cypher(gq, "MATCH (a:Process)-[:SPAWNS]->(b), (z:File) RETURN a, z")
+
+
+def test_shortest_path_pinned_endpoints(gq):
+    rows = cypher(
+        gq,
+        "MATCH p = shortestPath((a {key: 'a'})-[:SPAWNS*]->(b {key: 'd'})) "
+        "RETURN a, b, p, length(p) AS hops",
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.a, r.b, list(r.p), r.hops) == ("a", "d", ["a", "b", "d"], 2)
+
+
+def test_shortest_path_free_destination(gq):
+    rows = cypher(
+        gq,
+        "MATCH p = shortestPath((a {key: 'a'})-[:SPAWNS*]->(b:Process)) "
+        "RETURN b, length(p) AS hops ORDER BY hops, b",
+    ).collect()
+    assert [(r.b, r.hops) for r in rows] == [("b", 1), ("c", 1), ("d", 2)]
+
+
+def test_shortest_path_composes_with_match(gq):
+    # the path's endpoint b joins against a relational pattern on b
+    rows = cypher(
+        gq,
+        "MATCH p = shortestPath((a {key: 'a'})-[:SPAWNS*]->(b)), "
+        "(b)-[:CONNECTED_TO]->(ip:Ip) "
+        "RETURN b, ip, length(p) AS hops",
+    ).collect()
+    assert {(r.b, r.ip, r.hops) for r in rows} == {
+        ("c", "8.8.8.8", 1),
+        ("d", "10.0.0.1", 2),
+    }
+
+
+def test_shortest_path_bounds_and_errors(gq):
+    # upper bound cuts the 2-hop path
+    rows = cypher(
+        gq,
+        "MATCH p = shortestPath((a {key: 'a'})-[:SPAWNS*..1]->(b)) "
+        "RETURN b ORDER BY b",
+    ).collect()
+    assert [r.b for r in rows] == ["b", "c"]
+    with pytest.raises(ValueError, match="pinned"):
+        cypher(gq, "MATCH p = shortestPath((a)-[:SPAWNS*]->(b)) RETURN p")
+    with pytest.raises(ValueError, match="variable-length"):
+        cypher(gq, "MATCH p = shortestPath((a {key: 'a'})-[:SPAWNS]->(b)) RETURN p")
