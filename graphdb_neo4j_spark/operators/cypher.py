@@ -35,6 +35,13 @@ is interpreted row-by-row):
   non-aggregate items become the GROUP BY key).
 * ``ORDER BY`` on returned columns, ``LIMIT`` (a totally-ordered limit
   plans as TakeOrderedAndProject — no global sort).
+* ``WITH`` pipelines: project/aggregate mid-query, ``WITH ... WHERE``
+  (Cypher's HAVING), ``ORDER BY``/``LIMIT`` midstream, then MATCH again
+  from the carried variables — all folded into ONE Catalyst plan.
+* ``shortestPath((a {key:'x'})-[:REL*]->(b))`` — pinned source, pinned
+  or free destination; compiles to the iterative BFS + deterministic
+  backtrace in operators/traversal.py (the one construct that is not a
+  join chain), and ``length(p)`` works on the bound path.
 
 Execution inherits everything GraphQuery already guarantees: each hop
 is a key equi-join Catalyst/AQE may broadcast or bucket, labels are
@@ -58,6 +65,7 @@ _CLAUSE_KEYWORDS = [
     "OPTIONAL MATCH",
     "MATCH",
     "WHERE",
+    "WITH",
     "RETURN",
     "ORDER BY",
     "LIMIT",
@@ -91,6 +99,12 @@ def _split_clauses(q: str) -> list[tuple[str, str]]:
                         i - hits[-1][0] == len("OPTIONAL ")
                     ):
                         break
+                    # the WITH in "STARTS WITH" / "ENDS WITH" is an
+                    # operator, not a clause boundary
+                    if kw == "WITH":
+                        before = upper[:i].rstrip()
+                        if before.endswith("STARTS") or before.endswith("ENDS"):
+                            break
                     hits.append((i, kw))
                     i = end - 1
                     break
@@ -371,40 +385,78 @@ def _default_alias(expr: str) -> str:
 
 # -- the compiler ------------------------------------------------------------
 
-def cypher(
-    gq: GraphQuery,
-    query: str,
-    props: dict[str, DataFrame] | None = None,
-) -> DataFrame:
-    """Compile a Cypher read query (see module docstring for the
-    subset) against a :class:`GraphQuery` and return the DataFrame.
+@dataclass
+class _Segment:
+    """One pipeline stage: patterns + WHERE + a projection (WITH or the
+    final RETURN) with its post-projection WHERE / ORDER BY / LIMIT."""
 
-    ``props`` maps node label → property DataFrame keyed by ``key``
-    (e.g. ``{"Process": g.process}``); it is only required when the
-    query dereferences ``var.prop`` on that label."""
-    parsed = _Parsed()
-    where_sql: str | None = None
-    return_body: str | None = None
-    order_body: str | None = None
-    limit_n: int | None = None
-    for kw, body in _split_clauses(query.strip().rstrip(";")):
-        if kw == "MATCH":
-            _parse_patterns(body, parsed, into_optional=False)
-        elif kw == "OPTIONAL MATCH":
-            _parse_patterns(body, parsed, into_optional=True)
+    parsed: _Parsed = field(default_factory=_Parsed)
+    where: str | None = None
+    proj: str | None = None
+    is_return: bool = False
+    post_where: str | None = None
+    order: str | None = None
+    limit: int | None = None
+
+
+def _segment_clauses(clauses: list[tuple[str, str]]) -> list[_Segment]:
+    segs: list[_Segment] = []
+    cur = _Segment()
+    for kw, body in clauses:
+        if kw in ("MATCH", "OPTIONAL MATCH"):
+            if cur.proj is not None:
+                segs.append(cur)
+                cur = _Segment()
+            _parse_patterns(body, cur.parsed, kw == "OPTIONAL MATCH")
         elif kw == "WHERE":
-            where_sql = body
-        elif kw == "RETURN":
-            return_body = body
+            if cur.proj is None:
+                if cur.where is not None:
+                    raise ValueError("two WHERE clauses in one MATCH block")
+                cur.where = body
+            else:
+                cur.post_where = body
+        elif kw in ("WITH", "RETURN"):
+            if cur.proj is not None:
+                segs.append(cur)
+                cur = _Segment()
+            cur.proj = body
+            cur.is_return = kw == "RETURN"
         elif kw == "ORDER BY":
-            order_body = body
+            if cur.proj is None:
+                raise ValueError("ORDER BY must follow WITH or RETURN")
+            cur.order = body
         elif kw == "LIMIT":
-            limit_n = int(body)
-    if return_body is None:
+            if cur.proj is None:
+                raise ValueError("LIMIT must follow WITH or RETURN")
+            cur.limit = int(body)
+    if cur.proj is None:
         raise ValueError("query needs a RETURN clause")
-    if not parsed.hops and not parsed.single_nodes and not parsed.paths:
-        raise ValueError("query needs at least one MATCH pattern")
+    if not cur.is_return:
+        raise ValueError("query must end with RETURN, not WITH")
+    segs.append(cur)
+    for s in segs[:-1]:
+        if s.is_return:
+            raise ValueError("RETURN must be the final clause")
+    return segs
 
+
+@dataclass
+class _Scope:
+    """What a WITH projection carries into the next segment."""
+
+    df: DataFrame
+    node_labels: dict[str, str | None] = field(default_factory=dict)
+    edge_vars: set[str] = field(default_factory=set)
+    path_vars: set[str] = field(default_factory=set)
+
+
+def _run_segment(
+    gq: GraphQuery,
+    props: dict[str, DataFrame],
+    seg: _Segment,
+    carried: _Scope | None,
+) -> _Scope:
+    parsed = seg.parsed
     node_vars = {h.src for h in parsed.hops} | {h.dst for h in parsed.hops}
     node_vars |= set(parsed.single_nodes)
     node_vars |= {h.src for h in parsed.opt_hops} | {
@@ -415,6 +467,12 @@ def cypher(
     edge_vars = {h.ev for h in parsed.hops if h.ev} | {
         h.ev for h in parsed.opt_hops if h.ev
     }
+    carried_labels: dict[str, str | None] = {}
+    if carried is not None:
+        carried_labels = carried.node_labels
+        node_vars |= set(carried.node_labels)
+        edge_vars |= carried.edge_vars
+        path_vars |= carried.path_vars
 
     def motif(hops: list[_Hop], labels: dict[str, str]) -> str:
         pats = []
@@ -428,10 +486,7 @@ def cypher(
             )
         return "; ".join(pats)
 
-    if parsed.hops:
-        df = gq.find(motif(parsed.hops, parsed.labels))
-    else:
-        df = None
+    df = gq.find(motif(parsed.hops, parsed.labels)) if parsed.hops else None
     for var in parsed.single_nodes:
         lab = parsed.labels.get(var)
         if lab is None:
@@ -487,6 +542,19 @@ def cypher(
                 )
             df = df.join(pdf, on=shared, how="inner")
 
+    # splice the carried WITH scope in: inner join on shared variables
+    if carried is not None:
+        if df is None:
+            df = carried.df
+        else:
+            shared = [c for c in df.columns if c in carried.df.columns]
+            if not shared:
+                raise ValueError(
+                    "MATCH after WITH shares no variable with the carried "
+                    "scope — a cartesian product is never implicit"
+                )
+            df = carried.df.join(df, on=shared, how="inner")
+
     if parsed.opt_hops:
         opt = gq.find(motif(parsed.opt_hops, parsed.opt_labels))
         shared = [c for c in df.columns if c in opt.columns]
@@ -511,39 +579,51 @@ def cypher(
         return out
 
     inline_sql = [compile_expr(p) for p in parsed.inline_preds]
-    where_compiled = compile_expr(where_sql) if where_sql else None
+    where_compiled = compile_expr(seg.where) if seg.where else None
 
     distinct = False
-    rb = return_body.strip()
+    rb = seg.proj.strip()
     if rb.upper().startswith("DISTINCT"):
         distinct = True
         rb = rb[len("DISTINCT"):].strip()
-    items: list[tuple[str, str, bool]] = []  # (sql, alias, is_agg)
+    items: list[tuple[str, str, str, bool]] = []  # (raw, sql, alias, is_agg)
     for item in _split_top_commas(rb):
         m = re.search(r"\s+AS\s+(\w+)\s*$", item, flags=re.I)
         if m:
             expr_txt, alias = item[: m.start()].strip(), m.group(1)
         else:
             expr_txt = item.strip()
-            alias = expr_txt if re.fullmatch(r"\w+", expr_txt) else _default_alias(expr_txt)
-        items.append((compile_expr(expr_txt), alias, _is_agg(expr_txt)))
+            alias = (
+                expr_txt
+                if re.fullmatch(r"\w+", expr_txt)
+                else _default_alias(expr_txt)
+            )
+        items.append(
+            (expr_txt, compile_expr(expr_txt), alias, _is_agg(expr_txt))
+        )
 
     order_items: list[tuple[str, bool]] = []
-    if order_body:
-        for item in _split_top_commas(order_body):
+    if seg.order:
+        for item in _split_top_commas(seg.order):
             desc = bool(re.search(r"\s+DESC\s*$", item, flags=re.I))
             item = re.sub(r"\s+(ASC|DESC)\s*$", "", item, flags=re.I)
             order_items.append((compile_expr(item), desc))
+    post_where_compiled = (
+        compile_expr(seg.post_where) if seg.post_where else None
+    )
 
     # property joins — only the (var, prop) pairs actually referenced;
     # each is ONE key join against the label's property table (broadcast
     # when small), projecting just the needed columns
-    props = props or {}
     by_var: dict[str, set[str]] = {}
     for var, p in all_refs:
         by_var.setdefault(var, set()).add(p)
     for var, wanted in by_var.items():
-        lab = parsed.labels.get(var) or parsed.opt_labels.get(var)
+        lab = (
+            parsed.labels.get(var)
+            or parsed.opt_labels.get(var)
+            or carried_labels.get(var)
+        )
         if lab is None:
             raise ValueError(
                 f"{var}.{next(iter(wanted))}: {var!r} has no label, so its "
@@ -572,19 +652,21 @@ def cypher(
     if where_compiled:
         df = df.filter(F.expr(where_compiled))
 
-    aggs = [it for it in items if it[2]]
+    aggs = [it for it in items if it[3]]
     if aggs:
-        keys = [F.expr(sql).alias(alias) for sql, alias, is_a in items if not is_a]
-        agg_cols = [F.expr(sql).alias(alias) for sql, alias, is_a in items if is_a]
+        keys = [F.expr(sql).alias(a) for _, sql, a, is_a in items if not is_a]
+        agg_cols = [F.expr(sql).alias(a) for _, sql, a, is_a in items if is_a]
         if keys:
             df = df.groupBy(*keys).agg(*agg_cols)
         else:
             df = df.agg(*agg_cols)
-        df = df.select(*[alias for _, alias, _ in items])
+        df = df.select(*[a for _, _, a, _ in items])
     else:
-        df = df.select(*[F.expr(sql).alias(alias) for sql, alias, _ in items])
+        df = df.select(*[F.expr(sql).alias(a) for _, sql, a, _ in items])
         if distinct:
             df = df.distinct()
+    if post_where_compiled:
+        df = df.filter(F.expr(post_where_compiled))
     if order_items:
         df = df.orderBy(
             *[
@@ -592,6 +674,50 @@ def cypher(
                 for sql, desc in order_items
             ]
         )
-    if limit_n is not None:
-        df = df.limit(limit_n)
-    return df
+    if seg.limit is not None:
+        df = df.limit(seg.limit)
+
+    # what flows into the next segment: bare-variable items keep their
+    # kind (node var with label / edge struct / path array)
+    out = _Scope(df=df)
+    all_labels: dict[str, str | None] = {}
+    all_labels.update(carried_labels)
+    all_labels.update(parsed.labels)
+    all_labels.update(parsed.opt_labels)
+    for raw, _, alias, _ in items:
+        if re.fullmatch(r"\w+", raw):
+            if raw in path_vars:
+                out.path_vars.add(alias)
+            elif raw in edge_vars:
+                out.edge_vars.add(alias)
+            elif raw in node_vars:
+                out.node_labels[alias] = all_labels.get(raw)
+    return out
+
+
+def cypher(
+    gq: GraphQuery,
+    query: str,
+    props: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Compile a Cypher read query (see module docstring for the
+    subset) against a :class:`GraphQuery` and return the DataFrame.
+
+    ``props`` maps node label → property DataFrame keyed by ``key``
+    (e.g. ``{"Process": g.process}``); it is only required when the
+    query dereferences ``var.prop`` on that label.
+
+    ``WITH`` pipelines compile to nested plans: each segment projects
+    (aggregating if any item aggregates), the optional post-``WITH``
+    ``WHERE`` filters the projection (Cypher's HAVING), and the next
+    segment's patterns re-join the carried scope on shared variables —
+    all still one Catalyst plan, so the optimizer sees through the
+    whole pipeline."""
+    segments = _segment_clauses(_split_clauses(query.strip().rstrip(";")))
+    first = segments[0].parsed
+    if not first.hops and not first.single_nodes and not first.paths:
+        raise ValueError("query needs at least one MATCH pattern")
+    scope: _Scope | None = None
+    for seg in segments:
+        scope = _run_segment(gq, props or {}, seg, scope)
+    return scope.df

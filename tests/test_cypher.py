@@ -202,3 +202,56 @@ def test_shortest_path_bounds_and_errors(gq):
         cypher(gq, "MATCH p = shortestPath((a)-[:SPAWNS*]->(b)) RETURN p")
     with pytest.raises(ValueError, match="variable-length"):
         cypher(gq, "MATCH p = shortestPath((a {key: 'a'})-[:SPAWNS]->(b)) RETURN p")
+
+
+def test_with_aggregate_then_filter(gq):
+    # WITH ... WHERE = Cypher's HAVING: spawners with 2+ children
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) "
+        "WITH a, count(b) AS kids WHERE kids >= 2 "
+        "RETURN a, kids",
+    ).collect()
+    assert [(r.a, r.kids) for r in rows] == [("a", 2)]
+
+
+def test_with_pipeline_rematch(gq, props):
+    # aggregate, filter, then MATCH again from the carried variable
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) "
+        "WITH b WHERE b.image = 'powershell.exe' "
+        "MATCH (b)-[:CREATED_FILE]->(f:File) "
+        "RETURN b, f",
+        props=props,
+    ).collect()
+    assert {(r.b, r.f) for r in rows} == {("c", "f1")}
+
+
+def test_with_then_return_no_match_between(gq):
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) "
+        "WITH a, count(*) AS n "
+        "RETURN sum(n) AS total",
+    ).collect()
+    assert rows[0].total == 3
+
+
+def test_with_order_limit_midstream(gq):
+    # top-1 spawner by out-degree, then expand its children
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) "
+        "WITH a, count(*) AS n ORDER BY n DESC, a LIMIT 1 "
+        "MATCH (a)-[:SPAWNS]->(kid:Process) "
+        "RETURN a, kid ORDER BY kid",
+    ).collect()
+    assert [(r.a, r.kid) for r in rows] == [("a", "b"), ("a", "c")]
+
+
+def test_with_errors(gq):
+    with pytest.raises(ValueError, match="end with RETURN"):
+        cypher(gq, "MATCH (a)-[:SPAWNS]->(b) WITH a")
+    with pytest.raises(ValueError, match="ORDER BY must follow"):
+        cypher(gq, "MATCH (a)-[:SPAWNS]->(b) ORDER BY a RETURN a")
