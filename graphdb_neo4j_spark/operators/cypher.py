@@ -161,7 +161,6 @@ class _Hop:
 
 
 @dataclass
-@dataclass
 class _ShortestPath:
     path_var: str
     src: str
