@@ -1005,3 +1005,50 @@ def neighbor_jaccard(
             F.col("jaccard").desc(), F.col("node_a"), F.col("node_b")
         ).limit(top_k)
     return out
+
+
+def hard_negative_mining(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per query vector, the ``k`` most-similar corpus vectors with a
+    DIFFERENT label — contrastive-training hard negatives (the mining
+    stage of triplet/InfoNCE pipelines): ``(query_id, neg_id, sim,
+    rank)``.
+
+    Same 100 TB shape as `knn_join`'s brute path: the query side
+    broadcasts (queries are few), cosine is a map-side float64 fold
+    over the corpus scan, and per-query top-k is one window shuffle on
+    query_id.  The label-inequality predicate rides the broadcast join
+    condition, so same-label pairs never reach scoring.  For corpus-
+    scale query sets, swap the broadcast for the banded-LSH candidate
+    join (`knn_join(method="lsh")`) and apply the label filter to the
+    candidates."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("c_label"),
+        F.col(vec_col).alias("cv"),
+    )
+    sim = F.round(cosine_expr(F.col("cv"), F.col("qv")), 6)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neg_id")
+    )
+    return (
+        c.join(
+            F.broadcast(q), F.col("c_label") != F.col("q_label"), "inner"
+        )
+        .select("query_id", "neg_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -3725,3 +3725,117 @@ def g61(spark: SparkSession, sf: str) -> DataFrame:
         f"MATCH p = shortestPath((a {{key: '{root}'}})-[:SPAWNS*]->(b:Process)) "
         "RETURN b, length(p) AS hops ORDER BY hops, b LIMIT 20",
     )
+
+
+@query(
+    "q88_cypher_with_pipeline",
+    """
+    WITH placed AS (
+      SELECT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+             'O' || CAST(o_orderkey AS VARCHAR) AS dst
+      FROM orders
+    ),
+    contains_e AS (
+      SELECT DISTINCT 'O' || CAST(l_orderkey AS VARCHAR) AS src,
+                      'P' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem
+    ),
+    heavy AS (
+      SELECT pl.src AS cust, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM placed pl JOIN contains_e ce ON pl.dst = ce.src
+      GROUP BY pl.src
+      HAVING COUNT(*) >= 60
+    ),
+    expanded AS (
+      SELECT h.cust, h.n_parts, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM heavy h JOIN placed pl ON pl.src = h.cust
+      GROUP BY h.cust, h.n_parts
+    ),
+    ranked AS (
+      SELECT cust, n_parts, n_orders,
+             ROW_NUMBER() OVER (ORDER BY n_parts DESC, cust) AS rn
+      FROM expanded
+    )
+    SELECT cust, n_parts, n_orders FROM ranked WHERE rn <= 15
+    """,
+)
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    """Cypher WITH pipeline under the hash gate: aggregate (basket
+    breadth per customer), filter the aggregate (Cypher's HAVING),
+    re-MATCH from the carried variable, aggregate again — the whole
+    pipeline one Catalyst plan compiled from Cypher text."""
+    from graphdb_neo4j_spark.operators.cypher import cypher
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    placed = o.select(
+        F.lit("PLACED").alias("rel"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    contains = l.select(
+        F.lit("CONTAINS").alias("rel"),
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = placed.unionByName(contains)
+    nodes = (
+        placed.select(F.lit("Customer").alias("label"), F.col("src").alias("key"))
+        .unionByName(
+            placed.select(F.lit("Order").alias("label"), F.col("dst").alias("key"))
+        )
+        .unionByName(
+            contains.select(F.lit("Part").alias("label"), F.col("dst").alias("key"))
+        )
+        .distinct()
+    )
+    gq = GraphQuery(nodes=nodes, edges=edges)
+    return cypher(
+        gq,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part) "
+        "WITH c, count(*) AS n_parts WHERE n_parts >= 60 "
+        "MATCH (c)-[:PLACED]->(o2:Order) "
+        "RETURN c AS cust, n_parts, count(o2) AS n_orders "
+        "ORDER BY n_parts DESC, cust LIMIT 15",
+    )
+
+
+@query(
+    "q89_hard_negatives",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label, embedding AS qv
+      FROM embeddings WHERE vec_id < 20
+    ),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS neg_id,
+             ROUND(
+               list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                           i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                              * CAST(q.qv[CAST(i AS INT)] AS DOUBLE)), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(q.qv,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))),
+               6) AS sim
+      FROM embeddings e JOIN q ON e.label <> q.q_label
+    ),
+    ranked AS (
+      SELECT query_id, neg_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neg_id) AS INT) AS rank
+      FROM sims
+    )
+    SELECT query_id, neg_id, sim, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each of 20 query vectors,
+    the 3 most-similar vectors with a DIFFERENT class label
+    (similarity.hard_negative_mining) — the triplet/InfoNCE mining
+    stage of embedding-model training pipelines."""
+    emb = load_table(spark, sf, "embeddings")
+    return S.hard_negative_mining(
+        emb.filter(F.col("vec_id") < 20), emb, k=3
+    )

@@ -638,3 +638,19 @@ def test_load_model_weights_roundtrip(tmp_path):
     p = tmp_path / "model.json"
     p.write_text(json.dumps({"weights": [1, 2, 3, 4, 5], "bias": -0.5}))
     assert load_model_weights(str(p)) == [1.0, 2.0, 3.0, 4.0, 5.0, -0.5]
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    from graphdb_neo4j_spark.operators.similarity import hard_negative_mining
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.14], 0),   # same label as 1 — ineligible despite sim
+        (3, [0.9, 0.43], 1),    # closest cross-label vector
+        (4, [0.0, 1.0], 1),
+        (5, [-1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = hard_negative_mining(df.filter("vec_id = 1"), df, k=2).collect()
+    assert [(r.neg_id, r.rank) for r in got] == [(3, 1), (4, 2)]
+    assert all(r.query_id == 1 for r in got)
