@@ -42,6 +42,8 @@ is interpreted row-by-row):
   or free destination; compiles to the iterative BFS + deterministic
   backtrace in operators/traversal.py (the one construct that is not a
   join chain), and ``length(p)`` works on the bound path.
+* ``UNWIND list AS var`` (map-side explode; ``nodes(p)`` unwraps a
+  bound path's key array) and ``SKIP n`` after ORDER BY.
 
 Execution inherits everything GraphQuery already guarantees: each hop
 is a key equi-join Catalyst/AQE may broadcast or bucket, labels are
@@ -67,7 +69,9 @@ _CLAUSE_KEYWORDS = [
     "WHERE",
     "WITH",
     "RETURN",
+    "UNWIND",
     "ORDER BY",
+    "SKIP",
     "LIMIT",
 ]
 
@@ -395,7 +399,9 @@ class _Segment:
     is_return: bool = False
     post_where: str | None = None
     order: str | None = None
+    skip: int | None = None
     limit: int | None = None
+    unwinds: list[tuple[str, str]] = field(default_factory=list)  # (expr, var)
 
 
 def _segment_clauses(clauses: list[tuple[str, str]]) -> list[_Segment]:
@@ -420,10 +426,22 @@ def _segment_clauses(clauses: list[tuple[str, str]]) -> list[_Segment]:
                 cur = _Segment()
             cur.proj = body
             cur.is_return = kw == "RETURN"
+        elif kw == "UNWIND":
+            if cur.proj is not None:
+                segs.append(cur)
+                cur = _Segment()
+            m = re.match(r"^(.*)\s+AS\s+(\w+)\s*$", body, flags=re.I | re.S)
+            if not m:
+                raise ValueError(f"UNWIND needs 'expr AS var': {body!r}")
+            cur.unwinds.append((m.group(1).strip(), m.group(2)))
         elif kw == "ORDER BY":
             if cur.proj is None:
                 raise ValueError("ORDER BY must follow WITH or RETURN")
             cur.order = body
+        elif kw == "SKIP":
+            if cur.proj is None:
+                raise ValueError("SKIP must follow WITH or RETURN")
+            cur.skip = int(body)
         elif kw == "LIMIT":
             if cur.proj is None:
                 raise ValueError("LIMIT must follow WITH or RETURN")
@@ -578,6 +596,16 @@ def _run_segment(
         return out
 
     inline_sql = [compile_expr(p) for p in parsed.inline_preds]
+    # UNWIND list AS var — a map-side explode; nodes(p) unwraps a bound
+    # path's key array
+    unwind_sql: list[tuple[str, str]] = []
+    for uexpr, uvar in seg.unwinds:
+        txt = uexpr
+        for pv in path_vars:
+            txt = re.sub(
+                rf"\bnodes\s*\(\s*{pv}\s*\)", pv, txt, flags=re.I
+            )
+        unwind_sql.append((compile_expr(txt), uvar))
     where_compiled = compile_expr(seg.where) if seg.where else None
 
     distinct = False
@@ -646,6 +674,8 @@ def _run_segment(
                          | {h.dst for h in parsed.hops}) else "inner"
         df = df.join(sel, var, how)
 
+    for sql, uvar in unwind_sql:
+        df = df.withColumn(uvar, F.explode(F.expr(sql)))
     for p in inline_sql:
         df = df.filter(F.expr(p))
     if where_compiled:
@@ -673,6 +703,8 @@ def _run_segment(
                 for sql, desc in order_items
             ]
         )
+    if seg.skip is not None:
+        df = df.offset(seg.skip)
     if seg.limit is not None:
         df = df.limit(seg.limit)
 

@@ -255,3 +255,24 @@ def test_with_errors(gq):
         cypher(gq, "MATCH (a)-[:SPAWNS]->(b) WITH a")
     with pytest.raises(ValueError, match="ORDER BY must follow"):
         cypher(gq, "MATCH (a)-[:SPAWNS]->(b) ORDER BY a RETURN a")
+
+
+def test_unwind_path_nodes(gq):
+    rows = cypher(
+        gq,
+        "MATCH p = shortestPath((a {key: 'a'})-[:SPAWNS*]->(b {key: 'd'})) "
+        "UNWIND nodes(p) AS n RETURN n ORDER BY n",
+    ).collect()
+    assert [r.n for r in rows] == ["a", "b", "d"]
+
+
+def test_unwind_literal_list_and_skip(gq):
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) "
+        "UNWIND array(1, 2) AS copy "
+        "RETURN b, copy ORDER BY b, copy SKIP 2 LIMIT 3",
+    ).collect()
+    # 3 edges x 2 copies = 6 rows ordered (b,1),(b,2),(c,1),(c,2),(d,1),(d,2);
+    # SKIP 2 LIMIT 3 -> (c,1),(c,2),(d,1)
+    assert [(r.b, r.copy) for r in rows] == [("c", 1), ("c", 2), ("d", 1)]
