@@ -1582,3 +1582,79 @@ def four_clique_count(edges: DataFrame) -> DataFrame:
         .join(cd, (F.col("c") == F.col("c6")) & (F.col("d") == F.col("d6")))
         .agg(F.count("*").cast("bigint").alias("n_4cliques"))
     )
+
+
+def shortest_path_length_bidirectional(
+    edges: DataFrame,
+    src_key: str,
+    dst_key: str,
+    directed: bool = True,
+    max_hops: int = 64,
+) -> int | None:
+    """Hop-count shortest path between two keys via MEET-IN-THE-MIDDLE
+    BFS — the scale path for two-endpoint distance queries: each side
+    explores ~b^(d/2) nodes instead of the single-sided b^d, so on a
+    branching provenance graph the frontier (and every per-round
+    shuffle) is the square root of the one-sided cost.
+
+    Level-synchronous and exact: each round expands the SMALLER
+    frontier by one hop (forward over ``src→dst``, backward over the
+    reversed edges), records the best meeting distance
+    ``min(dist_f + dist_b)`` over the visited-set intersection, and
+    stops once ``depth_f + depth_b >= best`` — the standard proof that
+    no shorter crossing can still appear.  Equality with the one-sided
+    :func:`shortest_path_length` is pinned in tests/test_traversal.py.
+    """
+    if src_key == dst_key:
+        return 0
+    spark = edges.sparkSession
+    e = edges.select("src", "dst") if directed else _as_undirected(edges)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+
+    def new_side(key):
+        v = spark.createDataFrame([(key, 0)], ["key", "dist"]).localCheckpoint()
+        return {"visited": v, "frontier": v, "depth": 0, "alive": True}
+
+    fwd, bwd = new_side(src_key), new_side(dst_key)
+    best: int | None = None
+    for _ in range(2 * max_hops):
+        # expand the cheaper side (smaller frontier) one level
+        side, graph = (
+            (fwd, e)
+            if (not bwd["alive"])
+            or (fwd["alive"] and fwd["frontier"].count() <= bwd["frontier"].count())
+            else (bwd, rev)
+        )
+        if not side["alive"]:
+            break
+        nxt = (
+            side["frontier"].join(graph, side["frontier"]["key"] == graph["src"])
+            .select(F.col("dst").alias("key"))
+            .distinct()
+            .join(side["visited"].select("key"), "key", "left_anti")
+            .withColumn("dist", F.lit(side["depth"] + 1))
+            .localCheckpoint()
+        )
+        side["depth"] += 1
+        if nxt.isEmpty():
+            side["alive"] = False
+            if not fwd["alive"] and not bwd["alive"]:
+                break
+        else:
+            side["visited"] = side["visited"].unionByName(nxt).localCheckpoint()
+            side["frontier"] = nxt
+        meet = (
+            fwd["visited"].alias("f")
+            .join(bwd["visited"].alias("b"), "key")
+            .agg(F.min(F.col("f.dist") + F.col("b.dist")).alias("d"))
+            .head()["d"]
+        )
+        if meet is not None:
+            best = meet if best is None else min(best, meet)
+        # no shorter crossing can appear once the combined reached depth
+        # meets the best known distance
+        if best is not None and fwd["depth"] + bwd["depth"] >= best:
+            return best
+        if not fwd["alive"] and not bwd["alive"]:
+            break
+    return best

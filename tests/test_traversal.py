@@ -907,3 +907,31 @@ def test_four_clique_count_known_graphs(spark):
         [(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int"
     )
     assert four_clique_count(tri).head().n_4cliques == 0
+
+
+def test_bidirectional_shortest_path_matches_one_sided(spark):
+    import random
+
+    from graphdb_neo4j_spark.operators.traversal import (
+        shortest_path_length,
+        shortest_path_length_bidirectional,
+    )
+
+    rng = random.Random(11)
+    n = 40
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((f"n{a}", f"n{b}"))
+    df = spark.createDataFrame(sorted(edges), "src string, dst string")
+    for s, d in [("n0", "n1"), ("n5", "n17"), ("n3", "n3"), ("n2", "n39")]:
+        one = shortest_path_length(df, s, d) if s != d else 0
+        bi = shortest_path_length_bidirectional(df, s, d)
+        assert bi == one, (s, d, one, bi)
+    # unreachable pair: an isolated node name never used as a dst
+    df2 = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    assert shortest_path_length_bidirectional(df2, "c", "a") is None
+    assert shortest_path_length_bidirectional(df2, "a", "c") == 2
