@@ -3839,3 +3839,114 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
     return S.hard_negative_mining(
         emb.filter(F.col("vec_id") < 20), emb, k=3
     )
+
+
+@query(
+    "q90_market_share",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CASE WHEN s_nationkey = 5
+                    THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                    ELSE 0 END) AS DOUBLE)
+           / SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    JOIN region   ON r_regionkey = n_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE r_name = 'ASIA'
+    GROUP BY year(o_orderdate)
+    """,
+)
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8: national market share — the ratio-of-conditional-sums
+    aggregate (supplier-nation 5's slice of the ASIA customer market,
+    per order year).  100 TB shape: one pass over lineitem; all four
+    dimension joins broadcast; both sums are exact integer cents folded
+    map-side, so the final share is ONE deterministic IEEE division per
+    year row."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    s = load_table(spark, sf, "supplier")
+    rev = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    j = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("s_nationkey") == 5, rev).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(rev)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q91_parts_supplier_counts",
+    """
+    WITH ok_supp AS (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0
+    ),
+    grouped AS (
+      SELECT p_brand, p_type, p_size,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      FROM part
+      JOIN lineitem ON l_partkey = p_partkey
+      JOIN ok_supp  ON s_suppkey = l_suppkey
+      WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7)
+      GROUP BY p_brand, p_type, p_size
+    ),
+    ranked AS (
+      SELECT p_brand, p_type, p_size, supplier_cnt,
+             ROW_NUMBER() OVER (ORDER BY supplier_cnt DESC,
+                                p_brand, p_type, p_size) AS rn
+      FROM grouped
+    )
+    SELECT p_brand, p_type, p_size, supplier_cnt
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16: parts/supplier relationship — COUNT(DISTINCT) per
+    part-attribute group with an excluded-supplier semi-filter (the
+    negative-balance stand-in for Q16's complaints subquery).  100 TB
+    shape: the supplier allowlist broadcasts; distinct-count shuffles
+    (group, suppkey) pairs once with map-side partial dedup; top-20 is
+    TakeOrdered."""
+    p = load_table(spark, sf, "part")
+    l = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    ok = s.filter(F.col("s_acctbal") >= 0).select("s_suppkey")
+    g = (
+        p.filter(
+            (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 7)
+        )
+        .join(l, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(ok), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.count_distinct(F.col("l_suppkey"))
+            .cast("bigint")
+            .alias("supplier_cnt")
+        )
+    )
+    return g.orderBy(
+        F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+    ).limit(20)
