@@ -3950,3 +3950,30 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
     return g.orderBy(
         F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
     ).limit(20)
+
+
+@query("g62_corpus_cypher_path_hubs")
+def g62(spark: SparkSession, sf: str) -> DataFrame:
+    """Cypher UNWIND over shortestPath bindings: which processes sit on
+    the most root-to-descendant shortest paths (path-hub centrality by
+    construction) — `UNWIND nodes(p) AS n` exploding the BFS backtrace
+    arrays, grouped and ranked, all from Cypher text.  Rows-only gate;
+    UNWIND/shortestPath semantics pinned in tests/test_cypher.py."""
+    from graphdb_neo4j_spark.operators.cypher import cypher
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    g = _corpus_graph(spark)
+    gq = GraphQuery.from_graph(g)
+    root = (
+        gq.rel("SPAWNS")
+        .groupBy("src")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "src")
+        .head()
+    )["src"]
+    return cypher(
+        gq,
+        f"MATCH p = shortestPath((a {{key: '{root}'}})-[:SPAWNS*]->(b:Process)) "
+        "UNWIND nodes(p) AS n "
+        "RETURN n, count(*) AS on_paths ORDER BY on_paths DESC, n LIMIT 20",
+    )

@@ -381,3 +381,31 @@ def test_q85_sample_is_takeordered_no_full_table_window(spark):
     # rows), and there must be no range-partitioned global sort shuffle
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_q90_broadcasts_all_dims_single_lineitem_scan(spark):
+    df = QUERY_FNS["q90_market_share"](spark, SF)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    # one pass over the fact table (formatted plans name each scan twice:
+    # once in the tree, once in the node details)
+    assert plan.count("lineitem.parquet") <= 2
+    assert "partial" in plan.lower()
+
+
+def test_q91_distinct_count_has_partial_dedup(spark):
+    df = QUERY_FNS["q91_parts_supplier_counts"](spark, SF)
+    plan = explain_str(df)
+    # COUNT(DISTINCT) lowers to a two-phase aggregate (partial on the
+    # (group, suppkey) pairs) and the top-20 is TakeOrdered
+    assert "partial" in plan.lower()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q87_cypher_compiles_to_broadcast_joins(spark):
+    # the Cypher text must produce the same join shape a hand-written
+    # DataFrame chain would: hash/broadcast joins, no nested loop
+    df = QUERY_FNS["q87_cypher_order_graph"](spark, SF)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
