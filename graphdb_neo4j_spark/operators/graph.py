@@ -342,3 +342,19 @@ class GraphQuery:
             .fillna(0, subset=["in_degree", "out_degree"])
             .withColumn("degree", F.col("in_degree") + F.col("out_degree"))
         )
+
+
+def _graphquery_cypher(
+    self, query: str, props: dict[str, DataFrame] | None = None
+) -> DataFrame:
+    """Run Cypher text against this graph — the migrating analyst's
+    one-liner (`operators/cypher.py` documents the supported subset):
+
+    >>> gq.cypher("MATCH (a:Process)-[:SPAWNS*1..3]->(b) RETURN b")
+    """
+    from graphdb_neo4j_spark.operators.cypher import cypher as _cypher
+
+    return _cypher(self, query, props=props)
+
+
+GraphQuery.cypher = _graphquery_cypher

@@ -276,3 +276,10 @@ def test_unwind_literal_list_and_skip(gq):
     # 3 edges x 2 copies = 6 rows ordered (b,1),(b,2),(c,1),(c,2),(d,1),(d,2);
     # SKIP 2 LIMIT 3 -> (c,1),(c,2),(d,1)
     assert [(r.b, r.copy) for r in rows] == [("c", 1), ("c", 2), ("d", 1)]
+
+
+def test_graphquery_cypher_method(gq):
+    rows = gq.cypher(
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) RETURN count(*) AS n"
+    ).collect()
+    assert rows[0].n == 3
