@@ -26,6 +26,11 @@ def get_spark(app_name: str = "graphdb-neo4j-spark", **extra_conf: str) -> Spark
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # runtime bloom-filter semi-join pruning: on a selective
+        # fact⋈fact join the build side injects a bloom filter into the
+        # probe side's scan — at 100 TB this skips row groups before the
+        # shuffle (no-op on broadcasts, safe everywhere)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # the driver testdata writes TIMESTAMP(NANOS) parquet, which Spark
         # rejects natively; read as long and convert in sources/tables.py

@@ -32,6 +32,7 @@ def ensure_session_confs(spark: SparkSession) -> None:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.mapKeyDedupPolicy", "LAST_WIN"),
         ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
     ):
         try:
             spark.conf.set(key, value)
