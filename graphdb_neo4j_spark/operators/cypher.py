@@ -23,7 +23,10 @@ is interpreted row-by-row):
   ``[e:R]``; bounded variable-length ``[:R*lo..hi]`` (unbounded ``*``
   is rejected — open-ended reach is `traversal.bfs`, not a join chain);
   single-node patterns ``MATCH (n:Label)``.
-* one ``OPTIONAL MATCH`` group (left join on shared variables).
+* any number of ``OPTIONAL MATCH`` groups — each clause is its own
+  left join on shared variables, and inline property maps inside an
+  optional pattern filter the OPTIONAL side before the join (a
+  non-matching optional NULL-extends; it never kills the outer row).
 * ``WHERE`` — any Spark-SQL-expressible boolean over node variables
   (``a`` = the node key), node properties (``a.prop``, resolved through
   the per-label property tables), and edge-variable fields
@@ -177,19 +180,31 @@ class _ShortestPath:
 
 
 @dataclass
+class _OptGroup:
+    """One OPTIONAL MATCH clause — its own left-join group with its own
+    inline predicates (which must filter the optional side BEFORE the
+    left join, or NULL-extended rows would be wrongly dropped)."""
+
+    hops: list[_Hop] = field(default_factory=list)
+    labels: dict[str, str] = field(default_factory=dict)
+    preds: list[str] = field(default_factory=list)
+
+
+@dataclass
 class _Parsed:
     hops: list[_Hop] = field(default_factory=list)
     single_nodes: list[str] = field(default_factory=list)  # vars with no hop
     labels: dict[str, str] = field(default_factory=dict)
     inline_preds: list[str] = field(default_factory=list)  # SQL predicates
-    opt_hops: list[_Hop] = field(default_factory=list)
-    opt_labels: dict[str, str] = field(default_factory=dict)
+    optionals: list[_OptGroup] = field(default_factory=list)
     paths: list[_ShortestPath] = field(default_factory=list)
 
 
 def _parse_patterns(body: str, parsed: _Parsed, into_optional: bool) -> None:
-    hops = parsed.opt_hops if into_optional else parsed.hops
-    labels = parsed.opt_labels if into_optional else parsed.labels
+    group = _OptGroup() if into_optional else None
+    hops = group.hops if group is not None else parsed.hops
+    labels = group.labels if group is not None else parsed.labels
+    preds = group.preds if group is not None else parsed.inline_preds
     anon = [0]
 
     def node(m: re.Match) -> str:
@@ -210,7 +225,7 @@ def _parse_patterns(body: str, parsed: _Parsed, into_optional: bool) -> None:
                         raise ValueError(f"bad property map entry {kv!r}")
                     k, v = k.strip(), v.strip()
                     col = var if k == "key" else f"{var}.{k}"
-                    parsed.inline_preds.append(f"{col} = {v}")
+                    preds.append(f"{col} = {v}")
         return var
 
     for pat in _split_top_commas(body):
@@ -249,6 +264,8 @@ def _parse_patterns(body: str, parsed: _Parsed, into_optional: bool) -> None:
             if into_optional:
                 raise ValueError("OPTIONAL MATCH needs at least one hop")
             parsed.single_nodes.append(prev)
+    if group is not None:
+        parsed.optionals.append(group)
 
 
 _SSP_RE = re.compile(
@@ -476,14 +493,13 @@ def _run_segment(
     parsed = seg.parsed
     node_vars = {h.src for h in parsed.hops} | {h.dst for h in parsed.hops}
     node_vars |= set(parsed.single_nodes)
-    node_vars |= {h.src for h in parsed.opt_hops} | {
-        h.dst for h in parsed.opt_hops
-    }
+    for og in parsed.optionals:
+        node_vars |= {h.src for h in og.hops} | {h.dst for h in og.hops}
     node_vars |= {p.src for p in parsed.paths} | {p.dst for p in parsed.paths}
     path_vars = {p.path_var for p in parsed.paths}
-    edge_vars = {h.ev for h in parsed.hops if h.ev} | {
-        h.ev for h in parsed.opt_hops if h.ev
-    }
+    edge_vars = {h.ev for h in parsed.hops if h.ev}
+    for og in parsed.optionals:
+        edge_vars |= {h.ev for h in og.hops if h.ev}
     carried_labels: dict[str, str | None] = {}
     if carried is not None:
         carried_labels = carried.node_labels
@@ -572,8 +588,44 @@ def _run_segment(
                 )
             df = carried.df.join(df, on=shared, how="inner")
 
-    if parsed.opt_hops:
-        opt = gq.find(motif(parsed.opt_hops, parsed.opt_labels))
+    for og in parsed.optionals:
+        opt = gq.find(motif(og.hops, og.labels))
+        # group-local inline predicates filter the OPTIONAL side BEFORE
+        # the left join (Cypher semantics: a non-matching optional row
+        # NULL-extends, it does not kill the outer row).  Property refs
+        # join the label's table onto the optional side only.
+        og_refs: set[tuple[str, str]] = set()
+        og_sql = []
+        for pred in og.preds:
+            out, refs = _rewrite_expr(pred, node_vars, edge_vars)
+            og_refs.update(refs)
+            og_sql.append(out)
+        helper_cols = []
+        og_by_var: dict[str, set[str]] = {}
+        for var, p in og_refs:
+            og_by_var.setdefault(var, set()).add(p)
+        for var, wanted in og_by_var.items():
+            lab = og.labels.get(var) or parsed.labels.get(var)
+            if lab is None:
+                raise ValueError(
+                    f"{var}: label the variable to use its properties "
+                    "in an OPTIONAL MATCH property map"
+                )
+            if lab not in props:
+                raise ValueError(
+                    f"no property table for label {lab!r} — pass "
+                    f"props={{{lab!r}: df}}"
+                )
+            sel = props[lab].select(
+                F.col("key").alias(var),
+                *[F.col(p).alias(f"__{var}__{p}") for p in sorted(wanted)],
+            )
+            helper_cols.extend(f"__{var}__{p}" for p in sorted(wanted))
+            opt = opt.join(sel, var, "inner")
+        for s in og_sql:
+            opt = opt.filter(F.expr(s))
+        if helper_cols:
+            opt = opt.drop(*helper_cols)
         shared = [c for c in df.columns if c in opt.columns]
         if not shared:
             raise ValueError(
@@ -646,11 +698,12 @@ def _run_segment(
     for var, p in all_refs:
         by_var.setdefault(var, set()).add(p)
     for var, wanted in by_var.items():
-        lab = (
-            parsed.labels.get(var)
-            or parsed.opt_labels.get(var)
-            or carried_labels.get(var)
-        )
+        lab = parsed.labels.get(var) or carried_labels.get(var)
+        if lab is None:
+            for og in parsed.optionals:
+                lab = og.labels.get(var)
+                if lab is not None:
+                    break
         if lab is None:
             raise ValueError(
                 f"{var}.{next(iter(wanted))}: {var!r} has no label, so its "
@@ -669,9 +722,16 @@ def _run_segment(
             F.col("key").alias(var),
             *[F.col(p).alias(f"__{var}__{p}") for p in sorted(wanted)],
         )
-        how = "left" if (var in parsed.opt_labels and var not in parsed.labels
-                         and var not in {h.src for h in parsed.hops}
-                         | {h.dst for h in parsed.hops}) else "inner"
+        opt_vars = set()
+        for og in parsed.optionals:
+            opt_vars |= {h.src for h in og.hops} | {h.dst for h in og.hops}
+        main_vars = {h.src for h in parsed.hops} | {h.dst for h in parsed.hops}
+        how = (
+            "left"
+            if (var in opt_vars and var not in main_vars
+                and var not in parsed.labels)
+            else "inner"
+        )
         df = df.join(sel, var, how)
 
     for sql, uvar in unwind_sql:
@@ -714,7 +774,8 @@ def _run_segment(
     all_labels: dict[str, str | None] = {}
     all_labels.update(carried_labels)
     all_labels.update(parsed.labels)
-    all_labels.update(parsed.opt_labels)
+    for og in parsed.optionals:
+        all_labels.update(og.labels)
     for raw, _, alias, _ in items:
         if re.fullmatch(r"\w+", raw):
             if raw in path_vars:

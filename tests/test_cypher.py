@@ -283,3 +283,35 @@ def test_graphquery_cypher_method(gq):
         "MATCH (a:Process)-[:SPAWNS]->(b:Process) RETURN count(*) AS n"
     ).collect()
     assert rows[0].n == 3
+
+
+def test_multiple_optional_match_groups(gq):
+    # two independent optional groups: files AND network, each its own
+    # left join; rows survive with NULLs in either
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) "
+        "OPTIONAL MATCH (b)-[:CREATED_FILE]->(f:File) "
+        "OPTIONAL MATCH (b)-[:CONNECTED_TO]->(ip:Ip) "
+        "RETURN a, b, f, ip",
+    ).collect()
+    got = {(r.a, r.b, r.f, r.ip) for r in rows}
+    assert got == {
+        ("a", "b", None, None),
+        ("a", "c", "f1", "8.8.8.8"),
+        ("b", "d", "f2", "10.0.0.1"),
+    }
+
+
+def test_optional_inline_props_keep_outer_rows(gq, props):
+    # the image predicate lives INSIDE the optional pattern: rows whose
+    # child is not evil.exe must SURVIVE with a NULL, not disappear
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) "
+        "OPTIONAL MATCH (b)-[:SPAWNS]->(kid:Process {image: 'evil.exe'}) "
+        "RETURN a, b, kid",
+        props=props,
+    ).collect()
+    got = {(r.a, r.b, r.kid) for r in rows}
+    assert got == {("a", "b", "d"), ("a", "c", None), ("b", "d", None)}
