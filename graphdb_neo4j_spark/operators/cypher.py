@@ -32,7 +32,8 @@ is interpreted row-by-row):
   the per-label property tables), and edge-variable fields
   (``e.event_id``); Cypher spellings ``STARTS WITH`` / ``ENDS WITH`` /
   ``CONTAINS`` / ``<>`` / ``IN [..]`` are rewritten to their SQL
-  equivalents.
+  equivalents; ``EXISTS {(a)-[:R]->(b)}`` / ``NOT EXISTS (…)`` at
+  top-level AND conjuncts compile to semi/anti joins.
 * ``RETURN [DISTINCT]`` items with ``AS`` aliases; aggregates
   count/sum/min/max/avg/collect with Cypher's implicit grouping (all
   non-aggregate items become the GROUP BY key).
@@ -341,6 +342,67 @@ def _parse_shortest_path(
     )
 
 
+def _split_top_and(s: str) -> list[str]:
+    """Split a boolean expression on top-level AND (outside parens,
+    brackets, and quotes) — the conjunct granularity at which EXISTS
+    subpatterns are lifted into semi/anti joins."""
+    parts, depth, in_str, cur = [], 0, False, []
+    i = 0
+    up = s.upper()
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            in_str = not in_str
+        if not in_str:
+            if ch in "([{":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+            elif (
+                depth == 0
+                and up.startswith("AND", i)
+                and (i == 0 or not up[i - 1].isalnum())
+                and (i + 3 >= len(up) or not up[i + 3].isalnum())
+            ):
+                parts.append("".join(cur).strip())
+                cur = []
+                i += 3
+                continue
+        cur.append(ch)
+        i += 1
+    if "".join(cur).strip():
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def _has_top_level_or(s: str) -> bool:
+    depth, in_str = 0, False
+    up = s.upper()
+    for i, ch in enumerate(s):
+        if ch == "'":
+            in_str = not in_str
+        if not in_str:
+            if ch in "([{":
+                depth += 1
+            elif ch in ")]}":
+                depth -= 1
+            elif (
+                depth == 0
+                and up.startswith("OR", i)
+                and (i == 0 or not up[i - 1].isalnum())
+                and (i + 2 >= len(up) or not up[i + 2].isalnum())
+            ):
+                return True
+    return False
+
+
+_EXISTS_RE = re.compile(
+    r"^(?P<neg>NOT\s+)?EXISTS\s*\{(?P<pat>.+)\}$|"
+    r"^(?P<neg2>NOT\s+)?EXISTS\s*\(\s*(?P<pat2>\(.+\))\s*\)$",
+    re.I | re.S,
+)
+
+
 # -- expression rewriting ----------------------------------------------------
 
 _PROP_REF = re.compile(r"\b(\w+)\s*\.\s*(\w+)\b")
@@ -381,7 +443,9 @@ def _rewrite_expr(
         ("CONTAINS_OP", "contains"),
     ):
         out = re.sub(
-            rf"(\S+)\s+{op}\s+('[^']*'|\S+)", rf"{fn}(\1, \2)", out
+            rf"((?:\w+\([^()]*\))|[^\s()]+)\s+{op}\s+('[^']*'|\S+)",
+            rf"{fn}(\1, \2)",
+            out,
         )
     # Cypher list literal in IN: [1, 2] → (1, 2)
     out = re.sub(
@@ -648,6 +712,45 @@ def _run_segment(
         return out
 
     inline_sql = [compile_expr(p) for p in parsed.inline_preds]
+    # WHERE: lift EXISTS / NOT EXISTS subpatterns out of the top-level
+    # AND conjuncts — each becomes a semi/anti join (the relational form
+    # of Cypher's existence predicate); the rest stays a boolean filter
+    where_plain: list[str] = []
+    exists_joins: list[tuple[_Parsed, bool]] = []
+    if seg.where and not re.search(r"\bEXISTS\b", seg.where, flags=re.I):
+        where_plain.append(seg.where)  # untouched — no re-parenthesizing
+    elif seg.where:
+        if _has_top_level_or(seg.where):
+            raise ValueError(
+                "EXISTS must be a top-level AND conjunct "
+                "(OR over EXISTS is not supported)"
+            )
+        for conj in _split_top_and(seg.where):
+            m = _EXISTS_RE.match(conj.strip())
+            if m:
+                pat = (m["pat"] or m["pat2"] or "").strip()
+                neg = bool(m["neg"] or m["neg2"])
+                sub = _Parsed()
+                _parse_patterns(pat, sub, into_optional=False)
+                if sub.paths or sub.single_nodes:
+                    raise ValueError(
+                        "EXISTS supports relationship patterns only"
+                    )
+                for p in sub.inline_preds:
+                    _, refs = _rewrite_expr(p, node_vars, edge_vars)
+                    if refs:
+                        raise ValueError(
+                            "property predicates inside EXISTS are not "
+                            "supported — move them to the outer WHERE"
+                        )
+                exists_joins.append((sub, neg))
+            elif re.search(r"\bEXISTS\b", conj, flags=re.I):
+                raise ValueError(
+                    "EXISTS must be a top-level AND conjunct "
+                    "(OR over EXISTS is not supported)"
+                )
+            else:
+                where_plain.append(conj)
     # UNWIND list AS var — a map-side explode; nodes(p) unwraps a bound
     # path's key array
     unwind_sql: list[tuple[str, str]] = []
@@ -658,7 +761,11 @@ def _run_segment(
                 rf"\bnodes\s*\(\s*{pv}\s*\)", pv, txt, flags=re.I
             )
         unwind_sql.append((compile_expr(txt), uvar))
-    where_compiled = compile_expr(seg.where) if seg.where else None
+    where_compiled = (
+        compile_expr(" AND ".join(f"({c})" for c in where_plain))
+        if where_plain
+        else None
+    )
 
     distinct = False
     rb = seg.proj.strip()
@@ -740,6 +847,20 @@ def _run_segment(
         df = df.filter(F.expr(p))
     if where_compiled:
         df = df.filter(F.expr(where_compiled))
+    for sub, neg in exists_joins:
+        sdf = gq.find(motif(sub.hops, sub.labels))
+        for p in sub.inline_preds:
+            sdf = sdf.filter(F.expr(_rewrite_expr(p, node_vars, edge_vars)[0]))
+        shared = [c for c in df.columns if c in sdf.columns]
+        if not shared:
+            raise ValueError(
+                "EXISTS pattern shares no variable with the MATCH"
+            )
+        df = df.join(
+            sdf.select(*shared).distinct(),
+            on=shared,
+            how="left_anti" if neg else "left_semi",
+        )
 
     aggs = [it for it in items if it[3]]
     if aggs:

@@ -315,3 +315,46 @@ def test_optional_inline_props_keep_outer_rows(gq, props):
     ).collect()
     got = {(r.a, r.b, r.kid) for r in rows}
     assert got == {("a", "b", "d"), ("a", "c", None), ("b", "d", None)}
+
+
+def test_where_exists_subpattern(gq):
+    # processes that spawned something AND opened a network connection
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) "
+        "WHERE EXISTS { (b)-[:CONNECTED_TO]->(ip:Ip) } "
+        "RETURN a, b",
+    ).collect()
+    assert {(r.a, r.b) for r in rows} == {("a", "c"), ("b", "d")}
+
+
+def test_where_not_exists_anti_join(gq):
+    # spawned processes with NO outgoing network connection
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) "
+        "WHERE NOT EXISTS ((b)-[:CONNECTED_TO]->(ip:Ip)) "
+        "RETURN b ORDER BY b",
+    ).collect()
+    assert [r.b for r in rows] == ["b"]
+
+
+def test_exists_combines_with_plain_predicate(gq, props):
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) "
+        "WHERE b.image <> 'evil.exe' AND EXISTS { (b)-[:CREATED_FILE]->(f:File) } "
+        "RETURN b",
+        props=props,
+    ).collect()
+    assert [r.b for r in rows] == ["c"]
+
+
+def test_exists_inside_or_rejected(gq):
+    with pytest.raises(ValueError, match="top-level AND"):
+        cypher(
+            gq,
+            "MATCH (a:Process)-[:SPAWNS]->(b) "
+            "WHERE a = 'x' OR EXISTS { (b)-[:CONNECTED_TO]->(i) } "
+            "RETURN a",
+        )
