@@ -3977,3 +3977,68 @@ def g62(spark: SparkSession, sf: str) -> DataFrame:
         "UNWIND nodes(p) AS n "
         "RETURN n, count(*) AS on_paths ORDER BY on_paths DESC, n LIMIT 20",
     )
+
+
+@query(
+    "q92_cypher_exists_antijoin",
+    """
+    WITH placed AS (
+      SELECT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+             'O' || CAST(o_orderkey AS VARCHAR) AS dst
+      FROM orders
+    ),
+    contains_e AS (
+      SELECT DISTINCT 'O' || CAST(l_orderkey AS VARCHAR) AS src,
+                      'P' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem
+    )
+    SELECT DISTINCT pl.src AS cust
+    FROM placed pl
+    JOIN contains_e ce ON pl.dst = ce.src AND ce.dst = 'P1'
+    WHERE NOT EXISTS (
+      SELECT 1 FROM placed pl2
+      JOIN contains_e ce2 ON pl2.dst = ce2.src
+      WHERE pl2.src = pl.src AND ce2.dst = 'P100'
+    )
+    ORDER BY cust
+    """,
+)
+def q92(spark: SparkSession, sf: str) -> DataFrame:
+    """Cypher NOT EXISTS under the hash gate: customers who bought part
+    P1 but never part P100 — the existence/anti idiom written as Cypher
+    text, compiled to a left_anti join on the shared customer variable
+    (operators/cypher.py EXISTS lifting)."""
+    from graphdb_neo4j_spark.operators.cypher import cypher
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    placed = o.select(
+        F.lit("PLACED").alias("rel"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    contains = l.select(
+        F.lit("CONTAINS").alias("rel"),
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    edges = placed.unionByName(contains)
+    nodes = (
+        placed.select(F.lit("Customer").alias("label"), F.col("src").alias("key"))
+        .unionByName(
+            placed.select(F.lit("Order").alias("label"), F.col("dst").alias("key"))
+        )
+        .unionByName(
+            contains.select(F.lit("Part").alias("label"), F.col("dst").alias("key"))
+        )
+        .distinct()
+    )
+    gq = GraphQuery(nodes=nodes, edges=edges)
+    return cypher(
+        gq,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part {key: 'P1'}) "
+        "WHERE NOT EXISTS { "
+        "(c)-[:PLACED]->(o2:Order)-[:CONTAINS]->(p2:Part {key: 'P100'}) } "
+        "RETURN DISTINCT c AS cust ORDER BY cust",
+    )
