@@ -776,3 +776,57 @@ def classifier_score(
         df, id_col=id_col, text_col=text_col, weights=weights
     )
     return scored.withColumn("keep", F.col("score") > F.lit(float(threshold)))
+
+
+def bigram_logprob_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Self-trained bigram language-model score per document —
+    ``(doc_id, n_bigrams, avg_logp)`` where ``avg_logp`` is the mean of
+    ``ln(count(w1 w2) / count(w1 ·))`` over the document's word
+    bigrams, with counts taken from the WHOLE corpus.  The
+    perplexity-filter shape of CCNet/Wenzek-style pipelines (docs whose
+    transitions are atypical for the corpus score low), without
+    shipping a KenLM binary: two hash-aggregates and two broadcast-able
+    joins, no UDFs.
+
+    Determinism: each per-bigram ``ln`` is snapped to 6 decimals and
+    summed as exact integer micro-nats (the float-sum order across
+    partitions/engines can differ; the snapped-integer sum cannot),
+    then divided back out — bit-identical to the SQL oracle.  Documents
+    with <2 tokens get no row (no bigrams).
+
+    100 TB shape: one corpus scan explodes positional bigrams; bigram
+    and prefix counts partial-aggregate map-side; the doc⋈bigram join
+    shuffles on the bigram key (the LM table is usually much smaller
+    than the corpus and AQE broadcasts it); final per-doc mean is one
+    hash-agg.
+    """
+    bi = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.lower(F.col(text_col)), 2)).alias("bg"),
+    )
+    bi_counts = bi.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    prefix_counts = (
+        bi_counts.withColumn(
+            "w1", F.substring_index(F.col("bg"), " ", 1)
+        )
+        .groupBy("w1")
+        .agg(F.sum("c_bg").alias("c_w1"))
+    )
+    lm = bi_counts.withColumn(
+        "w1", F.substring_index(F.col("bg"), " ", 1)
+    ).join(prefix_counts, "w1")
+    logp_micro = F.round(
+        F.log(F.col("c_bg").cast("double") / F.col("c_w1")) * 1e6
+    ).cast("bigint")
+    scored = bi.join(lm.select("bg", logp_micro.alias("lp")), "bg")
+    return (
+        scored.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            (
+                F.sum("lp").cast("double") / 1e6 / F.count("*")
+            ).alias("avg_logp"),
+        )
+    )

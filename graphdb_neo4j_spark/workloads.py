@@ -4042,3 +4042,47 @@ def q92(spark: SparkSession, sf: str) -> DataFrame:
         "(c)-[:PLACED]->(o2:Order)-[:CONTAINS]->(p2:Part {key: 'P100'}) } "
         "RETURN DISTINCT c AS cust ORDER BY cust",
     )
+
+
+def _q93_sql() -> str:
+    t = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    n_tok = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({t}) END"
+    bigrams = (
+        f"CASE WHEN {n_tok} < 2 THEN [] ELSE "
+        f"list_transform(range(1, len({t})), i -> {t}[i] || ' ' || {t}[i+1]) END"
+    )
+    return f"""
+    WITH bi AS (
+      SELECT doc_id AS id, unnest({bigrams}) AS bg FROM documents
+    ),
+    bi_counts AS (
+      SELECT bg, COUNT(*) AS c_bg FROM bi GROUP BY bg
+    ),
+    prefix_counts AS (
+      SELECT split_part(bg, ' ', 1) AS w1, SUM(c_bg) AS c_w1
+      FROM bi_counts GROUP BY 1
+    ),
+    lm AS (
+      SELECT bg,
+             CAST(ROUND(ln(CAST(c_bg AS DOUBLE) / c_w1) * 1e6) AS BIGINT) AS lp
+      FROM bi_counts JOIN prefix_counts
+        ON split_part(bg, ' ', 1) = w1
+    )
+    SELECT bi.id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lp) AS DOUBLE) / 1e6 / COUNT(*) AS avg_logp
+    FROM bi JOIN lm ON bi.bg = lm.bg
+    GROUP BY bi.id
+    """
+
+
+@query("q93_bigram_logprob", _q93_sql())
+def q93(spark: SparkSession, sf: str) -> DataFrame:
+    """Perplexity-style LM quality filter: self-trained corpus bigram
+    model, mean log-transition-probability per document
+    (text.bigram_logprob_score) — low scorers are the boilerplate/
+    gibberish candidates.  Exact integer micro-nat sums make the mean
+    bit-stable cross-engine."""
+    docs = load_table(spark, sf, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    return T.bigram_logprob_score(docs)

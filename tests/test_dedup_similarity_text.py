@@ -654,3 +654,24 @@ def test_hard_negative_mining_excludes_same_label(spark):
     got = hard_negative_mining(df.filter("vec_id = 1"), df, k=2).collect()
     assert [(r.neg_id, r.rank) for r in got] == [(3, 1), (4, 2)]
     assert all(r.query_id == 1 for r in got)
+
+
+def test_bigram_logprob_known_corpus(spark):
+    import math
+
+    from graphdb_neo4j_spark.operators.text import bigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b a c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.avg_logp) for r in
+           bigram_logprob_score(docs).collect()}
+    # corpus bigrams: 'a b'x3 'b a'x2 'a c'x1; prefix a->4, b->2
+    # doc1: ln(3/4), ln(2/2), ln(3/4); micro-nat snapping then mean
+    lp = lambda n, d: round(math.log(n / d) * 1e6)
+    exp1 = (lp(3,4) + lp(2,2) + lp(3,4)) / 1e6 / 3
+    exp2 = (lp(3,4) + lp(2,2) + lp(1,4)) / 1e6 / 3
+    assert got[1] == (3, exp1)
+    assert got[2] == (3, exp2)
+    assert 3 not in got  # single token -> no bigrams -> no row
