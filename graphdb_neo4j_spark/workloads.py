@@ -4086,3 +4086,101 @@ def q93(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return T.bigram_logprob_score(docs)
+
+
+@query(
+    "q94_returned_item_customers",
+    """
+    WITH grouped AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS rev_c
+      FROM customer
+      JOIN orders   ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-07-01'
+      GROUP BY c_custkey, c_name, c_nationkey
+    ),
+    ranked AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(rev_c AS DOUBLE)/1e4 AS revenue,
+             ROW_NUMBER() OVER (ORDER BY rev_c DESC, c_custkey) AS rn
+      FROM grouped
+    )
+    SELECT c_custkey, c_name, c_nationkey, revenue
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10: top customers by returned-item revenue in a date
+    window — the classic churn-investigation join.  100 TB shape: both
+    filters (returnflag, orderdate) push to their scans BEFORE the
+    joins; the grouped revenue is exact integer cents; top-20 is
+    TakeOrdered on the cents value (ties broken by custkey)."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    g = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(F.sum(rev).alias("rev_c"))
+    )
+    return (
+        g.orderBy(F.col("rev_c").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            (F.col("rev_c").cast("double") / 1e4).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q95_promo_revenue_share",
+    """
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                 ELSE 0 END) AS DOUBLE)
+           / SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS promo_share
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14: promotion revenue share in a ship-date window — the
+    conditional-sum ratio with a broadcast dimension.  One fact pass,
+    date filter pushed to the scan, exact cents, single IEEE
+    division."""
+    l = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf, "part")
+    rev = _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(rev)
+            ).alias("promo_share")
+        )
+    )
