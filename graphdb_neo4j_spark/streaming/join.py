@@ -99,11 +99,14 @@ def run_interval_join_stream(
     spark,
     schema: str,
     **join_kwargs,
-) -> None:
+):
     """Drive `interval_join` over two parquet-directory streams to a
     parquet sink with an availableNow trigger (the test/backfill
     harness; production would use the same code with a continuous
-    trigger and RocksDB state store)."""
+    trigger and RocksDB state store).  Returns the finished query
+    handle so callers can read join-state metrics off
+    ``streaming.ingest.progress_metrics`` (stream-stream join state IS
+    a state operator, so state_rows / late_rows_dropped apply)."""
     l = spark.readStream.schema(schema).parquet(left_src)
     r = spark.readStream.schema(schema).parquet(right_src)
     q = (
@@ -115,3 +118,4 @@ def run_interval_join_stream(
         .start()
     )
     q.awaitTermination()
+    return q

@@ -358,3 +358,12 @@ def test_exists_inside_or_rejected(gq):
             "WHERE a = 'x' OR EXISTS { (b)-[:CONNECTED_TO]->(i) } "
             "RETURN a",
         )
+
+
+def test_count_distinct_aggregate(gq):
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) "
+        "RETURN count(DISTINCT a) AS n_spawners",
+    ).collect()
+    assert rows[0].n_spawners == 2

@@ -638,3 +638,27 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
     unmatched = got.filter(F.col("user_id") == 2).collect()
     assert len(matched) == 1 and matched[0].r_event_id == 201
     assert len(unmatched) == 1 and unmatched[0].r_event_id is None
+
+
+def test_interval_join_state_metrics(spark, tmp_path):
+    """Stream-stream join state is a state operator: progress_metrics
+    surfaces its buffered state rows (the 100 TB state-size signal)."""
+    from graphdb_neo4j_spark.sources.tables import load_table
+    from graphdb_neo4j_spark.streaming.ingest import progress_metrics
+    from graphdb_neo4j_spark.streaming.join import run_interval_join_stream
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_type", "value", "event_id"
+    )
+    e.filter(F.col("event_type") == "purchase").write.parquet(str(tmp_path / "l"))
+    e.filter(F.col("event_type") == "view").write.parquet(str(tmp_path / "r"))
+    schema = "user_id long, ts timestamp, event_type string, value double, event_id long"
+    q = run_interval_join_stream(
+        str(tmp_path / "l"), str(tmp_path / "r"),
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        spark, schema, lookback="1 hour",
+    )
+    m = progress_metrics(q)
+    assert m["n_progress_events"] >= 1
+    assert m["input_rows"] > 0
+    assert m["state_rows"] > 0  # join buffers both sides in the store
