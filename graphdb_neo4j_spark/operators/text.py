@@ -796,17 +796,24 @@ def bigram_logprob_score(
     then divided back out — bit-identical to the SQL oracle.  Documents
     with <2 tokens get no row (no bigrams).
 
-    100 TB shape: one corpus scan explodes positional bigrams; bigram
-    and prefix counts partial-aggregate map-side; the doc⋈bigram join
-    shuffles on the bigram key (the LM table is usually much smaller
-    than the corpus and AQE broadcasts it); final per-doc mean is one
-    hash-agg.
+    100 TB shape: ONE corpus scan (the q50/TF-IDF trick) — explode to
+    per-doc bigram counts once, then BOTH the LM table (bigram/prefix
+    totals summed from the per-doc counts) and the scoring join derive
+    from that persisted aggregate; the corpus text itself is never
+    re-read.  All aggregates partial-combine map-side; the score join
+    shuffles (id, bg, n) on the bigram key (the LM side is much smaller
+    and AQE broadcasts it).
     """
-    bi = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams(F.lower(F.col(text_col)), 2)).alias("bg"),
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(F.lower(F.col(text_col)), 2)).alias("bg"),
+        )
+        .groupBy("id", "bg")
+        .agg(F.count("*").alias("n"))
+        .persist()
     )
-    bi_counts = bi.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    bi_counts = per_doc.groupBy("bg").agg(F.sum("n").alias("c_bg"))
     prefix_counts = (
         bi_counts.withColumn(
             "w1", F.substring_index(F.col("bg"), " ", 1)
@@ -820,13 +827,15 @@ def bigram_logprob_score(
     logp_micro = F.round(
         F.log(F.col("c_bg").cast("double") / F.col("c_w1")) * 1e6
     ).cast("bigint")
-    scored = bi.join(lm.select("bg", logp_micro.alias("lp")), "bg")
+    scored = per_doc.join(lm.select("bg", logp_micro.alias("lp")), "bg")
     return (
         scored.groupBy(F.col("id").alias(id_col))
         .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("n").cast("bigint").alias("n_bigrams"),
             (
-                F.sum("lp").cast("double") / 1e6 / F.count("*")
+                F.sum(F.col("n") * F.col("lp")).cast("double")
+                / 1e6
+                / F.sum("n")
             ).alias("avg_logp"),
         )
     )

@@ -409,3 +409,11 @@ def test_q87_cypher_compiles_to_broadcast_joins(spark):
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q93_single_corpus_scan(spark):
+    # the LM table and the scoring join both derive from ONE persisted
+    # per-doc bigram aggregate — the corpus text is read exactly once
+    df = QUERY_FNS["q93_bigram_logprob"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("documents.parquet") == 1
