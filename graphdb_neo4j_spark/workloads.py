@@ -4184,3 +4184,25 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("promo_share")
         )
     )
+
+
+@query("g63_corpus_cypher_net_only")
+def g63(spark: SparkSession, sf: str) -> DataFrame:
+    """Threat-hunting Cypher: traces whose processes talk to the
+    network but never touch disk (EXISTS ∧ NOT EXISTS — the classic
+    fileless-malware triage question), counted per trace.  Both
+    existence predicates compile to semi/anti joins.  Rows-only gate;
+    EXISTS semantics pinned in tests/test_cypher.py."""
+    from graphdb_neo4j_spark.operators.cypher import cypher
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    g = _corpus_graph(spark)
+    gq = GraphQuery.from_graph(g)
+    return cypher(
+        gq,
+        "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) "
+        "WHERE EXISTS { (p)-[:CONNECTED_TO]->(ip:Ip) } "
+        "AND NOT EXISTS { (p)-[:CREATED_FILE]->(f:File) } "
+        "RETURN t, count(DISTINCT p) AS net_only_procs "
+        "ORDER BY net_only_procs DESC, t LIMIT 20",
+    )
