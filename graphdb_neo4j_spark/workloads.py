@@ -4206,3 +4206,390 @@ def g63(spark: SparkSession, sf: str) -> DataFrame:
         "RETURN t, count(DISTINCT p) AS net_only_procs "
         "ORDER BY net_only_procs DESC, t LIMIT 20",
     )
+
+
+# ===========================================================================
+# TPC-H completion block: the eight remaining analogues (Q7, Q9, Q11,
+# Q12, Q13, Q15, Q17, Q20) — with this block every TPC-H query shape
+# has an oracle-gated mirror on the driver tables (partsupp-dependent
+# queries substitute p_retailprice-based cost/inventory proxies since
+# the testdata star schema has no partsupp table).
+# ===========================================================================
+
+_REV_CENTS_SQL = (
+    "CAST(ROUND(l_extendedprice*100) AS BIGINT)"
+    " * (100 - CAST(ROUND(l_discount*100) AS BIGINT))"
+)
+
+
+def _rev_cents() -> Column:
+    """Exact 1e-4-scale integer revenue: ep_cents * (100 - disc_cents)."""
+    return _cents(F.col("l_extendedprice")) * (
+        F.lit(100) - _cents(F.col("l_discount"))
+    )
+
+
+@query(
+    "q96_volume_shipping",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           CAST(SUM({_REV_CENTS_SQL}) AS DOUBLE)/1e4 AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND year(l_shipdate) BETWEEN 1996 AND 1997
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+)
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7: volume shipping between two nations, per direction and
+    ship year.  100 TB shape: the two-row nation dimension broadcasts
+    twice (supplier side, customer side) so the nation-pair predicate
+    prunes BEFORE the orders/customer shuffle joins; revenue folds
+    map-side as exact integer cents."""
+    l = load_table(spark, sf, "lineitem").filter(
+        F.year("l_shipdate").between(1996, 1997)
+    )
+    s = load_table(spark, sf, "supplier")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        l.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg((F.sum(_rev_cents()).cast("double") / 1e4).alias("revenue"))
+    )
+
+
+@query(
+    "q97_product_type_profit",
+    f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(5 * ({_REV_CENTS_SQL})
+                    - 3 * CAST(ROUND(l_quantity*100) AS BIGINT)
+                        * CAST(ROUND(p_retailprice*100) AS BIGINT)) AS DOUBLE)/5e4
+           AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9: product-type profit by supplier nation and order year.
+    No partsupp table in the testdata, so unit cost is proxied as 60%
+    of p_retailprice; profit stays EXACT integer arithmetic by scaling
+    to 5e4 units (5*revenue_1e4 - 3*qty_cents*retail_cents) instead of
+    multiplying by 0.6.  100 TB shape: part filter prunes before the
+    join fan-in; nation broadcasts; one shuffle per big join, one
+    hash-agg with map-side partials."""
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf, "supplier")
+    o = load_table(spark, sf, "orders")
+    n = load_table(spark, sf, "nation")
+    profit = F.lit(5) * _rev_cents() - F.lit(3) * _cents(
+        F.col("l_quantity")
+    ) * _cents(F.col("p_retailprice"))
+    j = (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg((F.sum(profit).cast("double") / 5e4).alias("sum_profit"))
+    )
+
+
+@query(
+    "q98_important_stock",
+    """
+    WITH val AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(ROUND(l_quantity*100) AS BIGINT)
+                 * CAST(ROUND(p_retailprice*100) AS BIGINT)) AS v
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT partkey, CAST(v AS DOUBLE)/1e4 AS value
+    FROM val WHERE v * 1000 > (SELECT SUM(v) FROM val)
+    """,
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11: important stock — parts whose inventory value through
+    NATION_3 suppliers exceeds 0.1% of the nation's total (availqty *
+    supplycost proxied as shipped quantity * retail price; no partsupp
+    table).  The HAVING-vs-scalar-subquery compare stays EXACT: integer
+    v*1000 > total, never a double fraction.  100 TB shape: one grouped
+    pass builds per-part values; the grand total is a 1-row broadcast
+    (crossJoin of a scalar aggregate, like q06's forecast)."""
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(_cents(F.col("l_quantity")) * _cents(F.col("p_retailprice")))
+            .alias("v")
+        )
+    )
+    total = val.agg(F.sum("v").alias("tot"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("v") * 1000 > F.col("tot"))
+        .select("partkey", (F.col("v").cast("double") / 1e4).alias("value"))
+    )
+
+
+@query(
+    "q99_shipmode_priority",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE year(l_shipdate) = 1996
+    GROUP BY l_returnflag
+    """,
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12: shipping priority split — conditional counts of
+    high/low-priority order lines per return flag for one ship year
+    (the testdata has no l_shipmode column; l_returnflag plays the
+    category axis).  100 TB shape: the year filter pushes to the
+    lineitem scan, the join shuffles on orderkey once, both CASE sums
+    fold map-side."""
+    l = load_table(spark, sf, "lineitem").filter(F.year("l_shipdate") == 1996)
+    o = load_table(spark, sf, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q100_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution — LEFT join with an
+    ON-clause residual predicate (customers with zero qualifying orders
+    must survive with c_count=0), two stacked aggregations.  100 TB
+    shape: the first agg shuffles on custkey (same key as the join, so
+    AQE coalesces into one exchange); the second groups the ~small
+    count domain."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+@query(
+    "q101_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey, SUM({_REV_CENTS_SQL}) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey AS suppkey, s_name AS name,
+           CAST(r AS DOUBLE)/1e4 AS total_revenue
+    FROM supplier JOIN rev ON suppkey = s_suppkey
+    WHERE r = (SELECT MAX(r) FROM rev)
+    """,
+)
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15: top supplier — quarterly revenue per supplier, keep
+    the max (ties all survive, exactly the spec's view+subquery
+    semantics).  Max compare happens on EXACT integer cents, so the
+    tie-set is engine-independent.  100 TB shape: one filtered pass
+    over lineitem, grouped on suppkey; the 1-row max broadcasts back;
+    the supplier join broadcasts the (tiny) winner set."""
+    l = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf, "supplier")
+    rev = l.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(_rev_cents()).alias("r")
+    )
+    mx = rev.agg(F.max("r").alias("mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(F.col("r") == F.col("mx"))
+    return (
+        s.join(F.broadcast(top), F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "suppkey",
+            F.col("s_name").alias("name"),
+            (F.col("r").cast("double") / 1e4).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q102_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100/7
+           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pk = l_partkey
+    WHERE p_brand = 'Brand#2' AND p_size < 10
+      AND CAST(ROUND(l_quantity*100) AS BIGINT) * 5 * n < sq
+    """,
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17: small-quantity-order revenue — lines below 20% of
+    their part's average quantity (correlated scalar subquery decor-
+    related into a grouped self-join).  The 0.2*avg compare is EXACT:
+    qty_cents * 5 * n < sum_qty_cents, pure integers, no division on
+    either engine.  100 TB shape: the per-part aggregate and the probe
+    join share the partkey shuffle key; the brand/size filter prunes
+    the part side before its join."""
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size") < 10)
+    )
+    pa = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("sq"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    j = (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("pk") == F.col("l_partkey"))
+        .filter(_cents(F.col("l_quantity")) * 5 * F.col("n") < F.col("sq"))
+    )
+    return j.agg(
+        (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100 / 7)
+        .alias("avg_yearly")
+    )
+
+
+@query(
+    "q103_part_promotion_suppliers",
+    """
+    WITH sq AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS q
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%' AND year(l_shipdate) = 1996
+      GROUP BY l_suppkey, l_partkey
+    ),
+    tot AS (SELECT l_partkey, SUM(q) AS t FROM sq GROUP BY l_partkey)
+    SELECT DISTINCT s_suppkey AS suppkey, s_name AS name
+    FROM sq
+    JOIN tot ON tot.l_partkey = sq.l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE 2 * q > t
+    """,
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20: potential part promotion — suppliers who shipped more
+    than half of a red part's 1996 volume (availqty proxied as
+    shipped quantity; no partsupp table).  The half-share compare is
+    integer-exact (2*q > t).  100 TB shape: both aggregates share the
+    partkey shuffle; the qualifying (supp,part) set is tiny and
+    broadcast into the supplier join; DISTINCT dedups suppliers that
+    dominate several parts."""
+    l = load_table(spark, sf, "lineitem").filter(F.year("l_shipdate") == 1996)
+    p = load_table(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf, "supplier")
+    sq = (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("q"))
+    )
+    tot = sq.groupBy(F.col("l_partkey").alias("tpk")).agg(F.sum("q").alias("t"))
+    win = (
+        sq.join(tot, F.col("tpk") == F.col("l_partkey"))
+        .filter(2 * F.col("q") > F.col("t"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(win), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("name"))
+    )
