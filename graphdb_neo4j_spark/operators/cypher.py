@@ -604,23 +604,44 @@ def _run_segment(
         # (traversal.bfs_paths) — the documented home of unbounded
         # reach; the result rejoins the relational plan as a
         # (src, dst, path) table keyed on its endpoint variables
-        from graphdb_neo4j_spark.operators.traversal import bfs_paths
+        from graphdb_neo4j_spark.operators.traversal import (
+            bfs_paths,
+            shortest_path_bidirectional,
+        )
 
         spark = gq.edges.sparkSession
         e = gq.rel(ps.rel).select("src", "dst")
-        srcs = spark.createDataFrame([(ps.src_key,)], ["key"])
-        targets = (
-            spark.createDataFrame([(ps.dst_key,)], ["key"])
-            if ps.dst_key is not None
-            else None
-        )
-        pb = bfs_paths(e, srcs, targets=targets, max_hops=ps.hi)
-        pb = pb.filter(F.col("dist") >= ps.lo)
-        pdf = pb.select(
-            F.lit(ps.src_key).alias(ps.src),
-            F.col("key").alias(ps.dst),
-            F.col("path").alias(ps.path_var),
-        )
+        if ps.dst_key is not None:
+            # both endpoints pinned → MEET-IN-THE-MIDDLE BFS with pred
+            # trees spliced at the meet frontier (~√ the one-sided
+            # frontier/shuffle cost); result is a single-row table
+            from pyspark.sql.types import ArrayType, StructField, StructType
+
+            path = shortest_path_bidirectional(
+                e, ps.src_key, ps.dst_key,
+                max_hops=ps.hi if ps.hi is not None else 1 << 20,
+            )
+            key_t = e.schema["src"].dataType
+            schema = StructType([
+                StructField(ps.src, key_t),
+                StructField(ps.dst, key_t),
+                StructField(ps.path_var, ArrayType(key_t)),
+            ])
+            rows = (
+                [(ps.src_key, ps.dst_key, path)]
+                if path is not None and len(path) - 1 >= ps.lo
+                else []
+            )
+            pdf = spark.createDataFrame(rows, schema)
+        else:
+            srcs = spark.createDataFrame([(ps.src_key,)], ["key"])
+            pb = bfs_paths(e, srcs, targets=None, max_hops=ps.hi)
+            pb = pb.filter(F.col("dist") >= ps.lo)
+            pdf = pb.select(
+                F.lit(ps.src_key).alias(ps.src),
+                F.col("key").alias(ps.dst),
+                F.col("path").alias(ps.path_var),
+            )
         for var in (ps.src, ps.dst):
             lab = parsed.labels.get(var)
             if lab is not None:

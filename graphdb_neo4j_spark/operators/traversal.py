@@ -1658,3 +1658,109 @@ def shortest_path_length_bidirectional(
         if not fwd["alive"] and not bwd["alive"]:
             break
     return best
+
+
+def shortest_path_bidirectional(
+    edges: DataFrame,
+    src_key: str,
+    dst_key: str,
+    directed: bool = True,
+    max_hops: int = 64,
+) -> list | None:
+    """The actual shortest path ``[src, ..., dst]`` between two keys
+    via meet-in-the-middle BFS with PATH RECONSTRUCTION — the scale
+    plan for two-pinned-endpoint ``shortestPath`` queries: each side
+    explores ~b^(d/2) nodes (square-root frontiers and shuffles vs the
+    one-sided :func:`shortest_path`), and BOTH sides keep a
+    predecessor forest so the answer is spliced from two backtraces at
+    the meet frontier instead of re-running a full BFS.
+
+    Deterministic end to end: each side's predecessor is the min
+    frontier key among equal-distance parents (same rule as
+    :func:`bfs_tree`), the meet node is the min key among the visited-
+    set intersection realizing the optimal distance, and the expansion
+    schedule (always the smaller frontier) depends only on the data.
+    Termination mirrors :func:`shortest_path_length_bidirectional`:
+    stop once ``depth_f + depth_b >= best`` — no shorter crossing can
+    still appear.  Hop-distance equality with the one-sided BFS and
+    path validity are pinned in tests/test_traversal.py.
+    """
+    if src_key == dst_key:
+        return [src_key]
+    spark = edges.sparkSession
+    e = edges.select("src", "dst") if directed else _as_undirected(edges)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    key_t = e.schema["src"].dataType
+
+    def new_side(key):
+        v = (
+            spark.createDataFrame([(key, 0)], ["key", "dist"])
+            .select(F.col("key").cast(key_t).alias("key"), "dist")
+            .withColumn("pred", F.lit(None).cast(key_t))
+            .localCheckpoint()
+        )
+        return {"visited": v, "frontier": v, "depth": 0, "alive": True}
+
+    fwd, bwd = new_side(src_key), new_side(dst_key)
+    best: int | None = None
+    for _ in range(2 * max_hops):
+        side, graph = (
+            (fwd, e)
+            if (not bwd["alive"])
+            or (fwd["alive"] and fwd["frontier"].count() <= bwd["frontier"].count())
+            else (bwd, rev)
+        )
+        if not side["alive"]:
+            break
+        nxt = (
+            side["frontier"].join(graph, side["frontier"]["key"] == graph["src"])
+            .select(F.col("dst").alias("key"), side["frontier"]["key"].alias("pred"))
+            .groupBy("key")
+            .agg(F.min("pred").alias("pred"))
+            .join(side["visited"].select("key"), "key", "left_anti")
+            .withColumn("dist", F.lit(side["depth"] + 1))
+            .select("key", "dist", "pred")
+            .localCheckpoint()
+        )
+        side["depth"] += 1
+        if nxt.isEmpty():
+            side["alive"] = False
+            if not fwd["alive"] and not bwd["alive"]:
+                break
+        else:
+            side["visited"] = side["visited"].unionByName(nxt).localCheckpoint()
+            side["frontier"] = nxt
+        meet = (
+            fwd["visited"].alias("f")
+            .join(bwd["visited"].alias("b"), "key")
+            .agg(F.min(F.col("f.dist") + F.col("b.dist")).alias("d"))
+            .head()["d"]
+        )
+        if meet is not None:
+            best = meet if best is None else min(best, meet)
+        if best is not None and fwd["depth"] + bwd["depth"] >= best:
+            break
+        if not fwd["alive"] and not bwd["alive"]:
+            break
+    if best is None or best > max_hops:
+        return None
+    # deterministic meet node: min key realizing the optimal crossing
+    meet_row = (
+        fwd["visited"].alias("f")
+        .join(bwd["visited"].alias("b"), "key")
+        .filter(F.col("f.dist") + F.col("b.dist") == F.lit(best))
+        .orderBy("key")
+        .select("key")
+        .head()
+    )
+    meet_key = meet_row["key"]
+    meet_df = fwd["visited"].sparkSession.createDataFrame(
+        [(meet_key,)], ["key"]
+    ).select(F.col("key").cast(key_t).alias("key"))
+    f_path = list(
+        _backtrace_paths(fwd["visited"], targets=meet_df).head()["path"]
+    )  # [src .. meet]
+    b_path = list(
+        _backtrace_paths(bwd["visited"], targets=meet_df).head()["path"]
+    )  # [dst .. meet] (backward tree is rooted at dst)
+    return f_path + b_path[-2::-1]

@@ -4593,3 +4593,45 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
         s.join(F.broadcast(win), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("name"))
     )
+
+
+@query("g64_corpus_cypher_pinned_path")
+def g64(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-pinned-endpoint Cypher shortestPath on the corpus: the exact
+    SPAWNS chain from the busiest spawner to its deepest descendant —
+    the analyst's "how did THIS process get here" provenance question
+    with both ends known.  Compiles to the MEET-IN-THE-MIDDLE BFS with
+    predecessor-tree splicing (traversal.shortest_path_bidirectional):
+    ~√ the one-sided frontier cost, the 100 TB plan for point-to-point
+    paths.  Rows-only gate; path-validity/equality semantics pinned in
+    tests/test_traversal.py and tests/test_cypher.py."""
+    from graphdb_neo4j_spark.operators.cypher import cypher
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+    from graphdb_neo4j_spark.operators.traversal import bfs
+
+    g = _corpus_graph(spark)
+    gq = GraphQuery.from_graph(g)
+    spawns = gq.rel("SPAWNS")
+    root = (
+        spawns.groupBy("src")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "src")
+        .head()
+    )["src"]
+    # deterministic destination: min key at the maximum BFS depth
+    reach = bfs(
+        spawns.select("src", "dst"),
+        spark.createDataFrame([(root,)], ["key"]),
+    )
+    dst = (
+        reach.filter(F.col("key") != root)
+        .orderBy(F.col("dist").desc(), "key")
+        .head()
+    )["key"]
+    return cypher(
+        gq,
+        f"MATCH p = shortestPath((a {{key: '{root}'}})-[:SPAWNS*]->"
+        f"(b {{key: '{dst}'}})) "
+        "UNWIND nodes(p) AS step "
+        "RETURN a, b, length(p) AS hops, step",
+    )

@@ -935,3 +935,45 @@ def test_bidirectional_shortest_path_matches_one_sided(spark):
     )
     assert shortest_path_length_bidirectional(df2, "c", "a") is None
     assert shortest_path_length_bidirectional(df2, "a", "c") == 2
+
+
+def test_bidirectional_path_reconstruction(spark):
+    """Spliced bidirectional paths: same length as one-sided BFS, every
+    consecutive pair is a real edge, endpoints pin."""
+    import random
+
+    from graphdb_neo4j_spark.operators.traversal import (
+        shortest_path_bidirectional,
+        shortest_path_length,
+    )
+
+    rng = random.Random(23)
+    n = 40
+    edges = set()
+    while len(edges) < 110:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((f"n{a}", f"n{b}"))
+    df = spark.createDataFrame(sorted(edges), "src string, dst string")
+    eset = edges
+    for s, d in [("n0", "n1"), ("n5", "n17"), ("n2", "n39"), ("n7", "n7")]:
+        path = shortest_path_bidirectional(df, s, d)
+        one = shortest_path_length(df, s, d) if s != d else 0
+        if one is None:
+            assert path is None, (s, d, path)
+            continue
+        assert path is not None and path[0] == s and path[-1] == d, (s, d, path)
+        assert len(path) - 1 == one, (s, d, path, one)
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in eset, (a, b, path)
+    # unreachable + undirected variants
+    df2 = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    assert shortest_path_bidirectional(df2, "c", "a") is None
+    assert shortest_path_bidirectional(df2, "a", "c") == ["a", "b", "c"]
+    assert shortest_path_bidirectional(df2, "c", "a", directed=False) == [
+        "c", "b", "a",
+    ]
+    # max_hops bound cuts long paths
+    assert shortest_path_bidirectional(df2, "a", "c", max_hops=1) is None
