@@ -671,3 +671,80 @@ def neardup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("key") == F.col("component")).alias("is_keeper"),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.55,
+    round_sim: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, cent_cos) — SemDeDup-style SEMANTIC dedup (Abbas
+    et al. 2023, arXiv:2303.09540): cluster the embedding space, then
+    prune near-duplicates inside each cluster only, so the quadratic
+    verify never crosses cluster boundaries.
+
+    Deterministic, iteration-free variant:
+
+    * centroids = the ``k`` rows with the smallest ``md5(id)`` (a
+      hash-seeded sample standing in for k-means — exactly mirrorable
+      in SQL, no Lloyd iterations to replay);
+    * assignment = max rounded cosine to a centroid, ties to the
+      smaller centroid id (round-BEFORE-rank, the engine rule);
+    * prune = drop every row with a smaller-id near-duplicate
+      (pairwise cosine ≥ ``threshold``) in its cluster — a single
+      relational pass, not a sequential greedy loop.
+
+    100 TB shape: the k-row centroid table broadcasts (n·k fold dot
+    products, zero shuffle); assignment shuffles once on id for the
+    rank; the all-pairs verify is bounded per cluster — pick
+    ``k ~ n / target_cluster_size`` so cluster populations stay
+    executor-sized.  All cosine math is the deterministic float64
+    left fold (similarity.dot_expr), bit-identical to the DuckDB
+    oracle's list_reduce.
+    """
+    from pyspark.sql import Window
+
+    from graphdb_neo4j_spark.operators.similarity import dot_expr
+
+    normed = _normalized(df, id_col, vec_col).persist()
+    cent = (
+        normed.withColumn("h", F.md5(F.col("id").cast("string")))
+        .orderBy("h", "id")
+        .limit(k)
+        .select(F.col("id").alias("cid"), F.col("vn").alias("cvn"))
+    )
+    sc = normed.crossJoin(F.broadcast(cent)).withColumn(
+        "cos", F.round(dot_expr(F.col("vn"), F.col("cvn")), round_sim)
+    )
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), "cid")
+    assign = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "cid", F.col("cos").alias("cent_cos"))
+        .persist()
+    )
+    pairs = (
+        assign.select(F.col("id").alias("id_a"), "cid")
+        .join(assign.select(F.col("id").alias("id_b"), "cid"), "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    dropped = (
+        pairs.join(
+            normed.select(F.col("id").alias("id_a"), F.col("vn").alias("vna")),
+            "id_a",
+        )
+        .join(
+            normed.select(F.col("id").alias("id_b"), F.col("vn").alias("vnb")),
+            "id_b",
+        )
+        .withColumn("pcos", F.round(dot_expr(F.col("vna"), F.col("vnb")), round_sim))
+        .filter(F.col("pcos") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return assign.join(dropped, "id", "left_anti").select(
+        "id", F.col("cid").alias("cluster"), "cent_cos"
+    )

@@ -4635,3 +4635,57 @@ def g64(spark: SparkSession, sf: str) -> DataFrame:
         "UNWIND nodes(p) AS step "
         "RETURN a, b, length(p) AS hops, step",
     )
+
+
+def _q104_sql(k: int = 8, threshold: float = 0.35) -> str:
+    """DuckDB mirror of the SemDeDup pipeline: same md5-sampled
+    centroids, same rounded-fold cosine assignment (round BEFORE
+    rank), same smaller-id-wins intra-cluster prune."""
+    return f"""
+    WITH {_NORMED_CTE.strip().rstrip(')')}
+    ),
+    cent AS (
+      SELECT id AS cid, vn AS cvn FROM (
+        SELECT id, vn, md5(CAST(id AS VARCHAR)) AS h FROM normed
+        ORDER BY h, id LIMIT {k})
+    ),
+    scored AS (
+      SELECT n.id, c.cid,
+             ROUND(list_reduce(list_transform(range(1, len(n.vn) + 1),
+                 i -> n.vn[CAST(i AS INT)] * c.cvn[CAST(i AS INT)]),
+                 (p, q) -> p + q), 6) AS cos
+      FROM normed n CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT id, cid, cos AS cent_cos FROM (
+        SELECT id, cid, cos,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.id
+      FROM assign a
+      JOIN assign b ON a.cid = b.cid AND a.id < b.id
+      JOIN normed na ON na.id = a.id
+      JOIN normed nb ON nb.id = b.id
+      WHERE ROUND(list_reduce(list_transform(range(1, len(na.vn) + 1),
+                i -> na.vn[CAST(i AS INT)] * nb.vn[CAST(i AS INT)]),
+                (p, q) -> p + q), 6) >= {threshold}
+    )
+    SELECT s.id, s.cid AS cluster, s.cent_cos
+    FROM assign s LEFT JOIN dropped d ON d.id = s.id
+    WHERE d.id IS NULL
+    """
+
+
+@query("q104_semantic_dedup", _q104_sql())
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table —
+    cluster-then-prune (operators/dedup.py:semdedup): hash-sampled
+    centroids, broadcast cosine assignment, intra-cluster-only
+    near-dup prune.  The training-pipeline stage between exact dedup
+    (q20) and pairwise embedding near-dup (q28/q38): quadratic work
+    bounded per cluster instead of corpus-wide."""
+    emb = load_table(spark, sf, "embeddings")
+    return D.semdedup(emb, k=8, threshold=0.35)
