@@ -33,7 +33,11 @@ is interpreted row-by-row):
   (``e.event_id``); Cypher spellings ``STARTS WITH`` / ``ENDS WITH`` /
   ``CONTAINS`` / ``<>`` / ``IN [..]`` are rewritten to their SQL
   equivalents; ``EXISTS {(a)-[:R]->(b)}`` / ``NOT EXISTS (…)`` at
-  top-level AND conjuncts compile to semi/anti joins.
+  top-level AND conjuncts compile to semi/anti joins — including the
+  correlated property-filtered forms ``EXISTS { (a)-[:R]->(x:L
+  {prop: v}) }`` and ``EXISTS { (a)-[:R]->(x:L) WHERE x.prop > v }``
+  (the property join lands on the EXISTS side only, before the
+  semi/anti join).
 * ``RETURN [DISTINCT]`` items with ``AS`` aliases; aggregates
   count/sum/min/max/avg/collect with Cypher's implicit grouping (all
   non-aggregate items become the GROUP BY key).
@@ -81,12 +85,14 @@ _CLAUSE_KEYWORDS = [
 
 
 def _split_clauses(q: str) -> list[tuple[str, str]]:
-    """[(keyword, body)] in source order; single-quoted strings are
-    opaque to keyword detection."""
+    """[(keyword, body)] in source order; single-quoted strings AND
+    brace blocks (EXISTS { … WHERE … }) are opaque to keyword
+    detection."""
     # positions of every top-level keyword occurrence
     upper = q.upper()
     hits: list[tuple[int, str]] = []
     in_str = False
+    depth = 0
     i = 0
     while i < len(upper):
         ch = q[i]
@@ -94,7 +100,11 @@ def _split_clauses(q: str) -> list[tuple[str, str]]:
             in_str = not in_str
             i += 1
             continue
-        if not in_str:
+        if not in_str and ch == "{":
+            depth += 1
+        elif not in_str and ch == "}":
+            depth -= 1
+        if not in_str and depth == 0:
             for kw in _CLAUSE_KEYWORDS:
                 end = i + len(kw)
                 if (
@@ -751,19 +761,26 @@ def _run_segment(
             if m:
                 pat = (m["pat"] or m["pat2"] or "").strip()
                 neg = bool(m["neg"] or m["neg2"])
+                # optional trailing WHERE inside the braces — Cypher's
+                # correlated existential subquery form:
+                #   EXISTS { (p)-[:R]->(x:L) WHERE x.prop = v }
+                wm = re.search(r"\bWHERE\b", pat, flags=re.I)
+                inner_where = None
+                if wm:
+                    pat, inner_where = (
+                        pat[: wm.start()].strip(),
+                        pat[wm.end():].strip(),
+                    )
                 sub = _Parsed()
                 _parse_patterns(pat, sub, into_optional=False)
                 if sub.paths or sub.single_nodes:
                     raise ValueError(
                         "EXISTS supports relationship patterns only"
                     )
-                for p in sub.inline_preds:
-                    _, refs = _rewrite_expr(p, node_vars, edge_vars)
-                    if refs:
-                        raise ValueError(
-                            "property predicates inside EXISTS are not "
-                            "supported — move them to the outer WHERE"
-                        )
+                if inner_where:
+                    sub.inline_preds.extend(
+                        f"({c})" for c in _split_top_and(inner_where)
+                    )
                 exists_joins.append((sub, neg))
             elif re.search(r"\bEXISTS\b", conj, flags=re.I):
                 raise ValueError(
@@ -870,8 +887,47 @@ def _run_segment(
         df = df.filter(F.expr(where_compiled))
     for sub, neg in exists_joins:
         sdf = gq.find(motif(sub.hops, sub.labels))
+        # property predicates inside EXISTS (inline props or the inner
+        # WHERE) join the label's property table onto the EXISTS side
+        # only — the existence test is property-filtered BEFORE the
+        # semi/anti join, never leaking columns into the outer scope
+        ex_node_vars = (
+            node_vars
+            | {h.src for h in sub.hops}
+            | {h.dst for h in sub.hops}
+        )
+        ex_refs: set[tuple[str, str]] = set()
+        ex_sql: list[str] = []
         for p in sub.inline_preds:
-            sdf = sdf.filter(F.expr(_rewrite_expr(p, node_vars, edge_vars)[0]))
+            out, refs = _rewrite_expr(p, ex_node_vars, edge_vars)
+            ex_refs.update(refs)
+            ex_sql.append(out)
+        ex_by_var: dict[str, set[str]] = {}
+        for var, p in ex_refs:
+            ex_by_var.setdefault(var, set()).add(p)
+        ex_helpers: list[str] = []
+        for var, wanted in ex_by_var.items():
+            lab = sub.labels.get(var) or parsed.labels.get(var)
+            if lab is None:
+                raise ValueError(
+                    f"{var}: label the variable to use its properties "
+                    "inside EXISTS"
+                )
+            if lab not in props:
+                raise ValueError(
+                    f"no property table for label {lab!r} — pass "
+                    f"props={{{lab!r}: df}}"
+                )
+            sel = props[lab].select(
+                F.col("key").alias(var),
+                *[F.col(p).alias(f"__{var}__{p}") for p in sorted(wanted)],
+            )
+            ex_helpers.extend(f"__{var}__{p}" for p in sorted(wanted))
+            sdf = sdf.join(sel, var, "inner")
+        for s in ex_sql:
+            sdf = sdf.filter(F.expr(s))
+        if ex_helpers:
+            sdf = sdf.drop(*ex_helpers)
         shared = [c for c in df.columns if c in sdf.columns]
         if not shared:
             raise ValueError(

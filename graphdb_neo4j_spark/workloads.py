@@ -4689,3 +4689,27 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
     bounded per cluster instead of corpus-wide."""
     emb = load_table(spark, sf, "embeddings")
     return D.semdedup(emb, k=8, threshold=0.35)
+
+
+@query("g65_corpus_cypher_persistence")
+def g65(spark: SparkSession, sf: str) -> DataFrame:
+    """Persistence triage in Cypher: traces whose processes set a
+    registry value under a Run/RunOnce autostart key — the classic
+    T1547.001 hunt — via a CORRELATED property-filtered existence
+    subquery (``EXISTS { ... WHERE rv.key CONTAINS 'Run' }``), which
+    compiles to a filtered semi-join on the EXISTS side only.
+    Rows-only gate; EXISTS-with-WHERE semantics pinned in
+    tests/test_cypher.py."""
+    from graphdb_neo4j_spark.operators.cypher import cypher
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    g = _corpus_graph(spark)
+    gq = GraphQuery.from_graph(g)
+    return cypher(
+        gq,
+        "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) "
+        "WHERE EXISTS { (p)-[:SET_REG_VALUE]->(rv:RegistryValue) "
+        "WHERE rv.key CONTAINS 'Run' } "
+        "RETURN t, count(DISTINCT p) AS persist_procs "
+        "ORDER BY persist_procs DESC, t LIMIT 20",
+    )

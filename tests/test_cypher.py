@@ -367,3 +367,56 @@ def test_count_distinct_aggregate(gq):
         "RETURN count(DISTINCT a) AS n_spawners",
     ).collect()
     assert rows[0].n_spawners == 2
+
+
+def test_exists_with_property_filter(gq, props):
+    # correlated, property-filtered existence: processes that spawned a
+    # powershell child (inline-props form)
+    rows = cypher(
+        gq,
+        "MATCH (p:Process)-[:SPAWNS]->(q:Process) "
+        "WHERE EXISTS { (p)-[:SPAWNS]->(x:Process {image: 'powershell.exe'}) } "
+        "RETURN DISTINCT p",
+        props=props,
+    ).collect()
+    assert {r.p for r in rows} == {"a"}  # a spawned b and c (powershell)
+
+
+def test_exists_with_inner_where(gq, props):
+    # EXISTS { pattern WHERE prop predicate } — the subquery form
+    rows = cypher(
+        gq,
+        "MATCH (t:Process)-[:SPAWNS]->(p:Process) "
+        "WHERE EXISTS { (p)-[:SPAWNS]->(x:Process) WHERE x.pid >= 400 } "
+        "RETURN t, p",
+        props=props,
+    ).collect()
+    assert {(r.t, r.p) for r in rows} == {("a", "b")}  # b spawned d (pid 400)
+
+
+def test_not_exists_with_property_filter(gq, props):
+    # spawned processes that never spawned an evil.exe child
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(p:Process) "
+        "WHERE NOT EXISTS { (p)-[:SPAWNS]->(x:Process {image: 'evil.exe'}) } "
+        "RETURN p ORDER BY p",
+        props=props,
+    ).collect()
+    assert [r.p for r in rows] == ["c", "d"]  # b spawned evil d → excluded
+
+
+def test_exists_property_filter_requires_label_and_table(gq):
+    with pytest.raises(ValueError, match="label the variable"):
+        cypher(
+            gq,
+            "MATCH (p:Process)-[:SPAWNS]->(q:Process) "
+            "WHERE EXISTS { (p)-[:SPAWNS]->(x) WHERE x.pid > 1 } RETURN p",
+        )
+    with pytest.raises(ValueError, match="property table"):
+        cypher(
+            gq,
+            "MATCH (p:Process)-[:SPAWNS]->(q:Process) "
+            "WHERE EXISTS { (p)-[:SPAWNS]->(x:Process) WHERE x.pid > 1 } "
+            "RETURN p",
+        )
