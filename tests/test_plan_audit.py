@@ -417,3 +417,61 @@ def test_q93_single_corpus_scan(spark):
     df = QUERY_FNS["q93_bigram_logprob"](spark, SF)
     plan = explain_str(df)
     assert plan.count("documents.parquet") == 1
+
+
+def test_q96_nation_pair_filter_before_big_joins(spark):
+    # both nation dims broadcast; the supplier-nation filter prunes
+    # BEFORE the orders/customer shuffles; no cartesian anywhere
+    df = QUERY_FNS["q96_volume_shipping"](spark, SF)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q97_part_filter_pushed_to_scan(spark):
+    # the p_name LIKE filter must reach the part parquet scan
+    df = QUERY_FNS["q97_product_type_profit"](spark, SF)
+    plan = explain_str(df)
+    idx = plan.find("part.parquet")
+    assert idx != -1
+    assert "p_name" in plan, plan[:500]
+    filters = pushed_filters(df)
+    assert any("p_name" in f for f in filters), filters
+
+
+def test_q98_scalar_total_is_broadcast(spark):
+    # the grand-total side of the HAVING compare is a 1-row broadcast,
+    # not a shuffle join or a cartesian re-scan
+    df = QUERY_FNS["q98_important_stock"](spark, SF)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_q100_left_join_preserves_partial_agg(spark):
+    # two stacked aggregations: the per-customer count keeps a partial
+    # (map-side) phase before the exchange
+    df = QUERY_FNS["q100_customer_distribution"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 levels
+
+
+def test_q102_shared_partkey_shuffle(spark):
+    # the per-part aggregate and the probe join key on the same column;
+    # lineitem is scanned exactly twice (probe + aggregate), never more
+    df = QUERY_FNS["q102_small_quantity_revenue"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("lineitem.parquet") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q104_semdedup_centroids_broadcast(spark):
+    # the k-row centroid table broadcasts into the n×k assignment —
+    # the only join wide enough to matter is BroadcastNestedLoopJoin
+    # by construction (cross join with a k-row build side); the
+    # quadratic verify must be an equi hash join on cluster id, and
+    # the prune an anti join
+    df = QUERY_FNS["q104_semantic_dedup"](spark, SF)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan  # k-row centroid cross join
+    assert "CartesianProduct" not in plan
