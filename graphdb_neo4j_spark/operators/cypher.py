@@ -415,7 +415,13 @@ _EXISTS_RE = re.compile(
 
 # -- expression rewriting ----------------------------------------------------
 
-_PROP_REF = re.compile(r"\b(\w+)\s*\.\s*(\w+)\b")
+_PROP_REF = re.compile(r"\b(\w+)\s*\.\s*(\w+\b|`[^`]+`)")
+
+
+def _qcol(name: str):
+    """Exact-name column reference: dots and other specials in a
+    property name stay literal (``sigma.alert``), never struct access."""
+    return F.col(f"`{name}`") if re.search(r"\W", name) else F.col(name)
 
 
 def _rewrite_expr(
@@ -428,13 +434,18 @@ def _rewrite_expr(
 
     def prop(m: re.Match) -> str:
         var, p = m.group(1), m.group(2)
+        # `quoted` property names (Neo4j backtick escapes, e.g.
+        # p.`sigma.alert`) reference the exact column name
+        quoted = p.startswith("`")
+        pn = p[1:-1] if quoted else p
         if var in edge_vars:
             return f"{var}.{p}"  # struct field — Spark SQL native
         if var in node_vars:
-            if p == "key":
+            if pn == "key":
                 return var
-            refs.add((var, p))
-            return f"__{var}__{p}"
+            refs.add((var, pn))
+            helper = f"__{var}__{pn}"
+            return f"`{helper}`" if re.search(r"\W", helper) else helper
         return m.group(0)  # function call like round(x, 2) — leave alone
 
     # protect string literals from rewriting
@@ -713,7 +724,7 @@ def _run_segment(
                 )
             sel = props[lab].select(
                 F.col("key").alias(var),
-                *[F.col(p).alias(f"__{var}__{p}") for p in sorted(wanted)],
+                *[_qcol(p).alias(f"__{var}__{p}") for p in sorted(wanted)],
             )
             helper_cols.extend(f"__{var}__{p}" for p in sorted(wanted))
             opt = opt.join(sel, var, "inner")
@@ -865,7 +876,7 @@ def _run_segment(
             raise ValueError(f"label {lab!r} has no properties {sorted(missing)}")
         sel = pt.select(
             F.col("key").alias(var),
-            *[F.col(p).alias(f"__{var}__{p}") for p in sorted(wanted)],
+            *[_qcol(p).alias(f"__{var}__{p}") for p in sorted(wanted)],
         )
         opt_vars = set()
         for og in parsed.optionals:
@@ -920,7 +931,7 @@ def _run_segment(
                 )
             sel = props[lab].select(
                 F.col("key").alias(var),
-                *[F.col(p).alias(f"__{var}__{p}") for p in sorted(wanted)],
+                *[_qcol(p).alias(f"__{var}__{p}") for p in sorted(wanted)],
             )
             ex_helpers.extend(f"__{var}__{p}" for p in sorted(wanted))
             sdf = sdf.join(sel, var, "inner")

@@ -420,3 +420,33 @@ def test_exists_property_filter_requires_label_and_table(gq):
             "WHERE EXISTS { (p)-[:SPAWNS]->(x:Process) WHERE x.pid > 1 } "
             "RETURN p",
         )
+
+
+def test_backtick_quoted_property_names(gq, spark):
+    # Neo4j backtick escapes for non-word property names (dots): the
+    # exact column is referenced, never struct access
+    props = {
+        "Process": spark.createDataFrame(
+            [("a", "x"), ("b", "alert1"), ("c", "alert2"), ("d", None)],
+            ["key", "sigma.alert"],
+        )
+    }
+    rows = cypher(
+        gq,
+        "MATCH (p:Process)-[:SPAWNS]->(q:Process) "
+        "WHERE q.`sigma.alert` STARTS WITH 'alert' "
+        "RETURN p, q, q.`sigma.alert` AS alert ORDER BY q",
+        props=props,
+    ).collect()
+    assert [(r.p, r.q, r.alert) for r in rows] == [
+        ("a", "b", "alert1"),
+        ("a", "c", "alert2"),
+    ]
+    # inline property map with a backticked key
+    rows = cypher(
+        gq,
+        "MATCH (p:Process {`sigma.alert`: 'alert2'})-[:CREATED_FILE]->(f:File) "
+        "RETURN p, f",
+        props=props,
+    ).collect()
+    assert [(r.p, r.f) for r in rows] == [("c", "f1")]
