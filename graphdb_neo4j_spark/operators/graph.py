@@ -358,3 +358,94 @@ def _graphquery_cypher(
 
 
 GraphQuery.cypher = _graphquery_cypher
+
+
+def graph_diff(old, new) -> DataFrame:
+    """(kind, name, change, n) — multiset diff between two property
+    graphs: the ``exceptAll`` graph-diffing surface SURVEY §2.D calls
+    out for comparing corpus versions (what did the new drop add,
+    what disappeared, which edges were rewritten).
+
+    * ``(node, <label>, added|removed, n)`` — identity = (label, key);
+    * ``(edge, <rel>, added|removed, n)`` — identity = (rel, src, dst);
+    * ``(edge, <rel>, modified, n)`` — same identity on both sides but
+      different properties (last-writer-wins resolution drift);
+    * ``(node, <label>, modified, n)`` — same key, different node
+      properties, for every typed node table.
+
+    100 TB shape: every leg is a hash ``exceptAll``/anti-join keyed on
+    the graph's natural identity columns — the same shuffle keys the
+    partitioned graph tables already carry, so corpus-version diffing
+    co-partitions with the layout and never compares across labels or
+    rel types.
+    """
+    def cnt(df: DataFrame, kind: str, change: str, name_col) -> DataFrame:
+        return (
+            df.groupBy(name_col.alias("name"))
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .select(
+                F.lit(kind).alias("kind"),
+                "name",
+                F.lit(change).alias("change"),
+                "n",
+            )
+        )
+
+    on, nn = old.nodes(), new.nodes()
+    oe = old.edges.select("rel", "src", "dst")
+    ne = new.edges.select("rel", "src", "dst")
+    parts = [
+        cnt(nn.exceptAll(on), "node", "added", F.col("label")),
+        cnt(on.exceptAll(nn), "node", "removed", F.col("label")),
+    ]
+    edge_add = ne.exceptAll(oe)
+    edge_rem = oe.exceptAll(ne)
+    parts += [
+        cnt(edge_add, "edge", "added", F.col("rel")),
+        cnt(edge_rem, "edge", "removed", F.col("rel")),
+    ]
+    # modified = identity exists on BOTH sides, any property differs
+    # (null-safe compare) — a co-partitioned key join per table, never
+    # a full-row multiset subtraction
+    def modified(nt: DataFrame, ot: DataFrame, keys: list[str]) -> DataFrame:
+        prop_cols = [c for c in nt.columns if c not in keys]
+        if not prop_cols:
+            return nt.limit(0).select(*keys)
+        n_side = nt.select(
+            *keys, *[F.col(c).alias(f"__n_{c}") for c in prop_cols]
+        )
+        o_side = ot.select(
+            *keys, *[F.col(c).alias(f"__o_{c}") for c in prop_cols]
+        )
+        drift = None
+        for c in prop_cols:
+            neq = ~F.col(f"__n_{c}").eqNullSafe(F.col(f"__o_{c}"))
+            drift = neq if drift is None else (drift | neq)
+        return n_side.join(o_side, keys).filter(drift).select(*keys)
+
+    parts.append(
+        cnt(
+            modified(new.edges, old.edges, ["rel", "src", "dst"]),
+            "edge",
+            "modified",
+            F.col("rel"),
+        )
+    )
+    for label, attr, key_col in [
+        ("Process", "process", "key"),
+        ("RegistryValue", "registry_value", "path"),
+        ("WmiFilter", "wmi_filter", "name"),
+        ("WmiConsumer", "wmi_consumer", "name"),
+    ]:
+        parts.append(
+            cnt(
+                modified(getattr(new, attr), getattr(old, attr), [key_col]),
+                "node",
+                "modified",
+                F.lit(label),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

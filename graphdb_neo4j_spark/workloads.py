@@ -4713,3 +4713,31 @@ def g65(spark: SparkSession, sf: str) -> DataFrame:
         "RETURN t, count(DISTINCT p) AS persist_procs "
         "ORDER BY persist_procs DESC, t LIMIT 20",
     )
+
+
+@query("g66_corpus_graph_diff")
+def g66(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-VERSION diff (SURVEY §2.D: exceptAll graph diffing):
+    what the full corpus adds over the ``T10*`` subset — per-label node
+    adds, per-rel edge adds, and property-modified rows (last-writer-
+    wins drift when later drops rewrite an edge's event_id or a
+    process's command line).  Every leg co-partitions on the graph's
+    natural identity keys (operators/graph.py:graph_diff).  Rows-only
+    gate; exact semantics pinned by the hand-built fixture in
+    tests/test_graph_query.py."""
+    import os
+
+    from graphdb_neo4j_spark.operators.graph import graph_diff
+    from graphdb_neo4j_spark.operators.ingest import build_graph
+
+    g_new = _corpus_graph(spark)
+    if "g_t10" not in _graph_cache:
+        stage = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".stage",
+        )
+        _graph_cache["g_t10"] = build_graph(
+            spark, "/root/reference/malware/T10*.json", stage_dir=stage
+        )
+    g_old = _graph_cache["g_t10"]
+    return graph_diff(g_old, g_new).orderBy("kind", "name", "change")

@@ -223,3 +223,54 @@ def test_motif_labels(gq):
 def test_motif_label_conflict_rejected(gq):
     with pytest.raises(ValueError):
         gq.find("(a:Process)-[SPAWNS]->(b); (a:File)-[SPAWNS]->(c)")
+
+
+def test_graph_diff_fixture(spark):
+    """graph_diff: added/removed/modified legs on a hand-built pair."""
+    from graphdb_neo4j_spark.operators.graph import graph_diff
+    from graphdb_neo4j_spark.operators.ingest import PropertyGraph
+
+    def build(procs, simple, edges):
+        return PropertyGraph(
+            process=spark.createDataFrame(procs, ["key", "image"]),
+            registry_value=spark.createDataFrame(
+                [], "path string, value_name string"
+            ),
+            wmi_filter=spark.createDataFrame([], "name string, query string"),
+            wmi_consumer=spark.createDataFrame(
+                [], "name string, command string"
+            ),
+            simple=spark.createDataFrame(simple, ["label", "key"]),
+            edges=spark.createDataFrame(
+                edges, ["rel", "src", "dst", "event_id"]
+            ),
+        )
+
+    old = build(
+        [("a", "x.exe"), ("b", "y.exe")],
+        [("Trace", "t1"), ("File", "f1")],
+        [("SPAWNS", "a", "b", 1), ("CREATED_FILE", "a", "f1", 11)],
+    )
+    new = build(
+        [("a", "x.exe"), ("b", "y2.exe"), ("c", "z.exe")],  # b modified, c added
+        [("Trace", "t1")],  # File f1 removed
+        [
+            ("SPAWNS", "a", "b", 8),        # modified (event_id 1→8)
+            ("SPAWNS", "a", "c", 1),        # added
+            # CREATED_FILE removed
+        ],
+    )
+    rows = {
+        (r.kind, r.name, r.change): r.n
+        for r in graph_diff(old, new).collect()
+    }
+    assert rows == {
+        ("node", "Process", "added"): 1,       # c
+        ("node", "File", "removed"): 1,        # f1
+        ("node", "Process", "modified"): 1,    # b's image
+        ("edge", "SPAWNS", "added"): 1,        # a->c
+        ("edge", "CREATED_FILE", "removed"): 1,
+        ("edge", "SPAWNS", "modified"): 1,     # a->b event_id drift
+    }
+    # self-diff is empty
+    assert graph_diff(old, old).count() == 0
