@@ -4741,3 +4741,178 @@ def g66(spark: SparkSession, sf: str) -> DataFrame:
         )
     g_old = _graph_cache["g_t10"]
     return graph_diff(g_old, g_new).orderBy("kind", "name", "change")
+
+
+def _q105_sql(iters: int = 4, scale: int = 10**12, topk: int = 20) -> str:
+    """Unrolled fixed-point PageRank oracle: K chained CTE blocks (no
+    recursive-aggregate support needed), EXACT integer arithmetic —
+    rank mass scaled to 1e12, every division an integer DIV, so both
+    engines produce bit-identical ranks and the top-k order (r DESC, v)
+    is total."""
+    pre = f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, l_partkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+    p0 AS (SELECT v, CAST({scale} AS BIGINT) // n AS r FROM nodes, nn)"""
+    blocks = []
+    for k in range(1, iters + 1):
+        blocks.append(f"""
+    inc{k} AS (
+      SELECT e.dst AS v, SUM(p.r // deg.d) AS s
+      FROM e JOIN p{k - 1} p ON p.v = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ),
+    p{k} AS (
+      SELECT nodes.v,
+             (15 * CAST({scale} AS BIGINT)) // (100 * n)
+             + (85 * COALESCE(inc{k}.s, 0)) // 100 AS r
+      FROM nodes CROSS JOIN nn LEFT JOIN inc{k} ON inc{k}.v = nodes.v
+    )""")
+    return (
+        pre + "," + ",".join(blocks)
+        + f"""
+    SELECT v, r FROM p{iters} ORDER BY r DESC, v LIMIT {topk}
+    """
+    )
+
+
+@query("q105_pagerank_fixedpoint", _q105_sql())
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    """ITERATIVE graph analytics under the hash gate: PageRank over the
+    customer→part purchase graph in EXACT fixed-point integer
+    arithmetic (mass scaled to 1e12, integer DIV everywhere), mirrored
+    by an unrolled-CTE DuckDB oracle — the first PageRank cell that is
+    hash-gated rather than rows-only.  Teleport and damping are
+    integer-rational (15/100, 85/100), so no float ever enters the
+    loop and both engines agree bit-for-bit.
+
+    100 TB shape: the rank vector and the edge list co-partition on
+    the join key every iteration (one shuffle per iter), the degree
+    table is computed once, and each iteration ends in a
+    localCheckpoint to truncate lineage — the same discipline as
+    traversal.pagerank."""
+    SCALE = 10**12
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    e = (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    teleport = (15 * SCALE) // (100 * n)
+    r = nodes.withColumn("r", F.lit(SCALE // n).cast("bigint")).localCheckpoint()
+    for _ in range(4):
+        inc = (
+            e.join(r, r["v"] == e["src"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("v"),
+                F.expr("r DIV d").alias("share"),
+            )
+            .groupBy("v")
+            .agg(F.sum("share").alias("s"))
+        )
+        r = (
+            nodes.join(inc, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(teleport).cast("bigint")
+                    + F.expr("(85 * COALESCE(s, 0)) DIV 100")
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return r.orderBy(F.col("r").desc(), "v").limit(20)
+
+
+def _q106_sql(rounds: int = 6) -> str:
+    """Unrolled HashMin component oracle: K min-propagation rounds over
+    the undirected co-supply graph — pure integer MIN, bit-identical in
+    any engine."""
+    pre = """
+    WITH base AS (
+      SELECT DISTINCT l_suppkey AS a, l_partkey + 1000000 AS b FROM lineitem
+    ),
+    e AS (SELECT a AS src, b AS dst FROM base
+          UNION ALL SELECT b, a FROM base),
+    nodes AS (SELECT DISTINCT src AS v FROM e),
+    c0 AS (SELECT v, v AS lbl FROM nodes)"""
+    blocks = []
+    for k in range(1, rounds + 1):
+        blocks.append(f"""
+    c{k} AS (
+      SELECT n.v, LEAST(n.lbl, COALESCE(m.mn, n.lbl)) AS lbl
+      FROM c{k - 1} n LEFT JOIN (
+        SELECT e.dst AS v, MIN(p.lbl) AS mn
+        FROM e JOIN c{k - 1} p ON p.v = e.src GROUP BY e.dst
+      ) m ON m.v = n.v
+    )""")
+    return (
+        pre + "," + ",".join(blocks)
+        + f"""
+    SELECT lbl AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM c{rounds} GROUP BY lbl
+    """
+    )
+
+
+@query("q106_components_hashmin", _q106_sql())
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components under the HASH GATE: K=6 unrolled HashMin
+    rounds over the undirected supplier–part co-supply graph, component
+    sizes by surviving min label.  The bounded-round semantics are
+    exact and engine-independent (integer MIN only), so the formerly
+    rows-only components cell (g40) gains a hash-gated relational
+    sibling.  100 TB shape: one shuffle per round on the edge key,
+    lineage truncated per round — traversal.connected_components'
+    plan with the round count pinned for the oracle."""
+    l = load_table(spark, sf, "lineitem")
+    base = (
+        l.select(
+            F.col("l_suppkey").alias("a"),
+            (F.col("l_partkey") + 1000000).alias("b"),
+        )
+        .distinct()
+    )
+    e = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist()
+    c = (
+        e.select(F.col("src").alias("v")).distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint()
+    )
+    for _ in range(6):
+        m = (
+            e.join(c.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("lbl").alias("mn"))
+        )
+        c = (
+            c.join(m, "v", "left")
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+    return c.groupBy(F.col("lbl").alias("component")).agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
