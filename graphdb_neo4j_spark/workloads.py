@@ -4916,3 +4916,104 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
     return c.groupBy(F.col("lbl").alias("component")).agg(
         F.count("*").cast("bigint").alias("n_nodes")
     )
+
+
+def _q107_sql(rounds: int = 6, src: int = 1) -> str:
+    """Unrolled Bellman-Ford oracle: K relax rounds over the
+    customer→part graph with integer-cent edge weights — pure integer
+    MIN/+, engine-independent."""
+    pre = f"""
+    WITH e AS (
+      SELECT o_custkey AS src, l_partkey + 1000000 AS dst,
+             MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS w
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_custkey, l_partkey
+    ),
+    e2 AS (SELECT src, dst, w FROM e UNION ALL SELECT dst, src, w FROM e),
+    nodes AS (SELECT DISTINCT src AS v FROM e2),
+    d0 AS (SELECT v, CASE WHEN v = {src} THEN CAST(0 AS BIGINT) END AS dist
+           FROM nodes)"""
+    blocks = []
+    for k in range(1, rounds + 1):
+        blocks.append(f"""
+    d{k} AS (
+      SELECT n.v,
+             CASE WHEN n.dist IS NULL THEN m.mn
+                  WHEN m.mn IS NULL THEN n.dist
+                  ELSE LEAST(n.dist, m.mn) END AS dist
+      FROM d{k - 1} n LEFT JOIN (
+        SELECT e2.dst AS v, MIN(p.dist + e2.w) AS mn
+        FROM e2 JOIN d{k - 1} p ON p.v = e2.src AND p.dist IS NOT NULL
+        GROUP BY e2.dst
+      ) m ON m.v = n.v
+    )""")
+    return (
+        pre + "," + ",".join(blocks)
+        + f"""
+    SELECT v, dist FROM d{rounds} WHERE dist IS NOT NULL
+    ORDER BY dist, v LIMIT 50
+    """
+    )
+
+
+@query("q107_sssp_bellmanford", _q107_sql())
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted single-source shortest paths under the HASH GATE: K=6
+    unrolled Bellman-Ford relax rounds over the undirected
+    customer–part purchase graph, integer-cent edge weights (cheapest
+    line price per pair), distances exact bigints — the hash-gated
+    relational sibling of traversal.sssp_weighted (g51, rows-only).
+    The 50 nearest reached nodes by (dist, v) — a total order over
+    exact integers.  100 TB shape: one co-partitioned shuffle per
+    relax round; frontier semantics identical in both engines because
+    every arithmetic step is integer MIN/+."""
+    SRC = 1
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    e = (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_partkey") + 1000000).alias("b"),
+        )
+        .agg(F.min(_cents(F.col("l_extendedprice"))).alias("w"))
+    )
+    e2 = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionAll(e.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+        .persist()
+    )
+    d = (
+        e2.select(F.col("src").alias("v")).distinct()
+        .withColumn(
+            "dist",
+            F.when(F.col("v") == SRC, F.lit(0).cast("bigint")),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(6):
+        m = (
+            e2.join(
+                d.filter(F.col("dist").isNotNull()).withColumnRenamed("v", "src"),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("mn"))
+        )
+        d = (
+            d.join(m, "v", "left")
+            .select(
+                "v",
+                F.when(
+                    F.col("dist").isNull(), F.col("mn")
+                ).when(
+                    F.col("mn").isNull(), F.col("dist")
+                ).otherwise(F.least(F.col("dist"), F.col("mn"))).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        d.filter(F.col("dist").isNotNull())
+        .orderBy("dist", "v")
+        .limit(50)
+    )
