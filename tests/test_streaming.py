@@ -662,3 +662,70 @@ def test_interval_join_state_metrics(spark, tmp_path):
     assert m["n_progress_events"] >= 1
     assert m["input_rows"] > 0
     assert m["state_rows"] > 0  # join buffers both sides in the store
+
+
+def _protobuf_available() -> bool:
+    # transformWithState's Python worker speaks protobuf to the JVM;
+    # absent the dependency the op cannot run (documented constraint in
+    # streaming/state.py) -- the operator surface is still importable.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState needs google.protobuf in the Python env",
+)
+def test_transform_with_state_user_totals(spark, tmp_path):
+    """Spark-4 transformWithState: streamed per-user running totals ≡
+    the batch aggregate, exact integer cents, across 3 micro-batches."""
+    from graphdb_neo4j_spark.sources.tables import load_table
+    from graphdb_neo4j_spark.streaming.state import streaming_user_totals
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    src = str(tmp_path / "tws_in")
+    ordered = events.orderBy("ts", "event_id").collect()
+    n = len(ordered)
+    step = (n + 2) // 3
+    for i, lo in enumerate(range(0, n, step)):
+        spark.createDataFrame(ordered[lo: lo + step], events.schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{src}/part{i}")
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/part*")
+    out = str(tmp_path / "tws_out")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        streaming_user_totals(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.read.parquet(out).collect()
+    # update mode: several rows per key — the LAST (max n_events) wins
+    latest: dict[int, tuple[int, int]] = {}
+    for r in res:
+        cur = latest.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            latest[r.user_id] = (r.n_events, r.total_cents)
+    batch = (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("tc"),
+        )
+        .collect()
+    )
+    want = {r.user_id: (r.n, r.tc) for r in batch}
+    assert latest == want
