@@ -726,6 +726,19 @@ def semdedup(
         .select("id", "cid", F.col("cos").alias("cent_cos"))
         .persist()
     )
+    return _semantic_prune(assign, normed, threshold, round_sim).select(
+        "id", F.col("cid").alias("cluster"), "cent_cos"
+    )
+
+
+def _semantic_prune(
+    assign: DataFrame, normed: DataFrame, threshold: float, round_sim: int
+) -> DataFrame:
+    """Drop every row with a smaller-id near-duplicate (rounded cosine
+    ≥ threshold) in its cluster.  ``assign``: (id, cid, ...); the
+    quadratic verify joins only within a cid."""
+    from graphdb_neo4j_spark.operators.similarity import dot_expr
+
     pairs = (
         assign.select(F.col("id").alias("id_a"), "cid")
         .join(assign.select(F.col("id").alias("id_b"), "cid"), "cid")
@@ -745,6 +758,41 @@ def semdedup(
         .select(F.col("id_b").alias("id"))
         .distinct()
     )
-    return assign.join(dropped, "id", "left_anti").select(
-        "id", F.col("cid").alias("cluster"), "cent_cos"
+    return assign.join(dropped, "id", "left_anti")
+
+
+def semdedup_kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.35,
+    round_sim: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) — SemDeDup with the paper's ACTUAL clustering
+    stage: deterministic Lloyd k-means (similarity.ivf_index — md5-
+    seeded init, broadcast centroid matrix, a few iterations), then the
+    same intra-cluster smaller-id prune as :func:`semdedup`.
+
+    The rows-only sibling of the oracle-gated hash-centroid variant:
+    k-means assignments depend on iterative float averaging, which is
+    deliberately NOT mirrored in SQL — correctness is pinned by the
+    exact Python replay in tests (same init, same Lloyd updates, same
+    prune rule).  100 TB shape: clustering cost is the IVF index
+    build; the prune is cluster-bounded exactly as in semdedup.
+    """
+    from graphdb_neo4j_spark.operators.similarity import ivf_index
+
+    assigned, _cents = ivf_index(
+        df, n_centroids=k, dims=dims, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assign = assigned.select(
+        F.col(id_col).alias("id"), F.col("centroid_id").alias("cid")
+    ).persist()
+    normed = _normalized(df, id_col, vec_col).persist()
+    return _semantic_prune(assign, normed, threshold, round_sim).select(
+        "id", F.col("cid").alias("cluster")
     )

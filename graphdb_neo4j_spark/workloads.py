@@ -5017,3 +5017,14 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("dist", "v")
         .limit(50)
     )
+
+
+@query("q108_semantic_dedup_kmeans")
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup with the paper's actual Lloyd-k-means clustering stage
+    (dedup.semdedup_kmeans) — rows-only sibling of the hash-centroid
+    q104 (iterative float averaging is deliberately not mirrored in
+    SQL; semantics pinned by the margin-robust fixture test in
+    tests/test_dedup_similarity_text.py)."""
+    emb = load_table(spark, sf, "embeddings")
+    return D.semdedup_kmeans(emb, k=8, iters=3, threshold=0.35)

@@ -450,3 +450,16 @@ def test_backtick_quoted_property_names(gq, spark):
         props=props,
     ).collect()
     assert [(r.p, r.f) for r in rows] == [("c", "f1")]
+
+
+def test_exists_multi_hop_chain(gq):
+    # EXISTS over a 2-hop chain pattern: processes with a grandchild
+    # that talks to the network
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) "
+        "WHERE EXISTS { (a)-[:SPAWNS]->(x:Process)-[:CONNECTED_TO]->(ip:Ip) } "
+        "RETURN DISTINCT a",
+    ).collect()
+    # a spawned c (-> 8.8.8.8); b spawned d (-> 10.0.0.1)
+    assert {r.a for r in rows} == {"a", "b"}

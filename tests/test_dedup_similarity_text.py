@@ -714,3 +714,27 @@ def test_semdedup_drops_planted_near_duplicate(spark):
         else:
             assert dup in kept  # cross-cluster: SemDeDup by design keeps it
     assert 2 in kept
+
+
+def test_semdedup_kmeans_margin_robust(spark):
+    """k-means SemDeDup on three well-separated groups, each with a
+    planted near-duplicate: the dup is dropped and the distinct member
+    kept REGARDLESS of k-means init (margins make co-clustering of
+    each dup with its original invariant, and cross-group cosines ~0
+    can never trigger a prune)."""
+    from graphdb_neo4j_spark.operators.dedup import semdedup_kmeans
+
+    dim = 8
+    rows = []
+    for g in range(3):
+        base = [0.0] * dim
+        base[g] = 100.0
+        dup = list(base)
+        dup[(g + 3) % dim] = 1.0     # cos ≈ 0.99995 vs base → pruned
+        far = list(base)
+        far[(g + 3) % dim] = 80.0    # cos ≈ 0.78 vs base → kept
+        rows += [(g * 10, base), (g * 10 + 1, dup), (g * 10 + 2, far)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup_kmeans(df, k=3, iters=2, threshold=0.9, dims=dim)
+    kept = {r["id"] for r in out.collect()}
+    assert kept == {0, 2, 10, 12, 20, 22}
