@@ -5028,3 +5028,94 @@ def q108(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_dedup_similarity_text.py)."""
     emb = load_table(spark, sf, "embeddings")
     return D.semdedup_kmeans(emb, k=8, iters=3, threshold=0.35)
+
+
+def _q109_sql(rounds: int = 4) -> str:
+    """Unrolled synchronous label-propagation oracle: per round every
+    node adopts the most frequent neighbor label (count DESC, label ASC
+    tie-break — pure integer ordering), isolated nodes keep their own."""
+    pre = """
+    WITH base AS (
+      SELECT DISTINCT l_suppkey AS a, l_partkey + 1000000 AS b FROM lineitem
+    ),
+    e AS (SELECT a AS src, b AS dst FROM base
+          UNION ALL SELECT b, a FROM base),
+    nodes AS (SELECT DISTINCT src AS v FROM e),
+    c0 AS (SELECT v, v AS lbl FROM nodes)"""
+    blocks = []
+    for k in range(1, rounds + 1):
+        blocks.append(f"""
+    cnt{k} AS (
+      SELECT e.dst AS v, p.lbl, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e JOIN c{k - 1} p ON p.v = e.src
+      GROUP BY e.dst, p.lbl
+    ),
+    win{k} AS (
+      SELECT v, lbl FROM (
+        SELECT v, lbl,
+               ROW_NUMBER() OVER (PARTITION BY v
+                                  ORDER BY n DESC, lbl) AS rn
+        FROM cnt{k}) WHERE rn = 1
+    ),
+    c{k} AS (
+      SELECT n.v, COALESCE(w.lbl, n.lbl) AS lbl
+      FROM c{k - 1} n LEFT JOIN win{k} w ON w.v = n.v
+    )""")
+    return (
+        pre + "," + ",".join(blocks)
+        + f"""
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM c{rounds} GROUP BY lbl
+    """
+    )
+
+
+@query("q109_label_propagation", _q109_sql())
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    """Community detection under the HASH GATE: K=4 unrolled rounds of
+    SYNCHRONOUS label propagation over the undirected supplier–part
+    co-supply graph — each node adopts its most frequent neighbor
+    label, ties to the smaller label, community sizes out.  The
+    deterministic bounded-round semantics close the gap for the
+    formerly rows-only LPA cell (g45).  100 TB shape: per round one
+    (dst,lbl) count shuffle + one per-node rank — the same two
+    exchanges traversal.label_propagation pays, lineage truncated per
+    round."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf, "lineitem")
+    base = (
+        l.select(
+            F.col("l_suppkey").alias("a"),
+            (F.col("l_partkey") + 1000000).alias("b"),
+        )
+        .distinct()
+    )
+    e = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist()
+    c = (
+        e.select(F.col("src").alias("v")).distinct()
+        .withColumn("lbl", F.col("v"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("v").orderBy(F.col("n").desc(), "lbl")
+    for _ in range(4):
+        cnt = (
+            e.join(c.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"), "lbl")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+        win = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("v", F.col("lbl").alias("wl"))
+        )
+        c = (
+            c.join(win, "v", "left")
+            .select("v", F.coalesce(F.col("wl"), F.col("lbl")).alias("lbl"))
+            .localCheckpoint()
+        )
+    return c.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
