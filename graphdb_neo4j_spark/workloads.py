@@ -5119,3 +5119,33 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
     return c.groupBy(F.col("lbl").alias("community")).agg(
         F.count("*").cast("bigint").alias("n_nodes")
     )
+
+
+@query(
+    "q110_events_variant_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+             AS n_distinct_k,
+           MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+           MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    ``try_parse_json`` once, ``variant_get`` typed extraction — the
+    engine-native successor to per-access ``get_json_object`` string
+    re-parsing (q10 keeps the classic path for comparison).  One scan,
+    binary-encoded variant rides the aggregate; extraction stays in
+    whole-stage codegen."""
+    e = load_table(spark, sf, "events")
+    k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count_distinct(k).cast("bigint").alias("n_distinct_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+    )

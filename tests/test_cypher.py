@@ -463,3 +463,16 @@ def test_exists_multi_hop_chain(gq):
     ).collect()
     # a spawned c (-> 8.8.8.8); b spawned d (-> 10.0.0.1)
     assert {r.a for r in rows} == {"a", "b"}
+
+
+def test_exists_with_varlen_hop(gq):
+    # bounded variable-length hop inside EXISTS: ancestors (≤2 hops)
+    # of a network-connected process
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) "
+        "WHERE EXISTS { (a)-[:SPAWNS*1..2]->(x:Process)"
+        "-[:CONNECTED_TO]->(ip:Ip) } "
+        "RETURN DISTINCT a ORDER BY a",
+    ).collect()
+    assert [r.a for r in rows] == ["a", "b"]
