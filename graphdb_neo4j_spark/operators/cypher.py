@@ -162,13 +162,27 @@ def _split_top_commas(s: str) -> list[str]:
 # -- pattern parsing ---------------------------------------------------------
 
 _NODE_RE = re.compile(
-    r"\(\s*(?P<var>\w+)?\s*(?::\s*(?P<label>\w+))?\s*"
+    r"\(\s*(?P<var>\w+)?\s*(?::\s*(?P<label>\w+|`[^`]+`))?\s*"
     r"(?P<props>\{[^}]*\})?\s*\)"
 )
 _EDGE_RE = re.compile(
-    r"(?P<back><)?-\s*\[\s*(?:(?P<ev>\w+))?\s*:\s*(?P<rel>\w+)\s*"
+    r"(?P<back><)?-\s*\[\s*(?:(?P<ev>\w+))?\s*:\s*(?P<rel>\w+|`[^`]+`)\s*"
     r"(?P<vspec>\*[\d.\s]*)?\s*\]\s*-(?P<fwd>>)?"
 )
+
+
+def _unq_name(name: str | None) -> str | None:
+    """Strip backtick escapes from a label / rel-type token (they are
+    data values in the graph tables once unquoted)."""
+    if name and name.startswith("`") and name.endswith("`"):
+        return name[1:-1]
+    return name
+
+
+def _bt(name: str) -> str:
+    """Re-quote a label / rel type for the GraphQuery.find motif text
+    when it contains non-word characters."""
+    return f"`{name}`" if re.search(r"\W", name) else name
 
 
 @dataclass
@@ -226,9 +240,10 @@ def _parse_patterns(body: str, parsed: _Parsed, into_optional: bool) -> None:
             anon[0] += 1
             var = f"__anon{anon[0]}"
         if m["label"]:
-            if labels.get(var, m["label"]) != m["label"]:
+            lab = _unq_name(m["label"])
+            if labels.get(var, lab) != lab:
                 raise ValueError(f"conflicting labels for {var!r}")
-            labels[var] = m["label"]
+            labels[var] = lab
         if m["props"]:
             inner = m["props"].strip()[1:-1].strip()
             if inner:
@@ -267,9 +282,9 @@ def _parse_patterns(body: str, parsed: _Parsed, into_optional: bool) -> None:
                 raise ValueError(f"undirected edge in {pat!r}: give a direction")
             vspec = em["vspec"][1:].strip() if em["vspec"] else None
             if em["back"]:
-                hops.append(_Hop(nxt, em["rel"], prev, em["ev"], vspec))
+                hops.append(_Hop(nxt, _unq_name(em["rel"]), prev, em["ev"], vspec))
             else:
-                hops.append(_Hop(prev, em["rel"], nxt, em["ev"], vspec))
+                hops.append(_Hop(prev, _unq_name(em["rel"]), nxt, em["ev"], vspec))
             prev = nxt
             pos = nm.end()
             had_hop = True
@@ -340,16 +355,17 @@ def _parse_shortest_path(
     for m in (m1, m2):
         var = m["var"] or (src if m is m1 else dst)
         if m["label"]:
-            if labels.get(var, m["label"]) != m["label"]:
+            lab = _unq_name(m["label"])
+            if labels.get(var, lab) != lab:
                 raise ValueError(f"conflicting labels for {var!r}")
-            labels[var] = m["label"]
+            labels[var] = lab
     src_key = _key_pin(m1["props"])
     if src_key is None:
         raise ValueError(
             "shortestPath source must be pinned: ({var} {key: 'literal'})"
         )
     return _ShortestPath(
-        path_var=sp["pv"], src=src, src_key=src_key, rel=em["rel"],
+        path_var=sp["pv"], src=src, src_key=src_key, rel=_unq_name(em["rel"]),
         dst=dst, dst_key=_key_pin(m2["props"]), lo=lo, hi=hi,
     )
 
@@ -597,12 +613,12 @@ def _run_segment(
     def motif(hops: list[_Hop], labels: dict[str, str]) -> str:
         pats = []
         for h in hops:
-            s_lab = f":{labels[h.src]}" if h.src in labels else ""
-            d_lab = f":{labels[h.dst]}" if h.dst in labels else ""
+            s_lab = f":{_bt(labels[h.src])}" if h.src in labels else ""
+            d_lab = f":{_bt(labels[h.dst])}" if h.dst in labels else ""
             ev = f"{h.ev}:" if h.ev else ""
             star = f"*{h.vspec}" if h.vspec is not None else ""
             pats.append(
-                f"({h.src}{s_lab})-[{ev}{h.rel}{star}]->({h.dst}{d_lab})"
+                f"({h.src}{s_lab})-[{ev}{_bt(h.rel)}{star}]->({h.dst}{d_lab})"
             )
         return "; ".join(pats)
 

@@ -28,11 +28,20 @@ from pyspark.sql import functions as F
 from graphdb_neo4j_spark.operators.ingest import PropertyGraph
 
 _MOTIF_RE = re.compile(
-    r"^\(\s*(?P<src>\w+)(?:\s*:\s*(?P<src_label>\w+))?\s*\)"
-    r"\s*-\s*\[\s*(?:(?P<ev>\w+)\s*:)?\s*(?P<rel>\w+)"
+    r"^\(\s*(?P<src>\w+)(?:\s*:\s*(?P<src_label>\w+|`[^`]+`))?\s*\)"
+    r"\s*-\s*\[\s*(?:(?P<ev>\w+)\s*:)?\s*(?P<rel>\w+|`[^`]+`)"
     r"\s*(?:\*\s*(?P<vspec>[\d.\s]*))?\s*\]"
-    r"\s*->\s*\(\s*(?P<dst>\w+)(?:\s*:\s*(?P<dst_label>\w+))?\s*\)$"
+    r"\s*->\s*\(\s*(?P<dst>\w+)(?:\s*:\s*(?P<dst_label>\w+|`[^`]+`))?\s*\)$"
 )
+
+
+def _unq(name: str | None) -> str | None:
+    """Strip Neo4j backtick escapes: ``` `My Rel` ``` → ``My Rel`` —
+    labels and rel types are DATA VALUES in the graph tables, so any
+    character is legal once unquoted."""
+    if name and name.startswith("`") and name.endswith("`"):
+        return name[1:-1]
+    return name
 
 
 def _parse_varlen(vspec: str | None, pat: str) -> tuple[int, int] | None:
@@ -214,7 +223,10 @@ class GraphQuery:
                     f"edge variable on variable-length hop in {pat!r}: "
                     "a path binds a list of edges, which has no struct column"
                 )
-            for var, lab in ((m["src"], m["src_label"]), (m["dst"], m["dst_label"])):
+            for var, lab in (
+                (m["src"], _unq(m["src_label"])),
+                (m["dst"], _unq(m["dst_label"])),
+            ):
                 if lab:
                     if labels.get(var, lab) != lab:
                         raise ValueError(
@@ -222,7 +234,7 @@ class GraphQuery:
                             f"{labels[var]!r} vs {lab!r}"
                         )
                     labels[var] = lab
-            parsed.append((m["src"], m["rel"], m["dst"], m["ev"], vl, pat))
+            parsed.append((m["src"], _unq(m["rel"]), m["dst"], m["ev"], vl, pat))
 
         result: DataFrame | None = None
         bound: set[str] = set()

@@ -476,3 +476,25 @@ def test_exists_with_varlen_hop(gq):
         "RETURN DISTINCT a ORDER BY a",
     ).collect()
     assert [r.a for r in rows] == ["a", "b"]
+
+
+def test_backtick_labels_and_rel_types(spark):
+    # labels / rel types with spaces and dots, Neo4j backtick escapes —
+    # both in GraphQuery.find motifs and in Cypher text
+    nodes = spark.createDataFrame(
+        [("My Label", "a"), ("My Label", "b"), ("other.label", "x")],
+        ["label", "key"],
+    )
+    edges = spark.createDataFrame(
+        [("HAS PART", "a", "x", 1), ("HAS PART", "b", "x", 1)],
+        ["rel", "src", "dst", "event_id"],
+    )
+    g = GraphQuery(nodes=nodes, edges=edges)
+    rows = g.find("(p:`My Label`)-[`HAS PART`]->(q:`other.label`)").collect()
+    assert {(r.p, r.q) for r in rows} == {("a", "x"), ("b", "x")}
+    rows = cypher(
+        g,
+        "MATCH (p:`My Label`)-[:`HAS PART`]->(q:`other.label`) "
+        "RETURN p, q ORDER BY p",
+    ).collect()
+    assert [(r.p, r.q) for r in rows] == [("a", "x"), ("b", "x")]
