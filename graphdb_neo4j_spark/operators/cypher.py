@@ -52,8 +52,10 @@ is interpreted row-by-row):
   join chain), and ``length(p)`` works on the bound path.
 * ``UNWIND list AS var`` (map-side explode; ``nodes(p)`` unwraps a
   bound path's key array) and ``SKIP n`` after ORDER BY.
-* backtick-escaped property names (``p.`sigma.alert```) in
-  expressions and inline maps — the exact column name, dots literal.
+* backtick escapes throughout: property names (``p.`sigma.alert```,
+  exact column name, dots literal) and labels / relationship types
+  (``(a:`My Label`)-[:`HAS PART`]->(b)`` — data values once
+  unquoted).
 
 Execution inherits everything GraphQuery already guarantees: each hop
 is a key equi-join Catalyst/AQE may broadcast or bucket, labels are

@@ -5149,3 +5149,56 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
             F.max(k).alias("max_k"),
         )
     )
+
+
+_Q3_SQL_EXPR = None  # built below to share q25's scored-CTE text
+
+
+def _q111_sql() -> str:
+    tok = (
+        "(CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT {tok} AS n_tok,
+             (CASE WHEN {tok} BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
+              + CASE WHEN length(text) = 0
+                          OR CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                             AS DOUBLE) / length(text) < 0.3 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                                t -> t IN ({_EN_SW}))) AS DOUBLE)
+                          / len(regexp_split_to_array(trim(lower(text)), '\\s+')) > 0.01
+                     THEN 1 ELSE 0 END) AS q3
+      FROM documents),
+    levels(min_q3) AS (VALUES (0), (1), (2), (3))
+    SELECT min_q3,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM levels JOIN scored ON q3 >= min_q3
+    GROUP BY min_q3
+    """
+
+
+@query("q111_quality_threshold_sweep", _q111_sql())
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-gate CALIBRATION sweep: documents and whitespace tokens
+    retained at every quality level (q3 ≥ 0..3) in one pass — the
+    retention curve a pipeline owner reads before pinning the filter
+    threshold.  100 TB shape: the 4-row level table broadcast fans out
+    of ONE documents scan (scan count pinned in test_plan_audit);
+    integer counts fold map-side."""
+    docs = load_table(spark, sf, "documents")
+    q3 = (T.quality_score(F.col("text")) * 3).cast("int")
+    scored = docs.select(
+        T.token_count(F.col("text")).alias("n_tok"), q3.alias("q3")
+    )
+    levels = spark.range(4).select(F.col("id").cast("int").alias("min_q3"))
+    return (
+        scored.join(F.broadcast(levels), F.col("q3") >= F.col("min_q3"))
+        .groupBy("min_q3")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )

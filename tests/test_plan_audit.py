@@ -475,3 +475,11 @@ def test_q104_semdedup_centroids_broadcast(spark):
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" in plan  # k-row centroid cross join
     assert "CartesianProduct" not in plan
+
+
+def test_q111_single_scan_fanout(spark):
+    # the 4-level sweep reads documents ONCE (broadcast level fan-out),
+    # never one scan per threshold
+    df = QUERY_FNS["q111_quality_threshold_sweep"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("documents.parquet") == 1
