@@ -65,6 +65,16 @@ def main() -> None:
         run(QUERY_FNS[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # steady-state pass: identical plans re-executed — the delta to the
+    # cold pass is fixed per-plan cost (py4j construction + Janino/C2
+    # JIT), which amortizes to noise at cluster scale.  Reported as
+    # extra keys; the headline metric stays the cold total.
+    warm: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        run(QUERY_FNS[name](spark, SF_DIR))
+        warm[name] = round(time.perf_counter() - t0, 3)
+
     if os.path.exists("/root/reference/malware"):
         from graphdb_neo4j_spark.operators.ingest import stage_corpus
 
@@ -95,6 +105,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 3),
                 "sf": sf_val,
             }
         )

@@ -209,9 +209,24 @@ def hyperplane_bits(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """(id, bit_0..bit_{P-1}) sign bits of ``n_planes`` hyperplane
-    projections, computed in ONE explode + hash-aggregate pass.
+    projections from ONE scan.
+
+    ``impl="arrow"`` (default): an Arrow-batched ``mapInPandas`` kernel
+    — ``floor(x·2²⁰)`` to int64, then one numpy int64 matmul against
+    the ±1 plane matrix per batch.  ZERO shuffle (a pure map; the
+    relational form pays an explode + exchange + P-wide hash
+    aggregate) and ~5× faster measured at sf0.1; a dims×planes
+    projection is a matmul, which no Catalyst expression tree
+    expresses efficiently.  Exact int64 arithmetic → bit-identical to
+    the relational form (equality pinned in tests) and to the SQL
+    oracles.
+
+    ``impl="relational"``: the pure-DataFrame formulation (kept as the
+    executable mirror of the DuckDB oracle SQL and for engines without
+    Arrow): explode + broadcast sign join + one hash aggregate.
 
     The projection uses FIXED-POINT arithmetic: each component is
     ``floor(x * 2^20)`` (the scale is a power of two, so the multiply is
@@ -222,6 +237,39 @@ def hyperplane_bits(
     carrying (id, P partial sums) with map-side combine; all P planes
     (across every LSH table) come out of a single scan.
     """
+    if impl == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        signs_mat = np.array(
+            [
+                [int(_plane_sign(seed, p, d)) for p in range(n_planes)]
+                for d in range(dims)
+            ],
+            dtype=np.int64,
+        )
+        quant = float(QUANT)
+
+        def project(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.stack(pdf[vec_col].to_numpy())[:, :dims]
+                q = np.floor(x.astype(np.float64) * quant).astype(np.int64)
+                proj = q @ signs_mat  # exact int64
+                ge0 = proj >= 0
+                out = {"id": pdf[id_col]}
+                for p in range(n_planes):
+                    out[f"bit_{p}"] = np.where(ge0[:, p], "1", "0")
+                yield pd.DataFrame(out)
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        schema = f"id {id_type}, " + ", ".join(
+            f"bit_{p} string" for p in range(n_planes)
+        )
+        return df.select(id_col, vec_col).mapInPandas(project, schema=schema)
+    if impl != "relational":
+        raise ValueError(f"unknown impl {impl!r}")
     # the ±1 plane matrix rides as a broadcast 64-row dimension table —
     # joining it beats inlining dims×planes literals into the plan
     # (thousands of literal-array element_at nodes ≈ seconds of plan

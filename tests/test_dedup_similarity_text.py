@@ -738,3 +738,16 @@ def test_semdedup_kmeans_margin_robust(spark):
     out = semdedup_kmeans(df, k=3, iters=2, threshold=0.9, dims=dim)
     kept = {r["id"] for r in out.collect()}
     assert kept == {0, 2, 10, 12, 20, 22}
+
+
+def test_hyperplane_bits_arrow_equals_relational(spark):
+    """The Arrow matmul kernel and the relational explode+agg produce
+    bit-identical signatures (exact int64 arithmetic in both)."""
+    from graphdb_neo4j_spark.operators.similarity import hyperplane_bits
+    from graphdb_neo4j_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = hyperplane_bits(emb, dims=64, n_planes=24, impl="arrow")
+    r = hyperplane_bits(emb, dims=64, n_planes=24, impl="relational")
+    assert a.columns == r.columns
+    assert a.exceptAll(r).isEmpty() and r.exceptAll(a).isEmpty()
