@@ -467,20 +467,79 @@ def simhash_hex(text: Column) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    impl: str = "arrow",
 ) -> DataFrame:
-    """(id, simhash) — per-document 64-bit simhash, RELATIONAL
-    formulation (same rewrite as minhash): explode tokens once, md5
-    each token ONCE, then a single codegen'd hash-aggregate computes
-    all 64 bit votes as integer conditional sums — order-free, so
-    partial-aggregation combine order cannot perturb the result, and it
-    replaces 64 interpreted ``F.aggregate`` folds per row (each
-    re-hashing every token).  The shuffle carries (id, 64 small ints)
-    with map-side partial sums, never the documents.  NULL-text rows
-    drop out (explode of a NULL array), matching the SQL oracle's
-    ``unnest``.  Shared by the batch dedup and the streaming
-    foreachBatch path.
+    """(id, simhash) — per-document 64-bit simhash.
+
+    ``impl="arrow"`` (default): Arrow-batched ``mapInPandas`` kernel —
+    md5 per DISTINCT token (batch-local cache), numpy bit-count votes,
+    ZERO shuffle (a pure map; the relational form pays an explode +
+    exchange + 64-sum hash aggregate).  Token semantics mirror the
+    expression form exactly (lower → TRIM of spaces → split on Java
+    ``\\s``), md5 is md5 — signatures are bit-identical (equality
+    pinned in tests) and oracle-compatible.
+
+    ``impl="relational"``: the pure-DataFrame formulation (the
+    executable mirror of the SQL oracle; same rewrite as minhash):
+    explode tokens once, md5 each token ONCE, one codegen'd
+    hash-aggregate computes all 64 bit votes as integer conditional
+    sums — order-free, so partial-aggregation combine order cannot
+    perturb the result.  The shuffle carries (id, 64 small ints) with
+    map-side partial sums, never the documents.  NULL-text rows drop
+    out in BOTH impls (explode of a NULL array / explicit skip),
+    matching the SQL oracle's ``unnest``.  Shared by the batch dedup
+    and the streaming foreachBatch path.
     """
+    if impl == "arrow":
+        import hashlib
+        import re as _re
+
+        import numpy as np
+        import pandas as pd
+
+        split_re = _re.compile(r"[ \t\n\x0b\f\r]+")
+        shifts = np.arange(64, dtype=np.uint64)
+        hexdigits = "0123456789abcdef"
+
+        def sig(batches):
+            cache: dict[str, int] = {}
+            for pdf in batches:
+                ids_out, sims = [], []
+                for rid, txt in zip(pdf[id_col], pdf[text_col]):
+                    if txt is None:
+                        continue
+                    toks = split_re.split(txt.lower().strip(" "))
+                    hs = np.empty(len(toks), dtype=np.uint64)
+                    for j, tok in enumerate(toks):
+                        v = cache.get(tok)
+                        if v is None:
+                            v = int(
+                                hashlib.md5(tok.encode("utf-8")).hexdigest()[:16],
+                                16,
+                            )
+                            cache[tok] = v
+                        hs[j] = v
+                    bits = (hs[:, None] >> shifts) & np.uint64(1)
+                    votes = 2 * bits.sum(axis=0).astype(np.int64) - len(toks)
+                    bitset = votes > 0
+                    chars = []
+                    for i16 in range(16):
+                        nib = 0
+                        for b in range(4):
+                            if bitset[4 * (15 - i16) + b]:
+                                nib |= 1 << b
+                        chars.append(hexdigits[nib])
+                    ids_out.append(rid)
+                    sims.append("".join(chars))
+                yield pd.DataFrame({"id": ids_out, "simhash": sims})
+
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.select(id_col, text_col).mapInPandas(
+            sig, schema=f"id {id_type}, simhash string"
+        )
+    if impl != "relational":
+        raise ValueError(f"unknown impl {impl!r}")
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = spread.select(
         F.col(id_col).alias("id"),

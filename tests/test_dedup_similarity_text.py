@@ -751,3 +751,23 @@ def test_hyperplane_bits_arrow_equals_relational(spark):
     r = hyperplane_bits(emb, dims=64, n_planes=24, impl="relational")
     assert a.columns == r.columns
     assert a.exceptAll(r).isEmpty() and r.exceptAll(a).isEmpty()
+
+
+def test_simhash_arrow_equals_relational(spark):
+    """Arrow md5-vote kernel ≡ relational 64-sum aggregate, including
+    the empty-string-token and NULL-text edge cases."""
+    from graphdb_neo4j_spark.operators.dedup import simhash_signatures
+    from graphdb_neo4j_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = simhash_signatures(docs, impl="arrow")
+    r = simhash_signatures(docs, impl="relational")
+    assert a.exceptAll(r).isEmpty() and r.exceptAll(a).isEmpty()
+    edge = spark.createDataFrame(
+        [(1, "Hello  WORLD\tmixed\ncase"), (2, ""), (3, None),
+         (4, "  leading and trailing  "), (5, "single")],
+        "doc_id long, text string",
+    )
+    a = simhash_signatures(edge, impl="arrow")
+    r = simhash_signatures(edge, impl="relational")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, r.collect()))
