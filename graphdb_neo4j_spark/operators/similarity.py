@@ -267,7 +267,11 @@ def hyperplane_bits(
         schema = f"id {id_type}, " + ", ".join(
             f"bit_{p} string" for p in range(n_planes)
         )
-        return df.select(id_col, vec_col).mapInPandas(project, schema=schema)
+        return (
+            df.select(id_col, vec_col)
+            .repartition(df.sparkSession.sparkContext.defaultParallelism)
+            .mapInPandas(project, schema=schema)
+        )
     if impl != "relational":
         raise ValueError(f"unknown impl {impl!r}")
     # the ±1 plane matrix rides as a broadcast 64-row dimension table —

@@ -263,10 +263,14 @@ def shingles_all(text: Column, n: int = 3) -> Column:
     the array is about to be exploded — ``array_distinct`` is O(len²)
     per row and shows up hard on long documents."""
     lowered = F.lower(text)
-    count = F.greatest(F.length(lowered) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.substring(lowered, i, F.lit(n)),
+    count = F.length(lowered) - F.lit(n - 1)
+    # guarded: Spark's sequence(1, 0) DESCENDS instead of returning
+    # empty, so an unguarded short text would emit two bogus shingles
+    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.substring(lowered, i, F.lit(n)),
+        )
     )
 
 
@@ -282,17 +286,21 @@ def exploded_shingles(
     (O(len²) per document) — measured ~10× slower on a 1.5M-shingle
     corpus.  Texts shorter than n produce no rows.
     """
+    # the shingle-count guard must FILTER, not rely on sequence(1, 0):
+    # Spark's two-arg sequence is descending when stop < start, so a
+    # text shorter than n would wrongly emit positions [1, 0] (and a
+    # NULL text a NULL shingle) instead of no rows
     return (
         df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         .select(F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("__lt"))
+        .withColumn(
+            "__cnt", F.greatest(F.length("__lt") - F.lit(n - 1), F.lit(0))
+        )
+        .filter(F.col("__cnt") >= 1)
         .select(
             "id",
             "__lt",
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.greatest(F.length("__lt") - F.lit(n - 1), F.lit(0))
-                )
-            ).alias("__i"),
+            F.explode(F.sequence(F.lit(1), F.col("__cnt"))).alias("__i"),
         )
         .select("id", F.expr(f"substring(__lt, __i, {int(n)})").alias("sh"))
     )
