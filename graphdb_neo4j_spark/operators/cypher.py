@@ -431,6 +431,12 @@ _EXISTS_RE = re.compile(
     r"^(?P<neg2>NOT\s+)?EXISTS\s*\(\s*(?P<pat2>\(.+\))\s*\)$",
     re.I | re.S,
 )
+# bare pattern predicate: ``(p)-[:R]->(x)`` / ``NOT (p)-[:R]->()`` as a
+# WHERE conjunct (the classic Neo4j existence idiom, pre-EXISTS)
+_BARE_PAT_RE = re.compile(
+    r"^(?P<neg>NOT\s+)?(?P<pat>\(.*\)\s*(?:<-|-)\s*\[.+\]\s*-.*\))$",
+    re.I | re.S,
+)
 
 
 # -- expression rewriting ----------------------------------------------------
@@ -774,12 +780,20 @@ def _run_segment(
         return out
 
     inline_sql = [compile_expr(p) for p in parsed.inline_preds]
-    # WHERE: lift EXISTS / NOT EXISTS subpatterns out of the top-level
-    # AND conjuncts — each becomes a semi/anti join (the relational form
-    # of Cypher's existence predicate); the rest stays a boolean filter
+    # WHERE: lift EXISTS / NOT EXISTS subpatterns AND bare pattern
+    # predicates (Neo4j's classic ``WHERE NOT (p)-[:R]->()`` idiom,
+    # the pre-EXISTS spelling) out of the top-level AND conjuncts —
+    # each becomes a semi/anti join; the rest stays a boolean filter
     where_plain: list[str] = []
     exists_joins: list[tuple[_Parsed, bool]] = []
-    if seg.where and not re.search(r"\bEXISTS\b", seg.where, flags=re.I):
+    has_pattern_pred = bool(
+        seg.where
+        and (
+            re.search(r"\bEXISTS\b", seg.where, flags=re.I)
+            or re.search(r"\)\s*(?:<-|-)\s*\[", seg.where)
+        )
+    )
+    if seg.where and not has_pattern_pred:
         where_plain.append(seg.where)  # untouched — no re-parenthesizing
     elif seg.where:
         if _has_top_level_or(seg.where):
@@ -789,6 +803,17 @@ def _run_segment(
             )
         for conj in _split_top_and(seg.where):
             m = _EXISTS_RE.match(conj.strip())
+            bp = None if m else _BARE_PAT_RE.match(conj.strip())
+            if bp:
+                sub = _Parsed()
+                _parse_patterns(bp["pat"].strip(), sub, into_optional=False)
+                if sub.paths or sub.single_nodes:
+                    raise ValueError(
+                        "pattern predicates support relationship "
+                        "patterns only"
+                    )
+                exists_joins.append((sub, bool(bp["neg"])))
+                continue
             if m:
                 pat = (m["pat"] or m["pat2"] or "").strip()
                 neg = bool(m["neg"] or m["neg2"])

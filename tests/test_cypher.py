@@ -498,3 +498,22 @@ def test_backtick_labels_and_rel_types(spark):
         "RETURN p, q ORDER BY p",
     ).collect()
     assert [(r.p, r.q) for r in rows] == [("a", "x"), ("b", "x")]
+
+
+def test_bare_pattern_predicate(gq):
+    # Neo4j's classic existence idiom: a bare pattern as a WHERE
+    # conjunct, no EXISTS keyword
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(p:Process) "
+        "WHERE NOT (p)-[:CONNECTED_TO]->() "
+        "RETURN p ORDER BY p",
+    ).collect()
+    assert [r.p for r in rows] == ["b"]  # c and d both connect out
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(p:Process) "
+        "WHERE (p)-[:CREATED_FILE]->(f:File) AND p <> 'c' "
+        "RETURN p",
+    ).collect()
+    assert [r.p for r in rows] == ["d"]
