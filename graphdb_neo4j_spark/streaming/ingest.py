@@ -80,13 +80,19 @@ def stream_graph_ingest(
         # batch_id is the cross-batch ordering key: compaction folds the
         # log in batch order with the same last-non-null semantics the
         # batch MERGE applies within a batch (see compact_graph_log)
+        # every table carries batch_id AND is partitioned by it: the
+        # cross-batch ordering key for the fold, the pruning key for
+        # time-travel reads (graph_asof), and replay isolation
         bid = F.lit(int(batch_id)).alias("batch_id")
-        g.edges.select("*", bid).write.mode("append").parquet(f"{log_path}/edges")
-        g.nodes().write.mode("append").parquet(f"{log_path}/nodes")
-        g.process.select("*", bid).write.mode("append").parquet(f"{log_path}/process")
-        g.registry_value.select("*", bid).write.mode("append").parquet(
-            f"{log_path}/registry_value"
-        )
+        for name, df in (
+            ("edges", g.edges),
+            ("nodes", g.nodes()),
+            ("process", g.process),
+            ("registry_value", g.registry_value),
+        ):
+            df.select("*", bid).write.mode("append").partitionBy(
+                "batch_id"
+            ).parquet(f"{log_path}/{name}")
 
     stream = stream_spans(spark, input_path)
     writer = stream.writeStream.foreachBatch(process_batch).option(
@@ -97,8 +103,13 @@ def stream_graph_ingest(
     return writer.start()
 
 
-def compact_graph_log(spark: SparkSession, log_path: str) -> dict[str, DataFrame]:
+def compact_graph_log(
+    spark: SparkSession, log_path: str, as_of_batch: int | None = None
+) -> dict[str, DataFrame]:
     """Fold the append log into canonical tables (MERGE-on-read).
+
+    ``as_of_batch`` restricts the fold to ``batch_id <= as_of_batch`` —
+    TIME TRAVEL over the streaming log (see :func:`graph_asof`).
 
     Node/edge identity dedup is exact.  Property conflict resolution is
     DETERMINISTIC: each log row carries its ``batch_id``, and the fold
@@ -131,19 +142,25 @@ def compact_graph_log(spark: SparkSession, log_path: str) -> dict[str, DataFrame
         )
         return out.dropDuplicates(keys)
 
+    def load(name: str) -> DataFrame:
+        df = spark.read.parquet(f"{log_path}/{name}")
+        if as_of_batch is not None:
+            df = df.filter(F.col("batch_id") <= int(as_of_batch))
+        return df
+
     edges = fold(
-        spark.read.parquet(f"{log_path}/edges"),
+        load("edges"),
         ["rel", "src", "dst"],
         last_nonnull={"details"},
     )
-    nodes = spark.read.parquet(f"{log_path}/nodes").dropDuplicates(["label", "key"])
+    nodes = load("nodes").select("label", "key").dropDuplicates(["label", "key"])
     process = fold(
-        spark.read.parquet(f"{log_path}/process"),
+        load("process"),
         ["key"],
         last_nonnull={"image", "command_line", "process_guid", "parent_process_guid"},
     )
     registry_value = fold(
-        spark.read.parquet(f"{log_path}/registry_value"),
+        load("registry_value"),
         ["path"],
         last_nonnull=set(),
     )
@@ -153,6 +170,23 @@ def compact_graph_log(spark: SparkSession, log_path: str) -> dict[str, DataFrame
         "process": process,
         "registry_value": registry_value,
     }
+
+
+def graph_asof(
+    spark: SparkSession, log_path: str, as_of_batch: int
+) -> dict[str, DataFrame]:
+    """TIME-TRAVEL read of the streaming graph log: the canonical
+    tables exactly as they stood after micro-batch ``as_of_batch`` —
+    the MERGE-on-read fold bounded by a batch horizon (every log row
+    carries its ``batch_id``; nothing is rewritten, so every historical
+    state stays addressable until the log is compacted away).
+
+    Composes with :func:`~graphdb_neo4j_spark.operators.graph.
+    graph_diff` for snapshot-to-snapshot drift ("what did the last N
+    batches change").  100 TB shape: the horizon predicate prunes the
+    ``batch_id``-partitioned log files BEFORE the fold windows run.
+    """
+    return compact_graph_log(spark, log_path, as_of_batch=as_of_batch)
 
 
 def windowed_event_counts(

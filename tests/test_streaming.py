@@ -729,3 +729,74 @@ def test_transform_with_state_user_totals(spark, tmp_path):
     )
     want = {r.user_id: (r.n, r.tc) for r in batch}
     assert latest == want
+
+
+def test_graph_asof_time_travel(spark, trace_dir, tmp_path):
+    """graph_asof: the log folded at batch horizon B equals a batch
+    build over exactly the files those batches ingested; the final
+    horizon equals full compaction."""
+    import glob as _glob
+
+    from graphdb_neo4j_spark.streaming.ingest import (
+        compact_graph_log,
+        graph_asof,
+        stream_graph_ingest,
+    )
+
+    files = sorted(_glob.glob(f"{trace_dir}/*.json"))
+    assert len(files) >= 2
+    log = str(tmp_path / "asof_log")
+    ckpt = str(tmp_path / "asof_ckpt")
+    # two batches: maxFilesPerTrigger=half → deterministic file split
+    import graphdb_neo4j_spark.streaming.ingest as SI
+
+    half = (len(files) + 1) // 2
+
+    stream = SI.stream_spans(spark, f"{trace_dir}/*.json", max_files_per_trigger=half)
+    # replicate stream_graph_ingest's writer on the throttled stream
+    from pyspark.sql import functions as F2
+
+    def process_batch(batch_traces, batch_id):
+        spans = batch_traces
+        traces = spans.select("trace_id").distinct()
+        from graphdb_neo4j_spark.operators.ingest import build_graph_from_spans
+
+        g = build_graph_from_spans(traces, spans)
+        bid = F2.lit(int(batch_id)).alias("batch_id")
+        for name, df in (
+            ("edges", g.edges),
+            ("nodes", g.nodes()),
+            ("process", g.process),
+            ("registry_value", g.registry_value),
+        ):
+            df.select("*", bid).write.mode("append").partitionBy(
+                "batch_id"
+            ).parquet(f"{log}/{name}")
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    max_bid = (
+        spark.read.parquet(f"{log}/edges").agg(F2.max("batch_id")).head()[0]
+    )
+    assert max_bid >= 1  # really multiple batches
+    # final horizon ≡ full compaction (collected-multiset compare —
+    # exceptAll over the window-folded frames trips a Catalyst
+    # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND bug, same as graph_diff hit)
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    full = compact_graph_log(spark, log)
+    asof_last = graph_asof(spark, log, max_bid)
+    for t in ("edges", "nodes", "process"):
+        assert rows(full[t]) == rows(asof_last[t]), t
+    # horizon 0 is a strict prefix: fewer nodes, all present in full
+    asof0 = graph_asof(spark, log, 0)
+    n0 = {tuple(r) for r in asof0["nodes"].collect()}
+    nf = {tuple(r) for r in full["nodes"].collect()}
+    assert len(n0) < len(nf) and n0 <= nf
