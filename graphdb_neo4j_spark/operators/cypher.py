@@ -498,7 +498,14 @@ def _rewrite_expr(
     out = re.sub(
         r"\bIN\s*\[([^\]]*)\]", lambda m: f"IN ({m.group(1)})", out, flags=re.I
     )
-    # Cypher collect() → Spark collect_list()
+    # Cypher collect() → Spark collect_list(); collect(DISTINCT x) →
+    # collect_set(x), with sort_array for a deterministic result order
+    out = re.sub(
+        r"\bcollect\s*\(\s*DISTINCT\s+([^)]+)\)",
+        r"sort_array(collect_set(\1))",
+        out,
+        flags=re.I,
+    )
     out = re.sub(r"\bcollect\s*\(", "collect_list(", out, flags=re.I)
     return out, refs
 

@@ -517,3 +517,14 @@ def test_bare_pattern_predicate(gq):
         "RETURN p",
     ).collect()
     assert [r.p for r in rows] == ["d"]
+
+
+def test_collect_distinct(gq):
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process)-[:CREATED_FILE]->(f:File) "
+        "RETURN a, collect(DISTINCT b) AS kids",
+    ).collect()
+    assert sorted((r.a, tuple(r.kids)) for r in rows) == [
+        ("a", ("c",)), ("b", ("d",)),
+    ]
