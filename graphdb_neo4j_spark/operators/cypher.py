@@ -52,6 +52,11 @@ is interpreted row-by-row):
   join chain), and ``length(p)`` works on the bound path.
 * ``UNWIND list AS var`` (map-side explode; ``nodes(p)`` unwraps a
   bound path's key array) and ``SKIP n`` after ORDER BY.
+* pattern-count expressions ``size((n)-[:R]->())`` (classic degree
+  idiom) and ``COUNT { (n)-[:R]->() }`` (Neo4j 5 spelling) anywhere in
+  WHERE / RETURN — each lowers to ONE grouped count left-joined onto
+  the match, composable with arithmetic and aggregates; bare pattern
+  predicates ``WHERE [NOT] (p)-[:R]->(x)`` lower to semi/anti joins.
 * backtick escapes throughout: property names (``p.`sigma.alert```,
   exact column name, dots literal) and labels / relationship types
   (``(a:`My Label`)-[:`HAS PART`]->(b)`` — data values once
@@ -438,6 +443,47 @@ _BARE_PAT_RE = re.compile(
     re.I | re.S,
 )
 
+_SIZE_HEAD = re.compile(r"\bsize\s*\(", re.I)
+_COUNT_HEAD = re.compile(r"\bCOUNT\s*\{", re.I)
+
+
+def _extract_pattern_counts(
+    text: str | None, specs: list[tuple[str, str]]
+) -> str | None:
+    """Replace ``size((n)-[:R]->())`` and ``COUNT { (n)-[:R]->() }``
+    pattern-count expressions with placeholder columns, recording
+    (placeholder, pattern) — each becomes ONE grouped count joined onto
+    the match (Neo4j's degree idiom, old and new spelling)."""
+    if not text:
+        return text
+    out = text
+    changed = True
+    while changed:
+        changed = False
+        for head in (_SIZE_HEAD, _COUNT_HEAD):
+            m = None
+            for cand in head.finditer(out):
+                start = cand.end()
+                depth = 1
+                i = start
+                while i < len(out) and depth:
+                    if out[i] in "([{":
+                        depth += 1
+                    elif out[i] in ")]}":
+                        depth -= 1
+                    i += 1
+                inner = out[start: i - 1].strip()
+                if re.search(r"\)\s*(?:<-|-)\s*\[", inner):
+                    m = (cand.start(), i, inner)
+                    break
+            if m is not None:
+                col = f"__pcnt{len(specs)}"
+                specs.append((col, m[2]))
+                out = out[: m[0]] + col + out[m[1]:]
+                changed = True
+                break
+    return out
+
 
 # -- expression rewriting ----------------------------------------------------
 
@@ -625,6 +671,12 @@ def _run_segment(
         edge_vars |= carried.edge_vars
         path_vars |= carried.path_vars
 
+    # pattern-count expressions (size((n)-[:R]->()) / COUNT { ... })
+    # become placeholder columns computed as grouped counts below
+    pattern_counts: list[tuple[str, str]] = []
+    seg_where = _extract_pattern_counts(seg.where, pattern_counts)
+    seg_proj = _extract_pattern_counts(seg.proj, pattern_counts)
+
     def motif(hops: list[_Hop], labels: dict[str, str]) -> str:
         pats = []
         for h in hops:
@@ -772,6 +824,37 @@ def _run_segment(
             )
         df = df.join(opt, on=shared, how="left")
 
+    for idx, (cname, pat) in enumerate(pattern_counts):
+        sub = _Parsed()
+        _parse_patterns(pat, sub, into_optional=False)
+        if sub.paths or sub.single_nodes or not sub.hops:
+            raise ValueError(
+                "pattern counts support relationship patterns only"
+            )
+        # keep the count pattern's anonymous vars from colliding with
+        # the outer MATCH's (both parsers number them __anon1, ...)
+        ren = {}
+        for h in sub.hops:
+            for v in (h.src, h.dst):
+                if v.startswith("__anon"):
+                    ren[v] = f"__pc{idx}{v}"
+        sub.hops = [
+            _Hop(ren.get(h.src, h.src), h.rel, ren.get(h.dst, h.dst),
+                 h.ev, h.vspec)
+            for h in sub.hops
+        ]
+        sub.labels = {ren.get(v, v): l for v, l in sub.labels.items()}
+        sdf = gq.find(motif(sub.hops, sub.labels))
+        shared = [c for c in df.columns if c in sdf.columns]
+        if not shared:
+            raise ValueError(
+                "pattern count shares no variable with the MATCH"
+            )
+        cdf = sdf.groupBy(*shared).agg(F.count("*").alias(cname))
+        df = df.join(cdf, on=shared, how="left").withColumn(
+            cname, F.coalesce(F.col(cname), F.lit(0)).cast("bigint")
+        )
+
     # gather every expression we must compile, collecting property refs
     all_refs: set[tuple[str, str]] = set()
 
@@ -794,21 +877,21 @@ def _run_segment(
     where_plain: list[str] = []
     exists_joins: list[tuple[_Parsed, bool]] = []
     has_pattern_pred = bool(
-        seg.where
+        seg_where
         and (
-            re.search(r"\bEXISTS\b", seg.where, flags=re.I)
-            or re.search(r"\)\s*(?:<-|-)\s*\[", seg.where)
+            re.search(r"\bEXISTS\b", seg_where, flags=re.I)
+            or re.search(r"\)\s*(?:<-|-)\s*\[", seg_where)
         )
     )
-    if seg.where and not has_pattern_pred:
-        where_plain.append(seg.where)  # untouched — no re-parenthesizing
-    elif seg.where:
-        if _has_top_level_or(seg.where):
+    if seg_where and not has_pattern_pred:
+        where_plain.append(seg_where)  # untouched — no re-parenthesizing
+    elif seg_where:
+        if _has_top_level_or(seg_where):
             raise ValueError(
                 "EXISTS must be a top-level AND conjunct "
                 "(OR over EXISTS is not supported)"
             )
-        for conj in _split_top_and(seg.where):
+        for conj in _split_top_and(seg_where):
             m = _EXISTS_RE.match(conj.strip())
             bp = None if m else _BARE_PAT_RE.match(conj.strip())
             if bp:
@@ -869,7 +952,7 @@ def _run_segment(
     )
 
     distinct = False
-    rb = seg.proj.strip()
+    rb = seg_proj.strip()
     if rb.upper().startswith("DISTINCT"):
         distinct = True
         rb = rb[len("DISTINCT"):].strip()

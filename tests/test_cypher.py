@@ -528,3 +528,29 @@ def test_collect_distinct(gq):
     assert sorted((r.a, tuple(r.kids)) for r in rows) == [
         ("a", ("c",)), ("b", ("d",)),
     ]
+
+
+def test_pattern_count_expressions(gq):
+    # size((n)-[:R]->()) — the classic degree idiom
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(p:Process) "
+        "RETURN p, size((p)-[:SPAWNS]->()) AS kids ORDER BY p",
+    ).collect()
+    assert [(r.p, r.kids) for r in rows] == [("b", 1), ("c", 0), ("d", 0)]
+    # COUNT { ... } — the Neo4j 5 spelling, usable in WHERE too
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(p:Process) "
+        "WHERE COUNT { (p)-[:CONNECTED_TO]->() } = 0 "
+        "RETURN p",
+    ).collect()
+    assert [r.p for r in rows] == ["b"]
+    # composes with arithmetic
+    rows = cypher(
+        gq,
+        "MATCH (a:Process) "
+        "RETURN a, size((a)-[:SPAWNS]->()) + size((a)-[:CREATED_FILE]->()) "
+        "AS degree ORDER BY degree DESC, a LIMIT 2",
+    ).collect()
+    assert [(r.a, r.degree) for r in rows] == [("a", 2), ("b", 1)]
