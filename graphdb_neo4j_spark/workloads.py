@@ -5202,3 +5202,24 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@query("g67_corpus_cypher_degree_triage")
+def g67(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree triage in pure Cypher: processes ranked by spawn fan-out
+    plus network fan-out via PATTERN-COUNT expressions
+    (``size((p)-[:REL]->())`` — the analyst's degree idiom, old
+    spelling), each lowering to one grouped count join.  Rows-only
+    gate; semantics pinned in tests/test_cypher.py."""
+    from graphdb_neo4j_spark.operators.cypher import cypher
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    g = _corpus_graph(spark)
+    gq = GraphQuery.from_graph(g)
+    return cypher(
+        gq,
+        "MATCH (t:Trace)-[:HAS_PROCESS]->(p:Process) "
+        "RETURN DISTINCT p, size((p)-[:SPAWNS]->()) AS spawn_out, "
+        "size((p)-[:CONNECTED_TO]->()) AS net_out "
+        "ORDER BY spawn_out DESC, net_out DESC, p LIMIT 20",
+    )
