@@ -5151,9 +5151,6 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_Q3_SQL_EXPR = None  # built below to share q25's scored-CTE text
-
-
 def _q111_sql() -> str:
     tok = (
         "(CASE WHEN trim(text) = '' THEN 0 "
