@@ -5220,3 +5220,133 @@ def g67(spark: SparkSession, sf: str) -> DataFrame:
         "size((p)-[:CONNECTED_TO]->()) AS net_out "
         "ORDER BY spawn_out DESC, net_out DESC, p LIMIT 20",
     )
+
+
+def _q112_sql(iters: int = 4, scale: int = 10**12, seed: int = 1,
+              topk: int = 20) -> str:
+    """Unrolled fixed-point PERSONALIZED PageRank oracle: teleport mass
+    returns to the single seed node each round — exact bigint
+    arithmetic, bit-identical across engines."""
+    pre = f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, l_partkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    e2 AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+    nodes AS (SELECT DISTINCT src AS v FROM e2),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e2 GROUP BY src),
+    p0 AS (SELECT v, CASE WHEN v = {seed}
+                          THEN CAST({scale} AS BIGINT)
+                          ELSE CAST(0 AS BIGINT) END AS r FROM nodes)"""
+    blocks = []
+    for k in range(1, iters + 1):
+        blocks.append(f"""
+    inc{k} AS (
+      SELECT e2.dst AS v, SUM(p.r // deg.d) AS s
+      FROM e2 JOIN p{k - 1} p ON p.v = e2.src AND p.r > 0
+      JOIN deg ON deg.src = e2.src
+      GROUP BY e2.dst
+    ),
+    p{k} AS (
+      SELECT nodes.v,
+             (CASE WHEN nodes.v = {seed}
+                   THEN (15 * CAST({scale} AS BIGINT)) // 100
+                   ELSE CAST(0 AS BIGINT) END)
+             + (85 * COALESCE(inc{k}.s, 0)) // 100 AS r
+      FROM nodes LEFT JOIN inc{k} ON inc{k}.v = nodes.v
+    )""")
+    return (
+        pre + "," + ",".join(blocks)
+        + f"""
+    SELECT v, r FROM p{iters} WHERE r > 0 ORDER BY r DESC, v LIMIT {topk}
+    """
+    )
+
+
+@query("q112_ppr_fixedpoint", _q112_sql())
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    """PERSONALIZED PageRank under the HASH GATE: fixed-point bigint
+    random walk with restart to a single seed customer over the
+    undirected purchase graph — the hash-gated sibling of the
+    rows-only g50.  Same unrolled-iteration discipline as q105;
+    teleport mass is seed-only, so ranks decay with hop distance from
+    the seed (a recommendation/expansion score).  Top-20 by exact
+    integer rank."""
+    SCALE, SEED = 10**12, 1
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    e = (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_partkey") + 1000000).alias("b"),
+        )
+        .distinct()
+    )
+    e2 = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).persist()
+    nodes = e2.select(F.col("src").alias("v")).distinct().persist()
+    deg = e2.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    r = nodes.withColumn(
+        "r",
+        F.when(F.col("v") == SEED, F.lit(SCALE)).otherwise(F.lit(0)).cast("bigint"),
+    ).localCheckpoint()
+    for _ in range(4):
+        inc = (
+            e2.join(
+                r.filter(F.col("r") > 0).withColumnRenamed("v", "src"), "src"
+            )
+            .join(deg, "src")
+            .select(F.col("dst").alias("v"), F.expr("r DIV d").alias("share"))
+            .groupBy("v")
+            .agg(F.sum("share").alias("s"))
+        )
+        r = (
+            nodes.join(inc, "v", "left")
+            .select(
+                "v",
+                (
+                    F.when(
+                        F.col("v") == SEED,
+                        F.lit((15 * SCALE) // 100).cast("bigint"),
+                    ).otherwise(F.lit(0))
+                    + F.expr("(85 * COALESCE(s, 0)) DIV 100")
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        r.filter(F.col("r") > 0).orderBy(F.col("r").desc(), "v").limit(20)
+    )
+
+
+@query("g68_corpus_diameter_estimate")
+def g68(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph-diameter lower bound via the DOUBLE-SWEEP heuristic
+    (Magnien/Latapy/Habib 2009): BFS from a deterministic start (min
+    process key), then BFS from the farthest node found — the second
+    eccentricity is a provably-valid diameter lower bound at the cost
+    of TWO traversals (vs n BFS runs for the exact diameter).  Run on
+    the undirected SPAWNS graph.  Returns one row (start, peripheral
+    node, estimate).  Rows-only gate; BFS semantics carry q34's
+    oracle."""
+    from graphdb_neo4j_spark.operators.traversal import bfs
+
+    g = _corpus_graph(spark)
+    spawns = g.edges.filter(F.col("rel") == "SPAWNS").select("src", "dst")
+    start = spawns.select(F.col("src").alias("k")).union(
+        spawns.select("dst")
+    ).agg(F.min("k")).head()[0]
+    d1 = bfs(
+        spawns, spark.createDataFrame([(start,)], ["key"]), directed=False
+    )
+    far = d1.orderBy(F.col("dist").desc(), "key").head()
+    d2 = bfs(
+        spawns, spark.createDataFrame([(far["key"],)], ["key"]), directed=False
+    )
+    ecc2 = d2.agg(F.max("dist")).head()[0]
+    return spark.createDataFrame(
+        [(start, far["key"], int(far["dist"]), int(ecc2))],
+        "start string, peripheral string, first_sweep int, diameter_lb int",
+    )
