@@ -1104,3 +1104,39 @@ def hard_negative_mining(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def filtered_topk(
+    df: DataFrame,
+    allowed_ids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_sim: int | None = None,
+) -> DataFrame:
+    """HYBRID (filtered) vector search: exact cosine top-k restricted
+    to an allowed-id set — the metadata-filter + ANN workload every
+    retrieval stack runs ("top-k among English docs with quality ≥ x").
+
+    PRE-filter strategy: the predicate semi-joins the corpus BEFORE any
+    scoring, so the scan scores only surviving rows — the right plan
+    whenever the filter is selective (post-filtering a top-k can return
+    < k rows and wastes score work).  At 100 TB the semi-join
+    co-partitions on the id; a small filter side broadcasts.  Exact
+    and total-ordered like :func:`topk_bruteforce` (round-before-rank,
+    id tiebreak).
+    """
+    ids = allowed_ids.select(
+        F.col(allowed_ids.columns[0]).alias(id_col)
+    ).distinct()
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_expr(F.col(vec_col), q)
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
+    return (
+        df.join(ids, id_col, "left_semi")
+        .select(F.col(id_col).alias("id"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("id"))
+        .limit(k)
+    )

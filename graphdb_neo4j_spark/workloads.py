@@ -5350,3 +5350,42 @@ def g68(spark: SparkSession, sf: str) -> DataFrame:
         [(start, far["key"], int(far["dist"]), int(ecc2))],
         "start string, peripheral string, first_sweep int, diameter_lb int",
     )
+
+
+_Q113_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+allowed AS (
+  SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200
+),
+sims AS (
+  SELECT e.vec_id AS id,
+         ROUND(
+           list_reduce(list_transform(range(1, len(e.embedding) + 1),
+               i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                  * CAST(q.qv[CAST(i AS INT)] AS DOUBLE)), (a, b) -> a + b)
+           / (sqrt(list_reduce(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+            * sqrt(list_reduce(list_transform(q.qv,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))
+         , 6) AS sim
+  FROM embeddings e JOIN allowed a ON a.doc_id = e.vec_id, q
+)
+SELECT id, sim FROM sims ORDER BY sim DESC, id LIMIT 10
+"""
+
+
+@query("q113_filtered_ann", _Q113_SQL)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    """HYBRID retrieval: metadata-filtered vector top-k — English docs
+    of ≥200 chars, ranked by cosine to the query embedding
+    (similarity.filtered_topk, PRE-filter semi-join before scoring).
+    The filtered-search shape every RAG stack needs; exact baseline
+    here, composable with the LSH/IVF index probes for the sub-linear
+    path."""
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    allowed = docs.filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    ).select("doc_id")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.filtered_topk(emb, allowed, list(qvec), k=10, round_sim=6)
