@@ -1140,3 +1140,44 @@ def filtered_topk(
         .orderBy(F.col("sim").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def filtered_topk_lsh(
+    df: DataFrame,
+    allowed_ids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    dims: int = 64,
+    planes: int = 6,
+    tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_sim: int | None = None,
+) -> DataFrame:
+    """Sub-linear hybrid search: LSH candidates ∩ allowed ids, then
+    exact re-rank — the scale path of :func:`filtered_topk`.
+
+    Filter-THEN-probe: the allowed-id semi-join lands on the corpus
+    BEFORE signatures are computed, so a selective filter shrinks the
+    signature scan itself (with a materialized index the same semi-join
+    applies to the probed bucket partitions).  May return < k rows when
+    the filtered bucket population runs dry — the standard LSH recall
+    trade, measured by the recall test; raise ``tables`` or fall back
+    to :func:`filtered_topk` for guaranteed k.
+    """
+    ids = allowed_ids.select(
+        F.col(allowed_ids.columns[0]).alias(id_col)
+    ).distinct()
+    return topk_lsh(
+        df.join(ids, id_col, "left_semi"),
+        query_vec,
+        k=k,
+        dims=dims,
+        planes=planes,
+        tables=tables,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_sim=round_sim,
+    )

