@@ -483,3 +483,24 @@ def test_q111_single_scan_fanout(spark):
     df = QUERY_FNS["q111_quality_threshold_sweep"](spark, SF)
     plan = explain_str(df)
     assert plan.count("documents.parquet") == 1
+
+
+def test_cypher_pattern_count_no_cartesian(spark):
+    # size((p)-[:R]->()) lowers to a grouped count left join — never a
+    # nested-loop or cartesian product
+    from graphdb_neo4j_spark.operators.cypher import cypher
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    nodes = spark.createDataFrame(
+        [("X", "a"), ("X", "b")], ["label", "key"]
+    )
+    edges = spark.createDataFrame(
+        [("R", "a", "b", 1)], ["rel", "src", "dst", "event_id"]
+    )
+    g = GraphQuery(nodes=nodes, edges=edges)
+    df = cypher(
+        g, "MATCH (p:X) RETURN p, size((p)-[:R]->()) AS deg"
+    )
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
