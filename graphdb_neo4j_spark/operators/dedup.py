@@ -920,3 +920,82 @@ def semdedup_kmeans(
     return _semantic_prune(assign, normed, threshold, round_sim).select(
         "id", F.col("cid").alias("cluster")
     )
+
+
+def remove_passages(
+    df: DataFrame,
+    passages: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_before, n_after, cleaned_hash) — SCRUB the repeated
+    passages :func:`repeated_passages` found: for every (id_b,
+    start_b, length) span, the SECOND occurrence's tokens are cut from
+    the corpus (the Lee et al. substring-dedup removal stage — keep
+    the first occurrence, delete the repeat).
+
+    Token space = the detector's (whitespace tokens of the lowered,
+    trimmed text, 0-based positions), so spans line up exactly;
+    overlapping spans union naturally (a position is dropped once).
+    The cleaned document is returned as md5(space-joined remaining
+    tokens) — enough for the oracle gate and dedup bookkeeping without
+    materializing text twice.
+
+    100 TB shape: one posexplode scan; the span anti-join is an
+    id-equi join with a range residual (spans per doc are few);
+    reassembly is one grouped sort-collect per SCRUBBED doc only —
+    untouched docs never shuffle their tokens.
+    """
+    t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), t.alias("t")).persist()
+    spans = (
+        passages.select(
+            F.col("id_b").alias("id"),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("length")).alias("e"),
+        )
+        .distinct()
+        .persist()
+    )
+    touched = spans.select("id").distinct()
+    tok = base.join(touched, "id", "left_semi").select(
+        "id", F.posexplode("t").alias("pos", "tok")
+    )
+    kept = tok.alias("tk").join(
+        spans.alias("sp"),
+        (F.col("tk.id") == F.col("sp.id"))
+        & (F.col("tk.pos") >= F.col("sp.s"))
+        & (F.col("tk.pos") < F.col("sp.e")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_after_t"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("h_t"),
+    )
+    return (
+        base.select("id", F.size("t").cast("bigint").alias("n_before"),
+                    F.md5(F.array_join("t", " ")).alias("h_orig"))
+        .join(touched.withColumn("__touched", F.lit(True)), "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_before",
+            F.when(F.col("__touched").isNotNull(),
+                   F.coalesce(F.col("n_after_t"), F.lit(0)))
+            .otherwise(F.col("n_before"))
+            .cast("bigint")
+            .alias("n_after"),
+            F.when(F.col("__touched").isNotNull(),
+                   F.coalesce(F.col("h_t"), F.md5(F.lit(""))))
+            .otherwise(F.col("h_orig"))
+            .alias("cleaned_hash"),
+        )
+    )

@@ -5389,3 +5389,83 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return S.filtered_topk(emb, allowed, list(qvec), k=10, round_sim=6)
+
+
+_Q114_SQL = """
+    WITH toks AS (
+      SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT id, CAST(i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(t[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')) AS g
+      FROM toks, UNNEST(range(1, len(t) - 5 + 2)) AS r(i)
+    ),
+    hot AS (
+      SELECT g FROM (
+        SELECT g, COUNT(DISTINCT id) AS d FROM grams GROUP BY g
+      ) WHERE d > 64
+    ),
+    kept AS (SELECT * FROM grams WHERE g NOT IN (SELECT g FROM hot)),
+    pairs AS (
+      SELECT a.id AS id_a, a.pos AS pos_a, b.id AS id_b, b.pos AS pos_b
+      FROM kept a JOIN kept b ON a.g = b.g
+      WHERE a.id < b.id OR (a.id = b.id AND a.pos < b.pos)
+    ),
+    runs AS (
+      SELECT id_a, id_b, pos_a - pos_b AS diff, pos_a, pos_b,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+             ) AS run
+      FROM pairs
+    ),
+    passages AS (
+      SELECT id_a, id_b,
+             MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+             CAST(COUNT(*) + 4 AS BIGINT) AS length
+      FROM runs GROUP BY id_a, id_b, diff, run
+      HAVING COUNT(*) >= 2
+    ),
+    spans AS (
+      SELECT DISTINCT id_b AS id, start_b AS s, start_b + length AS e
+      FROM passages
+    ),
+    touched AS (SELECT DISTINCT id FROM spans),
+    tk AS (
+      SELECT toks.id, CAST(i - 1 AS BIGINT) AS pos, t[CAST(i AS INT)] AS tok
+      FROM toks JOIN touched USING (id), UNNEST(range(1, len(t) + 1)) AS r(i)
+    ),
+    keep2 AS (
+      SELECT * FROM tk
+      WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                        WHERE sp.id = tk.id AND tk.pos >= sp.s AND tk.pos < sp.e)
+    ),
+    rebuilt AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_after_t,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS h_t
+      FROM keep2 GROUP BY id
+    )
+    SELECT toks.id AS doc_id,
+           CAST(len(t) AS BIGINT) AS n_before,
+           CAST(CASE WHEN touched.id IS NOT NULL
+                     THEN COALESCE(rebuilt.n_after_t, 0)
+                     ELSE len(t) END AS BIGINT) AS n_after,
+           CASE WHEN touched.id IS NOT NULL
+                THEN COALESCE(rebuilt.h_t, md5(''))
+                ELSE md5(array_to_string(t, ' ')) END AS cleaned_hash
+    FROM toks
+    LEFT JOIN touched ON touched.id = toks.id
+    LEFT JOIN rebuilt ON rebuilt.id = toks.id
+"""
+
+
+@query("q114_passage_scrub", _Q114_SQL)
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-dedup REMOVAL: cut every repeated passage's second
+    occurrence out of the corpus (dedup.remove_passages over q73's
+    detections) — the scrub half of the Lee et al. pipeline, hash-gated
+    end to end: per doc, token counts before/after and the md5 of the
+    cleaned token stream."""
+    docs = load_table(spark, sf, "documents")
+    passages = D.repeated_passages(docs, n=5, min_grams=2, max_doc_freq=64)
+    return D.remove_passages(docs, passages)

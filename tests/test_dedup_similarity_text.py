@@ -847,3 +847,35 @@ def test_filtered_topk_lsh_subset_and_recall(spark):
     # the query vector itself (vec_id 0) is en? if allowed, it must rank 1st
     if 0 in allowed_set:
         assert exact_ids[0] == 0 and (not approx or approx[0].id == 0)
+
+
+def test_remove_passages_planted(spark):
+    """Planted repeated passage: the SECOND occurrence is cut, the
+    first kept, untouched docs pass through byte-identical."""
+    import hashlib
+
+    from graphdb_neo4j_spark.operators.dedup import (
+        remove_passages,
+        repeated_passages,
+    )
+
+    passage = "p1 p2 p3 p4 p5 p6"
+    docs = spark.createDataFrame(
+        [
+            (1, f"x1 x2 {passage} y1"),
+            (2, f"z1 {passage} z2 z3"),
+            (3, "totally unrelated words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    ps = repeated_passages(docs, n=5, min_grams=2, max_doc_freq=64)
+    out = {r.doc_id: r for r in remove_passages(docs, ps).collect()}
+    # doc 1 is the FIRST occurrence → untouched
+    assert (out[1].n_before, out[1].n_after) == (9, 9)
+    # doc 2's passage (6 tokens) is scrubbed
+    assert (out[2].n_before, out[2].n_after) == (9, 3)
+    want = hashlib.md5("z1 z2 z3".encode()).hexdigest()
+    assert out[2].cleaned_hash == want
+    # untouched doc: hash of its own lowered token stream
+    w3 = hashlib.md5("totally unrelated words here now".encode()).hexdigest()
+    assert out[3].cleaned_hash == w3 and out[3].n_after == 5
