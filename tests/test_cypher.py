@@ -597,3 +597,18 @@ def test_pattern_features_hypothesis_python_oracle(spark):
             if b not in s_src
         }
         assert set(out) == want, (trial, sorted(out), sorted(want))
+
+
+def test_optional_match_with_varlen(gq):
+    # bounded varlen inside OPTIONAL MATCH: non-matching rows NULL-extend
+    rows = cypher(
+        gq,
+        "MATCH (a:Process)-[:SPAWNS]->(b:Process) "
+        "OPTIONAL MATCH (b)-[:SPAWNS*1..2]->(d:Process) "
+        "RETURN a, b, d ORDER BY a, b, d",
+    ).collect()
+    assert [(r.a, r.b, r.d) for r in rows] == [
+        ("a", "b", "d"),
+        ("a", "c", None),
+        ("b", "d", None),
+    ]
