@@ -5469,3 +5469,44 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     passages = D.repeated_passages(docs, n=5, min_grams=2, max_doc_freq=64)
     return D.remove_passages(docs, passages)
+
+
+@query(
+    "q115_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(floor(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(floor(epoch(e.ts) / 604800) AS BIGINT) AS week
+      FROM events e
+    )
+    SELECT f.cohort_week,
+           CAST(a.week - f.cohort_week AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM activity a JOIN firsts f ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, a.week - f.cohort_week
+    """,
+)
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    """COHORT RETENTION — the canonical product-analytics rollup: users
+    bucketed by first-seen epoch week, distinct actives per (cohort,
+    week offset).  100 TB shape: both aggregates key on user_id (one
+    shuffle shared via AQE), the cohort table joins co-partitioned,
+    and epoch-week buckets stay pure integer arithmetic for the hash
+    gate."""
+    e = load_table(spark, sf, "events")
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("bigint")
+    firsts = e.groupBy("user_id").agg(F.min(week.alias("w")).alias("cohort_week"))
+    activity = e.select("user_id", week.alias("week")).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
+    )
