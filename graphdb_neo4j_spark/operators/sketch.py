@@ -113,14 +113,14 @@ _HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_RHO_CAP)
 _HLL_LINEAR_MAX = 2.5 * _HLL_M
 
 
-def hll_registers(df: DataFrame, col: str) -> DataFrame:
-    """(bucket, reg) — the m=256 HLL register table of a column.
-    Registers are the MERGEABLE form of the sketch: registers of any
-    two shards (or micro-batches) combine by ``groupBy(bucket).max``,
-    which is what makes HLL the standard distributed/incremental
-    distinct counter.  NULLs are excluded (md5(NULL)=NULL would add a
-    phantom register)."""
-    h = F.md5(F.col(col).cast("string"))
+def hll_bucket_rho(value: Column) -> tuple[Column, Column]:
+    """(bucket, rho) register coordinates of one value — md5-nibble
+    arithmetic, shared by the column sketch (:func:`hll_registers`) and
+    the per-node HyperBall state (``traversal.hyperball``).  bucket =
+    first two hex nibbles (m=256); rho = 1 + leading zero BITS of the
+    next 14 nibbles, capped at ``_HLL_RHO_CAP``.  Exact integer/string
+    ops only — identical in Spark, DuckDB, and the Python replicas."""
+    h = F.md5(value.cast("string"))
     nib1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
     nib2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
     tail = F.substring(h, 3, 14)
@@ -131,9 +131,20 @@ def hll_registers(df: DataFrame, col: str) -> DataFrame:
     )
     rho = F.when(z == 14, F.lit(4 * 14 + 1)).otherwise(z * 4 + extra + 1)
     rho = F.least(rho, F.lit(_HLL_RHO_CAP))
+    return (nib1 * 16 + nib2).alias("bucket"), rho.alias("rho")
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """(bucket, reg) — the m=256 HLL register table of a column.
+    Registers are the MERGEABLE form of the sketch: registers of any
+    two shards (or micro-batches) combine by ``groupBy(bucket).max``,
+    which is what makes HLL the standard distributed/incremental
+    distinct counter.  NULLs are excluded (md5(NULL)=NULL would add a
+    phantom register)."""
+    bucket, rho = hll_bucket_rho(F.col(col))
     return (
         df.filter(F.col(col).isNotNull())
-        .select((nib1 * 16 + nib2).alias("bucket"), rho.alias("rho"))
+        .select(bucket, rho)
         .groupBy("bucket")
         .agg(F.max("rho").alias("reg"))
     )

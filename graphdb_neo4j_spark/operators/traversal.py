@@ -1764,3 +1764,149 @@ def shortest_path_bidirectional(
         _backtrace_paths(bwd["visited"], targets=meet_df).head()["path"]
     )  # [dst .. meet] (backward tree is rooted at dst)
     return f_path + b_path[-2::-1]
+
+
+def hyperball(
+    edges: DataFrame,
+    max_iters: int = 32,
+    directed: bool = False,
+) -> list[dict]:
+    """Neighborhood function N(t) via HyperBall (Boldi & Vigna,
+    "In-Core Computation of Geometric Centralities with HyperBall",
+    2013): one m=256 HLL counter per node, grown by taking the
+    register-wise MAX over neighbours each round — N(t) = Σ_v |B(v,t)|
+    estimated in O(t_max) relational passes instead of n BFS runs.
+
+    State is the NARROW mergeable form ``(key, bucket, reg)`` — n×m
+    rows, never a wide 256-column aggregate — so every round is one
+    equi-join (edges × changed registers) plus one map-side-combining
+    ``groupBy(key, bucket).max(reg)``.  Semi-naive: only registers that
+    INCREASED last round are re-propagated (max is idempotent, so the
+    delta frontier is sufficient, mirroring :func:`bfs`).  Shuffle per
+    round carries (key, bucket, reg) triples only; ``localCheckpoint``
+    truncates lineage exactly like the other iterative operators.
+
+    Returns one dict per completed radius t (t=0 is the singleton
+    ball): ``{"t", "n_nodes", "sum_reg", "sum_harmonic", "est_nf"}``.
+    ``sum_harmonic`` (Σ_v of the per-node exact-integer harmonic
+    numerator) and ``sum_reg`` are EXACT integers — the bit-identical
+    convergence/replica gate; ``est_nf`` = Σ_v est|B(v,t)| applies the
+    same bias-corrected estimate as :func:`sketch.hll_estimate_from_registers`
+    per node.  The effective diameter at fraction α is the smallest t
+    with est_nf(t) ≥ α·est_nf(∞); see :func:`effective_diameter`.
+
+    Reference parity: the reference engine exposes no distance-
+    distribution operator at all (`/root/reference/events.py` is a
+    loader); this is part of the analytics extension surface
+    (SURVEY.md §2.D components/centralities row).
+    """
+    from graphdb_neo4j_spark.operators.sketch import (
+        _HLL_LINEAR_MAX,
+        _HLL_M,
+        _HLL_NUM,
+        _HLL_RHO_CAP,
+        hll_bucket_rho,
+    )
+
+    e = edges.select("src", "dst") if directed else _as_undirected(edges)
+    e = e.distinct().localCheckpoint()
+    nodes = e.select(F.col("src").alias("key")).union(
+        e.select(F.col("dst").alias("key"))
+    ).distinct()
+    bucket, rho = hll_bucket_rho(F.col("key"))
+    state = nodes.select("key", bucket, rho.alias("reg")).localCheckpoint()
+    frontier = state
+
+    def _nf_row(st: DataFrame):
+        # one action: per-node harmonic fold, then the global roll-up
+        per_node = st.groupBy("key").agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(
+                F.expr(f"CAST(1 AS BIGINT) << ({_HLL_RHO_CAP} - reg)")
+            ).alias("s_obs"),
+            F.sum("reg").alias("reg_sum"),
+        )
+        zeros = F.lit(_HLL_M) - F.col("n_buckets")
+        s_num = F.col("s_obs") + zeros * F.lit(1 << _HLL_RHO_CAP)
+        raw = F.lit(_HLL_NUM) / s_num.cast("double")
+        est = F.when(
+            (raw <= F.lit(_HLL_LINEAR_MAX)) & (zeros > 0),
+            F.lit(float(_HLL_M))
+            * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
+        ).otherwise(raw)
+        row = per_node.select(
+            # per-node numerator is ≈ m·2^cap ≈ 2^58 — the GLOBAL sum
+            # overflows int64 past ~1k nodes, so it rides as
+            # decimal(38,0): still exact integer arithmetic
+            s_num.cast("decimal(38,0)").alias("s_num"),
+            est.alias("est"),
+            F.col("reg_sum"),
+        ).agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("reg_sum").alias("sum_reg"),
+            F.sum("s_num").alias("sum_harmonic"),
+            F.sum("est").alias("est_nf"),
+        ).head()
+        return {
+            "n_nodes": int(row["n_nodes"]),
+            "sum_reg": int(row["sum_reg"]),
+            "sum_harmonic": int(row["sum_harmonic"]),
+            "est_nf": float(row["est_nf"]),
+        }
+
+    out = [{"t": 0, **_nf_row(state)}]
+    for t in range(1, max_iters + 1):
+        # explicit renames on both sides: at t=1 ``frontier`` IS
+        # ``state`` (same checkpointed plan), and a using-column
+        # self-join on shared attribute ids trips Spark's checkpoint
+        # constraint propagation (NoSuchElementException: key not found)
+        fr = frontier.select(
+            F.col("key").alias("f_key"),
+            F.col("bucket").alias("f_bucket"),
+            F.col("reg").alias("f_reg"),
+        )
+        cand = (
+            e.join(fr, e["dst"] == fr["f_key"])
+            .groupBy(
+                F.col("src").alias("key"), F.col("f_bucket").alias("bucket")
+            )
+            .agg(F.max("f_reg").alias("reg"))
+        )
+        old = state.select(
+            F.col("key").alias("s_key"),
+            F.col("bucket").alias("s_bucket"),
+            F.col("reg").alias("old"),
+        )
+        improved = (
+            cand.join(
+                old,
+                (cand["key"] == old["s_key"])
+                & (cand["bucket"] == old["s_bucket"]),
+                "left",
+            )
+            .filter(F.col("old").isNull() | (F.col("reg") > F.col("old")))
+            .select("key", "bucket", "reg")
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        state = (
+            state.unionByName(improved)
+            .groupBy("key", "bucket")
+            .agg(F.max("reg").alias("reg"))
+            .localCheckpoint()
+        )
+        frontier = improved
+        out.append({"t": t, **_nf_row(state)})
+    return out
+
+
+def effective_diameter(nf: list[dict], alpha: float = 0.9) -> int:
+    """Smallest t whose estimated neighborhood function reaches
+    ``alpha`` of the final (converged) value — HyperBall's effective-
+    diameter readout.  ``nf`` is :func:`hyperball` output."""
+    target = alpha * nf[-1]["est_nf"]
+    for row in nf:
+        if row["est_nf"] >= target:
+            return int(row["t"])
+    return int(nf[-1]["t"])

@@ -5510,3 +5510,33 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("active_users"))
     )
+
+
+@query("g69_corpus_neighborhood_function")
+def g69(spark: SparkSession, sf: str) -> DataFrame:
+    """Distance distribution of the undirected SPAWNS graph via
+    HYPERBALL (one mergeable 256-register HLL per node, register-max
+    over neighbours per round) — N(t), the number of node pairs within
+    distance t, in O(diameter) relational passes instead of n BFS runs.
+    ``sum_reg``/``sum_harmonic`` are exact integers (the bit-identical
+    replica gate in tests); rows-only driver gate (iterative sketch,
+    not SQL-expressible).  Complements g68's double-sweep lower bound
+    with the α=0.9 effective diameter."""
+    from graphdb_neo4j_spark.operators.traversal import hyperball
+
+    g = _corpus_graph(spark)
+    spawns = g.edges.filter(F.col("rel") == "SPAWNS").select("src", "dst")
+    nf = hyperball(spawns, max_iters=16, directed=False)
+    return spark.createDataFrame(
+        [
+            (
+                r["t"],
+                r["n_nodes"],
+                r["sum_reg"],
+                str(r["sum_harmonic"]),  # exact int, > int64 at corpus scale
+                round(r["est_nf"], 2),
+            )
+            for r in nf
+        ],
+        "t int, n_nodes bigint, sum_reg bigint, sum_harmonic string, est_nf double",
+    )

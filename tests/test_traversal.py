@@ -977,3 +977,144 @@ def test_bidirectional_path_reconstruction(spark):
     ]
     # max_hops bound cuts long paths
     assert shortest_path_bidirectional(df2, "a", "c", max_hops=1) is None
+
+
+# ---------------------------------------------------------------------------
+# HyperBall neighborhood function
+# ---------------------------------------------------------------------------
+
+
+def _py_bucket_rho(value: str) -> tuple[int, int]:
+    """Python replica of sketch.hll_bucket_rho's md5-nibble math."""
+    import hashlib
+
+    h = hashlib.md5(value.encode()).hexdigest()
+    bucket = int(h[:2], 16)
+    tail = h[2:16]
+    z = len(tail) - len(tail.lstrip("0"))
+    if z == 14:
+        rho = 4 * 14 + 1
+    else:
+        v = int(tail[z], 16)
+        extra = 0 if v >= 8 else 1 if v >= 4 else 2 if v >= 2 else 3
+        rho = z * 4 + extra + 1
+    return bucket, min(rho, 50)
+
+
+def _py_hyperball(edges, max_iters=24):
+    """Exact replica of traversal.hyperball (undirected): per-node
+    register dicts, max-merge over neighbours, same integer readouts."""
+    import math
+
+    adj: dict[str, set[str]] = {}
+    nodes: set[str] = set()
+    for s, d in edges:
+        nodes |= {s, d}
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    regs = {}
+    for n in nodes:
+        b, r = _py_bucket_rho(n)
+        regs[n] = {b: r}
+    m, cap = 256, 50
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << cap)
+
+    def readout():
+        sum_reg = sum_harm = 0
+        est_nf = 0.0
+        for n in nodes:
+            nb = len(regs[n])
+            s_obs = sum(1 << (cap - r) for r in regs[n].values())
+            zeros = m - nb
+            s_num = s_obs + zeros * (1 << cap)
+            raw = num / float(s_num)
+            if raw <= 2.5 * m and zeros > 0:
+                est = float(m) * math.log(float(m) / zeros)
+            else:
+                est = raw
+            sum_reg += sum(regs[n].values())
+            sum_harm += s_num
+            est_nf += est
+        return {
+            "n_nodes": len(nodes),
+            "sum_reg": sum_reg,
+            "sum_harmonic": sum_harm,
+            "est_nf": est_nf,
+        }
+
+    out = [{"t": 0, **readout()}]
+    for t in range(1, max_iters + 1):
+        new = {n: dict(regs[n]) for n in nodes}
+        changed = False
+        for n in nodes:
+            for nb in adj.get(n, ()):
+                for b, r in regs[nb].items():
+                    if new[n].get(b, 0) < r:
+                        new[n][b] = r
+                        changed = True
+        if not changed:
+            break
+        regs = new
+        out.append({"t": t, **readout()})
+    return out
+
+
+HYPERBALL_EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+    ("b", "g"), ("g", "h"), ("c", "h"),
+    ("p", "q"), ("q", "r"),  # second component
+]
+
+
+def test_hyperball_matches_python_replica(spark):
+    from graphdb_neo4j_spark.operators.traversal import hyperball
+
+    e = spark.createDataFrame(HYPERBALL_EDGES, ["src", "dst"])
+    got = hyperball(e, max_iters=24, directed=False)
+    want = _py_hyperball(HYPERBALL_EDGES, max_iters=24)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        # integer registers are bit-identical; the double estimate only
+        # differs by float-sum association order
+        assert (g["t"], g["n_nodes"], g["sum_reg"], g["sum_harmonic"]) == (
+            w["t"], w["n_nodes"], w["sum_reg"], w["sum_harmonic"],
+        )
+        assert abs(g["est_nf"] - w["est_nf"]) < 1e-6 * max(1.0, w["est_nf"])
+
+
+def test_hyperball_tracks_exact_ball_sizes(spark):
+    """At m=256 with ≤11 nodes the sketch is in the linear-counting
+    regime — estimates land within a few percent of the exact N(t)."""
+    from graphdb_neo4j_spark.operators.traversal import (
+        effective_diameter,
+        hyperball,
+    )
+
+    e = spark.createDataFrame(HYPERBALL_EDGES, ["src", "dst"])
+    nf = hyperball(e, max_iters=24, directed=False)
+
+    nodes = sorted({n for ed in HYPERBALL_EDGES for n in ed})
+    exact = []
+    for t in range(len(nf)):
+        total = 0
+        for n in nodes:
+            dist = py_bfs(HYPERBALL_EDGES, [n], directed=False)
+            total += sum(1 for d in dist.values() if d <= t)
+        exact.append(total)
+    for row, want in zip(nf, exact):
+        assert abs(row["est_nf"] - want) / want < 0.05
+    # converged after the larger component's diameter (4); both
+    # components covered
+    assert len(nf) - 1 <= 5
+    assert effective_diameter(nf) <= len(nf) - 1
+
+
+def test_hyperball_directed_respects_orientation(spark):
+    from graphdb_neo4j_spark.operators.traversal import hyperball
+
+    chain = [("a", "b"), ("b", "c")]
+    e = spark.createDataFrame(chain, ["src", "dst"])
+    nf = hyperball(e, max_iters=8, directed=True)
+    # forward balls: a sees {a,b,c}, b sees {b,c}, c sees {c} → N(∞)=6
+    assert abs(nf[-1]["est_nf"] - 6) < 0.5
