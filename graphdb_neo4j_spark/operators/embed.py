@@ -1,0 +1,234 @@
+"""Distributed PCA over embedding columns — the dimensionality tool a
+training-data pipeline wants next to ANN (whitening, compaction,
+visualization, PCA-accelerated search).
+
+Spark-first shape (no MLlib dependency, no RowMatrix):
+
+* **fit** is ONE Arrow-batched pass: each partition reduces to a
+  single ``(n, Σx, Σx·xᵀ)`` partial via numpy inside ``mapInPandas``
+  (d=64 → 4 KB per partial), the driver sums the ≤``numPartitions``
+  partials and eigendecomposes the d×d covariance.  Work shipped to
+  the cluster is O(rows·d²/partitions); what crosses to the driver is
+  O(partitions·d²) — constant in the row count, the same contract as
+  the PQ codebook fetches in ``similarity.py``.
+* **project** is a broadcast matmul, the ``hyperplane_bits`` Arrow
+  pattern: zero shuffle, one numpy GEMM per batch.
+* Sign convention: each component is flipped so its largest-|coord|
+  entry is positive — eigenvectors become deterministic, so projected
+  outputs are reproducible run-to-run and testable against numpy.
+
+Reference parity: the reference engine (`/root/reference/events.py`)
+has no vector operators at all; this is part of the LLM-pipeline
+extension surface (SURVEY.md §2 similarity block).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class PcaModel:
+    """Fitted PCA: row count, per-dim mean, k×d components (rows =
+    components, unit-norm, sign-fixed), per-component explained
+    variance and its ratio of the total."""
+
+    n: int
+    mean: list[float]
+    components: list[list[float]]  # k × d
+    explained_variance: list[float]
+    explained_variance_ratio: list[float]
+
+
+def pca_fit(
+    df: DataFrame,
+    dims: int,
+    k: int,
+    vec_col: str = "embedding",
+) -> PcaModel:
+    """Fit a k-component PCA in one distributed pass.
+
+    Per-partition ``mapInPandas`` kernel accumulates (n, Σx, Σxxᵀ) —
+    numpy float64, flattened to arrays — and emits ONE row per
+    partition tagged with its partition id.  The driver sums partials
+    in partition-id order (a fixed reduction order keeps the float
+    sums reproducible for a given partitioning), forms the sample
+    covariance ``(Σxxᵀ − n·μμᵀ)/(n−1)``, and takes the top-k of
+    ``numpy.linalg.eigh``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = dims
+
+    def partials(batches):
+        from pyspark import TaskContext
+
+        n = 0
+        s = np.zeros(d, dtype=np.float64)
+        c = np.zeros((d, d), dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy())[:, :d].astype(np.float64)
+            n += x.shape[0]
+            s += x.sum(axis=0)
+            c += x.T @ x
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "pid": [TaskContext.get().partitionId()],
+                "n": [n],
+                "s": [s.tolist()],
+                "c": [c.reshape(-1).tolist()],
+            }
+        )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema="pid long, n long, s array<double>, c array<double>")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["pid"])
+    n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError("pca_fit needs at least 2 rows")
+    s = np.zeros(d, dtype=np.float64)
+    c = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        s += np.array(r["s"], dtype=np.float64)
+        c += np.array(r["c"], dtype=np.float64).reshape(d, d)
+    mean = s / n
+    cov = (c - n * np.outer(mean, mean)) / (n - 1)
+    cov = (cov + cov.T) / 2.0  # exact symmetry for eigh
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comp = evecs[:, order].T  # k × d
+    ev = np.clip(evals[order], 0.0, None)
+    # deterministic sign: largest-|coord| entry positive
+    for i in range(comp.shape[0]):
+        j = int(np.argmax(np.abs(comp[i])))
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    total = float(np.clip(np.trace(cov), 1e-300, None))
+    return PcaModel(
+        n=int(n),
+        mean=mean.tolist(),
+        components=comp.tolist(),
+        explained_variance=ev.tolist(),
+        explained_variance_ratio=(ev / total).tolist(),
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    model: PcaModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """(id, proj) — center by the model mean and project onto the
+    components.  Zero-shuffle Arrow map (the ``hyperplane_bits``
+    kernel shape): one ``(batch×d) @ (d×k)`` GEMM per Arrow batch; the
+    k×d model rides in the task closure (a few KB)."""
+    import numpy as np
+    import pandas as pd
+
+    mean = np.array(model.mean, dtype=np.float64)
+    comp_t = np.array(model.components, dtype=np.float64).T  # d × k
+    d = comp_t.shape[0]
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy())[:, :d].astype(np.float64)
+            p = (x - mean) @ comp_t
+            yield pd.DataFrame({"id": pdf[id_col], out_col: list(p)})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        project, schema=f"id {id_type}, {out_col} array<double>"
+    )
+
+
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding", eps: float = 1e-12
+) -> DataFrame:
+    """Replace ``vec_col`` with its unit-norm form — pure relational
+    transform (no UDF), zero shuffle.  On the unit sphere cosine
+    ranking ≡ Euclidean ranking (‖x−q‖² = 2−2·x·q), which is what lets
+    a distance-preserving projection stand in for cosine search."""
+    from graphdb_neo4j_spark.operators.similarity import norm_expr
+
+    n = F.greatest(norm_expr(F.col(vec_col)), F.lit(eps))
+    unit = F.transform(F.col(vec_col), lambda x: x.cast("double") / n)
+    return df.withColumn(vec_col, unit)
+
+
+def topk_pca(
+    df: DataFrame,
+    query_vec: list[float],
+    model: PcaModel,
+    k: int = 10,
+    oversample: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PCA-accelerated exact-rerank ANN: rank ALL rows by distance in
+    the k′-dim projected space (cheap — k′ doubles per row instead of
+    d), keep the top ``k·oversample`` candidates, then exact-cosine
+    rerank the candidates in the original space.
+
+    Rows and query are L2-NORMALIZED before projection — cosine order
+    equals Euclidean order only on the unit sphere, so fit the model
+    on :func:`l2_normalize`-d vectors too (q117 does; the recall test
+    pins the effect).  Mean-centering cancels in pairwise distances,
+    so the centered projection is distance-faithful as-is.
+
+    This is the classic dim-reduction filter-and-refine: the scan cost
+    drops d/k′-fold while the top-k′ eigenbasis captures most of the
+    pairwise-distance mass (oversample is the recall knob).  Candidate
+    selection is a TakeOrdered (top-N per partition → tiny driver
+    merge), never a global sort."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.similarity import cosine_expr
+
+    mean = np.array(model.mean, dtype=np.float64)
+    comp = np.array(model.components, dtype=np.float64)
+    d = comp.shape[1]
+    qn = np.array(query_vec, dtype=np.float64)[:d]
+    qn = qn / max(float(np.linalg.norm(qn)), 1e-12)
+    qp = (qn - mean) @ comp.T
+
+    unit = l2_normalize(df.select(id_col, vec_col), vec_col=vec_col)
+    proj = pca_project(unit, model, id_col=id_col, vec_col=vec_col)
+    q_arr = F.array(*[F.lit(float(v)) for v in qp.tolist()])
+    dist2 = F.aggregate(
+        F.zip_with("proj", q_arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        proj.select("id", dist2.alias("dist2"))
+        .orderBy("dist2", "id")
+        .limit(k * oversample)
+        .select("id")
+    )
+    q_full = F.array(*[F.lit(float(v)) for v in query_vec])
+    # (id, sim) with round-before-rank, matching topk_bruteforce's
+    # output contract so recall tests compare like for like
+    return (
+        df.join(F.broadcast(cand), df[id_col] == cand["id"])
+        .select(
+            cand["id"],
+            F.round(cosine_expr(F.col(vec_col), q_full), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("id"))
+        .limit(k)
+    )

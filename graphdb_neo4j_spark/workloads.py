@@ -5540,3 +5540,47 @@ def g69(spark: SparkSession, sf: str) -> DataFrame:
         ],
         "t int, n_nodes bigint, sum_reg bigint, sum_harmonic string, est_nf double",
     )
+
+
+@query("q116_pca_variance")
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PCA fit over the embeddings table: per-component
+    explained-variance ratio and its running total — the compaction /
+    whitening diagnostic a pipeline reads before choosing a reduced
+    dimension.  One Arrow pass for (n, Σx, Σxxᵀ) partials, driver-side
+    eigh of the 64×64 covariance (constant-size, like the PQ codebook
+    fetches).  Rows-only gate: eigendecomposition is not
+    SQL-expressible; the numpy-oracle test pins values."""
+    from graphdb_neo4j_spark.operators.embed import pca_fit
+
+    emb = load_table(spark, sf, "embeddings")
+    model = pca_fit(emb, dims=64, k=16)
+    rows, cum = [], 0.0
+    for i, r in enumerate(model.explained_variance_ratio):
+        cum += r
+        rows.append((i, round(r, 6), round(cum, 6)))
+    return spark.createDataFrame(
+        rows, "component int, var_ratio double, cum_var_ratio double"
+    )
+
+
+@query("q117_ann_pca_topk")
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    """PCA-accelerated ANN: filter-and-refine top-10 neighbours of
+    vec_id 0 — rank everything in the 32-dim projected space (2× fewer
+    multiplies per row than d=64), exact-cosine rerank only the
+    8×-oversampled candidate set.  k′=32 because the synthetic
+    embeddings are near-isotropic (q116 shows 16 comps ≈ 38% of
+    variance — no low-rank structure to exploit); real text embeddings
+    decay much faster and take k′≈d/8.  Rows-only gate (recall vs the
+    q26 brute-force baseline is pinned in tests)."""
+    from graphdb_neo4j_spark.operators.embed import (
+        l2_normalize,
+        pca_fit,
+        topk_pca,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    model = pca_fit(l2_normalize(emb.select("vec_id", "embedding")), dims=64, k=32)
+    return topk_pca(emb, list(qvec), model, k=10, oversample=8)
