@@ -5584,3 +5584,68 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     model = pca_fit(l2_normalize(emb.select("vec_id", "embedding")), dims=64, k=32)
     return topk_pca(emb, list(qvec), model, k=10, oversample=8)
+
+
+@query(
+    "q118_modularity_brand_communities",
+    """
+    WITH e AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS a,
+                      greatest(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    m_agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    asg AS (SELECT p_partkey AS k, p_brand AS c FROM part),
+    internal AS (
+      SELECT pa.c AS community, CAST(COUNT(*) AS BIGINT) AS internal_edges
+      FROM e JOIN asg pa ON pa.k = e.a
+             JOIN asg pb ON pb.k = e.b
+      WHERE pa.c = pb.c
+      GROUP BY pa.c
+    ),
+    deg AS (
+      SELECT k, COUNT(*) AS deg FROM (
+        SELECT a AS k FROM e UNION ALL SELECT b AS k FROM e
+      ) GROUP BY k
+    ),
+    dsum AS (
+      SELECT asg.c AS community, CAST(SUM(deg) AS BIGINT) AS degree_sum
+      FROM deg JOIN asg ON asg.k = deg.k
+      GROUP BY asg.c
+    )
+    SELECT d.community,
+           CAST(COALESCE(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+           d.degree_sum,
+           ROUND(CAST(COALESCE(i.internal_edges, 0) AS DOUBLE) / CAST(m AS DOUBLE)
+                 - (CAST(d.degree_sum AS DOUBLE) * CAST(d.degree_sum AS DOUBLE))
+                   / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)),
+                 8) AS contribution
+    FROM dsum d LEFT JOIN internal i ON i.community = d.community
+    CROSS JOIN m_agg
+    """,
+)
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman MODULARITY of brand "communities" on the part co-purchase
+    graph — the quality metric that scores any community operator
+    (traversal.modularity; LPA/components plug into the same readout).
+    Exact integer (L_c, D_c, m) with one fixed-order rounded division
+    per row, so the DuckDB oracle hash-matches the doubles."""
+    from graphdb_neo4j_spark.operators.traversal import modularity
+
+    l = load_table(spark, sf, "lineitem")
+    pairs = (
+        l.alias("x")
+        .join(
+            l.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+    assign = load_table(spark, sf, "part").select(
+        F.col("p_partkey").alias("key"), F.col("p_brand").alias("community")
+    )
+    return modularity(pairs, assign)

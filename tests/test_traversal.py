@@ -1118,3 +1118,46 @@ def test_hyperball_directed_respects_orientation(spark):
     nf = hyperball(e, max_iters=8, directed=True)
     # forward balls: a sees {a,b,c}, b sees {b,c}, c sees {c} → N(∞)=6
     assert abs(nf[-1]["est_nf"] - 6) < 0.5
+
+
+# ---------------------------------------------------------------------------
+# modularity
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_two_triangles(spark):
+    """Two triangles joined by a bridge, communities = the triangles:
+    Q = 2·(3/7 − (7/14)²) = 5/14 ≈ 0.35714286 (Newman & Girvan)."""
+    from graphdb_neo4j_spark.operators.traversal import modularity
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "z"), ("z", "x"),
+             ("a", "x")]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    asg = spark.createDataFrame(
+        [(n, "t1") for n in "abc"] + [(n, "t2") for n in "xyz"],
+        ["key", "community"],
+    )
+    rows = {r.community: r for r in modularity(e, asg).collect()}
+    assert rows["t1"].internal_edges == 3 and rows["t2"].internal_edges == 3
+    assert rows["t1"].degree_sum == 7 and rows["t2"].degree_sum == 7
+    q = sum(r.contribution for r in rows.values())
+    assert abs(q - 5 / 14) < 1e-7
+
+
+def test_modularity_single_community_is_zero(spark):
+    """All nodes in one community: L=m, D=2m → Q = 1 − 1 = 0, whatever
+    the graph.  Duplicate/reversed edges must collapse first."""
+    from graphdb_neo4j_spark.operators.traversal import modularity
+
+    edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "a"),
+             ("a", "a")]  # dup, reverse, self-loop all to be scrubbed
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    asg = spark.createDataFrame(
+        [(n, "all") for n in "abcd"], ["key", "community"]
+    )
+    rows = modularity(e, asg).collect()
+    assert len(rows) == 1
+    assert rows[0].internal_edges == 4  # a-b, b-c, c-d, d-a
+    assert rows[0].degree_sum == 8
+    assert rows[0].contribution == 0.0
