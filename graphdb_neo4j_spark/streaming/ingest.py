@@ -60,6 +60,26 @@ def stream_spans(spark: SparkSession, path: str, max_files_per_trigger: int | No
     )
 
 
+# write schemas of the graph-log tables (PropertyGraph.edges/.nodes()/
+# .process/.registry_value + the foreachBatch batch_id column) — the
+# empty-table fallback for compact_graph_log when a table never
+# received a single row in any batch
+_LOG_SCHEMAS = {
+    "edges": (
+        "rel string, src string, dst string, event_id bigint, proto string, "
+        "dport string, value_name string, granted_access string, "
+        "details string, mode string, what string, stream string, "
+        "hash string, batch_id int"
+    ),
+    "nodes": "label string, key string, batch_id int",
+    "process": (
+        "key string, image string, command_line string, process_guid string, "
+        "parent_process_guid string, batch_id int"
+    ),
+    "registry_value": "path string, value_name string, batch_id int",
+}
+
+
 def stream_graph_ingest(
     spark: SparkSession,
     input_path: str,
@@ -143,7 +163,16 @@ def compact_graph_log(
         return out.dropDuplicates(keys)
 
     def load(name: str) -> DataFrame:
-        df = spark.read.parquet(f"{log_path}/{name}")
+        # a table whose frame was empty in EVERY batch has no parquet
+        # files (partitionBy writes nothing for zero rows), so schema
+        # inference fails — fall back to an empty frame with the
+        # canonical write schema (_LOG_SCHEMAS)
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            df = spark.read.parquet(f"{log_path}/{name}")
+        except AnalysisException:
+            df = spark.createDataFrame([], _LOG_SCHEMAS[name])
         if as_of_batch is not None:
             df = df.filter(F.col("batch_id") <= int(as_of_batch))
         return df
