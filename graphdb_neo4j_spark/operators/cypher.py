@@ -553,14 +553,29 @@ def _rewrite_expr(
         flags=re.I,
     )
     out = re.sub(r"\bcollect\s*\(", "collect_list(", out, flags=re.I)
+    # Cypher scalar functions → Spark SQL equivalents (Spark accepts
+    # function-style casts: bigint(x) / double(x) / string(x))
+    for cy, sp in (
+        ("toInteger", "bigint"),
+        ("toFloat", "double"),
+        ("toString", "string"),
+        ("toLower", "lower"),
+        ("toUpper", "upper"),
+    ):
+        out = re.sub(rf"\b{cy}\s*\(", f"{sp}(", out, flags=re.I)
     return out, refs
 
 
-_AGG_RE = re.compile(r"^\s*(count|sum|min|max|avg|collect)\s*\(", re.I)
+_AGG_RE = re.compile(r"\b(count|sum|min|max|avg|collect)\s*\(", re.I)
 
 
 def _is_agg(expr: str) -> bool:
-    return bool(_AGG_RE.match(expr))
+    """True when the expression CONTAINS an aggregate call (outside
+    string literals) — ``CASE WHEN count(*) > 1 …`` or
+    ``round(avg(x), 2)`` are aggregate RETURN items, not grouping
+    keys, exactly as Cypher's implicit-grouping rule treats them."""
+    without_strings = "".join(re.split(r"'[^']*'", expr))
+    return bool(_AGG_RE.search(without_strings))
 
 
 def _default_alias(expr: str) -> str:

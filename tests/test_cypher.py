@@ -612,3 +612,55 @@ def test_optional_match_with_varlen(gq):
         ("a", "c", None),
         ("b", "d", None),
     ]
+
+
+def test_case_expression_simple_form(gq):
+    rows = cypher(
+        gq,
+        "MATCH (p:Process)-[:SPAWNS]->(c:Process) "
+        "RETURN c.key AS child, "
+        "CASE p.key WHEN 'a' THEN 'root-child' ELSE 'deep' END AS depth "
+        "ORDER BY child",
+    ).collect()
+    assert [(r.child, r.depth) for r in rows] == [
+        ("b", "root-child"), ("c", "root-child"), ("d", "deep"),
+    ]
+
+
+def test_case_expression_wrapping_aggregate(gq):
+    """CASE containing count(*) is an aggregate RETURN item, not an
+    implicit grouping key (Cypher's grouping rule)."""
+    rows = cypher(
+        gq,
+        "MATCH (p:Process)-[:SPAWNS]->(c:Process) "
+        "RETURN p.key AS parent, "
+        "CASE WHEN count(*) > 1 THEN 'fanout' ELSE 'single' END AS kind, "
+        "count(*) AS n ORDER BY parent",
+    ).collect()
+    assert [(r.parent, r.kind, r.n) for r in rows] == [
+        ("a", "fanout", 2), ("b", "single", 1),
+    ]
+
+
+def test_case_inside_aggregate(gq):
+    rows = cypher(
+        gq,
+        "MATCH (p:Process)-[:SPAWNS]->(c:Process) "
+        "RETURN p.key AS parent, "
+        "sum(CASE WHEN c.key = 'b' THEN 1 ELSE 0 END) AS n_b "
+        "ORDER BY parent",
+    ).collect()
+    assert [(r.parent, r.n_b) for r in rows] == [("a", 1), ("b", 0)]
+
+
+def test_cypher_scalar_function_rewrites(gq):
+    rows = cypher(
+        gq,
+        "MATCH (p:Process)-[:SPAWNS]->(c:Process) "
+        "WHERE toUpper(c.key) = 'B' "
+        "RETURN toString(p.key) AS parent, toInteger('7') AS seven, "
+        "toFloat('1.5') AS fl, toLower('ABC') AS lo",
+    ).collect()
+    assert [(r.parent, r.seven, r.fl, r.lo) for r in rows] == [
+        ("a", 7, 1.5, "abc")
+    ]
