@@ -75,3 +75,43 @@ def zorder_repartition(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    shard_col: str,
+    n_shards: int,
+    max_records_per_file: int | None = None,
+    sort_within: list[str] | None = None,
+) -> None:
+    """Deterministic sharded parquet export — the training-data hand-off
+    layout: ``shard=K/part-*.parquet`` with K = a *content-stable* hash
+    of ``shard_col`` mod ``n_shards``.
+
+    Properties a downstream trainer relies on, all pinned in tests:
+
+    * **deterministic placement** — a row's shard depends only on its
+      key (md5 mod n, not Spark's seed-able hash or partition index),
+      so re-exports and incremental appends land rows identically;
+    * **bounded files** — ``maxRecordsPerFile`` splits oversized
+      shards so no single reader/loader gets a multi-GB file;
+    * **intra-file order** — ``sort_within`` gives each file sorted
+      runs (sequence packing and dedup both like sorted shards);
+    * **one shuffle** — repartition on the shard id, then a pure write.
+
+    At 100 TB: n_shards scales with the cluster (e.g. 10k), the
+    md5-mod distribution is uniform in the key count, and hot keys
+    can't skew placement more than their true row share.
+    """
+    shard = (
+        F.conv(F.substring(F.md5(F.col(shard_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % n_shards
+    ).alias("shard")
+    out = df.select("*", shard).repartition(n_shards, F.col("shard"))
+    if sort_within:
+        out = out.sortWithinPartitions("shard", *sort_within)
+    writer = out.write.mode("overwrite").partitionBy("shard")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)

@@ -59,3 +59,52 @@ def test_zorder_preserves_rows(spark, tmp_path):
     out = zorder_repartition(l, ["l_orderkey", "l_suppkey"], n_files=4)
     assert out.count() == l.count()
     assert set(out.columns) == set(l.columns)
+
+
+# ---------------------------------------------------------------------------
+# sharded export sink
+# ---------------------------------------------------------------------------
+
+
+def test_write_sharded_layout_and_determinism(spark, tmp_path):
+    import glob
+    import hashlib
+
+    from graphdb_neo4j_spark.operators.layout import write_sharded
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shards")
+    write_sharded(
+        docs, out, shard_col="doc_id", n_shards=8,
+        max_records_per_file=20, sort_within=["doc_id"],
+    )
+
+    # layout: shard=K dirs, every file within the record cap
+    dirs = sorted(glob.glob(f"{out}/shard=*"))
+    assert [d.split("=")[-1] for d in dirs] == [str(i) for i in range(8)]
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    for f in glob.glob(f"{out}/shard=*/*.parquet"):
+        n = spark.read.parquet(f).count()
+        assert n <= 20, f
+
+    # placement is content-stable: shard == md5(doc_id) mod 8
+    def want_shard(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 8
+
+    rows = back.select("doc_id", "shard").collect()
+    assert rows and all(int(r.shard) == want_shard(r.doc_id) for r in rows)
+
+    # intra-file order: each file's doc_ids are sorted
+    f0 = sorted(glob.glob(f"{out}/shard=0/*.parquet"))[0]
+    ids = [r.doc_id for r in spark.read.parquet(f0).select("doc_id").collect()]
+    assert ids == sorted(ids)
+
+    # re-export → identical assignment (no seed / partition-index terms)
+    out2 = str(tmp_path / "shards2")
+    write_sharded(docs, out2, shard_col="doc_id", n_shards=8)
+    rows2 = {
+        r.doc_id: int(r.shard)
+        for r in spark.read.parquet(out2).select("doc_id", "shard").collect()
+    }
+    assert rows2 == {r.doc_id: int(r.shard) for r in rows}
