@@ -5649,3 +5649,116 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
         F.col("p_partkey").alias("key"), F.col("p_brand").alias("community")
     )
     return modularity(pairs, assign)
+
+
+@query(
+    "q119_cypher_write_graph",
+    """
+    WITH placed AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer)
+    ),
+    last_ship AS (
+      -- l_linenumber is not unique per order in the synthetic testdata,
+      -- so the write order tiebreaks on (l_linenumber, l_shipdate) —
+      -- mirrored exactly by the Spark side's order= columns
+      SELECT l_orderkey, l_shipdate AS ls FROM (
+        SELECT l_orderkey, l_shipdate,
+               ROW_NUMBER() OVER (
+                 PARTITION BY l_orderkey
+                 ORDER BY l_linenumber DESC, l_shipdate DESC
+               ) AS rn
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM placed)
+      ) WHERE rn = 1
+    )
+    SELECT 'node:Customer' AS item,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n FROM customer
+    UNION ALL
+    SELECT 'node:Nation', CAST(COUNT(DISTINCT c_nationkey) AS BIGINT)
+    FROM customer
+    UNION ALL
+    SELECT 'node:Order', CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM placed
+    UNION ALL
+    SELECT 'edge:FROM', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT DISTINCT c_custkey, c_nationkey FROM customer)
+    UNION ALL
+    SELECT 'edge:PLACED', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT DISTINCT o_custkey, o_orderkey FROM placed)
+    UNION ALL
+    SELECT 'status:' || o_orderstatus, CAST(COUNT(*) AS BIGINT)
+    FROM placed GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'ship_day_sum',
+           CAST(SUM(DATE_DIFF('day', TIMESTAMP '1970-01-01', ls)) AS BIGINT)
+    FROM last_ship
+    """,
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    """CYPHER WRITE-CLAUSE pipeline (operators/cypher_write.py): build a
+    property graph from the star schema with three of the reference's
+    template shapes — MERGE + ON CREATE SET (events.py:80-88), MATCH-
+    gated edge MERGE (events.py:155-160), and MATCH + keep-old SET
+    (events.py:149) — then read node/edge/prop aggregates back out of
+    the store.  The oracle recomputes every readout relationally, so a
+    hash match certifies MERGE dedup, gating, ON CREATE capture, and
+    last-non-null ordered resolution all at once."""
+    from graphdb_neo4j_spark.operators.cypher_write import GraphWriter
+
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+
+    w = GraphWriter(spark)
+    w.execute(
+        """
+        MERGE (c:Customer {key: $c_custkey})
+          ON CREATE SET c.segment = $c_mktsegment
+        MERGE (n:Nation {key: $c_nationkey})
+        MERGE (c)-[r:FROM]->(n)
+        """,
+        cust.select("c_custkey", "c_mktsegment", "c_nationkey"),
+        order=["c_custkey"],
+    )
+    w.execute(
+        """
+        MATCH (c:Customer {key: $o_custkey})
+        MERGE (o:Order {key: $o_orderkey})
+          ON CREATE SET o.status = $o_orderstatus
+        MERGE (c)-[p:PLACED]->(o)
+        """,
+        orders.select("o_custkey", "o_orderkey", "o_orderstatus"),
+        order=["o_orderkey"],
+    )
+    w.execute(
+        "MATCH (o:Order {key: $l_orderkey}) "
+        "SET o.last_ship = coalesce($l_shipdate, o.last_ship)",
+        li.select("l_orderkey", "l_shipdate", "l_linenumber"),
+        order=["l_linenumber", "l_shipdate"],
+    )
+    st = w.store
+
+    def one(df: DataFrame, label: str, col: Column) -> DataFrame:
+        return df.agg(col.cast("bigint").alias("n")).select(
+            F.lit(label).alias("item"), "n"
+        )
+
+    parts = [
+        one(st.nodes["Customer"], "node:Customer", F.count("*")),
+        one(st.nodes["Nation"], "node:Nation", F.count("*")),
+        one(st.nodes["Order"], "node:Order", F.count("*")),
+        one(st.edges["FROM"], "edge:FROM", F.count("*")),
+        one(st.edges["PLACED"], "edge:PLACED", F.count("*")),
+        st.nodes["Order"]
+        .groupBy(F.concat(F.lit("status:"), F.col("status")).alias("item"))
+        .agg(F.count("*").cast("bigint").alias("n")),
+        one(
+            st.nodes["Order"],
+            "ship_day_sum",
+            F.sum(F.datediff(F.col("last_ship"), F.lit("1970-01-01").cast("date"))),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,333 @@
+"""Cypher write-clause compiler (operators/cypher_write.py).
+
+Semantics under test mirror the reference's Bolt behavior
+(`/root/reference/events.py:74-246`): MERGE dedup, ON CREATE / ON MATCH
+asymmetry, bare-SET last-writer-wins including NULL, coalesce keep-old,
+MATCH gating (the BIND_TO no-op), and DELETE/DETACH DELETE.  Each test
+replays a template over a parameter DataFrame and checks the resulting
+store tables exactly; the final test replays one of the reference's own
+templates over the real derived span stream and compares against the
+hand-built ingest pipeline's table.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.operators.cypher_write import (
+    CypherWriteError,
+    GraphWriter,
+    parse_write_template,
+)
+
+
+def rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture()
+def writer(spark):
+    return GraphWriter(spark)
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+
+def test_parse_reference_process_template():
+    t = parse_write_template(
+        """
+        MERGE (p:Process {key:$key})
+        ON CREATE SET p.image = $image, p.command_line = $cmd
+        ON MATCH SET p.image = coalesce($image, p.image)
+        MERGE (t:Trace {traceID:$traceID})
+        MERGE (t)-[r:HAS_PROCESS]->(p)
+        SET r.event_id = $event_id
+        """
+    )
+    assert [n.label for n in t.nodes] == ["Process", "Trace"]
+    assert t.nodes[0].on_create[0].prop == "image"
+    assert not t.nodes[0].on_create[0].keep_old
+    assert t.nodes[0].on_match[0].keep_old
+    assert t.edges[0].rel == "HAS_PROCESS"
+    assert t.edges[0].src_var == "t" and t.edges[0].dst_var == "p"
+    assert t.edges[0].bare_set[0].prop == "event_id"
+    assert t.params == {"key", "image", "cmd", "traceID", "event_id"}
+
+
+def test_parse_reverse_arrow_and_backticks():
+    t = parse_write_template(
+        "MERGE (a:`My Label` {k:$x}) MERGE (b:B {k:$y}) "
+        "MERGE (a)<-[r:`HAS PART`]-(b) SET r.`weird.prop` = $w"
+    )
+    assert t.nodes[0].label == "My Label"
+    assert t.edges[0].rel == "HAS PART"
+    # reverse arrow: b is the source
+    assert t.edges[0].src_var == "b" and t.edges[0].dst_var == "a"
+    assert t.edges[0].bare_set[0].prop == "weird.prop"
+
+
+def test_parse_rejects():
+    with pytest.raises(CypherWriteError):
+        parse_write_template("RETURN 1")
+    with pytest.raises(CypherWriteError):
+        parse_write_template("MERGE (a:A {k:$k}) SET a.x = a.x + 1")
+    with pytest.raises(CypherWriteError):
+        parse_write_template("MERGE (a:A {k:$k})-[r:R]->(b)")  # unbound b
+    with pytest.raises(CypherWriteError):
+        # same prop in branch and bare SET
+        parse_write_template(
+            "MERGE (a:A {k:$k}) ON CREATE SET a.x=$x SET a.x=$y"
+        )
+
+
+# ---------------------------------------------------------------------------
+# node merge semantics
+# ---------------------------------------------------------------------------
+
+
+def test_merge_dedup_and_create_match_asymmetry(spark, writer):
+    # three writes of key A (image: null → 'x.exe' → null), one of B.
+    params = spark.createDataFrame(
+        [(1, "A", None), (2, "A", "x.exe"), (3, "A", None), (4, "B", "b.exe")],
+        "seq int, key string, image string",
+    )
+    writer.execute(
+        """
+        MERGE (p:Process {key:$key})
+        ON CREATE SET p.guid = $image
+        ON MATCH SET p.image = coalesce($image, p.image)
+        """,
+        params,
+        order=["seq"],
+    )
+    got = rows(writer.store.nodes["Process"], "key", "guid", "image")
+    # A: created by seq1 (guid=null), matched by 2 & 3 (keep-old → x.exe)
+    # B: created by seq4 (guid='b.exe'), never matched (image null)
+    assert got == [("A", None, "x.exe"), ("B", "b.exe", None)]
+
+
+def test_bare_set_null_overwrites(spark, writer):
+    params = spark.createDataFrame(
+        [(1, "A", "first"), (2, "A", None)], "seq int, k string, v string"
+    )
+    writer.execute("MERGE (n:N {key:$k}) SET n.v = $v", params, order=["seq"])
+    assert rows(writer.store.nodes["N"], "key", "v") == [("A", None)]
+
+
+def test_keep_old_set_survives_null(spark, writer):
+    params = spark.createDataFrame(
+        [(1, "A", "first"), (2, "A", None)], "seq int, k string, v string"
+    )
+    writer.execute(
+        "MERGE (n:N {key:$k}) SET n.v = coalesce($v, n.v)", params, order=["seq"]
+    )
+    assert rows(writer.store.nodes["N"], "key", "v") == [("A", "first")]
+
+
+def test_on_create_fires_once_across_executes(spark, writer):
+    p1 = spark.createDataFrame([(1, "A", "orig")], "seq int, k string, v string")
+    p2 = spark.createDataFrame([(1, "A", "later")], "seq int, k string, v string")
+    tmpl = "MERGE (n:N {key:$k}) ON CREATE SET n.v = $v"
+    writer.execute(tmpl, p1, order=["seq"])
+    writer.execute(tmpl, p2, order=["seq"])  # key exists → ON CREATE skipped
+    assert rows(writer.store.nodes["N"], "key", "v") == [("A", "orig")]
+
+
+def test_write_order_last_writer_wins(spark, writer):
+    params = spark.createDataFrame(
+        [(2, "A", "late"), (1, "A", "early")], "seq int, k string, v string"
+    )
+    writer.execute("MERGE (n:N {key:$k}) SET n.v = $v", params, order=["seq"])
+    assert rows(writer.store.nodes["N"], "key", "v") == [("A", "late")]
+
+
+def test_null_merge_key_noops(spark, writer):
+    params = spark.createDataFrame(
+        [(1, None, "x"), (2, "A", "y")], "seq int, k string, v string"
+    )
+    writer.execute("MERGE (n:N {key:$k}) SET n.v=$v", params, order=["seq"])
+    assert rows(writer.store.nodes["N"], "key") == [("A",)]
+
+
+# ---------------------------------------------------------------------------
+# edges, MATCH gating, deletes
+# ---------------------------------------------------------------------------
+
+
+def test_edge_merge_dedup_and_props(spark, writer):
+    params = spark.createDataFrame(
+        [(1, "p1", "f1", 11), (2, "p1", "f1", 22), (3, "p2", "f1", 33)],
+        "seq int, pk string, fk string, ev int",
+    )
+    writer.execute(
+        """
+        MERGE (p:Process {key:$pk}) MERGE (f:File {path:$fk})
+        MERGE (p)-[r:CREATED_FILE]->(f) SET r.event_id = $ev
+        """,
+        params,
+        order=["seq"],
+    )
+    got = rows(writer.store.edges["CREATED_FILE"], "src", "dst", "event_id")
+    assert got == [("p1", "f1", 22), ("p2", "f1", 33)]
+    assert rows(writer.store.nodes["File"], "path") == [("f1",)]
+
+
+def test_match_gating_bind_to_noop(spark, writer):
+    # reference BIND_TO (events.py:155-160): edge only when BOTH matched
+    writer.execute(
+        "MERGE (wf:WmiFilter {name:$n})",
+        spark.createDataFrame([("F1",)], "n string"),
+    )
+    writer.execute(
+        "MERGE (wc:WmiConsumer {name:$n})",
+        spark.createDataFrame([("C1",)], "n string"),
+    )
+    binds = spark.createDataFrame(
+        [(1, "F1", "C1"), (2, "F1", "MISSING"), (3, "NOPE", "C1")],
+        "seq int, f string, c string",
+    )
+    writer.execute(
+        """
+        MATCH (wf:WmiFilter {name:$f})
+        MATCH (wc:WmiConsumer {name:$c})
+        MERGE (wf)-[r:BIND_TO]->(wc) SET r.event_id = $seq
+        """,
+        binds,
+        order=["seq"],
+    )
+    assert rows(writer.store.edges["BIND_TO"], "src", "dst", "event_id") == [
+        ("F1", "C1", 1)
+    ]
+
+
+def test_match_set_updates_only_existing(spark, writer):
+    writer.execute(
+        "MERGE (n:N {key:$k}) SET n.v = $v",
+        spark.createDataFrame([(1, "A", "a0")], "seq int, k string, v string"),
+        order=["seq"],
+    )
+    writer.execute(
+        "MATCH (n:N {key:$k}) SET n.v = $v",
+        spark.createDataFrame(
+            [(1, "A", "a1"), (2, "GHOST", "g")], "seq int, k string, v string"
+        ),
+        order=["seq"],
+    )
+    # A updated; GHOST not created
+    assert rows(writer.store.nodes["N"], "key", "v") == [("A", "a1")]
+
+
+def test_delete_edge_and_detach_delete_node(spark, writer):
+    writer.execute(
+        """
+        MERGE (a:A {k:$a}) MERGE (b:B {k:$b}) MERGE (a)-[r:R]->(b)
+        """,
+        spark.createDataFrame(
+            [("a1", "b1"), ("a1", "b2"), ("a2", "b1")], "a string, b string"
+        ),
+    )
+    # delete one edge
+    writer.execute(
+        "MATCH (a:A {k:$a}) MATCH (b:B {k:$b}) MERGE (a)-[r:R]->(b) DELETE r",
+        spark.createDataFrame([("a1", "b2")], "a string, b string"),
+    )
+    assert rows(writer.store.edges["R"], "src", "dst") == [
+        ("a1", "b1"),
+        ("a2", "b1"),
+    ]
+    # detach-delete node a1 removes it and its remaining edge
+    writer.execute(
+        "MATCH (a:A {k:$a}) DETACH DELETE a",
+        spark.createDataFrame([("a1",)], "a string"),
+    )
+    assert rows(writer.store.nodes["A"], "k") == [("a2",)]
+    assert rows(writer.store.edges["R"], "src", "dst") == [("a2", "b1")]
+
+
+def test_create_is_constraint_backed(spark, writer):
+    """CREATE on the keyed store no-ops for existing keys (module doc)."""
+    writer.execute(
+        "CREATE (n:N {key:$k, v:$v})",
+        spark.createDataFrame([(1, "A", "a0")], "seq int, k string, v string"),
+        order=["seq"],
+    )
+    writer.execute(
+        "CREATE (n:N {key:$k, v:$v})",
+        spark.createDataFrame([(1, "A", "a1")], "seq int, k string, v string"),
+        order=["seq"],
+    )
+    # composite map is the merge key → (A, a0) and (A, a1) are distinct keys
+    assert rows(writer.store.nodes["N"], "key", "v") == [("A", "a0"), ("A", "a1")]
+
+
+def test_nodes_df_edges_df_views(spark, writer):
+    writer.execute(
+        "MERGE (a:A {k:$a}) MERGE (b:B {k:$b}) MERGE (a)-[r:R]->(b)",
+        spark.createDataFrame([("a1", "b1")], "a string, b string"),
+    )
+    assert rows(writer.store.nodes_df(), "label", "key") == [
+        ("A", "a1"),
+        ("B", "b1"),
+    ]
+    assert rows(writer.store.edges_df(), "rel", "src", "dst") == [
+        ("R", "a1", "b1")
+    ]
+
+
+# ---------------------------------------------------------------------------
+# parity with the hand-built ingest pipeline on a reference template
+# ---------------------------------------------------------------------------
+
+
+def test_reference_template_parity_created_file(spark):
+    """Replay events.py:102-106 (event 11 → CREATED_FILE) through the
+    generic writer over the REAL derived span stream and compare the
+    edge table bit-for-bit with the hand-built router's output."""
+    from graphdb_neo4j_spark.operators import build_graph
+    from graphdb_neo4j_spark.functions.etl import tag
+
+    g = build_graph(spark, "/root/reference/malware/*.json")
+    from graphdb_neo4j_spark.operators.ingest import _derive
+    from graphdb_neo4j_spark.sources.jaeger import read_spans
+
+    d = _derive(read_spans(spark, "/root/reference/malware/*.json"))
+    t = F.col("tags")
+    e11 = d.filter(
+        (F.col("ev") == "11")
+        & F.col("pkey").isNotNull()
+        & tag(t, "TargetFilename", "Path").isNotNull()
+    ).select(
+        F.col("pkey").alias("pk"),
+        tag(t, "TargetFilename", "Path").alias("path"),
+        F.col("ev_long").alias("event_id"),
+        F.col("ord.file").alias("f"),
+        F.col("ord.start_time").alias("st"),
+        F.col("ord.span_idx").alias("si"),
+    )
+    w = GraphWriter(spark)
+    w.execute(
+        """
+        MERGE (p:Process {key:$pk})
+        MERGE (f:File {path:$path})
+        MERGE (p)-[r:CREATED_FILE]->(f)
+        SET r.event_id = $event_id
+        """,
+        e11,
+        order=["f", "st", "si"],
+    )
+    ours = rows(w.store.edges["CREATED_FILE"], "src", "dst", "event_id")
+    ref = rows(
+        g.edges.filter(F.col("rel") == "CREATED_FILE"), "src", "dst", "event_id"
+    )
+    assert ours == ref
+    # node side: every File the router knows from event 11 is present
+    ref_files = rows(
+        g.edges.filter(F.col("rel") == "CREATED_FILE").select(
+            F.col("dst").alias("path")
+        ).dropDuplicates(),
+        "path",
+    )
+    assert rows(w.store.nodes["File"], "path") == ref_files
