@@ -106,3 +106,54 @@ def range_join(
         & (r[f"{on}{suffix}"] - left[on] <= upper_us)
     )
     return left.join(r, cond).drop("__rby")
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    start_col: str = "s",
+    end_col: str = "e",
+    by: str | None = None,
+) -> DataFrame:
+    """Sweep-line MAX-CONCURRENCY over half-open intervals ``[s, e)``:
+    per group, the peak number of simultaneously-active intervals and
+    the earliest instant the peak is reached.
+
+    The classic event-sweep: +1 at each start, −1 at each end, net
+    deltas aggregated per instant (one hash-agg — ties collapse before
+    the sort), then a running SUM ordered by time.  Half-open semantics
+    fall out of the per-instant aggregation: an interval ending exactly
+    when another starts contributes 0 net at that instant.
+
+    Returns ``(by?, peak, peak_t)`` with ``peak_t`` the MIN instant
+    attaining the peak — a total, engine-independent readout.
+
+    100 TB shape: the delta union is map-side; the per-instant net is
+    one shuffle on (by, t); the running sum windows PER GROUP, so
+    parallelism = number of groups.  For a single giant group, replace
+    the window with the two-phase range-bucketed prefix sum in
+    `operators/order.py` (contiguous_index) — same numbers, no
+    SinglePartition; the grouped form here is the right plan when
+    groups ≥ cores.
+    """
+    keys = [by] if by else []
+    s = intervals.select(
+        *keys, F.col(start_col).alias("t"), F.lit(1).cast("long").alias("d")
+    )
+    e = intervals.select(
+        *keys, F.col(end_col).alias("t"), F.lit(-1).cast("long").alias("d")
+    )
+    net = s.unionByName(e).groupBy(*keys, "t").agg(F.sum("d").alias("net"))
+    w = (
+        Window.partitionBy(*keys).orderBy("t")
+        if keys
+        else Window.partitionBy(F.lit(1)).orderBy("t")
+    )
+    run = net.withColumn("c", F.sum("net").over(w))
+    return (
+        run.groupBy(*keys)
+        .agg(
+            F.max("c").cast("bigint").alias("peak"),
+            F.min_by("t", F.struct((-F.col("c")).alias("nc"), F.col("t").alias("tt")))
+            .alias("peak_t"),
+        )
+    )

@@ -1978,3 +1978,88 @@ def modularity(
             contrib.alias("contribution"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999) in EXACT
+    fixed-point integer arithmetic — hash-gateable like q105's PageRank.
+
+    Per iteration: authority(v) = Σ hub(u) over in-edges, hub(u) =
+    Σ authority(v) over out-edges, each renormalized by the QUANTIZED
+    L1 norm ``max(1, total DIV scale)`` with integer DIV (the classic
+    L2 norm is irrational, and an exact ``raw*scale/total`` overflows
+    bigint — dividing by the quantized norm keeps every intermediate a
+    bigint while both engines reproduce the numbers bit-for-bit).
+
+    Returns (v, hub, authority) for every node; nodes with no out-edges
+    have hub 0, no in-edges authority 0 (never NULL).
+
+    100 TB shape: the score vectors co-partition with the edge list on
+    the join key — two shuffles per iteration (one per direction), both
+    map-side pre-aggregated; each iteration ends in a localCheckpoint
+    to truncate lineage (same discipline as :func:`pagerank`; on a
+    cluster swap for checkpoint() to a fault-tolerant dir).
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = nodes.withColumn("h", F.lit(int(scale)).cast("bigint"))
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h, h["v"] == e["src"])
+            .groupBy(F.col("dst").alias("av"))
+            .agg(F.sum("h").alias("raw"))
+        )
+        a_tot = a_raw.agg(F.sum("raw").alias("tot"))
+        a = (
+            nodes.join(a_raw, nodes["v"] == a_raw["av"], "left")
+            .crossJoin(a_tot)  # 1x1 scalar join, broadcast by AQE
+            .select(
+                "v",
+                F.expr(
+                    f"COALESCE(raw, 0) DIV "
+                    f"GREATEST(CAST(1 AS BIGINT), tot DIV CAST({scale} AS BIGINT))"
+                )
+                .cast("bigint")
+                .alias("a"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(a, a["v"] == e["dst"])
+            .groupBy(F.col("src").alias("hv"))
+            .agg(F.sum("a").alias("raw"))
+        )
+        h_tot = h_raw.agg(F.sum("raw").alias("tot"))
+        h = (
+            nodes.join(h_raw, nodes["v"] == h_raw["hv"], "left")
+            .crossJoin(h_tot)
+            .select(
+                "v",
+                F.expr(
+                    f"COALESCE(raw, 0) DIV "
+                    f"GREATEST(CAST(1 AS BIGINT), tot DIV CAST({scale} AS BIGINT))"
+                )
+                .cast("bigint")
+                .alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        nodes.join(h, "v", "left")
+        .join(a, "v", "left")
+        .select(
+            "v",
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hub"),
+            F.coalesce("a", F.lit(0)).cast("bigint").alias("authority"),
+        )
+    )

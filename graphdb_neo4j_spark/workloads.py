@@ -5762,3 +5762,129 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _q120_sql(iters: int = 3, scale: int = 10**12, topk: int = 20) -> str:
+    """Unrolled HITS oracle: K (authority, hub) CTE pairs in exact
+    integer arithmetic with the quantized-L1 renormalization of
+    traversal.hits — bit-identical in any engine."""
+    pre = f"""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+      FROM lineitem
+    ),
+    nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+    h0 AS (SELECT v, CAST({scale} AS BIGINT) AS h FROM nodes)"""
+    blocks = []
+    for k in range(1, iters + 1):
+        blocks.append(f"""
+    araw{k} AS (
+      SELECT e.dst AS v, CAST(SUM(h.h) AS BIGINT) AS raw
+      FROM e JOIN h{k - 1} h ON h.v = e.src GROUP BY e.dst
+    ),
+    atot{k} AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM araw{k}),
+    a{k} AS (
+      SELECT nodes.v,
+             CAST(COALESCE(raw, 0)
+                  // GREATEST(CAST(1 AS BIGINT), tot // CAST({scale} AS BIGINT))
+                  AS BIGINT) AS a
+      FROM nodes CROSS JOIN atot{k}
+      LEFT JOIN araw{k} ON araw{k}.v = nodes.v
+    ),
+    hraw{k} AS (
+      SELECT e.src AS v, CAST(SUM(a.a) AS BIGINT) AS raw
+      FROM e JOIN a{k} a ON a.v = e.dst GROUP BY e.src
+    ),
+    htot{k} AS (SELECT CAST(SUM(raw) AS BIGINT) AS tot FROM hraw{k}),
+    h{k} AS (
+      SELECT nodes.v,
+             CAST(COALESCE(raw, 0)
+                  // GREATEST(CAST(1 AS BIGINT), tot // CAST({scale} AS BIGINT))
+                  AS BIGINT) AS h
+      FROM nodes CROSS JOIN htot{k}
+      LEFT JOIN hraw{k} ON hraw{k}.v = nodes.v
+    )""")
+    return (
+        pre + "," + ",".join(blocks)
+        + f"""
+    SELECT a.v, h.h AS hub, a.a AS authority
+    FROM a{iters} a JOIN h{iters} h ON h.v = a.v
+    ORDER BY authority DESC, a.v LIMIT {topk}
+    """
+    )
+
+
+@query("q120_hits_supplier_parts", _q120_sql())
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs/authorities (traversal.hits) over the supplier→part
+    supply graph, hash-gated: exact fixed-point integers with quantized
+    L1 renormalization, mirrored by an unrolled-CTE DuckDB oracle.
+    Top-20 authorities with a total (authority DESC, v) order."""
+    from graphdb_neo4j_spark.operators.traversal import hits
+
+    l = load_table(spark, sf, "lineitem")
+    e = l.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1000000).alias("dst"),
+    ).distinct()
+    return (
+        hits(e, iters=3)
+        .orderBy(F.col("authority").desc(), "v")
+        .limit(20)
+    )
+
+
+@query(
+    "q121_interval_peak_concurrency",
+    """
+    WITH iv AS (
+      SELECT event_type,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(ROUND(value * 3600 * 1000000) AS BIGINT) AS e
+      FROM events
+    ),
+    d AS (
+      SELECT event_type, s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS delta FROM iv
+    ),
+    net AS (
+      SELECT event_type, t, CAST(SUM(delta) AS BIGINT) AS net
+      FROM d GROUP BY event_type, t
+    ),
+    run AS (
+      SELECT event_type, t,
+             CAST(SUM(net) OVER (PARTITION BY event_type ORDER BY t)
+                  AS BIGINT) AS c
+      FROM net
+    ),
+    m AS (
+      SELECT event_type, t, c, MAX(c) OVER (PARTITION BY event_type) AS mx
+      FROM run
+    )
+    SELECT event_type,
+           CAST(MAX(c) AS BIGINT) AS peak,
+           CAST(MIN(CASE WHEN c = mx THEN t END) AS BIGINT) AS peak_t
+    FROM m GROUP BY event_type
+    """,
+)
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    """Sweep-line peak concurrency (temporal.interval_concurrency):
+    each event opens a half-open activity interval of ``value`` hours;
+    per event_type, the peak number of simultaneously-open intervals
+    and the earliest microsecond it is reached.  Integer microsecond
+    timeline on both sides; the duration product ``value*3600*1000000``
+    uses the same left-assoc IEEE double expression in both engines
+    before the single ROUND, so the hash gate is exact."""
+    from graphdb_neo4j_spark.operators.temporal import interval_concurrency
+
+    ev = load_table(spark, sf, "events")
+    iv = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value") * 3600 * 1000000).cast("bigint")
+        ).alias("e"),
+    )
+    return interval_concurrency(iv, "s", "e", by="event_type")

@@ -1,0 +1,55 @@
+"""Unit semantics for traversal.hits and temporal.interval_concurrency
+(the q120/q121 operators — their cross-engine exactness is pinned by
+tests/test_oracle_parity.py; these fixtures pin the SEMANTICS)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.operators.temporal import interval_concurrency
+from graphdb_neo4j_spark.operators.traversal import hits
+
+SCALE = 10**12
+
+
+def test_hits_star_graph(spark):
+    # hub 0 points at authorities 1,2,3; no other edges.
+    e = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    got = {r["v"]: (r["hub"], r["authority"]) for r in hits(e, iters=2).collect()}
+    # node 0: pure hub (authority 0); leaves: pure authorities (hub 0)
+    assert got[0][1] == 0
+    assert all(got[v][0] == 0 for v in (1, 2, 3))
+    assert got[0][0] > 0
+    # symmetric leaves tie exactly
+    assert got[1] == got[2] == got[3]
+
+
+def test_hits_no_nulls_and_determinism(spark):
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    df1 = hits(e, iters=3).collect()
+    df2 = hits(e, iters=3).collect()
+    assert sorted(map(tuple, df1)) == sorted(map(tuple, df2))
+    assert all(r["hub"] is not None and r["authority"] is not None for r in df1)
+
+
+def test_interval_concurrency_half_open(spark):
+    # [0,10) and [10,20): touching endpoints never overlap
+    iv = spark.createDataFrame([(0, 10), (10, 20)], "s long, e long")
+    row = interval_concurrency(iv, "s", "e").collect()[0]
+    assert row["peak"] == 1 and row["peak_t"] == 0
+
+
+def test_interval_concurrency_peak_and_earliest_instant(spark):
+    # overlaps: [0,10), [5,15), [5,8) → peak 3 at t=5; later [20,30) alone
+    iv = spark.createDataFrame(
+        [("a", 0, 10), ("a", 5, 15), ("a", 5, 8), ("a", 20, 30), ("b", 0, 1)],
+        "g string, s long, e long",
+    )
+    got = {
+        r["g"]: (r["peak"], r["peak_t"])
+        for r in interval_concurrency(iv, "s", "e", by="g").collect()
+    }
+    assert got["a"] == (3, 5)
+    assert got["b"] == (1, 0)
