@@ -2063,3 +2063,113 @@ def hits(
             F.coalesce("a", F.lit(0)).cast("bigint").alias("authority"),
         )
     )
+
+
+def louvain_one_level(
+    edges: DataFrame,
+    max_iter: int = 8,
+) -> DataFrame:
+    """One level of Louvain community detection (Blondel et al. 2008)
+    by distributed local moving — returns ``(v, community)``.
+
+    Each round, every node inspects its neighbors' communities and
+    moves to the one with the best modularity gain.  The gain
+    comparison is EXACT integer arithmetic: for candidate community C,
+    ΔQ(v→C) ∝ 2m·k_{v→C} − deg(v)·tot(C∖v), all bigints, tie-broken by
+    smallest community id — so the assignment is deterministic across
+    runs and partitionings.  Moves apply semi-synchronously: a node
+    moves only on rounds matching its hash parity (the standard
+    distributed-Louvain guard against two-coloring oscillation, e.g.
+    GraphX/Grappolo practice), and the loop stops early when a round
+    moves nothing.
+
+    100 TB shape per round: one join edge×assignment (shuffle on the
+    edge key), one (v, C) hash-agg, one community-degree hash-agg
+    (broadcast back — #communities ≤ #nodes and shrinks fast), one
+    argmax per node via max_by.  Assignment is localCheckpointed per
+    round (iterative-operator discipline; swap for checkpoint() on a
+    cluster).
+    """
+    und = _as_undirected(edges.select("src", "dst")).filter(
+        F.col("src") != F.col("dst")
+    ).distinct().localCheckpoint()
+    # und holds each undirected edge in BOTH directions
+    m = und.count() // 2
+    deg = und.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    nodes = deg.select("v", "deg").localCheckpoint()
+    asg = nodes.select("v", F.col("v").alias("c")).localCheckpoint()
+
+    quiet_streak = 0
+    for it in range(max_iter):
+        # neighbor-community edge counts k_{v→C}
+        nbc = (
+            und.join(asg.select(F.col("v").alias("dst"), "c"), "dst")
+            .groupBy(F.col("src").alias("v"), "c")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+        )
+        # community total degree
+        tot = (
+            asg.join(nodes, "v")
+            .groupBy("c")
+            .agg(F.sum("deg").cast("bigint").alias("tot"))
+        )
+        cur = asg.select("v", F.col("c").alias("c_cur"))
+        # candidates = neighbor communities ∪ current community (k may be 0)
+        cand = (
+            nbc.unionByName(
+                cur.select(
+                    "v", F.col("c_cur").alias("c"), F.lit(0).cast("bigint").alias("k")
+                )
+            )
+            .groupBy("v", "c")
+            .agg(F.max("k").alias("k"))
+        )
+        scored = (
+            cand.join(cur, "v")
+            .join(tot, "c")
+            .join(nodes, "v")
+            .select(
+                "v",
+                "c",
+                "c_cur",
+                (
+                    F.lit(2 * m).cast("bigint") * F.col("k")
+                    - F.col("deg")
+                    * (
+                        F.col("tot")
+                        - F.when(F.col("c") == F.col("c_cur"), F.col("deg"))
+                        .otherwise(F.lit(0))
+                    )
+                ).alias("gain"),
+            )
+        )
+        best = scored.groupBy("v").agg(
+            F.min_by(
+                F.struct("c", "c_cur"),
+                F.struct((-F.col("gain")).alias("ng"), F.col("c").alias("tc")),
+            ).alias("b")
+        )
+        # semi-synchronous: parity-gated moves
+        nxt = best.select(
+            "v",
+            F.when(
+                (F.crc32(F.col("v").cast("string")) % 2) == (it % 2),
+                F.col("b.c"),
+            )
+            .otherwise(F.col("b.c_cur"))
+            .alias("c"),
+        ).localCheckpoint()
+        quiet = (
+            nxt.join(asg.withColumnRenamed("c", "c_old"), "v")
+            .filter(F.col("c") != F.col("c_old"))
+            .isEmpty()
+        )
+        asg = nxt
+        # a quiet round only proves ONE parity class is stable — stop
+        # after both classes pass in consecutive rounds
+        quiet_streak = quiet_streak + 1 if quiet else 0
+        if quiet_streak >= 2:
+            break
+    return asg.select("v", F.col("c").alias("community"))

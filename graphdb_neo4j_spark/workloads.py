@@ -5888,3 +5888,113 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("e"),
     )
     return interval_concurrency(iv, "s", "e", by="event_type")
+
+
+@query(
+    "q122_data_quality_audit",
+    """
+    SELECT 'lineitem:not_null:l_quantity' AS check_name,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem:in_range:l_quantity',
+           CAST(SUM(CASE WHEN l_quantity IS NOT NULL
+                          AND (l_quantity < 1 OR l_quantity > 50)
+                     THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem:unique:l_orderkey,l_linenumber',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM lineitem
+          GROUP BY l_orderkey, l_linenumber)
+    UNION ALL
+    SELECT 'lineitem:foreign_key:l_orderkey', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem
+    WHERE l_orderkey IS NOT NULL
+      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderkey IS NOT NULL)
+    UNION ALL
+    SELECT 'orders:accepted_values:o_orderstatus',
+           CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('F','O','P')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders:unique:o_orderkey', CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'orders:foreign_key:o_custkey', CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                            WHERE c_custkey IS NOT NULL)
+    """,
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-quality audit (operators/quality.py): the
+    admission gate a 100 TB drop passes before entering the pipeline.
+    All predicate checks per table fold into ONE conditional-sum scan;
+    uniqueness is one hash-agg; each FK one anti-join (broadcast by
+    AQE).  The report is O(#checks) rows."""
+    from graphdb_neo4j_spark.operators import quality as Q
+
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    li_report = Q.audit(
+        l,
+        [
+            Q.not_null("l_quantity"),
+            Q.in_range("l_quantity", 1, 50),
+            Q.unique("l_orderkey", "l_linenumber"),
+            Q.foreign_key(["l_orderkey"], o, ["o_orderkey"]),
+        ],
+    ).select(
+        F.concat(F.lit("lineitem:"), F.col("check")).alias("check_name"),
+        "violations",
+    )
+    o_report = Q.audit(
+        o,
+        [
+            Q.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            Q.unique("o_orderkey"),
+            Q.foreign_key(["o_custkey"], c, ["c_custkey"]),
+        ],
+    ).select(
+        F.concat(F.lit("orders:"), F.col("check")).alias("check_name"),
+        "violations",
+    )
+    return li_report.unionByName(o_report)
+
+
+@query("g70_copurchase_louvain_communities")
+def g70(spark: SparkSession, sf: str) -> DataFrame:
+    """Louvain one-level local moving (traversal.louvain_one_level)
+    on the part co-purchase graph — top-20 communities by size with
+    their Newman modularity contribution (the q118 readout scoring the
+    q118 baseline's brand partition vs a LEARNED partition).  Rows-only:
+    the operator is iterative; determinism is pinned by the integer
+    gain comparison + parity schedule (unit tests in
+    tests/test_louvain.py)."""
+    from graphdb_neo4j_spark.operators.traversal import louvain_one_level
+
+    l = load_table(spark, sf, "lineitem")
+    pairs = (
+        l.alias("x")
+        .join(
+            l.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+    asg = louvain_one_level(pairs, max_iter=4)
+    return (
+        asg.groupBy("community")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+        .orderBy(F.col("size").desc(), "community")
+        .limit(20)
+    )
