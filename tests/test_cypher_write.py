@@ -331,3 +331,126 @@ def test_reference_template_parity_created_file(spark):
         "path",
     )
     assert rows(w.store.nodes["File"], "path") == ref_files
+
+
+def test_reference_process_pipeline_replay(spark):
+    """FLAGSHIP replay: the reference's process-merge core — the
+    CYPHER["process"] template (events.py:79-92) for all three write
+    classes (main span / parent stub / 8-10-25 target stub,
+    events.py:300-320), the trace MERGE (events.py:75-77), and the
+    spawn template (events.py:94-98) — executed as CYPHER TEXT through
+    the generic GraphWriter over the real derived span stream.  The
+    resulting Process table (with its ON CREATE guid-omission quirk),
+    HAS_PROCESS, and SPAWNS edge sets must equal the hand-built
+    router's tables EXACTLY (golden: 8921 processes, 10614 HAS_PROCESS,
+    10984 SPAWNS)."""
+    from graphdb_neo4j_spark.operators import build_graph
+    from graphdb_neo4j_spark.operators.ingest import _derive
+    from graphdb_neo4j_spark.sources.jaeger import read_spans, read_traces
+
+    corpus = "/root/reference/malware/*.json"
+    g = build_graph(spark, corpus)
+    spans = read_spans(spark, corpus)
+    d = _derive(spans).persist()
+    traces = read_traces(spark, corpus)
+
+    def nulls(*cols):
+        return [F.lit(None).cast("string").alias(c) for c in cols]
+
+    ordc = [
+        F.col("ord.file").alias("f"),
+        F.col("ord.start_time").alias("st"),
+        F.col("ord.span_idx").alias("si"),
+    ]
+    has_pkey = d.filter(F.col("pkey").isNotNull())
+    main = has_pkey.select(
+        F.col("pkey").alias("key"),
+        F.col("guid").alias("ProcessGuid"),
+        F.col("pguid").alias("ParentProcessGuid"),
+        F.col("image"),
+        F.col("cmd").alias("CommandLine"),
+        F.col("trace_id").alias("traceID"),
+        *ordc,
+        F.lit(0).alias("wseq"),
+    )
+    parent = has_pkey.filter(F.col("parent_key").isNotNull()).select(
+        F.col("parent_key").alias("key"),
+        F.col("pguid").alias("ProcessGuid"),
+        *nulls("ParentProcessGuid", "image", "CommandLine"),
+        F.col("trace_id").alias("traceID"),
+        *ordc,
+        F.lit(1).alias("wseq"),
+    )
+    target = d.filter(
+        F.col("ev").isin("8", "10", "25")
+        & F.col("pkey").isNotNull()
+        & F.col("dst_key").isNotNull()
+    ).select(
+        F.col("dst_key").alias("key"),
+        F.col("dst_guid").alias("ProcessGuid"),
+        *nulls("ParentProcessGuid", "image", "CommandLine"),
+        F.col("trace_id").alias("traceID"),
+        *ordc,
+        F.lit(2).alias("wseq"),
+    )
+    writes = main.unionByName(parent).unionByName(target)
+
+    w = GraphWriter(spark)
+    w.execute(
+        "MERGE (t:Trace {traceID: $traceID})",
+        traces.select(F.col("trace_id").alias("traceID")),
+    )
+    w.execute(
+        """
+        MERGE (p:Process {key: $key})
+          ON CREATE SET p.image = $image, p.CommandLine = $CommandLine
+          ON MATCH SET
+            p.ProcessGuid       = coalesce($ProcessGuid, p.ProcessGuid),
+            p.ParentProcessGuid = coalesce($ParentProcessGuid, p.ParentProcessGuid),
+            p.image             = coalesce($image, p.image),
+            p.CommandLine       = coalesce($CommandLine, p.CommandLine)
+        MATCH (t:Trace {traceID: $traceID})
+        MERGE (t)-[hp:HAS_PROCESS]->(p)
+        """,
+        writes,
+        order=["f", "st", "si", "wseq"],
+    )
+    spawns = has_pkey.filter(F.col("parent_key").isNotNull()).select(
+        F.col("parent_key").alias("pk"), F.col("pkey").alias("ck")
+    )
+    w.execute(
+        """
+        MATCH (parent:Process {key: $pk})
+        MATCH (child:Process {key: $ck})
+        MERGE (parent)-[s:SPAWNS]->(child)
+        """,
+        spawns,
+    )
+
+    ours_proc = rows(
+        w.store.nodes["Process"],
+        "key", "image", "CommandLine", "ProcessGuid", "ParentProcessGuid",
+    )
+    ref_proc = rows(
+        g.process,
+        "key", "image", "command_line", "process_guid", "parent_process_guid",
+    )
+    assert len(ours_proc) == 8921
+    assert ours_proc == ref_proc
+
+    ours_hp = rows(w.store.edges["HAS_PROCESS"], "src", "dst")
+    ref_hp = rows(
+        g.edges.filter(F.col("rel") == "HAS_PROCESS").dropDuplicates(["src", "dst"]),
+        "src", "dst",
+    )
+    assert len(ours_hp) == 10614
+    assert ours_hp == ref_hp
+
+    ours_sp = rows(w.store.edges["SPAWNS"], "src", "dst")
+    ref_sp = rows(
+        g.edges.filter(F.col("rel") == "SPAWNS").dropDuplicates(["src", "dst"]),
+        "src", "dst",
+    )
+    assert len(ours_sp) == 10984
+    assert ours_sp == ref_sp
+    d.unpersist()
