@@ -1181,3 +1181,80 @@ def filtered_topk_lsh(
         vec_col=vec_col,
         round_sim=round_sim,
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "id",
+    vec_col: str = "embedding",
+    rel_col: str = "sim",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein,
+    SIGIR 1998): per query, greedily pick k candidates maximizing
+    ``lam·relevance − (1−lam)·max_cosine_to_already_picked`` — the
+    standard diversification pass after any ANN stage (brute/LSH/IVF/PQ
+    all emit the (query_id, id, sim, embedding) shape this consumes).
+
+    Deterministic: ties break on smaller id at every step, vectors are
+    L2-normalized once up front, and the greedy loop is plain float64
+    numpy — the Python oracle in tests reproduces it exactly.
+
+    100 TB shape: ONE ``applyInPandas`` over query_id groups — the
+    candidate set per query is ANN output (N ≈ 100-1000 rows), so each
+    group is a small dense matrix; work is embarrassingly parallel
+    across queries and nothing but (k × queries) rows come back.  The
+    O(k·N) pairwise step runs vectorized inside the Arrow batch, never
+    as a Spark cross join.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{query_col} long, {id_col} long, {rel_col} double, "
+        "mmr_rank int, mmr_score double"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values([rel_col, id_col], ascending=[False, True])
+        V = np.stack(pdf[vec_col].to_numpy())
+        n = np.linalg.norm(V, axis=1)
+        n[n == 0.0] = 1.0
+        V = V / n[:, None]
+        rel = pdf[rel_col].to_numpy(dtype="float64")
+        ids = pdf[id_col].to_numpy()
+        qid = pdf[query_col].iloc[0]
+        n_rows = len(pdf)
+        kk = min(k, n_rows)
+        picked: list[int] = []
+        scores: list[float] = []
+        max_sim = np.full(n_rows, -np.inf)
+        for _ in range(kk):
+            if picked:
+                mmr = lam * rel - (1.0 - lam) * max_sim
+            else:
+                mmr = lam * rel
+            mmr[picked] = -np.inf
+            # argmax with smallest-id tiebreak: scan best score, then
+            # min id among exact-equal scores
+            best = mmr.max()
+            cand = np.flatnonzero(mmr == best)
+            j = cand[np.argmin(ids[cand])]
+            picked.append(int(j))
+            scores.append(float(best))
+            sims = V @ V[j]
+            max_sim = np.maximum(max_sim, sims)
+        return pd.DataFrame(
+            {
+                query_col: [qid] * kk,
+                id_col: ids[picked],
+                rel_col: rel[picked],
+                "mmr_rank": range(1, kk + 1),
+                "mmr_score": scores,
+            }
+        )
+
+    return candidates.groupBy(query_col).applyInPandas(pick, schema=out_schema)

@@ -157,3 +157,46 @@ def interval_concurrency(
             .alias("peak_t"),
         )
     )
+
+
+def gap_fill_ffill(
+    df: DataFrame,
+    key: str,
+    bucket: str,
+    value: str,
+    step: str = "interval 1 day",
+) -> DataFrame:
+    """Time-series DENSIFICATION: given sparse per-``key`` buckets,
+    emit every bucket between each key's min and max (``step`` apart)
+    and forward-fill ``value`` across the gaps.
+
+    Returns ``(key, bucket, <value> [observed, NULL in gaps],
+    <value>_ffill [last observed, never NULL after the first
+    observation])`` — the resample-and-pad stage every
+    training-telemetry/feature pipeline needs before windowed models.
+
+    100 TB shape: the spine is ONE `sequence()` + `explode` per key —
+    generated map-side from the per-key (min, max) agg, no cross join
+    against a calendar table; the fill is one window per key (shuffle
+    on key, the same partitioning the join just used, so AQE reuses
+    the exchange).  Spine size is bounded by (range/step)·keys —
+    choose ``step`` accordingly.
+    """
+    bounds = df.groupBy(key).agg(
+        F.min(bucket).alias("__mn__"), F.max(bucket).alias("__mx__")
+    )
+    spine = bounds.select(
+        key,
+        F.explode(
+            F.sequence(F.col("__mn__"), F.col("__mx__"), F.expr(step))
+        ).alias(bucket),
+    )
+    joined = spine.join(df, [key, bucket], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(bucket)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.withColumn(
+        f"{value}_ffill", F.last(value, ignorenulls=True).over(w)
+    )

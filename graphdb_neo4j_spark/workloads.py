@@ -5998,3 +5998,83 @@ def g70(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("size").desc(), "community")
         .limit(20)
     )
+
+
+@query(
+    "q123_purchase_gapfill_ffill",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+    ),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                         CAST(mx AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+            FROM daily GROUP BY user_id)
+    )
+    SELECT s.user_id, s.day, d.cents,
+           CAST(LAST_VALUE(d.cents IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.day
+                ) AS BIGINT) AS cents_ffill
+    FROM spine s LEFT JOIN daily d
+      ON d.user_id = s.user_id AND d.day = s.day
+    """,
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-fill + forward-fill resample (temporal.gap_fill_ffill):
+    daily purchase cents per user densified over each user's active
+    range, gaps carrying the last observed value.  Exact integer cents;
+    the per-key sequence+explode spine and the single fill window are
+    the 100 TB plan (no calendar cross join, exchange reuse)."""
+    from graphdb_neo4j_spark.operators.temporal import gap_fill_ffill
+
+    ev = load_table(spark, sf, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    return gap_fill_ffill(daily, "user_id", "day", "cents")
+
+
+@query("q124_mmr_diversified_topk")
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR diversified retrieval (similarity.mmr_rerank): for 4 query
+    vectors, brute-force top-64 cosine candidates in ONE scan (window
+    rank per query), then the greedy λ=0.5 MMR pass per query inside an
+    Arrow batch.  Rows-only: the greedy argmax is not SQL; exactness is
+    pinned by the pure-Python oracle in tests/test_mmr.py."""
+    from pyspark.sql import Window
+
+    from graphdb_neo4j_spark.operators.similarity import cosine_expr, mmr_rerank
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("id"),
+            "embedding",
+            F.round(cosine_expr(F.col("embedding"), F.col("qvec")), 9).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id"))
+    cand = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 64
+    )
+    return mmr_rerank(cand, k=10, lam=0.5).orderBy("query_id", "mmr_rank")
