@@ -422,6 +422,50 @@ class GraphStore:
             out = out.unionByName(p)
         return out
 
+    def to_graph_query(self):
+        """Bind this store to the READ-side combinators: a `GraphQuery`
+        over the unified (label, key) / (rel, src, dst, props) views.
+        Keys are cast to string in both views, so motif joins stay
+        type-consistent across labels."""
+        from functools import reduce as _reduce
+
+        from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+        eparts = []
+        for rel, df in sorted(self.edges.items()):
+            eparts.append(
+                df.select(
+                    F.lit(rel).alias("rel"),
+                    F.col("src").cast("string").alias("src"),
+                    F.col("dst").cast("string").alias("dst"),
+                    *[c for c in df.columns if c not in ("src", "dst")],
+                )
+            )
+        if eparts:
+            edges = _reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), eparts
+            )
+        else:
+            edges = self.spark.createDataFrame(
+                [], "rel string, src string, dst string"
+            )
+        return GraphQuery(nodes=self.nodes_df(), edges=edges)
+
+    def cypher(self, query: str) -> DataFrame:
+        """Full round-trip: run a READ Cypher query (operators/cypher.py
+        subset) against this writer-built store.  Single-key labels'
+        tables are passed as the property tables, so ``v.prop``
+        resolves to whatever MERGE/SET wrote."""
+        props = {
+            lab: df.select(
+                F.col(self.node_keys[lab][0]).cast("string").alias("key"),
+                *[c for c in df.columns if c != self.node_keys[lab][0]],
+            )
+            for lab, df in self.nodes.items()
+            if len(self.node_keys[lab]) == 1
+        }
+        return self.to_graph_query().cypher(query, props=props)
+
     def compact(self) -> None:
         """localCheckpoint every table — truncates the lineage that
         repeated ``execute`` calls grow (call between template batches

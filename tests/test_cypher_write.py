@@ -454,3 +454,48 @@ def test_reference_process_pipeline_replay(spark):
     assert len(ours_sp) == 10984
     assert ours_sp == ref_sp
     d.unpersist()
+
+
+def test_write_read_roundtrip_cypher(spark):
+    """Full Cypher ROUND-TRIP: build a graph with WRITE templates
+    (GraphWriter), then query it with READ Cypher (operators/cypher.py)
+    through GraphStore.cypher — properties written by SET resolve in
+    WHERE/RETURN."""
+    w = GraphWriter(spark)
+    w.execute(
+        """
+        MERGE (c:Customer {key: $ck}) ON CREATE SET c.segment = $seg
+        MERGE (o:Order {key: $ok})    ON CREATE SET o.status = $st
+        MERGE (c)-[p:PLACED]->(o)     SET p.prio = $prio
+        """,
+        spark.createDataFrame(
+            [
+                (1, 100, "BUILDING", "F", "HIGH"),
+                (1, 101, "BUILDING", "O", "LOW"),
+                (2, 102, "AUTO", "F", "LOW"),
+                (2, 103, "AUTO", "F", "HIGH"),
+            ],
+            "ck long, ok long, seg string, st string, prio string",
+        ),
+        order=["ok"],
+    )
+    got = rows(
+        w.store.cypher(
+            "MATCH (c:Customer)-[e:PLACED]->(o:Order) "
+            "WHERE o.status = 'F' AND e.prio = 'HIGH' "
+            "RETURN c AS customer, c.segment AS segment, count(o) AS n"
+        ),
+        "customer", "segment", "n",
+    )
+    assert got == [("1", "BUILDING", 1), ("2", "AUTO", 1)]
+
+    # aggregate over a written property via WITH-pipeline
+    got2 = rows(
+        w.store.cypher(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "WITH c, count(o) AS orders WHERE orders > 1 "
+            "RETURN c AS customer, orders"
+        ),
+        "customer", "orders",
+    )
+    assert got2 == [("1", 2), ("2", 2)]
