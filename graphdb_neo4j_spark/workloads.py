@@ -6078,3 +6078,177 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rnk") <= 64
     )
     return mmr_rerank(cand, k=10, lam=0.5).orderBy("query_id", "mmr_rank")
+
+
+@query(
+    "q125_link_prediction_resource_alloc",
+    """
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    pdeg AS (SELECT part, COUNT(*) AS deg FROM cp GROUP BY part),
+    pairs AS (
+      SELECT a.cust AS cust_a, b.cust AS cust_b,
+             CAST(SUM(1000000 // d.deg) AS BIGINT) AS ra_micro,
+             COUNT(*) AS common_parts
+      FROM cp a
+      JOIN cp b ON a.part = b.part AND a.cust < b.cust
+      JOIN pdeg d ON d.part = a.part
+      GROUP BY a.cust, b.cust
+    )
+    SELECT cust_a, cust_b, ra_micro, CAST(common_parts AS BIGINT) AS common_parts
+    FROM pairs
+    ORDER BY ra_micro DESC, cust_a, cust_b
+    LIMIT 20
+    """,
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou et al. 2009) over the
+    customer-part bipartite graph: score(a,b) = Σ_{shared part w}
+    1/deg(w), in exact integer micro-units (1000000 div deg — integer
+    division in BOTH engines, so the sum is order-independent and
+    hash-stable, unlike Adamic-Adar's float ln).  RA down-weights hub
+    parts the way common-neighbor counting (q64) cannot.
+
+    Scale shape: the same part-keyed wedge enumeration as q64 — one
+    distinct projection, a part-keyed self-join (hub parts dominate;
+    cap part degree at 100 TB exactly like the hot-shingle df-cap),
+    the degree table broadcast onto the wedge stream, one hash-agg."""
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    cp = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    pdeg = cp.groupBy("part").agg(F.count("*").alias("deg"))
+    a = cp.select(F.col("cust").alias("cust_a"), "part")
+    b = cp.select(F.col("cust").alias("cust_b"), "part")
+    wedges = (
+        a.join(b, "part")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .join(F.broadcast(pdeg), "part")
+    )
+    pairs = wedges.groupBy("cust_a", "cust_b").agg(
+        F.sum(F.expr("1000000 div deg")).cast("bigint").alias("ra_micro"),
+        F.count("*").alias("common_parts"),
+    )
+    return pairs.orderBy(
+        F.col("ra_micro").desc(), "cust_a", "cust_b"
+    ).limit(20)
+
+
+@query(
+    "q126_copurchase_lift",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ord, l_partkey AS part FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT ord) AS n_orders FROM op),
+    pc AS (SELECT part, COUNT(*) AS c FROM op GROUP BY part),
+    pairs AS (
+      SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS c_ab
+      FROM op a JOIN op b ON a.ord = b.ord AND a.part < b.part
+      GROUP BY a.part, b.part
+    )
+    SELECT part_a, part_b, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST((1000000 * n.n_orders * c_ab) // (ca.c * cb.c) AS BIGINT)
+             AS lift_micro
+    FROM pairs
+    JOIN pc ca ON ca.part = part_a
+    JOIN pc cb ON cb.part = part_b
+    CROSS JOIN n
+    WHERE c_ab >= 2
+    ORDER BY lift_micro DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    """Co-purchase lift (the PMI-family association score, exact):
+    lift(a,b) = P(a,b) / (P(a)·P(b)) = N·c_ab / (c_a·c_b), reported in
+    integer micro-units via pure bigint arithmetic — multiply first,
+    integer-divide last, so both engines hash identically (float PMI's
+    ln() is deliberately avoided, same policy as q64/q125).
+
+    Scale shape: basket self-join keyed on order id (baskets are
+    small, so the join fans out per-order quadratically in basket
+    size, not corpus size), per-part counts broadcast onto the pair
+    stream, scalar order-count as a 1-row cross join.  Min-support
+    c_ab ≥ 2 prunes the long random tail before ranking."""
+    li = load_table(spark, sf, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = op.agg(F.countDistinct("ord").alias("n_orders"))
+    pc = op.groupBy("part").agg(F.count("*").alias("c"))
+    a = op.select("ord", F.col("part").alias("part_a"))
+    b = op.select("ord", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "ord")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= 2)
+    )
+    ca = pc.select(F.col("part").alias("part_a"), F.col("c").alias("c_a"))
+    cb = pc.select(F.col("part").alias("part_b"), F.col("c").alias("c_b"))
+    out = (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            F.expr("(1000000 * n_orders * c_ab) div (c_a * c_b)")
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+    )
+    return out.orderBy(F.col("lift_micro").desc(), "part_a", "part_b").limit(20)
+
+
+@query(
+    "q127_sliding_window_users",
+    """
+    WITH slots AS (
+      SELECT CAST((epoch_us(ts) // 900000000 - i.i) * 900 AS BIGINT) AS ws_epoch,
+             user_id
+      FROM events, (SELECT unnest(generate_series(0, 3)) AS i) i
+    )
+    SELECT ws_epoch,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM slots
+    GROUP BY ws_epoch
+    """,
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window engagement: events + distinct users per 1-hour
+    window sliding every 15 minutes, via Spark's NATIVE sliding
+    ``F.window`` (each event expands to size/slide = 4 epoch-aligned
+    windows — the batch mirror of the structured-streaming windowed
+    agg in streaming/).  The oracle reproduces the expansion with
+    integer slot arithmetic on epoch seconds, so window boundaries
+    are bit-identical across engines.
+
+    Scale shape: a 4× map-side row expansion (no join against a
+    window spine), then ONE hash-agg keyed on (window, ·); distinct
+    users partial-aggregates map-side.  At 100 TB the expansion
+    factor is size/slide — keep it small; wider ratios should go
+    through the sketch path (per-window HLL, q63)."""
+    e = load_table(spark, sf, "events")
+    win = F.window(F.col("ts"), "1 hour", "15 minutes")
+    return (
+        e.groupBy(win.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("ws_epoch"),
+            "n_events",
+            "n_users",
+        )
+    )
