@@ -1146,6 +1146,50 @@ def _run_segment(
     return out
 
 
+def _split_union(q: str) -> tuple[list[str], bool]:
+    """Split on top-level ``UNION [ALL]`` (outside quotes and all
+    brackets).  Returns (parts, is_union_all).  Neo4j forbids mixing
+    UNION and UNION ALL in one query; so do we."""
+    upper = q.upper()
+    parts: list[str] = []
+    kinds: list[bool] = []  # True = ALL
+    depth = 0
+    in_str = False
+    start = 0
+    i = 0
+    while i < len(q):
+        ch = q[i]
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str and ch in "({[":
+            depth += 1
+        elif not in_str and ch in ")}]":
+            depth -= 1
+        if (
+            not in_str
+            and depth == 0
+            and upper.startswith("UNION", i)
+            and (i == 0 or not upper[i - 1].isalnum())
+            and (i + 5 >= len(upper) or not upper[i + 5].isalnum())
+        ):
+            parts.append(q[start:i])
+            rest = upper[i + 5:].lstrip()
+            is_all = rest.startswith("ALL") and (
+                len(rest) == 3 or not rest[3].isalnum()
+            )
+            kinds.append(is_all)
+            i += 5
+            if is_all:
+                i = upper.index("ALL", i) + 3
+            start = i
+            continue
+        i += 1
+    parts.append(q[start:])
+    if kinds and len(set(kinds)) > 1:
+        raise ValueError("cannot mix UNION and UNION ALL in one query")
+    return parts, bool(kinds and kinds[0])
+
+
 def cypher(
     gq: GraphQuery,
     query: str,
@@ -1163,7 +1207,27 @@ def cypher(
     ``WHERE`` filters the projection (Cypher's HAVING), and the next
     segment's patterns re-join the carried scope on shared variables —
     all still one Catalyst plan, so the optimizer sees through the
-    whole pipeline."""
+    whole pipeline.
+
+    Top-level ``UNION`` / ``UNION ALL`` combine full queries: each arm
+    compiles independently, arms must return the same column names
+    (Neo4j's rule), ``UNION ALL`` is a bag union (``unionByName``) and
+    ``UNION`` adds one global distinct — both still a single plan, so
+    Catalyst can pick partial-dedup / exchange-reuse strategies."""
+    arms, is_all = _split_union(query.strip().rstrip(";"))
+    if len(arms) > 1:
+        dfs = [cypher(gq, arm, props) for arm in arms]
+        cols0 = set(dfs[0].columns)
+        for d in dfs[1:]:
+            if set(d.columns) != cols0:
+                raise ValueError(
+                    "UNION arms must return the same column names: "
+                    f"{sorted(cols0)} vs {sorted(d.columns)}"
+                )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out if is_all else out.distinct()
     segments = _segment_clauses(_split_clauses(query.strip().rstrip(";")))
     first = segments[0].parsed
     if not first.hops and not first.single_nodes and not first.paths:

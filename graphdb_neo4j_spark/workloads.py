@@ -6252,3 +6252,32 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@query("g71_corpus_cypher_ioc_union")
+def g71(spark: SparkSession, sf: str) -> DataFrame:
+    """IOC sweep in Cypher with top-level UNION: one arm per indicator
+    class (network destinations, dropped files, registry keys written),
+    each (kind, value, n_procs), deduped by UNION's set semantics —
+    the analyst's \"give me every observable\" query in a single
+    statement.  Each arm is an independent MATCH+aggregate plan;
+    unionByName + one global distinct on top (ORDER BY/LIMIT inside an
+    arm binds to THAT arm, as in Neo4j, so the global rank is applied
+    DataFrame-side).  Rows-only gate; UNION semantics pinned exactly in
+    tests/test_cypher.py."""
+    from graphdb_neo4j_spark.operators.cypher import cypher
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    g = _corpus_graph(spark)
+    gq = GraphQuery.from_graph(g)
+    return cypher(
+        gq,
+        "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) "
+        "RETURN 'net' AS kind, ip AS value, count(DISTINCT p) AS n_procs "
+        "UNION "
+        "MATCH (p:Process)-[:CREATED_FILE]->(f:File) "
+        "RETURN 'file' AS kind, f AS value, count(DISTINCT p) AS n_procs "
+        "UNION "
+        "MATCH (p:Process)-[:SET_REG_VALUE]->(r:RegistryValue) "
+        "RETURN 'reg' AS kind, r AS value, count(DISTINCT p) AS n_procs",
+    ).orderBy(F.col("n_procs").desc(), "kind", "value").limit(25)

@@ -664,3 +664,64 @@ def test_cypher_scalar_function_rewrites(gq):
     assert [(r.parent, r.seven, r.fl, r.lo) for r in rows] == [
         ("a", 7, 1.5, "abc")
     ]
+
+
+def test_union_all_bag_semantics(gq):
+    rows = cypher(
+        gq,
+        "MATCH (p:Process)-[:CREATED_FILE]->(f:File) RETURN p AS who "
+        "UNION ALL "
+        "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) RETURN p AS who",
+    ).collect()
+    # d appears in BOTH arms — UNION ALL keeps the duplicate
+    assert sorted(r.who for r in rows) == ["c", "c", "d", "d"]
+
+
+def test_union_distinct(gq):
+    rows = cypher(
+        gq,
+        "MATCH (p:Process)-[:CREATED_FILE]->(f:File) RETURN p AS who "
+        "UNION "
+        "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) RETURN p AS who",
+    ).collect()
+    assert sorted(r.who for r in rows) == ["c", "d"]
+
+
+def test_union_three_arms_with_where(gq, props):
+    rows = cypher(
+        gq,
+        "MATCH (p:Process) WHERE p.image = 'evil.exe' RETURN p AS k "
+        "UNION MATCH (p:Process) WHERE p.image = 'explorer.exe' RETURN p AS k "
+        "UNION MATCH (p:Process)-[:SPAWNS]->(c:Process) "
+        "WHERE c.image = 'evil.exe' RETURN p AS k",
+        props=props,
+    ).collect()
+    assert sorted(r.k for r in rows) == ["a", "b", "d"]
+
+
+def test_union_column_mismatch_raises(gq):
+    with pytest.raises(ValueError, match="same column names"):
+        cypher(
+            gq,
+            "MATCH (p:Process) RETURN p AS x "
+            "UNION MATCH (p:Process) RETURN p AS y",
+        )
+
+
+def test_union_mixed_kinds_raises(gq):
+    with pytest.raises(ValueError, match="mix UNION"):
+        cypher(
+            gq,
+            "MATCH (p:Process) RETURN p AS x "
+            "UNION MATCH (p:Process) RETURN p AS x "
+            "UNION ALL MATCH (p:Process) RETURN p AS x",
+        )
+
+
+def test_union_keyword_inside_string_is_opaque(gq, props):
+    rows = cypher(
+        gq,
+        "MATCH (p:Process) WHERE p.image = 'union all.exe' RETURN p AS k",
+        props=props,
+    ).collect()
+    assert rows == []
