@@ -6281,3 +6281,118 @@ def g71(spark: SparkSession, sf: str) -> DataFrame:
         "MATCH (p:Process)-[:SET_REG_VALUE]->(r:RegistryValue) "
         "RETURN 'reg' AS kind, r AS value, count(DISTINCT p) AS n_procs",
     ).orderBy(F.col("n_procs").desc(), "kind", "value").limit(25)
+
+
+@query(
+    "q128_event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS c
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    outdeg AS (
+      SELECT prev_type, SUM(c) AS total FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, CAST(t.c AS BIGINT) AS c,
+           CAST((1000000 * t.c) // o.total AS BIGINT) AS prob_micro
+    FROM trans t JOIN outdeg o ON t.prev_type = o.prev_type
+    """,
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: LAG pairs (prev → next) ordered by (ts, event_id) — the
+    event_id tie-break keeps same-microsecond rows deterministic, the
+    q61 lesson — with transition probabilities in exact integer
+    micro-units (multiply-then-integer-divide, both engines identical).
+
+    Scale shape: ONE user-keyed window (the sequence shuffle), one
+    hash-agg on (prev,next) — 25 cells for 5 event types, so the
+    row-probability join is a broadcast of a tiny outdegree table.
+    The standard session-behavior / funnel-model building block."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("c")
+    )
+    outdeg = trans.groupBy("prev_type").agg(F.sum("c").alias("total"))
+    return (
+        trans.join(F.broadcast(outdeg), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            F.col("c").cast("bigint").alias("c"),
+            F.expr("(1000000 * c) div total").cast("bigint").alias("prob_micro"),
+        )
+    )
+
+
+@query(
+    "q129_keyword_search_tfidf",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term IN ('join', 'scan', 'window')
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    hits AS (
+      SELECT tf.doc_id,
+             CAST(SUM(tf.tf * (1000000 // df.df)) AS BIGINT) AS score_micro,
+             COUNT(*) AS n_terms
+      FROM tf JOIN df ON tf.term = df.term
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score_micro
+    FROM hits WHERE n_terms = 3
+    ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    """Conjunctive keyword search over an inverted-index shape: tokens
+    exploded to (doc, term) postings, per-doc tf for the query terms,
+    conjunction enforced by matched-term count = |query|, ranked by an
+    integer-exact tf·idf surrogate (tf × (1e6 div df) — rarer terms
+    weigh more, and pure bigint arithmetic hashes identically in both
+    engines; float ln-idf deliberately avoided, q125's policy).
+
+    Scale shape: the term IN-filter pushes into the scan BEFORE the
+    explode-aggregate (only query-term postings survive the first
+    hash-agg), df is a |query|-row broadcast, and the final top-k is a
+    TakeOrdered — no global sort.  A persisted postings table bucketed
+    by term is the 100 TB variant (same plan minus the explode)."""
+    d = load_table(spark, sf, "documents")
+    terms = ["join", "scan", "window"]
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term").isin(terms))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    hits = (
+        tf.join(F.broadcast(dfreq), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("tf * (1000000 div df)")).cast("bigint").alias("score_micro"),
+            F.count("*").alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+    )
+    return hits.select("doc_id", "score_micro").orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    ).limit(10)
