@@ -800,3 +800,50 @@ def test_graph_asof_time_travel(spark, trace_dir, tmp_path):
     n0 = {tuple(r) for r in asof0["nodes"].collect()}
     nf = {tuple(r) for r in full["nodes"].collect()}
     assert len(n0) < len(nf) and n0 <= nf
+
+
+def test_sliding_user_engagement_stream_equals_batch(spark, tmp_path):
+    """Streaming sliding-window distinct users: emitted (closed) windows
+    must match the batch application of the SAME transformation row for
+    row — and the batch side is q127's n_users semantics."""
+    import datetime as dt
+
+    from graphdb_neo4j_spark.streaming.windows import sliding_user_engagement
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(500):
+        # users 0-24 cycling over ~5 hours, duplicates within windows
+        rows.append((base + dt.timedelta(seconds=37 * i), i % 25))
+        rows.append((base + dt.timedelta(seconds=37 * i), i % 25))  # dup row
+    src_dir = str(tmp_path / "ev_src")
+    batch_df = spark.createDataFrame(rows, ["ts", "user_id"])
+    batch_df.write.parquet(src_dir)
+
+    stream = spark.readStream.schema("ts timestamp, user_id bigint").parquet(src_dir)
+    agg = sliding_user_engagement(stream)
+    out = str(tmp_path / "slide_out")
+    ckpt = str(tmp_path / "slide_ckpt")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.ws_epoch: r.n_users for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r.ws_epoch: r.n_users
+        for r in sliding_user_engagement(
+            spark.read.parquet(src_dir)
+        ).collect()
+    }
+    # append mode withholds only windows the final watermark left open
+    assert len(got) >= len(want) - 12, (len(got), len(want))
+    for ws, n in got.items():
+        assert want[ws] == n, (ws, n, want.get(ws))
