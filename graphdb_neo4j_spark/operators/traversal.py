@@ -2173,3 +2173,72 @@ def louvain_one_level(
         if quiet_streak >= 2:
             break
     return asg.select("v", F.col("c").alias("community"))
+
+
+def greedy_matching(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """(src, dst) — a deterministic MAXIMAL matching of the undirected
+    graph: no two returned edges share a vertex, and no remaining edge
+    has both endpoints unmatched.
+
+    Handshake rounds (the distributed symmetric variant of greedy
+    matching, cf. Israeli & Itai 1986): every edge carries a
+    deterministic md5 priority; each round every live vertex points at
+    its min-priority incident edge, and an edge joins the matching iff
+    BOTH endpoints picked it (a handshake).  Matched vertices and
+    their incident edges drop out; expected O(log n) rounds.
+
+    Scale shape per round: one explode to (vertex, edge), one
+    min-by-key hash-agg, a 2-vote hash-agg to detect handshakes, two
+    anti-join filters — all key-partitioned, nothing driver-side but
+    the loop counter.  Deterministic: priorities are content hashes,
+    so reruns and the pure-Python oracle agree edge-for-edge
+    (tests/test_traversal.py).
+    """
+    und = (
+        _as_undirected(edges)
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            F.md5(F.concat_ws("|", "src", "dst")).alias("pri"),
+        )
+        .localCheckpoint()
+    )
+    matched_edges = None
+    for _ in range(max_iter):
+        if und.isEmpty():
+            break
+        # every vertex's min-priority incident edge; ties (md5
+        # collisions) break on (pri, src, dst) inside the min-struct
+        incid = und.select(
+            F.col("src").alias("v"), "src", "dst", "pri"
+        ).unionByName(und.select(F.col("dst").alias("v"), "src", "dst", "pri"))
+        pick = incid.groupBy("v").agg(
+            F.min(F.struct("pri", "src", "dst")).alias("e")
+        ).select("v", F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        handshake = (
+            pick.groupBy("src", "dst")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") == 2)
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        if handshake.isEmpty():
+            break
+        matched_edges = (
+            handshake
+            if matched_edges is None
+            else matched_edges.unionByName(handshake).localCheckpoint()
+        )
+        mv = handshake.select(F.col("src").alias("v")).unionByName(
+            handshake.select(F.col("dst").alias("v"))
+        ).distinct()
+        und = (
+            und.join(mv.select(F.col("v").alias("src")), "src", "left_anti")
+            .join(mv.select(F.col("v").alias("dst")), "dst", "left_anti")
+            .localCheckpoint()
+        )
+    if matched_edges is None:
+        return edges.sparkSession.createDataFrame([], "src string, dst string")
+    return matched_edges

@@ -6396,3 +6396,23 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
     return hits.select("doc_id", "score_micro").orderBy(
         F.col("score_micro").desc(), "doc_id"
     ).limit(10)
+
+
+@query("g72_corpus_greedy_matching")
+def g72(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic maximal matching over the corpus SPAWNS graph
+    (traversal.greedy_matching, Israeli & Itai handshake rounds) — the
+    pairing primitive behind dedup-pair assignment / record-linkage
+     1:1 constraints.  Returns the matching size plus the 20
+    lexicographically-first matched pairs; rows-only gate, exactness
+    pinned by the sequential-greedy-equivalence oracle in
+    tests/test_traversal.py."""
+    from graphdb_neo4j_spark.operators.traversal import greedy_matching
+
+    g = _corpus_graph(spark)
+    spawns = g.edges.filter(F.col("rel") == "SPAWNS").select("src", "dst")
+    m = greedy_matching(spawns).localCheckpoint()
+    size = m.agg(F.count("*").alias("n")).select(
+        F.lit("__size__").alias("src"), F.col("n").cast("string").alias("dst")
+    )
+    return size.unionByName(m.orderBy("src", "dst").limit(20))

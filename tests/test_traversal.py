@@ -1161,3 +1161,50 @@ def test_modularity_single_community_is_zero(spark):
     assert rows[0].internal_edges == 4  # a-b, b-c, c-d, d-a
     assert rows[0].degree_sum == 8
     assert rows[0].contribution == 0.0
+
+
+def test_greedy_matching_equals_sequential_oracle(spark):
+    """The handshake matching equals the SEQUENTIAL greedy matching on
+    the md5 priority order (the classic localized-greedy equivalence),
+    is a valid matching, and is maximal."""
+    import hashlib
+    import random
+
+    from graphdb_neo4j_spark.operators.traversal import greedy_matching
+
+    rng = random.Random(7)
+    edges = {
+        (min(u, v), max(u, v))  # lexicographic, matching _as_undirected
+        for u, v in (
+            (f"n{rng.randrange(60)}", f"n{rng.randrange(60)}")
+            for _ in range(160)
+        )
+        if u != v
+    }
+    df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    got = {(r.src, r.dst) for r in greedy_matching(df).collect()}
+
+    # oracle: sequential greedy over ascending (md5, src, dst)
+    def pri(e):
+        return (hashlib.md5(f"{e[0]}|{e[1]}".encode()).hexdigest(), e[0], e[1])
+
+    used, want = set(), set()
+    for e in sorted(edges, key=pri):
+        if e[0] not in used and e[1] not in used:
+            want.add(e)
+            used.update(e)
+    assert got == want
+
+    # matching property: no shared vertices
+    verts = [v for e in got for v in e]
+    assert len(verts) == len(set(verts))
+    # maximality: every input edge touches a matched vertex
+    mv = set(verts)
+    assert all(e[0] in mv or e[1] in mv for e in edges)
+
+
+def test_greedy_matching_empty_and_selfloop(spark):
+    from graphdb_neo4j_spark.operators.traversal import greedy_matching
+
+    df = spark.createDataFrame([("a", "a")], ["src", "dst"])
+    assert greedy_matching(df).count() == 0
