@@ -6416,3 +6416,120 @@ def g72(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("__size__").alias("src"), F.col("n").cast("string").alias("dst")
     )
     return size.unionByName(m.orderBy("src", "dst").limit(20))
+
+
+@query(
+    "q130_mad_outliers",
+    """
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med_cents
+      FROM v GROUP BY event_type
+    ),
+    dev AS (
+      SELECT v.event_id, v.event_type, v.cents, med.med_cents,
+             ABS(v.cents - med.med_cents) AS adev
+      FROM v JOIN med ON v.event_type = med.event_type
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(quantile_disc(adev, 0.5) AS BIGINT) AS mad_cents
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.cents, d.med_cents, m.mad_cents
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    WHERE d.adev > 5 * m.mad_cents
+    ORDER BY d.event_type, d.event_id
+    """,
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier detection, MAD rule: flag events whose value
+    deviates from the per-type DISCRETE median by more than 5x the
+    median absolute deviation — everything in exact integer cents
+    (discrete quantiles, never interpolated), so both engines agree
+    bit-for-bit.  The robust data-quality gate that survives the
+    heavy-tailed columns z-scores choke on.
+
+    Scale shape: two grouped discrete medians (each one shuffle on
+    event_type via percentile_approx-free exact sort-agg on ~5 keys),
+    medians broadcast back onto the row stream, one filter — the
+    row-proportional work is two broadcast joins and a scan."""
+    e = load_table(spark, sf, "events").filter(F.col("value").isNotNull())
+    v = e.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("bigint")
+        .alias("med_cents")
+    )
+    dev = v.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)")
+        .cast("bigint")
+        .alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 5 * F.col("mad_cents"))
+        .select("event_id", "event_type", "cents", "med_cents", "mad_cents")
+        .orderBy("event_type", "event_id")
+    )
+
+
+@query(
+    "q131_rank_normalize",
+    """
+    WITH v AS (
+      SELECT doc_id, n_chars,
+             RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n,
+             lang
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars,
+           CAST(CASE WHEN n = 1 THEN 0
+                     ELSE (1000000 * (rk - 1)) // (n - 1) END AS BIGINT)
+             AS pct_rank_micro
+    FROM v
+    """,
+)
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-based feature normalization (the quantile-transform stage
+    of a feature pipeline): percent-rank of document length WITHIN
+    language, in integer micro-units computed from RANK and the group
+    size with pure bigint arithmetic — identical tie handling and no
+    float PERCENT_RANK drift between engines.
+
+    Scale shape: one window over (lang) — a single shuffle; the
+    count(*) OVER shares the same partition spec so Catalyst computes
+    both in one Window node.  Skewed groups (one giant language) are
+    the known hazard: at 100 TB use the distributed-NTILE contiguous
+    index (operators/order.py) instead of a single-partition sort."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents")
+    wr = Window.partitionBy("lang").orderBy("n_chars")
+    wn = Window.partitionBy("lang")
+    return (
+        d.withColumn("rk", F.rank().over(wr))
+        .withColumn("n", F.count("*").over(wn))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.when(F.col("n") == 1, F.lit(0))
+            .otherwise(F.expr("(1000000 * (rk - 1)) div (n - 1)"))
+            .cast("bigint")
+            .alias("pct_rank_micro"),
+        )
+    )
