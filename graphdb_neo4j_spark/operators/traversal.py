@@ -2242,3 +2242,52 @@ def greedy_matching(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     if matched_edges is None:
         return edges.sparkSession.createDataFrame([], "src string, dst string")
     return matched_edges
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """(u, degree, triangles, clustering_micro) — per-vertex local
+    clustering coefficient c(v) = 2T(v) / (d(v)·(d(v)−1)) in integer
+    micro-units, 0 where d < 2.
+
+    ``edges`` is an undirected edge list (any orientation, duplicates
+    and self-loops tolerated — canonicalized here).  The wedge
+    (incidence) × closing-edge (min-ordered) join counts each triangle
+    at v exactly once, so the numerator carries the explicit factor 2;
+    multiply-then-integer-divide keeps both engines and reruns
+    bit-identical.  Scale: the standard oriented triangle join — the
+    closing side is the canonical edge list, hub vertices bound the
+    wedge fan-out; prune low-support edges upstream (q133 does) when
+    the projection is dense.  Toy-fixture semantics (triangle+pendant:
+    1.0 / 0.333… / 0) pinned in tests/test_traversal.py.
+    """
+    e = (
+        _as_undirected(edges)
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .localCheckpoint()
+    )
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    wedge = und.select(F.col("u"), F.col("v").alias("mid")).join(
+        e.select(F.col("u").alias("mid"), F.col("v").alias("other")), "mid"
+    )
+    tri = (
+        wedge.join(
+            e.select(F.col("u").alias("cu"), F.col("v").alias("cv")),
+            (F.least("u", "other") == F.col("cu"))
+            & (F.greatest("u", "other") == F.col("cv")),
+            "left_semi",
+        )
+        .groupBy("u")
+        .agg(F.count("*").alias("t"))
+    )
+    return deg.join(tri, "u", "left").select(
+        "u",
+        F.col("d").cast("bigint").alias("degree"),
+        F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("triangles"),
+        F.when(F.col("d") < 2, F.lit(0))
+        .otherwise(F.expr("(2000000 * coalesce(t, 0)) div (d * (d - 1))"))
+        .cast("bigint")
+        .alias("clustering_micro"),
+    )

@@ -6533,3 +6533,131 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
             .alias("pct_rank_micro"),
         )
     )
+
+
+@query(
+    "q132_pareto_frontier_parts",
+    """
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    )
+    SELECT a.p_partkey, a.price_cents, a.p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+    )
+    ORDER BY a.price_cents, a.p_partkey
+    """,
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of parts: minimize price, maximize
+    size.  The Spark plan is the classic single-sort SWEEP, not the
+    quadratic dominance anti-join: order by integer price cents, a
+    RANGE-frame cummax of size over STRICTLY cheaper rows, keep a row
+    iff nothing cheaper is at least as big and it is the max size of
+    its own price group (ties at the same (price, size) all survive,
+    per strict-dominance semantics).  The oracle is the INDEPENDENT
+    O(n^2) NOT EXISTS formulation, so the sweep's edge cases (equal
+    price, equal size, duplicates) are cross-checked, not mirrored.
+
+    Scale shape: ONE range-partitioned sort carries the whole operator
+    (both windows share the price ordering; Catalyst fuses them into
+    one Window node after one exchange) — the textbook skyline
+    map-reduce needs local frontiers + a merge, but in 2-D the sweep
+    IS the merge.  100 TB: repartitionByRange on price keeps
+    partitions balanced; the cummax is an O(1)-state running max."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    w_cheaper = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("price_cents")
+    out = (
+        p.withColumn("best_cheaper", F.max("p_size").over(w_cheaper))
+        .withColumn("best_same", F.max("p_size").over(w_same))
+        .filter(
+            (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("p_size")))
+            & (F.col("p_size") == F.col("best_same"))
+        )
+        .select("p_partkey", "price_cents", "p_size")
+    )
+    return out.orderBy("price_cents", "p_partkey")
+
+
+@query(
+    "q133_local_clustering",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ord, l_partkey AS part FROM lineitem
+    ),
+    e AS (
+      SELECT a.part AS u, b.part AS v, COUNT(*) AS w
+      FROM op a JOIN op b ON a.ord = b.ord AND a.part < b.part
+      GROUP BY a.part, b.part
+      HAVING COUNT(*) >= 2
+    ),
+    und AS (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+    tri AS (
+      SELECT x.u, COUNT(*) AS t
+      FROM und x JOIN e y ON x.v = y.u
+      JOIN e z ON z.u = LEAST(x.u, y.v) AND z.v = GREATEST(x.u, y.v)
+      GROUP BY x.u
+    )
+    SELECT deg.u AS part, CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tri.t, 0) AS BIGINT) AS triangles,
+           CAST(CASE WHEN deg.d < 2 THEN 0
+                ELSE (2000000 * COALESCE(tri.t, 0)) // (deg.d * (deg.d - 1))
+                END AS BIGINT) AS clustering_micro
+    FROM deg LEFT JOIN tri ON deg.u = tri.u
+    ORDER BY clustering_micro DESC, part
+    LIMIT 50
+    """,
+)
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vertex local clustering coefficient on the co-purchase part
+    graph (edges = part pairs co-ordered >= 2 times): for each vertex,
+    triangles through it over ordered neighbor pairs — the community-
+    structure / spam-node feature.  c(v) = 2T / (d(d-1)): the wedge
+    (und) x closing-edge (canonical e) join counts each triangle at v
+    exactly ONCE (the closing pair is min-ordered), so the numerator
+    carries the explicit factor 2; the ratio lands in integer
+    micro-units (multiply-then-div, q125's policy), verified on a
+    toy triangle+pendant fixture (1.0 / 0.333... / 0).
+
+    Scale shape: the min-ordered edge list e is materialized once;
+    wedges enumerate from the undirected incidence and close against e
+    with the (LEAST, GREATEST) canonical key — the standard oriented
+    triangle join, hub-bounded by the co-purchase >= 2 support prune.
+    Degrees broadcast onto the final projection."""
+    from graphdb_neo4j_spark.operators.traversal import local_clustering
+
+    li = load_table(spark, sf, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ord"), F.col("l_partkey").alias("part")
+    ).distinct()
+    a = op.select("ord", F.col("part").alias("u"))
+    b = op.select("ord", F.col("part").alias("v"))
+    e = (
+        a.join(b, "ord")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    out = local_clustering(e).withColumnRenamed("u", "part")
+    return out.orderBy(F.col("clustering_micro").desc(), "part").limit(50)

@@ -1208,3 +1208,23 @@ def test_greedy_matching_empty_and_selfloop(spark):
 
     df = spark.createDataFrame([("a", "a")], ["src", "dst"])
     assert greedy_matching(df).count() == 0
+
+
+def test_local_clustering_toy_fixture(spark):
+    """Triangle 1-2-3 with pendant 4 on vertex 1: c = 1/3, 1, 1, 0 —
+    pins the factor-2 numerator and the d<2 guard."""
+    from graphdb_neo4j_spark.operators.traversal import local_clustering
+
+    e = spark.createDataFrame(
+        [("1", "2"), ("1", "3"), ("2", "3"), ("1", "4")], ["src", "dst"]
+    )
+    got = {
+        r.u: (r.degree, r.triangles, r.clustering_micro)
+        for r in local_clustering(e).collect()
+    }
+    assert got == {
+        "1": (3, 1, 333333),
+        "2": (2, 1, 1000000),
+        "3": (2, 1, 1000000),
+        "4": (1, 0, 0),
+    }
