@@ -2092,86 +2092,8 @@ def louvain_one_level(
     """
     und = _as_undirected(edges.select("src", "dst")).filter(
         F.col("src") != F.col("dst")
-    ).distinct().localCheckpoint()
-    # und holds each undirected edge in BOTH directions
-    m = und.count() // 2
-    deg = und.groupBy(F.col("src").alias("v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg")
-    )
-    nodes = deg.select("v", "deg").localCheckpoint()
-    asg = nodes.select("v", F.col("v").alias("c")).localCheckpoint()
-
-    quiet_streak = 0
-    for it in range(max_iter):
-        # neighbor-community edge counts k_{v→C}
-        nbc = (
-            und.join(asg.select(F.col("v").alias("dst"), "c"), "dst")
-            .groupBy(F.col("src").alias("v"), "c")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
-        )
-        # community total degree
-        tot = (
-            asg.join(nodes, "v")
-            .groupBy("c")
-            .agg(F.sum("deg").cast("bigint").alias("tot"))
-        )
-        cur = asg.select("v", F.col("c").alias("c_cur"))
-        # candidates = neighbor communities ∪ current community (k may be 0)
-        cand = (
-            nbc.unionByName(
-                cur.select(
-                    "v", F.col("c_cur").alias("c"), F.lit(0).cast("bigint").alias("k")
-                )
-            )
-            .groupBy("v", "c")
-            .agg(F.max("k").alias("k"))
-        )
-        scored = (
-            cand.join(cur, "v")
-            .join(tot, "c")
-            .join(nodes, "v")
-            .select(
-                "v",
-                "c",
-                "c_cur",
-                (
-                    F.lit(2 * m).cast("bigint") * F.col("k")
-                    - F.col("deg")
-                    * (
-                        F.col("tot")
-                        - F.when(F.col("c") == F.col("c_cur"), F.col("deg"))
-                        .otherwise(F.lit(0))
-                    )
-                ).alias("gain"),
-            )
-        )
-        best = scored.groupBy("v").agg(
-            F.min_by(
-                F.struct("c", "c_cur"),
-                F.struct((-F.col("gain")).alias("ng"), F.col("c").alias("tc")),
-            ).alias("b")
-        )
-        # semi-synchronous: parity-gated moves
-        nxt = best.select(
-            "v",
-            F.when(
-                (F.crc32(F.col("v").cast("string")) % 2) == (it % 2),
-                F.col("b.c"),
-            )
-            .otherwise(F.col("b.c_cur"))
-            .alias("c"),
-        ).localCheckpoint()
-        quiet = (
-            nxt.join(asg.withColumnRenamed("c", "c_old"), "v")
-            .filter(F.col("c") != F.col("c_old"))
-            .isEmpty()
-        )
-        asg = nxt
-        # a quiet round only proves ONE parity class is stable — stop
-        # after both classes pass in consecutive rounds
-        quiet_streak = quiet_streak + 1 if quiet else 0
-        if quiet_streak >= 2:
-            break
+    ).distinct().withColumn("w", F.lit(1).cast("bigint")).localCheckpoint()
+    asg = _louvain_local_moving(und, None, max_iter)
     return asg.select("v", F.col("c").alias("community"))
 
 
@@ -2291,3 +2213,210 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("clustering_micro"),
     )
+
+
+def _louvain_local_moving(
+    und: DataFrame,
+    loops: DataFrame | None,
+    max_iter: int,
+) -> DataFrame:
+    """Weighted Louvain local-moving kernel — returns ``(v, c)``.
+
+    ``und`` holds every undirected edge in BOTH directions with a
+    bigint ``w`` (no self rows); ``loops`` is ``(v, loop_w)`` self-loop
+    weight (None at level 0).  All gain comparisons are exact bigint:
+    ΔQ(v→C) ∝ S·k_{v→C} − deg(v)·tot(C∖v) with S = Σ_v deg(v)
+    (= 2·total edge weight incl. loops), ties broken by smallest
+    community id; moves are parity-gated per round (the distributed
+    anti-oscillation schedule), loop stops after two quiet rounds
+    (one per parity class).
+    """
+    spark = und.sparkSession
+
+    def _freeze(df_in, prev_rdd=None):
+        """Materialize to a persisted RDD and rebase the DataFrame on it.
+
+        Dataset.localCheckpoint is unreliable under AQE for this loop
+        shape: the checkpoint marker can land on a pre-replan RDD, the
+        retained RDD keeps its full lineage, and with the assignment
+        referenced ~4x per round the job cost DOUBLES every round
+        (measured: 0.7s -> 67s over 8 rounds).  Persisting the final
+        RDD explicitly and rebasing via createDataFrame pins the
+        actual computed partitions; rounds stay O(1) (measured flat at
+        ~1s).  The previous round's RDD unpersists only after the new
+        one is materialized."""
+        rdd = df_in.rdd
+        rdd.persist()
+        rdd.count()
+        out = spark.createDataFrame(rdd, df_in.schema)
+        if prev_rdd is not None:
+            prev_rdd.unpersist()
+        return out, rdd
+
+    ideg = und.groupBy(F.col("src").alias("v")).agg(
+        F.sum("w").cast("bigint").alias("ideg")
+    )
+    if loops is not None:
+        ideg = (
+            ideg.join(loops, "v", "outer")
+            .select(
+                "v",
+                (
+                    F.coalesce(F.col("ideg"), F.lit(0))
+                    + F.lit(2) * F.coalesce(F.col("loop_w"), F.lit(0))
+                ).cast("bigint").alias("ideg"),
+            )
+        )
+    nodes = ideg.select("v", F.col("ideg").alias("deg")).localCheckpoint()
+    s_total = nodes.agg(F.sum("deg")).collect()[0][0] or 0
+    asg, asg_rdd = _freeze(nodes.select("v", F.col("v").alias("c")))
+
+    quiet_streak = 0
+    for it in range(max_iter):
+        nbc = (
+            und.join(asg.select(F.col("v").alias("dst"), "c"), "dst")
+            .groupBy(F.col("src").alias("v"), "c")
+            .agg(F.sum("w").cast("bigint").alias("k"))
+        )
+        tot = (
+            asg.join(nodes, "v")
+            .groupBy("c")
+            .agg(F.sum("deg").cast("bigint").alias("tot"))
+        )
+        cur = asg.select("v", F.col("c").alias("c_cur"))
+        cand = (
+            nbc.unionByName(
+                cur.select(
+                    "v", F.col("c_cur").alias("c"), F.lit(0).cast("bigint").alias("k")
+                )
+            )
+            .groupBy("v", "c")
+            .agg(F.max("k").alias("k"))
+        )
+        scored = (
+            cand.join(cur, "v")
+            .join(tot, "c")
+            .join(nodes, "v")
+            .select(
+                "v",
+                "c",
+                "c_cur",
+                (
+                    F.lit(s_total).cast("bigint") * F.col("k")
+                    - F.col("deg")
+                    * (
+                        F.col("tot")
+                        - F.when(F.col("c") == F.col("c_cur"), F.col("deg"))
+                        .otherwise(F.lit(0))
+                    )
+                ).alias("gain"),
+            )
+        )
+        best = scored.groupBy("v").agg(
+            F.min_by(
+                F.struct("c", "c_cur"),
+                F.struct((-F.col("gain")).alias("ng"), F.col("c").alias("tc")),
+            ).alias("b")
+        )
+        pre = best.select(
+            "v",
+            F.when(
+                (F.crc32(F.col("v").cast("string")) % 2) == (it % 2),
+                F.col("b.c"),
+            )
+            .otherwise(F.col("b.c_cur"))
+            .alias("c"),
+            F.col("b.c_cur").alias("c_old"),
+        )
+        nxt, asg_rdd = _freeze(pre, asg_rdd)
+        # quiet check reads the persisted partitions — no join job
+        quiet = nxt.filter(F.col("c") != F.col("c_old")).isEmpty()
+        asg = nxt.select("v", "c")
+        quiet_streak = quiet_streak + 1 if quiet else 0
+        if quiet_streak >= 2:
+            break
+    return asg
+
+
+def louvain(
+    edges: DataFrame,
+    max_levels: int = 5,
+    max_iter: int = 8,
+) -> DataFrame:
+    """Full multi-level Louvain (Blondel et al. 2008) — ``(v,
+    community)`` on the ORIGINAL vertices.
+
+    Each level runs the weighted local-moving kernel, then AGGREGATES:
+    communities become super-nodes, inter-community weights sum, and
+    intra-community mass (internal edges + carried self-loops) becomes
+    the super-node's self-loop — the part one-level local moving
+    cannot see.  Levels repeat until a level merges nothing.  All
+    arithmetic stays bigint (edge multiplicities as weights), so every
+    level is deterministic; community ids are original-vertex ids
+    propagated upward.
+
+    100 TB shape: each level shrinks the graph (typically sharply
+    after level 1), so cost is dominated by level 0 — the same
+    per-round joins as :func:`louvain_one_level`; the aggregation
+    itself is one join + two hash-aggs.  localCheckpoint per level
+    bounds lineage.
+    """
+    und = (
+        _as_undirected(edges.select("src", "dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn("w", F.lit(1).cast("bigint"))
+        .localCheckpoint()
+    )
+    loops = None
+    mapping = None  # original v -> current-level community
+    for _ in range(max_levels):
+        asg = _louvain_local_moving(und, loops, max_iter)
+        n_nodes = asg.count()
+        n_comms = asg.select("c").distinct().count()
+        mapping = (
+            asg
+            if mapping is None
+            else mapping.join(
+                asg.select(F.col("v").alias("c"), F.col("c").alias("c_new")),
+                "c",
+            ).select("v", F.col("c_new").alias("c")).localCheckpoint()
+        )
+        if n_comms == n_nodes:
+            break
+        # aggregate: project edges onto communities
+        proj = (
+            und.join(asg.select(F.col("v").alias("src"), F.col("c").alias("cs")), "src")
+            .join(asg.select(F.col("v").alias("dst"), F.col("c").alias("cd")), "dst")
+            .select("cs", "cd", "w")
+        )
+        new_und = (
+            proj.filter(F.col("cs") != F.col("cd"))
+            .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+            .agg(F.sum("w").cast("bigint").alias("w"))
+            .localCheckpoint()
+        )
+        intra = (
+            proj.filter(F.col("cs") == F.col("cd"))
+            .groupBy(F.col("cs").alias("v"))
+            .agg(F.expr("sum(w) div 2").cast("bigint").alias("loop_w"))
+        )
+        carried = (
+            loops.join(asg, "v")
+            .groupBy(F.col("c").alias("v"))
+            .agg(F.sum("loop_w").cast("bigint").alias("loop_w"))
+            if loops is not None
+            else None
+        )
+        new_loops = (
+            intra
+            if carried is None
+            else intra.unionByName(carried)
+            .groupBy("v")
+            .agg(F.sum("loop_w").cast("bigint").alias("loop_w"))
+        )
+        und = new_und
+        loops = new_loops.localCheckpoint()
+        if und.isEmpty():
+            break
+    return mapping.select("v", F.col("c").alias("community"))

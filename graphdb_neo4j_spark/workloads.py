@@ -6661,3 +6661,33 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = local_clustering(e).withColumnRenamed("u", "part")
     return out.orderBy(F.col("clustering_micro").desc(), "part").limit(50)
+
+@query("g73_copurchase_louvain_multilevel")
+def g73(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL multi-level Louvain (traversal.louvain: weighted local
+    moving + community aggregation with self-loop carry) on the part
+    co-purchase graph — the production community-detection shape,
+    where g70 stops after one level.  Top-20 communities by size.
+    Rows-only: iterative; exactness pinned by the ring-of-cliques /
+    modularity-improvement tests in tests/test_louvain.py."""
+    from graphdb_neo4j_spark.operators.traversal import louvain
+
+    l = load_table(spark, sf, "lineitem")
+    pairs = (
+        l.alias("x")
+        .join(
+            l.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+    )
+    asg = louvain(pairs, max_levels=3, max_iter=4)
+    return (
+        asg.groupBy("community")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+        .orderBy(F.col("size").desc(), "community")
+        .limit(20)
+    )

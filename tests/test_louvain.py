@@ -50,3 +50,70 @@ def test_louvain_improves_modularity_and_is_deterministic(spark):
         .withColumn("community", F.col("key"))
     )
     assert q(a1.select(F.col("v").alias("key"), "community")) > q(singletons)
+
+
+def _clique(prefix, n):
+    ids = [f"{prefix}{i}" for i in range(n)]
+    return [(a, b) for a in ids for b in ids if a < b], ids
+
+
+def test_louvain_multilevel_ring_of_cliques(spark):
+    """6 cliques of 4 joined in a ring: the known Louvain answer is one
+    community per clique; partition must be valid and deterministic."""
+    from graphdb_neo4j_spark.operators.traversal import louvain
+
+    edges, ring = [], []
+    for ci in range(6):
+        es, ids = _clique(f"c{ci}_", 4)
+        edges += es
+        ring.append(ids[0])
+    for i in range(6):
+        edges.append((ring[i], ring[(i + 1) % 6]))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = louvain(df, max_levels=4, max_iter=8)
+    asg = {r.v: r.community for r in out.collect()}
+    assert len(asg) == 24  # every vertex assigned exactly once
+    # each clique internally consistent
+    comms = set()
+    for ci in range(6):
+        labels = {asg[f"c{ci}_{i}"] for i in range(4)}
+        assert len(labels) == 1, (ci, labels)
+        comms |= labels
+    assert len(comms) == 6
+    # deterministic across runs
+    asg2 = {r.v: r.community for r in louvain(df, max_levels=4, max_iter=8).collect()}
+    assert asg == asg2
+
+
+def test_louvain_multilevel_not_worse_than_one_level(spark):
+    """Σ modularity contributions of the multi-level partition must be
+    >= the one-level partition on a two-scale graph (pairs of cliques
+    bridged densely, pairs connected sparsely)."""
+    from graphdb_neo4j_spark.operators.traversal import (
+        louvain,
+        louvain_one_level,
+        modularity,
+    )
+
+    edges = []
+    anchors = []
+    for g in range(4):
+        es1, ids1 = _clique(f"g{g}a_", 3)
+        es2, ids2 = _clique(f"g{g}b_", 3)
+        edges += es1 + es2
+        # dense bridge between the two sub-cliques of a group
+        edges += [(ids1[0], ids2[0]), (ids1[1], ids2[1])]
+        anchors.append(ids1[2])
+    for i in range(3):
+        edges.append((anchors[i], anchors[i + 1]))  # sparse inter-group path
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    def q_sum(asg):
+        m = modularity(
+            df, asg.withColumnRenamed("v", "key"), key_col="key"
+        )
+        return sum(r.contribution for r in m.collect())
+
+    q_multi = q_sum(louvain(df, max_levels=4, max_iter=8))
+    q_one = q_sum(louvain_one_level(df, max_iter=8))
+    assert q_multi >= q_one - 1e-9, (q_multi, q_one)
