@@ -847,3 +847,47 @@ def test_sliding_user_engagement_stream_equals_batch(spark, tmp_path):
     assert len(got) >= len(want) - 12, (len(got), len(want))
     for ws, n in got.items():
         assert want[ws] == n, (ws, n, want.get(ws))
+
+
+def test_streaming_connected_components_incremental(spark, tmp_path):
+    """Incremental CC over 3 micro-batches must equal batch
+    connected_components over the union of all edges — including
+    cross-batch component merges and a self-loop-only vertex."""
+    from graphdb_neo4j_spark.operators.traversal import connected_components
+    from graphdb_neo4j_spark.streaming.graph_analytics import (
+        components_state,
+        streaming_connected_components,
+    )
+
+    batches = [
+        [("a", "b"), ("c", "d"), ("x", "y")],
+        [("b", "c"), ("p", "q")],          # merges {a,b} with {c,d}
+        [("y", "a"), ("z", "z")],          # merges {x,y} in; z self-loop
+    ]
+    src_dir = str(tmp_path / "edges_src")
+    state = str(tmp_path / "cc_state")
+    import os
+
+    os.makedirs(src_dir, exist_ok=True)
+    all_edges = []
+    for i, rows in enumerate(batches):
+        all_edges += rows
+        spark.createDataFrame(rows, ["src", "dst"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        stream = spark.readStream.schema("src string, dst string").parquet(src_dir)
+        q = streaming_connected_components(stream, state).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(180)
+
+    got = {r.v: r.component for r in components_state(spark, state).collect()}
+    nodes = sorted({x for e in all_edges for x in e})
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["key"])
+    edf = spark.createDataFrame(all_edges, ["src", "dst"])
+    want = {r.key: r.component for r in connected_components(ndf, edf).collect()}
+    assert got == want
+    # explicit merge checks
+    assert got["a"] == got["d"] == got["x"] == "a"
+    assert got["p"] == got["q"] == "p"
+    assert got["z"] == "z"
