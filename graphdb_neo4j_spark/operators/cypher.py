@@ -1214,7 +1214,44 @@ def cypher(
     (Neo4j's rule), ``UNION ALL`` is a bag union (``unionByName``) and
     ``UNION`` adds one global distinct — both still a single plan, so
     Catalyst can pick partial-dedup / exchange-reuse strategies."""
-    arms, is_all = _split_union(query.strip().rstrip(";"))
+    q = query.strip().rstrip(";")
+    m = re.match(r"^CALL\s*\{", q, flags=re.I)
+    if m:
+        # CALL { subquery } <pipeline>: compile the subquery (which may
+        # itself be a UNION) and feed its rows into the remaining
+        # clauses as the carried scope — Neo4j's post-UNION-processing
+        # idiom.  Carried columns flow as unlabeled variables; re-label
+        # (re-MATCH) before dereferencing properties on them.
+        depth = 0
+        in_str = False
+        close = None
+        for i in range(m.end() - 1, len(q)):
+            ch = q[i]
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str and ch == "{":
+                depth += 1
+            elif not in_str and ch == "}":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        if close is None:
+            raise ValueError("CALL { … }: unbalanced braces")
+        inner = q[m.end(): close].strip()
+        rest = q[close + 1:].strip()
+        if not rest:
+            raise ValueError("CALL { … } must be followed by a pipeline "
+                             "ending in RETURN")
+        inner_df = cypher(gq, inner, props)
+        scope = _Scope(
+            df=inner_df,
+            node_labels={c: None for c in inner_df.columns},
+        )
+        for seg in _segment_clauses(_split_clauses(rest)):
+            scope = _run_segment(gq, props or {}, seg, scope)
+        return scope.df
+    arms, is_all = _split_union(q)
     if len(arms) > 1:
         dfs = [cypher(gq, arm, props) for arm in arms]
         cols0 = set(dfs[0].columns)
@@ -1228,7 +1265,7 @@ def cypher(
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out if is_all else out.distinct()
-    segments = _segment_clauses(_split_clauses(query.strip().rstrip(";")))
+    segments = _segment_clauses(_split_clauses(q))
     first = segments[0].parsed
     if not first.hops and not first.single_nodes and not first.paths:
         raise ValueError("query needs at least one MATCH pattern")

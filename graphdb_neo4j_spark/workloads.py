@@ -6261,9 +6261,10 @@ def g71(spark: SparkSession, sf: str) -> DataFrame:
     each (kind, value, n_procs), deduped by UNION's set semantics —
     the analyst's \"give me every observable\" query in a single
     statement.  Each arm is an independent MATCH+aggregate plan;
-    unionByName + one global distinct on top (ORDER BY/LIMIT inside an
-    arm binds to THAT arm, as in Neo4j, so the global rank is applied
-    DataFrame-side).  Rows-only gate; UNION semantics pinned exactly in
+    unionByName + one global distinct on top, wrapped in CALL { } so
+    the global ORDER BY/LIMIT lives in the query text — Neo4j's
+    post-UNION-processing idiom (inside an arm, ORDER BY binds to that
+    arm alone).  Rows-only gate; UNION semantics pinned exactly in
     tests/test_cypher.py."""
     from graphdb_neo4j_spark.operators.cypher import cypher
     from graphdb_neo4j_spark.operators.graph import GraphQuery
@@ -6272,6 +6273,7 @@ def g71(spark: SparkSession, sf: str) -> DataFrame:
     gq = GraphQuery.from_graph(g)
     return cypher(
         gq,
+        "CALL { "
         "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) "
         "RETURN 'net' AS kind, ip AS value, count(DISTINCT p) AS n_procs "
         "UNION "
@@ -6279,8 +6281,10 @@ def g71(spark: SparkSession, sf: str) -> DataFrame:
         "RETURN 'file' AS kind, f AS value, count(DISTINCT p) AS n_procs "
         "UNION "
         "MATCH (p:Process)-[:SET_REG_VALUE]->(r:RegistryValue) "
-        "RETURN 'reg' AS kind, r AS value, count(DISTINCT p) AS n_procs",
-    ).orderBy(F.col("n_procs").desc(), "kind", "value").limit(25)
+        "RETURN 'reg' AS kind, r AS value, count(DISTINCT p) AS n_procs "
+        "} RETURN kind, value, n_procs "
+        "ORDER BY n_procs DESC, kind, value LIMIT 25",
+    )
 
 
 @query(

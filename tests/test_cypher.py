@@ -725,3 +725,33 @@ def test_union_keyword_inside_string_is_opaque(gq, props):
         props=props,
     ).collect()
     assert rows == []
+
+
+def test_call_subquery_post_union_aggregation(gq):
+    """CALL { arm UNION arm } WITH … RETURN — Neo4j's post-UNION
+    processing idiom: aggregate over the union's rows."""
+    rows = cypher(
+        gq,
+        "CALL { "
+        "MATCH (p:Process)-[:CREATED_FILE]->(f:File) RETURN p AS who "
+        "UNION ALL "
+        "MATCH (p:Process)-[:CONNECTED_TO]->(ip:Ip) RETURN p AS who "
+        "} RETURN who, count(*) AS n ORDER BY who",
+    ).collect()
+    assert [(r.who, r.n) for r in rows] == [("c", 2), ("d", 2)]
+
+
+def test_call_subquery_then_match(gq):
+    """Rows carried out of CALL re-join a following MATCH on the shared
+    variable."""
+    rows = cypher(
+        gq,
+        "CALL { MATCH (a:Process)-[:SPAWNS]->(b:Process) RETURN b } "
+        "MATCH (b)-[:SPAWNS]->(c:Process) RETURN b, c",
+    ).collect()
+    assert {(r.b, r.c) for r in rows} == {("b", "d")}
+
+
+def test_call_subquery_unbalanced_raises(gq):
+    with pytest.raises(ValueError, match="unbalanced"):
+        cypher(gq, "CALL { MATCH (p:Process) RETURN p")
