@@ -6695,3 +6695,72 @@ def g73(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("size").desc(), "community")
         .limit(20)
     )
+
+
+@query(
+    "q134_sparse_cosine_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term HAVING COUNT(*) <= 150
+    ),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf * (1000000 // df.df) AS BIGINT) AS wt
+      FROM tf JOIN df ON tf.term = df.term
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(SUM(a.wt * b.wt) AS BIGINT) AS dot_micro2,
+           COUNT(*) AS shared_terms
+    FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY dot_micro2 DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse term-vector similarity JOIN (the all-pairs similarity /
+    AP-SS workload, Bayardo et al. 2007): documents as tf·idf term
+    vectors, pair score = the sparse dot product over SHARED terms —
+    entirely bigint (tf × (1e6 div df) weights, q125's policy), so the
+    ranking hash-matches across engines.
+
+    Scale shape: the pair enumeration joins on term — quadratic in
+    each term's posting length, so ubiquitous terms are PRUNED UP
+    FRONT (df ≤ 150, the AP-SS prefix-filter idea ≈ the hot-shingle
+    df-cap in ngram_jaccard_pairs); what survives is the
+    discriminative tail where similarity actually lives.  One
+    explode + two hash-aggs + a term-keyed self-join + one pair agg;
+    the df table broadcasts."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= 150)
+    )
+    w = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id", "term", F.expr("tf * (1000000 div df)").cast("bigint").alias("wt")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("wt").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("wt").alias("wb"))
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).cast("bigint").alias("dot_micro2"),
+            F.count("*").alias("shared_terms"),
+        )
+    )
+    return pairs.orderBy(F.col("dot_micro2").desc(), "doc_a", "doc_b").limit(20)
