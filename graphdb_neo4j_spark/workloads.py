@@ -6764,3 +6764,64 @@ def q134(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return pairs.orderBy(F.col("dot_micro2").desc(), "doc_a", "doc_b").limit(20)
+
+
+@query(
+    "q135_reachability_fixpoint",
+    """
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    seq AS (
+      SELECT o, p, LEAD(p) OVER (PARTITION BY o ORDER BY l_linenumber, p) AS np
+      FROM (SELECT DISTINCT l_orderkey AS o, l_partkey AS p,
+                   MIN(l_linenumber) AS l_linenumber
+            FROM lineitem GROUP BY l_orderkey, l_partkey)
+    ),
+    e AS (
+      SELECT DISTINCT p AS src, np AS dst FROM seq
+      WHERE np IS NOT NULL AND p <> np
+    ),
+    r(key, dist) AS (
+      SELECT p, 0 FROM (SELECT DISTINCT p FROM op WHERE p <= 3)
+      UNION
+      SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.key
+      WHERE r.dist < 60
+    )
+    SELECT CAST(key AS BIGINT) AS key, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM r GROUP BY key
+    """,
+)
+def q135(spark: SparkSession, sf: str) -> DataFrame:
+    """UNBOUNDED reachability to a fixpoint — semi-naive delta-frontier
+    BFS (the datalog evaluation strategy SURVEY §2.D names for
+    variable-length paths) over the part-succession graph (consecutive
+    line numbers within an order), min hop distance from the seed
+    parts.  The oracle is a true WITH RECURSIVE fixpoint (depth-capped
+    at 60 >> graph diameter, then MIN per node) — the first closure
+    query where Spark iterates until the frontier EMPTIES rather than
+    to a preset bound (q34's shape).
+
+    Scale shape: each round joins only the NEWEST frontier against the
+    bucketable edge table and anti-joins the visited set — semi-naive,
+    never recomputing closed nodes; rounds = graph diameter."""
+    from pyspark.sql import Window
+
+    from graphdb_neo4j_spark.operators.traversal import bfs
+
+    l = load_table(spark, sf, "lineitem")
+    op = l.groupBy(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).agg(F.min("l_linenumber").alias("l_linenumber"))
+    w = Window.partitionBy("o").orderBy("l_linenumber", "p")
+    seq = op.select("o", "p", F.lead("p").over(w).alias("np"))
+    e = (
+        seq.filter(F.col("np").isNotNull() & (F.col("p") != F.col("np")))
+        .select(F.col("p").alias("src"), F.col("np").alias("dst"))
+        .distinct()
+    )
+    seeds = op.filter(F.col("p") <= 3).select(F.col("p").alias("key")).distinct()
+    return bfs(e, seeds).select(
+        F.col("key").cast("bigint").alias("key"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
