@@ -2227,9 +2227,10 @@ def _louvain_local_moving(
     weight (None at level 0).  All gain comparisons are exact bigint:
     ΔQ(v→C) ∝ S·k_{v→C} − deg(v)·tot(C∖v) with S = Σ_v deg(v)
     (= 2·total edge weight incl. loops), ties broken by smallest
-    community id; moves are parity-gated per round (the distributed
-    anti-oscillation schedule), loop stops after two quiet rounds
-    (one per parity class).
+    community id; rounds alternate move DIRECTION (even rounds only
+    min-ward community moves, odd rounds only max-ward) so symmetric
+    neighbor swaps cannot oscillate, and the loop stops after two
+    quiet rounds (one per direction).
     """
     spark = und.sparkSession
 
@@ -2318,10 +2319,18 @@ def _louvain_local_moving(
                 F.struct((-F.col("gain")).alias("ng"), F.col("c").alias("tc")),
             ).alias("b")
         )
+        # direction-alternating schedule: even rounds apply only moves
+        # to a SMALLER community id, odd rounds only to a larger one —
+        # a symmetric neighbor swap (a->comm(b), b->comm(a)) needs both
+        # directions in one round, so oscillation is impossible by
+        # construction (the hash-parity schedule this replaces still
+        # let same-parity neighbors swap forever and never merge)
         pre = best.select(
             "v",
             F.when(
-                (F.crc32(F.col("v").cast("string")) % 2) == (it % 2),
+                F.when(
+                    F.lit(it % 2 == 0), F.col("b.c") < F.col("b.c_cur")
+                ).otherwise(F.col("b.c") > F.col("b.c_cur")),
                 F.col("b.c"),
             )
             .otherwise(F.col("b.c_cur"))
@@ -2342,6 +2351,7 @@ def louvain(
     edges: DataFrame,
     max_levels: int = 5,
     max_iter: int = 8,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Full multi-level Louvain (Blondel et al. 2008) — ``(v,
     community)`` on the ORIGINAL vertices.
@@ -2361,11 +2371,34 @@ def louvain(
     itself is one join + two hash-aggs.  localCheckpoint per level
     bounds lineage.
     """
+    if weight_col is None:
+        base = (
+            edges.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .withColumn("w", F.lit(1).cast("bigint"))
+        )
+    else:
+        # integer edge weights (counts / multiplicities); parallel rows
+        # sum, both orientations carry the canonical summed weight
+        base = (
+            edges.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                F.col(weight_col).cast("bigint").alias("w"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
     und = (
-        _as_undirected(edges.select("src", "dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .withColumn("w", F.lit(1).cast("bigint"))
+        base.unionByName(
+            base.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("w").alias("w"))
         .localCheckpoint()
     )
     loops = None

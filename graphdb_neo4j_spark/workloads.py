@@ -6670,8 +6670,9 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
 def g73(spark: SparkSession, sf: str) -> DataFrame:
     """FULL multi-level Louvain (traversal.louvain: weighted local
     moving + community aggregation with self-loop carry) on the part
-    co-purchase graph — the production community-detection shape,
-    where g70 stops after one level.  Top-20 communities by size.
+    co-purchase graph WEIGHTED by co-purchase multiplicity — the
+    production community-detection shape, where g70 stops after one
+    level on the unweighted projection.  Top-20 communities by size.
     Rows-only: iterative; exactness pinned by the ring-of-cliques /
     modularity-improvement tests in tests/test_louvain.py."""
     from graphdb_neo4j_spark.operators.traversal import louvain
@@ -6687,8 +6688,10 @@ def g73(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
         )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
     )
-    asg = louvain(pairs, max_levels=3, max_iter=4)
+    asg = louvain(pairs, max_levels=3, max_iter=4, weight_col="w")
     return (
         asg.groupBy("community")
         .agg(F.count(F.lit(1)).cast("bigint").alias("size"))

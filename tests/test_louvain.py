@@ -117,3 +117,19 @@ def test_louvain_multilevel_not_worse_than_one_level(spark):
     q_multi = q_sum(louvain(df, max_levels=4, max_iter=8))
     q_one = q_sum(louvain_one_level(df, max_iter=8))
     assert q_multi >= q_one - 1e-9, (q_multi, q_one)
+
+
+def test_louvain_weighted_edges(spark):
+    """Integer edge weights steer the partition: two heavy pairs joined
+    by a light bridge must split at the bridge."""
+    from graphdb_neo4j_spark.operators.traversal import louvain
+
+    df = spark.createDataFrame(
+        [("a", "b", 10), ("c", "d", 10), ("b", "c", 1)],
+        ["src", "dst", "w"],
+    )
+    asg = {r.v: r.community for r in louvain(df, weight_col="w").collect()}
+    assert len(asg) == 4
+    assert asg["a"] == asg["b"]
+    assert asg["c"] == asg["d"]
+    assert asg["a"] != asg["c"]
