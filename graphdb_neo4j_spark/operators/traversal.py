@@ -38,6 +38,39 @@ def _as_undirected(edges: DataFrame) -> DataFrame:
     return fwd.unionByName(rev)
 
 
+def rdd_freeze(df_in: DataFrame, prev_rdd=None):
+    """Materialize ``df_in`` to a persisted RDD and rebase the DataFrame
+    on it — the hard per-round state freeze for iterative loops.
+
+    ``Dataset.localCheckpoint`` is unreliable under AQE for loop shapes
+    that reference the per-round state several times in the next round's
+    plan: the checkpoint marker can land on a pre-replan RDD whose full
+    lineage is retained, so round cost compounds (measured on the
+    Louvain kernel: 0.7s -> 67s over 8 rounds).  Persisting the final
+    RDD explicitly and rebasing via ``createDataFrame`` pins the actual
+    computed partitions; rounds stay O(1).
+
+    Returns ``(frozen_df, rdd)``; pass the previous round's ``rdd`` back
+    as ``prev_rdd`` so it unpersists only AFTER the new round is
+    materialized (the new plan may read it).
+
+    Audit note (this session, local[32]): the simpler loops here — the
+    pagerank power iteration, label_propagation, k_core peel, HashMin
+    components — were probed at 4/8/16-20 rounds and show FLAT
+    per-round cost with plain ``localCheckpoint``; only the Louvain
+    local-moving shape (state referenced ~4x per round) exhibited the
+    pathology.  Use this helper for any new operator with that shape.
+    """
+    spark = df_in.sparkSession
+    rdd = df_in.rdd
+    rdd.persist()
+    rdd.count()
+    out = spark.createDataFrame(rdd, df_in.schema)
+    if prev_rdd is not None:
+        prev_rdd.unpersist()
+    return out, rdd
+
+
 def bfs(
     edges: DataFrame,
     sources: DataFrame,
@@ -2232,27 +2265,7 @@ def _louvain_local_moving(
     neighbor swaps cannot oscillate, and the loop stops after two
     quiet rounds (one per direction).
     """
-    spark = und.sparkSession
-
-    def _freeze(df_in, prev_rdd=None):
-        """Materialize to a persisted RDD and rebase the DataFrame on it.
-
-        Dataset.localCheckpoint is unreliable under AQE for this loop
-        shape: the checkpoint marker can land on a pre-replan RDD, the
-        retained RDD keeps its full lineage, and with the assignment
-        referenced ~4x per round the job cost DOUBLES every round
-        (measured: 0.7s -> 67s over 8 rounds).  Persisting the final
-        RDD explicitly and rebasing via createDataFrame pins the
-        actual computed partitions; rounds stay O(1) (measured flat at
-        ~1s).  The previous round's RDD unpersists only after the new
-        one is materialized."""
-        rdd = df_in.rdd
-        rdd.persist()
-        rdd.count()
-        out = spark.createDataFrame(rdd, df_in.schema)
-        if prev_rdd is not None:
-            prev_rdd.unpersist()
-        return out, rdd
+    _freeze = rdd_freeze  # see rdd_freeze: this loop shape NEEDS the hard freeze
 
     ideg = und.groupBy(F.col("src").alias("v")).agg(
         F.sum("w").cast("bigint").alias("ideg")
