@@ -204,6 +204,104 @@ def weighted_sample(
     )
 
 
+def dsir_weights(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    seed: str = "dsir",
+    smooth: int = 1,
+) -> DataFrame:
+    """Per-document DSIR importance scores (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling") —
+    ``(id_col, dsir_score_micro)``, larger = more target-like.
+
+    DSIR estimates hashed n-gram feature distributions for a TARGET
+    subset and the RAW corpus, then scores every document by its
+    importance weight under the ratio.  Here: whitespace unigrams
+    hashed into ``n_buckets`` buckets (the md5 nibble bucket, portable
+    to any engine), per-bucket ratio ``(1e6·(tgt+smooth)) div
+    (raw+smooth)`` in exact bigint micro-units, document score = the
+    SUM of its token occurrences' ratio weights (the log-linear
+    product surrogate, kept additive and integer so cross-engine
+    ranking is exact).
+
+    Scale shape: one explode + one ``n_buckets``-row aggregate (a
+    broadcastable ratio table — the model IS those 1024 rows) + a
+    broadcast join back onto the token stream + one per-doc sum; no
+    shuffle carries text.  Selection = rank by score (descending) and
+    take the head, exactly what q136's oracle mirrors.
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            is_target.alias("_tgt"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .withColumn("bucket", _hash_bucket(F.col("term"), seed) % n_buckets)
+    )
+    ratios = (
+        toks.groupBy("bucket")
+        .agg(
+            F.count("*").alias("raw_n"),
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tgt_n"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                f"(1000000 * (tgt_n + {smooth})) div (raw_n + {smooth})"
+            ).cast("bigint").alias("w_micro"),
+        )
+    )
+    scores = (
+        toks.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("w_micro").cast("bigint").alias("dsir_score_micro"))
+    )
+    return df.select(id_col).join(scores, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("dsir_score_micro"), F.lit(0)).cast("bigint").alias(
+            "dsir_score_micro"
+        ),
+    )
+
+
+def dsir_weights_sql(
+    table: str,
+    is_target_sql: str,
+    text_sql: str = "text",
+    id_sql: str = "doc_id",
+    n_buckets: int = 1024,
+    seed: str = "dsir",
+    smooth: int = 1,
+) -> str:
+    """DuckDB oracle for :func:`dsir_weights` (same bucket hash, same
+    integer ratio, same per-doc sum)."""
+    bucket = hash_bucket_sql("term", seed)
+    return f"""
+    WITH tok AS (
+      SELECT {id_sql} AS id, {is_target_sql} AS tgt,
+             ({bucket}) % {n_buckets} AS bucket
+      FROM (SELECT *, unnest(string_split({text_sql}, ' ')) AS term FROM {table})
+      WHERE term <> ''
+    ),
+    ratios AS (
+      SELECT bucket,
+             CAST((1000000 * (SUM(CASE WHEN tgt THEN 1 ELSE 0 END) + {smooth}))
+                  // (COUNT(*) + {smooth}) AS BIGINT) AS w_micro
+      FROM tok GROUP BY bucket
+    ),
+    scores AS (
+      SELECT tok.id, CAST(SUM(w_micro) AS BIGINT) AS dsir_score_micro
+      FROM tok JOIN ratios USING (bucket) GROUP BY tok.id
+    )
+    SELECT d.{id_sql}, COALESCE(s.dsir_score_micro, 0) AS dsir_score_micro
+    FROM {table} d LEFT JOIN scores s ON d.{id_sql} = s.id
+    """
+
+
 def weighted_sample_sql(
     table: str, k: int, weight_sql: str, id_sql: str = "doc_id", seed: str = "ws"
 ) -> str:

@@ -1617,6 +1617,47 @@ def four_clique_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def butterfly_count(edges: DataFrame, hub_cap: int | None = None) -> DataFrame:
+    """Bipartite 4-cycle ("butterfly") count as a 1-row DataFrame
+    ``(n_butterflies, copart_pairs)`` — the bipartite analogue of
+    :func:`triangle_count` (Sanei-Mehri, Sariyüce & Tirthapura, KDD
+    2018: "Butterfly Counting in Bipartite Networks").
+
+    ``edges`` is a bipartite edge list ``(src, dst)`` (e.g. supplier →
+    part).  A butterfly is two left vertices sharing two right
+    vertices; counting goes through WEDGES: for every right vertex,
+    enumerate left-pairs that share it, aggregate the pair-overlap
+    ``n``, and sum ``C(n, 2)`` — never materializing 4-tuples.  All
+    arithmetic is exact bigint.
+
+    Scale shape: the wedge enumeration is quadratic in each right
+    vertex's degree, so at 100 TB pick the side with the smaller
+    sum-of-degree-squares as the pivot and cap runaway hubs —
+    ``hub_cap`` drops right vertices with degree above the cap (the
+    same df-cap idea as ``ngram_jaccard_pairs``; a vertex connected to
+    everything contributes no discriminative structure, only O(d²)
+    wedges).  One distinct + one self-join on the pivot key + two
+    hash-aggs; the per-pair aggregate is map-side combinable.
+    """
+    e = edges.select("src", "dst").distinct()
+    if hub_cap is not None:
+        deg = e.groupBy("dst").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") <= hub_cap).select("dst")
+        e = e.join(F.broadcast(keep), "dst", "left_semi")
+    a = e.select(F.col("src").alias("u"), "dst")
+    b = e.select(F.col("src").alias("v"), "dst")
+    pair_overlap = (
+        a.join(b, "dst")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return pair_overlap.agg(
+        F.sum(F.expr("(n * (n - 1)) div 2")).cast("bigint").alias("n_butterflies"),
+        F.count("*").cast("bigint").alias("copart_pairs"),
+    )
+
+
 def shortest_path_length_bidirectional(
     edges: DataFrame,
     src_key: str,

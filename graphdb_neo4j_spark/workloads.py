@@ -6828,3 +6828,103 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
         F.col("key").cast("bigint").alias("key"),
         F.col("dist").cast("bigint").alias("dist"),
     )
+
+
+def _q136_oracle() -> str:
+    from graphdb_neo4j_spark.operators.sampling import dsir_weights_sql
+
+    inner = dsir_weights_sql("documents", "lang = 'en'")
+    return f"""
+    SELECT doc_id, dsir_score_micro
+    FROM ({inner})
+    ORDER BY dsir_score_micro DESC, doc_id
+    LIMIT 50
+    """
+
+
+@query("q136_dsir_importance", _q136_oracle())
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance-resampling selection (Xie et al. 2023): score
+    every document by how target-like its hashed-unigram distribution
+    is (target = the English subset), keep the 50 most target-like.
+    Scores are exact bigint micro-units (see
+    ``operators/sampling.dsir_weights``), so the cross-engine ranking
+    is deterministic; the 1024-row ratio table broadcasts — at 100 TB
+    the only shuffle is the per-doc score sum."""
+    from graphdb_neo4j_spark.operators.sampling import dsir_weights
+
+    d = load_table(spark, sf, "documents")
+    w = dsir_weights(d, F.col("lang") == "en")
+    return w.orderBy(F.col("dsir_score_micro").desc(), "doc_id").limit(50)
+
+
+@query(
+    "q137_butterfly_count",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem
+    ),
+    pair AS (
+      SELECT a.src AS u, b.src AS v, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY a.src, b.src
+    )
+    SELECT CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS n_butterflies,
+           CAST(COUNT(*) AS BIGINT) AS copart_pairs
+    FROM pair
+    """,
+)
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    """Bipartite butterfly (4-cycle) count over the supplier—part graph
+    (Sanei-Mehri et al., KDD 2018) — the bipartite cohesion analogue of
+    q35's triangle count: two suppliers sharing two parts close a
+    butterfly.  Wedge-aggregation, never 4-tuples; see
+    ``operators/traversal.butterfly_count`` for the hub-cap scale
+    knob."""
+    from graphdb_neo4j_spark.operators.traversal import butterfly_count
+
+    l = load_table(spark, sf, "lineitem")
+    e = l.select(F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst"))
+    return butterfly_count(e)
+
+
+@query(
+    "q138_event_trigram_sequences",
+    """
+    WITH s AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS support
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+    ORDER BY support DESC, e1, e2, e3
+    LIMIT 25
+    """,
+)
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent behavioral trigrams — sequential-pattern mining lite:
+    per-user event streams ordered by (ts, event_id), every consecutive
+    3-event window counted by support (the k=3 contiguous-episode case
+    of frequent-episode mining).  One window pass (LEAD twice over the
+    same frame) + one hash-agg; the window shuffle partitions by
+    user_id, the agg is map-side combinable — no self-joins, unlike
+    the classic GSP/SPADE formulations."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        s.groupBy("e1", "e2", "e3")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .orderBy(F.col("support").desc(), "e1", "e2", "e3")
+        .limit(25)
+    )

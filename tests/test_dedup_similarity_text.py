@@ -961,3 +961,29 @@ def test_topk_pca_recall_vs_bruteforce(spark):
     assert len(got) == 10
     recall = len({r.id for r in got} & exact) / 10
     assert recall >= 0.8, recall  # 32-dim filter + 80-candidate rerank
+
+
+def test_dsir_weights_prefers_target_vocabulary(spark):
+    """Docs made of target-only vocabulary must outscore docs of
+    source-only vocabulary; empty docs score 0 and are kept."""
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.operators.sampling import dsir_weights
+
+    rows = [
+        (1, "alpha beta alpha", True),
+        (2, "alpha beta", True),
+        (3, "gamma delta gamma delta", False),
+        (4, "alpha gamma", False),
+        (5, "", False),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "tgt"])
+    got = {
+        r.doc_id: r.dsir_score_micro
+        for r in dsir_weights(df, F.col("tgt")).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[5] == 0
+    # per-token average score must rank target vocab above source vocab
+    assert got[1] / 3 > got[3] / 4
+    assert got[2] / 2 > got[3] / 4

@@ -1228,3 +1228,40 @@ def test_local_clustering_toy_fixture(spark):
         "3": (2, 1, 1000000),
         "4": (1, 0, 0),
     }
+
+
+def test_butterfly_count_toy_fixture(spark):
+    """K_{2,2} is exactly one butterfly; adding a third shared right
+    vertex makes C(3,2)=3; duplicate edges must not inflate counts."""
+    from graphdb_neo4j_spark.operators.traversal import butterfly_count
+
+    k22 = spark.createDataFrame(
+        [("u1", "p1"), ("u1", "p2"), ("u2", "p1"), ("u2", "p2"), ("u1", "p1")],
+        ["src", "dst"],
+    )
+    r = butterfly_count(k22).collect()[0]
+    assert (r.n_butterflies, r.copart_pairs) == (1, 1)
+
+    k23 = spark.createDataFrame(
+        [(u, p) for u in ("u1", "u2") for p in ("p1", "p2", "p3")],
+        ["src", "dst"],
+    )
+    r = butterfly_count(k23).collect()[0]
+    assert (r.n_butterflies, r.copart_pairs) == (3, 1)
+
+
+def test_butterfly_hub_cap_drops_hot_right_vertices(spark):
+    """hub_cap excludes right vertices with degree above the cap: in
+    K_{2,3} plus a degree-3 hub part, cap=2 keeps only the original
+    parts' wedges."""
+    from graphdb_neo4j_spark.operators.traversal import butterfly_count
+
+    edges = [(u, p) for u in ("u1", "u2") for p in ("p1", "p2")] + [
+        ("u1", "hub"), ("u2", "hub"), ("u3", "hub")
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    uncapped = butterfly_count(df).collect()[0]
+    capped = butterfly_count(df, hub_cap=2).collect()[0]
+    # uncapped: pairs (u1,u2) share p1,p2,hub -> C(3,2)=3; (u1,u3),(u2,u3) share hub only
+    assert (uncapped.n_butterflies, uncapped.copart_pairs) == (3, 3)
+    assert (capped.n_butterflies, capped.copart_pairs) == (1, 1)
