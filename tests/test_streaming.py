@@ -891,3 +891,74 @@ def test_streaming_connected_components_incremental(spark, tmp_path):
     assert got["a"] == got["d"] == got["x"] == "a"
     assert got["p"] == got["q"] == "p"
     assert got["z"] == "z"
+
+
+def test_streaming_cc_rewrites_only_touched_shards(spark, tmp_path):
+    """A batch that merges one component must NOT rewrite shards that
+    hold only unrelated components: their live version stays at the
+    older batch_id (per-shard latest-committed wins), and the final
+    state still equals the batch rebuild."""
+    import os
+    import re
+
+    from graphdb_neo4j_spark.operators.traversal import connected_components
+    from graphdb_neo4j_spark.streaming.graph_analytics import (
+        components_state,
+        streaming_connected_components,
+    )
+
+    # 64 shards so the two independent vertex groups land apart with
+    # near-certainty (xxhash64 is fixed — this layout is deterministic)
+    batches = [
+        [(f"iso{i}a", f"iso{i}b") for i in range(8)],  # 8 isolated pairs
+        [("m1", "m2")],                                # new, small component
+        [("m2", "m3")],                                # merges only m*
+    ]
+    src_dir = str(tmp_path / "edges_src")
+    state = str(tmp_path / "cc_state")
+    os.makedirs(src_dir, exist_ok=True)
+    all_edges = []
+    for rows in batches:
+        all_edges += rows
+        spark.createDataFrame(rows, ["src", "dst"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        stream = spark.readStream.schema("src string, dst string").parquet(src_dir)
+        q = streaming_connected_components(stream, state, n_shards=64).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(180)
+
+    # per-shard live batch_id from the directory layout
+    comp_root = os.path.join(state, "comp")
+    live = {}
+    for sname in os.listdir(comp_root):
+        m = re.fullmatch(r"shard=(\d+)", sname)
+        if not m:
+            continue
+        bids = [
+            int(b.split("=")[1])
+            for b in os.listdir(os.path.join(comp_root, sname))
+            if b.startswith("batch_id=")
+        ]
+        live[int(m.group(1))] = max(bids)
+    # the iso* shards were written in batch 0 and never touched again
+    assert min(live.values()) == 0, live
+    # the m* shards were rewritten by the merge batches
+    assert max(live.values()) == 2, live
+    # GC: a rewritten shard holds exactly one live version
+    for sname in os.listdir(comp_root):
+        if sname.startswith("shard="):
+            bids = [
+                b for b in os.listdir(os.path.join(comp_root, sname))
+                if b.startswith("batch_id=")
+            ]
+            assert len(bids) == 1, (sname, bids)
+
+    got = {r.v: r.component for r in components_state(spark, state).collect()}
+    nodes = sorted({x for e in all_edges for x in e})
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["key"])
+    edf = spark.createDataFrame(all_edges, ["src", "dst"])
+    want = {r.key: r.component for r in connected_components(ndf, edf).collect()}
+    assert got == want
+    assert got["m1"] == got["m3"] == "m1"
