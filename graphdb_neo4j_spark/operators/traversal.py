@@ -1658,6 +1658,90 @@ def butterfly_count(edges: DataFrame, hub_cap: int | None = None) -> DataFrame:
     )
 
 
+def minimum_spanning_forest(
+    edges: DataFrame,
+    weight_col: str = "w",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Minimum spanning forest via distributed Borůvka — ``(u, v, w)``
+    forest edges (one tree per connected component).
+
+    Borůvka is THE MST algorithm that parallelizes: every round, each
+    component picks its minimum-weight outgoing edge (all components at
+    once — two joins + one min-by aggregate), the chosen edges merge
+    components, repeat; components at least halve per round, so O(log
+    n) rounds.  Contraction uses
+    :func:`connected_components_twophase` on the component graph
+    (itself O(log n), diameter-independent), never touching the full
+    edge list.
+
+    Ties are broken by the global total order ``(w, u, v)`` —
+    equivalent to perturbing weights to distinctness, so the forest is
+    deterministic and its total weight is the (unique) MST weight.
+    Weights compare as-is; pass exact integers for cross-engine
+    determinism.
+
+    Scale shape: per round, one join of the edge list against the
+    (shrinking) label table + a map-side-combinable min-by per
+    component; the label table is the only state.  At 100 TB bucket
+    the edge list by src so the label joins co-locate.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            F.col(weight_col).alias("w"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("u").alias("key"))
+        .unionByName(e.select(F.col("v").alias("key")))
+        .distinct()
+        .withColumn("c", F.col("key"))
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    forest = spark.createDataFrame([], e.schema).localCheckpoint()
+    for _ in range(max_iter):
+        el = (
+            e.join(labels.select(F.col("key").alias("u"), F.col("c").alias("cu")), "u")
+            .join(labels.select(F.col("key").alias("v"), F.col("c").alias("cv")), "v")
+            .filter(F.col("cu") != F.col("cv"))
+        )
+        pick = F.struct("w", "u", "v", "cu", "cv")
+        cand = el.select(F.col("cu").alias("component"), pick.alias("s")).unionByName(
+            el.select(F.col("cv").alias("component"), pick.alias("s"))
+        )
+        chosen = (
+            cand.groupBy("component")
+            .agg(F.min("s").alias("s"))
+            .select("s.u", "s.v", "s.w", "s.cu", "s.cv")
+            .localCheckpoint()
+        )
+        if chosen.isEmpty():
+            break
+        forest = forest.unionByName(
+            chosen.select("u", "v", "w").distinct()
+        ).localCheckpoint()
+        # contract the component graph (two-phase: O(log n) rounds even
+        # for chain-shaped merge patterns)
+        cedges = chosen.select(F.col("cu").alias("src"), F.col("cv").alias("dst"))
+        cnodes = labels.select(F.col("c").alias("key")).distinct()
+        cmap = connected_components_twophase(cnodes, cedges).select(
+            F.col("key").alias("c"), F.col("component").alias("c_new")
+        )
+        labels = (
+            labels.join(cmap, "c", "left")
+            .select("key", F.coalesce(F.col("c_new"), F.col("c")).alias("c"))
+            .localCheckpoint()
+        )
+    return forest
+
+
 def shortest_path_length_bidirectional(
     edges: DataFrame,
     src_key: str,

@@ -6928,3 +6928,42 @@ def q138(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "e1", "e2", "e3")
         .limit(25)
     )
+
+
+@query("g74_copurchase_mst")
+def g74(spark: SparkSession, sf: str) -> DataFrame:
+    """Minimum spanning forest of the part co-purchase graph via
+    distributed Borůvka (traversal.minimum_spanning_forest) — edge
+    weight = 1e6 div co-purchase count, so the forest is the cheapest
+    backbone connecting strongly co-purchased parts (the skeleton used
+    for single-linkage clustering / taxonomy induction).  Returns the
+    forest summary (edges, exact bigint total weight, vertices) — a
+    unique number for ANY valid MST, so the row is deterministic.
+    Rows-only: iterative; exactness pinned against a sequential
+    Kruskal oracle in tests/test_traversal.py."""
+    from graphdb_neo4j_spark.operators.traversal import minimum_spanning_forest
+
+    l = load_table(spark, sf, "lineitem")
+    pairs = (
+        l.alias("x")
+        .join(
+            l.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .groupBy("src", "dst")
+        .agg(F.expr("1000000 div count(1)").cast("bigint").alias("w"))
+    )
+    forest = minimum_spanning_forest(pairs, weight_col="w")
+    verts = (
+        pairs.select(F.col("src").alias("k"))
+        .unionByName(pairs.select(F.col("dst").alias("k")))
+        .distinct()
+    )
+    return forest.agg(
+        F.count("*").cast("bigint").alias("n_forest_edges"),
+        F.sum("w").cast("bigint").alias("total_weight"),
+    ).crossJoin(verts.agg(F.count("*").cast("bigint").alias("n_vertices")))

@@ -1265,3 +1265,59 @@ def test_butterfly_hub_cap_drops_hot_right_vertices(spark):
     # uncapped: pairs (u1,u2) share p1,p2,hub -> C(3,2)=3; (u1,u3),(u2,u3) share hub only
     assert (uncapped.n_butterflies, uncapped.copart_pairs) == (3, 3)
     assert (capped.n_butterflies, capped.copart_pairs) == (1, 1)
+
+
+def _kruskal(edges):
+    """Sequential Kruskal with the same (w, u, v) tie-break — returns
+    (forest edge set, total weight)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest, total = set(), 0
+    for w, u, v in sorted((w, min(u, v), max(u, v)) for u, v, w in edges):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            forest.add((u, v, w))
+            total += w
+    return forest, total
+
+
+def test_minimum_spanning_forest_matches_kruskal(spark):
+    """Borůvka forest == sequential Kruskal under the same global
+    (w, u, v) tie-break: same edge set (distinct weights), same total
+    weight (tied weights), across two disconnected components."""
+    from graphdb_neo4j_spark.operators.traversal import minimum_spanning_forest
+
+    edges = [
+        # component 1: a..e with a cycle and a heavy shortcut
+        ("a", "b", 4), ("b", "c", 8), ("c", "d", 7), ("d", "e", 9),
+        ("e", "a", 10), ("a", "c", 11), ("b", "d", 2),
+        # component 2: triangle with a tie
+        ("x", "y", 5), ("y", "z", 5), ("x", "z", 5),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {(r.u, r.v, r.w) for r in minimum_spanning_forest(df).collect()}
+    want, want_total = _kruskal(edges)
+    assert sum(w for _, _, w in got) == want_total
+    assert len(got) == len(want)
+    # distinct-weight edges must match exactly (unique MST there)
+    assert {e for e in got if e[2] != 5} == {e for e in want if e[2] != 5}
+
+
+def test_minimum_spanning_forest_duplicate_and_reversed_edges(spark):
+    """Parallel edges keep the min weight; reversed duplicates collapse
+    (undirected canonicalization); a chain contracts fully."""
+    from graphdb_neo4j_spark.operators.traversal import minimum_spanning_forest
+
+    edges = [("1", "2", 3), ("2", "1", 1), ("2", "3", 2), ("3", "2", 5),
+             ("3", "4", 4)]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = sorted((r.u, r.v, r.w) for r in minimum_spanning_forest(df).collect())
+    assert got == [("1", "2", 1), ("2", "3", 2), ("3", "4", 4)]
