@@ -200,3 +200,63 @@ def gap_fill_ffill(
     return joined.withColumn(
         f"{value}_ffill", F.last(value, ignorenulls=True).over(w)
     )
+
+
+def window_funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_us_col: str = "ts_us",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Strict-order funnel depth per user within a sliding window —
+    ``(user, funnel_level)``, the ClickHouse ``windowFunnel`` shape.
+
+    A user reaches level k if some chain of events matching
+    ``steps[0] < steps[1] < … < steps[k-1]`` (strictly increasing in
+    the per-user sort order) fits inside ``window_us`` microseconds
+    measured from the chain's FIRST event.  Exists-semantics (any
+    chain counts), computed WITHOUT self-joins: one window pass per
+    step carries the "latest feasible start of a length-j prefix
+    strictly before this row" as a running max, so cost is
+    O(steps × one per-user sort), one shuffle total on the user key.
+
+    ``order_cols`` breaks timestamp ties deterministically (default
+    ``[ts_us_col]``); "strictly before" means earlier in that sort
+    order, so ties never chain.  Chain feasibility window-checks each
+    step row against the prefix's START timestamp (the running max
+    carries the chain-start, not the previous step's time).
+    """
+    order_cols = order_cols or [ts_us_col]
+    w_prev = (
+        Window.partitionBy(user_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    df = events
+    # start[j] at a row = latest chain-start ts among length-(j+1)
+    # prefixes ending strictly before the row
+    prev_start = None
+    for j, step in enumerate(steps):
+        is_step = F.col(type_col) == step
+        if j == 0:
+            here = F.when(is_step, F.col(ts_us_col))
+        else:
+            feasible = F.col(f"_p{j - 1}") >= F.col(ts_us_col) - F.lit(window_us)
+            here = F.when(is_step & feasible, F.col(f"_p{j - 1}"))
+        df = df.withColumn(f"_s{j}", here)
+        df = df.withColumn(f"_p{j}", F.max(F.col(f"_s{j}")).over(w_prev))
+        prev_start = f"_s{j}"
+    level = F.greatest(
+        *[
+            F.when(F.col(f"_s{j}").isNotNull(), F.lit(j + 1)).otherwise(F.lit(0))
+            for j in range(len(steps))
+        ]
+    )
+    return (
+        df.withColumn("_lvl", level)
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.max("_lvl").cast("bigint").alias("funnel_level"))
+    )

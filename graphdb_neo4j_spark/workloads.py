@@ -6930,6 +6930,75 @@ def q138(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "q139_window_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events
+    ),
+    w1 AS (
+      SELECT *, CASE WHEN event_type = 'view' THEN ts_us END AS s0 FROM e
+    ),
+    w2 AS (
+      SELECT *, MAX(s0) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p0
+      FROM w1
+    ),
+    w3 AS (
+      SELECT *, CASE WHEN event_type = 'click'
+                      AND p0 >= ts_us - 3600000000 THEN p0 END AS s1
+      FROM w2
+    ),
+    w4 AS (
+      SELECT *, MAX(s1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p1
+      FROM w3
+    ),
+    w5 AS (
+      SELECT *, CASE WHEN event_type = 'purchase'
+                      AND p1 >= ts_us - 3600000000 THEN p1 END AS s2
+      FROM w4
+    ),
+    lvl AS (
+      SELECT user_id,
+             MAX(CASE WHEN s2 IS NOT NULL THEN 3
+                      WHEN s1 IS NOT NULL THEN 2
+                      WHEN s0 IS NOT NULL THEN 1 ELSE 0 END) AS funnel_level
+      FROM w5 GROUP BY user_id
+    )
+    SELECT funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM lvl GROUP BY funnel_level ORDER BY funnel_level
+    """,
+)
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    """Strict-order sliding-window funnel (the ClickHouse
+    ``windowFunnel`` semantics): deepest view→click→purchase chain per
+    user whose whole span fits in one hour of the chain's FIRST event
+    — exists-semantics over all chains, computed with sequential
+    running-max window passes instead of self-joins (see
+    ``operators/temporal.window_funnel``).  One shuffle on user_id;
+    the oracle replays the identical window recurrence."""
+    from graphdb_neo4j_spark.operators.temporal import window_funnel
+
+    e = load_table(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+    )
+    lvl = window_funnel(
+        e,
+        steps=["view", "click", "purchase"],
+        window_us=3_600_000_000,
+        order_cols=["ts_us", "event_id"],
+    )
+    return (
+        lvl.groupBy("funnel_level")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("funnel_level")
+    )
+
+
 @query("g74_copurchase_mst")
 def g74(spark: SparkSession, sf: str) -> DataFrame:
     """Minimum spanning forest of the part co-purchase graph via

@@ -53,3 +53,36 @@ def test_interval_concurrency_peak_and_earliest_instant(spark):
     }
     assert got["a"] == (3, 5)
     assert got["b"] == (1, 0)
+
+
+def test_window_funnel_semantics(spark):
+    """Pins windowFunnel semantics: window measured from the chain
+    START, boundary inclusive; strictly-before = earlier in the
+    (ts, id) sort, so same-ts chains depend on the tiebreak order;
+    missing middle steps don't chain."""
+    from graphdb_neo4j_spark.operators.temporal import window_funnel
+
+    W = 100
+    rows = [
+        # u1: click exactly at window edge chains; purchase 1 past it doesn't
+        (1, "view", 0, 1), (1, "click", W, 2), (1, "purchase", W + 1, 3),
+        # u2: full chain well inside the window
+        (2, "view", 0, 1), (2, "click", 1, 2), (2, "purchase", 2, 3),
+        # u3: no view -> level 0 despite click+purchase
+        (3, "click", 0, 1), (3, "purchase", 1, 2),
+        # u4: view then purchase (no click) -> level 1
+        (4, "view", 0, 1), (4, "purchase", 1, 2),
+        # u5: view and click at the SAME ts, view sorts first -> level 2
+        (5, "view", 5, 1), (5, "click", 5, 2),
+        # u6: same ts but click sorts first -> view can't chain, level 1
+        (6, "click", 5, 1), (6, "view", 5, 2),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts_us", "event_id"])
+    got = {
+        r.user: r.funnel_level
+        for r in window_funnel(
+            df, ["view", "click", "purchase"], W,
+            order_cols=["ts_us", "event_id"],
+        ).collect()
+    }
+    assert got == {1: 2, 2: 3, 3: 0, 4: 1, 5: 2, 6: 1}
