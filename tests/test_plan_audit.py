@@ -504,3 +504,30 @@ def test_cypher_pattern_count_no_cartesian(spark):
     plan = explain_str(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q136_dsir_ratio_table_broadcasts(spark):
+    """The 1024-row DSIR ratio model must broadcast onto the token
+    stream (no shuffle of the exploded tokens for the model join), and
+    documents are scanned a bounded number of times."""
+    df = QUERY_FNS["q136_dsir_importance"](spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_q137_butterfly_pair_agg_is_partial(spark):
+    """The per-pair overlap aggregate must partial-aggregate map-side
+    before its shuffle (wedge streams combine locally)."""
+    df = QUERY_FNS["q137_butterfly_count"](spark, SF)
+    plan = explain_str(df)
+    assert "partial" in plan.lower()
+
+
+def test_q139_funnel_single_user_shuffle(spark):
+    """All funnel window passes share ONE hashpartitioning(user_id)
+    exchange — the sequential running-max passes must not re-shuffle
+    per step."""
+    df = QUERY_FNS["q139_window_funnel"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("hashpartitioning(user_id") == 1, plan[
+        plan.find("Exchange") : plan.find("Exchange") + 400
+    ]
