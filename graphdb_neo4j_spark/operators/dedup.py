@@ -829,11 +829,25 @@ def semdedup(
     left fold (similarity.dot_expr), bit-identical to the DuckDB
     oracle's list_reduce.
     """
+    normed = _normalized(df, id_col, vec_col).persist()
+    assign = semantic_assign(normed, k, round_sim).persist()
+    return _semantic_prune(assign, normed, threshold, round_sim).select(
+        "id", F.col("cid").alias("cluster"), "cent_cos"
+    )
+
+
+def semantic_assign(normed: DataFrame, k: int, round_sim: int = 6) -> DataFrame:
+    """(id, cid, cent_cos) — deterministic hash-seeded cluster
+    assignment shared by :func:`semdedup` and the cluster-balanced
+    sampler: centroids = the k smallest-md5(id) rows, assignment = max
+    rounded cosine (round BEFORE rank), ties to the smaller centroid
+    id.  ``normed`` is :func:`_normalized` output; the k-row centroid
+    table broadcasts, so assignment is one fold-dot pass plus one
+    per-id rank."""
     from pyspark.sql import Window
 
     from graphdb_neo4j_spark.operators.similarity import dot_expr
 
-    normed = _normalized(df, id_col, vec_col).persist()
     cent = (
         normed.withColumn("h", F.md5(F.col("id").cast("string")))
         .orderBy("h", "id")
@@ -844,14 +858,10 @@ def semdedup(
         "cos", F.round(dot_expr(F.col("vn"), F.col("cvn")), round_sim)
     )
     w = Window.partitionBy("id").orderBy(F.col("cos").desc(), "cid")
-    assign = (
+    return (
         sc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("id", "cid", F.col("cos").alias("cent_cos"))
-        .persist()
-    )
-    return _semantic_prune(assign, normed, threshold, round_sim).select(
-        "id", F.col("cid").alias("cluster"), "cent_cos"
     )
 
 

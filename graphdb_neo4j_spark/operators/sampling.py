@@ -302,6 +302,47 @@ def dsir_weights_sql(
     """
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    k: int = 8,
+    per_cluster: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "cbs",
+    round_sim: int = 6,
+) -> DataFrame:
+    """Diversity-preserving subsample over an embedding column —
+    ``(id, cluster, cent_cos)``, at most ``per_cluster`` rows per
+    semantic cluster.
+
+    Uniform subsampling keeps the corpus's mode collapse; sampling a
+    FIXED QUOTA per embedding cluster flattens the distribution (the
+    cluster-balanced selection step of SemDeDup-style curation
+    pipelines).  Clusters come from the deterministic hash-seeded
+    assignment shared with ``dedup.semdedup`` (broadcast centroid
+    fold-cosine, round-before-rank); within each cluster the quota is
+    filled by md5(seed|id) order — a reproducible "random" draw, same
+    discipline as :func:`hash_split`.
+
+    Scale shape: assignment is one broadcast-join pass + one per-id
+    rank; the quota rank shuffles once on cluster id.  Skew-safe: the
+    per-cluster window ranks at most cluster-population rows and the
+    output is ≤ k·per_cluster."""
+    from pyspark.sql import Window
+
+    from graphdb_neo4j_spark.operators.dedup import _normalized, semantic_assign
+
+    normed = _normalized(df, id_col, vec_col)
+    assign = semantic_assign(normed, k, round_sim)
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col("id").cast("string")))
+    w = Window.partitionBy("cid").orderBy(h, "id")
+    return (
+        assign.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_cluster)
+        .select("id", F.col("cid").alias("cluster"), "cent_cos")
+    )
+
+
 def weighted_sample_sql(
     table: str, k: int, weight_sql: str, id_sql: str = "doc_id", seed: str = "ws"
 ) -> str:

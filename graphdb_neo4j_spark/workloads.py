@@ -6999,6 +6999,56 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q140_sql(k: int = 8, per_cluster: int = 25) -> str:
+    """DuckDB mirror of cluster-balanced sampling: same md5-seeded
+    centroids + rounded-fold cosine assignment as q104, quota filled
+    in md5('cbs|'||id) order."""
+    return f"""
+    WITH {_NORMED_CTE.strip().rstrip(')')}
+    ),
+    cent AS (
+      SELECT id AS cid, vn AS cvn FROM (
+        SELECT id, vn, md5(CAST(id AS VARCHAR)) AS h FROM normed
+        ORDER BY h, id LIMIT {k})
+    ),
+    scored AS (
+      SELECT n.id, c.cid,
+             ROUND(list_reduce(list_transform(range(1, len(n.vn) + 1),
+                 i -> n.vn[CAST(i AS INT)] * c.cvn[CAST(i AS INT)]),
+                 (p, q) -> p + q), 6) AS cos
+      FROM normed n CROSS JOIN cent c
+    ),
+    assign AS (
+      SELECT id, cid, cos AS cent_cos FROM (
+        SELECT id, cid, cos,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT id, cid AS cluster, cent_cos FROM (
+      SELECT id, cid, cent_cos,
+             ROW_NUMBER() OVER (PARTITION BY cid
+                 ORDER BY md5('cbs|' || CAST(id AS VARCHAR)), id) AS qrn
+      FROM assign)
+    WHERE qrn <= {per_cluster}
+    """
+
+
+@query("q140_cluster_balanced_sample", _q140_sql())
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced subsampling of the embedding corpus — the
+    diversity-preserving selection step of SemDeDup-style curation:
+    assign every vector to a hash-seeded semantic cluster (q104's
+    deterministic assignment), then keep a fixed 25-row quota per
+    cluster in reproducible md5 order, flattening the corpus's mode
+    distribution instead of sampling it proportionally.  See
+    ``operators/sampling.cluster_balanced_sample``."""
+    from graphdb_neo4j_spark.operators.sampling import cluster_balanced_sample
+
+    e = load_table(spark, sf, "embeddings")
+    return cluster_balanced_sample(e, k=8, per_cluster=25)
+
+
 @query("g74_copurchase_mst")
 def g74(spark: SparkSession, sf: str) -> DataFrame:
     """Minimum spanning forest of the part co-purchase graph via
