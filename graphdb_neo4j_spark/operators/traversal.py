@@ -2255,6 +2255,80 @@ def louvain_one_level(
     return asg.select("v", F.col("c").alias("community"))
 
 
+def maximal_independent_set(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 100
+) -> DataFrame:
+    """``(v)`` — a deterministic MAXIMAL independent set: no two
+    returned vertices are adjacent, and every vertex outside the set
+    has a neighbor inside it.
+
+    Luby-style rounds with STATIC md5 priorities (Luby 1986's scheme
+    with the per-round coin replaced by a content hash): each round,
+    every still-active vertex joins the set iff its ``(md5(v), v)``
+    key beats every active neighbor's; winners and their neighbors
+    deactivate.  Static priorities make the result EXACTLY the
+    sequential greedy MIS in global md5 order — reruns, partitionings,
+    and the pure-Python oracle agree vertex-for-vertex — while hash
+    priorities keep the expected round count polylogarithmic (an
+    adversarial priority chain would serialize, but content hashes
+    cannot be adversarial).
+
+    Scale shape per round: one double semi-join to restrict edges to
+    active vertices, one min-by hash-agg for the neighborhood
+    minimum, two anti-joins to deactivate — all key-partitioned;
+    driver sees only the loop counter and emptiness probes.
+    """
+    key_col = nodes.columns[0]
+    und = (
+        _as_undirected(edges)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    act = (
+        nodes.select(F.col(key_col).alias("v")).distinct()
+        .withColumn("pri", F.md5(F.col("v")))
+        .localCheckpoint()
+    )
+    spark = nodes.sparkSession
+    mis = spark.createDataFrame([], "v string").localCheckpoint()
+    for _ in range(max_iter):
+        if act.isEmpty():
+            break
+        e_act = (
+            und.join(act.select(F.col("v").alias("src")), "src", "left_semi")
+            .join(act.select(F.col("v").alias("dst")), "dst", "left_semi")
+        )
+        nbr_min = (
+            e_act.join(
+                act.select(F.col("v").alias("dst"), F.col("pri").alias("npri")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.min(F.struct(F.col("npri"), F.col("dst"))).alias("nm"))
+        )
+        winners = (
+            act.join(nbr_min, "v", "left")
+            .filter(
+                F.col("nm").isNull()
+                | (F.struct(F.col("pri"), F.col("v")) < F.col("nm"))
+            )
+            .select("v")
+            .localCheckpoint()
+        )
+        mis = mis.unionByName(winners).localCheckpoint()
+        nbrs = (
+            e_act.join(winners.select(F.col("v").alias("src")), "src", "left_semi")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+        )
+        act = (
+            act.join(winners.unionByName(nbrs), "v", "left_anti")
+            .localCheckpoint()
+        )
+    return mis
+
+
 def greedy_matching(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """(src, dst) — a deterministic MAXIMAL matching of the undirected
     graph: no two returned edges share a vertex, and no remaining edge

@@ -7049,6 +7049,34 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
     return cluster_balanced_sample(e, k=8, per_cluster=25)
 
 
+@query("g75_corpus_independent_set")
+def g75(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic maximal independent set over the corpus SPAWNS
+    graph (traversal.maximal_independent_set, Luby rounds with static
+    md5 priorities) — the scheduling/conflict-free-selection primitive
+    (e.g. picking a set of processes no two of which are
+    parent/child).  Returns the MIS size plus the 20 smallest member
+    keys; rows-only gate, exactness pinned by the sequential-greedy
+    equivalence oracle in tests/test_traversal.py."""
+    from graphdb_neo4j_spark.operators.traversal import maximal_independent_set
+
+    g = _corpus_graph(spark)
+    spawns = g.edges.filter(F.col("rel") == "SPAWNS").select("src", "dst")
+    verts = (
+        spawns.select(F.col("src").alias("key"))
+        .unionByName(spawns.select(F.col("dst").alias("key")))
+        .distinct()
+    )
+    mis = maximal_independent_set(verts, spawns).localCheckpoint()
+    size = mis.agg(F.count("*").alias("n")).select(
+        F.lit("size").alias("kind"), F.col("n").cast("string").alias("value")
+    )
+    members = mis.orderBy("v").limit(20).select(
+        F.lit("member").alias("kind"), F.col("v").alias("value")
+    )
+    return size.unionByName(members)
+
+
 @query("g74_copurchase_mst")
 def g74(spark: SparkSession, sf: str) -> DataFrame:
     """Minimum spanning forest of the part co-purchase graph via

@@ -1321,3 +1321,47 @@ def test_minimum_spanning_forest_duplicate_and_reversed_edges(spark):
     df = spark.createDataFrame(edges, ["src", "dst", "w"])
     got = sorted((r.u, r.v, r.w) for r in minimum_spanning_forest(df).collect())
     assert got == [("1", "2", 1), ("2", "3", 2), ("3", "4", 4)]
+
+
+def test_maximal_independent_set_equals_sequential_greedy(spark):
+    """Luby rounds with static md5 priorities == sequential greedy MIS
+    in global (md5(v), v) order, on a random graph; independence and
+    maximality hold."""
+    import hashlib
+    import random
+
+    from graphdb_neo4j_spark.operators.traversal import maximal_independent_set
+
+    rng = random.Random(7)
+    verts = [f"v{i}" for i in range(60)]
+    edges = {
+        tuple(sorted((rng.choice(verts), rng.choice(verts))))
+        for _ in range(150)
+    }
+    edges = [e for e in edges if e[0] != e[1]]
+    ndf = spark.createDataFrame([(v,) for v in verts], ["key"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.v for r in maximal_independent_set(ndf, edf).collect()}
+
+    adj = {v: set() for v in verts}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = set()
+    for v in sorted(verts, key=lambda x: (hashlib.md5(x.encode()).hexdigest(), x)):
+        if not (adj[v] & want):
+            want.add(v)
+    assert got == want
+    # independence
+    assert not any(a in got and b in got for a, b in edges)
+    # maximality
+    assert all(v in got or (adj[v] & got) for v in verts)
+
+
+def test_maximal_independent_set_isolated_and_selfloop(spark):
+    from graphdb_neo4j_spark.operators.traversal import maximal_independent_set
+
+    ndf = spark.createDataFrame([("a",), ("b",), ("c",)], ["key"])
+    edf = spark.createDataFrame([("a", "a"), ("b", "c")], ["src", "dst"])
+    got = {r.v for r in maximal_independent_set(ndf, edf).collect()}
+    assert "a" in got and len(got & {"b", "c"}) == 1
