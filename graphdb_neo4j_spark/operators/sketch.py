@@ -626,3 +626,100 @@ def hash_sample_quantiles_sql(
     SELECT CAST(pos.q AS DOUBLE) AS q, ranked.v AS value
     FROM ranked JOIN pos ON ranked.rn = pos.rn
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable membership sketch (build = bit_or-reduced words,
+# probe = k bit tests).  Completes the sketch family next to KMV/HLL/CMS:
+# HLL answers "how many distinct", CMS "how often", Bloom "have I seen this
+# key" with zero false negatives and a tunable false-positive rate
+# ((1-e^{-kn/m})^k).  Spark itself builds runtime bloom pruning filters from
+# the same math (InjectRuntimeFilter); this one is engine-portable and
+# oracle-checkable: positions come from the md5 nibble bucket, the filter is
+# a (word_idx, word) table reduced by BIT_OR — mergeable across shards and
+# micro-batches by construction.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 65536  # one md5 nibble-bucket per lane (operators/sampling.py)
+BLOOM_LANES = 5
+# 63 bits per word: bigint is SIGNED in both engines and DuckDB raises on
+# 1::BIGINT << 63, so the sign bit is never used (1041 words for 65536 bits)
+BLOOM_WORD_BITS = 63
+
+
+def _bloom_positions(key: Column, lanes: int) -> list[Column]:
+    from graphdb_neo4j_spark.operators.sampling import _hash_bucket
+
+    return [_hash_bucket(key, f"bloom{i}") for i in range(lanes)]
+
+
+def bloom_build(
+    df: DataFrame, col: str, lanes: int = BLOOM_LANES
+) -> DataFrame:
+    """(word_idx, word) — a 65536-bit Bloom filter over the column's
+    distinct values as 1024 bigint words, BIT_OR-reduced.
+
+    Scale shape: explode to ``lanes`` positions per key (map-side),
+    one hash-agg on word_idx (1024 groups, map-side combinable).  The
+    result is a ~8 KB broadcastable table; merging two filters is
+    ``unionByName`` + the same BIT_OR agg."""
+    key = F.col(col).cast("string")
+    pos = F.explode(F.array(*_bloom_positions(key, lanes))).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").cast("int").alias("word_idx"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), cast(pos % {BLOOM_WORD_BITS} as int))"
+            ).alias("b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("b").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame, bloom: DataFrame, col: str, lanes: int = BLOOM_LANES
+) -> DataFrame:
+    """(key, maybe_present) — probe each distinct value of ``col``
+    against a :func:`bloom_build` filter.  A key is maybe-present iff
+    ALL its lane bits are set (no false negatives).  The filter
+    broadcasts; the probe is a map-side join + one per-key count."""
+    key = F.col(col).cast("string")
+    probes = (
+        df.select(key.alias("key")).distinct()
+        .select(
+            "key", F.explode(F.array(*_bloom_positions(F.col("key"), lanes))).alias("pos")
+        )
+        .select(
+            "key",
+            F.expr(f"pos div {BLOOM_WORD_BITS}").cast("int").alias("word_idx"),
+            (F.col("pos") % BLOOM_WORD_BITS).alias("bit"),
+        )
+    )
+    hit = (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .withColumn(
+            "set",
+            F.when(
+                F.col("word").isNotNull()
+                & (
+                    F.col("word").bitwiseAND(
+                        F.expr("shiftleft(cast(1 as bigint), cast(bit as int))")
+                    )
+                    != 0
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("key")
+        .agg((F.sum("set") == F.lit(lanes)).alias("maybe_present"))
+    )
+    return hit
+
+
+def bloom_positions_sql(key_sql: str, lanes: int = BLOOM_LANES) -> list[str]:
+    """The same lane positions in DuckDB SQL."""
+    from graphdb_neo4j_spark.operators.sampling import hash_bucket_sql
+
+    return [hash_bucket_sql(key_sql, f"bloom{i}") for i in range(lanes)]

@@ -7049,6 +7049,88 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
     return cluster_balanced_sample(e, k=8, per_cluster=25)
 
 
+def _q141_sql(lanes: int = 5, word_bits: int = 63) -> str:
+    from graphdb_neo4j_spark.operators.sampling import hash_bucket_sql
+
+    build_lanes = "\n      UNION ALL ".join(
+        f"SELECT ({hash_bucket_sql('k', f'bloom{i}')}) AS pos FROM ok"
+        for i in range(lanes)
+    )
+    probe_lanes = "\n      UNION ALL ".join(
+        f"SELECT k, ({hash_bucket_sql('k', f'bloom{i}')}) AS pos FROM ck"
+        for i in range(lanes)
+    )
+    return f"""
+    WITH ok AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+    pos AS (
+      {build_lanes}
+    ),
+    words AS (
+      SELECT pos // {word_bits} AS word_idx,
+             BIT_OR(1::BIGINT << CAST(pos % {word_bits} AS INT)) AS word
+      FROM pos GROUP BY pos // {word_bits}
+    ),
+    ck AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+    probe AS (
+      {probe_lanes}
+    ),
+    hits AS (
+      SELECT p.k,
+             SUM(CASE WHEN w.word IS NOT NULL
+                       AND (w.word & (1::BIGINT << CAST(p.pos % {word_bits} AS INT))) <> 0
+                 THEN 1 ELSE 0 END) AS nset
+      FROM probe p LEFT JOIN words w ON p.pos // {word_bits} = w.word_idx
+      GROUP BY p.k
+    ),
+    act AS (
+      SELECT h.k, (h.nset = {lanes}) AS maybe, (o.k IS NOT NULL) AS actual
+      FROM hits h LEFT JOIN ok o ON h.k = o.k
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+           CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_actual,
+           CAST(SUM(CASE WHEN maybe AND NOT actual THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positive,
+           CAST(SUM(CASE WHEN actual AND NOT maybe THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_negative
+    FROM act
+    """
+
+
+@query("q141_bloom_membership", _q141_sql())
+def q141(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter membership audit — build a 65536-bit / 5-lane
+    filter over customers WITH orders (sketch.bloom_build: md5-lane
+    positions, BIT_OR-reduced 63-bit words, ~8 KB broadcastable,
+    mergeable), probe EVERY customer (sketch.bloom_probe), and compare
+    against exact membership: zero false negatives by construction,
+    false positives counted.  The primitive behind runtime semi-join
+    pruning — here engine-portable and oracle-replayed bit-for-bit."""
+    from graphdb_neo4j_spark.operators.sketch import bloom_build, bloom_probe
+
+    o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    c = load_table(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    bloom = bloom_build(o, "k")
+    flags = bloom_probe(c, bloom, "k")
+    ok = o.select(F.col("k").cast("string")).distinct().withColumn(
+        "actual", F.lit(True)
+    )
+    act = flags.join(ok, flags["key"] == ok["k"], "left").select(
+        "maybe_present", F.coalesce(F.col("actual"), F.lit(False)).alias("actual")
+    )
+    return act.agg(
+        F.count("*").cast("bigint").alias("n_probed"),
+        F.sum(F.when(F.col("maybe_present"), 1).otherwise(0))
+        .cast("bigint").alias("n_maybe"),
+        F.sum(F.when(F.col("actual"), 1).otherwise(0))
+        .cast("bigint").alias("n_actual"),
+        F.sum(F.when(F.col("maybe_present") & ~F.col("actual"), 1).otherwise(0))
+        .cast("bigint").alias("n_false_positive"),
+        F.sum(F.when(F.col("actual") & ~F.col("maybe_present"), 1).otherwise(0))
+        .cast("bigint").alias("n_false_negative"),
+    )
+
+
 @query("g75_corpus_independent_set")
 def g75(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic maximal independent set over the corpus SPAWNS

@@ -439,3 +439,25 @@ def test_hash_sample_quantile_positions_pin_decimal_ambiguity():
     assert quantile_positions(1000, [0.25, 0.999]) == [(0.25, 250), (0.999, 999)]
     # clamped into [1, k]
     assert quantile_positions(10, [0.0, 1.0]) == [(0.0, 1), (1.0, 10)]
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    """Every inserted key probes maybe-present; the union-then-rebuild
+    merge equals building over the union (BIT_OR associativity)."""
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.operators.sketch import bloom_build, bloom_probe
+
+    a = spark.createDataFrame([(i,) for i in range(200)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(150, 400)], ["k"])
+    built_union = bloom_build(a.unionByName(b), "k")
+    merged = (
+        bloom_build(a, "k").unionByName(bloom_build(b, "k"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    assert sorted(map(tuple, built_union.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    probe = bloom_probe(a.unionByName(b), built_union, "k")
+    assert all(r.maybe_present for r in probe.collect())
