@@ -7131,6 +7131,77 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "q142_revenue_trend_ols",
+    """
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             CAST((date_part('year', o.o_orderdate) - 1992) * 12
+                  + date_part('month', o.o_orderdate) - 1 AS BIGINT) AS x,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS y
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    s AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM m GROUP BY nation
+    )
+    SELECT nation, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE)
+             AS slope_cents_per_month
+    FROM s
+    ORDER BY nation
+    """,
+)
+def q142(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group OLS trend — monthly revenue slope per nation, the
+    grouped-regression workload (drift/trend detection).  All five
+    moment sums (n, Σx, Σy, Σxy, Σx²) accumulate as exact bigints
+    (cents × month index), so the closed-form slope is ONE identical
+    IEEE division in both engines — no float summation order anywhere.
+    One join-reduce: broadcast nation/customer dims, single hash-agg."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    m = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            (
+                (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+            ).cast("bigint").alias("x"),
+            _cents(F.col("o_totalprice")).alias("y"),
+        )
+    )
+    s = m.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return s.select(
+        "nation",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint").alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint").alias("slope_den"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("slope_cents_per_month"),
+    ).orderBy("nation")
+
+
 @query("g75_corpus_independent_set")
 def g75(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic maximal independent set over the corpus SPAWNS
