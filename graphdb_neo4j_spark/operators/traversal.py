@@ -2329,6 +2329,88 @@ def maximal_independent_set(
     return mis
 
 
+def greedy_coloring(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 200
+) -> DataFrame:
+    """``(v, color)`` — a proper vertex coloring via Jones–Plassmann
+    with static md5 priorities (Jones & Plassmann 1993).
+
+    Each round, every uncolored vertex whose higher-priority neighbors
+    are ALL colored takes the smallest color absent from its colored
+    neighborhood (the mex).  With a static priority order this is
+    EXACTLY the sequential greedy coloring in global ``(md5(v), v)``
+    order — deterministic across runs and partitionings, oracle-equal
+    to the pure-Python replay — while rounds are bounded by the longest
+    decreasing-priority path (O(log n / log log n) expected for hash
+    priorities).
+
+    Scale shape per round: one semi-join to find ready vertices, one
+    collect_set of neighbor colors per ready vertex (bounded by
+    degree), a fold computing the mex — all key-partitioned.  Color
+    count is (Δ+1)-bounded like any greedy scheme.
+    """
+    key_col = nodes.columns[0]
+    und = (
+        _as_undirected(edges)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    pending = (
+        nodes.select(F.col(key_col).alias("v")).distinct()
+        .localCheckpoint()
+    )
+    pri = pending.withColumn(
+        "pri", F.struct(F.md5(F.col("v")).alias("h"), F.col("v"))
+    )
+    # the priority-dominance graph (dst outranks src) is STATIC —
+    # computed once; each round only membership changes
+    dom = (
+        und.join(pri.select(F.col("v").alias("src"), "pri"), "src")
+        .join(pri.select(F.col("v").alias("dst"), F.col("pri").alias("dpri")), "dst")
+        .filter(F.col("dpri") < F.col("pri"))
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    spark = nodes.sparkSession
+    colored = spark.createDataFrame([], "v string, color int").localCheckpoint()
+    for _ in range(max_iter):
+        if pending.isEmpty():
+            break
+        # a pending vertex is READY when no pending neighbor outranks it
+        blockers = (
+            dom.join(pending.select(F.col("v").alias("dst")), "dst", "left_semi")
+            .select(F.col("src").alias("v"))
+            .distinct()
+        )
+        ready = pending.join(blockers, "v", "left_anti").select("v")
+        # mex over the already-colored neighborhood
+        nb_colors = (
+            und.join(ready.select(F.col("v").alias("src")), "src", "left_semi")
+            .join(
+                colored.select(F.col("v").alias("dst"), "color"), "dst"
+            )
+            .groupBy(F.col("src").alias("v"))
+            .agg(F.array_sort(F.collect_set("color")).alias("cs"))
+        )
+        mex = F.aggregate(
+            F.col("cs"),
+            F.lit(0),
+            lambda acc, c: F.when(c == acc, acc + 1).otherwise(acc),
+        )
+        newly = (
+            ready.join(nb_colors, "v", "left")
+            .select(
+                "v",
+                F.coalesce(mex, F.lit(0)).cast("int").alias("color"),
+            )
+            .localCheckpoint()
+        )
+        colored = colored.unionByName(newly).localCheckpoint()
+        pending = pending.join(newly.select("v"), "v", "left_anti").localCheckpoint()
+    return colored
+
+
 def greedy_matching(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """(src, dst) — a deterministic MAXIMAL matching of the undirected
     graph: no two returned edges share a vertex, and no remaining edge

@@ -7230,6 +7230,30 @@ def g75(spark: SparkSession, sf: str) -> DataFrame:
     return size.unionByName(members)
 
 
+@query("g76_corpus_coloring")
+def g76(spark: SparkSession, sf: str) -> DataFrame:
+    """Jones–Plassmann greedy coloring of the corpus SPAWNS graph
+    (traversal.greedy_coloring) — the conflict-scheduling primitive
+    (vertices of one color can be processed concurrently).  Returns
+    color-class sizes; rows-only gate, exactness pinned by the
+    sequential-greedy equivalence oracle in tests/test_traversal.py."""
+    from graphdb_neo4j_spark.operators.traversal import greedy_coloring
+
+    g = _corpus_graph(spark)
+    spawns = g.edges.filter(F.col("rel") == "SPAWNS").select("src", "dst")
+    verts = (
+        spawns.select(F.col("src").alias("key"))
+        .unionByName(spawns.select(F.col("dst").alias("key")))
+        .distinct()
+    )
+    col = greedy_coloring(verts, spawns)
+    return (
+        col.groupBy("color")
+        .agg(F.count("*").cast("bigint").alias("n_vertices"))
+        .orderBy("color")
+    )
+
+
 @query("g74_copurchase_mst")
 def g74(spark: SparkSession, sf: str) -> DataFrame:
     """Minimum spanning forest of the part co-purchase graph via

@@ -1365,3 +1365,40 @@ def test_maximal_independent_set_isolated_and_selfloop(spark):
     edf = spark.createDataFrame([("a", "a"), ("b", "c")], ["src", "dst"])
     got = {r.v for r in maximal_independent_set(ndf, edf).collect()}
     assert "a" in got and len(got & {"b", "c"}) == 1
+
+
+def test_greedy_coloring_equals_sequential_and_proper(spark):
+    """Jones–Plassmann with static md5 priorities == sequential greedy
+    coloring in global (md5(v), v) order; coloring is proper and
+    (maxdegree+1)-bounded."""
+    import hashlib
+    import random
+
+    from graphdb_neo4j_spark.operators.traversal import greedy_coloring
+
+    rng = random.Random(11)
+    verts = [f"n{i}" for i in range(50)]
+    edges = {
+        tuple(sorted((rng.choice(verts), rng.choice(verts))))
+        for _ in range(140)
+    }
+    edges = [e for e in edges if e[0] != e[1]]
+    ndf = spark.createDataFrame([(v,) for v in verts], ["key"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.v: r.color for r in greedy_coloring(ndf, edf).collect()}
+
+    adj = {v: set() for v in verts}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for v in sorted(verts, key=lambda x: (hashlib.md5(x.encode()).hexdigest(), x)):
+        used = {want[n] for n in adj[v] if n in want}
+        c = 0
+        while c in used:
+            c += 1
+        want[v] = c
+    assert got == want
+    assert not any(got[a] == got[b] for a, b in edges)
+    maxdeg = max(len(s) for s in adj.values())
+    assert max(got.values()) <= maxdeg
