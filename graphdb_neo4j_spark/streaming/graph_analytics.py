@@ -239,3 +239,121 @@ def streaming_connected_components(
 def components_state(spark: SparkSession, state_path: str) -> DataFrame:
     """Latest (v, component) assignment across all processed batches."""
     return _read_state(spark, state_path).select("v", "component")
+
+
+def streaming_triangle_count(
+    edges_stream: DataFrame,
+    state_path: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+):
+    """``writeStream`` builder: incremental triangle counting over an
+    undirected edge stream — never recounts history.
+
+    Per micro-batch, only triangles CLOSED by a new edge are counted:
+    every triangle is attributed to its maximum edge under the global
+    order (old edges < new edges < later new edges, new edges ordered
+    by their canonical ``(u, v)``), so each triangle with ≥1 new edge
+    counts exactly once, at a new edge — two adjacency joins keyed on
+    the new edges' endpoints, work ∝ |batch| × degree, not |history|².
+
+    State: ``edges/batch_id=B`` (the batch's truly-new canonical
+    edges, append-shaped), ``counts/batch_id=B`` (delta + running
+    total snapshot), ``meta`` committed last — the exactly-once
+    replay pattern of the sharded components state (readers filter to
+    committed batches; replays overwrite their own partitions).  At
+    100 TB bucket the edge log by endpoint hash so the two adjacency
+    joins co-locate.  Read the running total with
+    :func:`triangle_count_state`.
+    """
+    from graphdb_neo4j_spark.streaming.dim import _done_batches, _read_or_none
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        done = _done_batches(spark, f"{state_path}/meta")
+        if batch_id in done:
+            return
+        new_raw = (
+            batch_df.select(
+                F.least(F.col(src_col), F.col(dst_col)).cast("string").alias("u"),
+                F.greatest(F.col(src_col), F.col(dst_col)).cast("string").alias("v"),
+            )
+            .filter(F.col("u").isNotNull() & (F.col("u") != F.col("v")))
+            .distinct()
+        )
+        old = _read_or_none(spark, f"{state_path}/edges")
+        prev_total = 0
+        if old is not None and done:
+            last = max(done)
+            old = old.filter(F.col("batch_id") <= last).select("u", "v")
+            counts = _read_or_none(spark, f"{state_path}/counts")
+            row = (
+                counts.filter(F.col("batch_id") == last).select("total").head()
+                if counts is not None
+                else None
+            )
+            prev_total = row["total"] if row else 0
+        else:
+            old = spark.createDataFrame([], "u string, v string")
+        new_e = new_raw.join(old, ["u", "v"], "left_anti").localCheckpoint()
+        # adjacency with each edge's order key: old edges sort below all
+        # new edges; new edges order by canonical (u, v)
+        okey = lambda n, u, v: F.struct(  # noqa: E731
+            F.lit(n).cast("int").alias("n"), u.alias("ku"), v.alias("kv")
+        )
+        half = old.select("u", "v", okey(0, F.col("u"), F.col("v")).alias("k")).unionByName(
+            new_e.select("u", "v", okey(1, F.col("u"), F.col("v")).alias("k"))
+        )
+        und = half.select(F.col("u").alias("a"), F.col("v").alias("b"), "k").unionByName(
+            half.select(F.col("v").alias("a"), F.col("u").alias("b"), "k")
+        )
+        ne = new_e.select(
+            "u", "v", okey(1, F.col("u"), F.col("v")).alias("ke")
+        )
+        nu = und.select(F.col("a").alias("u"), F.col("b").alias("w"), F.col("k").alias("ku_w"))
+        nv = und.select(F.col("a").alias("v"), F.col("b").alias("w"), F.col("k").alias("kv_w"))
+        closed = (
+            ne.join(nu, "u")
+            .join(nv, ["v", "w"])
+            .filter((F.col("ku_w") < F.col("ke")) & (F.col("kv_w") < F.col("ke")))
+        )
+        delta_row = closed.agg(F.count("*").alias("d")).head()
+        delta = delta_row["d"] if delta_row else 0
+        (
+            new_e.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{state_path}/edges")
+        )
+        (
+            spark.createDataFrame(
+                [(int(delta), int(prev_total + delta), batch_id)],
+                "delta long, total long, batch_id long",
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(f"{state_path}/counts")
+        )
+        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+            "append"
+        ).parquet(f"{state_path}/meta")
+
+    return edges_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", f"{state_path}/_ckpt_tri"
+    )
+
+
+def triangle_count_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """(batch_id, delta, total) — committed per-batch triangle deltas
+    and the running total."""
+    from graphdb_neo4j_spark.streaming.dim import _done_batches, _read_or_none
+
+    done = _done_batches(spark, f"{state_path}/meta")
+    counts = _read_or_none(spark, f"{state_path}/counts")
+    if counts is None or not done:
+        return spark.createDataFrame([], "batch_id long, delta long, total long")
+    return counts.filter(F.col("batch_id") <= max(done)).select(
+        "batch_id", "delta", "total"
+    )

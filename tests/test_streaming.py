@@ -962,3 +962,45 @@ def test_streaming_cc_rewrites_only_touched_shards(spark, tmp_path):
     want = {r.key: r.component for r in connected_components(ndf, edf).collect()}
     assert got == want
     assert got["m1"] == got["m3"] == "m1"
+
+
+def test_streaming_triangle_count_incremental(spark, tmp_path):
+    """Incremental triangle counting over 4 micro-batches: after every
+    batch the running total equals batch triangle_count over the union
+    so far — including triangles closed across batches, triangles with
+    2-3 same-batch new edges, duplicate re-sent edges, and reversed
+    duplicates."""
+    import os
+
+    from graphdb_neo4j_spark.operators.traversal import triangle_count
+    from graphdb_neo4j_spark.streaming.graph_analytics import (
+        streaming_triangle_count,
+        triangle_count_state,
+    )
+
+    batches = [
+        [("a", "b"), ("b", "c")],                       # path, 0 triangles
+        [("c", "a")],                                   # closes abc across batches
+        [("d", "e"), ("e", "f"), ("f", "d"), ("a", "b")],  # same-batch triangle + dup
+        [("b", "a"), ("c", "d"), ("b", "d")],           # reversed dup; bcd closes
+    ]
+    src_dir = str(tmp_path / "tri_src")
+    state = str(tmp_path / "tri_state")
+    os.makedirs(src_dir, exist_ok=True)
+    all_edges = []
+    for rows in batches:
+        all_edges += rows
+        spark.createDataFrame(rows, ["src", "dst"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+        stream = spark.readStream.schema("src string, dst string").parquet(src_dir)
+        q = streaming_triangle_count(stream, state).trigger(
+            availableNow=True
+        ).start()
+        q.awaitTermination(180)
+        st = triangle_count_state(spark, state)
+        total = st.agg({"total": "max"}).head()[0]
+        want = triangle_count(spark.createDataFrame(all_edges, ["src", "dst"]))
+        assert total == want, (total, want, len(all_edges))
+    # final sanity: abc + def + bcd
+    assert want == 3
