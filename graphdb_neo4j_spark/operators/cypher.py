@@ -174,7 +174,7 @@ _NODE_RE = re.compile(
 )
 _EDGE_RE = re.compile(
     r"(?P<back><)?-\s*\[\s*(?:(?P<ev>\w+))?\s*:\s*(?P<rel>\w+|`[^`]+`)\s*"
-    r"(?P<vspec>\*[\d.\s]*)?\s*\]\s*-(?P<fwd>>)?"
+    r"(?P<vspec>\*[\d.\s]*)?\s*(?P<eprops>\{[^}]*\})?\s*\]\s*-(?P<fwd>>)?"
 )
 
 
@@ -288,10 +288,29 @@ def _parse_patterns(body: str, parsed: _Parsed, into_optional: bool) -> None:
             if bool(em["back"]) == bool(em["fwd"]):
                 raise ValueError(f"undirected edge in {pat!r}: give a direction")
             vspec = em["vspec"][1:].strip() if em["vspec"] else None
+            ev = em["ev"]
+            # inline edge-property map [e:REL {prop: v}] — desugars to
+            # an edge-var predicate (auto-naming the edge if needed)
+            if em["eprops"]:
+                einner = em["eprops"].strip()[1:-1].strip()
+                if einner and vspec is not None:
+                    raise ValueError(
+                        "property maps on variable-length relationships "
+                        "are not supported"
+                    )
+                if einner:
+                    if ev is None:
+                        anon[0] += 1
+                        ev = f"__eanon{anon[0]}"
+                    for kv in _split_top_commas(einner):
+                        k, sep, v = kv.partition(":")
+                        if not sep:
+                            raise ValueError(f"bad property map entry {kv!r}")
+                        preds.append(f"{ev}.{k.strip()} = {v.strip()}")
             if em["back"]:
-                hops.append(_Hop(nxt, _unq_name(em["rel"]), prev, em["ev"], vspec))
+                hops.append(_Hop(nxt, _unq_name(em["rel"]), prev, ev, vspec))
             else:
-                hops.append(_Hop(prev, _unq_name(em["rel"]), nxt, em["ev"], vspec))
+                hops.append(_Hop(prev, _unq_name(em["rel"]), nxt, ev, vspec))
             prev = nxt
             pos = nm.end()
             had_hop = True

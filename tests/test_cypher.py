@@ -755,3 +755,43 @@ def test_call_subquery_then_match(gq):
 def test_call_subquery_unbalanced_raises(gq):
     with pytest.raises(ValueError, match="unbalanced"):
         cypher(gq, "CALL { MATCH (p:Process) RETURN p")
+
+
+def test_inline_edge_property_map(gq):
+    """[e:REL {prop: v}] desugars to the edge-var predicate — named
+    var, anonymous edge, and empty map all behave; equal to the WHERE
+    form."""
+    want = cypher(
+        gq,
+        "MATCH (p:Process)-[e:CONNECTED_TO]->(ip:Ip) "
+        "WHERE e.event_id = 3 RETURN p, ip",
+    ).collect()
+    named = cypher(
+        gq,
+        "MATCH (p:Process)-[e:CONNECTED_TO {event_id: 3}]->(ip:Ip) "
+        "RETURN p, ip",
+    ).collect()
+    anon = cypher(
+        gq,
+        "MATCH (p:Process)-[:CONNECTED_TO {event_id: 3}]->(ip:Ip) "
+        "RETURN p, ip",
+    ).collect()
+    empty = cypher(
+        gq,
+        "MATCH (p:Process)-[:CONNECTED_TO {}]->(ip:Ip) RETURN p, ip",
+    ).collect()
+    key = lambda rows: sorted((r.p, r.ip) for r in rows)  # noqa: E731
+    assert key(named) == key(want)
+    assert key(anon) == key(want)
+    assert len(empty) >= len(want)
+
+
+def test_inline_edge_props_on_varlen_rejected(gq):
+    import pytest
+
+    with pytest.raises(ValueError, match="variable-length"):
+        cypher(
+            gq,
+            "MATCH (a:Process)-[:SPAWNS*1..2 {event_id: 1}]->(b:Process) "
+            "RETURN a, b",
+        )
