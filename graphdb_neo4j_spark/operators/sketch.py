@@ -337,6 +337,12 @@ def hll_distinct_by(df: DataFrame, group_col: str, col: str) -> DataFrame:
         .groupBy("grp", "bucket")
         .agg(F.max("rho").alias("reg"))
     )
+    return _grouped_estimate(regs).withColumnRenamed("grp", group_col)
+
+
+def _grouped_estimate(regs: DataFrame) -> DataFrame:
+    """Per-group estimate fold over a (grp, bucket, reg) register table
+    — shared by :func:`hll_distinct_by` and the rolling-window rollup."""
     agg = regs.groupBy("grp").agg(
         F.count("*").alias("n_buckets"),
         F.sum(F.expr(f"CAST(1 AS BIGINT) << ({_HLL_RHO_CAP} - reg)")).alias("s_obs"),
@@ -349,12 +355,105 @@ def hll_distinct_by(df: DataFrame, group_col: str, col: str) -> DataFrame:
         F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
     ).otherwise(raw)
     return agg.select(
-        F.col("grp").alias(group_col),
+        "grp",
         F.col("n_buckets").cast("bigint").alias("n_buckets"),
         zeros.cast("bigint").alias("zero_registers"),
         s_num.cast("bigint").alias("harmonic_num"),
         F.round(est, 4).alias("est_distinct"),
     )
+
+
+def hll_rolling_distinct(
+    df: DataFrame, hour_col: str, col: str, window_hours: int = 3
+) -> DataFrame:
+    """(hour, n_buckets, zero_registers, harmonic_num, est_distinct) —
+    rolling-window distinct estimate from PRE-AGGREGATED hourly HLL
+    sketches: registers per (hour, bucket), then each output hour
+    merges the trailing ``window_hours`` hours' registers by MAX.
+
+    This is the sketch-rollup pattern (Druid/ClickHouse datasketches):
+    raw data is touched ONCE to build ≤256 register rows per hour;
+    ANY trailing window is then answered by merging sketch rows —
+    a COUNT(DISTINCT) over the re-scanned window would reread every
+    event.  The register merge is exactly :func:`hll_merge_registers`
+    semantics, so the rolling estimate is bit-identical to sketching
+    the window's raw rows directly (HLL merge losslessness)."""
+    bucket, rho = hll_bucket_rho(F.col(col))
+    regs = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(hour_col).alias("h"), bucket, rho)
+        .groupBy("h", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    hours = regs.select(F.col("h").alias("grp")).distinct()
+    merged = (
+        hours.join(
+            regs,
+            (F.col("h") >= F.col("grp") - F.lit(window_hours - 1))
+            & (F.col("h") <= F.col("grp")),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    return _grouped_estimate(merged).withColumnRenamed("grp", "hour")
+
+
+def hll_rolling_distinct_sql(
+    table: str, hour_sql: str, col_sql: str, window_hours: int = 3
+) -> str:
+    """DuckDB oracle for :func:`hll_rolling_distinct`."""
+    cap = _HLL_RHO_CAP
+    return f"""
+    WITH n AS (
+      SELECT h,
+             (instr('{_HEX}', substr(md, 1, 1)) - 1) * 16
+             + (instr('{_HEX}', substr(md, 2, 1)) - 1) AS bucket,
+             substr(md, 3, 14) AS tail
+      FROM (SELECT {hour_sql} AS h, md5(CAST({col_sql} AS VARCHAR)) AS md
+            FROM {table} WHERE {col_sql} IS NOT NULL)
+    ),
+    rho AS (
+      SELECT h, bucket,
+             LEAST(CASE WHEN z = 14 THEN 57
+                        ELSE 4*z + CASE WHEN v >= 8 THEN 0 WHEN v >= 4 THEN 1
+                                        WHEN v >= 2 THEN 2 ELSE 3 END + 1 END,
+                   {cap}) AS rho
+      FROM (SELECT h, bucket,
+                   length(regexp_extract(tail, '^0*')) AS z,
+                   instr('{_HEX}',
+                         substr(tail, length(regexp_extract(tail, '^0*')) + 1, 1)) - 1
+                     AS v
+            FROM n)
+    ),
+    regs AS (SELECT h, bucket, MAX(rho) AS reg FROM rho GROUP BY h, bucket),
+    hours AS (SELECT DISTINCT h AS grp FROM regs),
+    merged AS (
+      SELECT hours.grp, regs.bucket, MAX(regs.reg) AS reg
+      FROM hours JOIN regs
+        ON regs.h >= hours.grp - {window_hours - 1} AND regs.h <= hours.grp
+      GROUP BY hours.grp, regs.bucket
+    ),
+    agg AS (
+      SELECT grp, COUNT(*) AS n_buckets,
+             SUM(CAST(1 AS BIGINT) << ({cap} - reg)) AS s_obs
+      FROM merged GROUP BY grp
+    )
+    SELECT grp AS hour,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST({_HLL_M} - n_buckets AS BIGINT) AS zero_registers,
+           CAST(s_obs + ({_HLL_M} - n_buckets) * (CAST(1 AS BIGINT) << {cap})
+                AS BIGINT) AS harmonic_num,
+           ROUND(CASE WHEN {_HLL_NUM!r} / CAST(s_obs + ({_HLL_M} - n_buckets)
+                               * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE)
+                           <= {_HLL_LINEAR_MAX!r}
+                       AND {_HLL_M} - n_buckets > 0
+                      THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+                               / CAST({_HLL_M} - n_buckets AS DOUBLE))
+                      ELSE {_HLL_NUM!r} / CAST(s_obs + ({_HLL_M} - n_buckets)
+                               * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE) END,
+                 4) AS est_distinct
+    FROM agg
+    """
 
 
 def hll_distinct_by_sql(

@@ -7202,6 +7202,38 @@ def q142(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("nation")
 
 
+def _q143_sql() -> str:
+    from graphdb_neo4j_spark.operators.sketch import hll_rolling_distinct_sql
+
+    inner = hll_rolling_distinct_sql(
+        "events", "epoch_us(ts) // 3600000000", "user_id", window_hours=3
+    )
+    return f"SELECT * FROM ({inner}) ORDER BY hour LIMIT 48"
+
+
+@query("q143_hll_rolling_users", _q143_sql())
+def q143(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 3-hour distinct-user estimates from PRE-AGGREGATED
+    hourly HLL register sketches (sketch.hll_rolling_distinct) — the
+    Druid/ClickHouse sketch-rollup pattern: the event stream is
+    scanned once into ≤256 register rows per hour, and every trailing
+    window is answered by a MAX-merge of sketch rows (lossless by HLL
+    merge semantics) instead of re-scanning raw events.  First 48
+    hours shown; identical register/merge/estimate math replayed by
+    the oracle."""
+    from graphdb_neo4j_spark.operators.sketch import hll_rolling_distinct
+
+    e = load_table(spark, sf, "events").select(
+        F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+        "user_id",
+    )
+    return (
+        hll_rolling_distinct(e, "hour", "user_id", window_hours=3)
+        .orderBy("hour")
+        .limit(48)
+    )
+
+
 @query("g75_corpus_independent_set")
 def g75(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic maximal independent set over the corpus SPAWNS

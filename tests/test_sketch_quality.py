@@ -461,3 +461,30 @@ def test_bloom_no_false_negatives_and_mergeable(spark):
     )
     probe = bloom_probe(a.unionByName(b), built_union, "k")
     assert all(r.maybe_present for r in probe.collect())
+
+
+def test_hll_rolling_equals_direct_window_sketch(spark):
+    """Rolling register merge == sketching each trailing window's raw
+    rows directly (HLL merge losslessness), for every output hour."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.operators.sketch import (
+        hll_distinct,
+        hll_rolling_distinct,
+    )
+
+    rng = random.Random(3)
+    rows = [(rng.randint(0, 5), f"u{rng.randint(0, 300)}") for _ in range(2000)]
+    df = spark.createDataFrame(rows, ["hour", "uid"])
+    rolled = {
+        r.hour: (r.n_buckets, r.harmonic_num, r.est_distinct)
+        for r in hll_rolling_distinct(df, "hour", "uid", window_hours=3).collect()
+    }
+    for h in sorted(rolled):
+        window = df.filter((F.col("hour") >= h - 2) & (F.col("hour") <= h))
+        direct = hll_distinct(window, "uid").collect()[0]
+        assert rolled[h] == (
+            direct.n_buckets, direct.harmonic_num, direct.est_distinct
+        ), h
