@@ -7286,6 +7286,27 @@ def g76(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("g77_corpus_cypher_tls_beacons")
+def g77(spark: SparkSession, sf: str) -> DataFrame:
+    """Inline edge-property Cypher over the corpus: processes beaconing
+    to port 443 ('{dport: '443'}' — the classic Neo4j inline map on a
+    relationship, desugared by operators/cypher.py to an edge-struct
+    predicate), grouped per process image.  Rows-only; the inline ≡
+    WHERE equivalence is pinned in tests/test_cypher.py."""
+    from graphdb_neo4j_spark.operators.cypher import cypher
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    g = _corpus_graph(spark)
+    gq = GraphQuery.from_graph(g)
+    return cypher(
+        gq,
+        "MATCH (p:Process)-[:CONNECTED_TO {dport: '443'}]->(ip:Ip) "
+        "RETURN p.image AS image, count(*) AS n_beacons "
+        "ORDER BY n_beacons DESC, image LIMIT 20",
+        props={"Process": g.process},
+    )
+
+
 @query("g74_copurchase_mst")
 def g74(spark: SparkSession, sf: str) -> DataFrame:
     """Minimum spanning forest of the part co-purchase graph via
