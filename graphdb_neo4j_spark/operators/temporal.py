@@ -238,7 +238,6 @@ def window_funnel(
     df = events
     # start[j] at a row = latest chain-start ts among length-(j+1)
     # prefixes ending strictly before the row
-    prev_start = None
     for j, step in enumerate(steps):
         is_step = F.col(type_col) == step
         if j == 0:
@@ -248,7 +247,6 @@ def window_funnel(
             here = F.when(is_step & feasible, F.col(f"_p{j - 1}"))
         df = df.withColumn(f"_s{j}", here)
         df = df.withColumn(f"_p{j}", F.max(F.col(f"_s{j}")).over(w_prev))
-        prev_start = f"_s{j}"
     level = F.greatest(
         *[
             F.when(F.col(f"_s{j}").isNotNull(), F.lit(j + 1)).otherwise(F.lit(0))
