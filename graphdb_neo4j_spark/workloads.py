@@ -7286,6 +7286,88 @@ def g76(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "q144_segment_welch_ttest",
+    """
+    WITH y AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    s AS (
+      SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM y GROUP BY seg
+    ),
+    st AS (
+      SELECT seg, n, sy, syy,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             (CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1) AS var
+      FROM s
+    )
+    SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+           (a.mean - b.mean)
+           / sqrt(a.var / CAST(a.n AS DOUBLE) + b.var / CAST(b.n AS DOUBLE))
+             AS t_stat
+    FROM st a JOIN st b
+      ON a.seg = 'BUILDING' AND b.seg = 'MACHINERY'
+    """,
+)
+def q144(spark: SparkSession, sf: str) -> DataFrame:
+    """Welch's t-test between two customer segments on order value —
+    the A/B-significance workload.  The only aggregates are three
+    exact bigint sums per arm (n, Σy, Σy² in cents); mean, variance,
+    and the t statistic are then the SAME closed-form double
+    expression in both engines (IEEE division and sqrt are correctly
+    rounded, so no summation-order nondeterminism anywhere).  One
+    broadcast dim join + one two-group hash-agg."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    y = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("seg"), _cents(F.col("o_totalprice")).alias("y")
+    )
+    s = y.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    st = s.select(
+        "seg",
+        "n",
+        (F.col("sy").cast("double") / F.col("n").cast("double")).alias("mean"),
+        (
+            (
+                F.col("syy").cast("double")
+                - F.col("sy").cast("double")
+                * F.col("sy").cast("double")
+                / F.col("n").cast("double")
+            )
+            / (F.col("n").cast("double") - 1)
+        ).alias("var"),
+    )
+    a = st.filter(F.col("seg") == "BUILDING").alias("a")
+    b = st.filter(F.col("seg") == "MACHINERY").alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.mean").alias("mean_a"),
+        F.col("b.mean").alias("mean_b"),
+        (
+            (F.col("a.mean") - F.col("b.mean"))
+            / F.sqrt(
+                F.col("a.var") / F.col("a.n").cast("double")
+                + F.col("b.var") / F.col("b.n").cast("double")
+            )
+        ).alias("t_stat"),
+    )
+
+
 @query("g77_corpus_cypher_tls_beacons")
 def g77(spark: SparkSession, sf: str) -> DataFrame:
     """Inline edge-property Cypher over the corpus: processes beaconing
