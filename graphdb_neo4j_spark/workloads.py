@@ -7368,6 +7368,119 @@ def q144(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "q145_touch_attribution",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS seq
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN event_type IN ('view', 'click', 'signup')
+                     THEN seq END AS touch_seq
+      FROM e
+    ),
+    purchases AS (
+      SELECT user_id, first_seq, last_seq FROM (
+        SELECT user_id, event_type,
+               MIN(touch_seq) OVER w AS first_seq,
+               MAX(touch_seq) OVER w AS last_seq
+        FROM marked
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+      ) WHERE event_type = 'purchase'
+    ),
+    f AS (
+      SELECT t.event_type AS touch_type, COUNT(*) AS first_touch_credits
+      FROM purchases p JOIN e t
+        ON t.user_id = p.user_id AND t.seq = p.first_seq
+      GROUP BY t.event_type
+    ),
+    l AS (
+      SELECT t.event_type AS touch_type, COUNT(*) AS last_touch_credits
+      FROM purchases p JOIN e t
+        ON t.user_id = p.user_id AND t.seq = p.last_seq
+      GROUP BY t.event_type
+    )
+    SELECT COALESCE(f.touch_type, l.touch_type) AS touch_type,
+           CAST(COALESCE(first_touch_credits, 0) AS BIGINT)
+             AS first_touch_credits,
+           CAST(COALESCE(last_touch_credits, 0) AS BIGINT)
+             AS last_touch_credits
+    FROM f FULL OUTER JOIN l ON f.touch_type = l.touch_type
+    ORDER BY touch_type
+    """,
+)
+def q145(spark: SparkSession, sf: str) -> DataFrame:
+    """Marketing attribution: for every purchase, credit the FIRST and
+    the LAST touch (view/click/signup) in the trailing one-hour RANGE
+    window, aggregated per touch type — the first-touch/last-touch
+    models side by side.  Touches are addressed by a per-user sequence
+    number carried through a value-RANGE window frame (same-microsecond
+    touches are excluded by the value range, deterministically), then
+    resolved to their type with one sequence-keyed self-join; all
+    windows and joins share the user_id partitioning."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e = ev.withColumn("seq", F.row_number().over(wseq))
+    marked = e.withColumn(
+        "touch_seq",
+        F.when(
+            F.col("event_type").isin("view", "click", "signup"), F.col("seq")
+        ),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, -1)
+    )
+    purchases = (
+        marked.withColumn("first_seq", F.min("touch_seq").over(wr))
+        .withColumn("last_seq", F.max("touch_seq").over(wr))
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "first_seq", "last_seq")
+    )
+    t = e.select("user_id", "seq", F.col("event_type").alias("touch_type"))
+    f = (
+        purchases.join(
+            t,
+            (purchases["user_id"] == t["user_id"])
+            & (purchases["first_seq"] == t["seq"]),
+        )
+        .groupBy("touch_type")
+        .agg(F.count("*").cast("bigint").alias("first_touch_credits"))
+    )
+    l = (
+        purchases.join(
+            t,
+            (purchases["user_id"] == t["user_id"])
+            & (purchases["last_seq"] == t["seq"]),
+        )
+        .groupBy("touch_type")
+        .agg(F.count("*").cast("bigint").alias("last_touch_credits"))
+    )
+    return (
+        f.join(l, "touch_type", "full_outer")
+        .select(
+            "touch_type",
+            F.coalesce("first_touch_credits", F.lit(0))
+            .cast("bigint").alias("first_touch_credits"),
+            F.coalesce("last_touch_credits", F.lit(0))
+            .cast("bigint").alias("last_touch_credits"),
+        )
+        .orderBy("touch_type")
+    )
+
+
 @query("g77_corpus_cypher_tls_beacons")
 def g77(spark: SparkSession, sf: str) -> DataFrame:
     """Inline edge-property Cypher over the corpus: processes beaconing
