@@ -540,6 +540,67 @@ def k_core(nodes: DataFrame, edges: DataFrame, k: int, max_iter: int = 100) -> D
     return remaining
 
 
+def core_decomposition(
+    nodes: DataFrame, edges: DataFrame, max_core: int = 100
+) -> DataFrame:
+    """``(v, coreness)`` — every vertex's core number: the largest k
+    such that v survives in the k-core (Batagelj–Zaveršnik semantics,
+    computed by staged peeling).
+
+    Outer loop over k = 1, 2, …: peel the current remainder (already
+    the (k-1)-core) down to the k-core; vertices peeled at stage k
+    have coreness k-1.  Each peel round is one degree aggregation +
+    semi-joins on a monotonically SHRINKING vertex set, so total work
+    is bounded by (max coreness) × (peel depth) rounds over
+    ever-smaller frames — the standard distributed coreness shape.
+    Degeneracy-ordered or Montresor-style asynchronous variants cut
+    round counts further at extreme scale; the staged peel keeps every
+    step a plain aggregate.
+    """
+    key_col = nodes.columns[0]
+    und = (
+        _as_undirected(edges)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    remaining = (
+        nodes.select(F.col(key_col).alias("key")).distinct().localCheckpoint()
+    )
+    spark = nodes.sparkSession
+    out = spark.createDataFrame([], "v string, coreness int").localCheckpoint()
+    for k in range(1, max_core + 1):
+        survivors = remaining
+        while True:
+            e = (
+                und.join(
+                    survivors.select(F.col("key").alias("src")), "src", "left_semi"
+                ).join(
+                    survivors.select(F.col("key").alias("dst")), "dst", "left_semi"
+                )
+            )
+            deg = e.groupBy(F.col("src").alias("key")).agg(
+                F.count("*").alias("deg")
+            )
+            keep = (
+                survivors.join(deg, "key", "left")
+                .filter(F.coalesce(F.col("deg"), F.lit(0)) >= k)
+                .select("key")
+                .localCheckpoint()
+            )
+            if keep.count() == survivors.count():
+                break
+            survivors = keep
+        peeled = remaining.join(survivors, "key", "left_anti").select(
+            F.col("key").alias("v"), F.lit(k - 1).cast("int").alias("coreness")
+        )
+        out = out.unionByName(peeled).localCheckpoint()
+        remaining = survivors
+        if remaining.isEmpty():
+            break
+    return out
+
+
 def strongly_connected_components(
     nodes: DataFrame,
     edges: DataFrame,

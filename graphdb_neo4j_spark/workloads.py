@@ -7502,6 +7502,45 @@ def g77(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("g78_copurchase_coreness")
+def g78(spark: SparkSession, sf: str) -> DataFrame:
+    """Full core decomposition of the part co-purchase graph
+    (traversal.core_decomposition) — per-vertex core numbers
+    generalizing g48's single k-core: the engagement/periphery
+    stratification used for influence analysis.  Returns the coreness
+    histogram; rows-only gate, exactness pinned by the sequential
+    min-degree-peel oracle in tests/test_traversal.py."""
+    from graphdb_neo4j_spark.operators.traversal import core_decomposition
+
+    l = load_table(spark, sf, "lineitem")
+    pairs = (
+        l.alias("x")
+        .join(
+            l.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)  # keep the repeatedly co-purchased backbone
+        .select("src", "dst")
+    )
+    verts = (
+        pairs.select(F.col("src").alias("key"))
+        .unionByName(pairs.select(F.col("dst").alias("key")))
+        .distinct()
+    )
+    cd = core_decomposition(verts, pairs, max_core=50)
+    return (
+        cd.groupBy("coreness")
+        .agg(F.count("*").cast("bigint").alias("n_vertices"))
+        .orderBy("coreness")
+    )
+
+
 @query("g74_copurchase_mst")
 def g74(spark: SparkSession, sf: str) -> DataFrame:
     """Minimum spanning forest of the part co-purchase graph via

@@ -1402,3 +1402,51 @@ def test_greedy_coloring_equals_sequential_and_proper(spark):
     assert not any(got[a] == got[b] for a, b in edges)
     maxdeg = max(len(s) for s in adj.values())
     assert max(got.values()) <= maxdeg
+
+
+def test_core_decomposition_matches_python_peel(spark):
+    """Staged peeling == the classic sequential min-degree peel, on a
+    graph mixing a 4-clique, a triangle bridge, and pendants."""
+    import random
+
+    from graphdb_neo4j_spark.operators.traversal import core_decomposition
+
+    rng = random.Random(13)
+    verts = [f"c{i}" for i in range(40)]
+    edges = {
+        tuple(sorted((rng.choice(verts), rng.choice(verts))))
+        for _ in range(90)
+    }
+    edges = [e for e in edges if e[0] != e[1]]
+    # plant a 5-clique to force coreness 4
+    clique = ["c0", "c1", "c2", "c3", "c4"]
+    for i in range(5):
+        for j in range(i + 1, 5):
+            edges.append((clique[i], clique[j]))
+    edges = sorted(set(edges))
+    ndf = spark.createDataFrame([(v,) for v in verts], ["key"])
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.v: r.coreness for r in core_decomposition(ndf, edf).collect()}
+
+    adj = {v: set() for v in verts}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {v: len(adj[v]) for v in verts}
+    core = {}
+    live = set(verts)
+    k = 0
+    while live:
+        while True:
+            peel = [v for v in live if deg[v] <= k]
+            if not peel:
+                break
+            for v in peel:
+                core[v] = k
+                live.discard(v)
+                for n in adj[v]:
+                    if n in live:
+                        deg[n] -= 1
+        k += 1
+    assert got == core
+    assert max(got.values()) >= 4
