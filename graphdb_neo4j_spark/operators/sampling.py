@@ -358,3 +358,67 @@ def weighted_sample_sql(
     ORDER BY es_key DESC, {id_sql}
     LIMIT {k}
     """
+
+
+def neighbor_sample(
+    edges: DataFrame,
+    fanout: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed: str = "nbr",
+) -> DataFrame:
+    """GraphSAGE-style fixed-fanout neighbor sampling, deterministic.
+
+    For every source vertex keep at most ``fanout`` out-neighbors,
+    chosen by md5(seed|src:dst) rank — the neighbor-expansion stage of
+    mini-batch GNN training (Hamilton et al., NeurIPS 2017) made
+    reproducible: a vertex's sample never depends on partitioning or
+    cluster size, and only changes for vertices whose edge set changed.
+
+    One hash-partitioned window per source (no shuffle beyond the
+    partitionBy(src) exchange, which co-locates each adjacency list);
+    skewed hubs cost one top-``fanout`` heap per partition via the
+    rank filter — at 100 TB pre-aggregate hot sources or cap with a
+    degree filter first.  Returns (src, dst, rank) with rank in
+    [1, fanout].
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(
+            F.lit(f"{seed}|"),
+            F.col(src_col).cast("string"),
+            F.lit(":"),
+            F.col(dst_col).cast("string"),
+        )
+    )
+    w = Window.partitionBy(src_col).orderBy(h.asc(), F.col(dst_col).asc())
+    return (
+        edges.select(src_col, dst_col)
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(fanout))
+    )
+
+
+def neighbor_sample_sql(
+    edges_sql: str,
+    fanout: int,
+    src_sql: str = "src",
+    dst_sql: str = "dst",
+    seed: str = "nbr",
+) -> str:
+    """DuckDB oracle for :func:`neighbor_sample` — same md5 rank, same
+    (hash, dst) tie-break, over a deduplicated edge relation."""
+    return f"""
+    SELECT src, dst, rank FROM (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (
+               PARTITION BY src
+               ORDER BY md5('{seed}|' || CAST(src AS VARCHAR)
+                            || ':' || CAST(dst AS VARCHAR)) ASC, dst ASC
+             ) AS rank
+      FROM (SELECT DISTINCT {src_sql} AS src, {dst_sql} AS dst
+            FROM {edges_sql})
+    ) WHERE rank <= {fanout}
+    """

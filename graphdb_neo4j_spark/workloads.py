@@ -7578,3 +7578,307 @@ def g74(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_forest_edges"),
         F.sum("w").cast("bigint").alias("total_weight"),
     ).crossJoin(verts.agg(F.count("*").cast("bigint").alias("n_vertices")))
+
+
+@query(
+    "q146_degree_assortativity",
+    """
+    WITH base AS (
+      SELECT DISTINCT l_suppkey AS a, l_partkey + 1000000 AS b FROM lineitem
+    ),
+    e AS (SELECT a AS src, b AS dst FROM base
+          UNION ALL SELECT b, a FROM base),
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY src),
+    mo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(ds.d) AS BIGINT) AS sx,
+             CAST(SUM(ds.d * dd.d) AS BIGINT) AS sxy,
+             CAST(SUM(ds.d * ds.d) AS BIGINT) AS sxx
+      FROM e JOIN deg ds ON ds.v = e.src JOIN deg dd ON dd.v = e.dst
+    )
+    SELECT m, sx, sxy, sxx,
+           (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS assortativity
+    FROM mo
+    """,
+)
+def q146(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity of the undirected supplier–part co-supply
+    graph (Newman, PRL 2002) — do high-degree vertices attach to other
+    high-degree vertices?  The graph-topology profile every sampling /
+    partitioning decision at scale wants to know.
+
+    Both edge directions are materialized, so the two endpoint-degree
+    marginals coincide and Pearson r collapses to
+    (m·Σxy − Σx²) / (m·Σxx − Σx²) — computed from FOUR exact bigint
+    moments in one edge⋈degree⋈degree join (degree table built once,
+    broadcast-friendly), with the final closed-form double identical
+    in both engines.  No float enters any aggregate."""
+    l = load_table(spark, sf, "lineitem")
+    base = l.select(
+        F.col("l_suppkey").alias("a"), (F.col("l_partkey") + 1000000).alias("b")
+    ).distinct()
+    e = base.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        base.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = e.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    ds = deg.select(F.col("v").alias("src"), F.col("d").alias("dx"))
+    dd = deg.select(F.col("v").alias("dst"), F.col("d").alias("dy"))
+    mo = (
+        e.join(ds, "src")
+        .join(dd, "dst")
+        .agg(
+            F.count("*").cast("bigint").alias("m"),
+            F.sum("dx").cast("bigint").alias("sx"),
+            F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+            F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        )
+    )
+    md, sxd, sxyd, sxxd = (F.col(c).cast("double") for c in ("m", "sx", "sxy", "sxx"))
+    return mo.select(
+        "m", "sx", "sxy", "sxx",
+        ((md * sxyd - sxd * sxd) / (md * sxxd - sxd * sxd)).alias("assortativity"),
+    )
+
+
+@query(
+    "q147_quartiles_interpolated",
+    """
+    WITH y AS (
+      SELECT o_orderpriority AS priority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+      FROM orders
+    ),
+    r AS (
+      SELECT priority, y,
+             ROW_NUMBER() OVER (PARTITION BY priority ORDER BY y) - 1 AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY priority) AS BIGINT) AS n
+      FROM y
+    )
+    SELECT priority, MAX(n) AS n,
+      CAST(SUM(CASE WHEN rn = ((n - 1) * 1) // 4
+                      THEN (4 - ((n - 1) * 1) % 4) * y
+                    WHEN rn = ((n - 1) * 1) // 4 + 1
+                      THEN (((n - 1) * 1) % 4) * y ELSE 0 END) AS BIGINT)
+        AS q1_qcents,
+      CAST(SUM(CASE WHEN rn = ((n - 1) * 2) // 4
+                      THEN (4 - ((n - 1) * 2) % 4) * y
+                    WHEN rn = ((n - 1) * 2) // 4 + 1
+                      THEN (((n - 1) * 2) % 4) * y ELSE 0 END) AS BIGINT)
+        AS q2_qcents,
+      CAST(SUM(CASE WHEN rn = ((n - 1) * 3) // 4
+                      THEN (4 - ((n - 1) * 3) % 4) * y
+                    WHEN rn = ((n - 1) * 3) // 4 + 1
+                      THEN (((n - 1) * 3) % 4) * y ELSE 0 END) AS BIGINT)
+        AS q3_qcents
+    FROM r GROUP BY priority
+    """,
+)
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT interpolated quartiles (percentile_cont semantics) of
+    order value per priority, in integer QUARTER-CENTS — the linear
+    interpolation y_lo·(4−rem) + y_hi·rem is pure bigint arithmetic
+    (position (n−1)·k split into integer DIV 4 and remainder), so the
+    classically float-fuzzy percentile_cont becomes hash-gateable.
+    Complements q62's percentile_disc: this is the INTERPOLATING
+    family (NumPy 'linear', SQL PERCENTILE_CONT).
+
+    One shuffle on the group key; the rank window and the count window
+    share the partition.  Ties order by value only — equal values make
+    any rank permutation sum-identical, so no id tie-break is needed."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    y = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        _cents(F.col("o_totalprice")).alias("y"),
+    )
+    w = Window.partitionBy("priority").orderBy("y")
+    r = y.select(
+        "priority",
+        "y",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count("*").over(Window.partitionBy("priority")).cast("bigint").alias("n"),
+    )
+    def _q(k: int, alias: str):
+        lo = F.expr(f"((n - 1) * {k}) DIV 4")
+        rem = F.expr(f"((n - 1) * {k}) % 4")
+        return F.sum(
+            F.when(F.col("rn") == lo, (4 - rem) * F.col("y"))
+            .when(F.col("rn") == lo + 1, rem * F.col("y"))
+            .otherwise(F.lit(0))
+        ).cast("bigint").alias(alias)
+    return r.groupBy("priority").agg(
+        F.max("n").alias("n"),
+        _q(1, "q1_qcents"),
+        _q(2, "q2_qcents"),
+        _q(3, "q3_qcents"),
+    )
+
+
+@query(
+    "q148_ohlc_hourly",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS ts_us, event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hour_epoch
+                                ORDER BY ts_us, event_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY event_type, hour_epoch
+                                ORDER BY ts_us DESC, event_id DESC) AS rd
+      FROM e
+    )
+    SELECT event_type, hour_epoch,
+           CAST(SUM(CASE WHEN ra = 1 THEN cents ELSE 0 END) AS BIGINT)
+             AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(SUM(CASE WHEN rd = 1 THEN cents ELSE 0 END) AS BIGINT)
+             AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY event_type, hour_epoch
+    """,
+)
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly OHLC downsample of the event value stream per type — the
+    candlestick/telemetry-rollup aggregate (open/close = first/last
+    value by the TOTAL order (ts, event_id); high/low = max/min; exact
+    cents).  First/last are expressed as rank-1 picks from two
+    opposite-order windows over ONE hash partition (no min_by/arg_min
+    portability hazard, no extra shuffle: both windows and the final
+    group share the (event_type, hour) partitioning)."""
+    from pyspark.sql import Window
+
+    e = (
+        load_table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+            .cast("bigint")
+            .alias("hour_epoch"),
+            _cents(F.col("value")).alias("cents"),
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+        )
+    )
+    pw = Window.partitionBy("event_type", "hour_epoch")
+    ra = F.row_number().over(pw.orderBy("ts_us", "event_id"))
+    rd = F.row_number().over(
+        pw.orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+    )
+    r = e.withColumn("ra", ra).withColumn("rd", rd)
+    return r.groupBy("event_type", "hour_epoch").agg(
+        F.sum(F.when(F.col("ra") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("open_cents"),
+        F.max("cents").cast("bigint").alias("high_cents"),
+        F.min("cents").cast("bigint").alias("low_cents"),
+        F.sum(F.when(F.col("rd") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("close_cents"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+
+@query(
+    "q149_cube_revenue",
+    """
+    SELECT COALESCE(n.n_name, 'ALL') AS nation,
+           COALESCE(CAST(date_part('year', o.o_orderdate) AS BIGINT), -1)
+             AS o_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_units,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY CUBE (n.n_name, date_part('year', o.o_orderdate))
+    """,
+)
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE aggregation — all four grouping combinations of
+    (nation, order year) in one pass: the missing member of the
+    grouped-aggregation family (q15 ROLLUP, q40 GROUPING SETS).
+    Catalyst expands the cube into an Expand node feeding ONE partial
+    hash aggregate — 4× the rows into the shuffle but a single scan and
+    a single exchange.  Grouping keys are disambiguated by COALESCE
+    sentinels ('ALL'/−1 — real values are never NULL here) so both
+    engines produce identical flat rows; revenue stays in exact bigint
+    cent·percent units."""
+    n = load_table(spark, sf, "nation")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    j = (
+        F.broadcast(n)
+        .join(c, c["c_nationkey"] == n["n_nationkey"])
+        .join(o, o["o_custkey"] == c["c_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("n_name"),
+            F.year(F.col("o_orderdate")).cast("bigint").alias("yr"),
+            (
+                _cents(F.col("l_extendedprice"))
+                * (100 - _cents(F.col("l_discount")))
+            ).alias("units"),
+        )
+    )
+    return (
+        j.cube("n_name", "yr")
+        .agg(
+            F.sum("units").cast("bigint").alias("revenue_units"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("yr"), F.lit(-1)).cast("bigint").alias("o_year"),
+            "revenue_units",
+            "n_items",
+        )
+    )
+
+
+def _q150_sql() -> str:
+    from graphdb_neo4j_spark.operators.sampling import neighbor_sample_sql
+
+    inner = neighbor_sample_sql(
+        "(SELECT o.o_custkey AS src, l.l_partkey AS dst"
+        " FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)",
+        fanout=8,
+    )
+    return f"""
+    SELECT src, dst, CAST(rank AS BIGINT) AS rank FROM ({inner})
+    """
+
+
+@query("q150_neighbor_sample", _q150_sql())
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    """GraphSAGE-style fixed-fanout neighbor sampling
+    (sampling.neighbor_sample) over the customer→part purchase graph:
+    at most 8 deterministically-chosen parts per customer, ranked by
+    md5(seed|src:dst) — the mini-batch GNN neighbor-expansion stage
+    made engine-portable (the DuckDB oracle replays the identical hash
+    rank).  One partitionBy(src) window after the dedup shuffle;
+    hub vertices cost a bounded top-8 per adjacency list."""
+    from graphdb_neo4j_spark.operators.sampling import neighbor_sample
+
+    o = load_table(spark, sf, "orders")
+    l = load_table(spark, sf, "lineitem")
+    e = o.join(l, l["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return neighbor_sample(e, fanout=8).select(
+        "src", "dst", F.col("rank").cast("bigint").alias("rank")
+    )

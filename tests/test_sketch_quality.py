@@ -488,3 +488,45 @@ def test_hll_rolling_equals_direct_window_sketch(spark):
         assert rolled[h] == (
             direct.n_buckets, direct.harmonic_num, direct.est_distinct
         ), h
+
+
+def test_neighbor_sample_fanout_determinism_and_oracle(spark):
+    """neighbor_sample == an independent Python replay of the md5 rank;
+    fanout is a hard cap; a vertex's sample is insensitive to unrelated
+    edges (stability property the docstring promises)."""
+    import hashlib
+
+    from graphdb_neo4j_spark.operators.sampling import neighbor_sample
+
+    edges = [(f"u{i % 5}", f"v{j}") for i in range(5) for j in range(12)] + [
+        ("u0", "v3"),  # duplicate edge must not double-sample
+        ("lone", "v1"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r.src, r.dst, r["rank"])
+        for r in neighbor_sample(df, fanout=4, seed="t").collect()
+    }
+
+    adj: dict[str, set[str]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    want = set()
+    for s, ds in adj.items():
+        ranked = sorted(
+            ds, key=lambda d: (hashlib.md5(f"t|{s}:{d}".encode()).hexdigest(), d)
+        )
+        for i, d in enumerate(ranked[:4]):
+            want.add((s, d, i + 1))
+    assert got == want
+    # per-source cap and the lone low-degree vertex keeps its full set
+    assert all(r <= 4 for _, _, r in got)
+    assert ("lone", "v1", 1) in got
+    # stability: adding edges for OTHER sources never changes u0's pick
+    df2 = spark.createDataFrame(edges + [("u9", "v9")], ["src", "dst"])
+    got2 = {
+        (r.src, r.dst, r["rank"])
+        for r in neighbor_sample(df2, fanout=4, seed="t").collect()
+        if r.src == "u0"
+    }
+    assert got2 == {t for t in want if t[0] == "u0"}
