@@ -258,3 +258,97 @@ def window_funnel(
         .groupBy(F.col(user_col).alias("user"))
         .agg(F.max("_lvl").cast("bigint").alias("funnel_level"))
     )
+
+
+def cusum(
+    df: DataFrame,
+    value_col: str,
+    drift: int,
+    by: list[str] | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change detection (Page, Biometrika 1954) over an
+    INTEGER value series, windowed — no recursion, no UDF.
+
+    The textbook recursions C⁺_t = max(0, C⁺_{t-1} + (x_t − k)) and
+    C⁻_t = max(0, C⁻_{t-1} + (k − x_t)) look un-SQL-able, but both have
+    closed prefix forms: with S_t = Σ_{j≤t}(x_j − k),
+
+        C⁺_t = S_t − min(0, min_{i≤t} S_i)
+        C⁻_t = −(S_t − max(0, max_{i≤t} S_t))
+
+    so each side is ONE running sum plus ONE running extremum over the
+    same (by, order) window — a single shuffle, exact bigint arithmetic
+    throughout (``drift`` is the reference offset k).  Appends
+    ``cusum_pos`` / ``cusum_neg`` columns; alerting is a plain filter
+    against a threshold h downstream.
+    """
+    by = by or []
+    order_cols = order_cols or []
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = F.sum(F.col(value_col).cast("bigint") - F.lit(int(drift))).over(w)
+    out = df.withColumn("_s", s)
+    return (
+        out.withColumn(
+            "cusum_pos",
+            (F.col("_s") - F.least(F.lit(0).cast("bigint"), F.min("_s").over(w)))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "cusum_neg",
+            (
+                -(
+                    F.col("_s")
+                    - F.greatest(
+                        F.lit(0).cast("bigint"), F.max("_s").over(w)
+                    )
+                )
+            ).cast("bigint"),
+        )
+        .drop("_s")
+    )
+
+
+def weighted_rolling(
+    df: DataFrame,
+    value_col: str,
+    weights: list[int],
+    by: list[str] | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Integer FIR filter over an ordered series: for each row,
+    numerator Σ_j weights[j]·x_{t−j} and the EFFECTIVE weight sum
+    Σ_j weights[j]·[x_{t−j} exists] — exact bigints, so any smoothing
+    kernel with precomputed integer taps (EWMA geometric taps, moving
+    average, triangular/Hann) is engine-portable; the smoothed value is
+    ``fir_num DIV fir_wsum`` (integer division, also exact).
+
+    Series starts self-normalize: missing lags contribute to neither
+    sum.  One window partition (single shuffle) regardless of tap
+    count; ``len(weights)`` LAG expressions share the sort.  Appends
+    ``fir_num`` / ``fir_wsum``.
+    """
+    by = by or []
+    order_cols = order_cols or []
+    w = Window.partitionBy(*by).orderBy(*order_cols)
+    num = F.lit(0).cast("bigint")
+    wsum = F.lit(0).cast("bigint")
+    for j, wt in enumerate(weights):
+        lagged = F.lag(F.col(value_col).cast("bigint"), j).over(w)
+        num = num + F.coalesce(lagged * F.lit(int(wt)), F.lit(0))
+        wsum = wsum + F.when(lagged.isNotNull(), F.lit(int(wt))).otherwise(0)
+    return df.withColumn("fir_num", num.cast("bigint")).withColumn(
+        "fir_wsum", wsum.cast("bigint")
+    )
+
+
+def ewma_taps(alpha: float, n_taps: int, scale: int = 1 << 20) -> list[int]:
+    """Quantized geometric EWMA kernel: round(α(1−α)^j · scale) for
+    j = 0..n_taps−1 — computed ONCE driver-side so Spark and any SQL
+    oracle consume the IDENTICAL integer literals (no cross-engine
+    pow() rounding hazard ever enters the data path)."""
+    return [round(alpha * (1.0 - alpha) ** j * scale) for j in range(n_taps)]

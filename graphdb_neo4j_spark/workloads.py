@@ -7882,3 +7882,141 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
     return neighbor_sample(e, fanout=8).select(
         "src", "dst", F.col("rank").cast("bigint").alias("rank")
     )
+
+
+def _q151_sql() -> str:
+    from graphdb_neo4j_spark.operators.temporal import ewma_taps
+
+    taps = ewma_taps(0.3, 8)
+    num = " + ".join(
+        f"COALESCE(LAG(x_cents, {j}) OVER w * {wt}, 0)" for j, wt in enumerate(taps)
+    )
+    wsum = " + ".join(
+        f"CASE WHEN LAG(x_cents, {j}) OVER w IS NOT NULL THEN {wt} ELSE 0 END"
+        for j, wt in enumerate(taps)
+    )
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x_cents
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    f AS (
+      SELECT event_type, hour_epoch, x_cents,
+             CAST({num} AS BIGINT) AS fir_num,
+             CAST({wsum} AS BIGINT) AS fir_wsum
+      FROM h
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_epoch)
+    )
+    SELECT event_type, hour_epoch, x_cents, fir_num, fir_wsum,
+           fir_num // fir_wsum AS ewma_cents
+    FROM f
+    """
+
+
+@query("q151_ewma_hourly_smoothing", _q151_sql())
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA smoothing of the hourly revenue series per event type via
+    the integer FIR operator (temporal.weighted_rolling): geometric
+    taps round(0.3·0.7^j·2^20) are computed ONCE driver-side
+    (temporal.ewma_taps) and consumed as identical literals by both
+    engines, so the classically float-recursive EWMA is hash-gated
+    bigint arithmetic end to end (smoothed value = numerator DIV
+    effective-weight-sum).  Two shuffles total: the hourly pre-
+    aggregation, then one per-type sort shared by all 8 taps."""
+    from graphdb_neo4j_spark.operators.temporal import ewma_taps, weighted_rolling
+
+    h = (
+        load_table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
+            .cast("bigint")
+            .alias("hour_epoch"),
+        )
+        .agg(F.sum(_cents(F.col("value"))).cast("bigint").alias("x_cents"))
+    )
+    f = weighted_rolling(
+        h,
+        "x_cents",
+        ewma_taps(0.3, 8),
+        by=["event_type"],
+        order_cols=["hour_epoch"],
+    )
+    return f.select(
+        "event_type",
+        "hour_epoch",
+        "x_cents",
+        "fir_num",
+        "fir_wsum",
+        F.expr("fir_num DIV fir_wsum").alias("ewma_cents"),
+    )
+
+
+@query(
+    "q152_cusum_changepoint",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS ts_us, event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, ts_us, event_id,
+             SUM(cents - 5000) OVER w AS ps
+      FROM e
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    c AS (
+      SELECT event_type,
+             ps - LEAST(CAST(0 AS BIGINT), MIN(ps) OVER w) AS cp,
+             -(ps - GREATEST(CAST(0 AS BIGINT), MAX(ps) OVER w)) AS cn,
+             ts_us
+      FROM s
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type,
+           CAST(MAX(cp) AS BIGINT) AS max_cusum_pos,
+           CAST(MAX(cn) AS BIGINT) AS max_cusum_neg,
+           CAST(SUM(CASE WHEN cp > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos_alerts,
+           CAST(MIN(CASE WHEN cp > 1000000 THEN ts_us END) AS BIGINT)
+             AS first_pos_alert_us
+    FROM c GROUP BY event_type
+    """,
+)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM change detection (temporal.cusum) on the per-type event
+    value stream — drift monitoring for a feature/metric pipeline.  The
+    recursive Page statistic is computed CLOSED-FORM as prefix-sum
+    minus running extremum (one shuffle on the type key, exact bigint),
+    then rolled up to per-type maxima, alert counts, and first alert
+    time against a fixed threshold.  Total order (ts_us, event_id)
+    makes every number engine-identical."""
+    from graphdb_neo4j_spark.operators.temporal import cusum
+
+    e = (
+        load_table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            _cents(F.col("value")).alias("cents"),
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+        )
+    )
+    c = cusum(
+        e, "cents", drift=5000, by=["event_type"], order_cols=["ts_us", "event_id"]
+    )
+    alert = F.col("cusum_pos") > 1000000
+    return c.groupBy("event_type").agg(
+        F.max("cusum_pos").cast("bigint").alias("max_cusum_pos"),
+        F.max("cusum_neg").cast("bigint").alias("max_cusum_neg"),
+        F.sum(F.when(alert, 1).otherwise(0)).cast("bigint").alias("n_pos_alerts"),
+        F.min(F.when(alert, F.col("ts_us"))).cast("bigint").alias("first_pos_alert_us"),
+    )

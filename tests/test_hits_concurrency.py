@@ -86,3 +86,49 @@ def test_window_funnel_semantics(spark):
         ).collect()
     }
     assert got == {1: 2, 2: 3, 3: 0, 4: 1, 5: 2, 6: 1}
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    """Closed-form (prefix sum − running extremum) == Page's recursion
+    C±_t = max(0, C±_{t−1} ± (x_t − k)), on a series with a planted
+    upward shift then a downward shift."""
+    import random
+
+    from graphdb_neo4j_spark.operators.temporal import cusum
+
+    rng = random.Random(7)
+    xs = (
+        [rng.randint(90, 110) for _ in range(30)]
+        + [rng.randint(140, 160) for _ in range(20)]   # upward shift
+        + [rng.randint(40, 60) for _ in range(20)]     # downward shift
+    )
+    rows = [("a", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["k", "i", "x"])
+    got = {
+        r.i: (r.cusum_pos, r.cusum_neg)
+        for r in cusum(df, "x", drift=100, by=["k"], order_cols=["i"]).collect()
+    }
+
+    cp = cn = 0
+    for i, x in enumerate(xs):
+        cp = max(0, cp + (x - 100))
+        cn = max(0, cn + (100 - x))
+        assert got[i] == (cp, cn), i
+    assert max(p for p, _ in got.values()) > 500        # shift detected
+    assert max(n for _, n in got.values()) > 500
+
+
+def test_weighted_rolling_matches_bruteforce(spark):
+    from graphdb_neo4j_spark.operators.temporal import ewma_taps, weighted_rolling
+
+    taps = ewma_taps(0.5, 4)
+    xs = [10, 20, 30, 40, 50]
+    df = spark.createDataFrame([("g", i, x) for i, x in enumerate(xs)], ["g", "i", "x"])
+    got = {
+        r.i: (r.fir_num, r.fir_wsum)
+        for r in weighted_rolling(df, "x", taps, by=["g"], order_cols=["i"]).collect()
+    }
+    for t in range(len(xs)):
+        num = sum(taps[j] * xs[t - j] for j in range(len(taps)) if t - j >= 0)
+        ws = sum(taps[j] for j in range(len(taps)) if t - j >= 0)
+        assert got[t] == (num, ws), t
