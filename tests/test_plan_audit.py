@@ -531,3 +531,30 @@ def test_q139_funnel_single_user_shuffle(spark):
     assert plan.count("hashpartitioning(user_id") == 1, plan[
         plan.find("Exchange") : plan.find("Exchange") + 400
     ]
+
+
+def test_q148_ohlc_single_exchange_for_windows_and_agg(spark):
+    """Both OHLC rank windows and the final aggregate reuse ONE
+    hashpartitioning(event_type, hour_epoch) exchange — opposite sort
+    orders must re-sort, not re-shuffle."""
+    df = QUERY_FNS["q148_ohlc_hourly"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("hashpartitioning(event_type") == 1, plan
+
+
+def test_q149_cube_is_expand_plus_one_shuffle(spark):
+    """CUBE compiles to an Expand node feeding a partial hash agg —
+    one scan of the join output, one aggregate exchange, no union of
+    four grouped plans."""
+    df = QUERY_FNS["q149_cube_revenue"](spark, SF)
+    plan = explain_str(df)
+    assert "Expand" in plan, plan
+    assert plan.count("Union") == 0, plan
+
+
+def test_q152_cusum_single_type_shuffle(spark):
+    """Prefix sum, both running extrema, and the final per-type rollup
+    share one hashpartitioning(event_type) exchange."""
+    df = QUERY_FNS["q152_cusum_changepoint"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("hashpartitioning(event_type") == 1, plan
