@@ -232,3 +232,92 @@ def topk_pca(
         .orderBy(F.col("sim").desc(), F.col("id"))
         .limit(k)
     )
+
+
+def scalar_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+) -> DataFrame:
+    """Per-dimension min-max INT8-style scalar quantization — the
+    4×-compression stage vector stores apply before PQ/OPQ (e.g. FAISS
+    ``SQ8``): q_i = round((x_i − min_i) · levels / (max_i − min_i)),
+    constant dims map to 0.
+
+    Fully relational and engine-portable: the d per-dim (min, max)
+    params come from ONE hash aggregate over the exploded column (cast
+    to double FIRST, so both the extrema and the affine arithmetic are
+    identical IEEE-double ops in any engine), ride along as two
+    array literals via a 1×1 broadcast cross join, and the quantized
+    vector is a codegen'd ``transform`` over ``arrays_zip`` — no UDF,
+    no driver loop, no shuffle beyond the d-row param aggregate.
+
+    Returns (id, qvec array<bigint>).  Dequantization is the affine
+    inverse with the same params; reconstruction error ≤ half-step per
+    dim (pinned in tests).
+    """
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ex = df.select(F.posexplode(xd).alias("i", "x"))
+    params = (
+        ex.groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "mn"))
+            ).alias("mns_s"),
+            F.array_sort(
+                F.collect_list(F.struct("i", "mx"))
+            ).alias("mxs_s"),
+        )
+        .select(
+            F.transform(F.col("mns_s"), lambda s: s["mn"]).alias("mns"),
+            F.transform(F.col("mxs_s"), lambda s: s["mx"]).alias("mxs"),
+        )
+    )
+    z = F.arrays_zip(xd.alias("x"), F.col("mns").alias("mn"), F.col("mxs").alias("mx"))
+    q = F.transform(
+        z,
+        lambda s: F.when(s["mx"] == s["mn"], F.lit(0).cast("bigint")).otherwise(
+            F.round((s["x"] - s["mn"]) * float(levels) / (s["mx"] - s["mn"]))
+            .cast("bigint")
+        ),
+    )
+    return df.crossJoin(F.broadcast(params)).select(
+        F.col(id_col), q.alias("qvec")
+    )
+
+
+def scalar_quantize_sql(
+    table: str = "embeddings",
+    id_sql: str = "vec_id",
+    vec_sql: str = "embedding",
+    levels: int = 255,
+) -> str:
+    """DuckDB oracle for :func:`scalar_quantize` — same double-first
+    casts, same extrema, same affine + round, same zip shape."""
+    return f"""
+    WITH xd AS (
+      SELECT {id_sql} AS id,
+             list_transform({vec_sql}, x -> CAST(x AS DOUBLE)) AS v
+      FROM {table}
+    ),
+    ex AS (
+      SELECT u.x AS x, u.i AS i
+      FROM xd, LATERAL (
+        SELECT UNNEST(v) AS x, generate_subscripts(v, 1) AS i
+      ) u
+    ),
+    p AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY i),
+    params AS (
+      SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM p
+    )
+    SELECT id AS {id_sql},
+           list_transform(
+             list_zip(v, mns, mxs),
+             s -> CASE WHEN s[3] = s[2] THEN CAST(0 AS BIGINT)
+                       ELSE CAST(ROUND((s[1] - s[2]) * {float(levels)}
+                                       / (s[3] - s[2])) AS BIGINT) END
+           ) AS qvec
+    FROM xd CROSS JOIN params
+    """

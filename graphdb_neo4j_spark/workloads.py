@@ -8020,3 +8020,23 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(alert, 1).otherwise(0)).cast("bigint").alias("n_pos_alerts"),
         F.min(F.when(alert, F.col("ts_us"))).cast("bigint").alias("first_pos_alert_us"),
     )
+
+
+def _q153_sql() -> str:
+    from graphdb_neo4j_spark.operators.embed import scalar_quantize_sql
+
+    return scalar_quantize_sql("embeddings")
+
+
+@query("q153_scalar_quantize_int8", _q153_sql())
+def q153(spark: SparkSession, sf: str) -> DataFrame:
+    """INT8-style min-max scalar quantization of the embedding corpus
+    (embed.scalar_quantize, the FAISS-SQ8 compression stage): per-dim
+    extrema from one exploded hash aggregate, affine+round applied as a
+    codegen'd arrays_zip/transform with the d-param arrays broadcast —
+    hash-gated bit-for-bit against DuckDB replaying the identical
+    double-first IEEE arithmetic."""
+    from graphdb_neo4j_spark.operators.embed import scalar_quantize
+
+    emb = load_table(spark, sf, "embeddings")
+    return scalar_quantize(emb)

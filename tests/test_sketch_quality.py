@@ -530,3 +530,30 @@ def test_neighbor_sample_fanout_determinism_and_oracle(spark):
         if r.src == "u0"
     }
     assert got2 == {t for t in want if t[0] == "u0"}
+
+
+def test_scalar_quantize_reconstruction_error_bounded(spark):
+    """Dequantized values land within half a quantization step of the
+    original per dim; constant dims quantize to 0."""
+    from graphdb_neo4j_spark.operators.embed import scalar_quantize
+
+    rows = [
+        (1, [0.0, 5.0, 1.5]),
+        (2, [1.0, 5.0, -2.5]),
+        (3, [0.25, 5.0, 0.0]),
+        (4, [0.75, 5.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: list(r.qvec) for r in scalar_quantize(df).collect()}
+    mins = [0.0, 5.0, -2.5]
+    maxs = [1.0, 5.0, 4.0]
+    for vid, vec in rows:
+        q = got[vid]
+        for i, x in enumerate(vec):
+            if maxs[i] == mins[i]:
+                assert q[i] == 0
+                continue
+            assert 0 <= q[i] <= 255
+            step = (maxs[i] - mins[i]) / 255.0
+            deq = mins[i] + q[i] * step
+            assert abs(deq - x) <= step / 2 + 1e-9, (vid, i)
