@@ -1,0 +1,168 @@
+"""End-to-end training-data curation: quality → dedup → decontaminate
+→ split → pack, as ONE composed, engine-portable pipeline.
+
+Every production LLM-data pipeline chains the same stages; this module
+wires the repo's individually-gated operators (text.quality_filter,
+dedup.exact_dedup / neardup_clusters / contaminated_docs,
+sampling.hash_split / pack_sequences) into a single call that returns a
+PER-DOCUMENT verdict frame: which stage dropped each document (in
+pipeline order), or — for survivors — its split assignment and, for
+train docs, its packed-sequence bin.
+
+Stage semantics are SEQUENTIAL: a document rejected by the quality gate
+is never considered by dedup, a near/exact duplicate is never gram-
+checked for contamination, and split/pack see only fully-clean docs —
+the order every published pipeline uses (cheapest-first, so each stage
+scans a smaller corpus).
+
+100 TB shape: the quality gate is scan+project (no shuffle); exact
+dedup shuffles (text_hash, id) only; near-dup is the banded-LSH path
+(never all-pairs); contamination broadcasts the MB-scale eval-gram
+set; split is map-side hash arithmetic; packing is one window over the
+kept-train rows.  The wide ``text`` column is dropped before every
+id-level join, so the joins carry ids + small ints.
+
+With ``neardup=False`` the whole pipeline is mirrorable in ANSI SQL —
+the q154 driver gate runs the full five-stage composition against a
+DuckDB replay, hash-exact per document.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CurationResult:
+    """``labeled``: one row per input doc —
+    (doc_id, n_tokens, drop_stage | NULL, split | NULL, bin | NULL)."""
+
+    labeled: DataFrame
+
+    @property
+    def report(self) -> DataFrame:
+        """(stage, n_docs, n_tokens) — drop stages plus kept_<split>."""
+        stage = F.coalesce(
+            F.col("drop_stage"), F.concat(F.lit("kept_"), F.col("split"))
+        )
+        return self.labeled.groupBy(stage.alias("stage")).agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+
+    def kept(self) -> DataFrame:
+        return self.labeled.filter(F.col("drop_stage").isNull())
+
+
+def curate(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    *,
+    neardup: bool = False,
+    seq_budget: int = 2048,
+    split_weights: dict[str, float] | None = None,
+    split_seed: str = "split",
+    n_gram: int = 3,
+    min_shared: int = 1,
+    neardup_kwargs: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> CurationResult:
+    """Run the five-stage curation pipeline over ``docs``.
+
+    ``eval_docs`` (optional) drives benchmark decontamination: any doc
+    sharing ≥ ``min_shared`` word ``n_gram``-grams with the eval set is
+    dropped (eval-member ids themselves are exempt, matching
+    dedup.contaminated_docs).  ``neardup=True`` inserts banded-MinHash
+    near-dup clustering between exact dedup and decontamination
+    (keepers = cluster-minimum ids); it is off by default because the
+    LSH stage has no closed-form SQL mirror (its own gate is q22/q29).
+    """
+    from graphdb_neo4j_spark.operators.dedup import (
+        contaminated_docs,
+        exact_dedup,
+        neardup_clusters,
+    )
+    from graphdb_neo4j_spark.operators.sampling import hash_split, pack_sequences
+    from graphdb_neo4j_spark.operators.text import quality_filter
+
+    def drop_row(df: DataFrame, stage: str) -> DataFrame:
+        return df.select(
+            id_col,
+            "n_tokens",
+            F.lit(stage).alias("drop_stage"),
+            F.lit(None).cast("string").alias("split"),
+            F.lit(None).cast("bigint").alias("bin"),
+        )
+
+    q = quality_filter(docs, id_col=id_col, text_col=text_col)
+    base = docs.select(id_col, text_col).join(
+        q.select(id_col, "n_tokens", "passed"), id_col
+    )
+    dropped = [drop_row(base.filter(F.col("passed") == 0), "quality")]
+    s1 = base.filter(F.col("passed") == 1)
+
+    ed = exact_dedup(s1, text_col=text_col, id_col=id_col)
+    s1h = s1.withColumn("_h", F.md5(F.col(text_col)))
+    s2 = s1h.join(
+        ed.select(F.col("text_hash").alias("_h"), "keep_id"), "_h"
+    ).withColumn("_dup", F.col(id_col) != F.col("keep_id"))
+    dropped.append(drop_row(s2.filter(F.col("_dup")), "exact_dup"))
+    cur = s2.filter(~F.col("_dup")).select(id_col, text_col, "n_tokens")
+
+    if neardup:
+        cl = neardup_clusters(
+            cur, id_col=id_col, text_col=text_col, **(neardup_kwargs or {})
+        )
+        keepers = cl.filter(F.col("is_keeper")).select(
+            F.col("id").cast("long").alias(id_col)
+        )
+        dropped.append(
+            drop_row(cur.join(keepers, id_col, "left_anti"), "near_dup")
+        )
+        cur = cur.join(keepers, id_col, "left_semi")
+
+    if eval_docs is not None:
+        contam = contaminated_docs(
+            cur, eval_docs, n=n_gram, min_shared=min_shared,
+            id_col=id_col, text_col=text_col,
+        ).select(id_col)
+        dropped.append(
+            drop_row(cur.join(contam, id_col, "left_semi"), "contaminated")
+        )
+        cur = cur.join(contam, id_col, "left_anti")
+
+    kept = hash_split(
+        cur.select(id_col, "n_tokens"),
+        id_col=id_col,
+        weights=split_weights,
+        seed=split_seed,
+    )
+    train = pack_sequences(
+        kept.filter(F.col("split") == "train"),
+        budget=seq_budget,
+        token_col="n_tokens",
+        order_col=id_col,
+        id_col=id_col,
+    ).select(
+        id_col,
+        "n_tokens",
+        F.lit(None).cast("string").alias("drop_stage"),
+        "split",
+        F.col("bin").cast("bigint").alias("bin"),
+    )
+    other = kept.filter(F.col("split") != "train").select(
+        id_col,
+        "n_tokens",
+        F.lit(None).cast("string").alias("drop_stage"),
+        "split",
+        F.lit(None).cast("bigint").alias("bin"),
+    )
+
+    labeled = train.unionByName(other)
+    for d in dropped:
+        labeled = labeled.unionByName(d)
+    return CurationResult(labeled=labeled)

@@ -8040,3 +8040,93 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     return scalar_quantize(emb)
+
+
+def _q154_sql() -> str:
+    from graphdb_neo4j_spark.operators.sampling import hash_split_sql
+
+    split_case = hash_split_sql("doc_id")
+    grams3 = (
+        "list_distinct(list_transform(range(1, len(t) - 1), "
+        "i -> array_to_string(t[i:i+2], ' ')))"
+    )
+    return f"""
+    WITH q AS ({_quality_sql()}),
+    base AS (
+      SELECT d.doc_id, d.text, q.n_tokens, q.passed
+      FROM documents d JOIN q USING (doc_id)
+    ),
+    s1 AS (SELECT * FROM base WHERE passed = 1),
+    ex AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+           FROM s1 GROUP BY md5(text)),
+    s2 AS (
+      SELECT s1.doc_id, s1.text, s1.n_tokens,
+             CASE WHEN s1.doc_id <> ex.keep_id THEN 1 ELSE 0 END AS is_dup
+      FROM s1 JOIN ex ON md5(s1.text) = ex.h
+    ),
+    s2k AS (SELECT doc_id, text, n_tokens FROM s2 WHERE is_dup = 0),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM s2k WHERE trim(text) <> '' AND doc_id % 53 <> 0
+    ),
+    grams AS (
+      SELECT doc_id, unnest({grams3}) AS g FROM toks WHERE len(t) >= 3
+    ),
+    evtoks AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id % 53 = 0 AND trim(text) <> ''
+    ),
+    ev AS (
+      SELECT DISTINCT unnest({grams3}) AS g FROM evtoks WHERE len(t) >= 3
+    ),
+    contam AS (SELECT DISTINCT doc_id FROM grams JOIN ev USING (g)),
+    kept AS (
+      SELECT doc_id, n_tokens, {split_case} AS split
+      FROM s2k WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    trainb AS (
+      SELECT doc_id, n_tokens,
+             CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                    ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 2048) AS BIGINT) AS bin
+      FROM kept WHERE split = 'train'
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(NULL AS VARCHAR) AS drop_stage, 'train' AS split, bin
+    FROM trainb
+    UNION ALL
+    SELECT doc_id, CAST(n_tokens AS BIGINT), NULL, split,
+           CAST(NULL AS BIGINT)
+    FROM kept WHERE split <> 'train'
+    UNION ALL
+    SELECT doc_id, CAST(n_tokens AS BIGINT), 'contaminated',
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+    FROM s2k JOIN contam USING (doc_id)
+    UNION ALL
+    SELECT doc_id, CAST(n_tokens AS BIGINT), 'exact_dup',
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+    FROM s2 WHERE is_dup = 1
+    UNION ALL
+    SELECT doc_id, CAST(n_tokens AS BIGINT), 'quality',
+           CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+    FROM base WHERE passed = 0
+    """
+
+
+@query("q154_curation_pipeline", _q154_sql())
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END curation pipeline under the hash gate
+    (graphdb_neo4j_spark.pipeline.curate): quality gate → exact dedup →
+    benchmark decontamination (eval slice doc_id % 53 = 0, q48's
+    convention) → 98/1/1 hash split → 2048-token sequence packing, with
+    a PER-DOCUMENT verdict (drop stage in pipeline order, or split +
+    train bin) — the five-stage composition DuckDB replays stage for
+    stage.  Near-dup LSH stays off here (no closed-form SQL mirror; its
+    own gates are q22/q29) and is exercised by the pipeline unit test."""
+    from graphdb_neo4j_spark.pipeline import curate
+
+    docs = load_table(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % 53 == 0)
+    res = curate(docs, ev)
+    return res.labeled

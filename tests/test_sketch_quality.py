@@ -557,3 +557,53 @@ def test_scalar_quantize_reconstruction_error_bounded(spark):
             step = (maxs[i] - mins[i]) / 255.0
             deq = mins[i] + q[i] * step
             assert abs(deq - x) <= step / 2 + 1e-9, (vid, i)
+
+
+def test_curation_pipeline_stage_order_and_neardup(spark):
+    """Planted corpus: each doc is dropped by exactly the FIRST stage
+    that applies (quality ≺ exact_dup ≺ near_dup ≺ contaminated), and
+    survivors get split + train bins."""
+    from graphdb_neo4j_spark.pipeline import curate
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it "
+        "runs far away into the green hills with a happy friend"
+    )
+    near = good + " extra trailing words here"
+    rows = [
+        (1, good),                      # keeper of the near-dup cluster
+        (2, good),                      # exact dup of 1
+        (3, near),                      # near dup of 1 (high jaccard)
+        (4, "zz"),                      # quality: too short
+        (5, "a small boat drifted down the wide river while the crew "
+            "watched clouds gather slowly over the distant shore"),  # clean
+        # contaminated vs eval 7 — distinct text, shares its 3-grams
+        (6, "some totally different benchmark question about the rivers "
+            "and mountains of a country that models never have seen"),
+    ]
+    ev = [(7, "an unrelated preamble then some totally different "
+              "benchmark question about the rivers and mountains of "
+              "a country appears")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    evdf = spark.createDataFrame(ev, "doc_id long, text string")
+    res = curate(
+        docs, evdf, neardup=True,
+        neardup_kwargs={"jaccard_threshold": 0.5},
+        seq_budget=30,
+    )
+    lab = {r.doc_id: r for r in res.labeled.collect()}
+    assert len(lab) == 6
+    assert lab[4].drop_stage == "quality"
+    assert lab[2].drop_stage == "exact_dup"
+    assert lab[3].drop_stage == "near_dup"
+    assert lab[6].drop_stage == "contaminated"
+    assert lab[1].drop_stage is None and lab[1].split is not None
+    assert lab[5].drop_stage is None
+    # train docs get monotone bins in doc_id order
+    train = [r for r in lab.values() if r.split == "train"]
+    bins = [r.bin for r in sorted(train, key=lambda r: r.doc_id)]
+    assert bins == sorted(bins) and all(b is not None for b in bins)
+    rep = {r.stage: r.n_docs for r in res.report.collect()}
+    assert rep["quality"] == 1 and rep["exact_dup"] == 1
+    assert rep["near_dup"] == 1 and rep["contaminated"] == 1
+    assert sum(v for k, v in rep.items() if k.startswith("kept_")) == 2
