@@ -1004,3 +1004,56 @@ def test_streaming_triangle_count_incremental(spark, tmp_path):
         assert total == want, (total, want, len(all_edges))
     # final sanity: abc + def + bcd
     assert want == 3
+
+
+def test_streaming_cusum_equals_batch(spark, tmp_path):
+    """Incremental CUSUM state after 3 micro-batches == the batch
+    temporal.cusum over the concatenated series (max C+, max C-, alert
+    count, final prefix sum), including a key that goes quiet after
+    batch 1 (carried state) and a key born in batch 2."""
+    import os
+
+    from graphdb_neo4j_spark.operators.temporal import cusum
+    from graphdb_neo4j_spark.streaming.drift import cusum_state, streaming_cusum
+
+    DRIFT, H = 100, 150
+    batches = [
+        [("a", 0, 100), ("a", 1, 130), ("b", 2, 90), ("a", 3, 160)],
+        [("a", 4, 180), ("a", 5, 170), ("c", 6, 50)],
+        [("a", 7, 40), ("c", 8, 20), ("c", 9, 30)],
+    ]
+    src = str(tmp_path / "cusum_src")
+    state = str(tmp_path / "cusum_state")
+    os.makedirs(src, exist_ok=True)
+    allrows = []
+    for rows in batches:
+        allrows += rows
+        spark.createDataFrame(rows, "k string, ts_us long, v long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("k string, ts_us long, v long").parquet(src)
+        q = streaming_cusum(
+            stream, state, value_col="v", drift=DRIFT, threshold=H,
+            key_col="k", order_cols=["ts_us"],
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+
+    got = {r.key: r for r in cusum_state(spark, state).collect()}
+
+    full = spark.createDataFrame(allrows, "k string, ts_us long, v long")
+    c = cusum(full, "v", drift=DRIFT, by=["k"], order_cols=["ts_us"])
+    want = {
+        r.k: r
+        for r in c.groupBy("k").agg(
+            F.max("cusum_pos").alias("max_cp"),
+            F.max("cusum_neg").alias("max_cn"),
+            F.sum((F.col("cusum_pos") > H).cast("bigint")).alias("n_alerts"),
+            F.sum(F.col("v") - DRIFT).alias("ps_last"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert (g.max_cp, g.max_cn, g.n_alerts, g.ps_last) == (
+            w.max_cp, w.max_cn, w.n_alerts, w.ps_last
+        ), k
