@@ -558,3 +558,14 @@ def test_q152_cusum_single_type_shuffle(spark):
     df = QUERY_FNS["q152_cusum_changepoint"](spark, SF)
     plan = explain_str(df)
     assert plan.count("hashpartitioning(event_type") == 1, plan
+
+
+def test_q154_pipeline_broadcasts_eval_grams_no_cartesian(spark):
+    """The curation pipeline's decontamination leg must broadcast the
+    eval-gram set (MB-scale at any corpus size) and the composed plan
+    must contain no cartesian product."""
+    df = QUERY_FNS["q154_curation_pipeline"](spark, SF)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert has_broadcast_join(df)
