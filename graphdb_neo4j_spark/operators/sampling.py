@@ -422,3 +422,155 @@ def neighbor_sample_sql(
             FROM {edges_sql})
     ) WHERE rank <= {fanout}
     """
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_walks: int = 2,
+    length: int = 3,
+    seed: str = "walk",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """DeepWalk-style deterministic random walks — ``n_walks`` walks of
+    ``length`` steps from every seed vertex, returned as one row per
+    visited position ``(seed, walk, step, vertex)`` (step 0 is the seed
+    itself).  The walk corpus that feeds skip-gram graph-embedding
+    training (Perozzi et al., "DeepWalk", KDD 2014) and node2vec with
+    p=q=1, made reproducible: step ``s`` of walk ``w`` from seed ``v0``
+    moves to the neighbor whose dense (ORDER BY dst) rank equals
+    ``1 + md5(seed|v0:w:s) mod outdeg`` — a pre-drawn random tape keyed
+    by (seed, walk, step), so results never depend on partitioning,
+    cluster size, or visit order, and are SQL-mirrorable.
+
+    Walks stop early at sink vertices (no outgoing edges) — their
+    remaining positions are simply absent.
+
+    100 TB shape: the ranked adjacency (one row_number window over the
+    deduped edge list, co-partitioned with its degree table) is built
+    once and persisted; each step is then ONE equi-join of the frontier
+    with the adjacency on (vertex, picked_rank) — frontier size is
+    |seeds|·n_walks, never graph-sized, and AQE broadcasts it against
+    the big adjacency.  ``length`` joins total, no iteration state
+    beyond the frontier.  Skewed hubs cost nothing extra: only ONE rank
+    per (frontier row) is fetched, not the hub's whole adjacency list.
+    """
+    from pyspark.sql import Window
+
+    # all vertex ids travel as strings: the frontier's vertex column must
+    # equi-join the adjacency without implicit numeric coercion, and the
+    # neighbor rank (ORDER BY dst) must sort identically in both engines
+    adj = edges.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+    ).distinct()
+    ranked = (
+        adj.withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("src").orderBy("dst")),
+        )
+        .select(
+            F.col("src").alias("rsrc"), F.col("dst").alias("rdst"), "rnk"
+        )
+        .persist()
+    )
+    deg = ranked.groupBy("rsrc").agg(F.max("rnk").alias("outdeg")).select(
+        F.col("rsrc").alias("dsrc"), "outdeg"
+    )
+
+    cur = (
+        seeds.select(F.col(seeds.columns[0]).cast("string").alias("seed"))
+        .distinct()
+        .select(
+            "seed",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(n_walks) - 1))
+            ).alias("walk"),
+        )
+        .withColumn("vertex", F.col("seed"))
+    )
+    out = cur.select(
+        "seed", "walk", F.lit(0).alias("step"), "vertex"
+    )
+    for s in range(1, int(length) + 1):
+        tape = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}|"),
+                        F.col("seed"),
+                        F.lit(":"),
+                        F.col("walk").cast("string"),
+                        F.lit(":"),
+                        F.lit(str(s)),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        cur = (
+            cur.join(deg, F.col("vertex") == F.col("dsrc"))
+            .withColumn("pick", tape % F.col("outdeg") + 1)
+            .join(
+                ranked,
+                (F.col("vertex") == F.col("rsrc"))
+                & (F.col("pick") == F.col("rnk")),
+            )
+            .select("seed", "walk", F.col("rdst").alias("vertex"))
+        )
+        out = out.unionByName(
+            cur.select("seed", "walk", F.lit(s).alias("step"), "vertex")
+        )
+    return out
+
+
+def random_walks_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    n_walks: int = 2,
+    length: int = 3,
+    seed: str = "walk",
+) -> str:
+    """DuckDB oracle for :func:`random_walks` — the step loop unrolled
+    into ``length`` chained CTE joins with the identical md5 tape.
+    ``edges_sql`` must yield (src, dst); ``seeds_sql`` one seed column.
+    """
+    walks = ", ".join(f"({w})" for w in range(int(n_walks)))
+    ctes = [
+        f"""adj AS (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rnk
+      FROM (SELECT DISTINCT CAST(src AS VARCHAR) AS src,
+                            CAST(dst AS VARCHAR) AS dst
+            FROM ({edges_sql}))
+    ),
+    deg AS (SELECT src, MAX(rnk) AS outdeg FROM adj GROUP BY src),
+    s0 AS (
+      SELECT CAST(sd.seed AS VARCHAR) AS seed, w.walk, CAST(sd.seed AS VARCHAR) AS vertex
+      FROM (SELECT DISTINCT * FROM ({seeds_sql})) sd(seed)
+      CROSS JOIN (VALUES {walks}) w(walk)
+    )"""
+    ]
+    for s in range(1, int(length) + 1):
+        tape = (
+            f"('0x' || substr(md5('{seed}|' || seed || ':' "
+            f"|| CAST(walk AS VARCHAR) || ':{s}'), 1, 8))::BIGINT"
+        )
+        ctes.append(
+            f"""s{s} AS (
+      SELECT p.seed, p.walk, CAST(adj.dst AS VARCHAR) AS vertex
+      FROM s{s - 1} p
+      JOIN deg ON deg.src = p.vertex
+      JOIN adj ON adj.src = p.vertex
+             AND adj.rnk = 1 + ({tape} % deg.outdeg)
+    )"""
+        )
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT seed, walk, {s} AS step, vertex FROM s{s}"
+        for s in range(int(length) + 1)
+    )
+    return f"WITH {', '.join(ctes)}\n    {unions}"

@@ -822,3 +822,84 @@ def bloom_positions_sql(key_sql: str, lanes: int = BLOOM_LANES) -> list[str]:
     from graphdb_neo4j_spark.operators.sampling import hash_bucket_sql
 
     return [hash_bucket_sql(key_sql, f"bloom{i}") for i in range(lanes)]
+
+
+def mg_candidates(
+    items: DataFrame, col: str, k: int = 200
+) -> DataFrame:
+    """Misra–Gries heavy-hitter CANDIDATES — one pass, ``k`` counters
+    per partition, constant memory.  Returns the union of per-partition
+    summaries as ``(item, lower_bound)``.
+
+    Guarantee (the mergeable-summaries theorem, Agarwal et al., PODS
+    2012): a Misra–Gries summary of a bag undercounts any item by at
+    most ``n_bag/(k+1)``, and summing per-partition summaries keeps the
+    total undercount ≤ ``N/(k+1)``.  Hence every item with true
+    frequency > ``N/(k+1)`` appears in at least one partition summary —
+    the candidate set is a SUPERSET of the ε-heavy hitters with
+    ε = 1/(k+1).  Pair with one exact recount of the candidates (a
+    semi-join — see :func:`heavy_hitters_exact`) for exact output.
+
+    Implementation detail: inside each partition the stream is folded
+    Arrow-batch-at-a-time — ``value_counts`` per batch (vectorized),
+    then a summary MERGE (sum counters; if > k survive, subtract the
+    (k+1)-st largest count from all and drop non-positives), which is
+    exactly the PODS-2012 merge and never touches rows one at a time.
+
+    100 TB shape: one scan, zero shuffle (mapPartitions-only), output
+    ≤ k rows per partition.  This is the candidate generator for
+    exact heavy hitters without a full-cardinality groupBy: the
+    recount pass aggregates ONLY candidate keys, so the shuffle carries
+    a bounded key set instead of the full distinct domain.
+    """
+    import pandas as pd
+
+    kk = int(k)
+
+    def summarize(batches):
+        counts: "pd.Series | None" = None
+        for pdf in batches:
+            batch = pdf[col].value_counts()
+            counts = batch if counts is None else counts.add(batch, fill_value=0)
+            if len(counts) > kk:
+                counts = counts.sort_values(ascending=False)
+                pivot = counts.iloc[kk]
+                counts = counts - pivot
+                counts = counts[counts > 0]
+        if counts is not None and len(counts):
+            yield pd.DataFrame(
+                {
+                    "item": counts.index.astype(str),
+                    "lower_bound": counts.values.astype("int64"),
+                }
+            )
+
+    return (
+        items.select(F.col(col).cast("string").alias(col))
+        .mapInPandas(summarize, schema="item string, lower_bound bigint")
+    )
+
+
+def heavy_hitters_exact(
+    items: DataFrame, col: str, k: int = 200
+) -> DataFrame:
+    """EXACT ε-heavy hitters (ε = 1/(k+1)) via Misra–Gries candidates +
+    one exact recount: ``(item, cnt)`` for every item with
+    ``cnt · (k+1) > N``, computed without ever grouping the full
+    distinct domain.  Output is oracle-equal to the naive
+    ``GROUP BY … HAVING cnt*(k+1) > N`` (that IS the DuckDB oracle) —
+    the sketch only changes the plan, not the answer."""
+    src = items.select(F.col(col).cast("string").alias("item")).persist()
+    total = src.groupBy().agg(F.count("*").alias("n_total"))
+    cand = mg_candidates(src, "item", k=k).select("item").distinct()
+    counted = (
+        src.join(F.broadcast(cand), "item")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * (int(k) + 1) > F.col("n_total"))
+        .select("item", "cnt")
+    )
+    return out

@@ -352,3 +352,83 @@ def ewma_taps(alpha: float, n_taps: int, scale: int = 1 << 20) -> list[int]:
     oracle consume the IDENTICAL integer literals (no cross-engine
     pow() rounding hazard ever enters the data path)."""
     return [round(alpha * (1.0 - alpha) ** j * scale) for j in range(n_taps)]
+
+
+def seasonal_phase_profile(
+    series: DataFrame,
+    idx_col: str = "idx",
+    val_micro_col: str = "val_micro",
+    period: int = 24,
+    half: int = 12,
+) -> DataFrame:
+    """Classical additive seasonal decomposition, phase-profile stage:
+    given a regularly-indexed series ``(idx, val_micro)`` (one row per
+    bucket, values in integer micro-units), estimate the seasonal index
+    of each phase ``idx % period`` as the mean deviation from a
+    centered moving-average trend — the "decompose" step of the
+    classical STL-lite recipe (Hyndman & Athanasopoulos, *Forecasting:
+    Principles and Practice*, §3.4), in exact integer arithmetic.
+
+    * trend(i)   = ``(Σ_{j∈[i-half, i+half]} val) div (2·half+1)``,
+      only where the window is complete (edge buckets are dropped, as
+      in the textbook definition);
+    * detrended  = ``val_micro - trend_micro``;
+    * seasonal(p)= ``(Σ detrended over phase p) div n_p``.
+
+    Returns ``(phase, seasonal_micro, n_obs)`` — ``period`` rows.
+
+    Scale shape: the input is a POST-AGGREGATION bucket series (hours,
+    days), i.e. thousands of rows regardless of raw-data size — the
+    single-partition ROWS window here is over that reduced series, not
+    the raw events; the heavy lifting (bucket rollup) happens upstream
+    with map-side partial aggregation.  For multi-decade minute-grain
+    series, segment the window by year with ``half``-sized overlap.
+    Gaps in ``idx`` make the ROWS frame span non-adjacent buckets —
+    densify with :func:`gap_fill_ffill` first if the series can be
+    sparse.
+    """
+    n = 2 * int(half) + 1
+    w = Window.orderBy(idx_col).rowsBetween(-int(half), int(half))
+    trended = series.select(
+        F.col(idx_col).alias("idx"), F.col(val_micro_col).alias("val_micro")
+    ).select(
+        "idx",
+        "val_micro",
+        F.count("*").over(w).alias("n_win"),
+        F.expr(f"sum(val_micro) over (order by idx rows between {int(half)} preceding and {int(half)} following) div {n}").alias("trend_micro"),
+    )
+    detr = trended.filter(F.col("n_win") == n).select(
+        (F.col("idx") % period).alias("phase"),
+        (F.col("val_micro") - F.col("trend_micro")).alias("detr_micro"),
+    )
+    return detr.groupBy("phase").agg(
+        F.expr("sum(detr_micro) div count(*)").cast("bigint").alias(
+            "seasonal_micro"
+        ),
+        F.count("*").cast("bigint").alias("n_obs"),
+    )
+
+
+def seasonal_phase_profile_sql(
+    series_sql: str, period: int = 24, half: int = 12
+) -> str:
+    """DuckDB oracle for :func:`seasonal_phase_profile`;
+    ``series_sql`` must yield (idx, val_micro)."""
+    n = 2 * int(half) + 1
+    return f"""
+    WITH s AS ({series_sql}),
+    t AS (
+      SELECT idx, val_micro,
+             COUNT(*) OVER w AS n_win,
+             (SUM(val_micro) OVER w) // {n} AS trend_micro
+      FROM s
+      WINDOW w AS (ORDER BY idx
+                   ROWS BETWEEN {int(half)} PRECEDING AND {int(half)} FOLLOWING)
+    )
+    SELECT idx % {int(period)} AS phase,
+           CAST((SUM(val_micro - trend_micro)) // COUNT(*) AS BIGINT)
+             AS seasonal_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM t WHERE n_win = {n}
+    GROUP BY idx % {int(period)}
+    """

@@ -847,3 +847,136 @@ def bigram_logprob_score(
             ).alias("avg_logp"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1_micro: int = 1_200_000,
+    b_micro: int = 750_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Disjunctive BM25 retrieval over the corpus, top-``k`` as
+    ``(doc_id, score_micro)`` — the lexical-ranking baseline of every
+    modern retrieval / RAG stack (Robertson & Zaragoza, "The
+    Probabilistic Relevance Framework: BM25 and Beyond", FnTIR 2009),
+    expressed as pure integer Catalyst arithmetic.
+
+    Formula (per matched term, all in exact micro-units, M = 1e6):
+
+    * length norm: ``norm = M - b + (b * dl * M) div avgdl_micro``
+      with ``avgdl_micro = (Σ dl * M) div N`` — the k1/b saturation is
+      BM25-exact up to the fixed-point grid.
+    * saturation: ``sat = (tf * (k1 + M) * M) div (tf * M + (k1 * norm)
+      div M)``.
+    * idf surrogate: ``1e9 div df`` — the same rank-preserving
+      integer-idf policy as the q129 tf·idf search (float ``ln`` is
+      deliberately avoided: libm last-ulp differences break cross-engine
+      hash equality; 1/df orders terms identically to the Robertson idf
+      for df ≪ N).
+
+    Integer-overflow bounds (int64): ``tf ≤ 4e6`` tokens of one term in
+    one document, ``dl ≤ 1e6`` tokens — both far above any real
+    document; overflow would need a single doc of multiple GB.
+
+    100 TB shape: tokenization is ONE scan-fused explode; ``tf`` only
+    keeps postings for the |terms| query terms (the IN-filter pushes
+    below the first aggregate), ``df`` and the corpus stats are
+    broadcast scalars, and the final top-k is a TakeOrdered — no global
+    sort, no UDFs.  For repeated queries materialize the postings with
+    ``doc_length`` attached and skip straight to the broadcast joins.
+    """
+    M = 1_000_000
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    dl = tok.groupBy("id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.expr(f"(sum(dl) * {M}) div count(*)").alias("avgdl_micro")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(list(terms)))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf_micro", F.expr("1000000000 div df"))
+        .withColumn(
+            "norm_micro",
+            F.expr(
+                f"{M} - {b_micro} + ({b_micro} * dl * {M}) div avgdl_micro"
+            ),
+        )
+        .withColumn(
+            "sat_micro",
+            F.expr(
+                f"(tf * ({k1_micro} + {M}) * {M})"
+                f" div (tf * {M} + ({k1_micro} * norm_micro) div {M})"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum(F.expr(f"(idf_micro * sat_micro) div {M}"))
+            .cast("bigint")
+            .alias("score_micro")
+        )
+        .orderBy(F.col("score_micro").desc(), "id")
+        .limit(int(k))
+        .select(F.col("id").alias(id_col), "score_micro")
+    )
+
+
+def bm25_topk_sql(
+    terms: list[str],
+    k: int = 10,
+    k1_micro: int = 1_200_000,
+    b_micro: int = 750_000,
+    table: str = "documents",
+    id_sql: str = "doc_id",
+    text_sql: str = "text",
+) -> str:
+    """DuckDB oracle for :func:`bm25_topk` — the identical integer
+    micro-unit arithmetic (`//` mirrors Spark's `div` exactly on
+    non-negative bigints)."""
+    M = 1_000_000
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH tok AS (
+      SELECT {id_sql} AS id, unnest(string_split({text_sql}, ' ')) AS term
+      FROM {table}
+    ),
+    dl AS (SELECT id, COUNT(*) AS dl FROM tok GROUP BY id),
+    st AS (SELECT (SUM(dl) * {M}) // COUNT(*) AS avgdl_micro FROM dl),
+    tf AS (
+      SELECT id, term, COUNT(*) AS tf FROM tok
+      WHERE term IN ({in_list}) GROUP BY id, term
+    ),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    parts AS (
+      SELECT tf.id,
+             (1000000000 // dfq.df) AS idf_micro,
+             ({M} - {b_micro}
+              + ({b_micro} * dl.dl * {M}) // st.avgdl_micro) AS norm_micro,
+             tf.tf AS tf
+      FROM tf JOIN dfq USING (term) JOIN dl USING (id), st
+    ),
+    sat AS (
+      SELECT id, idf_micro,
+             (tf * ({k1_micro} + {M}) * {M})
+               // (tf * {M} + ({k1_micro} * norm_micro) // {M}) AS sat_micro
+      FROM parts
+    )
+    SELECT id AS {id_sql},
+           CAST(SUM((idf_micro * sat_micro) // {M}) AS BIGINT) AS score_micro
+    FROM sat GROUP BY id
+    ORDER BY score_micro DESC, id LIMIT {int(k)}
+    """

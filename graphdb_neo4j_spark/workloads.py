@@ -8130,3 +8130,227 @@ def q154(spark: SparkSession, sf: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") % 53 == 0)
     res = curate(docs, ev)
     return res.labeled
+
+
+# ===========================================================================
+# retrieval / time-series / sketch additions (round 3): BM25, RRF hybrid
+# search, seasonal decomposition, deterministic random walks, exact
+# heavy hitters via Misra–Gries candidates
+# ===========================================================================
+
+_BM25_TERMS = ["hash", "merge", "filter"]
+
+
+@query("q155_bm25_topk", T.bm25_topk_sql(_BM25_TERMS, k=10))
+def q155(spark: SparkSession, sf: str) -> DataFrame:
+    """Disjunctive BM25 top-10 over the documents table (k1=1.2,
+    b=0.75 in exact micro-units; integer idf surrogate, q129's policy)
+    — the lexical-retrieval baseline of a RAG stack as one explode +
+    two broadcast joins + TakeOrdered.  text.bm25_topk docstring has
+    the fixed-point derivation and overflow bounds."""
+    docs = load_table(spark, sf, "documents")
+    return T.bm25_topk(docs, _BM25_TERMS, k=10)
+
+
+def _q156_sql(k_cand: int = 50, k_out: int = 10, k_rrf: int = 60) -> str:
+    bm = T.bm25_topk_sql(_BM25_TERMS, k=k_cand)
+    return f"""
+    WITH lex AS ({bm}),
+    lexr AS (
+      SELECT doc_id AS id,
+             ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS r_lex
+      FROM lex
+    ),
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id AS id,
+             ROUND(
+               list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                      * CAST(q.v[CAST(i AS INT)] AS DOUBLE)), (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(e.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(q.v,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)))
+             , 6) AS sim
+      FROM embeddings e, qv q
+    ),
+    vtop AS (SELECT id, sim FROM sims ORDER BY sim DESC, id LIMIT {k_cand}),
+    vecr AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY sim DESC, id) AS r_vec FROM vtop
+    ),
+    fused AS (
+      SELECT COALESCE(lexr.id, vecr.id) AS id,
+             COALESCE(1000000000 // ({k_rrf} + r_lex), 0)
+           + COALESCE(1000000000 // ({k_rrf} + r_vec), 0) AS rrf_micro
+      FROM lexr FULL OUTER JOIN vecr ON lexr.id = vecr.id
+    )
+    SELECT id AS doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, id LIMIT {k_out}
+    """
+
+
+@query("q156_rrf_hybrid_topk", _q156_sql())
+def q156(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical candidates + brute-cosine vector
+    candidates (doc_id ≡ vec_id), fused by Reciprocal Rank Fusion
+    (Cormack, Clarke & Büttcher, SIGIR 2009) — ``Σ 1e9 div (60+rank)``
+    in exact integer micro-units so both engines fuse identically.
+
+    Scale shape: each leg is itself a top-``k_cand`` TakeOrdered, so
+    the rank windows and the full-outer fuse run on ≤ 2·k_cand rows —
+    driver-sized by construction, never corpus-sized.  The legs reuse
+    q155's postings plan and q26's one-pass cosine scan."""
+    from pyspark.sql import Window
+
+    k_cand, k_rrf = 50, 60
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    lex = T.bm25_topk(docs, _BM25_TERMS, k=k_cand)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    vec = S.topk_bruteforce(emb, list(qvec), k=k_cand, round_sim=6)
+    lexr = lex.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score_micro").desc(), "doc_id"))
+        .alias("r_lex"),
+    )
+    vecr = vec.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.col("sim").desc(), "id"))
+        .alias("r_vec"),
+    )
+    fused = lexr.join(vecr, "id", "full_outer").select(
+        "id",
+        (
+            F.coalesce(F.expr(f"1000000000 div ({k_rrf} + r_lex)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000000 div ({k_rrf} + r_vec)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_micro"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_micro").desc(), "id")
+        .limit(10)
+        .select(F.col("id").alias("doc_id"), "rrf_micro")
+    )
+
+
+_Q157_SERIES_SQL = """
+SELECT epoch_us(ts) // 3600000000 AS idx,
+       COUNT(*) * 1000000 AS val_micro
+FROM events GROUP BY epoch_us(ts) // 3600000000
+"""
+
+
+@query(
+    "q157_hourly_seasonality",
+    None,  # filled right below (needs the operator's SQL builder)
+)
+def q157(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day seasonal profile of event volume — classical
+    additive decomposition (centered 25h moving-average trend, mean
+    per-phase deviation) in exact integer micro-units; the load-shape
+    fingerprint behind capacity planning and anomaly baselines.
+
+    Scale shape: the raw stream collapses to ONE row per hour (partial
+    hash agg map-side) before the single-partition trend window ever
+    runs — the window input is |hours|, not |events| (720 rows for a
+    30-day corpus; a decade of hours is 87k rows, still driver-sized).
+    """
+    from graphdb_neo4j_spark.operators.temporal import seasonal_phase_profile
+
+    e = load_table(spark, sf, "events")
+    series = (
+        e.select(F.expr("unix_micros(ts) div 3600000000").alias("idx"))
+        .groupBy("idx")
+        .agg((F.count("*") * 1_000_000).alias("val_micro"))
+    )
+    return seasonal_phase_profile(series, period=24, half=12)
+
+
+def _register_q157_oracle() -> None:
+    from graphdb_neo4j_spark.operators.temporal import (
+        seasonal_phase_profile_sql,
+    )
+
+    ORACLES["q157_hourly_seasonality"] = seasonal_phase_profile_sql(
+        _Q157_SERIES_SQL, period=24, half=12
+    )
+
+
+_register_q157_oracle()
+
+
+_WALK_EDGES_SQL = """
+SELECT a.l_partkey AS src, b.l_partkey AS dst
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+"""
+_WALK_SEEDS_SQL = (
+    "SELECT l_partkey FROM (SELECT DISTINCT l_partkey FROM lineitem) "
+    "ORDER BY l_partkey LIMIT 10"
+)
+
+
+def _q158_sql() -> str:
+    from graphdb_neo4j_spark.operators.sampling import random_walks_sql
+
+    return random_walks_sql(
+        _WALK_EDGES_SQL, _WALK_SEEDS_SQL, n_walks=2, length=3, seed="walk"
+    )
+
+
+@query("q158_random_walks_copurchase", _q158_sql())
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    """DeepWalk corpus over the part co-purchase graph: 2 deterministic
+    walks of 3 steps from the 10 smallest part keys — the walk-corpus
+    generation stage of skip-gram graph-embedding training (pairs with
+    q150's GraphSAGE neighbor sampling), hash-gated against the
+    unrolled-join DuckDB mirror of the identical md5 step tape."""
+    from graphdb_neo4j_spark.operators.sampling import random_walks
+
+    l = load_table(spark, sf, "lineitem")
+    edges = (
+        l.alias("a")
+        .join(
+            l.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+    )
+    seeds = (
+        l.select("l_partkey").distinct().orderBy("l_partkey").limit(10)
+    )
+    return random_walks(edges, seeds, n_walks=2, length=3, seed="walk")
+
+
+@query(
+    "q159_heavy_hitter_terms",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM tok)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok, tot
+    GROUP BY item, n_total
+    HAVING COUNT(*) * 31 > n_total
+    """,
+)
+def q159(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT ε-heavy-hitter terms (ε = 1/31) over the token stream via
+    Misra–Gries candidates + one exact recount — the answer equals the
+    naive full GROUP BY … HAVING (the oracle), but the plan's recount
+    shuffle carries only the ≤ k·partitions candidate keys instead of
+    the full distinct vocabulary (sketch.heavy_hitters_exact docstring
+    has the mergeable-summaries guarantee)."""
+    from graphdb_neo4j_spark.operators.sketch import heavy_hitters_exact
+
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    return heavy_hitters_exact(tok, "term", k=30)

@@ -569,3 +569,45 @@ def test_q154_pipeline_broadcasts_eval_grams_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan, plan
     assert has_broadcast_join(df)
+
+
+def test_q155_bm25_broadcasts_stats_and_takeordered(spark):
+    """BM25: df + corpus stats are broadcast scalars, the top-k is a
+    TakeOrdered (no global sort), postings aggregate partial-combines."""
+    df = QUERY_FNS["q155_bm25_topk"](spark, SF)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert has_broadcast_join(df)
+    assert "partial" in plan.lower()
+
+
+def test_q156_rrf_no_cartesian_and_bounded_windows(spark):
+    """RRF fuse joins two ≤k-row legs: no cartesian product; the rank
+    windows only ever run on TakeOrdered outputs."""
+    df = QUERY_FNS["q156_rrf_hybrid_topk"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_q157_seasonality_aggregates_before_window(spark):
+    """The trend window's input is the post-rollup hourly series: the
+    hourly aggregate (with map-side partial combine) must sit BELOW the
+    single-partition window in the plan."""
+    df = QUERY_FNS["q157_hourly_seasonality"](spark, SF)
+    plan = explain_str(df)
+    assert "partial" in plan.lower()
+    # window runs over the reduced series — exactly one SinglePartition
+    # exchange, fed by the hash aggregate, never by the raw scan
+    assert plan.count("SinglePartition") == 1, plan
+
+
+def test_q159_heavy_hitters_recount_is_broadcast_semi(spark):
+    """The exact recount aggregates only candidate tokens: the
+    candidate set joins as a broadcast, and the final count still
+    partial-combines map-side."""
+    df = QUERY_FNS["q159_heavy_hitter_terms"](spark, SF)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan, plan
