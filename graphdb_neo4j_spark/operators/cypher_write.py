@@ -548,23 +548,40 @@ class GraphWriter:
         if bad:
             raise CypherWriteError(f"order columns not in params: {bad}")
 
-        # MATCH gating against the pre-execute snapshot (events.py:155-160)
+        # MATCH gating against the pre-execute snapshot (events.py:155-160).
+        # Cypher executes clauses IN ORDER: a failing MATCH suppresses only
+        # the clauses after it, so each statement sees params filtered by
+        # every gate clause at seq <= its own (a gated_update — MATCH with
+        # a SET — gates its own write via the <= ).
         snapshot_nodes = dict(self.store.nodes)
-        gated = params
-        for st in t.nodes:
-            if st.kind == "match" or getattr(st, "gated_update", False):
-                gated = self._gate(gated, st, snapshot_nodes)
-        gated = gated.withColumn("__word0__", F.struct(*[F.col(c) for c in order]))
+        base = params.withColumn(
+            "__word0__", F.struct(*[F.col(c) for c in order])
+        )
+        gates = sorted(
+            (
+                st
+                for st in t.nodes
+                if st.kind == "match" or getattr(st, "gated_update", False)
+            ),
+            key=lambda st: st.seq,
+        )
+        frames: list[DataFrame] = [base]
+        for g in gates:
+            frames.append(self._gate(frames[-1], g, snapshot_nodes))
+
+        def gated_for(seq: int) -> DataFrame:
+            n = sum(1 for g in gates if g.seq <= seq)
+            return frames[n]
 
         for label in sorted({n.label for n in t.nodes if n.kind == "merge"}):
             self._apply_nodes(
                 label, [n for n in t.nodes if n.label == label and n.kind == "merge"],
-                gated,
+                gated_for,
             )
         for rel in sorted({e.rel for e in t.edges}):
-            self._apply_edges(rel, [e for e in t.edges if e.rel == rel], t, gated)
+            self._apply_edges(rel, [e for e in t.edges if e.rel == rel], t, gated_for)
         for d in t.deletes:
-            self._apply_delete(d, t, gated)
+            self._apply_delete(d, t, frames[-1])
         return self.store
 
     # -- MATCH gate ---------------------------------------------------------
@@ -596,7 +613,7 @@ class GraphWriter:
 
     def _upsert(
         self,
-        gated: DataFrame,
+        gated_for,
         parts: list[_WritePart],
         existing: DataFrame | None,
         key_cols: list[str],
@@ -644,7 +661,7 @@ class GraphWriter:
                     F.expr(mt).alias(f"__tm_{p}__"),
                 ]
             write_frames.append(
-                gated.select(
+                gated_for(w.seq).select(
                     *[F.expr(sql).alias(k) for k, sql in w.key_exprs.items()],
                     F.struct(
                         F.col("__word0__").alias("w"), F.lit(w.seq).alias("seq")
@@ -766,7 +783,7 @@ class GraphWriter:
         return {i.prop: (i.value_sql, i.keep_old) for i in items}
 
     def _apply_nodes(
-        self, label: str, stmts: list[_NodeStmt], gated: DataFrame
+        self, label: str, stmts: list[_NodeStmt], gated_for
     ) -> None:
         keys = sorted(stmts[0].key_props)
         known = self.store.node_keys.get(label)
@@ -791,7 +808,7 @@ class GraphWriter:
             for st in stmts
         ]
         self.store.nodes[label] = self._upsert(
-            gated, parts, self.store.nodes.get(label), list(stmts[0].key_props)
+            gated_for, parts, self.store.nodes.get(label), list(stmts[0].key_props)
         )
         self.store.node_keys[label] = list(stmts[0].key_props)
 
@@ -806,7 +823,7 @@ class GraphWriter:
         return expr
 
     def _apply_edges(
-        self, rel: str, stmts: list[_EdgeStmt], t: _Template, gated: DataFrame
+        self, rel: str, stmts: list[_EdgeStmt], t: _Template, gated_for
     ) -> None:
         parts = [
             _WritePart(
@@ -822,7 +839,7 @@ class GraphWriter:
             for st in stmts
         ]
         self.store.edges[rel] = self._upsert(
-            gated, parts, self.store.edges.get(rel), ["src", "dst"]
+            gated_for, parts, self.store.edges.get(rel), ["src", "dst"]
         )
 
     # -- deletes --------------------------------------------------------------

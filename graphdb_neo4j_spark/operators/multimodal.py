@@ -6,13 +6,15 @@ extraction runs in Arrow-batched ``mapInPandas`` so bytes cross the
 JVM↔Python boundary once per batch, never per row, and the pipeline
 stays a single narrow stage (no shuffle).
 
-The decode step itself is STUBBED in this environment (no PIL/ffmpeg
-in the container): :func:`decode_image_meta` parses only the magic
-bytes + dimensions it can read from the header (PNG real, JPEG real
-for dims where present), and anything deeper raises
-``NotImplementedError`` unless a deterministic fake is requested.  The
+Codec status: uncompressed formats decode FOR REAL with no external
+dependency — PPM P6 pixels (:func:`decode_ppm`), BMP BI_RGB 24/32-bit
+pixels (:func:`decode_bmp`), WAV PCM16 samples (:func:`decode_wav`),
+PNG header dims (:func:`png_dims`) — feeding
+:func:`extract_media_features` end to end.  Compressed codecs
+(JPEG/H.264/AAC) still require PIL/ffmpeg and raise
+``NotImplementedError`` unless a deterministic fake is requested; the
 Spark-side plumbing — schema, batching, partitioning, UDF signature —
-is real and tested.
+is identical for both paths.
 """
 
 from __future__ import annotations

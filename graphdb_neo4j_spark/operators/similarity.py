@@ -1210,10 +1210,23 @@ def mmr_rerank(
     as a Spark cross join.
     """
     import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
 
-    out_schema = (
-        f"{query_col} long, {id_col} long, {rel_col} double, "
-        "mmr_rank int, mmr_score double"
+    # id/query field types come from the input schema, not a hardcoded
+    # long — string or int ids must survive the Arrow round-trip.
+    out_schema = StructType(
+        [
+            StructField(query_col, candidates.schema[query_col].dataType),
+            StructField(id_col, candidates.schema[id_col].dataType),
+            StructField(rel_col, DoubleType()),
+            StructField("mmr_rank", IntegerType()),
+            StructField("mmr_score", DoubleType()),
+        ]
     )
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:

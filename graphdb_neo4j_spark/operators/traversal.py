@@ -2223,6 +2223,8 @@ def hits(
     to truncate lineage (same discipline as :func:`pagerank`; on a
     cluster swap for checkpoint() to a fault-tolerant dir).
     """
+    if iters < 1:
+        raise ValueError(f"hits() needs iters >= 1, got {iters}")
     e = edges.select("src", "dst").distinct().localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("v"))

@@ -117,8 +117,10 @@ def curate(
         cl = neardup_clusters(
             cur, id_col=id_col, text_col=text_col, **(neardup_kwargs or {})
         )
+        # neardup_clusters stringifies ids; cast back to the caller's
+        # actual id type so non-long ids survive the keeper joins.
         keepers = cl.filter(F.col("is_keeper")).select(
-            F.col("id").cast("long").alias(id_col)
+            F.col("id").cast(cur.schema[id_col].dataType).alias(id_col)
         )
         dropped.append(
             drop_row(cur.join(keepers, id_col, "left_anti"), "near_dup")

@@ -499,3 +499,31 @@ def test_write_read_roundtrip_cypher(spark):
         "customer", "orders",
     )
     assert got2 == [("1", 2), ("2", 2)]
+
+
+def test_merge_before_failing_match_still_creates(spark, writer):
+    """Clause order: a MERGE before a failing MATCH still executes —
+    Neo4j runs clauses in order, so the MATCH only gates later clauses
+    (regression: the gate used to suppress the whole row)."""
+    writer.execute(
+        "MERGE (t:Target {k:$t})",
+        spark.createDataFrame([("T1",)], "t string"),
+    )
+    params = spark.createDataFrame(
+        [(1, "A1", "T1"), (2, "A2", "MISSING")], "seq int, a string, t string"
+    )
+    writer.execute(
+        """
+        MERGE (a:Anchor {k:$a})
+        MATCH (t:Target {k:$t})
+        MERGE (a)-[r:HITS]->(t) SET r.event_id = $seq
+        """,
+        params,
+        order=["seq"],
+    )
+    # both anchors exist (A2's MERGE ran before its MATCH failed) …
+    assert rows(writer.store.nodes["Anchor"], "k") == [("A1",), ("A2",)]
+    # … but only the matched row produced an edge
+    assert rows(writer.store.edges["HITS"], "src", "dst", "event_id") == [
+        ("A1", "T1", 1)
+    ]

@@ -80,3 +80,21 @@ def test_mmr_diversifies_duplicates(spark):
         .collect()
     ]
     assert got == [1, 3]
+
+
+def test_mmr_string_ids(spark):
+    """String ids/query ids survive the Arrow round-trip (regression:
+    output schema hardcoded both as long)."""
+    rows = [
+        ("qA", "doc-1", 0.9, [1.0, 0.0]),
+        ("qA", "doc-2", 0.8, [1.0, 0.0]),   # duplicate of doc-1
+        ("qA", "doc-3", 0.5, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id string, id string, sim double, embedding array<double>"
+    )
+    got = [
+        (r["id"], r["mmr_rank"])
+        for r in mmr_rerank(df, k=2, lam=0.5).orderBy("mmr_rank").collect()
+    ]
+    assert got == [("doc-1", 1), ("doc-3", 2)]

@@ -607,3 +607,32 @@ def test_curation_pipeline_stage_order_and_neardup(spark):
     assert rep["quality"] == 1 and rep["exact_dup"] == 1
     assert rep["near_dup"] == 1 and rep["contaminated"] == 1
     assert sum(v for k, v in rep.items() if k.startswith("kept_")) == 2
+
+
+def test_curation_pipeline_string_ids_neardup(spark):
+    """neardup=True with string doc ids: keeper ids must round-trip the
+    string→string cast (regression: a hardcoded cast('long') nulled every
+    keeper and the whole surviving corpus was dropped as near_dup)."""
+    from graphdb_neo4j_spark.pipeline import curate
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then it "
+        "runs far away into the green hills with a happy friend"
+    )
+    rows = [
+        ("doc-a", good),
+        ("doc-b", good + " extra trailing words here"),   # near dup of doc-a
+        ("doc-c", "a small boat drifted down the wide river while the "
+                  "crew watched clouds gather slowly over the shore"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    res = curate(docs, neardup=True,
+                 neardup_kwargs={"jaccard_threshold": 0.5}, seq_budget=64)
+    lab = {r.doc_id: r for r in res.labeled.collect()}
+    assert len(lab) == 3
+    # exactly one of the near-dup pair is dropped; the keeper and the
+    # unrelated doc survive to the split stage
+    stages = {k: v.drop_stage for k, v in lab.items()}
+    assert stages["doc-c"] is None
+    pair = {stages["doc-a"], stages["doc-b"]}
+    assert pair == {None, "near_dup"}
