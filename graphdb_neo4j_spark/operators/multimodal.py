@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -62,6 +63,10 @@ def sniff_format(payload: bytes | None) -> str:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"BM":
+        return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[4:8] == b"ftyp":
@@ -75,6 +80,108 @@ def png_dims(payload: bytes) -> tuple[int, int] | None:
         w, h = struct.unpack(">II", payload[16:24])
         return w, h
     return None
+
+
+def decode_ppm(payload: bytes):
+    """REAL pixel decode of binary PPM (P6, maxval ≤ 255) — no external
+    dependency.  Returns ``(width, height, ndarray[h, w, 3] uint8)``.
+
+    P6 grammar: ``P6`` then whitespace-separated width, height, maxval
+    (with ``#`` comments allowed between tokens), one whitespace byte,
+    then ``3*w*h`` raw RGB bytes.
+    """
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    need = 3 * w * h
+    raw = payload[pos : pos + need]
+    if len(raw) != need:
+        raise ValueError(f"truncated PPM: need {need} bytes, got {len(raw)}")
+    return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes):
+    """REAL pixel decode of uncompressed BMP (BITMAPINFOHEADER, BI_RGB,
+    24- or 32-bit) — no external dependency.  Returns
+    ``(width, height, ndarray[h, w, 3] uint8)`` in top-down RGB order
+    (BMP stores BGR bottom-up with rows padded to 4 bytes).
+    """
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"only BI_RGB 24/32-bit supported (bpp={bpp})")
+    h = abs(h_signed)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3
+    need = stride * h
+    raw = payload[data_off : data_off + need]
+    if len(raw) != need:
+        raise ValueError(f"truncated BMP: need {need} bytes, got {len(raw)}")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    px = rows[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    if h_signed > 0:  # bottom-up storage → flip to top-down
+        px = px[::-1]
+    return w, h, px[:, :, 2::-1].copy()  # BGR(A) → RGB
+
+
+def decode_wav(payload: bytes):
+    """REAL sample decode of RIFF/WAVE PCM16 — no external dependency.
+    Returns ``(sample_rate, n_channels, ndarray[int16] interleaved)``.
+
+    Walks RIFF chunks (tolerating extra chunks like LIST before data),
+    supports format 1 (PCM) at 16 bits/sample.
+    """
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = channels = bits = None
+    samples = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM16 supported (fmt={fmt_tag}, bits={bits})"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(body[: len(body) & ~1], dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, channels, samples
 
 
 def decode_image_meta(payload: bytes, deterministic_fake: bool = True):
@@ -91,6 +198,12 @@ def decode_image_meta(payload: bytes, deterministic_fake: bool = True):
         dims = png_dims(payload)
         if dims:
             return fmt, dims[0], dims[1]
+    if fmt == "ppm":
+        w, h, _ = decode_ppm(payload)
+        return fmt, w, h
+    if fmt == "bmp":
+        w, h, _ = decode_bmp(payload)
+        return fmt, w, h
     if deterministic_fake:
         import hashlib
 
@@ -138,6 +251,85 @@ def extract_media_meta(df: DataFrame, deterministic_fake: bool = True) -> DataFr
             )
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),      # images; NULL for audio
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),   # RGB=3 / wav channels
+        StructField("n_values", LongType()),      # pixels*3 or samples
+        StructField("mean_val", DoubleType()),
+        StructField("min_val", IntegerType()),
+        StructField("max_val", IntegerType()),
+        StructField("sample_rate", IntegerType()),  # audio; NULL for images
+    ]
+)
+
+
+def extract_media_features(df: DataFrame, strict: bool = False) -> DataFrame:
+    """END-TO-END content feature extraction: REAL pixel/sample decode
+    for the dependency-free formats (PPM P6, BMP BI_RGB, WAV PCM16),
+    header-only for PNG, NULL stats for codec-gated formats (JPEG/MP4 —
+    raise instead when ``strict=True``).
+
+    Same 100 TB shape as :func:`extract_media_meta`: one Arrow-batched
+    ``mapInPandas`` pass, payload crosses the JVM↔Python boundary once
+    per batch and is dropped from the output (never carry blobs past
+    the stage that consumes them).
+    """
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        def feats(payload):
+            b = bytes(payload) if payload is not None else b""
+            fmt = sniff_format(b)
+            w = h = ch = nv = mean = mn = mx = rate = None
+            if fmt == "ppm" or fmt == "bmp":
+                w, h, px = (decode_ppm if fmt == "ppm" else decode_bmp)(b)
+                flat = px.reshape(-1).astype(np.int64)
+                ch, nv = 3, int(flat.size)
+                mean = float(flat.mean()) if nv else None
+                mn, mx = (int(flat.min()), int(flat.max())) if nv else (None, None)
+            elif fmt == "wav":
+                rate, ch, samples = decode_wav(b)
+                s = samples.astype(np.int64)
+                nv = int(s.size)
+                mean = float(s.mean()) if nv else None
+                mn, mx = (int(s.min()), int(s.max())) if nv else (None, None)
+            elif fmt == "png":
+                dims = png_dims(b)
+                if dims:
+                    w, h, ch = dims[0], dims[1], 3
+            elif strict:
+                raise NotImplementedError(
+                    f"decode of {fmt!r} needs a codec library (PIL/ffmpeg) "
+                    "not present in this environment"
+                )
+            return fmt, w, h, ch, nv, mean, mn, mx, rate
+
+        for pdf in batches:
+            cols = list(zip(*(feats(p) for p in pdf["payload"]))) or [[]] * 9
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": cols[0],
+                    "width": cols[1],
+                    "height": cols[2],
+                    "channels": cols[3],
+                    "n_values": cols[4],
+                    "mean_val": cols[5],
+                    "min_val": cols[6],
+                    "max_val": cols[7],
+                    "sample_rate": cols[8],
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
 def plan_frame_samples(

@@ -148,3 +148,105 @@ def test_media_parquet_prunes_payload_and_pushes_filters(spark, media, tmp_path)
     assert "payload" not in plan.split("ReadSchema")[1][:200]
     assert "PushedFilters: [" in plan and "kind" in plan.split("PushedFilters")[1][:80]
     assert {r.media_id for r in q.collect()} == {1, 2, 5}
+
+
+# -- real dependency-free codecs (PPM / BMP / WAV) --------------------------
+
+def make_ppm(w: int, h: int, rgb=(10, 200, 30)) -> bytes:
+    header = f"P6\n# planted fixture\n{w} {h}\n255\n".encode()
+    return header + bytes(rgb) * (w * h)
+
+
+def make_bmp(w: int, h: int, bgr=(30, 200, 10)) -> bytes:
+    stride = (w * 3 + 3) & ~3
+    pad = stride - w * 3
+    pixel_data = (bytes(bgr) * w + b"\x00" * pad) * h
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data),
+                       2835, 2835, 0, 0)
+    off = 14 + 40
+    file_hdr = b"BM" + struct.pack("<IHHI", off + len(pixel_data), 0, 0, off)
+    return file_hdr + info + pixel_data
+
+
+def make_wav(rate: int, samples: list[int], channels: int = 1) -> bytes:
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_ppm_real_pixels():
+    from graphdb_neo4j_spark.operators.multimodal import decode_ppm
+
+    w, h, px = decode_ppm(make_ppm(4, 3))
+    assert (w, h) == (4, 3) and px.shape == (3, 4, 3)
+    assert px[0, 0].tolist() == [10, 200, 30]
+
+
+def test_decode_bmp_real_pixels_bottom_up_bgr():
+    from graphdb_neo4j_spark.operators.multimodal import decode_bmp
+
+    w, h, px = decode_bmp(make_bmp(5, 2))  # stride pad = 1 byte per row
+    assert (w, h) == (5, 2) and px.shape == (2, 5, 3)
+    assert px[0, 0].tolist() == [10, 200, 30]  # BGR→RGB swapped
+
+
+def test_decode_wav_real_samples():
+    from graphdb_neo4j_spark.operators.multimodal import decode_wav
+
+    rate, ch, s = decode_wav(make_wav(8000, [0, 100, -100, 32767]))
+    assert (rate, ch) == (8000, 1)
+    assert s.tolist() == [0, 100, -100, 32767]
+
+
+def test_extract_media_features_end_to_end(spark):
+    """Real bytes planted in the media table decode through the Arrow
+    batch path: exact pixel/sample statistics, payload dropped."""
+    from graphdb_neo4j_spark.operators.multimodal import (
+        FEATURES_SCHEMA,
+        extract_media_features,
+    )
+
+    rows = [
+        (1, "image", make_ppm(4, 3), "image/x-ppm", "s3://x/1.ppm"),
+        (2, "image", make_bmp(5, 2), "image/bmp", "s3://x/2.bmp"),
+        (3, "audio", make_wav(8000, [0, 100, -100, 32767]), "audio/wav",
+         "s3://x/3.wav"),
+        (4, "image", make_png(640, 480), "image/png", "s3://x/4.png"),
+        (5, "video", b"\x00\x00\x00 ftypisom", "video/mp4", "s3://x/5.mp4"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_media_features(df)
+    assert out.schema == FEATURES_SCHEMA
+    got = {r.media_id: r for r in out.collect()}
+    ppm = got[1]
+    assert (ppm.format, ppm.width, ppm.height, ppm.channels) == ("ppm", 4, 3, 3)
+    assert ppm.n_values == 36 and ppm.min_val == 10 and ppm.max_val == 200
+    assert abs(ppm.mean_val - (10 + 200 + 30) / 3) < 1e-9
+    bmp = got[2]
+    assert (bmp.format, bmp.width, bmp.height) == ("bmp", 5, 2)
+    assert bmp.min_val == 10 and bmp.max_val == 200
+    wav = got[3]
+    assert (wav.format, wav.sample_rate, wav.channels) == ("wav", 8000, 1)
+    assert wav.n_values == 4 and wav.min_val == -100 and wav.max_val == 32767
+    assert abs(wav.mean_val - (0 + 100 - 100 + 32767) / 4) < 1e-9
+    png = got[4]
+    assert (png.format, png.width, png.height) == ("png", 640, 480)
+    assert png.n_values is None  # header-only: no pixel stats
+    assert got[5].format == "mp4" and got[5].n_values is None
+
+
+def test_extract_media_features_strict_raises(spark):
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from graphdb_neo4j_spark.operators.multimodal import extract_media_features
+
+    df = spark.createDataFrame(
+        [(1, "video", b"\x00\x00\x00 ftypisom", "video/mp4", "u")], MEDIA_SCHEMA
+    )
+    with pytest.raises(PythonException, match="codec library"):
+        extract_media_features(df, strict=True).collect()
