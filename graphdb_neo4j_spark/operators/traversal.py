@@ -71,6 +71,24 @@ def rdd_freeze(df_in: DataFrame, prev_rdd=None):
     return out, rdd
 
 
+def _chain_persist(df: DataFrame, prev: DataFrame | None = None) -> DataFrame:
+    """Eagerly materialize ``df`` in the DataFrame cache and release the
+    previous round's cache handle AFTERWARDS (the new plan may read it).
+
+    The walk/accumulator loops use this so at most two round-frames are
+    cached at any moment instead of one per step.  MEMORY_AND_DISK (the
+    DataFrame default) spills instead of evicting, so releasing the
+    upstream handle cannot trigger a lineage recompute cascade under
+    memory pressure; on a real cluster swap the terminal frame for a
+    fault-tolerant ``checkpoint()``.
+    """
+    df = df.persist()
+    df.count()
+    if prev is not None:
+        prev.unpersist()
+    return df
+
+
 def bfs(
     edges: DataFrame,
     sources: DataFrame,
@@ -866,6 +884,11 @@ def random_walks(
     side; ``walk_length`` joins total, each frontier the same size
     (nodes × walks_per_node).  Hot-node skew is bounded: the frontier
     row count never grows, unlike BFS frontiers.
+
+    Cache discipline: the output accumulator is chained-persisted each
+    step (its cached data absorbs the prior steps' rows), so step s-1's
+    frontier cache is RELEASED once step s materializes — peak cached
+    state is ~2× the final output + two frontiers, never L frontiers.
     """
     und = _as_undirected(edges).distinct()
     adj = (
@@ -880,27 +903,35 @@ def random_walks(
     )
     out = frontier.select("start", "w", F.lit(0).alias("step"),
                           F.col("cur").alias("node"))
+    prev_f: DataFrame | None = None
+    prev_out: DataFrame | None = None
     for step in range(1, walk_length + 1):
         key = F.concat_ws(
             "|", F.col("start"), F.col("w"), F.lit(step), F.col("cur")
         )
         h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
-        frontier = (
-            frontier.join(adj, frontier["cur"] == adj["src"])
-            .select(
+        frontier = _chain_persist(
+            frontier.join(adj, frontier["cur"] == adj["src"]).select(
                 "start",
                 "w",
                 F.element_at(
                     F.col("nbrs"), (h % F.size("nbrs")).cast("int") + F.lit(1)
                 ).alias("cur"),
             )
-            .persist()  # each union branch re-reads this frontier; without
-            # this the step-s plan re-runs all s-1 prior joins (O(L²))
         )
-        out = out.unionByName(
-            frontier.select("start", "w", F.lit(step).alias("step"),
-                            F.col("cur").alias("node"))
+        out = _chain_persist(
+            out.unionByName(
+                frontier.select("start", "w", F.lit(step).alias("step"),
+                                F.col("cur").alias("node"))
+            ),
+            prev_out,
         )
+        if prev_f is not None:
+            prev_f.unpersist()  # its rows are baked into out's cache now
+        prev_f, prev_out = frontier, out
+    if prev_f is not None:
+        prev_f.unpersist()
+    adj.unpersist()
     return out
 
 
@@ -967,6 +998,8 @@ def weighted_random_walks(
     out = frontier.select(
         "start", "w", F.lit(0).alias("step"), F.col("cur").alias("node")
     )
+    prev_f: DataFrame | None = None
+    prev_out: DataFrame | None = None
     for step in range(1, walk_length + 1):
         key = F.concat_ws(
             "|", F.col("start"), F.col("w"), F.lit(step), F.col("cur")
@@ -974,21 +1007,28 @@ def weighted_random_walks(
         h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
         r = h % F.col("total")
         idx = F.size(F.filter("cumw", lambda c: c <= r)) + F.lit(1)
-        frontier = (
-            frontier.join(adj, frontier["cur"] == adj["src"])
-            .select(
+        frontier = _chain_persist(
+            frontier.join(adj, frontier["cur"] == adj["src"]).select(
                 "start",
                 "w",
                 F.element_at(F.col("nbrs"), idx).alias("cur"),
             )
-            .persist()
         )
-        out = out.unionByName(
-            frontier.select(
-                "start", "w", F.lit(step).alias("step"),
-                F.col("cur").alias("node"),
-            )
+        out = _chain_persist(
+            out.unionByName(
+                frontier.select(
+                    "start", "w", F.lit(step).alias("step"),
+                    F.col("cur").alias("node"),
+                )
+            ),
+            prev_out,
         )
+        if prev_f is not None:
+            prev_f.unpersist()
+        prev_f, prev_out = frontier, out
+    if prev_f is not None:
+        prev_f.unpersist()
+    adj.unpersist()
     return out
 
 
@@ -1044,6 +1084,8 @@ def node2vec_walks(
     )
     a_cur = adj.select(F.col("src").alias("__cs"), F.col("nbrs").alias("__cn"))
     a_prev = adj.select(F.col("src").alias("__ps"), F.col("nbrs").alias("__pn"))
+    prev_f: DataFrame | None = None
+    prev_out: DataFrame | None = None
     for step in range(1, walk_length + 1):
         key = F.concat_ws(
             "|", F.col("start"), F.col("w"), F.lit(step), F.col("cur")
@@ -1073,7 +1115,7 @@ def node2vec_walks(
         # two-step select: computing the pick and renaming cur->prev in ONE
         # list would let Spark's lateral-column-alias resolution bind the
         # `prev` inside `weights` to the new alias instead of the input row
-        frontier = (
+        frontier = _chain_persist(
             frontier.join(a_cur, frontier["cur"] == a_cur["__cs"])
             .join(a_prev, frontier["prev"] == a_prev["__ps"], "left")
             .select(
@@ -1086,14 +1128,22 @@ def node2vec_walks(
                 F.col("cur").alias("prev"),
                 F.col("__next").alias("cur"),
             )
-            .persist()
         )
-        out = out.unionByName(
-            frontier.select(
-                "start", "w", F.lit(step).alias("step"),
-                F.col("cur").alias("node"),
-            )
+        out = _chain_persist(
+            out.unionByName(
+                frontier.select(
+                    "start", "w", F.lit(step).alias("step"),
+                    F.col("cur").alias("node"),
+                )
+            ),
+            prev_out,
         )
+        if prev_f is not None:
+            prev_f.unpersist()
+        prev_f, prev_out = frontier, out
+    if prev_f is not None:
+        prev_f.unpersist()
+    adj.unpersist()
     return out
 
 

@@ -987,3 +987,21 @@ def test_dsir_weights_prefers_target_vocabulary(spark):
     # per-token average score must rank target vocab above source vocab
     assert got[1] / 3 > got[3] / 4
     assert got[2] / 2 > got[3] / 4
+
+
+def test_walk_cache_discipline(spark):
+    """Walk loops release step s-1's frontier once step s materializes:
+    after collect, no more than the final accumulator stays cached
+    (regression: L live frontier caches for an L-step walk)."""
+    from graphdb_neo4j_spark.operators.traversal import random_walks
+
+    spark.catalog.clearCache()
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"]
+    )
+    out = random_walks(edges, walks_per_node=2, walk_length=6)
+    n = out.count()
+    assert n == 4 * 2 * 7
+    live = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(live) <= 2, [str(i.name()) for i in live]
+    out.unpersist()
