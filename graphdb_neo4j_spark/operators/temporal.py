@@ -360,6 +360,7 @@ def seasonal_phase_profile(
     val_micro_col: str = "val_micro",
     period: int = 24,
     half: int = 12,
+    segment: int | None = None,
 ) -> DataFrame:
     """Classical additive seasonal decomposition, phase-profile stage:
     given a regularly-indexed series ``(idx, val_micro)`` (one row per
@@ -379,24 +380,77 @@ def seasonal_phase_profile(
 
     Scale shape: the input is a POST-AGGREGATION bucket series (hours,
     days), i.e. thousands of rows regardless of raw-data size — the
-    single-partition ROWS window here is over that reduced series, not
-    the raw events; the heavy lifting (bucket rollup) happens upstream
-    with map-side partial aggregation.  For multi-decade minute-grain
-    series, segment the window by year with ``half``-sized overlap.
-    Gaps in ``idx`` make the ROWS frame span non-adjacent buckets —
-    densify with :func:`gap_fill_ffill` first if the series can be
-    sparse.
+    default single-partition ROWS window is over that reduced series,
+    not the raw events; the heavy lifting (bucket rollup) happens
+    upstream with map-side partial aggregation.  For multi-decade
+    minute-grain series pass ``segment`` (buckets per chunk, e.g. one
+    year's worth): the trend window then runs PER ``idx div segment``
+    partition with a ``half``-row halo replicated across the boundary —
+    bit-identical output to global mode on a dense index, with the sort
+    parallelized across chunks instead of one partition.  Gaps in
+    ``idx`` make the ROWS frame span non-adjacent buckets in either
+    mode — densify with :func:`gap_fill_ffill` first if the series can
+    be sparse.
     """
     n = 2 * int(half) + 1
-    w = Window.orderBy(idx_col).rowsBetween(-int(half), int(half))
-    trended = series.select(
+    base = series.select(
         F.col(idx_col).alias("idx"), F.col(val_micro_col).alias("val_micro")
-    ).select(
-        "idx",
-        "val_micro",
-        F.count("*").over(w).alias("n_win"),
-        F.expr(f"sum(val_micro) over (order by idx rows between {int(half)} preceding and {int(half)} following) div {n}").alias("trend_micro"),
     )
+    if segment is not None:
+        if segment < max(int(half), 1):
+            raise ValueError(
+                f"segment ({segment}) must be >= half ({half}) so one "
+                "neighbor chunk's halo covers the window"
+            )
+        # each row lands in its own chunk, plus the neighbor chunk when
+        # it sits within `half` rows of the boundary (the halo): chunk s
+        # then holds exactly idx ∈ [s·segment − half, (s+1)·segment + half)
+        own = F.pmod(F.col("idx").cast("bigint"), F.lit(int(segment)))
+        # exact floor-division chunk id (Spark's `div` truncates toward
+        # zero, which mis-chunks negative indexes)
+        seg0 = F.expr(
+            f"(idx - pmod(idx, {int(segment)})) div {int(segment)}"
+        ).cast("bigint")
+        expanded = base.select(
+            "idx",
+            "val_micro",
+            F.explode(
+                F.concat(
+                    F.array(seg0),
+                    F.when(own < int(half), F.array(seg0 - 1)).otherwise(
+                        F.array().cast("array<bigint>")
+                    ),
+                    F.when(own >= int(segment) - int(half), F.array(seg0 + 1))
+                    .otherwise(F.array().cast("array<bigint>")),
+                )
+            ).alias("seg"),
+        )
+        w_sql = (
+            f"partition by seg order by idx rows between {int(half)} "
+            f"preceding and {int(half)} following"
+        )
+        trended = expanded.select(
+            "idx",
+            "val_micro",
+            "seg",
+            F.expr(f"count(*) over ({w_sql})").alias("n_win"),
+            F.expr(f"(sum(val_micro) over ({w_sql})) div {n}").alias(
+                "trend_micro"
+            ),
+        ).filter(F.col("seg") == seg0)  # halo rows only pad windows
+    else:
+        w_sql = (
+            f"order by idx rows between {int(half)} preceding and "
+            f"{int(half)} following"
+        )
+        trended = base.select(
+            "idx",
+            "val_micro",
+            F.expr(f"count(*) over ({w_sql})").alias("n_win"),
+            F.expr(f"(sum(val_micro) over ({w_sql})) div {n}").alias(
+                "trend_micro"
+            ),
+        )
     detr = trended.filter(F.col("n_win") == n).select(
         (F.col("idx") % period).alias("phase"),
         (F.col("val_micro") - F.col("trend_micro")).alias("detr_micro"),

@@ -8255,9 +8255,13 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
     fingerprint behind capacity planning and anomaly baselines.
 
     Scale shape: the raw stream collapses to ONE row per hour (partial
-    hash agg map-side) before the single-partition trend window ever
-    runs — the window input is |hours|, not |events| (720 rows for a
-    30-day corpus; a decade of hours is 87k rows, still driver-sized).
+    hash agg map-side) before the trend window ever runs — the window
+    input is |hours|, not |events| (720 rows for a 30-day corpus; a
+    decade of hours is 87k rows).  The trend window itself runs in
+    CHUNKED mode (one week of hours per chunk, ``half``-row halo
+    replicated across boundaries) so no single-partition sort appears
+    anywhere in the plan — bit-identical to the global window on the
+    dense hourly index.
     """
     from graphdb_neo4j_spark.operators.temporal import seasonal_phase_profile
 
@@ -8267,7 +8271,7 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("idx")
         .agg((F.count("*") * 1_000_000).alias("val_micro"))
     )
-    return seasonal_phase_profile(series, period=24, half=12)
+    return seasonal_phase_profile(series, period=24, half=12, segment=168)
 
 
 def _register_q157_oracle() -> None:

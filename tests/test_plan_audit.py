@@ -591,15 +591,15 @@ def test_q156_rrf_no_cartesian_and_bounded_windows(spark):
 
 
 def test_q157_seasonality_aggregates_before_window(spark):
-    """The trend window's input is the post-rollup hourly series: the
-    hourly aggregate (with map-side partial combine) must sit BELOW the
-    single-partition window in the plan."""
+    """The trend window's input is the post-rollup hourly series (the
+    hourly aggregate partial-combines map-side), and the chunked trend
+    window is partitioned by segment — NO single-partition exchange
+    anywhere in the plan."""
     df = QUERY_FNS["q157_hourly_seasonality"](spark, SF)
     plan = explain_str(df)
     assert "partial" in plan.lower()
-    # window runs over the reduced series — exactly one SinglePartition
-    # exchange, fed by the hash aggregate, never by the raw scan
-    assert plan.count("SinglePartition") == 1, plan
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(seg" in plan, plan
 
 
 def test_q159_heavy_hitters_recount_is_broadcast_semi(spark):

@@ -148,3 +148,46 @@ def test_bm25_ranks_rarer_term_higher(spark):
     scores = {r["doc_id"]: r["score_micro"] for r in out}
     assert scores[1] > scores[0] == scores[2] == scores[3]
     assert out[0]["doc_id"] == 1
+
+
+def test_seasonal_phase_profile_chunked_equals_global(spark):
+    """Chunked (segmented) trend window is bit-identical to the global
+    single-partition window on a dense index — including chunks that
+    start mid-period and a series that doesn't align to the segment."""
+    vals = [(i, (1000 + 17 * i + [0, 400, -150, 250][i % 4]) * 1_000_000)
+            for i in range(41)]  # 41 rows: not a multiple of segment=8
+    df = spark.createDataFrame(vals, "idx bigint, val_micro bigint")
+    glob = {
+        r["phase"]: (r["seasonal_micro"], r["n_obs"])
+        for r in seasonal_phase_profile(df, period=4, half=2).collect()
+    }
+    chunk = {
+        r["phase"]: (r["seasonal_micro"], r["n_obs"])
+        for r in seasonal_phase_profile(
+            df, period=4, half=2, segment=8
+        ).collect()
+    }
+    assert chunk == glob
+    # offset (negative-start) index: floor-chunking must stay aligned
+    df2 = spark.createDataFrame(
+        [(i - 20, v) for i, v in vals], "idx bigint, val_micro bigint"
+    )
+    glob2 = {
+        r["phase"]: (r["seasonal_micro"], r["n_obs"])
+        for r in seasonal_phase_profile(df2, period=4, half=2).collect()
+    }
+    chunk2 = {
+        r["phase"]: (r["seasonal_micro"], r["n_obs"])
+        for r in seasonal_phase_profile(
+            df2, period=4, half=2, segment=8
+        ).collect()
+    }
+    assert chunk2 == glob2
+
+
+def test_seasonal_phase_profile_segment_too_small_raises(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0, 0)], "idx bigint, val_micro bigint")
+    with _pytest.raises(ValueError, match="segment"):
+        seasonal_phase_profile(df, half=12, segment=6)
