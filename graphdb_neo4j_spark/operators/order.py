@@ -9,8 +9,69 @@ int per partition crosses the driver, never data).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+class CheckpointHandle:
+    """Deterministic releaser for a ``localCheckpoint``-ed DataFrame.
+
+    ``DataFrame.unpersist()`` does NOT free localCheckpoint blocks (it
+    only touches the SQL CacheManager), and ContextCleaner frees them
+    only after a JVM GC notices the dropped reference — so long-lived
+    sessions that loop over checkpointing operators accumulate blocks.
+    This handle records the RDD ids the checkpoint created and releases
+    exactly those via ``SparkContext.getPersistentRDDs``.
+
+    After ``release()`` the checkpointed DataFrame is UNUSABLE — any
+    further action fails loudly with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+    (the fail-loud contract: never silently recompute a plan whose
+    partitioning was sampled).  Call it only after the final consuming
+    action has run.
+    """
+
+    def __init__(self, spark: SparkSession, rdd_ids: frozenset[int]):
+        self._spark = spark
+        self._rdd_ids = rdd_ids
+        self._released = False
+
+    def release(self) -> None:
+        if self._released:
+            return
+        self._released = True
+        jsc = self._spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().toList().iterator()
+        while it.hasNext():
+            pair = it.next()
+            if pair._1() in self._rdd_ids:
+                pair._2().unpersist(False)
+
+    # drop-in for callers that held the old DataFrame handle
+    unpersist = release
+
+
+def checkpoint_eager(df: DataFrame) -> tuple[DataFrame, CheckpointHandle]:
+    """``localCheckpoint(eager=True)`` plus a working release handle.
+
+    The checkpoint's RDD ids are captured as the delta of the
+    persistent-RDD set around the eager materialization (assumes no
+    concurrent persist from another thread — true for the sequential
+    operator pipelines here).
+    """
+    sc = df.sparkSession.sparkContext._jsc.sc()
+
+    def _ids() -> set[int]:
+        it = sc.getPersistentRDDs().keys().iterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    before = _ids()
+    out = df.localCheckpoint(eager=True)
+    return out, CheckpointHandle(
+        df.sparkSession, frozenset(_ids() - before)
+    )
 
 
 def contiguous_index(
@@ -18,18 +79,19 @@ def contiguous_index(
     order_cols: list[str],
     out_col: str = "seq",
     checkpoint: bool = True,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, CheckpointHandle]:
     """Contiguous 0-based global index in (``order_cols``) order
     without collapsing to one partition.
 
-    Returns ``(indexed_df, checkpoint_handle)``: the range-partitioned
+    Returns ``(indexed_df, handle)``: the range-partitioned
     intermediate is ``localCheckpoint``-ed (not merely cached) — range
     boundaries are sampled per evaluation, so a recomputation between
     the counts pass and the rank pass could repartition differently and
     corrupt the offsets; checkpointing freezes the partitioning, and a
-    lost block fails loudly instead of silently resampling.  Blocks are
-    released when the handle is garbage-collected (or explicitly via
-    ``handle.unpersist()`` once the caller's final action has run).
+    lost block fails loudly instead of silently resampling.  Release
+    the blocks DETERMINISTICALLY with ``handle.release()`` (alias
+    ``unpersist()``) after the caller's final consuming action — after
+    that the indexed DataFrame fails loudly on reuse.
 
     ``checkpoint=False`` skips the freeze and is for PLAN INSPECTION
     ONLY (the checkpoint truncates the explained plan, hiding the range
@@ -41,8 +103,9 @@ def contiguous_index(
     keyed = df.repartitionByRange(np, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
+    handle = CheckpointHandle(spark, frozenset())
     if checkpoint:
-        keyed = keyed.localCheckpoint(eager=True)
+        keyed, handle = checkpoint_eager(keyed)
     counts = dict(
         (r["__pid"], r["n"])
         for r in keyed.groupBy("__pid").agg(F.count("*").alias("n")).collect()
@@ -63,7 +126,7 @@ def contiguous_index(
         )
         .drop("__pid", "__off")
     )
-    return out, keyed
+    return out, handle
 
 
 def ntile_distributed(
@@ -73,6 +136,13 @@ def ntile_distributed(
     order — semantics identical to SQL ``NTILE(k) OVER (ORDER BY ...)``
     (first ``n mod k`` buckets take one extra row), but planned as a
     range shuffle instead of a single-partition window.
+
+    The returned DataFrame is backed by the contiguous-index
+    checkpoint; its release handle is attached as
+    ``out.checkpoint_handle`` — call ``.release()`` after the final
+    consuming action for deterministic block cleanup (q70 aggregates
+    to 10 rows and releases inside the query; loops that keep the
+    row-level output should do the same once done).
     """
     indexed, handle = contiguous_index(df, order_cols, out_col="__seq")
     n = indexed.count()
@@ -84,7 +154,5 @@ def ntile_distributed(
         F.col("__seq") < cut, F.floor(F.col("__seq") / size_big)
     ).otherwise(big + F.floor((F.col("__seq") - cut) / size_small))
     out = indexed.withColumn(out_col, (bucket + 1).cast("int")).drop("__seq")
-    # the checkpointed handle backs this plan; its blocks are released
-    # when the handle is GC-d after the caller's action consumes `out`
-    # (localCheckpoint, unlike persist, is not pinned for the session)
+    out.checkpoint_handle = handle
     return out

@@ -2793,11 +2793,17 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
     tiled = ntile_distributed(
         e.select("value", "event_id"), ["value", "event_id"], k=10
     )
-    return tiled.groupBy("bucket").agg(
+    hist = tiled.groupBy("bucket").agg(
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
         F.count("*").cast("bigint").alias("n"),
     ).select(F.col("bucket").cast("int"), "lo", "hi", "n")
+    # consume internally: the 10-row result is checkpointed and the
+    # full-size index checkpoint is released deterministically — a
+    # loop of q70 runs holds no growing block set
+    out = hist.localCheckpoint(eager=True)
+    tiled.checkpoint_handle.release()
+    return out
 
 
 @query(

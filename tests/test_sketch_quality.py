@@ -636,3 +636,34 @@ def test_curation_pipeline_string_ids_neardup(spark):
     assert stages["doc-c"] is None
     pair = {stages["doc-a"], stages["doc-b"]}
     assert pair == {None, "near_dup"}
+
+
+def test_ntile_repeated_runs_release_checkpoints(spark):
+    """q70 consumes the row-level index internally: a loop of runs
+    leaves only the 10-row result checkpoints alive, never the
+    full-size range-partitioned intermediates."""
+    import graphdb_neo4j_spark.workloads as W
+
+    sf = "/root/testdata/sf0.001"
+    jsc = spark.sparkContext._jsc.sc()
+    for _ in range(3):
+        W.QUERY_FNS["q70_equidepth_histogram"](spark, sf).collect()
+    infos = jsc.getRDDStorageInfo()
+    for i in infos:
+        assert i.memSize() + i.diskSize() < 64 * 1024, (
+            str(i.name()), i.memSize(), i.diskSize()
+        )
+
+
+def test_checkpoint_handle_release_is_fail_loud(spark):
+    from graphdb_neo4j_spark.operators.order import contiguous_index
+
+    df = spark.range(10000).selectExpr("id", "id % 7 as v")
+    indexed, handle = contiguous_index(df, ["v", "id"])
+    assert indexed.count() == 10000
+    handle.release()
+    jsc = spark.sparkContext._jsc.sc()
+    assert all(
+        i.id() not in handle._rdd_ids for i in jsc.getRDDStorageInfo()
+    )
+    handle.release()  # idempotent
