@@ -75,6 +75,24 @@ def main() -> None:
         run(QUERY_FNS[name](spark, SF_DIR))
         warm[name] = round(time.perf_counter() - t0, 3)
 
+    # graph / iterative tier: corpus components + PageRank + BFS and
+    # copurchase Louvain — timed separately (graph_total) so the
+    # headline workload_total stays comparable across rounds; catches
+    # iterative-operator regressions that unit tests won't notice.
+    graph: dict[str, float] = {}
+    # warm the cached corpus graph (not counted) so g40 measures the
+    # components loop, not the one-off graph build
+    run(QUERY_FNS["g44_corpus_golden_counts"](spark, SF_DIR))
+    for name in [
+        "g40_corpus_components",
+        "g41_corpus_pagerank_top",
+        "g42_corpus_bfs_depth",
+        "g70_copurchase_louvain_communities",
+    ]:
+        t0 = time.perf_counter()
+        run(QUERY_FNS[name](spark, SF_DIR))
+        graph[name] = round(time.perf_counter() - t0, 3)
+
     if os.path.exists("/root/reference/malware"):
         from graphdb_neo4j_spark.operators.ingest import stage_corpus
 
@@ -107,6 +125,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "warm_total": round(sum(warm.values()), 3),
+                "graph": graph,
+                "graph_total": round(sum(graph.values()), 3),
                 "sf": sf_val,
             }
         )
