@@ -339,6 +339,69 @@ def mask_emails(text: Column) -> Column:
     return F.regexp_replace(text, EMAIL_RE, "<email>")
 
 
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,3}[ -]\d{3}[ -]\d{4}\b"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+
+# scrub order matters (emails contain dots/digits; SSNs before the
+# looser phone shape); counts are taken on the RAW text so they are
+# independent of replacement order
+_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", EMAIL_RE, "<email>"),
+    ("ssn", SSN_RE, "<ssn>"),
+    ("ipv4", IPV4_RE, "<ip>"),
+    ("phone", PHONE_RE, "<phone>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", keep_cols: list[str] | None = None
+) -> DataFrame:
+    """PII scrub pass — the redaction stage of a public-corpus training
+    pipeline (C4/CCNet-style): masks e-mails, SSN-shaped ids, IPv4
+    addresses, and international-format phone numbers with typed
+    sentinels, and emits per-document match counts for audit.
+
+    Every pattern uses only constructs with identical semantics in
+    Java regex (Spark codegen) and RE2 (the DuckDB oracle): character
+    classes, bounded quantifiers, ``\\b`` — so the SQL mirror
+    reproduces both counts and masked text byte-for-byte.  Pure
+    ``regexp_count``/``regexp_replace`` next to the scan: no UDF, no
+    shuffle, trivially pipeline-parallel at any scale.
+
+    Returns ``keep_cols`` + ``{text_col}_scrubbed`` +
+    ``n_email/n_ssn/n_ipv4/n_phone``.
+    """
+    t = F.col(text_col)
+    cols = list(keep_cols or [c for c in df.columns if c != text_col])
+    out_cols: list[Column] = [F.col(c) for c in cols]
+    scrubbed = t
+    for name, pat, repl in _PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    out_cols.append(scrubbed.alias(f"{text_col}_scrubbed"))
+    for name, pat, _ in _PII_PATTERNS:
+        out_cols.append(
+            F.regexp_count(t, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        )
+    return df.select(*out_cols)
+
+
+def pii_scrub_sql(text_sql: str) -> dict[str, str]:
+    """DuckDB SQL fragments mirroring :func:`pii_scrub` on a text
+    expression: ``{"scrubbed": ..., "n_email": ..., ...}``."""
+    scrubbed = text_sql
+    for name, pat, repl in _PII_PATTERNS:
+        escaped = pat.replace("'", "''")
+        scrubbed = f"regexp_replace({scrubbed}, '{escaped}', '{repl}', 'g')"
+    out = {"scrubbed": scrubbed}
+    for name, pat, _ in _PII_PATTERNS:
+        escaped = pat.replace("'", "''")
+        out[f"n_{name}"] = (
+            f"CAST(len(regexp_extract_all({text_sql}, '{escaped}')) AS BIGINT)"
+        )
+    return out
+
+
 def collapse_whitespace(text: Column) -> Column:
     return F.trim(F.regexp_replace(text, r"\s+", " "))
 

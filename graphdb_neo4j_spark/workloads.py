@@ -8371,3 +8371,124 @@ def q159(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
     return heavy_hitters_exact(tok, "term", k=30)
+
+
+def _q160_oracle() -> str:
+    from graphdb_neo4j_spark.operators.text import pii_scrub_sql
+
+    inj = (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' at 10.' || CAST(doc_id % 200 AS VARCHAR)"
+        " || '.3.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 8 = 0 THEN ' and 192.168.0.' || CAST(doc_id % 250 AS VARCHAR)"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' or +1 555-' ||"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' id 123-45-' ||"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    frags = pii_scrub_sql("t")
+    return f"""
+    WITH injected AS (
+      SELECT doc_id, source, {inj} AS t FROM documents
+    ),
+    scrubbed AS (
+      SELECT source,
+             {frags['n_email']} AS n_email,
+             {frags['n_ssn']} AS n_ssn,
+             {frags['n_ipv4']} AS n_ipv4,
+             {frags['n_phone']} AS n_phone,
+             CAST(length(t) - length({frags['scrubbed']}) AS BIGINT) AS delta
+      FROM injected
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN n_email + n_ssn + n_ipv4 + n_phone > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+           CAST(SUM(n_email) AS BIGINT) AS emails,
+           CAST(SUM(n_ssn) AS BIGINT) AS ssns,
+           CAST(SUM(n_ipv4) AS BIGINT) AS ipv4s,
+           CAST(SUM(n_phone) AS BIGINT) AS phones,
+           CAST(SUM(delta) AS BIGINT) AS chars_removed
+    FROM scrubbed GROUP BY source
+    """
+
+
+@query("q160_pii_scrub_audit", _q160_oracle())
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    """PII-redaction audit over the corpus — the scrub stage every
+    public-data training pipeline runs before tokenization.  PII is
+    INJECTED deterministically from doc_id (emails, IPv4s, phones,
+    SSN-shaped ids at varying densities — the synthetic corpus carries
+    none of its own), then `text.pii_scrub` masks it and the audit
+    aggregates per-source counts + characters removed; the DuckDB
+    oracle replays injection, masking, and counting byte-for-byte.
+
+    Scale shape: injection + four regexp_counts + the mask chain are
+    pure codegen next to the scan; the only shuffle is the final tiny
+    per-source aggregate (map-side partial)."""
+    from graphdb_neo4j_spark.operators.text import pii_scrub
+
+    d = load_table(spark, sf, "documents")
+    did = F.col("doc_id")
+
+    def when_mod(m: int, *parts: Column) -> Column:
+        return F.when(did % m == 0, F.concat(*parts)).otherwise(F.lit(""))
+
+    injected = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            when_mod(
+                3,
+                F.lit(" reach user"),
+                did.cast("string"),
+                F.lit("@mail.example.com"),
+            ),
+            when_mod(
+                4,
+                F.lit(" at 10."),
+                (did % 200).cast("string"),
+                F.lit(".3."),
+                (did % 250).cast("string"),
+            ),
+            when_mod(8, F.lit(" and 192.168.0."), (did % 250).cast("string")),
+            when_mod(
+                5,
+                F.lit(" or +1 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+            when_mod(
+                7,
+                F.lit(" id 123-45-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).alias("t"),
+    )
+    delta = (
+        F.length(F.col("t")) - F.length(F.col("t_scrubbed"))
+    ).cast("bigint")
+    audited = pii_scrub(
+        injected, text_col="t", keep_cols=["source", "t"]
+    ).select(
+        "source",
+        "n_email",
+        "n_ssn",
+        "n_ipv4",
+        "n_phone",
+        delta.alias("delta"),
+        (
+            (F.col("n_email") + F.col("n_ssn") + F.col("n_ipv4") + F.col("n_phone"))
+            > 0
+        ).cast("int").alias("has_pii"),
+    )
+    return audited.groupBy("source").agg(
+        F.sum("has_pii").cast("bigint").alias("n_docs_with_pii"),
+        F.sum("n_email").cast("bigint").alias("emails"),
+        F.sum("n_ssn").cast("bigint").alias("ssns"),
+        F.sum("n_ipv4").cast("bigint").alias("ipv4s"),
+        F.sum("n_phone").cast("bigint").alias("phones"),
+        F.sum("delta").cast("bigint").alias("chars_removed"),
+    )

@@ -1005,3 +1005,25 @@ def test_walk_cache_discipline(spark):
     live = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     assert len(live) <= 2, [str(i.name()) for i in live]
     out.unpersist()
+
+
+def test_pii_scrub_planted_fixtures(spark):
+    from graphdb_neo4j_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "mail me at jo.doe+x@corp.example.org thanks"),
+        (2, "server 192.168.1.17 and 10.0.0.1 rebooted"),
+        (3, "call +1 555-0142 or +44 020-7946 maybe"),
+        (4, "ssn 123-45-6789 on file"),
+        (5, "nothing sensitive here 1234"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in pii_scrub(df).collect()}
+    assert got[1].n_email == 1 and "<email>" in got[1].text_scrubbed
+    assert "jo.doe" not in got[1].text_scrubbed
+    assert got[2].n_ipv4 == 2 and got[2].text_scrubbed.count("<ip>") == 2
+    assert got[3].n_phone == 2 and got[3].text_scrubbed.count("<phone>") == 2
+    assert got[4].n_ssn == 1 and "<ssn>" in got[4].text_scrubbed
+    r5 = got[5]
+    assert (r5.n_email, r5.n_ssn, r5.n_ipv4, r5.n_phone) == (0, 0, 0, 0)
+    assert r5.text_scrubbed == rows[4][1]
