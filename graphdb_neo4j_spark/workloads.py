@@ -8492,3 +8492,223 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_phone").cast("bigint").alias("phones"),
         F.sum("delta").cast("bigint").alias("chars_removed"),
     )
+
+
+@query(
+    "q161_quality_curriculum",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+               * 1000000
+               // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_micro
+      FROM documents
+    ),
+    phased AS (
+      SELECT doc_id, n_tok, score_micro,
+             NTILE(4) OVER (ORDER BY score_micro DESC, doc_id) AS phase
+      FROM scored
+    )
+    SELECT CAST(phase AS INT) AS phase,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MIN(score_micro) AS BIGINT) AS min_score_micro,
+           CAST(MAX(score_micro) AS BIGINT) AS max_score_micro
+    FROM phased GROUP BY phase
+    """,
+)
+def q161(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum phases: rank the corpus by an exact-integer quality
+    proxy (distinct-token ratio in micro-units — a bigint, so both
+    engines order identically) and split it into 4 training phases,
+    highest quality first.  The oracle's NTILE over an unpartitioned
+    window would be a single-task sort in Spark; the engine assigns the
+    identical buckets from the DISTRIBUTED total order
+    (`order.ntile_distributed`: range shuffle + per-partition rank +
+    driver-side offsets), then aggregates 4 rows."""
+    from graphdb_neo4j_spark.operators.order import ntile_distributed
+
+    d = load_table(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.expr(
+            "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) * 1000000"
+            " div CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("score_micro"),
+    ).withColumn("neg_score", -F.col("score_micro"))
+    tiled = ntile_distributed(
+        scored, ["neg_score", "doc_id"], k=4, out_col="phase"
+    )
+    out = (
+        tiled.groupBy("phase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.min("score_micro").cast("bigint").alias("min_score_micro"),
+            F.max("score_micro").cast("bigint").alias("max_score_micro"),
+        )
+        .select(F.col("phase").cast("int"), "n_docs", "total_tokens",
+                "min_score_micro", "max_score_micro")
+        .localCheckpoint(eager=True)  # 4 rows; then free the big index
+    )
+    tiled.checkpoint_handle.release()
+    return out
+
+
+@query(
+    "q162_source_concentration",
+    """
+    WITH counts AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang,
+             CAST(COUNT(*) AS BIGINT) AS n_sources,
+             CAST(SUM(n * n) AS BIGINT) AS sumsq
+      FROM counts GROUP BY lang
+    )
+    SELECT lang, n_lang, n_sources,
+           CAST(sumsq * 1000000 // (n_lang * n_lang) AS BIGINT) AS hhi_micro
+    FROM tot
+    """,
+)
+def q162(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-mixture concentration per language — the Herfindahl index
+    of source shares (Σ share² in exact integer micro-units: no float
+    division ever happens, so the value is cross-engine bit-stable).
+    The data-mixture audit a pretraining pipeline runs before setting
+    sampling weights: hhi_micro -> 1e6 means one source dominates.
+    Two map-side-combined aggregations, nothing else."""
+    d = load_table(spark, sf, "documents")
+    counts = d.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        counts.groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_lang"),
+            F.count("*").cast("bigint").alias("n_sources"),
+            F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sumsq"),
+        )
+        .select(
+            "lang",
+            "n_lang",
+            "n_sources",
+            F.expr("sumsq * 1000000 div (n_lang * n_lang)")
+            .cast("bigint")
+            .alias("hhi_micro"),
+        )
+    )
+
+
+@query(
+    "q163_ngram_novelty_profile",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 0) + 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+      FROM words
+    ),
+    first_seen AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    ),
+    per_doc AS (
+      SELECT grams.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN first_seen.first_doc = grams.doc_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM grams JOIN first_seen USING (g)
+      GROUP BY grams.doc_id
+    )
+    SELECT doc_id // 50 AS bucket,
+           CAST(SUM(n_grams) AS BIGINT) AS grams_total,
+           CAST(SUM(n_new) AS BIGINT) AS grams_new,
+           CAST(SUM(n_new) * 1000000 // SUM(n_grams) AS BIGINT)
+             AS novelty_micro
+    FROM per_doc GROUP BY doc_id // 50
+    """,
+)
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram novelty profile over corpus order: for every bucket of 50
+    docs, the fraction of distinct word 3-grams not seen in any
+    earlier document (exact integer micro-units).  The diminishing-
+    returns curve data teams read before deciding whether more of a
+    source is worth ingesting; also the aggregate dual of repeated-
+    passage detection (q73).  Scale shape: explode → per-gram MIN
+    aggregation (map-side combine) → one join back on the gram —
+    both shuffles carry (gram, doc_id) pairs, never text."""
+    from graphdb_neo4j_spark.operators.text import word_ngrams
+
+    d = load_table(spark, sf, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(F.col("text"), 3))
+        ).alias("g"),
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("bigint")
+            ).cast("bigint").alias("n_new"),
+        )
+    )
+    return (
+        per_doc.groupBy(F.expr("doc_id div 50").alias("bucket"))
+        .agg(
+            F.sum("n_grams").cast("bigint").alias("grams_total"),
+            F.sum("n_new").cast("bigint").alias("grams_new"),
+            F.expr("sum(n_new) * 1000000 div sum(n_grams)")
+            .cast("bigint")
+            .alias("novelty_micro"),
+        )
+    )
+
+
+@query(
+    "q165_cross_source_dup_matrix",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT md5(text) AS h, source FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+    FROM hashed a JOIN hashed b ON a.h = b.h AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct texts appear verbatim in BOTH — the provenance audit that
+    tells a pipeline which feeds are re-crawls of each other (and which
+    pair-wise dedup passes are worth running at all).  Scale shape: one
+    distinct on (hash, source), self-join keyed on the hash (fan-out
+    bounded by #sources per hash, never by docs), tiny pair aggregate."""
+    d = load_table(spark, sf, "documents")
+    hashed = d.select(F.md5("text").alias("h"), "source").distinct()
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared_texts"))
+    )
