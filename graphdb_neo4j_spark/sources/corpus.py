@@ -46,10 +46,21 @@ def read_jsonl_corpus(
     """
     if CORRUPT_COL in [f.name for f in schema.fields]:
         raise ValueError(f"schema must not declare {CORRUPT_COL!r}")
+    return split_jsonl_lines(spark.read.text(path), schema)
+
+
+def split_jsonl_lines(
+    lines: DataFrame, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Route a ``value: string`` line frame into ``(good, quarantine)``
+    — the shared core of the batch reader and the streaming ingester
+    (works on both static and streaming DataFrames)."""
+    if CORRUPT_COL in [f.name for f in schema.fields]:
+        raise ValueError(f"schema must not declare {CORRUPT_COL!r}")
     full = StructType(
         list(schema.fields) + [StructField(CORRUPT_COL, StringType())]
     )
-    parsed = spark.read.text(path).select(
+    parsed = lines.select(
         F.col("value"),
         F.from_json(
             "value",

@@ -62,3 +62,63 @@ def test_all_good_lines(spark, tmp_path):
     )
     good, quar = read_jsonl_corpus(spark, path, SCHEMA)
     assert good.count() == 20 and quar.count() == 0
+
+
+def test_streaming_corpus_ingest_matches_batch_and_replays(spark, tmp_path):
+    """Stream ≡ batch on the same files; a restart with the same
+    checkpoint re-processes nothing; a rerun with a FRESH checkpoint
+    (batch ids restart at 0) overwrites its partitions instead of
+    double-appending."""
+    from graphdb_neo4j_spark.streaming.corpus import streaming_corpus_ingest
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha"}\nBAD LINE\n'
+        '{"doc_id": 2, "text": "beta"}\n'
+    )
+    (src / "b.jsonl").write_text(
+        '{"doc_id": 3, "text": "gamma"}\n{"doc_id": "x", "text": "d"}\n'
+    )
+    state = str(tmp_path / "state")
+
+    def run(ckpt: str):
+        q = (
+            streaming_corpus_ingest(
+                spark.readStream.text(str(src)), state, SCHEMA
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ckpt")
+    good = spark.read.parquet(f"{state}/good")
+    quar = spark.read.parquet(f"{state}/quarantine")
+    assert sorted((r.doc_id, r.text) for r in good.collect()) == [
+        (1, "alpha"),
+        (2, "beta"),
+        (3, "gamma"),
+    ]
+    assert quar.count() == 2
+
+    # batch equality on the same files
+    bgood, bquar = read_jsonl_corpus(spark, str(src / "*.jsonl"), SCHEMA)
+    assert sorted((r.doc_id, r.text) for r in bgood.collect()) == sorted(
+        (r.doc_id, r.text) for r in good.collect()
+    )
+    assert sorted(r.raw_line for r in bquar.collect()) == sorted(
+        r.raw_line for r in quar.collect()
+    )
+
+    # restart with the same checkpoint: no new batches, no duplicates
+    run("ckpt")
+    assert spark.read.parquet(f"{state}/good").count() == 3
+    assert spark.read.parquet(f"{state}/quarantine").count() == 2
+
+    # fresh checkpoint replays everything as batch 0 — the dynamic
+    # partition overwrite rewrites partition 0 instead of appending
+    run("ckpt2")
+    assert spark.read.parquet(f"{state}/good").count() == 3
+    assert spark.read.parquet(f"{state}/quarantine").count() == 2
