@@ -2879,3 +2879,55 @@ def louvain(
         if und.isEmpty():
             break
     return mapping.select("v", F.col("c").alias("community"))
+
+
+def topological_levels(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 200
+) -> DataFrame:
+    """``(v, level)`` — Kahn's-algorithm longest-path levels of a DAG,
+    with cycle detection: level L holds every vertex whose longest
+    incoming path has L edges (sources are level 0); vertices on or
+    downstream of a cycle come back with ``level = NULL`` (Kahn's
+    peeling can never reach them — their count is the standard DAG
+    check, events.py's SPAWNS forest being the motivating shape).
+
+    Deterministic by construction (no priorities, no hashing — the
+    level function is a property of the graph).
+
+    100 TB shape per round: peel = one anti-join (active edges whose
+    src is still unpeeled) + one distinct on dst; the frontier is the
+    current level, edges shrink monotonically; ``localCheckpoint``
+    per round truncates lineage.  Rounds = DAG depth (the SPAWNS
+    forest is tens deep, not thousands); for adversarially deep
+    chains, pair with :func:`connected_components_twophase`-style
+    contraction first.
+    """
+    key_col = nodes.columns[0]
+    verts = nodes.select(F.col(key_col).alias("v")).distinct().localCheckpoint()
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .join(verts.select(F.col("v").alias("src")), "src", "left_semi")
+        .join(verts.select(F.col("v").alias("dst")), "dst", "left_semi")
+        .localCheckpoint()
+    )
+    spark = nodes.sparkSession
+    out = spark.createDataFrame([], "v string, level int").localCheckpoint()
+    remaining = verts
+    for level in range(max_iter):
+        if remaining.isEmpty():
+            break
+        has_incoming = e.select(F.col("dst").alias("v")).distinct()
+        frontier = remaining.join(has_incoming, "v", "left_anti").localCheckpoint()
+        if frontier.isEmpty():
+            break  # every remaining vertex sits on/behind a cycle
+        out = out.unionByName(
+            frontier.withColumn("level", F.lit(level))
+        ).localCheckpoint()
+        remaining = remaining.join(frontier, "v", "left_anti").localCheckpoint()
+        e = e.join(
+            frontier.select(F.col("v").alias("src")), "src", "left_anti"
+        ).localCheckpoint()
+    # cycle residue: unpeelable vertices, level NULL
+    return verts.join(out, "v", "left").select("v", "level")

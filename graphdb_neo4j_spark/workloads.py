@@ -8712,3 +8712,24 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_shared_texts"))
     )
+
+
+@query("g79_corpus_spawn_topology")
+def g79(spark: SparkSession, sf: str) -> DataFrame:
+    """Process-tree topology audit: longest-path (Kahn) level histogram
+    of the SPAWNS graph plus the cycle residue (n at level NULL —
+    nonzero would mean PID-reuse stitched a loop into what must be a
+    forest).  Rows-only: the corpus graph has no DuckDB mirror; the
+    operator's exact semantics are pinned by fixture oracles in
+    tests/test_traversal.py."""
+    from graphdb_neo4j_spark.operators.traversal import topological_levels
+
+    g = _corpus_graph(spark)
+    spawns = g.edges.filter(F.col("rel") == "SPAWNS").select("src", "dst")
+    nodes = g.process.select("key")
+    lv = topological_levels(nodes, spawns)
+    return (
+        lv.groupBy("level")
+        .agg(F.count("*").cast("bigint").alias("n_processes"))
+        .orderBy(F.col("level").asc_nulls_last())
+    )

@@ -1450,3 +1450,36 @@ def test_core_decomposition_matches_python_peel(spark):
         k += 1
     assert got == core
     assert max(got.values()) >= 4
+
+
+def test_topological_levels_dag_and_cycle(spark):
+    from graphdb_neo4j_spark.operators.traversal import topological_levels
+
+    # diamond + tail: a->b, a->c, b->d, c->d, d->e  (longest-path levels)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")],
+        ["src", "dst"],
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("e",)], ["key"])
+    got = {r.v: r.level for r in topological_levels(nodes, edges).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2, "e": 3}
+
+    # cycle x->y->z->x with entry w->x and exit z->q: all unpeelable
+    # (on or downstream of the cycle) come back NULL, w peels at 0
+    edges2 = spark.createDataFrame(
+        [("w", "x"), ("x", "y"), ("y", "z"), ("z", "x"), ("z", "q")],
+        ["src", "dst"],
+    )
+    nodes2 = spark.createDataFrame(
+        [(k,) for k in "wxyzq"], ["key"]
+    )
+    got2 = {r.v: r.level for r in topological_levels(nodes2, edges2).collect()}
+    assert got2["w"] == 0
+    assert got2["x"] is None and got2["y"] is None and got2["z"] is None
+    assert got2["q"] is None
+
+    # isolated vertex is a source at level 0
+    nodes3 = spark.createDataFrame([("solo",), ("a",), ("b",)], ["key"])
+    edges3 = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    got3 = {r.v: r.level for r in topological_levels(nodes3, edges3).collect()}
+    assert got3 == {"solo": 0, "a": 0, "b": 1}
