@@ -611,3 +611,59 @@ def test_q159_heavy_hitters_recount_is_broadcast_semi(spark):
     assert has_broadcast_join(df)
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan, plan
+
+
+def _plan_tree(df) -> str:
+    """Tree section of the formatted plan (node names appear once here;
+    the details section repeats each)."""
+    plan = explain_str(df)
+    return plan.split("\n\n")[0]
+
+
+def test_q160_pii_scrub_is_codegen_single_agg(spark):
+    """Injection + 4 regexp counts + mask chain are one codegen
+    projection over the scan; the ONLY exchange is the per-source
+    aggregate (with map-side partial combine)."""
+    df = QUERY_FNS["q160_pii_scrub_audit"](spark, SF)
+    tree = _plan_tree(df)
+    assert tree.count("Exchange") == 1, tree
+    assert "partial" in explain_str(df).lower()
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_q162_concentration_two_aggs_no_join(spark):
+    df = QUERY_FNS["q162_source_concentration"](spark, SF)
+    tree = _plan_tree(df)
+    assert "Join" not in tree, tree
+    assert tree.count("Exchange") <= 2, tree
+    assert "partial" in explain_str(df).lower()
+
+
+def test_q165_dup_matrix_single_hash_join(spark):
+    """The pair enumeration is ONE equi-join keyed on the text hash —
+    text itself never shuffles (only (h, source) pairs move)."""
+    df = QUERY_FNS["q165_cross_source_dup_matrix"](spark, SF)
+    tree = _plan_tree(df)
+    joins = (
+        tree.count("SortMergeJoin")
+        + tree.count("ShuffledHashJoin")
+        + tree.count("BroadcastHashJoin")
+        + tree.count("BroadcastNestedLoopJoin")
+    )
+    assert joins == 1, tree
+    assert "SinglePartition" not in explain_str(df)
+
+
+def test_q161_curriculum_no_single_partition(spark):
+    """Distributed NTILE: the plan that runs before the internal
+    checkpoint has a range exchange, never a single-partition window.
+    (The checkpointed result itself is 4 rows.)"""
+    from graphdb_neo4j_spark.operators.order import contiguous_index
+
+    d = load_table(spark, SF, "documents").select(
+        "doc_id", F.length("text").alias("neg_score")
+    )
+    raw, _ = contiguous_index(d, ["neg_score", "doc_id"], checkpoint=False)
+    plan = explain_str(raw)
+    assert "rangepartitioning" in plan, plan
+    assert "SinglePartition" not in plan, plan
