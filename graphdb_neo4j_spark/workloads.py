@@ -8733,3 +8733,70 @@ def g79(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_processes"))
         .orderBy(F.col("level").asc_nulls_last())
     )
+
+
+@query(
+    "q164_token_share_shift",
+    """
+    WITH tok AS (
+      SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT term,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM tok GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+      FROM counts
+    )
+    SELECT term,
+           CAST(a * 1000000 // na AS BIGINT) AS share_a_micro,
+           CAST(b * 1000000 // nb AS BIGINT) AS share_b_micro,
+           CAST(abs(a * 1000000 // na - b * 1000000 // nb) AS BIGINT)
+             AS shift_micro
+    FROM counts, tot
+    ORDER BY shift_micro DESC, term LIMIT 20
+    """,
+)
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-distribution shift between two corpus snapshots (even- vs
+    odd-id docs): per-term share difference in exact integer
+    micro-units — the lightweight vocabulary-drift readout run between
+    crawl snapshots before committing a mixture change (the bucketed
+    dual of q75's PSI gate).  All-bigint: shares are micro-unit
+    integer divisions, so ordering and values are cross-engine stable.
+
+    Scale shape: explode → one (term, half-pivot) hash-agg with
+    map-side combine; the two grand totals ride a broadcast scalar
+    join; TakeOrdered top-20."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    )
+    counts = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint").alias("b"),
+    )
+    tot = counts.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))  # 1x1 scalar frame
+        .select(
+            "term",
+            F.expr("a * 1000000 div na").cast("bigint").alias("share_a_micro"),
+            F.expr("b * 1000000 div nb").cast("bigint").alias("share_b_micro"),
+            F.expr("abs(a * 1000000 div na - b * 1000000 div nb)")
+            .cast("bigint")
+            .alias("shift_micro"),
+        )
+        .orderBy(F.col("shift_micro").desc(), "term")
+        .limit(20)
+    )
