@@ -1,3 +1,4 @@
+from graphdb_neo4j_spark.streaming.corpus import streaming_corpus_ingest
 from graphdb_neo4j_spark.streaming.ann import (
     streaming_ann_candidates,
     streaming_ann_topk,
@@ -53,6 +54,7 @@ __all__ = [
     "streaming_ann_topk",
     "streaming_chunks",
     "streaming_cms",
+    "streaming_corpus_ingest",
     "streaming_dedup_spans",
     "streaming_drift",
     "streaming_hll",
