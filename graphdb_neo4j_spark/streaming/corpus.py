@@ -64,22 +64,20 @@ def streaming_corpus_ingest(
         spark = batch_df.sparkSession
         if batch_id in _done_batches(spark, meta_path):
             return
-        good, quar = split_jsonl_lines(batch_df, schema)
-        good = good.withColumn("batch_id", F.lit(batch_id))
-        quar = quar.withColumn("batch_id", F.lit(batch_id))
-        # count via the written data, not extra actions over the input
-        _write_by_batch(good, good_path)
-        _write_by_batch(quar, quar_path)
-        n_good = (
-            spark.read.parquet(good_path)
-            .filter(F.col("batch_id") == batch_id)
-            .count()
-        )
-        n_quar = (
-            spark.read.parquet(quar_path)
-            .filter(F.col("batch_id") == batch_id)
-            .count()
-        )
+        lines = batch_df.persist()
+        try:
+            good, quar = split_jsonl_lines(lines, schema)
+            good = good.withColumn("batch_id", F.lit(batch_id))
+            quar = quar.withColumn("batch_id", F.lit(batch_id))
+            # counts from the cached batch (a read-back would fail on a
+            # batch with zero quarantined lines: an all-empty dynamic
+            # overwrite leaves no footer to infer a schema from)
+            n_good = good.count()
+            n_quar = quar.count()
+            _write_by_batch(good, good_path)
+            _write_by_batch(quar, quar_path)
+        finally:
+            lines.unpersist()
         _write_by_batch(
             spark.createDataFrame([(batch_id, n_good, n_quar)], _META_SCHEMA),
             meta_path,

@@ -122,3 +122,30 @@ def test_streaming_corpus_ingest_matches_batch_and_replays(spark, tmp_path):
     run("ckpt2")
     assert spark.read.parquet(f"{state}/good").count() == 3
     assert spark.read.parquet(f"{state}/quarantine").count() == 2
+
+
+def test_streaming_corpus_ingest_all_good_batch(spark, tmp_path):
+    """A batch with zero quarantined lines commits cleanly (regression:
+    the meta count used a read-back that cannot infer a schema from an
+    all-empty dynamic overwrite)."""
+    from graphdb_neo4j_spark.streaming.corpus import streaming_corpus_ingest
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha"}\n{"doc_id": 2, "text": "beta"}\n'
+    )
+    state = str(tmp_path / "state")
+    q = (
+        streaming_corpus_ingest(
+            spark.readStream.text(str(src)), state, SCHEMA
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(f"{state}/good").count() == 2
+    meta = {r.batch_id: r for r in spark.read.parquet(f"{state}/meta").collect()}
+    assert sum(r.n_good for r in meta.values()) == 2
+    assert sum(r.n_quarantined for r in meta.values()) == 0
