@@ -646,9 +646,12 @@ def test_ntile_repeated_runs_release_checkpoints(spark):
 
     sf = "/root/testdata/sf0.001"
     jsc = spark.sparkContext._jsc.sc()
+    before = {i.id() for i in jsc.getRDDStorageInfo()}
     for _ in range(3):
         W.QUERY_FNS["q70_equidepth_histogram"](spark, sf).collect()
-    infos = jsc.getRDDStorageInfo()
+    # only blocks THIS loop created count — a shared test session may
+    # hold unrelated caches from other modules
+    infos = [i for i in jsc.getRDDStorageInfo() if i.id() not in before]
     for i in infos:
         assert i.memSize() + i.diskSize() < 64 * 1024, (
             str(i.name()), i.memSize(), i.diskSize()
