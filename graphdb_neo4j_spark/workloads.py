@@ -8800,3 +8800,218 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("shift_micro").desc(), "term")
         .limit(20)
     )
+
+
+def _copurchase_edges_cte() -> str:
+    return """
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    """
+
+
+def _q166_sql() -> str:
+    from graphdb_neo4j_spark.operators.linkpred import link_prediction_sql
+
+    return f"""
+    WITH scores AS ({link_prediction_sql(_copurchase_edges_cte())})
+    SELECT * FROM scores
+    ORDER BY ra_micro DESC, cn DESC, u, v LIMIT 50
+    """
+
+
+@query("q166_link_prediction_copurchase", _q166_sql())
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    """Link prediction on the part co-purchase graph: top-50
+    non-adjacent distance-2 pairs by resource-allocation score
+    (Zhou/Lü/Zhang 2009), with common-neighbor and Jaccard scores
+    riding along — the graph-feature mining step of a candidate
+    recommender, and the integer-exact stand-in for Adamic–Adar
+    (1/deg instead of 1/log deg: no libm, so the score hash-matches
+    DuckDB bit-for-bit).
+
+    Scale shape (see operators/linkpred.py): the only data-sized
+    shuffle is the wedge self-join keyed on the shared neighbor;
+    degree joins are node-sized; the top-50 is a TakeOrdered."""
+    from graphdb_neo4j_spark.operators.linkpred import link_prediction_scores
+
+    l = load_table(spark, sf, "lineitem")
+    pairs = (
+        l.alias("a")
+        .join(
+            l.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return (
+        link_prediction_scores(pairs)
+        .orderBy(
+            F.col("ra_micro").desc(), F.col("cn").desc(), "u", "v"
+        )
+        .limit(50)
+    )
+
+
+_PHRASE = ["slow", "hash", "batch"]
+
+
+@query(
+    "q167_phrase_search",
+    T.phrase_match_sql(_PHRASE),
+)
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact phrase search ("slow hash batch") via a positional
+    inverted index and position-adjacency joins — the phrase operator
+    of a search stack (Lucene .pos semantics), NOT a substring scan:
+    term k joins on (id, pos - k), so the shuffle moves only the
+    postings of the phrase's own terms.  Returns every matching doc
+    with its exact occurrence count."""
+    d = load_table(spark, sf, "documents")
+    postings = T.positional_postings(d)
+    return T.phrase_match(postings, _PHRASE).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@query(
+    "q168_categorical_drift_cells",
+    """
+    WITH cells AS (
+      SELECT lang, doc_id % 2 AS half, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY lang, doc_id % 2
+    ),
+    rowtot AS (
+      SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY lang
+    ),
+    coltot AS (
+      SELECT half, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY half
+    ),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+    SELECT cells.lang, cells.half, cells.o,
+           ((rowtot.r * 1000000 // tot.n) * (coltot.c * 1000000 // tot.n))
+             // 1000000 AS e_micro,
+           cells.o * 1000000 // tot.n
+             - ((rowtot.r * 1000000 // tot.n) * (coltot.c * 1000000 // tot.n))
+               // 1000000 AS resid_micro,
+           (  (cells.o * 1000000 // tot.n
+               - ((rowtot.r * 1000000 // tot.n) * (coltot.c * 1000000 // tot.n))
+                 // 1000000)
+            * (cells.o * 1000000 // tot.n
+               - ((rowtot.r * 1000000 // tot.n) * (coltot.c * 1000000 // tot.n))
+                 // 1000000))
+           // greatest(((rowtot.r * 1000000 // tot.n)
+                        * (coltot.c * 1000000 // tot.n)) // 1000000, 1)
+             AS contrib_micro
+    FROM cells JOIN rowtot USING (lang) JOIN coltot USING (half), tot
+    """,
+)
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square-divergence drift table between two corpus snapshots
+    (even- vs odd-id docs) over the language distribution: per cell the
+    observed count, expected SHARE under independence, residual, and
+    the scaled chi-square contribution Σ (p_obs − p_exp)²/p_exp — all
+    in exact integer micro-units (shares are bounded by 1e6, so every
+    intermediate fits int64 at ANY corpus size — the o·N formulation
+    would overflow past ~1M docs; this one never does).
+
+    Scale shape: one (lang, half) hash-agg with map-side combine;
+    row/column/grand totals are tiny broadcast frames."""
+    d = load_table(spark, sf, "documents")
+    cells = d.groupBy(
+        "lang", (F.col("doc_id") % 2).alias("half")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rowtot = cells.groupBy("lang").agg(F.sum("o").cast("bigint").alias("r"))
+    coltot = cells.groupBy("half").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    return (
+        cells.join(F.broadcast(rowtot), "lang")
+        .join(F.broadcast(coltot), "half")
+        .crossJoin(F.broadcast(tot))  # 1x1 scalar frame
+        .withColumn(
+            "e_micro",
+            F.expr(
+                "((r * 1000000 div n) * (c * 1000000 div n)) div 1000000"
+            ),
+        )
+        .withColumn(
+            "resid_micro", F.expr("o * 1000000 div n - e_micro")
+        )
+        .withColumn(
+            "contrib_micro",
+            F.expr("(resid_micro * resid_micro) div greatest(e_micro, 1)"),
+        )
+        .select(
+            "lang", "half", "o", "e_micro", "resid_micro", "contrib_micro"
+        )
+    )
+
+
+@query(
+    "q169_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, med.med,
+             abs(e.value - med.med) AS adev
+      FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type, dev.med AS median_value, mad.mad AS mad_value,
+           CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type, dev.med, mad.mad
+    """,
+)
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust outlier counts per event type via median absolute
+    deviation (the 3-MAD rule — Leys et al. 2013, the
+    breakdown-point-0.5 alternative to z-scores that one bad feed
+    can't poison): two exact interpolated medians (the q36/q147
+    percentile parity pattern, ROUND(6)-guarded), then a deviation
+    count.  The numeric-column quality gate a feature pipeline runs
+    before training.
+
+    Scale shape: two grouped percentile aggregations over the events
+    scan with the tiny per-type median frames broadcast back; the
+    final count is one more map-side-combined agg."""
+    e = load_table(spark, sf, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad")).cast("bigint")
+            ).cast("bigint").alias("n_outliers"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .select(
+            "event_type",
+            F.col("med").alias("median_value"),
+            F.col("mad").alias("mad_value"),
+            "n_outliers",
+            "n",
+        )
+    )

@@ -667,3 +667,47 @@ def test_q161_curriculum_no_single_partition(spark):
     plan = explain_str(raw)
     assert "rangepartitioning" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_q166_linkpred_no_cartesian_takeordered(spark):
+    """Wedge join and degree joins are all equi-joins; the top-50 is a
+    TakeOrdered, never a global sort."""
+    df = QUERY_FNS["q166_link_prediction_copurchase"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q167_phrase_filters_below_joins(spark):
+    """Postings are filtered to the phrase's own terms before any
+    exchange — the corpus text never rides a shuffle."""
+    df = QUERY_FNS["q167_phrase_search"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    for t in ("slow", "hash", "batch"):
+        assert f"= {t}" in plan, (t, plan)
+
+
+def test_q168_drift_totals_are_broadcast(spark):
+    """Row/column/grand totals join the cell frame as broadcasts; no
+    single-partition stage anywhere."""
+    df = QUERY_FNS["q168_categorical_drift_cells"](spark, SF)
+    plan = explain_str(df)
+    tree = _plan_tree(df)
+    assert tree.count("BroadcastHashJoin") + tree.count(
+        "BroadcastNestedLoopJoin"
+    ) == 3, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "partial" in plan.lower()
+
+
+def test_q169_mad_medians_broadcast_back(spark):
+    """Both per-type median frames come back as broadcast joins over
+    the events scan; the outlier count has a partial aggregate."""
+    df = QUERY_FNS["q169_mad_outliers"](spark, SF)
+    tree = _plan_tree(df)
+    # 3, not 2: the deviation branch re-derives its median join inside
+    # the MAD aggregate's lineage (uncached on purpose — events scans
+    # are cheaper than a 100 TB cache)
+    assert tree.count("BroadcastHashJoin") == 3, tree
+    assert "SortMergeJoin" not in tree, tree
