@@ -2711,41 +2711,61 @@ def _louvain_local_moving(
             .agg(F.sum("deg").cast("bigint").alias("tot"))
         )
         cur = asg.select("v", F.col("c").alias("c_cur"))
-        cand = (
-            nbc.unionByName(
-                cur.select(
-                    "v", F.col("c_cur").alias("c"), F.lit(0).cast("bigint").alias("k")
-                )
-            )
-            .groupBy("v", "c")
-            .agg(F.max("k").alias("k"))
-        )
         # one node-sized pre-join (v → c_cur, deg) instead of two
         # separate cand-sized joins on v
         vstate = cur.join(nodes, "v")
+        # score every NEIGHBOR community directly off nbc — no union +
+        # second candidate-sized groupBy.  The stay option rides as a
+        # separate NODE-sized frame with k = 0 (see below): when v has
+        # neighbors in its own community, nbc already carries the true
+        # stay gain (k = k_stay) which dominates the k = 0 row, and when
+        # it has none, k_stay IS 0 — so min(best_move, stay0) equals the
+        # min over the old unioned candidate set in every case.
         scored = (
-            cand.join(vstate, "v")
+            nbc.join(vstate, "v")
             .join(tot, "c")
             .select(
                 "v",
                 "c",
                 "c_cur",
                 (
-                    F.lit(s_total).cast("bigint") * F.col("k")
-                    - F.col("deg")
+                    F.col("deg")
                     * (
                         F.col("tot")
                         - F.when(F.col("c") == F.col("c_cur"), F.col("deg"))
                         .otherwise(F.lit(0))
                     )
-                ).alias("gain"),
+                    - F.lit(s_total).cast("bigint") * F.col("k")
+                ).alias("ng"),
             )
         )
-        best = scored.groupBy("v").agg(
-            F.min_by(
-                F.struct("c", "c_cur"),
-                F.struct((-F.col("gain")).alias("ng"), F.col("c").alias("tc")),
-            ).alias("b")
+        # groupBy("v") right after the join on "v": partitioning is
+        # already hashpartitioning(v) — no extra exchange
+        best_mv = scored.groupBy("v").agg(
+            F.min(F.struct(F.col("ng"), F.col("c"))).alias("m"),
+            F.min("c_cur").alias("c_cur"),  # constant per v
+        )
+        stay0 = vstate.join(
+            tot, vstate["c_cur"] == tot["c"]
+        ).select(
+            "v",
+            "c_cur",
+            (F.col("deg") * (F.col("tot") - F.col("deg"))).alias("ng0"),
+        )
+        # every v in nodes has >= 1 neighbor (und has no isolated rows),
+        # so best_mv covers all of stay0's keys: inner join is total
+        best = best_mv.join(stay0.select("v", "ng0"), "v").select(
+            "v",
+            F.when(
+                F.struct(F.col("ng0"), F.col("c_cur")) < F.col("m"),
+                F.struct(
+                    F.col("c_cur").alias("c"), F.col("c_cur").alias("c_cur")
+                ),
+            )
+            .otherwise(
+                F.struct(F.col("m.c").alias("c"), F.col("c_cur").alias("c_cur"))
+            )
+            .alias("b"),
         )
         # direction-alternating schedule: even rounds apply only moves
         # to a SMALLER community id, odd rounds only to a larger one —
