@@ -903,3 +903,136 @@ def heavy_hitters_exact(
         .select("item", "cnt")
     )
     return out
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    nbins: int = 256,
+    quantiles_micro: list[int] | None = None,
+) -> DataFrame:
+    """Equi-width-histogram quantile estimates per group — the SCALE
+    path for grouped quantiles (the streaming-histogram idea of
+    Ben-Haim & Tom-Tov, JMLR 2010, fixed-grid variant): exact
+    ``percentile()`` buffers every value per group in one aggregation
+    buffer, which dies when a single group holds billions of rows;
+    a fixed-bin histogram is O(nbins) state per group, fully map-side
+    combinable, and mergeable across shards/days by adding counts.
+
+    Everything is exact integer arithmetic on micro-unit values, so the
+    result hash-matches the SQL oracle bit-for-bit:
+
+    * ``vm = round(value * 1e6)`` (micro-units),
+    * bin index ``(vm - mn) * nbins div (mx - mn + 1)``,
+    * target rank ``ceil(q * n) = (q_micro * n + 999999) div 1e6``,
+    * estimate = the LOWER EDGE of the first bin whose cumulative count
+      reaches the target rank: ``mn + bin * (mx - mn + 1) div nbins``.
+
+    Error bound: one bin width, (mx-mn)/nbins — the histogram contract.
+    Overflow bound (int64): ``|vm| * nbins < 2^63`` → values up to
+    ~3.6e13 at nbins=256; raise the micro scale only with care.
+
+    100 TB shape: two grouped aggregations over the scan (min/max/count,
+    then bin counts) with the tiny per-group stats broadcast between
+    them; the cumulative window partitions by group over <= nbins rows —
+    never a data-sized window.
+    """
+    if quantiles_micro is None:
+        quantiles_micro = [250_000, 500_000, 750_000, 900_000, 990_000]
+    from pyspark.sql import Window
+
+    g = group_col
+    vm = F.round(F.col(value_col) * 1_000_000).cast("bigint")
+    base = df.select(F.col(g), vm.alias("vm"))
+    stats = base.groupBy(g).agg(
+        F.min("vm").alias("mn"),
+        F.max("vm").alias("mx"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    binned = base.join(F.broadcast(stats), g).select(
+        F.col(g),
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.expr(f"(vm - mn) * {int(nbins)} div (mx - mn + 1)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    counts = binned.groupBy(g, "bin").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy(g).orderBy("bin")  # <= nbins rows per group
+    cum = counts.select(g, "bin", "cnt", F.sum("cnt").over(w).alias("cum"))
+    qs = df.sparkSession.createDataFrame(
+        [(int(q),) for q in quantiles_micro], "q_micro bigint"
+    )
+    return (
+        cum.join(F.broadcast(stats), g)
+        .crossJoin(F.broadcast(qs))
+        .filter(
+            (F.col("cum") >= F.expr("(q_micro * n + 999999) div 1000000"))
+            & (
+                F.col("cum") - F.col("cnt")
+                < F.expr("(q_micro * n + 999999) div 1000000")
+            )
+        )
+        .select(
+            F.col(g),
+            "q_micro",
+            F.expr(f"mn + bin * (mx - mn + 1) div {int(nbins)}")
+            .cast("bigint")
+            .alias("est_micro"),
+        )
+    )
+
+
+def histogram_quantiles_sql(
+    table: str,
+    group_sql: str,
+    value_sql: str,
+    nbins: int = 256,
+    quantiles_micro: list[int] | None = None,
+) -> str:
+    """DuckDB mirror of :func:`histogram_quantiles`."""
+    if quantiles_micro is None:
+        quantiles_micro = [250_000, 500_000, 750_000, 900_000, 990_000]
+    qvals = ", ".join(f"({int(q)})" for q in quantiles_micro)
+    return f"""
+    WITH base AS (
+      SELECT {group_sql} AS g,
+             CAST(ROUND(({value_sql}) * 1000000) AS BIGINT) AS vm
+      FROM {table}
+    ),
+    stats AS (
+      SELECT g, MIN(vm) AS mn, MAX(vm) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM base GROUP BY g
+    ),
+    binned AS (
+      SELECT base.g,
+             CASE WHEN stats.mx > stats.mn
+                  THEN (base.vm - stats.mn) * {int(nbins)}
+                       // (stats.mx - stats.mn + 1)
+                  ELSE 0 END AS bin
+      FROM base JOIN stats USING (g)
+    ),
+    counts AS (
+      SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM binned GROUP BY g, bin
+    ),
+    cum AS (
+      SELECT g, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum
+      FROM counts
+    ),
+    qs(q_micro) AS (VALUES {qvals})
+    SELECT cum.g AS {group_sql},
+           CAST(qs.q_micro AS BIGINT) AS q_micro,
+           CAST(stats.mn + cum.bin * (stats.mx - stats.mn + 1)
+                // {int(nbins)} AS BIGINT) AS est_micro
+    FROM cum JOIN stats USING (g), qs
+    WHERE cum.cum >= (qs.q_micro * stats.n + 999999) // 1000000
+      AND cum.cum - cum.cnt < (qs.q_micro * stats.n + 999999) // 1000000
+    """

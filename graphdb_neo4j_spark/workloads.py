@@ -9015,3 +9015,22 @@ def q169(spark: SparkSession, sf: str) -> DataFrame:
             "n",
         )
     )
+
+
+def _q170_sql() -> str:
+    from graphdb_neo4j_spark.operators.sketch import histogram_quantiles_sql
+
+    return histogram_quantiles_sql("events", "event_type", "value")
+
+
+@query("q170_histogram_quantiles", _q170_sql())
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped quantile estimates from a fixed 256-bin equi-width
+    histogram (sketch.histogram_quantiles) — the scale path that
+    replaces exact percentile buffers when one group holds billions of
+    rows: O(nbins) mergeable state per group, one-bin-width error,
+    exact-integer arithmetic end to end (bit-stable vs DuckDB)."""
+    from graphdb_neo4j_spark.operators.sketch import histogram_quantiles
+
+    e = load_table(spark, sf, "events")
+    return histogram_quantiles(e, "event_type", "value")

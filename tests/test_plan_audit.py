@@ -711,3 +711,16 @@ def test_q169_mad_medians_broadcast_back(spark):
     # are cheaper than a 100 TB cache)
     assert tree.count("BroadcastHashJoin") == 3, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_q170_histogram_quantiles_no_single_partition(spark):
+    """Both aggregations are map-side combined; the cumulative window
+    partitions by group (<= nbins rows each) — no single-partition
+    stage, per-group stats ride broadcasts."""
+    df = QUERY_FNS["q170_histogram_quantiles"](spark, SF)
+    plan = explain_str(df)
+    tree = _plan_tree(df)
+    assert "SinglePartition" not in plan, plan
+    assert "partial" in plan.lower()
+    assert tree.count("BroadcastHashJoin") >= 1, tree
+    assert "SortMergeJoin" not in tree, tree

@@ -670,3 +670,69 @@ def test_checkpoint_handle_release_is_fail_loud(spark):
         i.id() not in handle._rdd_ids for i in jsc.getRDDStorageInfo()
     )
     handle.release()  # idempotent
+
+
+def test_histogram_quantiles_error_bound(spark):
+    """Every estimate is within one bin width of the exact quantile
+    value, and the median of uniform integers lands in the right bin."""
+    import random
+
+    from graphdb_neo4j_spark.operators.sketch import histogram_quantiles
+
+    rnd = random.Random(7)
+    rows = [("g%d" % (i % 3), rnd.uniform(0, 100)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    est = {
+        (r.grp, r.q_micro): r.est_micro
+        for r in histogram_quantiles(df, "grp", "value").collect()
+    }
+    by_grp = {}
+    for g, v in rows:
+        by_grp.setdefault(g, []).append(v)
+    for (g, qm), e in est.items():
+        vals = sorted(by_grp[g])
+        n = len(vals)
+        rank = -(-qm * n // 1_000_000)  # ceil
+        exact = vals[min(rank, n) - 1] * 1_000_000
+        width = (max(vals) - min(vals)) * 1_000_000 / 256
+        assert abs(e - exact) <= width + 1, (g, qm, e, exact, width)
+
+
+def test_histogram_quantiles_constant_group(spark):
+    """A group where every value is identical hits the mx == mn guard:
+    all quantiles return that value exactly."""
+    from graphdb_neo4j_spark.operators.sketch import histogram_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 10, "grp string, value double"
+    )
+    rows = histogram_quantiles(df, "grp", "value").collect()
+    assert len(rows) == 5
+    assert all(r.est_micro == 5_000_000 for r in rows)
+
+
+def test_histogram_quantiles_counts_merge(spark):
+    """Mergeability contract: on a SHARED (mn, mx) grid, per-(group,
+    bin) counts of disjoint shards sum to the counts of the union —
+    so shard/day/batch histograms combine without error drift."""
+    from pyspark.sql import functions as F
+
+    rows = [("g", float(i % 97)) for i in range(1000)]
+    full = spark.createDataFrame(rows, "grp string, value double")
+    mn, mx = 0, 96_000_000  # the union's micro-unit grid
+    def bins(df):
+        bin_expr = (
+            f"(cast(round(value * 1000000) as bigint) - {mn}) * 256"
+            f" div ({mx} - {mn} + 1)"
+        )
+        return {
+            r.bin: r.cnt
+            for r in df.select(F.expr(bin_expr).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+    lo = bins(full.filter(F.col("value") < 50))
+    hi = bins(full.filter(F.col("value") >= 50))
+    merged = {b: lo.get(b, 0) + hi.get(b, 0) for b in set(lo) | set(hi)}
+    assert merged == bins(full)
