@@ -9034,3 +9034,131 @@ def q170(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load_table(spark, sf, "events")
     return histogram_quantiles(e, "event_type", "value")
+
+
+@query(
+    "q171_score_calibration",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id AS id, e.label,
+             CAST(ROUND(
+               list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                           i -> CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                              * CAST(q.qv[CAST(i AS INT)] AS DOUBLE)),
+                           (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                            (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(q.qv,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                            (a, b) -> a + b)))
+               * 1000000) AS BIGINT) AS sim_micro
+      FROM embeddings e, q
+    )
+    SELECT least(greatest((sim_micro + 1000000) * 10 // 2000000, 0), 9)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN label = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(SUM(CASE WHEN label = 3 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS pos_rate_micro,
+           CAST(SUM(sim_micro) // COUNT(*) AS BIGINT) AS avg_sim_micro
+    FROM sims GROUP BY 1
+    """,
+)
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    """Score-calibration (reliability) table for an embedding-cosine
+    classifier: similarity to the vec_id=0 anchor, binned into 10
+    equal-width buckets over [-1, 1], vs the label==3 ground truth —
+    per bucket the count, positives, positive rate, and mean score,
+    all in exact integer micro-units.  The diagram every score-based
+    filtering decision should be read off before picking a threshold
+    (Guo et al. 2017's reliability table, minus the temperature).
+
+    Scale shape: one embeddings scan with the anchor vector inlined as
+    literals (same fold order as the oracle's list_reduce), one 10-row
+    hash-agg with map-side combine — no joins, no windows, no UDFs."""
+    from graphdb_neo4j_spark.operators.similarity import cosine_expr
+
+    emb = load_table(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    sim_micro = F.round(
+        cosine_expr(F.col("embedding"), q) * 1_000_000
+    ).cast("bigint")
+    return (
+        emb.select("label", sim_micro.alias("sim_micro"))
+        .groupBy(
+            F.expr(
+                "least(greatest((sim_micro + 1000000) * 10 div 2000000, 0), 9)"
+            ).alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum((F.col("label") == 3).cast("bigint"))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.expr(
+                "sum(cast(label = 3 as bigint)) * 1000000 div count(*)"
+            ).cast("bigint").alias("pos_rate_micro"),
+            F.expr("sum(sim_micro) div count(*)")
+            .cast("bigint")
+            .alias("avg_sim_micro"),
+        )
+    )
+
+
+@query(
+    "q172_entity_resolution",
+    """
+    WITH RECURSIVE pairs AS (
+      SELECT a.p_partkey AS s, b.p_partkey AS d
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       AND abs(len(a.p_name) - len(b.p_name)) <= 1
+       AND levenshtein(a.p_name, b.p_name) <= 1
+    ),
+    und AS (
+      SELECT s, d FROM pairs UNION SELECT d, s FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM und
+      UNION
+      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+    ),
+    ent AS (
+      SELECT p.p_partkey,
+             least(p.p_partkey,
+                   coalesce(MIN(r.d), p.p_partkey)) AS entity_id
+      FROM part p LEFT JOIN reach r ON r.s = p.p_partkey
+      GROUP BY p.p_partkey
+    )
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           CAST(entity_id AS BIGINT) AS entity_id
+    FROM ent
+    """,
+)
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution over the part catalog: brand-blocked
+    levenshtein<=1 matching, then CONNECTED COMPONENTS over the match
+    graph — every part mapped to its entity (min partkey of its
+    component), so transitive typo chains collapse into one entity.
+    The record-linkage pipeline (operators/entity.py: block -> verify
+    -> cluster) under a full closure oracle: DuckDB replays it with a
+    recursive reachability CTE, making an ITERATIVE operator
+    hash-exact.
+
+    Scale shape: blocking shuffles (brand, key, name) only; the pair
+    fan-out is bounded by the largest brand block (max_block guard);
+    components run on the match graph — ~1.5k edges here, always tiny
+    relative to the input."""
+    from graphdb_neo4j_spark.operators.entity import resolve_entities
+
+    p = load_table(spark, sf, "part")
+    return resolve_entities(
+        p, "p_partkey", "p_name", ["p_brand"], max_dist=1
+    ).select(
+        F.col("p_partkey").cast("bigint").alias("p_partkey"),
+        F.col("entity_id").cast("bigint").alias("entity_id"),
+    )

@@ -724,3 +724,21 @@ def test_q170_histogram_quantiles_no_single_partition(spark):
     assert "partial" in plan.lower()
     assert tree.count("BroadcastHashJoin") >= 1, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_q171_calibration_single_agg_no_join(spark):
+    """The anchor vector is inlined as literals: one embeddings scan,
+    one 10-row hash-agg, no joins."""
+    df = QUERY_FNS["q171_score_calibration"](spark, SF)
+    tree = _plan_tree(df)
+    assert "Join" not in tree, tree
+    assert tree.count("Exchange") <= 1, tree
+    assert "partial" in explain_str(df).lower()
+
+
+def test_q172_entity_resolution_blocking_never_cartesian(spark):
+    """The pair enumeration is an equi-join on the blocking key — no
+    cartesian product anywhere in the plan."""
+    df = QUERY_FNS["q172_entity_resolution"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
