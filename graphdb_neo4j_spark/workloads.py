@@ -9162,3 +9162,98 @@ def q172(spark: SparkSession, sf: str) -> DataFrame:
         F.col("p_partkey").cast("bigint").alias("p_partkey"),
         F.col("entity_id").cast("bigint").alias("entity_id"),
     )
+
+
+@query(
+    "q173_retention_cohorts",
+    """
+    WITH act AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+      FROM events
+    ),
+    coh AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id
+    )
+    SELECT coh.cohort_wk,
+           act.wk - coh.cohort_wk AS weeks_since,
+           CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_users
+    FROM act JOIN coh USING (user_id)
+    GROUP BY coh.cohort_wk, act.wk - coh.cohort_wk
+    """,
+)
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-activity week
+    (epoch-week integers — no calendar/timezone ambiguity), counted
+    distinct in every subsequent activity week — the product-analytics
+    staple (and the panel a data-flywheel pipeline reads to see whether
+    a feed's contributors keep contributing).
+
+    Scale shape: one (user, week) projection, a per-user MIN aggregate
+    joined back (user-keyed shuffle), then a distinct-count aggregate
+    on the tiny (cohort, offset) grid — partial-combined map-side."""
+    e = load_table(spark, sf, "events")
+    act = e.select(
+        "user_id",
+        F.expr("cast(ts as long) div 604800").cast("bigint").alias("wk"),
+    )
+    coh = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        act.join(coh, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@query(
+    "q174_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+    ),
+    t AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY src)
+    SELECT c.src, c.dst, c.n,
+           CAST(c.n * 1000000 // t.tot AS BIGINT) AS p_micro
+    FROM c JOIN t USING (src)
+    """,
+)
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and row-normalized probabilities (integer
+    micro-units) for every (event, next-event) pair — the behavioral
+    fingerprint behind funnel mining, anomaly scoring, and synthetic
+    session generation.  Sequence order is the total (ts, event_id)
+    so same-timestamp ties are engine-stable.
+
+    Scale shape: ONE user-partitioned window (per-user sequences are
+    the natural partition; no global order), a (src, dst) hash-agg with
+    map-side combine, and a 5-row totals frame broadcast back."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    t = c.groupBy("src").agg(F.sum("n").cast("bigint").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "src")
+        .select(
+            "src", "dst", "n",
+            F.expr("n * 1000000 div tot").cast("bigint").alias("p_micro"),
+        )
+    )

@@ -742,3 +742,25 @@ def test_q172_entity_resolution_blocking_never_cartesian(spark):
     df = QUERY_FNS["q172_entity_resolution"](spark, SF)
     plan = explain_str(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q173_cohorts_user_keyed_join_then_tiny_agg(spark):
+    """No cartesian, no single-partition; the distinct-count grid agg
+    partial-combines map-side."""
+    df = QUERY_FNS["q173_retention_cohorts"](spark, SF)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "SinglePartition" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_q174_transitions_one_window_partition_by_user(spark):
+    """Exactly one window, partitioned by user — never a global-order
+    window; the totals frame rides a broadcast."""
+    df = QUERY_FNS["q174_event_transitions"](spark, SF)
+    plan = explain_str(df)
+    tree = _plan_tree(df)
+    # 2, not 1: the totals branch re-derives the sequence window in
+    # its own lineage (uncached on purpose); both are user-partitioned
+    assert tree.count("Window") == 2, tree
+    assert "SinglePartition" not in plan, plan
+    assert tree.count("BroadcastHashJoin") == 1, tree
