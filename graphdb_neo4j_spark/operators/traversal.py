@@ -71,6 +71,26 @@ def rdd_freeze(df_in: DataFrame, prev_rdd=None):
     return out, rdd
 
 
+def rdd_freeze_counting(df_in, count_where, prev_rdd=None):
+    """`rdd_freeze` variant that folds a row-predicate count into the
+    SAME materialization job (persist caches the parent's partitions
+    while the filtered count runs), so convergence checks like "how
+    many rows moved this round" cost zero extra jobs.  The predicate
+    runs on the already-Python-side Row objects of the freeze path —
+    vertex-sized state, never data-sized.
+
+    Returns ``(frozen_df, rdd, n_matching)``.
+    """
+    spark = df_in.sparkSession
+    rdd = df_in.rdd
+    rdd.persist()
+    n = rdd.filter(count_where).count()
+    out = spark.createDataFrame(rdd, df_in.schema)
+    if prev_rdd is not None:
+        prev_rdd.unpersist()
+    return out, rdd, n
+
+
 def _chain_persist(df: DataFrame, prev: DataFrame | None = None) -> DataFrame:
     """Eagerly materialize ``df`` in the DataFrame cache and release the
     previous round's cache handle AFTERWARDS (the new plan may read it).
@@ -2785,11 +2805,12 @@ def _louvain_local_moving(
             .alias("c"),
             F.col("b.c_cur").alias("c_old"),
         )
-        nxt, asg_rdd = _freeze(pre, asg_rdd)
-        # quiet check reads the persisted partitions — no join job
-        quiet = nxt.filter(F.col("c") != F.col("c_old")).isEmpty()
+        # moved-count folds into the freeze's own materialization job
+        nxt, asg_rdd, n_moved = rdd_freeze_counting(
+            pre, lambda r: r["c"] != r["c_old"], asg_rdd
+        )
         asg = nxt.select("v", "c")
-        quiet_streak = quiet_streak + 1 if quiet else 0
+        quiet_streak = quiet_streak + 1 if n_moved == 0 else 0
         if quiet_streak >= 2:
             break
     return asg
