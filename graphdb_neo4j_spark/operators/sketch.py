@@ -1036,3 +1036,89 @@ def histogram_quantiles_sql(
     WHERE cum.cum >= (qs.q_micro * stats.n + 999999) // 1000000
       AND cum.cum - cum.cnt < (qs.q_micro * stats.n + 999999) // 1000000
     """
+
+
+def fixed_histogram_counts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_micro: int,
+    hi_micro: int,
+    nbins: int = 256,
+) -> DataFrame:
+    """Per-(group, bin) counts on a FIXED grid ``[lo_micro, hi_micro]``
+    (micro-unit bounds chosen at definition time, out-of-range values
+    clamp into the edge bins) — the mergeable building block of
+    :func:`histogram_quantiles` for pipelines that already know the
+    metric's range (scores in [0,1], latencies under a cap, ...).
+    Fixing the grid buys two things the adaptive variant can't give:
+    no min/max pre-pass (one scan total), and cell-wise SUM mergeability
+    across shards / days / STREAMING micro-batches (grid never moves).
+
+    Returns ``(g, bin, cnt)`` with the group column canonicalized to
+    ``g`` so logs from different sources union cleanly.
+    """
+    lo, hi, nb = int(lo_micro), int(hi_micro), int(nbins)
+    if hi <= lo:
+        raise ValueError("hi_micro must exceed lo_micro")
+    vm = F.round(F.col(value_col) * 1_000_000).cast("bigint")
+    return (
+        df.select(F.col(group_col).alias("g"), vm.alias("vm"))
+        .select(
+            "g",
+            F.least(
+                F.greatest(
+                    F.expr(f"(vm - {lo}) * {nb} div ({hi} - {lo} + 1)"),
+                    F.lit(0).cast("bigint"),
+                ),
+                F.lit(nb - 1).cast("bigint"),
+            ).alias("bin"),
+        )
+        .groupBy("g", "bin")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def fixed_histogram_quantiles(
+    counts: DataFrame,
+    lo_micro: int,
+    hi_micro: int,
+    nbins: int = 256,
+    quantiles_micro: list[int] | None = None,
+) -> DataFrame:
+    """Quantile estimates ``(g, q_micro, est_micro)`` from fixed-grid
+    ``(g, bin, cnt)`` counts (:func:`fixed_histogram_counts` or a fold
+    of them) — same integer target-rank / lower-edge semantics as
+    :func:`histogram_quantiles`, so estimates are bit-stable across
+    engines and across any batch split of the counts."""
+    if quantiles_micro is None:
+        quantiles_micro = [250_000, 500_000, 750_000, 900_000, 990_000]
+    from pyspark.sql import Window
+
+    lo, hi, nb = int(lo_micro), int(hi_micro), int(nbins)
+    w = Window.partitionBy("g").orderBy("bin")  # <= nbins rows per group
+    totals = counts.groupBy("g").agg(F.sum("cnt").cast("bigint").alias("n"))
+    cum = counts.select(
+        "g", "bin", "cnt", F.sum("cnt").over(w).alias("cum")
+    )
+    qs = counts.sparkSession.createDataFrame(
+        [(int(q),) for q in quantiles_micro], "q_micro bigint"
+    )
+    return (
+        cum.join(F.broadcast(totals), "g")
+        .crossJoin(F.broadcast(qs))
+        .filter(
+            (F.col("cum") >= F.expr("(q_micro * n + 999999) div 1000000"))
+            & (
+                F.col("cum") - F.col("cnt")
+                < F.expr("(q_micro * n + 999999) div 1000000")
+            )
+        )
+        .select(
+            "g",
+            "q_micro",
+            F.expr(f"{lo} + bin * ({hi} - {lo} + 1) div {nb}")
+            .cast("bigint")
+            .alias("est_micro"),
+        )
+    )

@@ -27,8 +27,11 @@ from graphdb_neo4j_spark.streaming.drift import (
 from graphdb_neo4j_spark.streaming.sketch import (
     cms_fold,
     compact_sketch_log,
+    histogram_estimate,
+    histogram_fold,
     hll_estimate,
     streaming_cms,
+    streaming_histogram,
     streaming_hll,
 )
 from graphdb_neo4j_spark.streaming.text import (
@@ -43,6 +46,8 @@ __all__ = [
     "compact_graph_log",
     "compact_sketch_log",
     "drift_timeline",
+    "histogram_estimate",
+    "histogram_fold",
     "hll_estimate",
     "interval_join",
     "neardup_kept",
@@ -54,6 +59,7 @@ __all__ = [
     "streaming_ann_topk",
     "streaming_chunks",
     "streaming_cms",
+    "streaming_histogram",
     "streaming_corpus_ingest",
     "streaming_dedup_spans",
     "streaming_drift",

@@ -165,7 +165,7 @@ def cms_fold(spark: SparkSession, state_path: str) -> DataFrame:
 def compact_sketch_log(spark: SparkSession, state_path: str, kind: str) -> None:
     """Fold a sketch log into the single ``batch_id = -1`` partition so
     the read side stays O(cells) regardless of stream age.  ``kind`` is
-    ``'hll'`` or ``'cms'``.
+    ``'hll'``, ``'cms'``, or ``'hist'``.
 
     Crash-safe and replay-safe (module docstring): only
     checkpoint-committed batches are folded, the fold is ONE atomic
@@ -181,6 +181,9 @@ def compact_sketch_log(spark: SparkSession, state_path: str, kind: str) -> None:
     elif kind == "cms":
         path = f"{state_path}/cms_log"
         key_cols, agg = ["r", "bucket"], F.sum("cnt").alias("cnt")
+    elif kind == "hist":
+        path = f"{state_path}/hist_log"
+        key_cols, agg = ["g", "bin"], F.sum("cnt").alias("cnt")
     else:
         raise ValueError(f"unknown sketch kind: {kind}")
 
@@ -234,3 +237,66 @@ def compact_sketch_log(spark: SparkSession, state_path: str, kind: str) -> None:
     jvm = spark._jvm
     for b in eligible:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/batch_id={b}"), True)
+
+
+def streaming_histogram(
+    stream_df: DataFrame,
+    group_col: str,
+    value_col: str,
+    state_path: str,
+    lo_micro: int,
+    hi_micro: int,
+    nbins: int = 256,
+):
+    """``writeStream`` builder: maintain an incremental fixed-grid
+    histogram log at ``{state_path}/hist_log`` — the streaming quantile
+    monitor (latency / score / length distributions over an unbounded
+    stream).  The grid is fixed at definition time, so per-batch deltas
+    merge by per-cell SUM exactly like count-min counters; read live
+    quantiles with :func:`histogram_estimate`, compact with
+    ``compact_sketch_log(spark, state_path, "hist")``.
+    """
+    from graphdb_neo4j_spark.operators.sketch import fixed_histogram_counts
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        delta = fixed_histogram_counts(
+            batch_df, group_col, value_col, lo_micro, hi_micro, nbins
+        ).withColumn("batch_id", F.lit(batch_id))
+        _write_by_batch(delta, f"{state_path}/hist_log")
+
+    return stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", f"{state_path}/_ckpt_hist"
+    )
+
+
+def histogram_fold(spark: SparkSession, state_path: str) -> DataFrame:
+    """(g, bin, cnt) — the live cell matrix: per-cell SUM over all
+    batch deltas."""
+    log, _ = _live_rows(spark.read.parquet(f"{state_path}/hist_log"))
+    return log.groupBy("g", "bin").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+
+
+def histogram_estimate(
+    spark: SparkSession,
+    state_path: str,
+    lo_micro: int,
+    hi_micro: int,
+    nbins: int = 256,
+    quantiles_micro: list[int] | None = None,
+) -> DataFrame:
+    """Live quantile estimates from the streaming histogram log —
+    bit-identical to the batch fixed-grid estimate over all data seen
+    (cell-wise SUM is exact, the grid never moves)."""
+    from graphdb_neo4j_spark.operators.sketch import (
+        fixed_histogram_quantiles,
+    )
+
+    return fixed_histogram_quantiles(
+        histogram_fold(spark, state_path),
+        lo_micro,
+        hi_micro,
+        nbins,
+        quantiles_micro,
+    )

@@ -219,3 +219,95 @@ def test_progress_metrics_counts_late_drops(spark, tmp_path):
     base_s = "2023-11-14T22:13:20"
     counts = {w: n for w, n in res}
     assert counts.get(base_s, 1) == 1  # too_late did NOT increment it
+
+
+@pytest.fixture(scope="module")
+def metric_dir(spark, tmp_path_factory):
+    """8 parquet files of (grp, value) metric rows."""
+    d = str(tmp_path_factory.mktemp("metrics"))
+    rows = [
+        ("g%d" % (i % 3), float((i * 37) % 1000) / 10.0) for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    df.repartition(8).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_streaming_histogram_matches_batch(spark, metric_dir, tmp_path):
+    from graphdb_neo4j_spark.operators.sketch import (
+        fixed_histogram_counts,
+        fixed_histogram_quantiles,
+    )
+    from graphdb_neo4j_spark.streaming.sketch import (
+        histogram_estimate,
+        histogram_fold,
+        streaming_histogram,
+    )
+
+    LO, HI, NB = 0, 100_000_000, 64  # values live in [0, 100)
+    state = str(tmp_path / "hist_state")
+    stream = spark.readStream.schema("grp string, value double").option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(metric_dir)
+    _run_stream(streaming_histogram(stream, "grp", "value", state, LO, HI, NB))
+
+    batch_all = spark.read.parquet(metric_dir)
+    want_cells = {
+        (r.g, r.bin): r.cnt
+        for r in fixed_histogram_counts(
+            batch_all, "grp", "value", LO, HI, NB
+        ).collect()
+    }
+    got_cells = {
+        (r.g, r.bin): r.cnt for r in histogram_fold(spark, state).collect()
+    }
+    assert got_cells == want_cells  # cell-exact, not approximate
+
+    want_q = sorted(
+        tuple(r)
+        for r in fixed_histogram_quantiles(
+            fixed_histogram_counts(batch_all, "grp", "value", LO, HI, NB),
+            LO, HI, NB,
+        ).collect()
+    )
+    got_q = sorted(
+        tuple(r) for r in histogram_estimate(spark, state, LO, HI, NB).collect()
+    )
+    assert got_q == want_q
+
+    # the split actually happened
+    n_batches = (
+        spark.read.parquet(f"{state}/hist_log")
+        .select("batch_id").distinct().count()
+    )
+    assert n_batches >= 2
+
+    # compaction preserves cells + estimates, folds log to one partition
+    compact_sketch_log(spark, state, "hist")
+    assert {
+        (r.g, r.bin): r.cnt for r in histogram_fold(spark, state).collect()
+    } == want_cells
+    assert sorted(
+        tuple(r) for r in histogram_estimate(spark, state, LO, HI, NB).collect()
+    ) == want_q
+    assert (
+        spark.read.parquet(f"{state}/hist_log")
+        .select("batch_id").distinct().count()
+        == 1
+    )
+
+
+def test_streaming_histogram_clamps_out_of_range(spark, tmp_path):
+    from graphdb_neo4j_spark.operators.sketch import fixed_histogram_counts
+
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", 0.5), ("g", 99.0)], "grp string, value double"
+    )
+    cells = {
+        (r.g, r.bin): r.cnt
+        for r in fixed_histogram_counts(
+            df, "grp", "value", 0, 10_000_000, 10
+        ).collect()
+    }
+    # -5 clamps into bin 0; 99 clamps into the top bin
+    assert cells == {("g", 0): 2, ("g", 9): 1}
