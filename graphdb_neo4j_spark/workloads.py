@@ -9257,3 +9257,181 @@ def q174(spark: SparkSession, sf: str) -> DataFrame:
             F.expr("n * 1000000 div tot").cast("bigint").alias("p_micro"),
         )
     )
+
+
+def _q175_sql(k: int = 16, n: int = 3) -> str:
+    h1 = "(('0x' || substr(md5(s), 1, 8))::BIGINT)"
+    h2 = "(('0x' || substr(md5(s), 9, 8))::BIGINT)"
+    mins = ",\n        ".join(
+        f"list_min(list_transform(__sh, s -> "
+        f"({h1} + {i} * {h2}) % 4294967296)) AS mh_{i}"
+        for i in range(k)
+    )
+    lanes = "\n      UNION ALL\n      ".join(
+        f"SELECT {i} AS lane, mh_{i} AS mh FROM sig" for i in range(k)
+    )
+    return f"""
+    WITH sig AS (
+      SELECT doc_id AS id, {mins}
+      FROM (SELECT doc_id, {_shingle_sql(n)} AS __sh FROM documents
+            WHERE length(text) >= {n})
+    ),
+    lanes AS (
+      {lanes}
+    ),
+    cell AS (
+      SELECT lane, mh, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lanes GROUP BY lane, mh
+    ),
+    coll AS (
+      SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS collisions
+      FROM cell
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sig)
+    SELECT nn.n_docs,
+           coll.collisions,
+           CAST(coll.collisions * 1000000
+                // greatest({k} * (nn.n_docs * (nn.n_docs - 1) // 2), 1)
+                AS BIGINT) AS avg_jaccard_micro,
+           CAST(1000000 - coll.collisions * 1000000
+                // greatest({k} * (nn.n_docs * (nn.n_docs - 1) // 2), 1)
+                AS BIGINT) AS diversity_micro
+    FROM coll, nn
+    """
+
+
+@query("q175_corpus_diversity_minhash", _q175_sql())
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level lexical diversity in ONE number: the mean pairwise
+    Jaccard similarity of all C(N,2) document pairs, estimated by the
+    minhash collision rate — E[1{mh_i(a)=mh_i(b)}] = J(a,b) (Broder
+    1997), so summing same-value pairs per lane and dividing by
+    K·C(N,2) is an unbiased estimator WITHOUT touching a single pair.
+    The one-line health metric a pretraining mix is tracked by
+    (diversity collapsing => a feed went degenerate), exact-integer
+    end to end because the ESTIMATOR is deterministic even though the
+    estimate is statistical.
+
+    Scale shape: the q22 signature scan (one md5 per shingle, KM-
+    expanded to 16 lanes), a 16-way lane unpivot (map-side), one
+    (lane, value) hash-agg with map-side combine, one scalar fold —
+    O(N) total where the true metric is O(N²)."""
+    from graphdb_neo4j_spark.operators.dedup import minhash_signatures
+
+    K = 16
+    d = load_table(spark, sf, "documents")
+    sig = minhash_signatures(d, n=3, num_hashes=K)
+    lanes = sig.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("lane"), F.col(f"mh_{i}").alias("mh")
+                    )
+                    for i in range(K)
+                ]
+            )
+        ).alias("lm")
+    ).select("lm.lane", "lm.mh")
+    cell = lanes.groupBy("lane", "mh").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    coll = cell.agg(
+        F.sum(F.expr("c * (c - 1) div 2")).cast("bigint").alias("collisions")
+    )
+    nn = sig.agg(F.count("*").cast("bigint").alias("n_docs"))
+    return (
+        coll.crossJoin(F.broadcast(nn))  # two 1x1 scalar frames
+        .select(
+            "n_docs",
+            "collisions",
+            F.expr(
+                f"collisions * 1000000"
+                f" div greatest({K} * (n_docs * (n_docs - 1) div 2), 1)"
+            ).cast("bigint").alias("avg_jaccard_micro"),
+            F.expr(
+                f"1000000 - collisions * 1000000"
+                f" div greatest({K} * (n_docs * (n_docs - 1) div 2), 1)"
+            ).cast("bigint").alias("diversity_micro"),
+        )
+    )
+
+
+def _q176_fk() -> list[tuple[str, str, str, str, str]]:
+    # (label, fact, fk, dim, pk)
+    return [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey",
+         "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+         "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey",
+         "region", "r_regionkey"),
+    ]
+
+
+def _q176_sql() -> str:
+    parts = [
+        f"""
+        SELECT '{label}' AS relation,
+               CAST((SELECT COUNT(*) FROM {fact}) AS BIGINT) AS n_rows,
+               CAST((SELECT COUNT(*) FROM {fact}
+                     WHERE {fk} IS NOT NULL
+                       AND {fk} NOT IN (SELECT {pk} FROM {dim})) AS BIGINT)
+                 AS n_orphans,
+               CAST((SELECT COUNT(*) FROM {fact} WHERE {fk} IS NULL)
+                    AS BIGINT) AS n_null_keys
+        """
+        for label, fact, fk, dim, pk in _q176_fk()
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("q176_referential_integrity", _q176_sql())
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit across every foreign key of the
+    star schema: orphan and NULL-key counts per relation — the load
+    gate that catches a truncated dimension or a partial ingest before
+    any join silently drops rows.  Each relation is one broadcast
+    anti-join (dimension side is always the small side); rows with
+    NULL keys are counted separately (an anti-join can't see them).
+
+    Scale shape: 7 fact scans, each with a broadcast anti-join against
+    its dimension and a count — no shuffles beyond the broadcasts."""
+    out = None
+    for label, fact, fk, dim, pk in _q176_fk():
+        f = load_table(spark, sf, fact)
+        d = load_table(spark, sf, dim)
+        orphans = (
+            f.filter(F.col(fk).isNotNull())
+            .join(
+                F.broadcast(d.select(F.col(pk).alias(fk)).distinct()),
+                fk,
+                "left_anti",
+            )
+            .agg(F.count("*").cast("bigint").alias("n_orphans"))
+        )
+        row = (
+            f.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(F.col(fk).isNull().cast("bigint"))
+                .cast("bigint")
+                .alias("n_null_keys"),
+            )
+            .crossJoin(orphans)  # 1x1 scalar frames
+            .select(
+                F.lit(label).alias("relation"),
+                "n_rows",
+                "n_orphans",
+                "n_null_keys",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

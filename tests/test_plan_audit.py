@@ -764,3 +764,21 @@ def test_q174_transitions_one_window_partition_by_user(spark):
     assert tree.count("Window") == 2, tree
     assert "SinglePartition" not in plan, plan
     assert tree.count("BroadcastHashJoin") == 1, tree
+
+
+def test_q175_diversity_single_signature_scan(spark):
+    """One documents scan feeds the 16-lane unpivot; collision and
+    count frames are scalar broadcasts — never a pair join."""
+    df = QUERY_FNS["q175_corpus_diversity_minhash"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("documents.parquet") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial" in plan.lower()
+
+
+def test_q176_integrity_all_antijoins_broadcast(spark):
+    """Every orphan check is a broadcast LEFT ANTI against its
+    dimension — no sort-merge joins anywhere."""
+    tree = _plan_tree(QUERY_FNS["q176_referential_integrity"](spark, SF))
+    assert "SortMergeJoin" not in tree, tree
+    assert tree.count("BroadcastHashJoin") >= 7, tree
