@@ -93,6 +93,19 @@ def main() -> None:
         run(QUERY_FNS[name](spark, SF_DIR))
         graph[name] = round(time.perf_counter() - t0, 3)
 
+    # audit tier (new in r4): link prediction, entity resolution,
+    # corpus diversity — the operator families added this round, timed
+    # under their own total so workload_total stays round-comparable.
+    audit: dict[str, float] = {}
+    for name in [
+        "q166_link_prediction_copurchase",
+        "q172_entity_resolution",
+        "q175_corpus_diversity_minhash",
+    ]:
+        t0 = time.perf_counter()
+        run(QUERY_FNS[name](spark, SF_DIR))
+        audit[name] = round(time.perf_counter() - t0, 3)
+
     if os.path.exists("/root/reference/malware"):
         from graphdb_neo4j_spark.operators.ingest import stage_corpus
 
@@ -127,6 +140,8 @@ def main() -> None:
                 "warm_total": round(sum(warm.values()), 3),
                 "graph": graph,
                 "graph_total": round(sum(graph.values()), 3),
+                "audit": audit,
+                "audit_total": round(sum(audit.values()), 3),
                 "sf": sf_val,
             }
         )

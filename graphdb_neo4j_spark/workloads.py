@@ -8802,11 +8802,17 @@ def q164(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _copurchase_edges_cte() -> str:
-    return """
-      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+def _copurchase_edges_cte(min_support: int = 2) -> str:
+    # support threshold: an edge needs >= min_support shared orders —
+    # the standard market-basket prune (one co-occurrence is noise, and
+    # the unthresholded graph goes near-clique at scale: ~1.2M edges /
+    # ~300M wedges at sf0.1 vs ~4k edges thresholded)
+    return f"""
+      SELECT least(a.l_partkey, b.l_partkey) AS src,
+             greatest(a.l_partkey, b.l_partkey) AS dst
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {int(min_support)}
     """
 
 
@@ -8822,7 +8828,9 @@ def _q166_sql() -> str:
 
 @query("q166_link_prediction_copurchase", _q166_sql())
 def q166(spark: SparkSession, sf: str) -> DataFrame:
-    """Link prediction on the part co-purchase graph: top-50
+    """Link prediction on the SUPPORT-THRESHOLDED part co-purchase
+    graph (edges need >= 2 shared orders — the market-basket prune
+    that keeps the graph sparse at any scale): top-50
     non-adjacent distance-2 pairs by resource-allocation score
     (Zhou/Lü/Zhang 2009), with common-neighbor and Jaccard scores
     riding along — the graph-feature mining step of a candidate
@@ -8843,11 +8851,13 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
+        .groupBy(
+            F.least("a.l_partkey", "b.l_partkey").alias("src"),
+            F.greatest("a.l_partkey", "b.l_partkey").alias("dst"),
         )
-        .distinct()
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
     )
     return (
         link_prediction_scores(pairs)
@@ -9433,5 +9443,173 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
                 "n_null_keys",
             )
         )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@query(
+    "q177_linear_interpolation",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS v_cents
+      FROM events GROUP BY event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600
+    ),
+    bounds AS (
+      SELECT event_type, MIN(hb) AS lo, MAX(hb) AS hi
+      FROM hourly GROUP BY event_type
+    ),
+    grid AS (
+      SELECT event_type, unnest(range(lo, hi + 1)) AS hb FROM bounds
+    ),
+    joined AS (
+      SELECT g.event_type, g.hb, h.v_cents
+      FROM grid g LEFT JOIN hourly h USING (event_type, hb)
+    ),
+    ctx AS (
+      SELECT event_type, hb, v_cents,
+             last_value(v_cents IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN v_cents IS NOT NULL THEN hb END
+                        IGNORE NULLS) OVER w_prev AS ph,
+             first_value(v_cents IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN v_cents IS NOT NULL THEN hb END
+                         IGNORE NULLS) OVER w_next AS nh
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY hb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY event_type ORDER BY hb
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, hb,
+           CAST(CASE
+             WHEN v_cents IS NOT NULL THEN v_cents
+             ELSE (pv * (nh - hb) + nv * (hb - ph)) // (nh - ph)
+           END AS BIGINT) AS filled_cents,
+           CASE WHEN v_cents IS NULL THEN 1 ELSE 0 END AS interpolated
+    FROM ctx
+    """,
+)
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear-interpolation gap fill on a regular hourly grid: hourly
+    revenue-cents per event type, with empty hours filled by exact
+    integer interpolation between the nearest known neighbors — the
+    TimescaleDB ``interpolate()`` operator.  The weighted form
+    ``(pv·(nh−hb) + nv·(hb−ph)) div (nh−ph)`` keeps every intermediate
+    non-negative, so floor-vs-truncate division semantics can never
+    diverge between engines.  Grid edges carry no NULL cells here (the
+    grid spans each type's own [min, max] hour), and interior cells
+    always have both neighbors by construction.
+
+    Scale shape: one hourly pre-aggregation (map-side combined) shrinks
+    the data to the bucket grid BEFORE any window; the two
+    IGNORE-NULLS windows partition by event type over grid-sized rows
+    (years of hours ≈ 10⁴ rows per type — bounded, never data-sized)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("cast(ts as long) div 3600").cast("bigint").alias("hb"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v_cents")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hb").alias("lo"), F.max("hb").alias("hi")
+    )
+    grid = bounds.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("hb")
+    )
+    joined = grid.join(hourly, ["event_type", "hb"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_hb = F.when(F.col("v_cents").isNotNull(), F.col("hb"))
+    ctx = joined.select(
+        "event_type",
+        "hb",
+        "v_cents",
+        F.last("v_cents", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(known_hb, ignorenulls=True).over(w_prev).alias("ph"),
+        F.first("v_cents", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(known_hb, ignorenulls=True).over(w_next).alias("nh"),
+    )
+    return ctx.select(
+        "event_type",
+        "hb",
+        F.when(F.col("v_cents").isNotNull(), F.col("v_cents"))
+        .otherwise(
+            F.expr("(pv * (nh - hb) + nv * (hb - ph)) div (nh - ph)")
+        )
+        .cast("bigint")
+        .alias("filled_cents"),
+        F.when(F.col("v_cents").isNull(), 1).otherwise(0).alias("interpolated"),
+    )
+
+
+def _q178_fds() -> list[tuple[str, str, str, str]]:
+    # (label, table, lhs, rhs) — candidate functional dependencies
+    return [
+        ("orders: o_orderkey -> o_custkey", "orders", "o_orderkey", "o_custkey"),
+        ("lineitem: l_orderkey -> l_suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+        ("customer: c_nationkey -> c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+        ("events: user_id -> event_type", "events", "user_id", "event_type"),
+        ("part: p_partkey -> p_brand", "part", "p_partkey", "p_brand"),
+    ]
+
+
+def _q178_sql() -> str:
+    parts = [
+        f"""
+        SELECT '{label}' AS fd,
+               CAST(COUNT(*) AS BIGINT) AS n_lhs,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating_lhs,
+               CAST(MAX(nd) AS BIGINT) AS max_rhs_per_lhs
+        FROM (
+          SELECT {lhs}, COUNT(DISTINCT {rhs}) AS nd
+          FROM {table} GROUP BY {lhs}
+        )
+        """
+        for label, table, lhs, rhs in _q178_fds()
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("q178_fd_audit", _q178_sql())
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD X -> Y, how
+    many X values map to more than one Y (violations) and the worst
+    fan-out — the key-discovery / schema-inference pass a pipeline
+    runs before trusting a column as a join or dedup key (p_partkey ->
+    p_brand HOLDS: the part key is a key; user_id ->
+    event_type obviously doesn't).  Each FD is one grouped
+    count-distinct plus a 3-number fold.
+
+    Scale shape: one scan per audited table, (lhs)-keyed hash-agg with
+    map-side partials, then a scalar aggregate — no joins at all."""
+    out = None
+    for label, table, lhs, rhs in _q178_fds():
+        t = load_table(spark, sf, table)
+        per_lhs = t.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
+        row = per_lhs.agg(
+            F.count("*").cast("bigint").alias("n_lhs"),
+            F.sum((F.col("nd") > 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_violating_lhs"),
+            F.max("nd").cast("bigint").alias("max_rhs_per_lhs"),
+        ).select(F.lit(label).alias("fd"), "n_lhs", "n_violating_lhs",
+                 "max_rhs_per_lhs")
         out = row if out is None else out.unionByName(row)
     return out

@@ -782,3 +782,19 @@ def test_q176_integrity_all_antijoins_broadcast(spark):
     tree = _plan_tree(QUERY_FNS["q176_referential_integrity"](spark, SF))
     assert "SortMergeJoin" not in tree, tree
     assert tree.count("BroadcastHashJoin") >= 7, tree
+
+
+def test_q177_interpolation_aggregates_before_windows(spark):
+    """The hourly pre-aggregation shrinks data to the bucket grid
+    BEFORE the IGNORE-NULLS windows; both windows partition by type —
+    no single-partition stage."""
+    df = QUERY_FNS["q177_linear_interpolation"](spark, SF)
+    plan = explain_str(df)
+    assert "SinglePartition" not in plan, plan
+    assert "partial" in plan.lower()
+
+
+def test_q178_fd_audit_no_joins(spark):
+    """Each FD check is aggregation-only: no joins anywhere."""
+    tree = _plan_tree(QUERY_FNS["q178_fd_audit"](spark, SF))
+    assert "Join" not in tree, tree
