@@ -100,6 +100,63 @@ def contaminated_docs(
     )
 
 
+def contamination_profile(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document contamination *fraction* against an eval suite —
+    the graded companion to :func:`contaminated_docs` (which only
+    counts hits): for every corpus document, what share of its
+    distinct word n-grams appears anywhere in the eval set?  Public
+    pipelines drop above a threshold (e.g. >80 % 13-gram overlap) and
+    audit the mid band; this emits the whole profile so the threshold
+    is a downstream filter, not baked in.
+
+    Returns ``(doc_id, n_grams, n_shared, shared_micro)`` for docs
+    with ≥1 gram, eval docs excluded; ``shared_micro`` is the exact
+    integer floor of ``n_shared·10⁶ / n_grams``.
+
+    100 TB shape: identical to :func:`contaminated_docs` — the eval
+    gram set is broadcast; the corpus scan explodes distinct grams
+    once and counts total + matched in ONE aggregation (the broadcast
+    left join marks hits map-side), so the only shuffle carries
+    (id, 1, hit) triples into the per-doc count.
+    """
+    from graphdb_neo4j_spark.operators.text import word_ngrams
+
+    gram = F.explode(
+        F.array_distinct(word_ngrams(F.col(text_col), n))
+    ).alias("g")
+    eval_grams = eval_docs.select(gram).distinct().withColumn(
+        "__hit", F.lit(1)
+    )
+    corpus = (
+        docs.join(eval_docs.select(id_col), on=id_col, how="left_anti")
+        .select(F.col(id_col), gram)
+        .join(F.broadcast(eval_grams), on="g", how="left")
+    )
+    return (
+        corpus.groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_shared",
+            F.expr("n_shared * 1000000 div n_grams")
+            .cast("bigint")
+            .alias("shared_micro"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard pairs
 # ---------------------------------------------------------------------------

@@ -321,3 +321,100 @@ def scalar_quantize_sql(
            ) AS qvec
     FROM xd CROSS JOIN params
     """
+
+
+def centroid_drift(
+    df: DataFrame,
+    group_col: str = "label",
+    snap_col: str = "snap",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group centroid cosine between two corpus snapshots — the
+    embedding-drift monitor a pipeline runs when a new crawl lands:
+    has the semantic center of each source/label moved?
+
+    ``snap_col`` must be 0/1.  Returns one row per group present in
+    BOTH snapshots: ``(group, n_a, n_b, centroid_cosine)``.
+
+    Exactness contract (see ``workloads.py`` header): components are
+    truncated to integer nano-units with ``FLOOR(x·1e9)`` (one IEEE
+    multiply + floor — deterministic in every engine, no rounding-tie
+    exposure), summed exactly as BIGINTs.  The 1/n centroid scaling
+    cancels inside the cosine, so the cosine of the SUM vectors is the
+    cosine of the centroids; per-position cross terms are products of
+    ≤2^53 integers computed in double (deterministic) and the three
+    dot products are LEFT FOLDS in position order over float64 (the
+    repo's standard cross-engine dot-product form — a grouped SUM of
+    doubles would be partial-order-dependent), making the final
+    cosine bit-stable across engines and partitionings.
+
+    100 TB shape: one scan, posexplode to (group, pos) hash-agg with
+    map-side partials — shuffle carries |groups|·d rows, never data;
+    the per-group fold is d-sized.  No joins, no windows, no driver
+    loops.
+    """
+    comp = df.select(
+        F.col(group_col).alias("g"),
+        F.col(snap_col).alias("s"),
+        F.posexplode(vec_col).alias("pos", "v"),
+    ).select(
+        "g",
+        "s",
+        "pos",
+        F.floor(F.col("v").cast("double") * F.lit(1000000000.0))
+        .cast("bigint")
+        .alias("nano"),
+    )
+    sums = comp.groupBy("g", "pos").agg(
+        F.sum(F.when(F.col("s") == 0, F.col("nano"))).alias("a"),
+        F.sum(F.when(F.col("s") == 1, F.col("nano"))).alias("b"),
+    )
+    terms = sums.filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+    ).select(
+        "g",
+        "pos",
+        (F.col("a").cast("double") * F.col("b").cast("double")).alias("ab"),
+        (F.col("a").cast("double") * F.col("a").cast("double")).alias("aa"),
+        (F.col("b").cast("double") * F.col("b").cast("double")).alias("bb"),
+    )
+
+    def _fold(field: str):
+        return F.aggregate(
+            F.col("arr"), F.lit(0.0), lambda acc, x: acc + x[field]
+        )
+
+    folded = (
+        terms.groupBy("g")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "ab", "aa", "bb"))
+            ).alias("arr")
+        )
+        .select(
+            "g",
+            _fold("ab").alias("ab"),
+            _fold("aa").alias("aa"),
+            _fold("bb").alias("bb"),
+        )
+    )
+    counts = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.sum((F.col(snap_col) == 0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum((F.col(snap_col) == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_b"),
+        )
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    )
+    return folded.join(F.broadcast(counts), "g").select(
+        F.col("g").alias(group_col),
+        "n_a",
+        "n_b",
+        (
+            F.col("ab") / (F.sqrt(F.col("aa")) * F.sqrt(F.col("bb")))
+        ).alias("centroid_cosine"),
+    )

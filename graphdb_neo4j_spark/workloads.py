@@ -9613,3 +9613,462 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
                  "max_rhs_per_lhs")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "q179_scd2_asof_lookup",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts_us, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    scd AS (
+      SELECT user_id, event_type AS state, ts_us AS f_us,
+             LEAD(ts_us) OVER v AS t_us,
+             ROW_NUMBER() OVER v AS version
+      FROM changes
+      WINDOW v AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+           s.state, CAST(s.version AS BIGINT) AS version
+    FROM events e JOIN scd s
+      ON e.user_id = s.user_id
+     AND epoch_us(e.ts) >= s.f_us
+     AND (s.t_us IS NULL OR epoch_us(e.ts) < s.t_us)
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 as-of LOOKUP: enrich each purchase fact with the user-state
+    dimension version (q61's build) valid at the fact's timestamp — the
+    other half of the warehouse SCD2 contract.  The oracle states it as
+    the interval join (``from <= ts < to``); the Spark plan is the
+    scalable union-and-window as-of (``temporal.asof_join``): ONE
+    shuffle on user_id carrying facts and dimension changes together,
+    no interval explosion, no point lookups — how you dimension-join
+    two 10-TB tables.
+
+    Same-microsecond change pairs create empty ``[x, x)`` intervals the
+    oracle can never match, so the Spark side keeps only the last
+    change per (user, microsecond) — same semantics, deterministic
+    as-of ordering — while versions still number ALL change rows.
+
+    Scale shape: two windows over one (user_id)-partitioned sort for
+    the dimension build, then the as-of union-window (second shuffle on
+    the same key).  Nothing is data-squared; skew is bounded by events
+    per user."""
+    from pyspark.sql import Window
+
+    from graphdb_neo4j_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ordered = e.select(
+        "user_id", "event_type", ts_us.alias("ts_us"), "event_id"
+    ).withColumn("prev_type", F.lag("event_type").over(w))
+    changes = ordered.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts_us",
+        "event_id",
+    )
+    v = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    # version over ALL changes, then collapse same-microsecond runs to
+    # their last change (earlier ones own empty [x, x) intervals)
+    versioned = changes.select(
+        "user_id",
+        "state",
+        "ts_us",
+        F.row_number().over(v).cast("bigint").alias("version"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", "ts_us").orderBy(
+                F.col("event_id").desc()
+            )
+        )
+        .alias("__rn_last"),
+    ).filter(F.col("__rn_last") == 1).drop("__rn_last")
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_us.alias("ts_us")
+    )
+    return asof_join(
+        facts,
+        versioned,
+        on="ts_us",
+        by="user_id",
+        right_cols=["state", "version"],
+        suffix="",
+    ).select("event_id", "user_id", "ts_us", "state", "version")
+
+
+@query(
+    "q180_golden_record",
+    """
+    WITH base AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(ts) AS ts_us,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100) AS BIGINT) END AS purch_cents,
+             CASE WHEN event_type = 'error'
+                  THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS err_k
+      FROM events
+    ),
+    survived AS (
+      SELECT user_id,
+             last_value(event_type) OVER w AS last_state,
+             last_value(purch_cents IGNORE NULLS) OVER w AS last_purchase_cents,
+             last_value(err_k IGNORE NULLS) OVER w AS last_error_k,
+             MIN(ts_us) OVER p AS first_seen_us,
+             MAX(ts_us) OVER p AS last_seen_us,
+             COUNT(*) OVER p AS n_events,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts_us DESC, event_id DESC) AS rn
+      FROM base
+      WINDOW
+        w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        p AS (PARTITION BY user_id)
+    )
+    SELECT user_id, last_state,
+           CAST(last_purchase_cents AS BIGINT) AS last_purchase_cents,
+           CAST(last_error_k AS BIGINT) AS last_error_k,
+           CAST(first_seen_us AS BIGINT) AS first_seen_us,
+           CAST(last_seen_us AS BIGINT) AS last_seen_us,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM survived WHERE rn = 1
+    """,
+)
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivorship / golden-record build: collapse each user's event
+    history into ONE record where every field independently takes its
+    most recent NON-NULL value (field-level most-recent-wins — the MDM
+    survivorship rule), plus first/last-seen and activity count.  A
+    field absent from recent events survives from older ones: the last
+    purchase amount outlives later clicks.
+
+    Scale shape: one shuffle on user_id; the full-frame IGNORE-NULLS
+    windows, the min/max/count, and the rn=1 pick all run on the same
+    sorted partition — no joins, no second shuffle."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    base = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.when(
+            F.col("event_type") == "purchase", _cents(F.col("value"))
+        ).alias("purch_cents"),
+        F.when(
+            F.col("event_type") == "error",
+            F.get_json_object("props", "$.k").cast("bigint"),
+        ).alias("err_k"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    p = Window.partitionBy("user_id")
+    rn_w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    survived = base.select(
+        "user_id",
+        F.last("event_type").over(w).alias("last_state"),
+        F.last("purch_cents", ignorenulls=True)
+        .over(w)
+        .cast("bigint")
+        .alias("last_purchase_cents"),
+        F.last("err_k", ignorenulls=True)
+        .over(w)
+        .cast("bigint")
+        .alias("last_error_k"),
+        F.min("ts_us").over(p).cast("bigint").alias("first_seen_us"),
+        F.max("ts_us").over(p).cast("bigint").alias("last_seen_us"),
+        F.count("*").over(p).cast("bigint").alias("n_events"),
+        F.row_number().over(rn_w).alias("rn"),
+    )
+    return survived.filter(F.col("rn") == 1).drop("rn")
+
+
+@query(
+    "q181_burst_dedup",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                          > 86400000000
+                  THEN 1 ELSE 0 END AS new_burst
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id)
+    ),
+    bursts AS (
+      SELECT user_id, event_type, event_id, ts_us,
+             SUM(new_burst) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts_us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS burst_id
+      FROM flagged
+    )
+    SELECT user_id, event_type,
+           CAST(burst_id AS BIGINT) AS burst_id,
+           CAST(MIN(event_id) FILTER (WHERE rn = 1) AS BIGINT)
+             AS kept_event_id,
+           CAST(MIN(ts_us) AS BIGINT) AS burst_start_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type,
+                                   burst_id
+                                   ORDER BY ts_us, event_id) AS rn
+      FROM bursts
+    )
+    GROUP BY user_id, event_type, burst_id
+    """,
+)
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    """Burst (debounce) dedup: within each (user, event_type) stream,
+    events separated by ≤24 h chain into one burst; keep the first
+    event of each burst and report how many duplicates the burst
+    absorbed — the event-log compaction pass that kills refresh-storm
+    and retry noise before sessionized features are built.
+
+    Scale shape: one shuffle on (user_id, event_type); the lag flag,
+    the running burst-id sum, the in-burst rank, and the final
+    per-burst aggregate all stay on that one sorted partition (the
+    groupBy key is a superset of the window key, so Catalyst reuses
+    the partitioning — no second exchange)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    base = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    prev = F.lag("ts_us").over(w)
+    flagged = base.withColumn(
+        "new_burst",
+        F.when(
+            prev.isNull() | ((F.col("ts_us") - prev) > 86_400_000_000),
+            1,
+        ).otherwise(0),
+    )
+    bursts = flagged.withColumn(
+        "burst_id",
+        F.sum("new_burst")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    ranked = bursts.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "event_type", "burst_id").orderBy(
+                "ts_us", "event_id"
+            )
+        ),
+    )
+    return ranked.groupBy("user_id", "event_type", "burst_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("event_id")))
+        .cast("bigint")
+        .alias("kept_event_id"),
+        F.min("ts_us").cast("bigint").alias("burst_start_us"),
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+    )
+
+
+@query(
+    "q182_vocab_oov_audit",
+    """
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rk
+        FROM toks GROUP BY w
+      ) WHERE rk <= 1000
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.w IS NULL) AS BIGINT) AS n_oov,
+           CAST(COUNT(*) FILTER (WHERE v.w IS NULL) * 1000000
+                // COUNT(*) AS BIGINT) AS oov_micro
+    FROM toks t LEFT JOIN vocab v USING (w)
+    GROUP BY source
+    """,
+)
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-coverage (OOV) audit: build the top-1000-word
+    vocabulary from the corpus itself (count-desc, word-asc
+    deterministic tie-break) and report each source's out-of-vocab
+    token rate — the tokenizer-fit check a pipeline runs before
+    committing a vocab to a training run; a source with a spiking OOV
+    rate is foreign-language, boilerplate, or mojibake.
+
+    Scale shape: token counts hash-agg with map-side partials; the
+    top-k is TakeOrdered (never a global sort); the vocab (1000 rows)
+    broadcasts back onto the token stream, so the only real shuffle
+    carries (source) partial counts."""
+    docs = load_table(spark, sf, "documents")
+    toks = docs.filter(F.trim(F.col("text")) != "").select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w"))
+        .limit(1000)
+        .select("w", F.lit(1).alias("__in_vocab"))
+    )
+    joined = toks.join(F.broadcast(vocab), on="w", how="left")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("__in_vocab").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 div n_tokens")
+            .cast("bigint")
+            .alias("oov_micro"),
+        )
+    )
+
+
+@query(
+    "q183_contamination_profile",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, len(t) - 1),
+                 i -> array_to_string(t[i:i+2], ' ')))) AS g
+      FROM toks WHERE len(t) >= 3
+    ),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 53 = 0)
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(e.g) AS BIGINT) AS n_shared,
+           CAST(COUNT(e.g) * 1000000 // COUNT(*) AS BIGINT) AS shared_micro
+    FROM grams g LEFT JOIN ev e ON g.g = e.g
+    WHERE g.doc_id % 53 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def q183(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document contamination PROFILE against the deterministic
+    eval slice (doc_id % 53): not just who overlaps (q48) but how much
+    — the distinct-3-gram overlap fraction in exact integer
+    micro-units, so the drop threshold stays a downstream decision.
+
+    Scale shape: the eval gram set broadcasts; ONE corpus gram scan is
+    marked map-side by the broadcast left join and aggregated per doc
+    — the only shuffle carries (doc_id, hit-flag) pairs."""
+    docs = load_table(spark, sf, "documents")
+    ev = docs.filter(F.col("doc_id") % 53 == 0)
+    return D.contamination_profile(docs, ev, n=3)
+
+
+@query(
+    "q184_embedding_centroid_drift",
+    """
+    WITH comp AS (
+      SELECT label, vec_id % 2 AS snap,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000000)
+                  AS BIGINT) AS nano
+      FROM embeddings
+    ),
+    sums AS (
+      SELECT label, pos,
+             SUM(CASE WHEN snap = 0 THEN nano END) AS a,
+             SUM(CASE WHEN snap = 1 THEN nano END) AS b
+      FROM comp GROUP BY label, pos
+    ),
+    terms AS (
+      SELECT label, pos,
+             CAST(a AS DOUBLE) * CAST(b AS DOUBLE) AS ab,
+             CAST(a AS DOUBLE) * CAST(a AS DOUBLE) AS aa,
+             CAST(b AS DOUBLE) * CAST(b AS DOUBLE) AS bb
+      FROM sums WHERE a IS NOT NULL AND b IS NOT NULL
+    ),
+    folded AS (
+      SELECT label,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list(ab ORDER BY pos)), (x, y) -> x + y) AS ab,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list(aa ORDER BY pos)), (x, y) -> x + y) AS aa,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         list(bb ORDER BY pos)), (x, y) -> x + y) AS bb
+      FROM terms GROUP BY label
+    ),
+    counts AS (
+      SELECT label,
+             SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+      FROM embeddings GROUP BY label
+    )
+    SELECT f.label,
+           CAST(c.n_a AS BIGINT) AS n_a,
+           CAST(c.n_b AS BIGINT) AS n_b,
+           f.ab / (sqrt(f.aa) * sqrt(f.bb)) AS centroid_cosine
+    FROM folded f JOIN counts c USING (label)
+    WHERE c.n_a > 0 AND c.n_b > 0
+    """,
+)
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding centroid drift between two corpus snapshots (vec_id
+    parity as the snapshot split): per-label cosine between the
+    snapshot centroids — the semantic-drift monitor a pipeline runs
+    when a new crawl lands.  The 1/n scaling cancels inside the
+    cosine, so the whole computation runs on exact BIGINT nano-unit
+    SUM vectors (``embed.centroid_drift``); floor-truncation avoids
+    every rounding-tie exposure, and the three dot products are left
+    folds in position order over float64 (the repo's standard
+    cross-engine dot-product form) — bit-stable across engines and
+    partitionings.
+
+    Scale shape: one scan + one (label, pos)-keyed hash-agg with
+    map-side partials; the fold is d-sized per label and the count
+    join broadcasts."""
+    from graphdb_neo4j_spark.operators.embed import centroid_drift
+
+    emb = load_table(spark, sf, "embeddings").select(
+        "label",
+        (F.col("vec_id") % 2).alias("snap"),
+        "embedding",
+    )
+    return centroid_drift(emb, group_col="label", snap_col="snap")
