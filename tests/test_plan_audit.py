@@ -798,3 +798,74 @@ def test_q178_fd_audit_no_joins(spark):
     """Each FD check is aggregation-only: no joins anywhere."""
     tree = _plan_tree(QUERY_FNS["q178_fd_audit"](spark, SF))
     assert "Join" not in tree, tree
+
+
+def test_q179_asof_lookup_no_joins_no_single_partition(spark):
+    """The SCD2 lookup is the union-window as-of: four user-partitioned
+    windows, TWO exchanges (dimension build + as-of union), and NO join
+    operator at all — the interval join the oracle states never
+    materializes."""
+    df = QUERY_FNS["q179_scd2_asof_lookup"](spark, SF)
+    plan = explain_str(df)
+    tree = _plan_tree(df)
+    assert "Join" not in tree, tree
+    assert "SinglePartition" not in plan, plan
+    # 4 logical window specs; Spark may split the shared-spec pair
+    assert 4 <= tree.count("Window") <= 5, tree
+    assert tree.count("Exchange") == 2, tree
+
+
+def test_q180_golden_record_single_shuffle(spark):
+    """Survivorship is ONE shuffle on user_id: all three window frames
+    and the rn=1 pick share the same sorted partition; no joins."""
+    df = QUERY_FNS["q180_golden_record"](spark, SF)
+    tree = _plan_tree(df)
+    assert "Join" not in tree, tree
+    assert tree.count("Exchange") == 1, tree
+    assert "SinglePartition" not in explain_str(df)
+
+
+def test_q181_burst_dedup_groupby_reuses_window_partitioning(spark):
+    """The per-burst aggregate groups on a superset of the window key,
+    so Catalyst reuses the (user, type) partitioning — one exchange for
+    the whole query, map-side partial agg, no joins."""
+    df = QUERY_FNS["q181_burst_dedup"](spark, SF)
+    tree = _plan_tree(df)
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
+    assert "partial" in explain_str(df).lower()
+
+
+def test_q182_vocab_is_takeordered_and_broadcast(spark):
+    """Top-1000 vocab is TakeOrdered (never a global sort) and rides a
+    broadcast back onto the token stream."""
+    df = QUERY_FNS["q182_vocab_oov_audit"](spark, SF)
+    tree = _plan_tree(df)
+    assert "TakeOrderedAndProject" in tree, tree
+    assert tree.count("BroadcastHashJoin") == 1, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "Sort [cnt" not in explain_str(df), "global sort leaked"
+
+
+def test_q183_contamination_profile_broadcast_only(spark):
+    """Eval-id anti-join and eval-gram membership join BOTH broadcast —
+    the corpus side is one exploded scan, never sort-merge joined."""
+    df = QUERY_FNS["q183_contamination_profile"](spark, SF)
+    tree = _plan_tree(df)
+    assert tree.count("BroadcastHashJoin") == 2, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "partial" in explain_str(df).lower()
+
+
+def test_q184_centroid_drift_partial_agg_broadcast_counts(spark):
+    """(label, pos) nano sums aggregate with map-side partials; the
+    per-label count frame joins by broadcast; no window, no cartesian,
+    no single-partition stage."""
+    df = QUERY_FNS["q184_embedding_centroid_drift"](spark, SF)
+    plan = explain_str(df)
+    tree = _plan_tree(df)
+    assert tree.count("BroadcastHashJoin") == 1, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "Window" not in tree, tree
+    assert "SinglePartition" not in plan, plan
+    assert "partial" in plan.lower()
