@@ -10072,3 +10072,445 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
         "embedding",
     )
     return centroid_drift(emb, group_col="label", snap_col="snap")
+
+
+@query(
+    "q185_event_trigram_patterns",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS t1,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT t1, t2, t3,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    HAVING COUNT(DISTINCT user_id) >= 5
+    """,
+)
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential pattern mining over event streams: every
+    consecutive event-type trigram per user (order by time, event-id
+    tie-break), with occurrence count and user-level support, support
+    ≥ 5 — the funnel-discovery primitive behind 'what do users do in
+    threes'.
+
+    Scale shape: one shuffle on user_id for the two LEADs, then a
+    (t1,t2,t3)-keyed hash-agg with map-side partials; the trigram
+    alphabet is tiny so the final agg is cells, not data."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+    ).select(
+        "user_id",
+        "t1",
+        F.lead("t1", 1).over(w).alias("t2"),
+        F.lead("t1", 2).over(w).alias("t3"),
+    )
+    return (
+        seq.filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .filter(F.col("n_users") >= 5)
+    )
+
+
+@query(
+    "q186_rfm_segmentation",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             MAX(CAST(epoch(o_orderdate) AS BIGINT)) AS last_us,
+             COUNT(*) AS freq,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+             NTILE(4) OVER (ORDER BY last_us DESC, o_custkey) AS r,
+             NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+             NTILE(4) OVER (ORDER BY cents DESC, o_custkey) AS m
+      FROM cust
+    )
+    SELECT r, f, m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(o_custkey) AS BIGINT) AS sample_customer
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def q186(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation: quartile-score every purchasing customer on
+    Recency / Frequency / Monetary (1 = best) and count the 4×4×4
+    segment cells.  The oracle states the three NTILE(4)s over global
+    orders; a Spark NTILE over an unpartitioned window collapses to
+    ONE task, so the Spark side assigns identical buckets from three
+    DISTRIBUTED total orders (``ntile_distributed``: range shuffle +
+    per-partition rank + driver-side cumulative counts — one int per
+    partition crosses the driver).  DESC orders become ASC on the
+    negated metric with the same key tie-break.
+
+    The three index checkpoints are released deterministically after
+    the ≤64-cell result materializes (q70's consume-in-query
+    contract)."""
+    from graphdb_neo4j_spark.operators.order import ntile_distributed
+
+    o = load_table(spark, sf, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max(F.unix_timestamp(F.col("o_orderdate"))).alias("last_us"),
+        F.count("*").alias("freq"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("cents"),
+    )
+    tiles = []
+    handles = []
+    for metric, out in (("last_us", "r"), ("freq", "f"), ("cents", "m")):
+        proj = cust.select(
+            "o_custkey", (-F.col(metric)).alias("__neg")
+        )
+        tiled = ntile_distributed(
+            proj, ["__neg", "o_custkey"], k=4, out_col=out
+        )
+        tiles.append(tiled.select("o_custkey", out))
+        handles.append(tiled.checkpoint_handle)
+    joined = tiles[0].join(tiles[1], "o_custkey").join(tiles[2], "o_custkey")
+    cells = joined.groupBy("r", "f", "m").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.min("o_custkey").cast("bigint").alias("sample_customer"),
+    )
+    out = cells.localCheckpoint(eager=True)
+    for h in handles:
+        h.release()
+    return out
+
+
+@query(
+    "q187_winsorized_revenue",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    cut AS (
+      SELECT o_orderpriority,
+             MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+                      THEN cents END) AS lo,
+             MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                      THEN cents END) AS hi
+      FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT r.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN cents < lo THEN lo
+                         WHEN cents > hi THEN hi
+                         ELSE cents END) AS BIGINT) AS sum_winsor_cents,
+           CAST(SUM(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped
+    FROM ranked r JOIN cut c USING (o_orderpriority)
+    GROUP BY r.o_orderpriority
+    """,
+)
+def q187(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized robust revenue stats per order priority: clamp order
+    values at the exact discrete p05/p95 (percentile_disc semantics —
+    the value at row ⌈q·n⌉, q62's portable index math) and report
+    raw vs winsorized exact-cents sums plus the clamp count — the
+    outlier-robust aggregate a metrics pipeline publishes when a few
+    fat-finger orders would swamp a mean.
+
+    Scale shape: one shuffle on the 5-value priority key; rank +
+    count windows and the final aggregate share it; the 5-row cut
+    frame broadcasts back."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    wr = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        _cents(F.col("o_totalprice")).alias("cents"),
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    cut = ranked.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.05 * F.col("n")).cast("bigint"),
+                F.col("cents"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("n")).cast("bigint"),
+                F.col("cents"),
+            )
+        ).alias("hi"),
+    )
+    joined = ranked.join(F.broadcast(cut), "o_orderpriority")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum(
+            F.when(F.col("cents") < F.col("lo"), F.col("lo"))
+            .when(F.col("cents") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("cents"))
+        )
+        .cast("bigint")
+        .alias("sum_winsor_cents"),
+        F.sum(
+            (
+                (F.col("cents") < F.col("lo"))
+                | (F.col("cents") > F.col("hi"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_clamped"),
+    )
+
+
+@query(
+    "q188_kneser_ney_bigrams",
+    """
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || chr(31) || t[i+1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    big AS (
+      SELECT split_part(g, chr(31), 1) AS w1,
+             split_part(g, chr(31), 2) AS w2,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM grams GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT w1, CAST(SUM(c) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1p_fw
+      FROM big GROUP BY w1
+    ),
+    cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bw FROM big GROUP BY w2
+    ),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_types FROM big)
+    SELECT b.w1, b.w2, b.c,
+           CAST((b.c * 1000000 - 750000) // x.c1
+                + ((750000 * x.n1p_fw // x.c1)
+                   * (n.n1p_bw * 1000000 // t.t_types)) // 1000000
+                AS BIGINT) AS p_kn_micro
+    FROM big b
+    JOIN ctx x USING (w1)
+    JOIN cont n USING (w2)
+    CROSS JOIN tt t
+    WHERE b.c >= 5
+    """,
+)
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (absolute discount
+    D = 0.75, Chen–Goodman 1999 formulation) in exact integer
+    micro-units: ``max(c−D,0)/c(w1) + λ(w1)·P_cont(w2)`` where the
+    continuation probability counts UNIQUE left contexts — the LM
+    quality-scoring table one step up from q93's raw bigram LM.
+    Every division is integer floor on non-negative operands with the
+    SAME nesting in both engines, so the table is bit-exact.
+
+    Scale shape: bigram counts hash-agg from one corpus scan; the two
+    marginal tables re-agg from the (already tiny) bigram table; the
+    scalar type-count rides a broadcast cross join; the final joins
+    shuffle bigram-type-sized frames only (c ≥ 5 filter applied before
+    output)."""
+    docs = load_table(spark, sf, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    toks = docs.filter(F.trim(F.col("text")) != "").select(t.alias("t"))
+    pairs = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("p")
+    )
+    big = (
+        pairs.select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("c1"),
+        F.count("*").cast("bigint").alias("n1p_fw"),
+    )
+    cont = big.groupBy("w2").agg(
+        F.count("*").cast("bigint").alias("n1p_bw")
+    )
+    tt = big.agg(F.count("*").cast("bigint").alias("t_types"))
+    return (
+        big.filter(F.col("c") >= 5)
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.expr(
+                "cast((c * 1000000 - 750000) div c1"
+                " + ((750000 * n1p_fw div c1)"
+                "    * (n1p_bw * 1000000 div t_types)) div 1000000"
+                " as bigint)"
+            ).alias("p_kn_micro"),
+        )
+    )
+
+
+@query(
+    "q189_conversion_lag",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN epoch_us(ts) END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST((first_purchase - first_view) // 86400000000 AS BIGINT)
+             AS lag_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM firsts
+    WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+      AND first_purchase >= first_view
+    GROUP BY 1
+    """,
+)
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-conversion distribution: days between each user's first
+    view and first purchase (view-first users only), bucketed by whole
+    days — the activation-funnel latency histogram.
+
+    Scale shape: ONE user-keyed hash-agg with map-side partials (the
+    two firsts are conditional MINs, not window passes), then a
+    cells-sized regroup on lag_days."""
+    e = load_table(spark, sf, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", ts_us)).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", ts_us)).alias(
+            "first_purchase"
+        ),
+    )
+    return (
+        firsts.filter(
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_view"))
+        )
+        .select(
+            F.expr(
+                "(first_purchase - first_view) div 86400000000"
+            )
+            .cast("bigint")
+            .alias("lag_days")
+        )
+        .groupBy("lag_days")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+@query(
+    "q190_revenue_gini",
+    """
+    WITH cust AS (
+      SELECT c.c_nationkey AS nation,
+             o.o_custkey,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    ranked AS (
+      SELECT nation, cents,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY cents, o_custkey) AS i,
+             COUNT(*) OVER (PARTITION BY nation) AS n
+      FROM cust
+    )
+    SELECT nation,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST(2 * SUM(i * cents) - (MAX(n) + 1) * SUM(cents) AS DOUBLE)
+             / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)) AS gini
+    FROM ranked GROUP BY nation
+    """,
+)
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation revenue Gini coefficient — inequality of customer
+    spend (0 = equal, →1 = concentrated), the distributional
+    companion to q162's Herfindahl: ``(2·Σi·xᵢ − (n+1)·Σx) /
+    (n·Σx)`` with x ascending.  Everything up to the final division
+    is exact BIGINT on integer cents (rank tie-break by customer
+    key), so the one double expression is IEEE-deterministic.
+
+    Scale shape: customer rollup shuffles on (nation, custkey); the
+    rank window re-shuffles to nation partitions (25 groups — bounded
+    by the dimension, with per-partition data fitting because the
+    frame is post-aggregation customer-sized, not order-sized); the
+    Gini fold shares that partition."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    cust = (
+        o.join(
+            F.broadcast(
+                c.select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_nationkey").alias("nation"),
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("nation", "o_custkey")
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("cents"))
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("nation").orderBy("cents", "o_custkey")
+    wp = Window.partitionBy("nation")
+    ranked = cust.select(
+        "nation",
+        "cents",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(wp).alias("n"),
+    )
+    return ranked.groupBy("nation").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+        (
+            (
+                2 * F.sum(F.col("i") * F.col("cents"))
+                - (F.max("n") + 1) * F.sum("cents")
+            ).cast("double")
+            / (F.max("n").cast("double") * F.sum("cents").cast("double"))
+        ).alias("gini"),
+    )

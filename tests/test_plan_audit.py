@@ -869,3 +869,80 @@ def test_q184_centroid_drift_partial_agg_broadcast_counts(spark):
     assert "Window" not in tree, tree
     assert "SinglePartition" not in plan, plan
     assert "partial" in plan.lower()
+
+
+def test_q185_trigrams_one_window_then_cells(spark):
+    """Two LEADs share one user-partitioned window; the trigram agg is
+    a cells-sized hash-agg with partials — no joins."""
+    df = QUERY_FNS["q185_event_trigram_patterns"](spark, SF)
+    tree = _plan_tree(df)
+    plan = explain_str(df)
+    assert tree.count("Window") == 1, tree
+    assert "Join" not in tree, tree
+    assert "SinglePartition" not in plan, plan
+    assert "partial" in plan.lower()
+
+
+def test_q186_rfm_releases_index_checkpoints(spark):
+    """Three distributed-NTILE index checkpoints are released in-query
+    (q70's consume-in-query contract): repeated runs leave only the
+    ≤64-cell result blocks behind."""
+    from graphdb_neo4j_spark.workloads import QUERY_FNS as Q
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = {i.id() for i in jsc.getRDDStorageInfo()}
+    for _ in range(2):
+        Q["q186_rfm_segmentation"](spark, "/root/testdata/sf0.001").collect()
+    infos = [i for i in jsc.getRDDStorageInfo() if i.id() not in before]
+    for i in infos:
+        assert i.memSize() + i.diskSize() < 64 * 1024, (
+            str(i.name()), i.memSize(), i.diskSize()
+        )
+
+
+def test_q187_winsorize_single_priority_shuffle(spark):
+    """Rank/count windows and the final aggregate share the 5-key
+    priority partitioning; the 5-row cut frame broadcasts back — one
+    data-sized exchange, never sort-merge."""
+    df = QUERY_FNS["q187_winsorized_revenue"](spark, SF)
+    tree = _plan_tree(df)
+    assert tree.count("BroadcastHashJoin") == 1, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert tree.count("Window") == 2, tree
+    assert "SinglePartition" not in explain_str(df)
+
+
+def test_q188_kn_bigrams_no_cartesian_partial_aggs(spark):
+    """Bigram/marginal tables are hash-aggs with map-side partials;
+    the scalar type count rides a broadcast (its 1-row agg is the only
+    single-partition stage); no cartesian product anywhere."""
+    df = QUERY_FNS["q188_kneser_ney_bigrams"](spark, SF)
+    plan = explain_str(df)
+    tree = _plan_tree(df)
+    assert "CartesianProduct" not in tree, tree
+    assert "partial" in plan.lower()
+    # the only SinglePartition exchange feeds the 1-row scalar count
+    assert plan.count("SinglePartition") <= 2, plan
+
+
+def test_q189_conversion_lag_agg_only(spark):
+    """Two conditional MINs in ONE user-keyed hash-agg (no window
+    pass), then a cells regroup — no joins, no single partition."""
+    df = QUERY_FNS["q189_conversion_lag"](spark, SF)
+    tree = _plan_tree(df)
+    plan = explain_str(df)
+    assert "Join" not in tree, tree
+    assert "Window" not in tree, tree
+    assert "SinglePartition" not in plan, plan
+    assert "partial" in plan.lower()
+
+
+def test_q190_gini_broadcast_dim_shared_nation_partition(spark):
+    """Customer→nation is a broadcast; rank/count windows and the Gini
+    fold share the nation partitioning — no sort-merge join, no
+    single-partition stage."""
+    df = QUERY_FNS["q190_revenue_gini"](spark, SF)
+    tree = _plan_tree(df)
+    assert tree.count("BroadcastHashJoin") == 1, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "SinglePartition" not in explain_str(df)
