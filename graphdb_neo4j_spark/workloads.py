@@ -10514,3 +10514,307 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
             / (F.max("n").cast("double") * F.sum("cents").cast("double"))
         ).alias("gini"),
     )
+
+
+@query(
+    "q191_cohort_ltv",
+    """
+    WITH firsts AS (
+      SELECT o_custkey, MIN(CAST(epoch(o_orderdate) AS BIGINT)) AS first_s
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(first_s // 2592000 AS BIGINT) AS cohort,
+           CAST((CAST(epoch(o.o_orderdate) AS BIGINT) - first_s) // 2592000
+                AS BIGINT) AS periods_since,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN firsts f USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+)
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by
+    first-purchase 30-day cohort × periods-since, with active-customer
+    and exact-cents revenue per cell — q173's retention matrix upgraded
+    from presence to VALUE (the LTV curve input).
+
+    Scale shape: first-order epoch is a custkey hash-agg; it joins
+    back on the same key (co-partitioned — Catalyst reuses the
+    exchange), then a cells-sized regroup."""
+    o = load_table(spark, sf, "orders")
+    sec = F.unix_timestamp(F.col("o_orderdate"))
+    firsts = o.groupBy("o_custkey").agg(F.min(sec).alias("first_s"))
+    joined = o.select("o_custkey", sec.alias("s"), "o_totalprice").join(
+        firsts, "o_custkey"
+    )
+    return (
+        joined.select(
+            F.expr("first_s div 2592000").cast("bigint").alias("cohort"),
+            F.expr("(s - first_s) div 2592000")
+            .cast("bigint")
+            .alias("periods_since"),
+            "o_custkey",
+            "o_totalprice",
+        )
+        .groupBy("cohort", "periods_since")
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_active"),
+            F.sum(_cents(F.col("o_totalprice")))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "q192_clamped_running_balance",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(ROUND(value * 100) AS BIGINT)
+                  ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS delta
+      FROM events
+    ),
+    counts AS (SELECT user_id, MAX(rn) AS n FROM seq GROUP BY user_id),
+    rec AS (
+      SELECT user_id, rn, GREATEST(delta, 0) AS bal,
+             CASE WHEN delta < 0 THEN 1 ELSE 0 END AS clamps
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, GREATEST(r.bal + s.delta, 0),
+             r.clamps + CASE WHEN r.bal + s.delta < 0 THEN 1 ELSE 0 END
+      FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT r.user_id,
+           CAST(r.bal AS BIGINT) AS final_balance_cents,
+           CAST(r.clamps AS BIGINT) AS n_clamps,
+           CAST(c.n AS BIGINT) AS n_events
+    FROM rec r JOIN counts c ON r.user_id = c.user_id AND r.rn = c.n
+    """,
+)
+def q192(spark: SparkSession, sf: str) -> DataFrame:
+    """Clamped running balance per user (credits: purchase/signup;
+    debits: everything else; balance floors at zero): the
+    NON-LINEAR sequential recurrence ``bal = max(0, bal + δ)`` that no
+    window frame can express — max-of-prefix tricks break at the first
+    clamp.  This is the designated Arrow-batched escape hatch: ONE
+    ``applyInPandas`` over user partitions, a numpy scan per group,
+    exact integer cents throughout.  The oracle replays the same
+    recurrence as a DuckDB recursive CTE stepping rn→rn+1.
+
+    Scale shape: one shuffle on user_id; per-group state is O(1) and
+    group size is bounded by events-per-user — the same contract as
+    sessionization.  At 100 TB this is the pattern for account
+    balances, token buckets, and inventory with floors."""
+    import pandas as pd
+
+    e = load_table(spark, sf, "events")
+    delta = F.when(
+        F.col("event_type").isin("purchase", "signup"),
+        _cents(F.col("value")),
+    ).otherwise(-_cents(F.col("value")))
+    base = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        delta.alias("delta"),
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        bal, clamps = 0, 0
+        for d in pdf["delta"].to_numpy():
+            nxt = bal + int(d)
+            if nxt < 0:
+                clamps += 1
+                bal = 0
+            else:
+                bal = nxt
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "final_balance_cents": [bal],
+                "n_clamps": [clamps],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    return base.groupBy("user_id").applyInPandas(
+        scan,
+        "user_id long, final_balance_cents long, n_clamps long, "
+        "n_events long",
+    )
+
+
+@query(
+    "q193_hourly_rate_anomalies",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(n) AS BIGINT) AS s1,
+             CAST(SUM(n * n) AS BIGINT) AS s2
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hb, h.n
+    FROM hourly h JOIN stats t USING (event_type)
+    WHERE t.m >= 2
+      AND (h.n * t.m - t.s1) > 0
+      AND CAST(h.n * t.m - t.s1 AS DECIMAL(38,0))
+          * CAST(h.n * t.m - t.s1 AS DECIMAL(38,0))
+          * CAST(t.m - 1 AS DECIMAL(38,0))
+          > CAST(9 AS DECIMAL(38,0)) * CAST(t.m AS DECIMAL(38,0))
+            * CAST(t.m * t.s2 - t.s1 * t.s1 AS DECIMAL(38,0))
+    """,
+)
+def q193(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly event-rate anomaly detection with an EXACT integer
+    z-score test: flag (type, hour) cells whose count sits more than
+    3 sample standard deviations above the type's mean — the
+    cross-multiplied form ``(n·m − S)²·(m−1) > 9·m·(m·Σn² − S²)``
+    never computes a float, so the anomaly set is bit-identical in
+    every engine (products ride DECIMAL(38,0) to stay overflow-proof
+    at any scale).
+
+    Scale shape: counts shrink to the (type, hour) grid in one
+    map-side-combined agg; the 5-row stats frame broadcasts back."""
+    e = load_table(spark, sf, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.expr("cast(ts as long) div 3600").cast("bigint").alias("hb"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    joined = hourly.join(F.broadcast(stats), "event_type")
+    dev = F.col("n") * F.col("m") - F.col("s1")
+    d38 = lambda c: c.cast("decimal(38,0)")
+    return joined.filter(
+        (F.col("m") >= 2)
+        & (dev > 0)
+        & (
+            d38(dev) * d38(dev) * d38(F.col("m") - 1)
+            > d38(F.lit(9))
+            * d38(F.col("m"))
+            * d38(F.col("m") * F.col("s2") - F.col("s1") * F.col("s1"))
+        )
+    ).select("event_type", "hb", "n")
+
+
+@query(
+    "q194_session_entry_exit",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                       OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS sess_id
+      FROM gaps
+    ),
+    ends AS (
+      SELECT user_id, sess_id,
+             first_value(event_type) OVER v AS entry_type,
+             last_value(event_type) OVER v AS exit_type,
+             COUNT(*) OVER (PARTITION BY user_id, sess_id) AS n_events,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sess_id
+                                ORDER BY ts_us, event_id) AS rn
+      FROM sess
+      WINDOW v AS (PARTITION BY user_id, sess_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)
+    )
+    SELECT entry_type, exit_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces
+    FROM ends WHERE rn = 1
+    GROUP BY entry_type, exit_type
+    """,
+)
+def q194(spark: SparkSession, sf: str) -> DataFrame:
+    """Session entry/exit matrix: q11's 30-minute sessionization
+    extended to landing/leaving analysis — for every (first event
+    type, last event type) pair, how many sessions, how many events
+    they carried, and how many were single-event bounces.
+
+    Scale shape: the gap flag, running session id, per-session
+    first/last frame, and the rn=1 pick are all windows over ONE
+    user_id shuffle (session keys are supersets); the final matrix is
+    |event types|² cells."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+    )
+    prev = F.lag("ts_us").over(w)
+    gaps = base.withColumn(
+        "new_session",
+        F.when(
+            prev.isNull() | ((F.col("ts_us") - prev) > 1_800_000_000), 1
+        ).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "sess_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    v = (
+        Window.partitionBy("user_id", "sess_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ends = sess.select(
+        "user_id",
+        "sess_id",
+        F.first("event_type").over(v).alias("entry_type"),
+        F.last("event_type").over(v).alias("exit_type"),
+        F.count("*")
+        .over(Window.partitionBy("user_id", "sess_id"))
+        .alias("n_events"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id", "sess_id").orderBy(
+                "ts_us", "event_id"
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        ends.filter(F.col("rn") == 1)
+        .groupBy("entry_type", "exit_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum((F.col("n_events") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_bounces"),
+        )
+    )

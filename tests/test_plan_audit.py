@@ -946,3 +946,50 @@ def test_q190_gini_broadcast_dim_shared_nation_partition(spark):
     assert tree.count("BroadcastHashJoin") == 1, tree
     assert "SortMergeJoin" not in tree, tree
     assert "SinglePartition" not in explain_str(df)
+
+
+def test_q191_cohort_ltv_no_cartesian(spark):
+    """First-order epoch joins back on the aggregation key (broadcast
+    at this SF; co-partitioned at scale) — never cartesian, partial
+    aggs everywhere."""
+    df = QUERY_FNS["q191_cohort_ltv"](spark, SF)
+    plan = explain_str(df)
+    tree = _plan_tree(df)
+    assert "CartesianProduct" not in tree, tree
+    assert "partial" in plan.lower()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_q192_balance_single_shuffle_arrow_scan(spark):
+    """The clamp recurrence is ONE user-keyed exchange into ONE
+    Arrow-grouped scan (FlatMapGroupsInPandas) — the designated
+    escape-hatch shape, nothing else in the plan."""
+    df = QUERY_FNS["q192_clamped_running_balance"](spark, SF)
+    tree = _plan_tree(df)
+    assert "FlatMapGroupsInPandas" in tree, tree
+    assert tree.count("Exchange") == 1, tree
+    assert "Join" not in tree, tree
+
+
+def test_q193_anomalies_stats_broadcast(spark):
+    """Counts shrink to the (type, hour) grid before anything joins;
+    the 5-row stats frame is a broadcast; the z-test is pure
+    integer/decimal codegen — no window, no single partition."""
+    df = QUERY_FNS["q193_hourly_rate_anomalies"](spark, SF)
+    tree = _plan_tree(df)
+    plan = explain_str(df)
+    assert tree.count("BroadcastHashJoin") == 1, tree
+    assert "Window" not in tree, tree
+    assert "SinglePartition" not in plan, plan
+    assert "partial" in plan.lower()
+
+
+def test_q194_entry_exit_one_user_shuffle(spark):
+    """All four window passes (gap flag, session id, first/last frame,
+    rn) nest on the user_id partitioning: exactly two exchanges total
+    (user shuffle + final cells regroup), no joins."""
+    df = QUERY_FNS["q194_session_entry_exit"](spark, SF)
+    tree = _plan_tree(df)
+    assert tree.count("Exchange") == 2, tree
+    assert "Join" not in tree, tree
+    assert tree.count("Window") == 4, tree
