@@ -2741,9 +2741,14 @@ def _louvain_local_moving(
         # stay gain (k = k_stay) which dominates the k = 0 row, and when
         # it has none, k_stay IS 0 — so min(best_move, stay0) equals the
         # min over the old unioned candidate set in every case.
+        # join order matters: tot first (one c-keyed exchange of the
+        # candidate frame), THEN vstate on v — the groupBy("v") below
+        # reuses the v-partitioning of that second join, so the
+        # candidate frame crosses the wire twice per round, not three
+        # times
         scored = (
-            nbc.join(vstate, "v")
-            .join(tot, "c")
+            nbc.join(tot, "c")
+            .join(vstate, "v")
             .select(
                 "v",
                 "c",
