@@ -10818,3 +10818,266 @@ def q194(spark: SparkSession, sf: str) -> DataFrame:
             .alias("n_bounces"),
         )
     )
+
+
+@query(
+    "q195_nation_harmonic_centrality",
+    """
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT s.s_nationkey AS a, c.c_nationkey AS b
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+    ),
+    und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    vs AS (SELECT DISTINCT a AS v FROM und),
+    r AS (
+      SELECT v AS src, v, 0 AS d FROM vs
+      UNION
+      SELECT r.src, und.b, r.d + 1 FROM r JOIN und ON und.a = r.v
+      WHERE r.d < 30
+    ),
+    dist AS (SELECT src, v, MIN(d) AS d FROM r GROUP BY src, v)
+    SELECT CAST(v AS BIGINT) AS key,
+           CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_micro
+    FROM dist WHERE d > 0 GROUP BY v
+    """,
+)
+def q195(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT harmonic centrality of the nation-level supply graph
+    (nations adjacent when any supplier in one ships a line item to a
+    customer in the other): the heavy lifting is the DATA-SIZED
+    4-table join that derives the edge list; the centrality itself
+    runs the tagged multi-source BFS on the bounded dimension graph in
+    exact integer micro-units (``traversal.harmonic_centrality_exact``
+    — bit-portable, unlike order-dependent float 1/d sums).  The
+    oracle replays the BFS as a WITH RECURSIVE fixpoint + MIN-distance
+    fold.
+
+    Scale shape: lineitem joins orders / customer / supplier with
+    broadcast dimensions, shrinks to ≤ 25² distinct pairs BEFORE the
+    BFS; the sweep is diameter-bounded rounds over a |V|²-bounded
+    tagged frontier — the dimension-graph contract."""
+    from graphdb_neo4j_spark.operators.traversal import (
+        harmonic_centrality_exact,
+    )
+
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    s = load_table(spark, sf, "supplier")
+    e0 = (
+        l.select("l_orderkey", "l_suppkey")
+        .join(
+            F.broadcast(o.select("o_orderkey", "o_custkey")),
+            l["l_orderkey"] == o["o_orderkey"],
+        )
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("a"), F.col("c_nationkey").alias("b")
+        )
+        .distinct()
+    )
+    und = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    edges = und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    return harmonic_centrality_exact(edges, directed=True).select(
+        F.col("key").cast("bigint").alias("key"), "harmonic_micro"
+    )
+
+
+@query(
+    "q196_degree_assortativity",
+    """
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem
+    ),
+    od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS xd FROM e GROUP BY src),
+    idg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS yd FROM e GROUP BY dst),
+    xy AS (
+      SELECT od.xd AS x, idg.yd AS y
+      FROM e JOIN od USING (src) JOIN idg USING (dst)
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM xy
+    )
+    SELECT m, sx, sy, sxy, sxx, syy,
+           CAST(CAST(m AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0))
+                - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                AS DOUBLE)
+           / (sqrt(CAST(CAST(m AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+                        - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+                        AS DOUBLE))
+              * sqrt(CAST(CAST(m AS DECIMAL(38,0)) * CAST(syy AS DECIMAL(38,0))
+                          - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                          AS DOUBLE))) AS assortativity
+    FROM s
+    """,
+)
+def q196(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-in degree assortativity of the supplier→part supply graph
+    (Newman 2002: Pearson correlation of (out-deg(src), in-deg(dst))
+    over edges — do high-throughput suppliers feed popular parts?).
+    The six moments are exact BIGINTs; the combination rides
+    DECIMAL(38,0) so ``m·Σxy`` can never overflow at any scale, and
+    the single double expression at the end is IEEE-deterministic.
+
+    Scale shape: distinct edges, two degree hash-aggs, then the edge
+    scan re-joins its own degree tables (src-keyed join reuses the
+    out-degree partitioning; dst-keyed join is the one real shuffle)
+    and folds to ONE row — the scalar agg's single partition carries
+    6 numbers, not data."""
+    l = load_table(spark, sf, "lineitem")
+    e = l.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).distinct()
+    od = e.groupBy("src").agg(F.count("*").cast("bigint").alias("xd"))
+    idg = e.groupBy("dst").agg(F.count("*").cast("bigint").alias("yd"))
+    xy = (
+        e.join(od, "src")
+        .join(idg, "dst")
+        .select(F.col("xd").alias("x"), F.col("yd").alias("y"))
+    )
+    s = xy.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    d38 = lambda c: F.col(c).cast("decimal(38,0)")
+    return s.select(
+        "m",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        (
+            (d38("m") * d38("sxy") - d38("sx") * d38("sy")).cast("double")
+            / (
+                F.sqrt(
+                    (d38("m") * d38("sxx") - d38("sx") * d38("sx")).cast(
+                        "double"
+                    )
+                )
+                * F.sqrt(
+                    (d38("m") * d38("syy") - d38("sy") * d38("sy")).cast(
+                        "double"
+                    )
+                )
+            )
+        ).alias("assortativity"),
+    )
+
+
+@query(
+    "q197_rich_club",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT LEAST(p, np) AS a, GREATEST(p, np) AS b
+      FROM (
+        SELECT p, LEAD(p) OVER (PARTITION BY o ORDER BY ln, p) AS np
+        FROM (SELECT l_orderkey AS o, l_partkey AS p,
+                     MIN(l_linenumber) AS ln
+              FROM lineitem GROUP BY l_orderkey, l_partkey)
+      ) WHERE np IS NOT NULL AND p <> np
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0
+      ) GROUP BY v
+    ),
+    ks AS (SELECT unnest([4, 8, 16]) AS k)
+    SELECT k,
+           CAST((SELECT COUNT(*) FROM deg WHERE d > k) AS BIGINT)
+             AS n_rich,
+           CAST((SELECT COUNT(*) FROM e0
+                 JOIN deg da ON da.v = e0.a AND da.d > k
+                 JOIN deg db ON db.v = e0.b AND db.d > k) AS BIGINT)
+             AS e_rich,
+           CAST(CASE
+             WHEN (SELECT COUNT(*) FROM deg WHERE d > k) >= 2
+             THEN (SELECT COUNT(*) FROM e0
+                   JOIN deg da ON da.v = e0.a AND da.d > k
+                   JOIN deg db ON db.v = e0.b AND db.d > k) * 2000000
+                  // ((SELECT COUNT(*) FROM deg WHERE d > k)
+                      * ((SELECT COUNT(*) FROM deg WHERE d > k) - 1))
+             ELSE 0 END AS BIGINT) AS phi_micro
+    FROM ks
+    """,
+)
+def q197(spark: SparkSession, sf: str) -> DataFrame:
+    """Rich-club coefficient of the part-succession graph (q135's
+    edges, undirected): for k ∈ {4, 8, 16}, the density of the
+    subgraph induced by nodes with degree > k —
+    ``φ(k) = 2·E_rich / (N_rich·(N_rich−1))`` in exact integer
+    micro-units (hub-interconnection audit: do popular parts chain to
+    each other?).
+
+    Scale shape: one edge derivation (q135's window), one degree agg,
+    then per k a broadcast semi-join of the edge list against the
+    rich-node set — three passes over a bounded edge table, every
+    count exact."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf, "lineitem")
+    op = l.groupBy(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).agg(F.min("l_linenumber").alias("ln"))
+    w = Window.partitionBy("o").orderBy("ln", "p")
+    seq = op.select("p", F.lead("p").over(w).alias("np"))
+    e0 = (
+        seq.filter(F.col("np").isNotNull() & (F.col("p") != F.col("np")))
+        .select(
+            F.least("p", "np").alias("a"), F.greatest("p", "np").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e0.select(F.col("a").alias("v"))
+        .unionByName(e0.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("d"))
+        .localCheckpoint()
+    )
+    rows = None
+    for k in (4, 8, 16):
+        rich = deg.filter(F.col("d") > k).select("v")
+        n_rich = rich.count()
+        e_rich = (
+            e0.join(
+                F.broadcast(rich.select(F.col("v").alias("a"))), "a"
+            )
+            .join(F.broadcast(rich.select(F.col("v").alias("b"))), "b")
+            .count()
+        )
+        phi = (
+            (2_000_000 * e_rich) // (n_rich * (n_rich - 1))
+            if n_rich >= 2
+            else 0
+        )
+        row = e0.sparkSession.createDataFrame(
+            [(k, n_rich, e_rich, phi)],
+            "k int, n_rich long, e_rich long, phi_micro long",
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows

@@ -993,3 +993,41 @@ def test_q194_entry_exit_one_user_shuffle(spark):
     assert tree.count("Exchange") == 2, tree
     assert "Join" not in tree, tree
     assert tree.count("Window") == 4, tree
+
+
+def test_q195_harmonic_broadcasts_all_dimensions(spark):
+    """The 4-table edge derivation broadcasts orders/customer/supplier
+    onto the lineitem scan and shrinks to nation pairs BEFORE any
+    iteration — no sort-merge join in the derivation plan."""
+    l = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    s = load_table(spark, SF, "supplier")
+    e0 = (
+        l.select("l_orderkey", "l_suppkey")
+        .join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+              l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(F.col("s_nationkey").alias("a"),
+                F.col("c_nationkey").alias("b"))
+        .distinct()
+    )
+    tree = _plan_tree(e0)
+    assert tree.count("BroadcastHashJoin") == 3, tree
+    assert "SortMergeJoin" not in tree, tree
+
+
+def test_q196_assortativity_src_join_reuses_degree_partitioning(spark):
+    """Edges join their own degree tables: the src-keyed join reuses
+    the out-degree partitioning, so only the dst-keyed join adds an
+    exchange; the 6-moment fold is the lone single-partition stage
+    and carries 6 numbers."""
+    df = QUERY_FNS["q196_degree_assortativity"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("SinglePartition") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial" in plan.lower()

@@ -1483,3 +1483,37 @@ def test_topological_levels_dag_and_cycle(spark):
     edges3 = spark.createDataFrame([("a", "b")], ["src", "dst"])
     got3 = {r.v: r.level for r in topological_levels(nodes3, edges3).collect()}
     assert got3 == {"solo": 0, "a": 0, "b": 1}
+
+
+def test_harmonic_centrality_exact_path_graph(spark):
+    """Path a-b-c (undirected): ends collect 1/1 + 1/2 = 1.5e6 micro;
+    the middle collects 1/1 + 1/1 = 2e6."""
+    from graphdb_neo4j_spark.operators.traversal import (
+        harmonic_centrality_exact,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["src", "dst"]
+    )
+    got = {
+        r["key"]: r["harmonic_micro"]
+        for r in harmonic_centrality_exact(e, directed=False).collect()
+    }
+    assert got == {"a": 1_500_000, "b": 2_000_000, "c": 1_500_000}
+
+
+def test_harmonic_centrality_exact_directed_chain(spark):
+    """Directed a→b→c: only inbound distances count — a gets nothing
+    (absent from the output), b gets 1/1, c gets 1/1 + 1/2."""
+    from graphdb_neo4j_spark.operators.traversal import (
+        harmonic_centrality_exact,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], ["src", "dst"]
+    )
+    got = {
+        r["key"]: r["harmonic_micro"]
+        for r in harmonic_centrality_exact(e, directed=True).collect()
+    }
+    assert got == {"b": 1_000_000, "c": 1_500_000}
