@@ -16,6 +16,10 @@ from graphdb_neo4j_spark.streaming.join import (
     interval_join,
     run_interval_join_stream,
 )
+from graphdb_neo4j_spark.streaming.debounce import (
+    bursts_history,
+    streaming_debounce,
+)
 from graphdb_neo4j_spark.streaming.dim import (
     scd2_history,
     streaming_scd2,
@@ -41,6 +45,7 @@ from graphdb_neo4j_spark.streaming.text import (
 )
 
 __all__ = [
+    "bursts_history",
     "cms_fold",
     "compact_dfreq_log",
     "compact_graph_log",
@@ -61,6 +66,7 @@ __all__ = [
     "streaming_cms",
     "streaming_histogram",
     "streaming_corpus_ingest",
+    "streaming_debounce",
     "streaming_dedup_spans",
     "streaming_drift",
     "streaming_hll",

@@ -311,3 +311,58 @@ def test_streaming_histogram_clamps_out_of_range(spark, tmp_path):
     }
     # -5 clamps into bin 0; 99 clamps into the top bin
     assert cells == {("g", 0): 2, ("g", 9): 1}
+
+
+# ---------------------------------------------------------------------------
+# streaming burst debounce ≡ batch q181
+# ---------------------------------------------------------------------------
+
+def test_streaming_debounce_matches_batch(spark, tmp_path):
+    from graphdb_neo4j_spark.sources.tables import load_table
+    from graphdb_neo4j_spark.streaming.debounce import (
+        bursts_history,
+        streaming_debounce,
+    )
+    from graphdb_neo4j_spark.workloads import QUERY_FNS
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    # append-ordered split: 3 sequential time slices (the CDC contract)
+    src = str(tmp_path / "ev_stream")
+    ordered = events.orderBy("ts", "event_id").collect()
+    n = len(ordered)
+    for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+        chunk = ordered[lo: lo + (n + 2) // 3]
+        spark.createDataFrame(chunk, events.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/part{i}")
+    state = str(tmp_path / "debounce_state")
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/part*")
+    q = streaming_debounce(stream, state).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+    got = {tuple(r) for r in bursts_history(spark, state).collect()}
+    want = {
+        tuple(r)
+        for r in QUERY_FNS["q181_burst_dedup"](spark, sf)
+        .select("user_id", "event_type", "burst_id", "kept_event_id",
+                "burst_start_us", "n_events", "n_dropped")
+        .collect()
+    }
+    assert got == want
+    n_batches = (
+        spark.read.parquet(f"{state}/meta").select("batch_id").distinct().count()
+    )
+    assert n_batches >= 3
+
+    # replay safety: re-running the stream over the same files is a
+    # no-op (committed batches are skipped, history unchanged)
+    stream2 = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/part*")
+    q2 = streaming_debounce(stream2, state).trigger(availableNow=True).start()
+    q2.awaitTermination(300)
+    again = {tuple(r) for r in bursts_history(spark, state).collect()}
+    assert again == want
