@@ -11081,3 +11081,68 @@ def q197(spark: SparkSession, sf: str) -> DataFrame:
         )
         rows = row if rows is None else rows.unionByName(row)
     return rows
+
+
+@query(
+    "q198_media_decode_audit",
+    """
+    WITH imgs AS (SELECT unnest(range(0, 24)) AS media_id),
+    dims AS (
+      SELECT media_id, 16 + media_id % 5 AS w, 12 + media_id % 3 AS h
+      FROM imgs
+    ),
+    px AS (
+      SELECT media_id, w, h,
+             (media_id * 31 + y.y * 7 + x.x * 3 + c.c * 11) % 256 AS v
+      FROM dims,
+           LATERAL (SELECT unnest(range(0, h)) AS y) y,
+           LATERAL (SELECT unnest(range(0, w)) AS x) x,
+           LATERAL (SELECT unnest(range(0, 3)) AS c) c
+    )
+    SELECT media_id, 'ppm' AS format,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_val,
+           CAST(MIN(v) AS INT) AS min_val,
+           CAST(MAX(v) AS INT) AS max_val,
+           CAST(NULL AS INT) AS sample_rate
+    FROM px GROUP BY media_id, w, h
+    """,
+)
+def q198(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal decode audit under the hash gate: 24 deterministic
+    PPM P6 images (pixel (y,x,c) = (id·31 + y·7 + x·3 + c·11) mod 256)
+    are ENCODED to real binary payloads, pushed through the REAL
+    Arrow-batched decoder (``multimodal.extract_media_features`` —
+    the same mapInPandas kernel the media pipeline uses), and the
+    per-image stats must equal what the oracle derives ANALYTICALLY
+    from the generation formula — the only way to oracle-check a
+    binary codec in SQL.  Every pixel sum stays < 2⁵³, so the float
+    mean is exact in numpy, Spark, and DuckDB alike.
+
+    sf-independent by design (the payload corpus is the fixture); the
+    Spark-side value is the decode path itself: binary column in,
+    Arrow batch across, payload dropped at the stage that consumes it.
+
+    Scale shape: one mapInPandas pass, no shuffle before the stats
+    projection; blobs never outlive the decode stage."""
+    from graphdb_neo4j_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    rows = []
+    for mid in range(24):
+        w, h = 16 + mid % 5, 12 + mid % 3
+        body = bytes(
+            (mid * 31 + y * 7 + x * 3 + c * 11) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        payload = b"P6\n%d %d\n255\n" % (w, h) + body
+        rows.append((mid, bytearray(payload)))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(4)
+    return extract_media_features(media, strict=True)
