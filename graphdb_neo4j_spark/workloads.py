@@ -11105,8 +11105,7 @@ def q197(spark: SparkSession, sf: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_values,
            CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_val,
            CAST(MIN(v) AS INT) AS min_val,
-           CAST(MAX(v) AS INT) AS max_val,
-           CAST(NULL AS INT) AS sample_rate
+           CAST(MAX(v) AS INT) AS max_val
     FROM px GROUP BY media_id, w, h
     """,
 )
@@ -11145,4 +11144,137 @@ def q198(spark: SparkSession, sf: str) -> DataFrame:
     media = spark.createDataFrame(
         rows, "media_id long, payload binary"
     ).repartition(4)
-    return extract_media_features(media, strict=True)
+    # sample_rate is audio-only (all-NULL here): projected out so the
+    # compared frame carries no typed-NULL column
+    return extract_media_features(media, strict=True).drop("sample_rate")
+
+
+@query(
+    "q199_weighted_median",
+    """
+    WITH base AS (
+      SELECT o.o_orderpriority AS grp,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(ROUND(l.l_quantity * 100) AS BIGINT) AS w,
+             l.l_orderkey AS ok, l.l_linenumber AS ln
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    cum AS (
+      SELECT grp, cents, w, ok, ln,
+             SUM(w) OVER (PARTITION BY grp ORDER BY cents, ok, ln
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY grp) AS tw
+      FROM base
+    )
+    SELECT grp AS o_orderpriority,
+           CAST(MIN(cents) FILTER (WHERE 2 * cw >= tw) AS BIGINT)
+             AS weighted_median_cents,
+           CAST(MAX(tw) AS BIGINT) AS total_weight
+    FROM cum GROUP BY grp
+    """,
+)
+def q199(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact weighted median of line-item price per order priority,
+    weighted by quantity (the lower weighted median: smallest value
+    whose cumulative weight reaches half the total) — the
+    skew-robust price summary where big lots count proportionally.
+    Weights and prices are exact integer cents; the deterministic
+    (cents, orderkey, linenumber) order makes the cumulative walk
+    identical in both engines.
+
+    Scale shape: one shuffle on the 5-value priority key; cumulative
+    and total windows plus the conditional fold share that one sorted
+    partition (priority count is bounded, partitions hold
+    post-projection integers only)."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    base = l.join(
+        F.broadcast(o.select("o_orderkey", "o_orderpriority")),
+        l["l_orderkey"] == o["o_orderkey"],
+    ).select(
+        F.col("o_orderpriority").alias("grp"),
+        _cents(F.col("l_extendedprice")).alias("cents"),
+        _cents(F.col("l_quantity")).alias("w"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    wc = (
+        Window.partitionBy("grp")
+        .orderBy("cents", "ok", "ln")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("grp")
+    cum = base.select(
+        "grp",
+        "cents",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wp).alias("tw"),
+    )
+    return cum.groupBy(F.col("grp").alias("o_orderpriority")).agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents")))
+        .cast("bigint")
+        .alias("weighted_median_cents"),
+        F.max("tw").cast("bigint").alias("total_weight"),
+    )
+
+
+@query(
+    "q200_graph_reciprocity",
+    """
+    WITH e AS (
+      SELECT DISTINCT p AS src, np AS dst
+      FROM (
+        SELECT p, LEAD(p) OVER (PARTITION BY o ORDER BY ln, p) AS np
+        FROM (SELECT l_orderkey AS o, l_partkey AS p,
+                     MIN(l_linenumber) AS ln
+              FROM lineitem GROUP BY l_orderkey, l_partkey)
+      ) WHERE np IS NOT NULL AND p <> np
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM e a
+                 JOIN e b ON a.src = b.dst AND a.dst = b.src) AS BIGINT)
+             AS n_reciprocal,
+           CAST((SELECT COUNT(*) FROM e a
+                 JOIN e b ON a.src = b.dst AND a.dst = b.src) * 1000000
+                // (SELECT COUNT(*) FROM e) AS BIGINT) AS reciprocity_micro
+    """,
+)
+def q200(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocity of the directed part-succession graph: the share of
+    edges whose reverse edge also exists (Garlaschelli–Loffredo
+    numerator, exact integer micro-units) — distinguishes genuine
+    two-way part pairings from one-way ordering conventions.
+
+    Scale shape: the succession-edge derivation (q135's window), one
+    self-join on the swapped key pair (equi-join, co-partitionable at
+    scale), two counts folded into one row."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf, "lineitem")
+    op = l.groupBy(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).agg(F.min("l_linenumber").alias("ln"))
+    w = Window.partitionBy("o").orderBy("ln", "p")
+    seq = op.select("p", F.lead("p").over(w).alias("np"))
+    e = (
+        seq.filter(F.col("np").isNotNull() & (F.col("p") != F.col("np")))
+        .select(F.col("p").alias("src"), F.col("np").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_edges = e.count()
+    n_recip = e.join(rev, ["src", "dst"]).count()
+    return e.sparkSession.createDataFrame(
+        [
+            (
+                n_edges,
+                n_recip,
+                (n_recip * 1_000_000) // n_edges if n_edges else 0,
+            )
+        ],
+        "n_edges long, n_reciprocal long, reciprocity_micro long",
+    )

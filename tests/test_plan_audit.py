@@ -1031,3 +1031,14 @@ def test_q196_assortativity_src_join_reuses_degree_partitioning(spark):
     assert plan.count("SinglePartition") <= 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "partial" in plan.lower()
+
+
+def test_q199_weighted_median_single_group_shuffle(spark):
+    """Cumulative + total windows and the conditional fold share the
+    priority partitioning; the orders projection broadcasts onto the
+    lineitem scan."""
+    df = QUERY_FNS["q199_weighted_median"](spark, SF)
+    tree = _plan_tree(df)
+    assert tree.count("BroadcastHashJoin") == 1, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "SinglePartition" not in explain_str(df)
