@@ -11278,3 +11278,136 @@ def q200(spark: SparkSession, sf: str) -> DataFrame:
         ],
         "n_edges long, n_reciprocal long, reciprocity_micro long",
     )
+
+
+@query(
+    "q201_revenue_share_report",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS g FROM rev)
+    SELECT region, nation,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           CAST(cents AS DOUBLE)
+             / CAST(SUM(cents) OVER (PARTITION BY region) AS DOUBLE)
+             AS region_share,
+           CAST(cents AS DOUBLE) / CAST(g AS DOUBLE) AS global_share,
+           CAST(RANK() OVER (PARTITION BY region
+                             ORDER BY cents DESC, nation) AS BIGINT)
+             AS rank_in_region
+    FROM rev CROSS JOIN tot
+    """,
+)
+def q201(spark: SparkSession, sf: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue as a share of its region
+    and of the world, plus in-region rank — the classic BI percent-of-
+    total, built so NO single-partition window exists: the global
+    total is a scalar broadcast (q176's 1×1 cross-join contract), the
+    region share is a region-partitioned window over the 25-row
+    post-aggregation frame, and both divisions are IEEE-deterministic
+    doubles over exact bigint cents.
+
+    Scale shape: three broadcast dimension joins onto the orders scan,
+    one (region, nation) hash-agg, then windows over dimension-sized
+    rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    r = load_table(spark, sf, "region")
+    rev = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("cents"))
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("g"))
+    wreg = Window.partitionBy("region")
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "region",
+        "nation",
+        F.col("cents").cast("bigint").alias("revenue_cents"),
+        (
+            F.col("cents").cast("double")
+            / F.sum("cents").over(wreg).cast("double")
+        ).alias("region_share"),
+        (F.col("cents").cast("double") / F.col("g").cast("double")).alias(
+            "global_share"
+        ),
+        F.rank()
+        .over(wreg.orderBy(F.col("cents").desc(), F.col("nation")))
+        .cast("bigint")
+        .alias("rank_in_region"),
+    )
+
+
+def _q202_sql() -> str:
+    from graphdb_neo4j_spark.operators import sketch as SK
+
+    hll = SK.hll_distinct_by_sql(
+        "events", "event_type", "user_id", group_alias="event_type"
+    )
+    return f"""
+    WITH est AS ({hll}),
+    ex AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, x.exact_distinct, e.est_distinct,
+           ABS(e.est_distinct - x.exact_distinct)
+             / CAST(x.exact_distinct AS DOUBLE) AS rel_err
+    FROM est e JOIN ex x ON e.event_type = x.event_type
+    """
+
+
+@query("q202_sketch_accuracy_audit", _q202_sql())
+def q202(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch QA: the deterministic per-group HLL estimate (q63's
+    operator) joined against the EXACT distinct count, with the
+    relative error — the accuracy regression a pipeline runs before
+    trusting sketches for monitoring; every input to the float error
+    expression is a deterministic integer or the HLL's own
+    deterministic double, so even the error column hash-matches.
+
+    Scale shape: the sketch side shuffles ≤256 register rows per
+    group; the exact side is the expensive COUNT(DISTINCT) it will
+    replace — run together here precisely to certify the cheap path."""
+    from graphdb_neo4j_spark.operators import sketch as SK
+
+    e = load_table(spark, sf, "events")
+    est = SK.hll_distinct_by(e, "event_type", "user_id").select(
+        "event_type", "est_distinct"
+    )
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(ex, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        "est_distinct",
+        (
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct").cast("double")
+        ).alias("rel_err"),
+    )

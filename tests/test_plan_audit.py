@@ -1042,3 +1042,25 @@ def test_q199_weighted_median_single_group_shuffle(spark):
     assert tree.count("BroadcastHashJoin") == 1, tree
     assert "SortMergeJoin" not in tree, tree
     assert "SinglePartition" not in explain_str(df)
+
+
+def test_q201_share_report_no_global_window(spark):
+    """Percent-of-total with NO single-partition window: the global
+    total is a 1×1 broadcast; the only windows partition by region."""
+    df = QUERY_FNS["q201_revenue_share_report"](spark, SF)
+    plan = explain_str(df)
+    tree = _plan_tree(df)
+    # the scalar total's own 1-row agg is the only SinglePartition
+    assert plan.count("SinglePartition") <= 2, plan
+    assert tree.count("BroadcastHashJoin") >= 3, tree
+    assert "SortMergeJoin" not in tree, tree
+
+
+def test_q202_sketch_audit_register_shuffle_only(spark):
+    """The HLL side shuffles register rows (bounded per group), the
+    exact side is the COUNT(DISTINCT) being certified; both sides
+    aggregate with partials and join on the 5-row group key."""
+    df = QUERY_FNS["q202_sketch_accuracy_audit"](spark, SF)
+    plan = explain_str(df)
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan, plan
