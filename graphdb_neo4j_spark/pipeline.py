@@ -1,5 +1,6 @@
-"""End-to-end training-data curation: quality → dedup → decontaminate
-→ split → pack, as ONE composed, engine-portable pipeline.
+"""End-to-end training-data curation: [PII scrub →] quality → dedup
+[→ near-dup] → decontaminate → split → pack, as ONE composed,
+engine-portable pipeline.
 
 Every production LLM-data pipeline chains the same stages; this module
 wires the repo's individually-gated operators (text.quality_filter,
@@ -61,6 +62,7 @@ def curate(
     docs: DataFrame,
     eval_docs: DataFrame | None = None,
     *,
+    pii: bool = False,
     neardup: bool = False,
     seq_budget: int = 2048,
     split_weights: dict[str, float] | None = None,
@@ -87,7 +89,33 @@ def curate(
         neardup_clusters,
     )
     from graphdb_neo4j_spark.operators.sampling import hash_split, pack_sequences
-    from graphdb_neo4j_spark.operators.text import quality_filter
+    from graphdb_neo4j_spark.operators.text import pii_scrub, quality_filter
+
+    pii_counts = None
+    if pii:
+        # redaction FIRST: every downstream stage (quality stats,
+        # dedup hashes, contamination grams) sees the scrubbed text,
+        # so documents differing only in redacted PII collapse as the
+        # duplicates they are.  Eval docs stay raw (they are the
+        # benchmark, not the corpus).  Per-doc match counts ride along
+        # for the audit column.
+        scr = pii_scrub(
+            docs.select(id_col, text_col), keep_cols=[id_col]
+        )
+        pii_counts = scr.select(
+            id_col,
+            (
+                F.col("n_email")
+                + F.col("n_ssn")
+                + F.col("n_ipv4")
+                + F.col("n_phone")
+            )
+            .cast("bigint")
+            .alias("n_pii"),
+        )
+        docs = scr.select(
+            id_col, F.col(f"{text_col}_scrubbed").alias(text_col)
+        )
 
     def drop_row(df: DataFrame, stage: str) -> DataFrame:
         return df.select(
@@ -167,4 +195,6 @@ def curate(
     labeled = train.unionByName(other)
     for d in dropped:
         labeled = labeled.unionByName(d)
+    if pii_counts is not None:
+        labeled = labeled.join(pii_counts, id_col)
     return CurationResult(labeled=labeled)

@@ -2265,7 +2265,7 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
 # composite quality gate, SCD2 history, exact group quantiles
 # ===========================================================================
 
-def _quality_sql() -> str:
+def _quality_sql(table: str = "documents") -> str:
     t = "regexp_split_to_array(trim(text), '\\s+')"
     tl = "regexp_split_to_array(trim(lower(text)), '\\s+')"
     n_tok = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({t}) END"
@@ -2306,7 +2306,7 @@ def _quality_sql() -> str:
            CAST({f_sw} AS INT) AS flag_stopword,
            CAST(CASE WHEN {f_short} + {f_wl} + {f_rep} + {f_punct} + {f_sw} = 0
                 THEN 1 ELSE 0 END AS INT) AS passed
-    FROM documents
+    FROM {table}
     """
 
 
@@ -8055,7 +8055,7 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
     return scalar_quantize(emb)
 
 
-def _q154_sql() -> str:
+def _q154_sql(docs_table: str = "documents") -> str:
     from graphdb_neo4j_spark.operators.sampling import hash_split_sql
 
     split_case = hash_split_sql("doc_id")
@@ -8064,10 +8064,10 @@ def _q154_sql() -> str:
         "i -> array_to_string(t[i:i+2], ' ')))"
     )
     return f"""
-    WITH q AS ({_quality_sql()}),
+    WITH q AS ({_quality_sql(table=docs_table)}),
     base AS (
       SELECT d.doc_id, d.text, q.n_tokens, q.passed
-      FROM documents d JOIN q USING (doc_id)
+      FROM {docs_table} d JOIN q USING (doc_id)
     ),
     s1 AS (SELECT * FROM base WHERE passed = 1),
     ex AS (SELECT md5(text) AS h, MIN(doc_id) AS keep_id
@@ -8373,22 +8373,49 @@ def q159(spark: SparkSession, sf: str) -> DataFrame:
     return heavy_hitters_exact(tok, "term", k=30)
 
 
+
+_PII_INJ_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' at 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.3.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 8 = 0 THEN ' and 192.168.0.' || CAST(doc_id % 250 AS VARCHAR)"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' or +1 555-' ||"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' id 123-45-' ||"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+
+def _pii_injected_text() -> Column:
+    """Deterministic PII injection from doc_id — the Spark mirror of
+    :data:`_PII_INJ_SQL` (the synthetic corpus carries no PII of its
+    own, so audits inject it reproducibly)."""
+    did = F.col("doc_id")
+
+    def when_mod(m: int, *parts: Column) -> Column:
+        return F.when(did % m == 0, F.concat(*parts)).otherwise(F.lit(""))
+
+    return F.concat(
+        F.col("text"),
+        when_mod(3, F.lit(" reach user"), did.cast("string"),
+                 F.lit("@mail.example.com")),
+        when_mod(4, F.lit(" at 10."), (did % 200).cast("string"),
+                 F.lit(".3."), (did % 250).cast("string")),
+        when_mod(8, F.lit(" and 192.168.0."), (did % 250).cast("string")),
+        when_mod(5, F.lit(" or +1 555-"),
+                 F.lpad((did % 10000).cast("string"), 4, "0")),
+        when_mod(7, F.lit(" id 123-45-"),
+                 F.lpad((did % 10000).cast("string"), 4, "0")),
+    )
+
+
 def _q160_oracle() -> str:
     from graphdb_neo4j_spark.operators.text import pii_scrub_sql
 
-    inj = (
-        "text"
-        " || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)"
-        " || '@mail.example.com' ELSE '' END"
-        " || CASE WHEN doc_id % 4 = 0 THEN ' at 10.' || CAST(doc_id % 200 AS VARCHAR)"
-        " || '.3.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END"
-        " || CASE WHEN doc_id % 8 = 0 THEN ' and 192.168.0.' || CAST(doc_id % 250 AS VARCHAR)"
-        " ELSE '' END"
-        " || CASE WHEN doc_id % 5 = 0 THEN ' or +1 555-' ||"
-        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
-        " || CASE WHEN doc_id % 7 = 0 THEN ' id 123-45-' ||"
-        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
-    )
+    inj = _PII_INJ_SQL
     frags = pii_scrub_sql("t")
     return f"""
     WITH injected AS (
@@ -8431,42 +8458,7 @@ def q160(spark: SparkSession, sf: str) -> DataFrame:
     from graphdb_neo4j_spark.operators.text import pii_scrub
 
     d = load_table(spark, sf, "documents")
-    did = F.col("doc_id")
-
-    def when_mod(m: int, *parts: Column) -> Column:
-        return F.when(did % m == 0, F.concat(*parts)).otherwise(F.lit(""))
-
-    injected = d.select(
-        "doc_id",
-        "source",
-        F.concat(
-            F.col("text"),
-            when_mod(
-                3,
-                F.lit(" reach user"),
-                did.cast("string"),
-                F.lit("@mail.example.com"),
-            ),
-            when_mod(
-                4,
-                F.lit(" at 10."),
-                (did % 200).cast("string"),
-                F.lit(".3."),
-                (did % 250).cast("string"),
-            ),
-            when_mod(8, F.lit(" and 192.168.0."), (did % 250).cast("string")),
-            when_mod(
-                5,
-                F.lit(" or +1 555-"),
-                F.lpad((did % 10000).cast("string"), 4, "0"),
-            ),
-            when_mod(
-                7,
-                F.lit(" id 123-45-"),
-                F.lpad((did % 10000).cast("string"), 4, "0"),
-            ),
-        ).alias("t"),
-    )
+    injected = d.select("doc_id", "source", _pii_injected_text().alias("t"))
     delta = (
         F.length(F.col("t")) - F.length(F.col("t_scrubbed"))
     ).cast("bigint")
@@ -11411,3 +11403,51 @@ def q202(spark: SparkSession, sf: str) -> DataFrame:
             / F.col("exact_distinct").cast("double")
         ).alias("rel_err"),
     )
+
+
+def _q203_sql() -> str:
+    from graphdb_neo4j_spark.operators.text import pii_scrub_sql
+
+    frags = pii_scrub_sql(f"({_PII_INJ_SQL})")
+    core = _q154_sql(docs_table="pdocs").replace(
+        "WITH q AS",
+        f"WITH pdocs AS (\n      SELECT doc_id, {frags['scrubbed']} AS text"
+        "\n      FROM documents\n    ),\n    q AS",
+        1,
+    )
+    return f"""
+    WITH core AS ({core}),
+    pc AS (
+      SELECT doc_id,
+             CAST({frags['n_email']} + {frags['n_ssn']}
+                  + {frags['n_ipv4']} + {frags['n_phone']} AS BIGINT)
+               AS n_pii
+      FROM documents
+    )
+    SELECT core.doc_id, core.n_tokens, core.drop_stage, core.split,
+           core.bin, pc.n_pii
+    FROM core JOIN pc USING (doc_id)
+    """
+
+
+@query("q203_curation_with_pii", _q203_sql())
+def q203(spark: SparkSession, sf: str) -> DataFrame:
+    """The SIX-stage curation pipeline under the hash gate: q154's
+    quality → exact-dup → decontaminate → split → pack chain with the
+    PII-redaction stage in FRONT (curate(pii=True)) — scrubbing runs
+    before hashing so documents differing only in redacted PII
+    collapse as duplicates, and every downstream stat is computed on
+    the redacted text, exactly as a production pipeline orders it.
+    PII is injected deterministically from doc_id (q160's scheme; the
+    synthetic corpus has none), and the verdict frame gains the
+    per-document match-count audit column.
+
+    Scale shape: the scrub is four regexp passes fused into the scan
+    ahead of q154's pipeline; the audit counts ride the same scan and
+    join back id-keyed."""
+    from graphdb_neo4j_spark.pipeline import curate
+
+    d = load_table(spark, sf, "documents")
+    injected = d.select("doc_id", _pii_injected_text().alias("text"))
+    ev = d.filter(F.col("doc_id") % 53 == 0)
+    return curate(injected, ev, pii=True).labeled

@@ -736,3 +736,24 @@ def test_histogram_quantiles_counts_merge(spark):
     hi = bins(full.filter(F.col("value") >= 50))
     merged = {b: lo.get(b, 0) + hi.get(b, 0) for b in set(lo) | set(hi)}
     assert merged == bins(full)
+
+
+def test_curate_pii_collapses_redacted_duplicates(spark):
+    """pii=True scrubs BEFORE hashing: two docs identical up to their
+    (different) embedded e-mails become exact duplicates after
+    redaction; the verdict frame carries per-doc match counts."""
+    from graphdb_neo4j_spark.pipeline import curate
+
+    body = ("a small boat drifted down the wide river while the crew "
+            "watched clouds gather slowly over the distant shore")
+    rows = [
+        (1, body + " contact alice@example.com now"),
+        (2, body + " contact bob@other.org now"),   # dup after scrub
+        (3, body + " no personal data here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    res = curate(docs, pii=True)
+    lab = {r.doc_id: r for r in res.labeled.collect()}
+    assert lab[2].drop_stage == "exact_dup"
+    assert lab[1].drop_stage is None
+    assert lab[1].n_pii == 1 and lab[2].n_pii == 1 and lab[3].n_pii == 0
