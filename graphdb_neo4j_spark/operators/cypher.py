@@ -18,7 +18,10 @@ Supported subset (every construct maps to a relational plan — nothing
 is interpreted row-by-row):
 
 * ``MATCH`` with comma-separated patterns; chains
-  ``(a)-[:R]->(b)-[:S]->(c)``; reverse arrows ``<-[:R]-``; node labels
+  ``(a)-[:R]->(b)-[:S]->(c)``; reverse arrows ``<-[:R]-``; UNDIRECTED
+  relationships ``(a)-[:R]-(b)`` (both traversal directions, one row
+  per binding, self-loops once — lowered as a bidirectional edge frame
+  for that hop, so k undirected hops stay k linear joins); node labels
   ``(a:Label)``; inline property maps ``{p: lit}``; edge variables
   ``[e:R]``; bounded variable-length ``[:R*lo..hi]`` (unbounded ``*``
   is rejected — open-ended reach is `traversal.bfs`, not a join chain);
@@ -199,6 +202,7 @@ class _Hop:
     dst: str
     ev: str | None
     vspec: str | None  # raw "*lo..hi" text (validated by GraphQuery)
+    undirected: bool = False  # (a)-[R]-(b): match both directions
 
 
 @dataclass
@@ -285,8 +289,9 @@ def _parse_patterns(body: str, parsed: _Parsed, into_optional: bool) -> None:
             if not nm:
                 raise ValueError(f"edge without target node in {pat!r}")
             nxt = node(nm)
-            if bool(em["back"]) == bool(em["fwd"]):
-                raise ValueError(f"undirected edge in {pat!r}: give a direction")
+            if em["back"] and em["fwd"]:
+                raise ValueError(f"double-headed edge in {pat!r}")
+            undirected = not em["back"] and not em["fwd"]
             vspec = em["vspec"][1:].strip() if em["vspec"] else None
             ev = em["ev"]
             # inline edge-property map [e:REL {prop: v}] — desugars to
@@ -310,7 +315,10 @@ def _parse_patterns(body: str, parsed: _Parsed, into_optional: bool) -> None:
             if em["back"]:
                 hops.append(_Hop(nxt, _unq_name(em["rel"]), prev, ev, vspec))
             else:
-                hops.append(_Hop(prev, _unq_name(em["rel"]), nxt, ev, vspec))
+                hops.append(
+                    _Hop(prev, _unq_name(em["rel"]), nxt, ev, vspec,
+                         undirected)
+                )
             prev = nxt
             pos = nm.end()
             had_hop = True
@@ -718,8 +726,9 @@ def _run_segment(
             d_lab = f":{_bt(labels[h.dst])}" if h.dst in labels else ""
             ev = f"{h.ev}:" if h.ev else ""
             star = f"*{h.vspec}" if h.vspec is not None else ""
+            head = "" if h.undirected else ">"
             pats.append(
-                f"({h.src}{s_lab})-[{ev}{_bt(h.rel)}{star}]->({h.dst}{d_lab})"
+                f"({h.src}{s_lab})-[{ev}{_bt(h.rel)}{star}]-{head}({h.dst}{d_lab})"
             )
         return "; ".join(pats)
 
@@ -874,7 +883,7 @@ def _run_segment(
                     ren[v] = f"__pc{idx}{v}"
         sub.hops = [
             _Hop(ren.get(h.src, h.src), h.rel, ren.get(h.dst, h.dst),
-                 h.ev, h.vspec)
+                 h.ev, h.vspec, h.undirected)
             for h in sub.hops
         ]
         sub.labels = {ren.get(v, v): l for v, l in sub.labels.items()}

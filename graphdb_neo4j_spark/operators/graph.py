@@ -31,7 +31,7 @@ _MOTIF_RE = re.compile(
     r"^\(\s*(?P<src>\w+)(?:\s*:\s*(?P<src_label>\w+|`[^`]+`))?\s*\)"
     r"\s*-\s*\[\s*(?:(?P<ev>\w+)\s*:)?\s*(?P<rel>\w+|`[^`]+`)"
     r"\s*(?:\*\s*(?P<vspec>[\d.\s]*))?\s*\]"
-    r"\s*->\s*\(\s*(?P<dst>\w+)(?:\s*:\s*(?P<dst_label>\w+|`[^`]+`))?\s*\)$"
+    r"\s*(?P<arrow>->|-)\s*\(\s*(?P<dst>\w+)(?:\s*:\s*(?P<dst_label>\w+|`[^`]+`))?\s*\)$"
 )
 
 
@@ -158,7 +158,24 @@ class GraphQuery:
 
     # -- motif matching ----------------------------------------------------
 
-    def _varlen_pairs(self, rel: str, lo: int, hi: int) -> DataFrame:
+    def _rel_undirected(self, rel: str, prefer: str | None) -> DataFrame:
+        """``rel`` edges in BOTH orientations — the Cypher undirected
+        hop ``(a)-[R]-(b)``: one row per (edge, traversal direction),
+        except self-loops, which Cypher binds once (both directions
+        produce the identical assignment)."""
+        e = self._rel_oriented(rel, prefer)
+        swapped = [
+            F.col("dst").alias("src") if c == "src"
+            else F.col("src").alias("dst") if c == "dst"
+            else F.col(c)
+            for c in e.columns
+        ]
+        rev = e.filter(F.col("src") != F.col("dst")).select(*swapped)
+        return e.unionByName(rev)
+
+    def _varlen_pairs(
+        self, rel: str, lo: int, hi: int, undirected: bool = False
+    ) -> DataFrame:
         """(src, dst) endpoint pairs of ``rel``-paths of length lo..hi,
         ONE ROW PER PATH — Cypher's ``-[:REL*lo..hi]->`` multiplicity.
         Built as a union of k-fold chain joins (k bounded by the
@@ -170,7 +187,11 @@ class GraphQuery:
         exactly Cypher's relationship-unique semantics, since a DAG path
         can never reuse an edge).
         """
-        e = self._rel_oriented(rel, "src").select("src", "dst")
+        e = (
+            self._rel_undirected(rel, "src")
+            if undirected
+            else self._rel_oriented(rel, "src")
+        ).select("src", "dst")
         out: DataFrame | None = None
         cur = e  # paths of length 1
         for k in range(1, hi + 1):
@@ -203,6 +224,13 @@ class GraphQuery:
         variable adds one semi-join against the (label-pruned) node
         table; the same variable must not claim two different labels.
 
+        UNDIRECTED hops drop the arrowhead — ``find("(a)-[R]-(b)")`` —
+        and match the relationship in both traversal directions (two
+        rows per edge, one per binding, exactly Cypher; self-loops
+        bind once).  Lowered as a bidirectional edge frame for that
+        hop, so a chain with k undirected hops stays k linear joins —
+        never a 2^k union of orientations.
+
         Each pattern adds one hash join on key equality; Catalyst's CBO /
         AQE pick broadcast vs shuffle per join.  Node variables repeat to
         express shared endpoints; a variable bound twice becomes an
@@ -234,11 +262,14 @@ class GraphQuery:
                             f"{labels[var]!r} vs {lab!r}"
                         )
                     labels[var] = lab
-            parsed.append((m["src"], _unq(m["rel"]), m["dst"], m["ev"], vl, pat))
+            parsed.append(
+                (m["src"], _unq(m["rel"]), m["dst"], m["ev"], vl,
+                 m["arrow"] == "-", pat)
+            )
 
         result: DataFrame | None = None
         bound: set[str] = set()
-        for i, (src, rel_name, dst, ev, vl, pat) in enumerate(parsed):
+        for i, (src, rel_name, dst, ev, vl, und, pat) in enumerate(parsed):
             # orientation choice: use the edge table bucketed on this
             # hop's JOIN key so chained hops need no shuffle.  Pattern 0
             # has no join yet — orient it by whichever of its variables
@@ -254,12 +285,16 @@ class GraphQuery:
             else:
                 prefer = "src" if src in bound else ("dst" if dst in bound else None)
             if vl is not None:
-                e = self._varlen_pairs(rel_name, *vl).select(
+                e = self._varlen_pairs(rel_name, *vl, undirected=und).select(
                     F.col("src").alias(f"__src{i}"),
                     F.col("dst").alias(f"__dst{i}"),
                 )
             else:
-                e = self._rel_oriented(rel_name, prefer)
+                e = (
+                    self._rel_undirected(rel_name, prefer)
+                    if und
+                    else self._rel_oriented(rel_name, prefer)
+                )
                 prop_cols = [c for c in e.columns if c not in ("rel", "src", "dst")]
                 sel = [
                     F.col("src").alias(f"__src{i}"),

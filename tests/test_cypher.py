@@ -146,8 +146,9 @@ def test_collect_aggregate(gq):
 def test_errors(gq, props):
     with pytest.raises(ValueError, match="RETURN"):
         cypher(gq, "MATCH (a)-[:SPAWNS]->(b)")
-    with pytest.raises(ValueError, match="direction"):
-        cypher(gq, "MATCH (a)-[:SPAWNS]-(b) RETURN a")
+    # undirected is now a FEATURE (both traversal directions); only the
+    # double-headed form stays an error
+    assert cypher(gq, "MATCH (a)-[:SPAWNS]-(b) RETURN a").count() > 0
     with pytest.raises(ValueError, match="no label"):
         cypher(gq, "MATCH (a)-[:SPAWNS]->(b) WHERE a.image = 'x' RETURN a")
     with pytest.raises(ValueError, match="property table"):

@@ -274,3 +274,41 @@ def test_graph_diff_fixture(spark):
     }
     # self-diff is empty
     assert graph_diff(old, old).count() == 0
+
+
+def test_find_undirected_hop(spark):
+    """(a)-[R]-(b): both traversal directions, one row per binding,
+    self-loops bound once (Cypher semantics)."""
+    nodes = spark.createDataFrame([("N", k) for k in "xyz"], ["label", "key"])
+    edges = spark.createDataFrame(
+        [("R", "x", "y", 1), ("R", "y", "z", 2), ("R", "z", "z", 3)],
+        ["rel", "src", "dst", "event_id"],
+    )
+    gq = GraphQuery(nodes=nodes, edges=edges)
+    got = sorted(tuple(r) for r in gq.find("(a)-[R]-(b)").collect())
+    assert got == [("x", "y"), ("y", "x"), ("y", "z"), ("z", "y"), ("z", "z")]
+    # edge-variable struct rides both orientations
+    ev = sorted(
+        tuple(r)
+        for r in gq.find("(a)-[e:R]-(b)").select("a", "b", "e.event_id").collect()
+    )
+    assert ("x", "y", 1) in ev and ("y", "x", 1) in ev and ("z", "z", 3) in ev
+    # varlen undirected: z reaches x in 2 undirected hops
+    vl = {tuple(r) for r in gq.find("(a)-[R*2]-(b)").collect()}
+    assert ("z", "x") in vl and ("x", "z") in vl
+
+
+def test_cypher_undirected_hop(spark):
+    nodes = spark.createDataFrame([("N", k) for k in "xyz"], ["label", "key"])
+    edges = spark.createDataFrame(
+        [("R", "x", "y", 1), ("R", "y", "z", 2), ("R", "z", "z", 3)],
+        ["rel", "src", "dst", "event_id"],
+    )
+    gq = GraphQuery(nodes=nodes, edges=edges)
+    got = sorted(
+        tuple(r)
+        for r in gq.cypher(
+            "MATCH (a)-[:R]-(b) WHERE a = 'y' RETURN a, b ORDER BY b"
+        ).collect()
+    )
+    assert got == [("y", "x"), ("y", "z")]
