@@ -796,3 +796,26 @@ def test_inline_edge_props_on_varlen_rejected(gq):
             "MATCH (a:Process)-[:SPAWNS*1..2 {event_id: 1}]->(b:Process) "
             "RETURN a, b",
         )
+
+
+def test_exists_multi_hop_chain(spark):
+    """EXISTS subpatterns compile through the same hop chain as MATCH:
+    multi-hop and undirected forms both lower to semi/anti joins."""
+    nodes = spark.createDataFrame([("N", k) for k in "wxyz"], ["label", "key"])
+    edges = spark.createDataFrame(
+        [("R", "w", "x", 1), ("S", "x", "y", 2), ("R", "y", "z", 3)],
+        ["rel", "src", "dst", "event_id"],
+    )
+    gq = GraphQuery(nodes=nodes, edges=edges)
+    got = sorted(tuple(r) for r in gq.cypher(
+        "MATCH (a)-[:R]->(b) WHERE EXISTS { (a)-[:R]->(m)-[:S]->(n) } "
+        "RETURN a, b").collect())
+    assert got == [("w", "x")]
+    got = sorted(tuple(r) for r in gq.cypher(
+        "MATCH (a)-[:R]->(b) WHERE NOT EXISTS { (b)-[:S]->(m)-[:R]->(n) } "
+        "RETURN a, b").collect())
+    assert got == [("y", "z")]
+    got = sorted(tuple(r) for r in gq.cypher(
+        "MATCH (a)-[:R]->(b) WHERE EXISTS { (b)-[:S]-(m) } RETURN a, b"
+    ).collect())
+    assert got == [("w", "x")]
