@@ -11451,3 +11451,27 @@ def q203(spark: SparkSession, sf: str) -> DataFrame:
     injected = d.select("doc_id", _pii_injected_text().alias("text"))
     ev = d.filter(F.col("doc_id") % 53 == 0)
     return curate(injected, ev, pii=True).labeled
+
+
+@query("g80_undirected_spawn_degree")
+def g80(spark: SparkSession, sf: str) -> DataFrame:
+    """Undirected Cypher over the provenance graph: total SPAWNS
+    degree (parent + child bindings) per process via
+    ``MATCH (p:Process)-[:SPAWNS]-(q)`` — the direction-agnostic
+    neighborhood count an analyst writes when lineage direction is
+    irrelevant.  Exercises the undirected-hop lowering on real corpus
+    edges (bidirectional frame, one join); rows-only gate with the
+    directed-degree identity pinned in tests/test_graph_query.py.
+
+    Scale shape: one bidirectional edge frame (union of two
+    label-pruned scans), one semi-join for the label, one hash-agg."""
+    from graphdb_neo4j_spark.operators.graph import GraphQuery
+
+    g = _corpus_graph(spark)
+    gq = GraphQuery.from_graph(g)
+    return (
+        gq.cypher(
+            "MATCH (p:Process)-[:SPAWNS]-(q) "
+            "RETURN p, count(*) AS degree ORDER BY degree DESC, p LIMIT 25"
+        )
+    )

@@ -312,3 +312,24 @@ def test_cypher_undirected_hop(spark):
         ).collect()
     )
     assert got == [("y", "x"), ("y", "z")]
+
+
+def test_undirected_degree_equals_in_plus_out(spark):
+    """g80's identity: undirected-hop count per node == in-degree +
+    out-degree (self-loops once) on a fixture."""
+    nodes = spark.createDataFrame(
+        [("Process", k) for k in "abc"], ["label", "key"]
+    )
+    edges = spark.createDataFrame(
+        [("SPAWNS", "a", "b", 1), ("SPAWNS", "a", "c", 1),
+         ("SPAWNS", "b", "c", 1)],
+        ["rel", "src", "dst", "event_id"],
+    )
+    gq = GraphQuery(nodes=nodes, edges=edges)
+    got = {
+        (r.p, r.degree)
+        for r in gq.cypher(
+            "MATCH (p:Process)-[:SPAWNS]-(q) RETURN p, count(*) AS degree"
+        ).collect()
+    }
+    assert got == {("a", 2), ("b", 2), ("c", 2)}
