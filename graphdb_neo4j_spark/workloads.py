@@ -11475,3 +11475,162 @@ def g80(spark: SparkSession, sf: str) -> DataFrame:
             "RETURN p, count(*) AS degree ORDER BY degree DESC, p LIMIT 25"
         )
     )
+
+
+@query(
+    "q204_collocation_tscore",
+    """
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE trim(text) <> ''
+    ),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || chr(31) || t[i+1])) AS g
+      FROM toks WHERE len(t) >= 2
+    ),
+    big AS (
+      SELECT split_part(g, chr(31), 1) AS w1,
+             split_part(g, chr(31), 2) AS w2,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM grams GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT w1 AS w, CAST(SUM(c) AS BIGINT) AS cw FROM big GROUP BY w1
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM big)
+    SELECT b.w1, b.w2, b.c,
+           (CAST(b.c AS DOUBLE)
+            - CAST(u1.cw AS DOUBLE) * CAST(u2.cw AS DOUBLE)
+              / CAST(t.n AS DOUBLE))
+           / sqrt(CAST(b.c AS DOUBLE)) AS t_score
+    FROM big b
+    JOIN uni u1 ON b.w1 = u1.w
+    JOIN uni u2 ON b.w2 = u2.w
+    CROSS JOIN tot t
+    WHERE b.c >= 10
+    """,
+)
+def q204(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation strength via the t-score (Church & Hanks family:
+    ``(c(w1,w2) − c(w1)·c(w2)/N) / √c(w1,w2)``) for bigrams with
+    c ≥ 10 — the statistically-surprising-phrase miner feeding
+    tokenizer merge candidates and stop-phrase lists.  All counts are
+    exact BIGINTs; the one float expression is the same IEEE ops on
+    identical integers in both engines.
+
+    Scale shape: q188's count tables (bigram hash-agg + left-context
+    re-agg); the scalar N rides a broadcast; joins carry
+    bigram-type-sized frames (c ≥ 10 filter first)."""
+    docs = load_table(spark, sf, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    toks = docs.filter(F.trim(F.col("text")) != "").select(t.alias("t"))
+    pairs = toks.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("p")
+    )
+    big = (
+        pairs.select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    uni = big.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("c").cast("bigint").alias("cw")
+    )
+    tot = big.agg(F.sum("c").cast("bigint").alias("n"))
+    return (
+        big.filter(F.col("c") >= 10)
+        .join(uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            (
+                (
+                    F.col("c").cast("double")
+                    - F.col("c1").cast("double")
+                    * F.col("c2").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / F.sqrt(F.col("c").cast("double"))
+            ).alias("t_score"),
+        )
+    )
+
+
+@query(
+    "q205_benford_audit",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    obs AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs),
+    benford AS (
+      SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS d,
+             unnest([301030, 176091, 124939, 96910, 79181,
+                     66947, 57992, 51153, 45757]) AS expected_micro
+    )
+    SELECT b.d, COALESCE(o.n, 0) AS n,
+           CAST(COALESCE(o.n, 0) * 1000000 // t.total AS BIGINT)
+             AS observed_micro,
+           CAST(b.expected_micro AS BIGINT) AS expected_micro
+    FROM benford b
+    LEFT JOIN obs o ON b.d = o.d
+    CROSS JOIN tot t
+    """,
+)
+def q205(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law first-digit audit of order values (data-forensics
+    screen for fabricated or truncated monetary data): observed
+    first-significant-digit shares vs Benford's log₁₀(1+1/d)
+    expectation, both in exact integer micro-units — the expected
+    shares are compile-time literals, so no runtime logarithm ever
+    runs and the table is bit-portable.
+
+    Scale shape: first digit is string arithmetic next to the scan;
+    one 9-cell hash-agg; scalar total broadcast."""
+    o = load_table(spark, sf, "orders")
+    d = F.substring(
+        _cents(F.col("o_totalprice")).cast("string"), 1, 1
+    ).cast("bigint")
+    obs = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(d.alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    benford = o.sparkSession.createDataFrame(
+        list(
+            zip(
+                range(1, 10),
+                [301030, 176091, 124939, 96910, 79181,
+                 66947, 57992, 51153, 45757],
+            )
+        ),
+        "d long, expected_micro long",
+    )
+    return (
+        F.broadcast(benford)
+        .join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.expr("coalesce(n, 0) * 1000000 div total")
+            .cast("bigint")
+            .alias("observed_micro"),
+            "expected_micro",
+        )
+    )
