@@ -21,7 +21,9 @@ from graphdb_neo4j_spark.streaming.debounce import (
     streaming_debounce,
 )
 from graphdb_neo4j_spark.streaming.dim import (
+    golden_history,
     scd2_history,
+    streaming_golden_record,
     streaming_scd2,
 )
 from graphdb_neo4j_spark.streaming.drift import (
@@ -47,6 +49,7 @@ from graphdb_neo4j_spark.streaming.text import (
 __all__ = [
     "bursts_history",
     "cms_fold",
+    "golden_history",
     "compact_dfreq_log",
     "compact_graph_log",
     "compact_sketch_log",
@@ -69,6 +72,7 @@ __all__ = [
     "streaming_debounce",
     "streaming_dedup_spans",
     "streaming_drift",
+    "streaming_golden_record",
     "streaming_hll",
     "streaming_neardup_dedup",
     "streaming_scd2",

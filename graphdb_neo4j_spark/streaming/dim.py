@@ -168,3 +168,158 @@ def scd2_history(spark: SparkSession, state_path: str) -> DataFrame:
         "is_current",
         F.when(F.col("effective_to_us").isNull(), 1).otherwise(0).cast("int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming golden record (incremental q180 survivorship)
+# ---------------------------------------------------------------------------
+
+_GOLDEN_SCHEMA = (
+    "user_id bigint, ls_ts bigint, ls_eid bigint, last_state string, "
+    "lp_ts bigint, lp_eid bigint, last_purchase_cents bigint, "
+    "lk_ts bigint, lk_eid bigint, last_error_k bigint, "
+    "first_seen_us bigint, last_seen_us bigint, n_events bigint"
+)
+
+
+def latest_golden(spark: SparkSession, state_path: str) -> DataFrame | None:
+    meta = _read_or_none(spark, f"{state_path}/meta")
+    if meta is None or meta.isEmpty():
+        return None
+    last = meta.agg(F.max("batch_id").alias("b")).head()["b"]
+    return (
+        spark.read.parquet(f"{state_path}/open")
+        .filter(F.col("batch_id") == last)
+        .drop("batch_id")
+    )
+
+
+def streaming_golden_record(events_stream: DataFrame, state_path: str):
+    """Incremental survivorship (batch operator q180): one golden row
+    per user where every field independently keeps its most recent
+    non-null value, plus first/last-seen and event counts.
+
+    Unlike SCD2, the merge is a COMMUTATIVE MONOID — each surviving
+    field carries its (ts, event_id) decision key, two states merge by
+    taking the larger key per field (min for first_seen, sum for
+    n_events) — so correctness needs NO append-order contract; batches
+    may arrive in any order.  Exactly-once still comes from the
+    meta-last committed-batch gate (n_events is a sum, not
+    idempotent).
+
+    100 TB shape: per batch one user-keyed aggregate of the batch plus
+    a full-outer merge against state on the same key; state is one row
+    per user ever seen."""
+
+    def _merge_last(prefix: str, value: str):
+        """Pick the (ts, eid, value) triple with the larger (ts, eid)."""
+        a_ts, a_eid = f"a.{prefix}_ts", f"a.{prefix}_eid"
+        b_ts, b_eid = f"b.{prefix}_ts", f"b.{prefix}_eid"
+        take_b = F.expr(
+            f"{a_ts} IS NULL OR ({b_ts} IS NOT NULL AND "
+            f"(struct({b_ts}, {b_eid}) > struct({a_ts}, {a_eid})))"
+        )
+        return [
+            F.when(take_b, F.col(b_ts)).otherwise(F.col(a_ts)).alias(f"{prefix}_ts"),
+            F.when(take_b, F.col(b_eid)).otherwise(F.col(a_eid)).alias(f"{prefix}_eid"),
+            F.when(take_b, F.col(f"b.{value}")).otherwise(F.col(f"a.{value}")).alias(value),
+        ]
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id in _done_batches(spark, f"{state_path}/meta"):
+            return
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+        ev = batch_df.select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            "event_type",
+            ts_us.alias("ts_us"),
+            F.col("event_id").cast("bigint").alias("event_id"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).alias("purch_cents"),
+            F.when(
+                F.col("event_type") == "error",
+                F.get_json_object("props", "$.k").cast("bigint"),
+            ).alias("err_k"),
+        )
+
+        def last_of(val_col: str, prefix: str, out: str):
+            """max-by (ts, eid) over rows where val is non-null."""
+            m = F.max(
+                F.when(
+                    F.col(val_col).isNotNull(),
+                    F.struct(
+                        F.col("ts_us").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col(val_col).alias("v"),
+                    ),
+                )
+            )
+            return [
+                m["t"].alias(f"{prefix}_ts"),
+                m["e"].alias(f"{prefix}_eid"),
+                m["v"].alias(out),
+            ]
+
+        agg = ev.groupBy("user_id").agg(
+            *(
+                last_of("event_type", "ls", "last_state")
+                + last_of("purch_cents", "lp", "last_purchase_cents")
+                + last_of("err_k", "lk", "last_error_k")
+            ),
+            F.min("ts_us").alias("first_seen_us"),
+            F.max("ts_us").alias("last_seen_us"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        prior = latest_golden(spark, state_path)
+        if prior is None:
+            prior = spark.createDataFrame([], _GOLDEN_SCHEMA)
+        merged = prior.alias("a").join(
+            agg.alias("b"), "user_id", "full_outer"
+        ).select(
+            "user_id",
+            *_merge_last("ls", "last_state"),
+            *_merge_last("lp", "last_purchase_cents"),
+            *_merge_last("lk", "last_error_k"),
+            F.coalesce(
+                F.least(F.col("a.first_seen_us"), F.col("b.first_seen_us")),
+                F.col("a.first_seen_us"),
+                F.col("b.first_seen_us"),
+            ).alias("first_seen_us"),
+            F.coalesce(
+                F.greatest(F.col("a.last_seen_us"), F.col("b.last_seen_us")),
+                F.col("a.last_seen_us"),
+                F.col("b.last_seen_us"),
+            ).alias("last_seen_us"),
+            (
+                F.coalesce(F.col("a.n_events"), F.lit(0))
+                + F.coalesce(F.col("b.n_events"), F.lit(0))
+            ).cast("bigint").alias("n_events"),
+        )
+        merged.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "batch_id"
+        ).parquet(f"{state_path}/open")
+        spark.createDataFrame([(batch_id,)], "batch_id long").write.mode(
+            "append"
+        ).parquet(f"{state_path}/meta")
+
+    return events_stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", f"{state_path}/_ckpt_golden"
+    )
+
+
+def golden_history(spark: SparkSession, state_path: str) -> DataFrame:
+    """(user_id, last_state, last_purchase_cents, last_error_k,
+    first_seen_us, last_seen_us, n_events) — bit-identical to q180's
+    batch build over all events seen, in any arrival order."""
+    cur = latest_golden(spark, state_path)
+    if cur is None:
+        cur = spark.createDataFrame([], _GOLDEN_SCHEMA)
+    return cur.select(
+        "user_id", "last_state", "last_purchase_cents", "last_error_k",
+        "first_seen_us", "last_seen_us", "n_events",
+    )

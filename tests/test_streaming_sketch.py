@@ -366,3 +366,54 @@ def test_streaming_debounce_matches_batch(spark, tmp_path):
     q2.awaitTermination(300)
     again = {tuple(r) for r in bursts_history(spark, state).collect()}
     assert again == want
+
+
+# ---------------------------------------------------------------------------
+# streaming golden record ≡ batch q180 (order-independent merge)
+# ---------------------------------------------------------------------------
+
+def test_streaming_golden_record_matches_batch(spark, tmp_path):
+    from graphdb_neo4j_spark.sources.tables import load_table
+    from graphdb_neo4j_spark.streaming.dim import (
+        golden_history,
+        streaming_golden_record,
+    )
+    from graphdb_neo4j_spark.workloads import QUERY_FNS
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    src = str(tmp_path / "ev_stream")
+    # NON-chronological split (shuffled by hash): the monoid merge
+    # needs no append-order contract, so prove it without one
+    rows = events.collect()
+    chunks = [[], [], []]
+    for r in rows:
+        chunks[r.event_id % 3].append(r)
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, events.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/part{i}")
+    state = str(tmp_path / "golden_state")
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/part*")
+    q = streaming_golden_record(stream, state).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(300)
+
+    got = {tuple(r) for r in golden_history(spark, state).collect()}
+    want = {
+        tuple(r)
+        for r in QUERY_FNS["q180_golden_record"](spark, sf).collect()
+    }
+    assert got == want
+    # replay no-op (committed batches are skipped; n_events not doubled)
+    stream2 = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/part*")
+    q2 = streaming_golden_record(stream2, state).trigger(
+        availableNow=True
+    ).start()
+    q2.awaitTermination(300)
+    assert {tuple(r) for r in golden_history(spark, state).collect()} == want
