@@ -101,6 +101,7 @@ def main() -> None:
         "q166_link_prediction_copurchase",
         "q172_entity_resolution",
         "q175_corpus_diversity_minhash",
+        "q203_curation_with_pii",
     ]:
         t0 = time.perf_counter()
         run(QUERY_FNS[name](spark, SF_DIR))

@@ -191,3 +191,60 @@ def test_seasonal_phase_profile_segment_too_small_raises(spark):
     df = spark.createDataFrame([(0, 0)], "idx bigint, val_micro bigint")
     with _pytest.raises(ValueError, match="segment"):
         seasonal_phase_profile(df, half=12, segment=6)
+
+
+def test_asof_join_hypothesis_brute_force(spark):
+    """Property: the union-window as-of equals the brute-force
+    'latest right with right.t <= left.t per key' on random inputs —
+    including equal timestamps (right row visible at its own tick),
+    keys with no right rows, and duplicate left times."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from graphdb_neo4j_spark.operators.temporal import asof_join
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        lefts=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 40)),
+            min_size=1, max_size=25,
+        ),
+        rights=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 40),
+                      st.integers(0, 9)),
+            min_size=0, max_size=25,
+        ),
+    )
+    def check(lefts, rights):
+        # unique right (key, t): the operator's tie order among equal
+        # right times is unspecified (matches any real CDC feed where
+        # (key, t) is unique)
+        seen = set()
+        rws = []
+        for k, t, v in rights:
+            if (k, t) not in seen:
+                seen.add((k, t))
+                rws.append((k, t, v))
+        l = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lefts)],
+            "k int, t int, lid int",
+        )
+        r = spark.createDataFrame(rws, "k int, t int, v int") if rws else (
+            spark.createDataFrame([], "k int, t int, v int")
+        )
+        got = {
+            (row.lid, row.v_right)
+            for row in asof_join(l, r, on="t", by="k",
+                                 right_cols=["v"]).collect()
+        }
+        want = set()
+        for i, (k, t) in enumerate(lefts):
+            cands = [(rt, v) for rk, rt, v in rws if rk == k and rt <= t]
+            want.add((i, max(cands)[1] if cands else None))
+        assert got == want
+
+    check()
