@@ -757,3 +757,41 @@ def test_curate_pii_collapses_redacted_duplicates(spark):
     assert lab[2].drop_stage == "exact_dup"
     assert lab[1].drop_stage is None
     assert lab[1].n_pii == 1 and lab[2].n_pii == 1 and lab[3].n_pii == 0
+
+
+def test_ntile_distributed_hypothesis_matches_sql_ntile(spark):
+    """Property: distributed NTILE(k) == the single-partition SQL
+    NTILE(k) for random sizes, duplicate keys, and k ∈ [1, n+2] —
+    including k > n (every row its own bucket, sizes clamp to 1)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    from graphdb_neo4j_spark.operators.order import ntile_distributed
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        vals=st.lists(st.integers(0, 9), min_size=1, max_size=40),
+        k=st.integers(1, 12),
+    )
+    def check(vals, k):
+        df = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(vals)], "v int, id int"
+        )
+        tiled = ntile_distributed(df, ["v", "id"], k=k, out_col="b")
+        got = {(r.id, r.b) for r in tiled.collect()}
+        tiled.checkpoint_handle.release()
+        w = Window.orderBy("v", "id")
+        want = {
+            (r.id, r.b)
+            for r in df.select(
+                "id", F.ntile(k).over(w).alias("b")
+            ).collect()
+        }
+        assert got == want
+
+    check()
