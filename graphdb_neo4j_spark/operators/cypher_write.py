@@ -39,6 +39,9 @@ Execution model (Spark-first, the whole point):
   store enforces the reference's 10 uniqueness constraints
   (events.py:32-45), so a constraint-violating CREATE no-ops instead
   of raising (documented divergence from Neo4j, which errors).
+* ``REMOVE n.prop`` — property removal as overwrite-to-NULL in the
+  tabular property model (label removal stays rejected: a label IS
+  the node table).
 * ``DELETE`` / ``DETACH DELETE`` compile to anti-joins; DETACH also
   removes incident edges in every relationship table.
 
@@ -96,6 +99,7 @@ _KEYWORDS = [
     "MERGE",
     "CREATE",
     "DELETE",
+    "REMOVE",
     "SET",
 ]
 
@@ -344,6 +348,35 @@ def parse_write_template(q: str) -> _Template:
                     "ON MATCH SET": target.on_match,
                     "SET": target.bare_set,
                 }[kw].append(it)
+        elif kw == "REMOVE":
+            # REMOVE n.prop — property removal; in the tabular property
+            # model that is an overwrite-to-NULL (last-writer-wins, so
+            # a later SET can resurrect it).  Label removal is table
+            # identity here and stays rejected.
+            if last_entity is None:
+                raise CypherWriteError("REMOVE before any MATCH/MERGE")
+            for item in _split_top_commas(body):
+                m = re.match(
+                    r"^(?P<var>\w+)\s*\.\s*(?P<prop>\w+|`[^`]+`)$",
+                    item.strip(),
+                )
+                if not m:
+                    raise CypherWriteError(
+                        f"unsupported REMOVE item: {item!r} (only "
+                        "var.prop — a label IS the node table here)"
+                    )
+                it = _SetItem(m["var"], _unbt(m["prop"]), "NULL", False)
+                target = bound.get(it.var) or next(
+                    (e for e in edges if e.var == it.var), None
+                )
+                if target is None:
+                    raise CypherWriteError(
+                        f"REMOVE on unbound variable {it.var!r}"
+                    )
+                if isinstance(target, _NodeStmt) and target.kind == "match":
+                    target.kind = "merge"
+                    target.gated_update = True  # type: ignore[attr-defined]
+                target.bare_set.append(it)
         elif kw in ("DELETE", "DETACH DELETE"):
             vars_ = [v.strip() for v in _split_top_commas(body)]
             for v in vars_:

@@ -527,3 +527,23 @@ def test_merge_before_failing_match_still_creates(spark, writer):
     assert rows(writer.store.edges["HITS"], "src", "dst", "event_id") == [
         ("A1", "T1", 1)
     ]
+
+
+def test_remove_property(spark, writer):
+    # seed the property, then REMOVE it in a later execute
+    p1 = spark.createDataFrame([(1, "A", "secret")], "seq int, k string, v string")
+    writer.execute("MERGE (n:N {key:$k}) SET n.v = $v", p1, order=["seq"])
+    p2 = spark.createDataFrame([(1, "A")], "seq int, k string")
+    writer.execute("MATCH (n:N {key:$k}) REMOVE n.v", p2, order=["seq"])
+    assert rows(writer.store.nodes["N"], "key", "v") == [("A", None)]
+
+
+def test_remove_rejects_labels_and_unbound():
+    with pytest.raises(CypherWriteError):
+        parse_write_template("MATCH (n:N {key:$k}) REMOVE n:Label")
+    with pytest.raises(CypherWriteError):
+        parse_write_template("MATCH (n:N {key:$k}) REMOVE m.v")
+    t = parse_write_template("MATCH (n:N {key:$k}) REMOVE n.v, n.w")
+    assert [(i.prop, i.value_sql, i.keep_old) for i in t.nodes[0].bare_set] == [
+        ("v", "NULL", False), ("w", "NULL", False)
+    ]
