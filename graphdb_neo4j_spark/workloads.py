@@ -11634,3 +11634,212 @@ def q205(spark: SparkSession, sf: str) -> DataFrame:
             "expected_micro",
         )
     )
+
+
+@query(
+    "q206_session_sequences",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS sess_id
+      FROM gaps
+    ),
+    seqs AS (
+      SELECT user_id, sess_id,
+             string_agg(event_type, '>' ORDER BY ts_us, event_id) AS seq
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT seq, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM seqs GROUP BY seq HAVING COUNT(*) >= 5
+    """,
+)
+def q206(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-sequence mining: the full ordered event-type string of
+    every 30-minute session, counted across users, support ≥ 5 — the
+    whole-journey companion to q185's fixed-width trigrams (what do
+    complete visits look like?).
+
+    Scale shape: q11's sessionization windows (one user shuffle), a
+    per-session ordered fold (sort_array over collected structs —
+    bounded by session length), then a sequence-keyed hash-agg whose
+    cardinality is the distinct-journey count."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+    )
+    prev = F.lag("ts_us").over(w)
+    sess = base.withColumn(
+        "new_session",
+        F.when(
+            prev.isNull() | ((F.col("ts_us") - prev) > 1_800_000_000), 1
+        ).otherwise(0),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    seqs = sess.groupBy("user_id", "sess_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts_us", "event_id", "event_type")
+                    )
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("seq")
+    )
+    return (
+        seqs.groupBy("seq")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 5)
+    )
+
+
+@query(
+    "q207_transition_dwell_times",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS t1,
+             LEAD(event_type) OVER w AS t2,
+             LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS dwell_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT t1, t2,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dwell_us) AS BIGINT) AS total_dwell_us,
+           CAST(SUM(dwell_us) // COUNT(*) AS BIGINT) AS mean_dwell_us,
+           CAST(MAX(dwell_us) AS BIGINT) AS max_dwell_us
+    FROM seq WHERE t2 IS NOT NULL GROUP BY t1, t2
+    """,
+)
+def q207(spark: SparkSession, sf: str) -> DataFrame:
+    """Transition dwell times: for every consecutive event-type pair
+    in a user's stream, how long users linger before the next step —
+    the TIMING layer on top of q174's transition probabilities (a slow
+    view→purchase edge is a funnel bottleneck even when its
+    probability is healthy).  Exact integer microsecond sums; the mean
+    is integer floor division.
+
+    Scale shape: one user-keyed window (LEADs share it), then a
+    |types|² cells hash-agg with map-side partials."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("t1"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+    ).select(
+        "t1",
+        F.lead("t1").over(w).alias("t2"),
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dwell_us"),
+    )
+    return (
+        seq.filter(F.col("t2").isNotNull())
+        .groupBy("t1", "t2")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("dwell_us").cast("bigint").alias("total_dwell_us"),
+            F.expr("sum(dwell_us) div count(*)")
+            .cast("bigint")
+            .alias("mean_dwell_us"),
+            F.max("dwell_us").cast("bigint").alias("max_dwell_us"),
+        )
+    )
+
+
+@query(
+    "q208_daily_growth_accounting",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             user_id
+      FROM events GROUP BY 1, 2
+    ),
+    per_day AS (
+      SELECT d.day,
+             CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(CASE WHEN f.first_day = d.day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new
+      FROM daily d JOIN firsts f USING (user_id)
+      GROUP BY d.day
+    )
+    SELECT day, n_active, n_new,
+           CAST(n_active - n_new AS BIGINT) AS n_returning,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM per_day
+    """,
+)
+def q208(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily growth accounting: active / new / returning users per day
+    plus the cumulative acquired-user curve — the standard growth
+    dashboard decomposition (active ≡ new + returning by construction;
+    the identity is part of the gate).
+
+    Scale shape: two user-keyed hash-aggs (first day, active days)
+    that co-partition for the join, a day-cells regroup, and one
+    window over day-count rows (the running total runs on the tiny
+    post-aggregation frame — its single partition holds #days rows,
+    never data; documented exception to the no-single-partition rule,
+    same defense as q157's bucket series)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    day = F.expr("cast(ts as long) div 86400").cast("bigint")
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    daily = e.select(day.alias("day"), "user_id").distinct()
+    per_day = (
+        daily.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_active"),
+            F.sum((F.col("first_day") == F.col("day")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "day",
+        "n_active",
+        "n_new",
+        (F.col("n_active") - F.col("n_new")).cast("bigint").alias(
+            "n_returning"
+        ),
+        F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
+    )
