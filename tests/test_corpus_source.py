@@ -149,3 +149,48 @@ def test_streaming_corpus_ingest_all_good_batch(spark, tmp_path):
     meta = {r.batch_id: r for r in spark.read.parquet(f"{state}/meta").collect()}
     assert sum(r.n_good for r in meta.values()) == 2
     assert sum(r.n_quarantined for r in meta.values()) == 0
+
+
+# ---------------------------------------------------------------------------
+# CSV source with quarantine
+# ---------------------------------------------------------------------------
+
+def test_csv_quarantine_split(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from graphdb_neo4j_spark.sources.csv import (
+        csv_quarantine_report,
+        read_csv_quarantined,
+    )
+
+    p = tmp_path / "dump.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alice,10\n"
+        "2,bob,twenty\n"          # type garbage → quarantined
+        "3,carol,30\n"
+        "4,dave\n"                # short row → quarantined
+        "5,erin,50,extra\n"       # long row → quarantined
+    )
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("score", LongType()),
+    ])
+    clean, bad = read_csv_quarantined(spark, str(p), schema)
+    got = sorted(tuple(r) for r in clean.collect())
+    assert got == [(1, "alice", 10), (3, "carol", 30)]
+    bad_lines = sorted(r.raw_line for r in bad.collect())
+    assert bad_lines == ["2,bob,twenty", "4,dave", "5,erin,50,extra"]
+    rep = csv_quarantine_report(bad).head()
+    assert (rep.n_bad, rep.n_distinct) == (3, 3)
+
+    # declaring the capture column in the data schema is a caller bug
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="_corrupt_record"):
+        read_csv_quarantined(
+            spark, str(p),
+            StructType([StructField("_corrupt_record", StringType())]),
+        )
