@@ -1,4 +1,7 @@
-from graphdb_neo4j_spark.streaming.corpus import streaming_corpus_ingest
+from graphdb_neo4j_spark.streaming.corpus import (
+    streaming_corpus_ingest,
+    streaming_csv_ingest,
+)
 from graphdb_neo4j_spark.streaming.ann import (
     streaming_ann_candidates,
     streaming_ann_topk,
@@ -69,6 +72,7 @@ __all__ = [
     "streaming_cms",
     "streaming_histogram",
     "streaming_corpus_ingest",
+    "streaming_csv_ingest",
     "streaming_debounce",
     "streaming_dedup_spans",
     "streaming_drift",

@@ -47,6 +47,7 @@ def streaming_corpus_ingest(
     lines_stream: DataFrame,
     state_path: str,
     schema: StructType,
+    split_fn=None,
 ):
     """``writeStream`` builder over a ``value: string`` line stream.
 
@@ -55,7 +56,13 @@ def streaming_corpus_ingest(
     * ``{state_path}/good``        — schema columns + ``batch_id``
     * ``{state_path}/quarantine``  — ``raw_line`` + ``batch_id``
     * ``{state_path}/meta``        — per-batch counts, committed last
+
+    ``split_fn(lines, schema) -> (good, quarantine)`` defaults to the
+    JSONL splitter; :func:`streaming_csv_ingest` passes the CSV one —
+    the quarantine/exactly-once machinery is format-agnostic.
     """
+    if split_fn is None:
+        split_fn = split_jsonl_lines
     good_path = f"{state_path}/good"
     quar_path = f"{state_path}/quarantine"
     meta_path = f"{state_path}/meta"
@@ -66,7 +73,7 @@ def streaming_corpus_ingest(
             return
         lines = batch_df.persist()
         try:
-            good, quar = split_jsonl_lines(lines, schema)
+            good, quar = split_fn(lines, schema)
             good = good.withColumn("batch_id", F.lit(batch_id))
             quar = quar.withColumn("batch_id", F.lit(batch_id))
             # counts from the cached batch (a read-back would fail on a
@@ -84,3 +91,28 @@ def streaming_corpus_ingest(
         )
 
     return lines_stream.writeStream.foreachBatch(_process)
+
+
+def streaming_csv_ingest(
+    lines_stream: DataFrame,
+    state_path: str,
+    schema: StructType,
+    sep: str = ",",
+    header: bool = True,
+):
+    """CSV face of :func:`streaming_corpus_ingest`: same exactly-once
+    batch_id-partitioned good/quarantine/meta layout, parsing through
+    ``sources.csv.split_csv_lines``.  With ``header=True`` lines equal
+    to the schema's header string are dropped before parsing (each
+    newly-arriving file carries one)."""
+    from graphdb_neo4j_spark.sources.csv import split_csv_lines
+
+    def split(lines: DataFrame, sch: StructType):
+        if header:
+            head = sep.join(f.name for f in sch.fields)
+            lines = lines.filter(F.col("value") != head)
+        return split_csv_lines(lines, sch, sep=sep)
+
+    return streaming_corpus_ingest(
+        lines_stream, state_path, schema, split_fn=split
+    )

@@ -194,3 +194,51 @@ def test_csv_quarantine_split(spark, tmp_path):
             spark, str(p),
             StructType([StructField("_corrupt_record", StringType())]),
         )
+
+
+def test_streaming_csv_ingest_matches_batch(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from graphdb_neo4j_spark.sources.csv import read_csv_quarantined
+    from graphdb_neo4j_spark.streaming.corpus import streaming_csv_ingest
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("score", LongType()),
+    ])
+    src = tmp_path / "csv_stream"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "id,name,score\n1,alice,10\n2,bob,twenty\n3,carol,30\n"
+    )
+    (src / "b.csv").write_text(
+        "id,name,score\n4,dave\n5,erin,50\n"
+    )
+    state = str(tmp_path / "csv_state")
+    stream = spark.readStream.text(str(src) + "/*.csv")
+    q = (
+        streaming_csv_ingest(stream, state, schema)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    good = {
+        tuple(r)
+        for r in spark.read.parquet(f"{state}/good")
+        .select("id", "name", "score").collect()
+    }
+    bad = {
+        r.raw_line
+        for r in spark.read.parquet(f"{state}/quarantine").collect()
+    }
+    bclean, bquar = read_csv_quarantined(
+        spark, str(src) + "/*.csv", schema
+    )
+    assert good == {tuple(r) for r in bclean.collect()}
+    assert bad == {r.raw_line for r in bquar.collect()}
+    assert good == {(1, "alice", 10), (3, "carol", 30), (5, "erin", 50)}
+    assert bad == {"2,bob,twenty", "4,dave"}

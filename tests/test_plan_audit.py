@@ -1064,3 +1064,32 @@ def test_q202_sketch_audit_register_shuffle_only(spark):
     plan = explain_str(df)
     assert "partial" in plan.lower()
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q206_sequences_one_user_shuffle(spark):
+    """Sessionize + per-session fold nest on one user shuffle; the
+    journey count is a cells-sized hash-agg."""
+    df = QUERY_FNS["q206_session_sequences"](spark, SF)
+    tree = _plan_tree(df)
+    assert "Join" not in tree, tree
+    assert tree.count("Window") == 2, tree
+    assert "SinglePartition" not in explain_str(df)
+
+
+def test_q207_dwell_single_window(spark):
+    """Both LEADs share one user window; |types|^2 cells agg."""
+    df = QUERY_FNS["q207_transition_dwell_times"](spark, SF)
+    tree = _plan_tree(df)
+    assert tree.count("Window") == 1, tree
+    assert "Join" not in tree, tree
+    assert "partial" in explain_str(df).lower()
+
+
+def test_q208_growth_windows_only_on_day_cells(spark):
+    """The running total's single partition holds #days rows (post
+    aggregation) — the documented bucket-series exception; everything
+    data-sized aggregates with partials first."""
+    df = QUERY_FNS["q208_daily_growth_accounting"](spark, SF)
+    plan = explain_str(df)
+    assert "partial" in plan.lower()
+    assert "CartesianProduct" not in plan, plan
