@@ -156,3 +156,55 @@ def ntile_distributed(
     out = indexed.withColumn(out_col, (bucket + 1).cast("int")).drop("__seq")
     out.checkpoint_handle = handle
     return out
+
+
+def prefix_sum_distributed(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+) -> tuple[DataFrame, CheckpointHandle]:
+    """Running total of ``value_col`` over a DISTRIBUTED total order —
+    the prefix-sum sibling of :func:`contiguous_index`: a global
+    cumulative window collapses to ONE task; this plans a range
+    shuffle + per-partition running sums + driver-side cumulative
+    partition totals (one number per partition crosses the driver,
+    never data).  ``order_cols`` must totally order the frame (add a
+    unique key tie-break).
+
+    Same checkpoint contract as ``contiguous_index``: the
+    range-partitioned intermediate is frozen so the totals pass and
+    the window pass see the same partitioning; release with
+    ``handle.release()`` after the final consuming action.
+    """
+    spark = df.sparkSession
+    np = spark.sparkContext.defaultParallelism
+    keyed = df.repartitionByRange(np, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    keyed, handle = checkpoint_eager(keyed)
+    totals = dict(
+        (r["__pid"], r["t"])
+        for r in keyed.groupBy("__pid")
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    )
+    base, offs = 0, {}
+    for pid in sorted(totals):
+        offs[pid] = base
+        base += totals[pid] or 0
+    off_df = spark.createDataFrame(
+        [(int(pid), int(off)) for pid, off in offs.items()] or [(0, 0)],
+        "__pid int, __off long",
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        keyed.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, F.col("__off") + F.sum(value_col).over(w))
+        .drop("__pid", "__off")
+    )
+    return out, handle

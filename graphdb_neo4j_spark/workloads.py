@@ -11843,3 +11843,154 @@ def q208(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.sum("n_new").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+@query(
+    "q209_abc_classification",
+    """
+    WITH rev AS (
+      SELECT l_partkey AS part,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    cum AS (
+      SELECT part, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, part
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cumc,
+             SUM(cents) OVER () AS total
+      FROM rev
+    ),
+    classed AS (
+      SELECT part, cents,
+             CASE WHEN cumc * 100 <= total * 80 THEN 'A'
+                  WHEN cumc * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM cum
+    )
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY abc
+    """,
+)
+def q209(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto / ABC inventory classification: rank parts by revenue
+    and split at the 80 % / 95 % cumulative-share boundaries (exact
+    integer cross-multiplied thresholds).  The oracle states the
+    global cumulative window; a Spark global-order window collapses to
+    ONE task over part-cardinality rows, so the Spark side computes
+    the SAME running total with ``order.prefix_sum_distributed`` —
+    range shuffle + per-partition running sums + driver-side
+    cumulative partition totals (one number per partition crosses the
+    driver).  Index checkpoint released in-query (q70's contract —
+    the output is 3 cells).
+
+    Scale shape: part rollup hash-agg, range-partitioned prefix sum,
+    scalar total broadcast, 3-row regroup."""
+    from graphdb_neo4j_spark.operators.order import prefix_sum_distributed
+
+    l = load_table(spark, sf, "lineitem")
+    rev = l.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(_cents(F.col("l_extendedprice"))).alias("cents")
+    )
+    ordered = rev.select(
+        "part", "cents", (-F.col("cents")).alias("__neg")
+    )
+    cum, handle = prefix_sum_distributed(
+        ordered, ["__neg", "part"], "cents", out_col="cumc"
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("total"))
+    classed = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        F.when(F.col("cumc") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cumc") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    out = (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    handle.release()
+    return out
+
+
+@query(
+    "q210_wav_decode_audit",
+    """
+    WITH clips AS (SELECT unnest(range(0, 12)) AS media_id),
+    dims AS (
+      SELECT media_id, 8000 + CAST(media_id % 3 AS BIGINT) * 4000 AS rate,
+             64 + media_id % 5 AS n
+      FROM clips
+    ),
+    smp AS (
+      SELECT media_id, rate, n,
+             ((media_id * 131 + i.i * 17) % 2048) - 1024 AS s
+      FROM dims, LATERAL (SELECT unnest(range(0, n)) AS i) i
+    )
+    SELECT media_id, 'wav' AS format,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean_val,
+           CAST(MIN(s) AS INT) AS min_val,
+           CAST(MAX(s) AS INT) AS max_val
+    FROM smp GROUP BY media_id, rate, n
+    """,
+)
+def q210(spark: SparkSession, sf: str) -> DataFrame:
+    """WAV PCM16 decode audit under the hash gate (q198's contract for
+    the audio path): 12 deterministic mono clips (sample i =
+    (id·131 + i·17) mod 2048 − 1024, rates 8/12/16 kHz) are encoded as
+    real RIFF/WAVE PCM16 payloads, decoded by the REAL Arrow kernel
+    (``multimodal.extract_media_features``), and the per-clip stats
+    must equal the oracle's analytic derivation from the generation
+    formula.  Sample sums stay < 2⁵³ → the float mean is exact
+    everywhere.
+
+    Scale shape: one mapInPandas pass; payloads die at the decode
+    stage."""
+    import struct as _struct
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    rows = []
+    for mid in range(12):
+        rate = 8000 + (mid % 3) * 4000
+        n = 64 + mid % 5
+        samples = [((mid * 131 + i * 17) % 2048) - 1024 for i in range(n)]
+        data = b"".join(_struct.pack("<h", s) for s in samples)
+        hdr = (
+            b"RIFF"
+            + _struct.pack("<I", 36 + len(data))
+            + b"WAVEfmt "
+            + _struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data"
+            + _struct.pack("<I", len(data))
+        )
+        rows.append((mid, bytearray(hdr + data)))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(4)
+    return (
+        extract_media_features(media, strict=True)
+        .drop("width", "height")
+        .select(
+            "media_id",
+            "format",
+            "sample_rate",
+            "channels",
+            "n_values",
+            "mean_val",
+            "min_val",
+            "max_val",
+        )
+    )

@@ -795,3 +795,56 @@ def test_ntile_distributed_hypothesis_matches_sql_ntile(spark):
         assert got == want
 
     check()
+
+
+def test_prefix_sum_distributed_hypothesis_matches_window(spark):
+    """Property: the range-partitioned prefix sum equals the
+    single-partition SQL running total on random values (negatives,
+    zeros, duplicate order keys broken by id)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+
+    from graphdb_neo4j_spark.operators.order import prefix_sum_distributed
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(vals=st.lists(st.integers(-50, 50), min_size=1, max_size=40))
+    def check(vals):
+        df = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(vals)], "v long, id int"
+        )
+        got_df, handle = prefix_sum_distributed(
+            df, ["v", "id"], "v", out_col="cum"
+        )
+        got = {(r.id, r.cum) for r in got_df.collect()}
+        handle.release()
+        w = Window.orderBy("v", "id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        want = {
+            (r.id, r.cum)
+            for r in df.select("id", F.sum("v").over(w).alias("cum")).collect()
+        }
+        assert got == want
+
+    check()
+
+
+def test_q209_releases_prefix_checkpoint(spark):
+    """ABC classification consumes in-query: repeated runs leave only
+    the 3-cell result blocks."""
+    from graphdb_neo4j_spark.workloads import QUERY_FNS as Q
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = {i.id() for i in jsc.getRDDStorageInfo()}
+    for _ in range(2):
+        Q["q209_abc_classification"](spark, "/root/testdata/sf0.001").collect()
+    infos = [i for i in jsc.getRDDStorageInfo() if i.id() not in before]
+    for i in infos:
+        assert i.memSize() + i.diskSize() < 64 * 1024, (
+            str(i.name()), i.memSize(), i.diskSize()
+        )
