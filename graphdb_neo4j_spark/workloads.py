@@ -11994,3 +11994,75 @@ def q210(spark: SparkSession, sf: str) -> DataFrame:
             "max_val",
         )
     )
+
+
+@query(
+    "q211_bmp_decode_audit",
+    """
+    WITH imgs AS (SELECT unnest(range(0, 16)) AS media_id),
+    dims AS (
+      SELECT media_id, 7 + media_id % 4 AS w, 5 + media_id % 3 AS h
+      FROM imgs
+    ),
+    px AS (
+      SELECT media_id, w, h,
+             (media_id * 37 + y.y * 11 + x.x * 5 + c.c * 3) % 256 AS v
+      FROM dims,
+           LATERAL (SELECT unnest(range(0, h)) AS y) y,
+           LATERAL (SELECT unnest(range(0, w)) AS x) x,
+           LATERAL (SELECT unnest(range(0, 3)) AS c) c
+    )
+    SELECT media_id, 'bmp' AS format,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_val,
+           CAST(MIN(v) AS INT) AS min_val,
+           CAST(MAX(v) AS INT) AS max_val
+    FROM px GROUP BY media_id, w, h
+    """,
+)
+def q211(spark: SparkSession, sf: str) -> DataFrame:
+    """BMP BI_RGB decode audit — the third codec under the hash gate
+    (q198 PPM, q210 WAV): deterministic 24-bit bottom-up BGR payloads
+    with real 4-byte row padding, decoded by the REAL Arrow kernel;
+    the pixel-stat multiset is orientation- and channel-order-
+    invariant, so the oracle derives it straight from the generation
+    formula.  Odd widths (7, 9) exercise non-zero padding.
+
+    Scale shape: one mapInPandas pass; payloads die at the decode
+    stage."""
+    import struct as _struct
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    rows = []
+    for mid in range(16):
+        w, h = 7 + mid % 4, 5 + mid % 3
+
+        def v(y, x, c):
+            return (mid * 37 + y * 11 + x * 5 + c * 3) % 256
+
+        stride = (w * 3 + 3) & ~3
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up rows
+            row = bytearray()
+            for x in range(w):
+                row += bytes([v(y, x, 2), v(y, x, 1), v(y, x, 0)])  # BGR
+            row += b"\x00" * (stride - len(row))
+            body += row
+        hdr = (
+            b"BM"
+            + _struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + _struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835,
+                0, 0,
+            )
+        )
+        rows.append((mid, bytearray(hdr + bytes(body))))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(4)
+    return extract_media_features(media, strict=True).drop("sample_rate")
