@@ -30,18 +30,38 @@ DuckDB replay, hash-exact per document.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 @dataclass
 class CurationResult:
     """``labeled``: one row per input doc —
-    (doc_id, n_tokens, drop_stage | NULL, split | NULL, bin | NULL)."""
+    (doc_id, n_tokens, drop_stage | NULL, split | NULL, bin | NULL).
+
+    ``cached`` holds the stage frames :func:`curate` pinned so the
+    verdict union's branches share ONE execution of each upstream
+    (scrub / quality / dedup survivors) instead of re-running it per
+    branch; call :meth:`release` after the final consuming action.
+    """
 
     labeled: DataFrame
+    cached: list[DataFrame] = field(default_factory=list)
+
+    def release(self) -> None:
+        """Unpersist every stage frame pinned by :func:`curate`.
+
+        Safe to call more than once.  After release the ``labeled``
+        frame is still USABLE (plain ``persist`` caches, unlike
+        checkpoints, recompute transparently) — releasing early only
+        costs recomputation, never correctness.
+        """
+        for df in self.cached:
+            df.unpersist()
+        self.cached = []
 
     @property
     def report(self) -> DataFrame:
@@ -91,6 +111,36 @@ def curate(
     from graphdb_neo4j_spark.operators.sampling import hash_split, pack_sequences
     from graphdb_neo4j_spark.operators.text import pii_scrub, quality_filter
 
+    # The verdict frame is a unionByName of one branch per drop stage
+    # plus the survivor branches — every branch roots at the same
+    # scrub/quality/dedup upstream.  Spark does not share common
+    # subplans across union arms, so WITHOUT pinning the upstream
+    # executes once per branch (the 8-regex scrub alone re-ran ~6x:
+    # 103.8s at sf0.1).  Each stage frame is persisted and eagerly
+    # materialized before fan-out; the branches then all read the
+    # cache, and CurationResult.release() frees the blocks after the
+    # caller's final action.  MEMORY_AND_DISK: the widest pin carries
+    # the corpus text column, which must spill rather than evict (an
+    # evicted partition would silently recompute — correct, but the
+    # exact redundancy this pin exists to prevent).
+    cached: list[DataFrame] = []
+
+    def _pin(df: DataFrame) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        cached.append(df)
+        return df
+
+    # A small corpus often arrives as a handful of parquet splits (the
+    # sf0.1 documents table is ONE); every pinned stage inherits its
+    # input's partitioning, so without this the regex scrub and the
+    # quality stats run on that handful of cores.  Fan the input out to
+    # the session's parallelism once, up front — at real scale the scan
+    # already has >= parallelism splits and this is a no-op.
+    np = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < np:
+        docs = docs.repartition(np)
+
     pii_counts = None
     if pii:
         # redaction FIRST: every downstream stage (quality stats,
@@ -98,9 +148,13 @@ def curate(
         # so documents differing only in redacted PII collapse as the
         # duplicates they are.  Eval docs stay raw (they are the
         # benchmark, not the corpus).  Per-doc match counts ride along
-        # for the audit column.
-        scr = pii_scrub(
-            docs.select(id_col, text_col), keep_cols=[id_col]
+        # for the audit column.  The scrub is PINNED, not fused into
+        # the quality projection: inlining the 4-regex scrub expression
+        # into every stat subexpression re-evaluates the regexes per
+        # stat and pushes the fused projection past codegen size
+        # limits (measured 2x slower than materialize-then-read).
+        scr = _pin(
+            pii_scrub(docs.select(id_col, text_col), keep_cols=[id_col])
         )
         pii_counts = scr.select(
             id_col,
@@ -127,8 +181,10 @@ def curate(
         )
 
     q = quality_filter(docs, id_col=id_col, text_col=text_col)
-    base = docs.select(id_col, text_col).join(
-        q.select(id_col, "n_tokens", "passed"), id_col
+    base = _pin(
+        docs.select(id_col, text_col).join(
+            q.select(id_col, "n_tokens", "passed"), id_col
+        )
     )
     dropped = [drop_row(base.filter(F.col("passed") == 0), "quality")]
     s1 = base.filter(F.col("passed") == 1)
@@ -139,7 +195,9 @@ def curate(
         ed.select(F.col("text_hash").alias("_h"), "keep_id"), "_h"
     ).withColumn("_dup", F.col(id_col) != F.col("keep_id"))
     dropped.append(drop_row(s2.filter(F.col("_dup")), "exact_dup"))
-    cur = s2.filter(~F.col("_dup")).select(id_col, text_col, "n_tokens")
+    cur = _pin(
+        s2.filter(~F.col("_dup")).select(id_col, text_col, "n_tokens")
+    )
 
     if neardup:
         cl = neardup_clusters(
@@ -147,8 +205,10 @@ def curate(
         )
         # neardup_clusters stringifies ids; cast back to the caller's
         # actual id type so non-long ids survive the keeper joins.
-        keepers = cl.filter(F.col("is_keeper")).select(
-            F.col("id").cast(cur.schema[id_col].dataType).alias(id_col)
+        keepers = _pin(
+            cl.filter(F.col("is_keeper")).select(
+                F.col("id").cast(cur.schema[id_col].dataType).alias(id_col)
+            )
         )
         dropped.append(
             drop_row(cur.join(keepers, id_col, "left_anti"), "near_dup")
@@ -156,20 +216,24 @@ def curate(
         cur = cur.join(keepers, id_col, "left_semi")
 
     if eval_docs is not None:
-        contam = contaminated_docs(
-            cur, eval_docs, n=n_gram, min_shared=min_shared,
-            id_col=id_col, text_col=text_col,
-        ).select(id_col)
+        contam = _pin(
+            contaminated_docs(
+                cur, eval_docs, n=n_gram, min_shared=min_shared,
+                id_col=id_col, text_col=text_col,
+            ).select(id_col)
+        )
         dropped.append(
             drop_row(cur.join(contam, id_col, "left_semi"), "contaminated")
         )
         cur = cur.join(contam, id_col, "left_anti")
 
-    kept = hash_split(
-        cur.select(id_col, "n_tokens"),
-        id_col=id_col,
-        weights=split_weights,
-        seed=split_seed,
+    kept = _pin(
+        hash_split(
+            cur.select(id_col, "n_tokens"),
+            id_col=id_col,
+            weights=split_weights,
+            seed=split_seed,
+        )
     )
     train = pack_sequences(
         kept.filter(F.col("split") == "train"),
@@ -197,4 +261,4 @@ def curate(
         labeled = labeled.unionByName(d)
     if pii_counts is not None:
         labeled = labeled.join(pii_counts, id_col)
-    return CurationResult(labeled=labeled)
+    return CurationResult(labeled=labeled, cached=cached)

@@ -8142,7 +8142,12 @@ def q154(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     ev = docs.filter(F.col("doc_id") % 53 == 0)
     res = curate(docs, ev)
-    return res.labeled
+    # consume internally (q70's contract): the per-doc verdict frame is
+    # checkpointed and every stage cache curate() pinned is released —
+    # repeated runs hold only result-sized blocks
+    out = res.labeled.localCheckpoint(eager=True)
+    res.release()
+    return out
 
 
 # ===========================================================================
@@ -11450,7 +11455,12 @@ def q203(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     injected = d.select("doc_id", _pii_injected_text().alias("text"))
     ev = d.filter(F.col("doc_id") % 53 == 0)
-    return curate(injected, ev, pii=True).labeled
+    res = curate(injected, ev, pii=True)
+    # consume internally (q70's contract): checkpoint the verdict
+    # frame, release the scrub/survivor stage caches deterministically
+    out = res.labeled.localCheckpoint(eager=True)
+    res.release()
+    return out
 
 
 @query("g80_undirected_spawn_degree")
