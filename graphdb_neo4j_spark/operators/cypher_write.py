@@ -221,6 +221,10 @@ class _EdgeStmt:
 class _DeleteStmt:
     vars: list[str]
     detach: bool
+    # seq of the last pattern clause BEFORE this DELETE: in-order
+    # clause gating applies only gates at seq <= this (a MATCH written
+    # after the DELETE must not suppress it)
+    seq: int = 0
 
 
 @dataclass
@@ -382,7 +386,9 @@ def parse_write_template(q: str) -> _Template:
             for v in vars_:
                 if v not in bound and not any(e.var == v for e in edges):
                     raise CypherWriteError(f"DELETE of unbound variable {v!r}")
-            deletes.append(_DeleteStmt(vars_, kw.startswith("DETACH")))
+            deletes.append(
+                _DeleteStmt(vars_, kw.startswith("DETACH"), seq=seq - 1)
+            )
         else:  # pragma: no cover
             raise CypherWriteError(f"unsupported clause {kw}")
 
@@ -614,7 +620,7 @@ class GraphWriter:
         for rel in sorted({e.rel for e in t.edges}):
             self._apply_edges(rel, [e for e in t.edges if e.rel == rel], t, gated_for)
         for d in t.deletes:
-            self._apply_delete(d, t, frames[-1])
+            self._apply_delete(d, t, gated_for(d.seq))
         return self.store
 
     # -- MATCH gate ---------------------------------------------------------

@@ -48,21 +48,30 @@ def candidate_pairs(
     deduped).  ``max_block`` drops blocks with more rows than the cap
     (quadratic-blowup guard — standard ER practice; widen the key
     instead of raising the cap).
+
+    The multi-pass union probes ONE persisted projection (rid, name,
+    every blocking key computed in a single pass over the input) —
+    without it each key re-scanned the full records source twice
+    (block sizes + probe).  The verified pair set — tiny relative to
+    the input — is materialized in-query so the cache can be released
+    deterministically before returning.
     """
     if not blocking:
         raise ValueError("blocking must name at least one key")
-    base = records.select(
-        F.col(id_col).alias("rid"), F.col(name_col).alias("name")
+    kcols = [F.col(k) if isinstance(k, str) else k for k in blocking]
+    proj = records.select(
+        F.col(id_col).alias("rid"),
+        F.col(name_col).alias("name"),
+        *[k.alias(f"__bk{i}") for i, k in enumerate(kcols)],
     ).filter(F.col("name").isNotNull())
+    proj = proj.persist()
+    proj.count()
 
     all_pairs = None
-    for key in blocking:
-        kcol = F.col(key) if isinstance(key, str) else key
-        keyed = records.select(
-            kcol.alias("bkey"),
-            F.col(id_col).alias("rid"),
-            F.col(name_col).alias("name"),
-        ).filter(F.col("bkey").isNotNull() & F.col("name").isNotNull())
+    for i in range(len(kcols)):
+        keyed = proj.select(
+            F.col(f"__bk{i}").alias("bkey"), "rid", "name"
+        ).filter(F.col("bkey").isNotNull())
         if max_block is not None:
             sizes = keyed.groupBy("bkey").agg(F.count("*").alias("bn"))
             keyed = keyed.join(
@@ -87,15 +96,30 @@ def candidate_pairs(
         )
         all_pairs = pairs if all_pairs is None else all_pairs.unionByName(pairs)
 
-    return (
-        all_pairs.dropDuplicates(["id_a", "id_b"])
+    out = (
+        all_pairs
+        # verify BEFORE deduping: the distance is map-side on the join
+        # output, so only the (few) surviving matches cross the wire
+        # into dropDuplicates — deduping first shuffled every blocked
+        # pair with both name strings attached.  BOUNDED levenshtein:
+        # the threshold argument abandons a pair as soon as the
+        # distance provably exceeds max_dist (O(len*k) band instead of
+        # the O(len^2) table; -1 = over budget).  A pair reachable via
+        # several blocking keys always carries the same names, so its
+        # dist is identical under every key — dedup order is safe.
         .withColumn(
             "dist",
-            F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int"),
+            F.levenshtein(
+                F.col("name_a"), F.col("name_b"), int(max_dist)
+            ).cast("int"),
         )
-        .filter(F.col("dist") <= int(max_dist))
+        .filter(F.col("dist") >= 0)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "dist")
+        .localCheckpoint(eager=True)
     )
+    proj.unpersist()
+    return out
 
 
 def resolve_entities(

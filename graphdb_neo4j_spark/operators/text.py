@@ -806,11 +806,13 @@ def fuzzy_match_pairs(
         .select(
             F.col("a.val").alias("val_a"),
             F.col("b.val").alias("val_b"),
-            F.levenshtein(F.col("a.val"), F.col("b.val"))
+            # bounded form: gives up on a pair once the distance
+            # provably exceeds max_dist (O(len*k) band, -1 = over)
+            F.levenshtein(F.col("a.val"), F.col("b.val"), int(max_dist))
             .cast("int")
             .alias("dist"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") >= 0)
     )
 
 

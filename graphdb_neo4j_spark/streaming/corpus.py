@@ -38,9 +38,12 @@ def _done_batches(spark: SparkSession, meta_path: str) -> set[int]:
 
 
 def _write_by_batch(df: DataFrame, path: str) -> None:
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy("batch_id").parquet(path)
+    # per-writer option, NOT session conf: a replayed batch overwrites
+    # only its own batch_id partition without leaking 'dynamic'
+    # overwrite mode into the user's session for unrelated writes
+    df.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(path)
 
 
 def streaming_corpus_ingest(

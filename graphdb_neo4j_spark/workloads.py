@@ -10457,7 +10457,8 @@ def q189(spark: SparkSession, sf: str) -> DataFrame:
     SELECT nation,
            CAST(MAX(n) AS BIGINT) AS n_customers,
            CAST(SUM(cents) AS BIGINT) AS revenue_cents,
-           CAST(2 * SUM(i * cents) - (MAX(n) + 1) * SUM(cents) AS DOUBLE)
+           CAST(2 * SUM(CAST(i AS DECIMAL(38,0)) * cents)
+                - (MAX(n) + 1) * CAST(SUM(cents) AS DECIMAL(38,0)) AS DOUBLE)
              / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(cents) AS DOUBLE)) AS gini
     FROM ranked GROUP BY nation
     """,
@@ -10467,8 +10468,11 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
     spend (0 = equal, →1 = concentrated), the distributional
     companion to q162's Herfindahl: ``(2·Σi·xᵢ − (n+1)·Σx) /
     (n·Σx)`` with x ascending.  Everything up to the final division
-    is exact BIGINT on integer cents (rank tie-break by customer
-    key), so the one double expression is IEEE-deterministic.
+    is exact integer arithmetic (rank tie-break by customer key), so
+    the one double expression is IEEE-deterministic; the rank-weighted
+    sum Σi·xᵢ is O(n²·avg_cents) and rides DECIMAL(38,0) in both
+    engines (q193/q196's policy) so it cannot wrap int64 however many
+    customers a nation has.
 
     Scale shape: customer rollup shuffles on (nation, custkey); the
     rank window re-shuffles to nation partitions (25 groups — bounded
@@ -10505,8 +10509,8 @@ def q190(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("revenue_cents"),
         (
             (
-                2 * F.sum(F.col("i") * F.col("cents"))
-                - (F.max("n") + 1) * F.sum("cents")
+                2 * F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents"))
+                - (F.max("n") + 1) * F.sum("cents").cast("decimal(38,0)")
             ).cast("double")
             / (F.max("n").cast("double") * F.sum("cents").cast("double"))
         ).alias("gini"),

@@ -547,3 +547,48 @@ def test_remove_rejects_labels_and_unbound():
     assert [(i.prop, i.value_sql, i.keep_old) for i in t.nodes[0].bare_set] == [
         ("v", "NULL", False), ("w", "NULL", False)
     ]
+
+
+def test_delete_gated_in_clause_order(spark, writer):
+    """A MATCH written AFTER a DELETE must not suppress it (in-order
+    clause gating, same rule as SET/MERGE): here the second MATCH fails
+    for the GHOST row, but the DELETE of node A precedes it in the
+    template, so A is deleted anyway."""
+    writer.execute(
+        "MERGE (a:A {k:$a})",
+        spark.createDataFrame([("a1",), ("a2",)], "a string"),
+    )
+    writer.execute(
+        "MERGE (b:B {k:$b})",
+        spark.createDataFrame([("b1",)], "b string"),
+    )
+    writer.execute(
+        """
+        MATCH (a:A {k:$a})
+        DELETE a
+        MATCH (b:B {k:$b})
+        SET b.touched = $a
+        """,
+        spark.createDataFrame([("a1", "GHOST")], "a string, b string"),
+    )
+    # a1 deleted even though the LATER MATCH (b=GHOST) found nothing...
+    assert rows(writer.store.nodes["A"], "k") == [("a2",)]
+    # ...and the failing MATCH still suppressed its own SET
+    assert rows(writer.store.nodes["B"], "k", "touched") == [("b1", None)]
+
+
+def test_delete_suppressed_by_earlier_failing_match(spark, writer):
+    """The converse: a failing MATCH BEFORE the DELETE suppresses it."""
+    writer.execute(
+        "MERGE (a:A {k:$a})",
+        spark.createDataFrame([("a1",)], "a string"),
+    )
+    writer.execute(
+        """
+        MATCH (b:B {k:$b})
+        MATCH (a:A {k:$a})
+        DELETE a
+        """,
+        spark.createDataFrame([("GHOST", "a1")], "b string, a string"),
+    )
+    assert rows(writer.store.nodes["A"], "k") == [("a1",)]
