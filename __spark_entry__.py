@@ -59,13 +59,32 @@ def _ordered_names() -> list[str]:
     3. everything already confirmed (still pinned locally by
        ``tests/test_oracle_parity.py``).
 
-    Within each tier, original registration order is kept, so the rotation
+    Within each tier, original registration order is kept — except that
+    still-unchecked FLAGSHIP queries (the composed curation pipeline and
+    the real-codec audits, the headline extensions) lead their tier so
+    they get a driver row before the numeric backlog — so the rotation
     is deterministic and self-maintaining as new CORRECTNESS files land.
     """
+    flagships = [
+        "q154_curation_pipeline",
+        "q203_curation_with_pii",
+        "q198_media_decode_audit",
+        "q210_wav_decode_audit",
+        "q211_bmp_decode_audit",
+    ]
     confirmed = _driver_confirmed()
     names = list(QUERY_FNS)
-    unchecked_oracle = [n for n in names if n not in confirmed and n in ORACLES]
-    unchecked_rows = [n for n in names if n not in confirmed and n not in ORACLES]
+
+    def boost(tier: list[str]) -> list[str]:
+        lead = [n for n in flagships if n in tier]
+        return lead + [n for n in tier if n not in lead]
+
+    unchecked_oracle = boost(
+        [n for n in names if n not in confirmed and n in ORACLES]
+    )
+    unchecked_rows = boost(
+        [n for n in names if n not in confirmed and n not in ORACLES]
+    )
     done = [n for n in names if n in confirmed]
     return unchecked_oracle + unchecked_rows + done
 
