@@ -6,12 +6,13 @@ extraction runs in Arrow-batched ``mapInPandas`` so bytes cross the
 JVM↔Python boundary once per batch, never per row, and the pipeline
 stays a single narrow stage (no shuffle).
 
-Codec status: uncompressed formats decode FOR REAL with no external
+Codec status: these formats decode FOR REAL with no external
 dependency — PPM P6 pixels (:func:`decode_ppm`), BMP BI_RGB 24/32-bit
 pixels (:func:`decode_bmp`), WAV PCM16 samples (:func:`decode_wav`),
-PNG header dims (:func:`png_dims`) — feeding
-:func:`extract_media_features` end to end.  Compressed codecs
-(JPEG/H.264/AAC) still require PIL/ffmpeg and raise
+and PNG 8-bit gray/RGB/RGBA with all five scanline filters
+(:func:`decode_png` — DEFLATE via stdlib ``zlib``) — feeding
+:func:`extract_media_features` end to end.  Codecs that genuinely
+need external libraries (JPEG/H.264/AAC) raise
 ``NotImplementedError`` unless a deterministic fake is requested; the
 Spark-side plumbing — schema, batching, partitioning, UDF signature —
 is identical for both paths.
@@ -116,6 +117,148 @@ def decode_ppm(payload: bytes):
     if len(raw) != need:
         raise ValueError(f"truncated PPM: need {need} bytes, got {len(raw)}")
     return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_png(payload: bytes):
+    """REAL pixel decode of PNG — stdlib-only (``zlib`` is the whole
+    dependency: PNG's IDAT stream is DEFLATE).  Returns
+    ``(width, height, ndarray[h, w, ch] uint8)``.
+
+    Supported: 8-bit depth, color types 0 (gray, ch=1), 2 (RGB, ch=3),
+    6 (RGBA, ch=4), interlace 0, with ALL FIVE scanline filters
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6) unfiltered exactly.
+    Ancillary chunks are skipped; multiple IDAT chunks concatenate
+    (they are one zlib stream split arbitrarily).  16-bit, palette,
+    and Adam7 payloads raise — honest gates, not silent wrong answers.
+    """
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        ln = struct.unpack(">I", payload[pos : pos + 4])[0]
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    nch = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if depth != 8 or nch is None or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit gray/RGB/RGBA non-interlaced PNG supported "
+            f"(depth={depth}, color_type={ctype}, interlace={interlace})"
+        )
+    if not idat:
+        raise ValueError("missing IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError(
+            f"bad scanline data: need {(stride + 1) * h} bytes, got {len(raw)}"
+        )
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    at = 0
+    for y in range(h):
+        ftype = raw[at]
+        cur = np.frombuffer(raw, np.uint8, stride, at + 1).copy()
+        at += stride + 1
+        if ftype == 0:  # None
+            pass
+        elif ftype == 2:  # Up — vectorized (uint8 addition wraps mod 256)
+            cur += prev
+        elif ftype == 1:  # Sub — sequential in x (left-neighbor recurrence)
+            for x in range(nch, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - nch])) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                cur[x] = (int(cur[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return w, h, out.reshape(h, w, nch)
+
+
+def encode_png(px, filters: list[int] | None = None) -> bytes:
+    """Encode ``ndarray[h, w, ch] uint8`` (ch ∈ {1, 3, 4}) as a valid
+    PNG — the fixture-side inverse of :func:`decode_png`, stdlib-only.
+
+    ``filters`` optionally fixes the per-row filter type (default all
+    0); passing varied types makes a fixture that exercises every
+    unfilter path in the decoder — the point of the q212 audit.
+    """
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, nch = px.shape
+    ctype = {1: 0, 3: 2, 4: 6}[nch]
+    stride = w * nch
+    flat = px.reshape(h, stride).astype(np.int64)
+    lines = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)] if filters else 0
+        cur = flat[y]
+        up = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        left = np.concatenate([np.zeros(nch, dtype=np.int64), cur[:-nch]])
+        ul = np.concatenate([np.zeros(nch, dtype=np.int64), up[:-nch]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - up
+        elif f == 3:
+            enc = cur - ((left + up) >> 1)
+        elif f == 4:
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"unknown filter {f}")
+        lines.append(f)
+        lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_bmp(payload: bytes):
@@ -271,9 +414,10 @@ FEATURES_SCHEMA = StructType(
 
 def extract_media_features(df: DataFrame, strict: bool = False) -> DataFrame:
     """END-TO-END content feature extraction: REAL pixel/sample decode
-    for the dependency-free formats (PPM P6, BMP BI_RGB, WAV PCM16),
-    header-only for PNG, NULL stats for codec-gated formats (JPEG/MP4 —
-    raise instead when ``strict=True``).
+    for the dependency-free formats (PPM P6, BMP BI_RGB, WAV PCM16,
+    PNG 8-bit via stdlib zlib), header-only dims for undecodable PNG
+    variants, NULL stats for codec-gated formats (JPEG/MP4 — raise
+    instead when ``strict=True``).
 
     Same 100 TB shape as :func:`extract_media_meta`: one Arrow-batched
     ``mapInPandas`` pass, payload crosses the JVM↔Python boundary once
@@ -302,9 +446,22 @@ def extract_media_features(df: DataFrame, strict: bool = False) -> DataFrame:
                 mean = float(s.mean()) if nv else None
                 mn, mx = (int(s.min()), int(s.max())) if nv else (None, None)
             elif fmt == "png":
-                dims = png_dims(b)
-                if dims:
-                    w, h, ch = dims[0], dims[1], 3
+                try:
+                    w, h, px = decode_png(b)
+                    flat = px.reshape(-1).astype(np.int64)
+                    ch, nv = int(px.shape[2]), int(flat.size)
+                    mean = float(flat.mean()) if nv else None
+                    mn, mx = (
+                        (int(flat.min()), int(flat.max())) if nv else (None, None)
+                    )
+                except ValueError:
+                    # undecodable variant (16-bit / palette / Adam7) or
+                    # header-only payload: dims from IHDR, no stats
+                    if strict:
+                        raise
+                    dims = png_dims(b)
+                    if dims:
+                        w, h, ch = dims[0], dims[1], 3
             elif strict:
                 raise NotImplementedError(
                     f"decode of {fmt!r} needs a codec library (PIL/ffmpeg) "

@@ -15,6 +15,18 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "graphdb-neo4j-spark", **extra_conf: str) -> SparkSession:
+    # Python workers must import this package even when the DRIVER got
+    # it via a sys.path insert (e.g. a harness running from another
+    # cwd): sys.path mutations don't reach the worker daemon, but the
+    # JVM — and therefore the daemon it forks — inherits the driver's
+    # environment, so export the package root on PYTHONPATH before the
+    # JVM starts.  No-op when already importable from the worker cwd.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)

@@ -12080,3 +12080,63 @@ def q211(spark: SparkSession, sf: str) -> DataFrame:
         rows, "media_id long, payload binary"
     ).repartition(4)
     return extract_media_features(media, strict=True).drop("sample_rate")
+
+
+@query(
+    "q212_png_decode_audit",
+    """
+    WITH imgs AS (SELECT unnest(range(0, 20)) AS media_id),
+    dims AS (
+      SELECT media_id, 6 + media_id % 5 AS w, 5 + media_id % 4 AS h
+      FROM imgs
+    ),
+    px AS (
+      SELECT media_id, w, h,
+             (media_id * 41 + y.y * 13 + x.x * 7 + c.c * 17) % 256 AS v
+      FROM dims,
+           LATERAL (SELECT unnest(range(0, h)) AS y) y,
+           LATERAL (SELECT unnest(range(0, w)) AS x) x,
+           LATERAL (SELECT unnest(range(0, 3)) AS c) c
+    )
+    SELECT media_id, 'png' AS format,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_val,
+           CAST(MIN(v) AS INT) AS min_val,
+           CAST(MAX(v) AS INT) AS max_val
+    FROM px GROUP BY media_id, w, h
+    """,
+)
+def q212(spark: SparkSession, sf: str) -> DataFrame:
+    """PNG decode audit — the fourth REAL codec under the hash gate
+    (q198 PPM, q210 WAV, q211 BMP), and the first COMPRESSED one: the
+    payloads are genuine zlib/DEFLATE PNG streams (stdlib ``zlib`` is
+    the entire dependency — multimodal.decode_png), encoded with the
+    per-row filter cycling 0→4 so every unfilter path (None/Sub/Up/
+    Average/Paeth, RFC 2083 §6) must be exact for the stats to match
+    the oracle's analytic derivation from the pixel formula.
+
+    Scale shape: identical to q198 — one Arrow-batched mapInPandas
+    pass, payloads die at the decode stage, stats projection only."""
+    import numpy as _np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        encode_png,
+        extract_media_features,
+    )
+
+    rows = []
+    for mid in range(20):
+        w, h = 6 + mid % 5, 5 + mid % 4
+        px = _np.fromfunction(
+            lambda y, x, c: (mid * 41 + y * 13 + x * 7 + c * 17) % 256,
+            (h, w, 3),
+        ).astype(_np.uint8)
+        rows.append(
+            (mid, bytearray(encode_png(px, filters=[0, 1, 2, 3, 4])))
+        )
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(4)
+    return extract_media_features(media, strict=True).drop("sample_rate")

@@ -250,3 +250,76 @@ def test_extract_media_features_strict_raises(spark):
     )
     with pytest.raises(PythonException, match="codec library"):
         extract_media_features(df, strict=True).collect()
+
+
+def test_png_roundtrip_all_filters_and_channels():
+    """decode_png must invert encode_png exactly for every scanline
+    filter (None/Sub/Up/Average/Paeth) and channel count (gray/RGB/
+    RGBA) — the DEFLATE stream is stdlib zlib, so this is a REAL
+    compressed-codec round-trip with no external dependency."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        sniff_format,
+    )
+
+    rng = np.random.RandomState(7)
+    for nch in (1, 3, 4):
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            px = rng.randint(0, 256, size=(11, 7, nch), dtype=np.uint8)
+            blob = encode_png(px, filters=filters)
+            assert sniff_format(blob) == "png"
+            w, h, out = decode_png(blob)
+            assert (w, h) == (7, 11)
+            assert np.array_equal(out, px), (nch, filters)
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from graphdb_neo4j_spark.operators.multimodal import decode_png
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    sixteen = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0))
+    with _pytest.raises(ValueError, match="8-bit"):
+        decode_png(sixteen)
+    header_only = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+    with _pytest.raises(ValueError, match="IDAT"):
+        decode_png(header_only)
+    with _pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"garbage")
+
+
+def test_png_features_through_arrow_kernel(spark):
+    """Real PNG pixels (not just header dims) through the mapInPandas
+    feature extractor, strict mode."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        FEATURES_SCHEMA,
+        encode_png,
+        extract_media_features,
+    )
+
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png(px, filters=[4])), "image/png", "s3://x/p.png")],
+        MEDIA_SCHEMA,
+    )
+    out = extract_media_features(df, strict=True)
+    assert out.schema == FEATURES_SCHEMA
+    r = out.collect()[0]
+    assert (r.format, r.width, r.height, r.channels) == ("png", 4, 3, 3)
+    assert r.n_values == 36 and r.min_val == 0 and r.max_val == 35
+    assert abs(r.mean_val - 17.5) < 1e-12
