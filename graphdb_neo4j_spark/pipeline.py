@@ -21,7 +21,12 @@ dedup shuffles (text_hash, id) only; near-dup is the banded-LSH path
 (never all-pairs); contamination broadcasts the MB-scale eval-gram
 set; split is map-side hash arithmetic; packing is one window over the
 kept-train rows.  The wide ``text`` column is dropped before every
-id-level join, so the joins carry ids + small ints.
+id-level join, so the joins carry ids + small ints.  Because the
+verdict frame unions one branch per stage and Spark shares no common
+subplans across union arms, every stage frame is persisted and
+eagerly materialized before the fan-out (each upstream executes
+exactly ONCE — runtime-asserted by the plan-audit suite) and released
+via :meth:`CurationResult.release` after the final consuming action.
 
 With ``neardup=False`` the whole pipeline is mirrorable in ANSI SQL —
 the q154 driver gate runs the full five-stage composition against a
