@@ -152,18 +152,43 @@ def pack_sequences(
     case it lands in the bin its first token falls into, and bins
     overflow by at most one document.  Exact first-fit would be a
     sequential fold — O(n) driver state — for a marginal density gain.
+
+    With ``by_col`` the window partitions on the group key (bounded
+    groups — fine at scale).  WITHOUT it the global order would
+    collapse a window to ONE task, so that path runs through
+    :func:`order.prefix_sum_distributed` (range shuffle +
+    per-partition running sums + driver-side partition offsets) —
+    identical bins for a unique ``order_col``, no SinglePartition.
+    The returned frame then carries a ``checkpoint_handle``; release
+    it after the final consuming action (q70's contract).
     """
     from pyspark.sql import Window
 
     if by_col is not None:
         w = Window.partitionBy(by_col).orderBy(order_col)
-    else:
-        w = Window.partitionBy().orderBy(order_col)
-    cum_excl = F.coalesce(
-        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
+        cum_excl = F.coalesce(
+            F.sum(token_col).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        return df.withColumn(
+            "bin", F.floor(cum_excl / F.lit(budget)).cast("bigint")
+        )
+
+    from graphdb_neo4j_spark.operators.order import prefix_sum_distributed
+
+    out, handle = prefix_sum_distributed(
+        df, [order_col], token_col, out_col="__cum"
     )
-    return df.withColumn("bin", F.floor(cum_excl / F.lit(budget)).cast("bigint"))
+    res = out.withColumn(
+        "bin",
+        F.floor(
+            (F.col("__cum") - F.col(token_col)) / F.lit(budget)
+        ).cast("bigint"),
+    ).drop("__cum")
+    res.checkpoint_handle = handle
+    return res
 
 
 def weighted_sample(

@@ -57,12 +57,13 @@ class CurationResult:
     cached: list[DataFrame] = field(default_factory=list)
 
     def release(self) -> None:
-        """Unpersist every stage frame pinned by :func:`curate`.
+        """Release every stage frame pinned by :func:`curate` (persisted
+        caches plus the packing stage's checkpoint handle).
 
-        Safe to call more than once.  After release the ``labeled``
-        frame is still USABLE (plain ``persist`` caches, unlike
-        checkpoints, recompute transparently) — releasing early only
-        costs recomputation, never correctness.
+        Safe to call more than once.  Call it AFTER the final consuming
+        action on ``labeled`` (q70's contract): the persisted caches
+        would recompute transparently, but the packing checkpoint fails
+        loudly on reuse by design.
         """
         for df in self.cached:
             df.unpersist()
@@ -240,13 +241,20 @@ def curate(
             seed=split_seed,
         )
     )
-    train = pack_sequences(
+    packed = pack_sequences(
         kept.filter(F.col("split") == "train"),
         budget=seq_budget,
         token_col="n_tokens",
         order_col=id_col,
         id_col=id_col,
-    ).select(
+    )
+    # the distributed-prefix-sum path checkpoints its range-partitioned
+    # intermediate; its handle releases with the stage caches (the
+    # CheckpointHandle's unpersist() alias makes it duck-compatible)
+    ph = getattr(packed, "checkpoint_handle", None)
+    if ph is not None:
+        cached.append(ph)
+    train = packed.select(
         id_col,
         "n_tokens",
         F.lit(None).cast("string").alias("drop_stage"),

@@ -1132,7 +1132,15 @@ def test_curate_upstream_executes_once(spark):
 
     res = curate(docs, ev, pii=True)
     assert len(res.cached) >= 3
-    assert all(d.is_cached for d in res.cached)
+    # cached holds persisted frames + the packing checkpoint handle
+    assert all(
+        d.is_cached for d in res.cached if hasattr(d, "is_cached")
+    )
+    # the packing stage must NOT collapse to a global window — the
+    # distributed prefix-sum path partitions on __pid (range shuffle)
+    from graphdb_neo4j_spark.plans import explain_str
+
+    assert "SinglePartition" not in explain_str(res.labeled)
     got = res.labeled.count()
     assert got == n
     # one pass: the eager scrub pin; every later stage reads a cache
@@ -1142,5 +1150,3 @@ def test_curate_upstream_executes_once(spark):
     )
     res.release()
     assert not res.cached
-    # plain persist caches recompute transparently: still usable
-    assert res.labeled.count() == n
