@@ -110,7 +110,19 @@ class ExecClock:
 
 
 def main() -> None:
-    spark = get_spark("bench", **{"spark.ui.enabled": "true", "spark.ui.port": "4049"})
+    spark = get_spark(
+        "bench",
+        **{
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4049",
+            # ExecClock sums executorRunTime over RETAINED completed
+            # stages; the default cap (1000) evicts old stages midway
+            # through the bench and the cumulative sum would DECREASE,
+            # corrupting the deltas — retain everything the bench runs
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     def run(df) -> None:

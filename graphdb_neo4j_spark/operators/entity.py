@@ -96,7 +96,7 @@ def candidate_pairs(
         )
         all_pairs = pairs if all_pairs is None else all_pairs.unionByName(pairs)
 
-    out = (
+    verified = (
         all_pairs
         # verify BEFORE deduping: the distance is map-side on the join
         # output, so only the (few) surviving matches cross the wire
@@ -116,8 +116,11 @@ def candidate_pairs(
         .filter(F.col("dist") >= 0)
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "dist")
-        .localCheckpoint(eager=True)
     )
+    from graphdb_neo4j_spark.operators.order import checkpoint_eager
+
+    out, handle = checkpoint_eager(verified)
+    out.checkpoint_handle = handle  # release after the final action
     proj.unpersist()
     return out
 
@@ -144,6 +147,9 @@ def resolve_entities(
     comp = connected_components(
         nodes, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
+    # comp is checkpoint-rooted (the loop's per-round freeze), so the
+    # verified-pairs blocks are no longer referenced — release now
+    pairs.checkpoint_handle.release()
     return comp.select(
         F.col("key").alias(id_col), F.col("component").alias("entity_id")
     )

@@ -177,22 +177,32 @@ def decode_png(payload: bytes):
             pass
         elif ftype == 2:  # Up — vectorized (uint8 addition wraps mod 256)
             cur += prev
-        elif ftype == 1:  # Sub — sequential in x (left-neighbor recurrence)
-            for x in range(nch, stride):
-                cur[x] = (int(cur[x]) + int(cur[x - nch])) & 0xFF
-        elif ftype == 3:  # Average
+        elif ftype == 1:  # Sub == per-channel cumulative sum (mod 256):
+            # accumulate in uint8 so the wrap IS the mod — fully
+            # vectorized, no per-byte Python
+            cur = np.add.accumulate(
+                cur.reshape(w, nch), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif ftype == 3:  # Average — x-sequential; plain-int lists keep
+            # the loop free of numpy scalar boxing
+            c_ = cur.tolist()
+            p_ = prev.tolist()
             for x in range(stride):
-                a = int(cur[x - nch]) if x >= nch else 0
-                cur[x] = (int(cur[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
+                a = c_[x - nch] if x >= nch else 0
+                c_[x] = (c_[x] + ((a + p_[x]) >> 1)) & 0xFF
+            cur = np.asarray(c_, dtype=np.uint8)
+        elif ftype == 4:  # Paeth — x-sequential, same de-boxed loop
+            c_ = cur.tolist()
+            p_ = prev.tolist()
             for x in range(stride):
-                a = int(cur[x - nch]) if x >= nch else 0
-                b = int(prev[x])
-                c = int(prev[x - nch]) if x >= nch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (int(cur[x]) + pred) & 0xFF
+                a = c_[x - nch] if x >= nch else 0
+                b = p_[x]
+                cc = p_[x - nch] if x >= nch else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                c_[x] = (c_[x] + pred) & 0xFF
+            cur = np.asarray(c_, dtype=np.uint8)
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = cur
@@ -446,6 +456,8 @@ def extract_media_features(df: DataFrame, strict: bool = False) -> DataFrame:
                 mean = float(s.mean()) if nv else None
                 mn, mx = (int(s.min()), int(s.max())) if nv else (None, None)
             elif fmt == "png":
+                import zlib as _zlib
+
                 try:
                     w, h, px = decode_png(b)
                     flat = px.reshape(-1).astype(np.int64)
@@ -454,8 +466,9 @@ def extract_media_features(df: DataFrame, strict: bool = False) -> DataFrame:
                     mn, mx = (
                         (int(flat.min()), int(flat.max())) if nv else (None, None)
                     )
-                except ValueError:
-                    # undecodable variant (16-bit / palette / Adam7) or
+                except (ValueError, _zlib.error, struct.error):
+                    # undecodable variant (16-bit / palette / Adam7),
+                    # corrupt DEFLATE stream, truncated header, or a
                     # header-only payload: dims from IHDR, no stats
                     if strict:
                         raise

@@ -323,3 +323,35 @@ def test_png_features_through_arrow_kernel(spark):
     assert (r.format, r.width, r.height, r.channels) == ("png", 4, 3, 3)
     assert r.n_values == 36 and r.min_val == 0 and r.max_val == 35
     assert abs(r.mean_val - 17.5) < 1e-12
+
+
+def test_png_corrupt_idat_degrades_not_crashes(spark):
+    """A valid PNG signature+IHDR with a corrupt DEFLATE stream must
+    degrade to header dims (non-strict) instead of killing the task:
+    zlib.error is not a ValueError and needs its own catch."""
+    import struct
+    import zlib
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    corrupt = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 7, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"\x00not-deflate")
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(corrupt), "image/png", "s3://x/c.png")],
+        MEDIA_SCHEMA,
+    )
+    r = extract_media_features(df).collect()[0]
+    assert (r.format, r.width, r.height) == ("png", 9, 7)
+    assert r.n_values is None  # header-only degradation, no stats

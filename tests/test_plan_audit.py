@@ -563,12 +563,25 @@ def test_q152_cusum_single_type_shuffle(spark):
 def test_q154_pipeline_broadcasts_eval_grams_no_cartesian(spark):
     """The curation pipeline's decontamination leg must broadcast the
     eval-gram set (MB-scale at any corpus size) and the composed plan
-    must contain no cartesian product."""
-    df = QUERY_FNS["q154_curation_pipeline"](spark, SF)
-    plan = explain_str(df)
+    must contain no cartesian product.
+
+    Inspects curate()'s PRE-checkpoint verdict frame — the q154 wrapper
+    consumes in-query (localCheckpoint + release), which truncates the
+    returned plan to a bare RDD scan, so the wrapper's output carries
+    no plan to audit."""
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.pipeline import curate
+    from graphdb_neo4j_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    ev = docs.filter(F.col("doc_id") % 53 == 0)
+    res = curate(docs, ev)
+    plan = explain_str(res.labeled)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan, plan
-    assert has_broadcast_join(df)
+    assert has_broadcast_join(res.labeled)
+    res.release()
 
 
 def test_q155_bm25_broadcasts_stats_and_takeordered(spark):

@@ -28,7 +28,13 @@ def test_readme_counts_match_registry():
 
 def test_every_query_id_in_coverage_map():
     cov = (ROOT / "COVERAGE.md").read_text()
-    missing = [n for n in QUERY_FNS if n.split("_")[0] not in cov]
+    # word-boundary match: a bare substring test would let q21 pass on
+    # the q211/q212 rows
+    missing = [
+        n
+        for n in QUERY_FNS
+        if not re.search(rf"\b{n.split('_')[0]}\b", cov)
+    ]
     assert not missing, f"COVERAGE.md lacks rows for: {missing}"
 
 
