@@ -11451,9 +11451,10 @@ def q203(spark: SparkSession, sf: str) -> DataFrame:
     synthetic corpus has none), and the verdict frame gains the
     per-document match-count audit column.
 
-    Scale shape: the scrub is four regexp passes fused into the scan
-    ahead of q154's pipeline; the audit counts ride the same scan and
-    join back id-keyed."""
+    Scale shape: the scrub is four regexp passes over the scan,
+    pinned (persisted + eagerly materialized) ahead of q154's pipeline
+    so every verdict branch reads it instead of re-running it; the
+    audit counts ride the same pinned frame and join back id-keyed."""
     from graphdb_neo4j_spark.pipeline import curate
 
     d = load_table(spark, sf, "documents")
