@@ -355,3 +355,49 @@ def test_png_corrupt_idat_degrades_not_crashes(spark):
     r = extract_media_features(df).collect()[0]
     assert (r.format, r.width, r.height) == ("png", 9, 7)
     assert r.n_values is None  # header-only degradation, no stats
+
+
+def test_media_features_stream_equals_batch(spark, tmp_path):
+    """The Arrow decode kernel is engine-mode-agnostic: running
+    extract_media_features over a readStream of the same media parquet
+    yields EXACTLY the batch result (the stream≡batch gate every
+    streaming operator here carries) — one mapInPandas pass either
+    way, payloads dropped at the decode stage."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        encode_png,
+        extract_media_features,
+    )
+
+    rows = []
+    for mid in range(8):
+        px = np.fromfunction(
+            lambda y, x, c: (mid * 11 + y * 5 + x * 3 + c * 7) % 256,
+            (6 + mid % 3, 5 + mid % 2, 3),
+        ).astype(np.uint8)
+        rows.append((mid, bytearray(encode_png(px, filters=[mid % 5]))))
+    src = str(tmp_path / "media_src")
+    spark.createDataFrame(rows, "media_id long, payload binary").write.parquet(src)
+
+    batch = sorted(
+        tuple(r)
+        for r in extract_media_features(
+            spark.read.parquet(src), strict=True
+        ).collect()
+    )
+
+    stream = spark.readStream.schema("media_id long, payload binary").parquet(src)
+    out = str(tmp_path / "media_out")
+    q = (
+        extract_media_features(stream, strict=True)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "media_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert streamed == batch and len(batch) == 8
