@@ -40,3 +40,37 @@ def test_every_query_id_in_coverage_map():
 
 def test_oracles_subset_of_queries():
     assert set(ORACLES) <= set(QUERY_FNS)
+
+
+def test_rotation_unchecked_lead_and_flagships_first():
+    """The driver samples a fixed-size prefix of queries(): every
+    never-driver-confirmed oracle-gated query must precede every
+    confirmed one, and the unchecked flagships lead outright."""
+    import sys
+
+    sys.path.insert(0, str(ROOT))
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    confirmed = entry._driver_confirmed()
+    unchecked_oracle = [
+        n for n in names if n not in confirmed and n in ORACLES
+    ]
+    if unchecked_oracle:
+        last_unchecked = max(names.index(n) for n in unchecked_oracle)
+        confirmed_idx = [names.index(n) for n in names if n in confirmed]
+        assert all(i > last_unchecked for i in confirmed_idx) or not confirmed_idx
+        flag = [
+            n
+            for n in (
+                "q154_curation_pipeline",
+                "q203_curation_with_pii",
+                "q198_media_decode_audit",
+                "q210_wav_decode_audit",
+                "q211_bmp_decode_audit",
+            )
+            if n not in confirmed
+        ]
+        assert names[: len(flag)] == flag
+    # oracle_sql keys ⊆ queries and same ordering contract
+    assert set(entry.oracle_sql()) <= set(names)
