@@ -517,10 +517,23 @@ def pagerank(
         verts = nodes.select(F.col(nodes.columns[0]).alias("key")).distinct()
     verts = verts.localCheckpoint()
     out_deg = e.groupBy(F.col("src").alias("key")).agg(F.count("*").alias("out_degree"))
-    # broadcast-able at corpus scale; at 100 TB this join co-partitions by key
-    links = e.join(out_deg, e["src"] == out_deg["key"]).select(
-        "src", "dst", "out_degree"
-    ).localCheckpoint()
+    # the edge table is checkpointed PRE-PARTITIONED on src (the
+    # per-round join key) so each iteration moves only the node-sized
+    # rank frame, never the edges.  Deliberately NO per-round
+    # broadcast of the rank frame: it would skip that one small
+    # exchange but costs a driver collect + rebroadcast every
+    # iteration — measured 1.5-2s SLOWER on the corpus graph (Louvain
+    # broadcasts pay off only because its candidate frame is
+    # edge-sized and saved two exchanges).
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    links = (
+        e.join(out_deg, e["src"] == out_deg["key"])
+        .select("src", "dst", "out_degree")
+        .repartition(n_shuffle, "src")
+        .localCheckpoint()
+    )
     ranks = verts.withColumn("rank", F.lit(1.0))
     for _ in range(iterations):
         contribs = (
@@ -1609,9 +1622,18 @@ def pagerank_weighted(
         verts = nodes.select(F.col(nodes.columns[0]).alias("key")).distinct()
     verts = verts.localCheckpoint()
     out_w = e.groupBy(F.col("src").alias("key")).agg(F.sum("w").alias("out_w"))
-    links = e.join(out_w, e["src"] == out_w["key"]).select(
-        "src", "dst", (F.col("w") / F.col("out_w")).alias("frac")
-    ).localCheckpoint()
+    # same layout discipline as pagerank: edges checkpointed in the
+    # per-round join partitioning (and the same no-per-round-broadcast
+    # decision — see pagerank)
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    links = (
+        e.join(out_w, e["src"] == out_w["key"])
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("frac"))
+        .repartition(n_shuffle, "src")
+        .localCheckpoint()
+    )
     ranks = verts.withColumn("rank", F.lit(1.0))
     for _ in range(iterations):
         contribs = (
