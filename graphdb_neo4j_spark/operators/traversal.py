@@ -1216,7 +1216,18 @@ def label_propagation(
     count (LPA oscillates; GraphX's implementation is also fixed-iter).
     Returns (key, label).
     """
-    e = _as_undirected(edges).distinct().localCheckpoint()
+    # src-partitioned checkpoint: the per-round message join then moves
+    # only the node-sized label frame, never the edges (pagerank's
+    # layout discipline)
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    e = (
+        _as_undirected(edges)
+        .distinct()
+        .repartition(n_shuffle, "src")
+        .localCheckpoint()
+    )
     key_col = nodes.columns[0]
     labels = (
         nodes.select(F.col(key_col).alias("key")).distinct()
@@ -1293,9 +1304,16 @@ def personalized_pagerank(
         "key", F.coalesce(F.col("restart"), F.lit(0.0)).alias("restart")
     ).localCheckpoint()
     out_deg = e.groupBy(F.col("src").alias("key")).agg(F.count("*").alias("out_degree"))
-    links = e.join(out_deg, e["src"] == out_deg["key"]).select(
-        "src", "dst", "out_degree"
-    ).localCheckpoint()
+    # src-partitioned checkpoint — pagerank's layout discipline
+    links = (
+        e.join(out_deg, e["src"] == out_deg["key"])
+        .select("src", "dst", "out_degree")
+        .repartition(
+            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "src",
+        )
+        .localCheckpoint()
+    )
     ranks = base.select("key", F.col("restart").alias("rank"))
     for _ in range(iterations):
         contribs = (
