@@ -38,6 +38,18 @@ def _as_undirected(edges: DataFrame) -> DataFrame:
     return fwd.unionByName(rev)
 
 
+def partitioned_checkpoint(df: DataFrame, col: str) -> DataFrame:
+    """Checkpoint ``df`` hash-partitioned on ``col`` — the iterative
+    layout discipline: every per-round loop joins its frozen edge
+    table on one key, so checkpointing it IN that layout means rounds
+    move only the vertex-sized state, never the edges.  (On a real
+    cluster swap ``localCheckpoint`` for ``checkpoint``.)"""
+    n_shuffle = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    return df.repartition(n_shuffle, col).localCheckpoint()
+
+
 def rdd_freeze(df_in: DataFrame, prev_rdd=None):
     """Materialize ``df_in`` to a persisted RDD and rebase the DataFrame
     on it — the hard per-round state freeze for iterative loops.
@@ -516,22 +528,25 @@ def pagerank(
     else:
         verts = nodes.select(F.col(nodes.columns[0]).alias("key")).distinct()
     verts = verts.localCheckpoint()
-    out_deg = e.groupBy(F.col("src").alias("key")).agg(F.count("*").alias("out_degree"))
-    # the edge table is checkpointed PRE-PARTITIONED on src (the
-    # per-round join key) so each iteration moves only the node-sized
-    # rank frame, never the edges.  Deliberately NO per-round
-    # broadcast of the rank frame: it would skip that one small
-    # exchange but costs a driver collect + rebroadcast every
-    # iteration — measured 1.5-2s SLOWER on the corpus graph (Louvain
-    # broadcasts pay off only because its candidate frame is
-    # edge-sized and saved two exchanges).
+    # the edge table is partitioned on src ONCE, up front: the
+    # out-degree aggregate, its join back, and the checkpointed layout
+    # all reuse that single exchange, and each iteration's join then
+    # moves only the node-sized rank frame, never the edges.
+    # Deliberately NO per-round broadcast of the rank frame: it would
+    # skip that one small exchange but costs a driver collect +
+    # rebroadcast every iteration — measured 1.5-2s SLOWER on the
+    # corpus graph (Louvain broadcasts pay off only because its
+    # candidate frame is edge-sized and saved two exchanges).
     n_shuffle = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    e_p = e.repartition(n_shuffle, "src")
+    out_deg = e_p.groupBy(F.col("src").alias("key")).agg(
+        F.count("*").alias("out_degree")
+    )
     links = (
-        e.join(out_deg, e["src"] == out_deg["key"])
+        e_p.join(out_deg, e_p["src"] == out_deg["key"])
         .select("src", "dst", "out_degree")
-        .repartition(n_shuffle, "src")
         .localCheckpoint()
     )
     ranks = verts.withColumn("rank", F.lit(1.0))
@@ -1218,14 +1233,16 @@ def label_propagation(
     """
     # src-partitioned checkpoint: the per-round message join then moves
     # only the node-sized label frame, never the edges (pagerank's
-    # layout discipline)
+    # layout discipline).  Repartition BEFORE distinct: the dedup
+    # reuses the src exchange (subset rule), so setup is one 2|E|
+    # shuffle, not two.
     n_shuffle = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     e = (
         _as_undirected(edges)
-        .distinct()
         .repartition(n_shuffle, "src")
+        .distinct()
         .localCheckpoint()
     )
     key_col = nodes.columns[0]
@@ -1303,15 +1320,18 @@ def personalized_pagerank(
     base = verts.join(restart, "key", "left").select(
         "key", F.coalesce(F.col("restart"), F.lit(0.0)).alias("restart")
     ).localCheckpoint()
-    out_deg = e.groupBy(F.col("src").alias("key")).agg(F.count("*").alias("out_degree"))
-    # src-partitioned checkpoint — pagerank's layout discipline
+    # pagerank's layout discipline: one up-front src exchange reused by
+    # the out-degree aggregate, the join back, and the per-round layout
+    e_p = e.repartition(
+        int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        "src",
+    )
+    out_deg = e_p.groupBy(F.col("src").alias("key")).agg(
+        F.count("*").alias("out_degree")
+    )
     links = (
-        e.join(out_deg, e["src"] == out_deg["key"])
+        e_p.join(out_deg, e_p["src"] == out_deg["key"])
         .select("src", "dst", "out_degree")
-        .repartition(
-            int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions")),
-            "src",
-        )
         .localCheckpoint()
     )
     ranks = base.select("key", F.col("restart").alias("rank"))
@@ -1639,17 +1659,20 @@ def pagerank_weighted(
     else:
         verts = nodes.select(F.col(nodes.columns[0]).alias("key")).distinct()
     verts = verts.localCheckpoint()
-    out_w = e.groupBy(F.col("src").alias("key")).agg(F.sum("w").alias("out_w"))
-    # same layout discipline as pagerank: edges checkpointed in the
-    # per-round join partitioning (and the same no-per-round-broadcast
+    # same layout discipline as pagerank: one up-front src exchange
+    # reused by the out-weight aggregate, the join back, and the
+    # checkpointed per-round layout (same no-per-round-broadcast
     # decision — see pagerank)
     n_shuffle = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    e_p = e.repartition(n_shuffle, "src")
+    out_w = e_p.groupBy(F.col("src").alias("key")).agg(
+        F.sum("w").alias("out_w")
+    )
     links = (
-        e.join(out_w, e["src"] == out_w["key"])
+        e_p.join(out_w, e_p["src"] == out_w["key"])
         .select("src", "dst", (F.col("w") / F.col("out_w")).alias("frac"))
-        .repartition(n_shuffle, "src")
         .localCheckpoint()
     )
     ranks = verts.withColumn("rank", F.lit(1.0))
@@ -2719,10 +2742,7 @@ def _dst_partitioned_checkpoint(und: DataFrame) -> DataFrame:
     """Checkpoint the bidirectional edge table hash-partitioned on
     ``dst`` — the layout every local-moving round joins on, so the
     per-round edge×assignment join moves only the vertex-sized side."""
-    n_shuffle = int(
-        und.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
-    return und.repartition(n_shuffle, "dst").localCheckpoint()
+    return partitioned_checkpoint(und, "dst")
 
 
 def _louvain_local_moving(

@@ -398,6 +398,11 @@ def test_media_features_stream_equals_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        # awaitTermination returns False on timeout (no exception) — a
+        # partial read would produce a confusing diff, so assert it
+        assert q.awaitTermination(300), "stream did not finish in 300s"
+    finally:
+        q.stop()
     streamed = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert streamed == batch and len(batch) == 8

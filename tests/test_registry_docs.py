@@ -43,34 +43,41 @@ def test_oracles_subset_of_queries():
 
 
 def test_rotation_unchecked_lead_and_flagships_first():
-    """The driver samples a fixed-size prefix of queries(): every
-    never-driver-confirmed oracle-gated query must precede every
-    confirmed one, and the unchecked flagships lead outright."""
+    """The driver samples a fixed-size prefix of queries(), so the
+    full tier composition is asserted by INDEPENDENT reconstruction:
+    unchecked-oracle first (flagships boosted), then unchecked
+    rows-only (flagships boosted), then confirmed — in registration
+    order within each tier.  Recomputing the expectation from
+    QUERY_FNS/ORACLES/confirmed means this asserts something in every
+    state, including the steady state where all oracles are
+    confirmed."""
     import sys
 
     sys.path.insert(0, str(ROOT))
     import __spark_entry__ as entry
 
+    flagships = [
+        "q154_curation_pipeline",
+        "q203_curation_with_pii",
+        "q198_media_decode_audit",
+        "q210_wav_decode_audit",
+        "q211_bmp_decode_audit",
+    ]
     names = list(entry.queries())
     confirmed = entry._driver_confirmed()
-    unchecked_oracle = [
-        n for n in names if n not in confirmed and n in ORACLES
-    ]
-    if unchecked_oracle:
-        last_unchecked = max(names.index(n) for n in unchecked_oracle)
-        confirmed_idx = [names.index(n) for n in names if n in confirmed]
-        assert all(i > last_unchecked for i in confirmed_idx) or not confirmed_idx
-        flag = [
-            n
-            for n in (
-                "q154_curation_pipeline",
-                "q203_curation_with_pii",
-                "q198_media_decode_audit",
-                "q210_wav_decode_audit",
-                "q211_bmp_decode_audit",
-            )
-            if n not in confirmed
-        ]
-        assert names[: len(flag)] == flag
-    # oracle_sql keys ⊆ queries and same ordering contract
-    assert set(entry.oracle_sql()) <= set(names)
+    reg = list(QUERY_FNS)
+
+    def boost(tier):
+        lead = [n for n in flagships if n in tier]
+        return lead + [n for n in tier if n not in lead]
+
+    expected = (
+        boost([n for n in reg if n not in confirmed and n in ORACLES])
+        + boost([n for n in reg if n not in confirmed and n not in ORACLES])
+        + [n for n in reg if n in confirmed]
+    )
+    assert names == expected
+    # oracle_sql keys ⊆ queries and preserve the rotation order
+    oq = list(entry.oracle_sql())
+    assert set(oq) <= set(names)
+    assert oq == [n for n in names if n in ORACLES]
