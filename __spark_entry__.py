@@ -51,7 +51,7 @@ def _ordered_names() -> list[str]:
     """Registration order, rotated so never-driver-checked queries lead.
 
     The driver samples a fixed-size prefix of ``queries()`` each round, so
-    the portfolio (197 entries) can only be fully confirmed across rounds
+    the portfolio (len(QUERY_FNS) entries) can only be fully confirmed across rounds
     by rotating unchecked queries to the front:
 
     1. oracle-gated queries with no green CORRECTNESS row yet,

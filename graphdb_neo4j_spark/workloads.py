@@ -4788,7 +4788,8 @@ def _q105_sql(iters: int = 4, scale: int = 10**12, topk: int = 20) -> str:
     return (
         pre + "," + ",".join(blocks)
         + f"""
-    SELECT v, r FROM p{iters} ORDER BY r DESC, v LIMIT {topk}
+    SELECT v, CAST(r AS BIGINT) AS r
+    FROM p{iters} ORDER BY r DESC, v LIMIT {topk}
     """
     )
 
@@ -5271,7 +5272,8 @@ def _q112_sql(iters: int = 4, scale: int = 10**12, seed: int = 1,
     return (
         pre + "," + ",".join(blocks)
         + f"""
-    SELECT v, r FROM p{iters} WHERE r > 0 ORDER BY r DESC, v LIMIT {topk}
+    SELECT v, CAST(r AS BIGINT) AS r
+    FROM p{iters} WHERE r > 0 ORDER BY r DESC, v LIMIT {topk}
     """
     )
 

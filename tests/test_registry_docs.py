@@ -81,3 +81,45 @@ def test_rotation_unchecked_lead_and_flagships_first():
     oq = list(entry.oracle_sql())
     assert set(oq) <= set(names)
     assert oq == [n for n in names if n in ORACLES]
+
+
+def test_oracle_output_types_stable_through_pandas():
+    """VERDICT r5 #1: the driver fetches oracle results through
+    pandas/Arrow, where DuckDB HUGEINT becomes float64 — so an oracle
+    whose SUM(BIGINT) arithmetic leaks HUGEINT into the final
+    projection hash-mismatches even when every value is exact (that is
+    precisely how q105/q112 went red in round 5 while the local
+    value-comparing replica stayed green).  DESCRIBE every oracle
+    against sf0.001 and reject any output column whose declared type
+    does not round-trip losslessly through a pandas fetch."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    from graphdb_neo4j_spark.sources.tables import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    unstable = ("HUGEINT", "UHUGEINT")
+    offenders = {}
+    for name, sql in ORACLES.items():
+        cols = con.execute(f"DESCRIBE {sql}").fetchall()
+        bad = [(c[0], c[1]) for c in cols if c[1].upper() in unstable]
+        if bad:
+            offenders[name] = bad
+    con.close()
+    assert not offenders, (
+        "oracles emit pandas-unstable output types (CAST the final "
+        f"projection): {offenders}"
+    )
+
+
+def test_entry_docstring_has_no_literal_portfolio_count():
+    """VERDICT r5 #5: __spark_entry__.py once said "197 entries" while
+    the registry held 252 — the driver contract must not carry a count
+    no test pins.  Reject any literal "(N entries)" in the file."""
+    src = (ROOT / "__spark_entry__.py").read_text()
+    assert not re.search(r"\(\d+ entries\)", src), (
+        "__spark_entry__.py hardcodes a portfolio count; derive it "
+        "from len(QUERY_FNS) instead"
+    )
