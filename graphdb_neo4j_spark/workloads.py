@@ -1236,14 +1236,58 @@ def _corpus_graph(spark: SparkSession):
     return _graph_cache["g"]
 
 
-@query("g40_corpus_components")
+def _values_oracle(rows, cols: list[str], types: list[str]) -> str:
+    """VALUES-constant DuckDB oracle for corpus-graph analytics.
+
+    The reference corpus is a FIXED input (1,202 trace files), so these
+    queries have a single exact answer; encoding it as a typed VALUES
+    table upgrades the gate from rows-only to a full hash gate.  The
+    constants (graphdb_neo4j_spark/corpus_golden.py) are NOT derived
+    from the Spark engine: tools/corpus_golden_calc.py recomputes them
+    from the raw JSON via the independent pure-Python loader semantics
+    (tests/oracle_sim.py) plus textbook union-find / BFS / Kahn, and
+    tests/test_corpus_golden.py re-derives them on every run — so the
+    driver's hash row checks Spark against a second implementation,
+    not against itself.  Types are pinned per column (first row CAST)
+    so the pandas fetch dtype matches Spark's exactly (the q105 HUGEINT
+    lesson)."""
+
+    def lit(v, t):
+        if v is None:
+            return f"CAST(NULL AS {t})"
+        if t == "VARCHAR":
+            return "'" + str(v).replace("'", "''") + "'"
+        return str(v)
+
+    rendered = []
+    for i, r in enumerate(rows):
+        vals = [
+            f"CAST({lit(v, t)} AS {t})" if i == 0 else lit(v, t)
+            for v, t in zip(r, types)
+        ]
+        rendered.append("(" + ", ".join(vals) + ")")
+    collist = ", ".join(f'"{c}"' for c in cols)
+    return f"SELECT * FROM (VALUES {', '.join(rendered)}) AS t({collist})"
+
+
+from graphdb_neo4j_spark import corpus_golden as CG  # noqa: E402
+
+
+@query(
+    "g40_corpus_components",
+    _values_oracle(
+        CG.G40_COMPONENT_SIZES, ["component", "size"], ["VARCHAR", "BIGINT"]
+    ),
+)
 def g40(spark: SparkSession, sf: str) -> DataFrame:
     """Weakly-connected components of the SPAWNS graph: component sizes.
 
     Uses the two-phase (large-star/small-star) variant — O(log n)
     rounds regardless of process-tree depth, ~2.6x faster than HashMin
     on this corpus (7s vs 18s, identical labels; HashMin itself stays
-    oracle-gated as q106)."""
+    oracle-gated as q106).  Hash-gated since r6 against the constant
+    oracle independently derived by tools/corpus_golden_calc.py
+    (oracle_sim + min-representative union-find)."""
     from graphdb_neo4j_spark.operators.traversal import (
         connected_components_twophase,
     )
@@ -1274,10 +1318,17 @@ def g41(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("g42_corpus_bfs_depth")
+@query(
+    "g42_corpus_bfs_depth",
+    _values_oracle(
+        CG.G42_BFS_DEPTHS, ["dist", "n_processes"], ["INTEGER", "BIGINT"]
+    ),
+)
 def g42(spark: SparkSession, sf: str) -> DataFrame:
     """Process-tree depth distribution: BFS hops from root processes
-    (processes that are never a SPAWNS destination)."""
+    (processes that are never a SPAWNS destination).  Hash-gated since
+    r6 against the constant oracle independently derived by
+    tools/corpus_golden_calc.py (oracle_sim + plain-deque BFS)."""
     from graphdb_neo4j_spark.operators.traversal import bfs
 
     g = _corpus_graph(spark)
@@ -1649,11 +1700,16 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("g44_corpus_golden_counts")
+@query(
+    "g44_corpus_golden_counts",
+    _values_oracle(CG.G44_GOLDEN_COUNTS, ["kind", "count"], ["VARCHAR", "BIGINT"]),
+)
 def g44(spark: SparkSession, sf: str) -> DataFrame:
     """Full-corpus ingest label/rel counts — the golden-parity numbers
-    as a driver-visible result (rows-only check; the exact-match gate
-    lives in tests/test_ingest_golden.py)."""
+    as a driver-visible result.  Hash-gated since r6: the constant
+    oracle carries the same golden counts tests/test_ingest_golden.py
+    pins, re-derived independently from the raw corpus by
+    tests/oracle_sim.py on every test run."""
     g = _corpus_graph(spark)
     nodes = g.nodes().groupBy("label").count().select(
         F.concat(F.lit("node:"), F.col("label")).alias("kind"), F.col("count")
@@ -8713,14 +8769,20 @@ def q165(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("g79_corpus_spawn_topology")
+@query(
+    "g79_corpus_spawn_topology",
+    _values_oracle(
+        CG.G79_TOPO_LEVELS, ["level", "n_processes"], ["INTEGER", "BIGINT"]
+    ),
+)
 def g79(spark: SparkSession, sf: str) -> DataFrame:
     """Process-tree topology audit: longest-path (Kahn) level histogram
     of the SPAWNS graph plus the cycle residue (n at level NULL —
     nonzero would mean PID-reuse stitched a loop into what must be a
-    forest).  Rows-only: the corpus graph has no DuckDB mirror; the
-    operator's exact semantics are pinned by fixture oracles in
-    tests/test_traversal.py."""
+    forest).  Hash-gated since r6 against the constant oracle
+    independently derived by tools/corpus_golden_calc.py (oracle_sim +
+    textbook Kahn peeling); the operator's parametric semantics stay
+    pinned by fixture oracles in tests/test_traversal.py."""
     from graphdb_neo4j_spark.operators.traversal import topological_levels
 
     g = _corpus_graph(spark)
@@ -11470,15 +11532,21 @@ def q203(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
-@query("g80_undirected_spawn_degree")
+@query(
+    "g80_undirected_spawn_degree",
+    _values_oracle(CG.G80_UNDIRECTED_DEGREE, ["p", "degree"], ["VARCHAR", "BIGINT"]),
+)
 def g80(spark: SparkSession, sf: str) -> DataFrame:
     """Undirected Cypher over the provenance graph: total SPAWNS
     degree (parent + child bindings) per process via
     ``MATCH (p:Process)-[:SPAWNS]-(q)`` — the direction-agnostic
     neighborhood count an analyst writes when lineage direction is
     irrelevant.  Exercises the undirected-hop lowering on real corpus
-    edges (bidirectional frame, one join); rows-only gate with the
-    directed-degree identity pinned in tests/test_graph_query.py.
+    edges (bidirectional frame, one join); hash-gated since r6 against
+    the constant oracle independently derived by
+    tools/corpus_golden_calc.py (in+out degree over the deduped edge
+    set), with the directed-degree identity still pinned in
+    tests/test_graph_query.py.
 
     Scale shape: one bidirectional edge frame (union of two
     label-pruned scans), one semi-join for the label, one hash-agg."""

@@ -1,0 +1,45 @@
+"""The constant oracles behind g40/g42/g44/g79/g80 must never drift
+from the INDEPENDENT pure-Python derivation: re-derive every constant
+from the raw reference corpus (tests/oracle_sim ingest semantics +
+union-find / BFS / Kahn in tools/corpus_golden_calc.py) and compare to
+graphdb_neo4j_spark/corpus_golden.py.  Spark-vs-constant is covered by
+tests/test_oracle_parity.py, so together the two tests check the
+engine against a second implementation, not against itself."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from graphdb_neo4j_spark import corpus_golden as CG
+
+calc = pytest.importorskip("tools.corpus_golden_calc")
+
+
+@pytest.fixture(scope="module")
+def computed():
+    return calc.compute_all()
+
+
+def test_g40_component_sizes(computed):
+    assert [tuple(r) for r in CG.G40_COMPONENT_SIZES] == computed["g40"]
+
+
+def test_g42_bfs_depths(computed):
+    assert [tuple(r) for r in CG.G42_BFS_DEPTHS] == computed["g42"]
+
+
+def test_g44_golden_counts(computed):
+    assert [tuple(r) for r in CG.G44_GOLDEN_COUNTS] == computed["g44"]
+
+
+def test_g79_topo_levels(computed):
+    assert [tuple(r) for r in CG.G79_TOPO_LEVELS] == computed["g79"]
+
+
+def test_g80_undirected_degree(computed):
+    assert [tuple(r) for r in CG.G80_UNDIRECTED_DEGREE] == computed["g80"]
