@@ -40,8 +40,15 @@ def candidate_pairs(
     blocking: list[str | Column],
     max_dist: int = 2,
     max_block: int | None = 10_000,
-) -> DataFrame:
-    """Verified match pairs ``(id_a, id_b, dist)`` with id_a < id_b.
+):
+    """Verified match pairs: returns ``(pairs_df, handle)`` where
+    ``pairs_df`` is ``(id_a, id_b, dist)`` with id_a < id_b and
+    ``handle`` is the CheckpointHandle owning the materialized blocks —
+    call ``handle.release()`` after the final action on ``pairs_df``
+    (the same explicit-handle contract as order.checkpoint_eager and
+    order.prefix_sum_distributed; ADVICE r5 replaced the previous
+    dynamic ``checkpoint_handle`` attribute, which any transformation
+    silently dropped).
 
     ``blocking`` is a list of column names / expressions; each key
     contributes the pairs co-located under it (multi-pass union,
@@ -120,9 +127,8 @@ def candidate_pairs(
     from graphdb_neo4j_spark.operators.order import checkpoint_eager
 
     out, handle = checkpoint_eager(verified)
-    out.checkpoint_handle = handle  # release after the final action
     proj.unpersist()
-    return out
+    return out, handle
 
 
 def resolve_entities(
@@ -140,7 +146,7 @@ def resolve_entities(
     """
     from graphdb_neo4j_spark.operators.traversal import connected_components
 
-    pairs = candidate_pairs(
+    pairs, handle = candidate_pairs(
         records, id_col, name_col, blocking, max_dist, max_block
     )
     nodes = records.select(F.col(id_col).alias("key")).distinct()
@@ -149,7 +155,7 @@ def resolve_entities(
     )
     # comp is checkpoint-rooted (the loop's per-round freeze), so the
     # verified-pairs blocks are no longer referenced — release now
-    pairs.checkpoint_handle.release()
+    handle.release()
     return comp.select(
         F.col("key").alias(id_col), F.col("component").alias("entity_id")
     )

@@ -83,6 +83,21 @@ def png_dims(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
+# IHDR color type -> channel count of the DECODED image (RFC 2083 §4.1.1;
+# palette (3) expands to RGB)
+_PNG_COLOR_CHANNELS = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}
+
+
+def png_channels(payload: bytes) -> int | None:
+    """Channel count from the IHDR color type (ADVICE r5: the
+    header-only fallback used to hardcode 3, misreporting grayscale /
+    RGBA degradations); None when the header is absent or the color
+    type is out of spec."""
+    if len(payload) >= 26 and payload[12:16] == b"IHDR":
+        return _PNG_COLOR_CHANNELS.get(payload[25])
+    return None
+
+
 def decode_ppm(payload: bytes):
     """REAL pixel decode of binary PPM (P6, maxval ≤ 255) — no external
     dependency.  Returns ``(width, height, ndarray[h, w, 3] uint8)``.
@@ -474,7 +489,7 @@ def extract_media_features(df: DataFrame, strict: bool = False) -> DataFrame:
                         raise
                     dims = png_dims(b)
                     if dims:
-                        w, h, ch = dims[0], dims[1], 3
+                        w, h, ch = dims[0], dims[1], png_channels(b)
             elif strict:
                 raise NotImplementedError(
                     f"decode of {fmt!r} needs a codec library (PIL/ffmpeg) "

@@ -141,10 +141,19 @@ def pack_sequences(
     order_col: str = "doc_id",
     by_col: str | None = None,
     id_col: str = "doc_id",
-) -> DataFrame:
+):
     """Assign documents to training-sequence bins of ~``budget`` tokens:
     adds ``bin`` = floor(exclusive-running-token-sum / budget) over a
     deterministic ``order_col`` order (per ``by_col`` group when given).
+
+    Returns ``(packed_df, handle)``.  ``handle`` is ``None`` on the
+    windowed (``by_col``) path; on the global-order path it is the
+    CheckpointHandle owning the range-partitioned intermediate —
+    call ``handle.release()`` after the final consuming action, after
+    which the frame is unusable by design (fail-loud contract; same
+    explicit-handle convention as order.checkpoint_eager.  ADVICE r5
+    replaced the previous dynamic ``checkpoint_handle`` attribute,
+    which any transformation silently dropped).
 
     This is contiguous streaming packing — the shape production
     pipelines use at scale (one window, one shuffle on the group key)
@@ -159,8 +168,6 @@ def pack_sequences(
     :func:`order.prefix_sum_distributed` (range shuffle +
     per-partition running sums + driver-side partition offsets) —
     identical bins for a unique ``order_col``, no SinglePartition.
-    The returned frame then carries a ``checkpoint_handle``; release
-    it after the final consuming action (q70's contract).
     """
     from pyspark.sql import Window
 
@@ -172,8 +179,11 @@ def pack_sequences(
             ),
             F.lit(0),
         )
-        return df.withColumn(
-            "bin", F.floor(cum_excl / F.lit(budget)).cast("bigint")
+        return (
+            df.withColumn(
+                "bin", F.floor(cum_excl / F.lit(budget)).cast("bigint")
+            ),
+            None,
         )
 
     from graphdb_neo4j_spark.operators.order import prefix_sum_distributed
@@ -187,8 +197,7 @@ def pack_sequences(
             (F.col("__cum") - F.col(token_col)) / F.lit(budget)
         ).cast("bigint"),
     ).drop("__cum")
-    res.checkpoint_handle = handle
-    return res
+    return res, handle
 
 
 def weighted_sample(

@@ -109,14 +109,6 @@ def curate(
     (keepers = cluster-minimum ids); it is off by default because the
     LSH stage has no closed-form SQL mirror (its own gate is q22/q29).
     """
-    from graphdb_neo4j_spark.operators.dedup import (
-        contaminated_docs,
-        exact_dedup,
-        neardup_clusters,
-    )
-    from graphdb_neo4j_spark.operators.sampling import hash_split, pack_sequences
-    from graphdb_neo4j_spark.operators.text import pii_scrub, quality_filter
-
     # The verdict frame is a unionByName of one branch per drop stage
     # plus the survivor branches — every branch roots at the same
     # scrub/quality/dedup upstream.  Spark does not share common
@@ -146,6 +138,39 @@ def curate(
     np = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < np:
         docs = docs.repartition(np)
+
+    # ADVICE r5: an exception mid-build (e.g. in neardup_clusters or
+    # contaminated_docs) must not leak already-pinned stage frames —
+    # the caller never gets a CurationResult to release.
+    try:
+        return _curate_build(
+            docs, eval_docs, pii=pii, neardup=neardup,
+            seq_budget=seq_budget, split_weights=split_weights,
+            split_seed=split_seed, n_gram=n_gram, min_shared=min_shared,
+            neardup_kwargs=neardup_kwargs, id_col=id_col,
+            text_col=text_col, _pin=_pin, cached=cached,
+        )
+    except BaseException:
+        for df in cached:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        raise
+
+
+def _curate_build(
+    docs, eval_docs, *, pii, neardup, seq_budget, split_weights,
+    split_seed, n_gram, min_shared, neardup_kwargs, id_col, text_col,
+    _pin, cached,
+) -> CurationResult:
+    from graphdb_neo4j_spark.operators.dedup import (
+        contaminated_docs,
+        exact_dedup,
+        neardup_clusters,
+    )
+    from graphdb_neo4j_spark.operators.sampling import hash_split, pack_sequences
+    from graphdb_neo4j_spark.operators.text import pii_scrub, quality_filter
 
     pii_counts = None
     if pii:
@@ -241,7 +266,7 @@ def curate(
             seed=split_seed,
         )
     )
-    packed = pack_sequences(
+    packed, ph = pack_sequences(
         kept.filter(F.col("split") == "train"),
         budget=seq_budget,
         token_col="n_tokens",
@@ -251,7 +276,6 @@ def curate(
     # the distributed-prefix-sum path checkpoints its range-partitioned
     # intermediate; its handle releases with the stage caches (the
     # CheckpointHandle's unpersist() alias makes it duck-compatible)
-    ph = getattr(packed, "checkpoint_handle", None)
     if ph is not None:
         cached.append(ph)
     train = packed.select(

@@ -995,7 +995,7 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select(
         "source", "doc_id", T.token_count(F.col("text")).alias("n_tokens")
     )
-    packed = SP.pack_sequences(
+    packed, _ = SP.pack_sequences(
         docs, budget=2048, token_col="n_tokens", order_col="doc_id",
         by_col="source",
     )
@@ -3135,7 +3135,7 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id").alias("doc_id"), "n_tokens"
     )
     keyed = docs.select("source", "doc_id").join(counts, "doc_id")
-    packed = SP.pack_sequences(
+    packed, _ = SP.pack_sequences(
         keyed, budget=2048, token_col="n_tokens", order_col="doc_id",
         by_col="source",
     )

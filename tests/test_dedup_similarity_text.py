@@ -272,7 +272,7 @@ def test_sampling_determinism_and_packing(spark):
         "doc_id", "source",
         F2.size(F2.split(F2.trim("text"), r"\s+")).alias("n_tokens"),
     )
-    packed = pack_sequences(toks, budget=100, by_col="source")
+    packed, _ = pack_sequences(toks, budget=100, by_col="source")
     stats = packed.groupBy("source", "bin").agg(
         F2.sum("n_tokens").alias("tok"), F2.max("n_tokens").alias("mx")
     ).collect()

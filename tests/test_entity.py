@@ -63,12 +63,11 @@ def _df(spark):
 
 
 def test_candidate_pairs_block_and_verify(spark):
-    got = {
-        (r.id_a, r.id_b): r.dist
-        for r in candidate_pairs(
-            _df(spark), "rid", "name", ["country"], max_dist=1
-        ).collect()
-    }
+    pairs, handle = candidate_pairs(
+        _df(spark), "rid", "name", ["country"], max_dist=1
+    )
+    got = {(r.id_a, r.id_b): r.dist for r in pairs.collect()}
+    handle.release()
     # chain pairs at dist 1; (1,3) dist 2 excluded; cross-block (7,9)/(8,9) excluded
     assert got == {(1, 2): 1, (2, 3): 1, (4, 5): 0, (7, 8): 1}
 
@@ -109,12 +108,11 @@ def test_max_block_guard_drops_giant_block(spark):
     rows = [(i, "same name", "BLK") for i in range(50)]
     df = spark.createDataFrame(rows, "rid long, name string, country string")
     # cap below the block size -> no pairs at all
-    assert (
-        candidate_pairs(
-            df, "rid", "name", ["country"], max_dist=1, max_block=10
-        ).count()
-        == 0
+    pairs, handle = candidate_pairs(
+        df, "rid", "name", ["country"], max_dist=1, max_block=10
     )
+    assert pairs.count() == 0
+    handle.release()
     # and every record resolves to itself
     res = resolve_entities(
         df, "rid", "name", ["country"], max_dist=1, max_block=10

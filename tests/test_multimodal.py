@@ -406,3 +406,50 @@ def test_media_features_stream_equals_batch(spark, tmp_path):
         q.stop()
     streamed = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert streamed == batch and len(batch) == 8
+
+
+def test_png_fallback_channels_from_color_type(spark):
+    """ADVICE r5: the header-only degradation path must report the
+    channel count the IHDR color type declares (gray=1, RGBA=4,
+    palette=3), not a hardcoded 3."""
+    import struct
+    import zlib
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        extract_media_features,
+        png_channels,
+    )
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def png16(color_type):
+        # 16-bit depth: undecodable variant -> header-only fallback
+        return (
+            sig
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 16, color_type, 0, 0, 0))
+            + chunk(b"IDAT", b"\x00junk")
+            + chunk(b"IEND", b"")
+        )
+
+    rows = [
+        (0, "image", bytearray(png16(0)), "image/png", "s3://x/gray.png"),
+        (2, "image", bytearray(png16(2)), "image/png", "s3://x/rgb.png"),
+        (3, "image", bytearray(png16(3)), "image/png", "s3://x/pal.png"),
+        (6, "image", bytearray(png16(6)), "image/png", "s3://x/rgba.png"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r.media_id: r.channels
+        for r in extract_media_features(df).collect()
+    }
+    assert got == {0: 1, 2: 3, 3: 3, 6: 4}
+    assert png_channels(b"garbage") is None
+    # out-of-spec color type -> None, not a KeyError
+    bad = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 16, 7, 0, 0, 0))
+    assert png_channels(bad) is None

@@ -1163,3 +1163,32 @@ def test_curate_upstream_executes_once(spark):
     )
     res.release()
     assert not res.cached
+
+
+def test_curate_unpersists_on_midbuild_exception(spark, monkeypatch):
+    """ADVICE r5: curate() pins up to 6 stage frames while building the
+    plan; an exception mid-build (injected here at the near-dup stage)
+    must unpersist every already-pinned frame before propagating —
+    the caller never receives a CurationResult to release."""
+    import pytest as _pytest
+
+    from graphdb_neo4j_spark import pipeline as P
+    from graphdb_neo4j_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"some document text number {i} with enough words to pass")
+         for i in range(20)],
+        ["doc_id", "text"],
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+
+    def boom(*a, **k):
+        raise RuntimeError("injected near-dup failure")
+
+    monkeypatch.setattr(dedup, "neardup_clusters", boom)
+    with _pytest.raises(RuntimeError, match="injected"):
+        P.curate(docs, neardup=True, pii=True)
+    assert jsc.getPersistentRDDs().size() == before, (
+        "stage frames leaked past the mid-build exception"
+    )
