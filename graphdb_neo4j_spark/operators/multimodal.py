@@ -9,13 +9,15 @@ stays a single narrow stage (no shuffle).
 Codec status: these formats decode FOR REAL with no external
 dependency — PPM P6 pixels (:func:`decode_ppm`), BMP BI_RGB 24/32-bit
 pixels (:func:`decode_bmp`), WAV PCM16 samples (:func:`decode_wav`),
-and PNG 8-bit gray/RGB/RGBA with all five scanline filters
-(:func:`decode_png` — DEFLATE via stdlib ``zlib``) — feeding
+PNG 8-bit gray/RGB/RGBA with all five scanline filters
+(:func:`decode_png` — DEFLATE via stdlib ``zlib``), and BASELINE
+sequential JPEG (:func:`decode_jpeg` — Huffman + dequant + IDCT per
+ITU-T T.81, gray/YCbCr, 4:4:4/4:2:2/4:2:0, restart markers) — feeding
 :func:`extract_media_features` end to end.  Codecs that genuinely
-need external libraries (JPEG/H.264/AAC) raise
-``NotImplementedError`` unless a deterministic fake is requested; the
-Spark-side plumbing — schema, batching, partitioning, UDF signature —
-is identical for both paths.
+need external libraries (progressive JPEG/H.264/AAC) raise
+``NotImplementedError`` or ``ValueError`` unless a deterministic fake
+is requested; the Spark-side plumbing — schema, batching,
+partitioning, UDF signature — is identical for both paths.
 """
 
 from __future__ import annotations
@@ -286,6 +288,458 @@ def encode_png(px, filters: list[int] | None = None) -> bytes:
     )
 
 
+# --- JPEG: baseline sequential DCT, ITU-T T.81 (public spec) ----------
+#
+# The fifth real codec (after PPM/BMP/WAV/PNG) and the second
+# COMPRESSED one — stdlib + numpy only: entropy coding is canonical
+# Huffman (T.81 Annex C table generation), the transform is the
+# orthonormal 8x8 DCT-II/III pair as separable matrix products.
+
+
+def _jpeg_zigzag():
+    """Natural-order index for each of the 64 zigzag positions,
+    GENERATED from the anti-diagonal walk (T.81 Figure 5) rather than
+    transcribed, so it cannot be mistyped: even-sum diagonals run
+    up-right, odd-sum run down-left."""
+    order = []
+    for s in range(15):
+        pts = [(r, s - r) for r in range(8) if 0 <= s - r < 8]
+        if s % 2 == 0:
+            pts = pts[::-1]
+        order.extend(r * 8 + c for r, c in pts)
+    return order
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    u = x.reshape(8, 1)
+    c = np.full(8, 0.5)
+    c[0] = 0.5 / np.sqrt(2.0)
+    # C[u, x] = c(u) * cos((2x+1)u*pi/16); spatial = C.T @ coef @ C
+    return (c.reshape(8, 1) * np.cos((2 * x + 1) * u * np.pi / 16.0))
+
+
+def _huffman_decode_table(bits, vals):
+    """(length, code) -> symbol map from a DHT's BITS/HUFFVAL arrays —
+    the canonical code generation of T.81 Annex C.2."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded segment (byte
+    stuffing already removed).  Per-bit Python is fine here: payloads
+    under this engine's decode audits are fixture-scale, and the Arrow
+    kernel batches whole payloads, not pixels."""
+
+    def __init__(self, data: bytes):
+        self._d = data
+        self._pos = 0
+        self._bit = 0
+
+    def read_bit(self) -> int:
+        if self._pos >= len(self._d):
+            raise ValueError("truncated JPEG entropy segment")
+        b = (self._d[self._pos] >> (7 - self._bit)) & 1
+        self._bit += 1
+        if self._bit == 8:
+            self._bit = 0
+            self._pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huffman(self, table) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    # T.81 F.2.2.1 EXTEND: magnitude-category value to signed
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def jpeg_dims(payload: bytes):
+    """(width, height, n_components) from the first SOFn marker —
+    header-only, works for variants the full decoder gates."""
+    if payload[:3] != b"\xff\xd8\xff":
+        return None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            return None
+        ln = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > len(payload):
+                return None
+            h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            return w, h, payload[pos + 9]
+        pos += 2 + ln
+    return None
+
+
+def decode_jpeg(payload: bytes):
+    """REAL pixel decode of BASELINE JPEG (ITU-T T.81 SOF0) — stdlib +
+    numpy only.  Returns ``(width, height, ndarray[h, w, ch] uint8)``
+    with ch = 3 (YCbCr → RGB, JFIF conversion) or 1 (grayscale).
+
+    Supported: baseline sequential DCT, 8-bit, Huffman entropy coding,
+    1- or 3-component scans, any sampling factors whose chroma
+    upsampling is an integer replication (4:4:4, 4:2:2, 4:2:0),
+    restart intervals (DRI/RSTn), multi-table DQT/DHT segments, byte
+    stuffing.  Progressive (SOF2), extended/lossless/arithmetic
+    variants, and 12-bit precision raise — honest gates, not silent
+    wrong answers.
+    """
+    import numpy as np
+
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, object] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    scan_comps = None
+    restart_interval = 0
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at byte {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            at = 0
+            while at < len(seg):
+                pq, tq = seg[at] >> 4, seg[at] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_JPEG_ZZ] = np.frombuffer(
+                    seg[at + 1 : at + 65], dtype=np.uint8
+                ).astype(np.int64)
+                qt[tq] = tbl.reshape(8, 8)
+                at += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            at = 0
+            while at < len(seg):
+                tc, th = seg[at] >> 4, seg[at] & 0xF
+                bits = list(seg[at + 1 : at + 17])
+                n = sum(bits)
+                vals = list(seg[at + 17 : at + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _huffman_decode_table(
+                    bits, vals
+                )
+                at += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline sequential JPEG (SOF0) supported "
+                f"(SOF marker 0x{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = seg[0]
+            scan_comps = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
+                for i in range(ns)
+            ]
+            pos += ln
+            break
+        pos += ln
+    if frame is None or scan_comps is None:
+        raise ValueError("missing SOF0/SOS")
+    w, h, comps = frame
+    if len(comps) not in (1, 3) or len(scan_comps) != len(comps):
+        raise ValueError("only single-scan 1- or 3-component JPEG supported")
+
+    # entropy segment: strip byte stuffing, split on restart markers
+    segments: list[bytearray] = [bytearray()]
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0xFF:
+            nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                segments[-1].append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytearray())
+                pos += 2
+                continue
+            break  # EOI or next marker
+        segments[-1].append(b)
+        pos += 1
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    C = _jpeg_dct_matrix()
+    planes = {}
+    for cid, hi, vi, _tq in comps:
+        if hmax % hi or vmax % vi:
+            raise ValueError("non-integer chroma upsampling unsupported")
+        planes[cid] = np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+
+    dc_tab = {sc[0]: sc[1] for sc in scan_comps}
+    ac_tab = {sc[0]: sc[2] for sc in scan_comps}
+    pred = {c[0]: 0 for c in comps}
+    seg_i = 0
+    reader = _JpegBitReader(bytes(segments[0]))
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("missing restart segment in JPEG scan")
+            reader = _JpegBitReader(bytes(segments[seg_i]))
+            pred = {c[0]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
+        for cid, hi, vi, tq in comps:
+            for by in range(vi):
+                for bx in range(hi):
+                    coef = np.zeros(64, dtype=np.int64)
+                    s = reader.read_huffman(huff_dc[dc_tab[cid]])
+                    diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
+                    pred[cid] += diff
+                    coef[0] = pred[cid]
+                    k = 1
+                    ac = huff_ac[ac_tab[cid]]
+                    while k < 64:
+                        rs = reader.read_huffman(ac)
+                        r, sz = rs >> 4, rs & 0xF
+                        if sz == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        coef[k] = _jpeg_extend(reader.read_bits(sz), sz)
+                        k += 1
+                    block = np.zeros((8, 8), dtype=np.float64)
+                    block.flat[_JPEG_ZZ] = coef
+                    block *= qt[tq]
+                    spatial = C.T @ block @ C + 128.0
+                    y0 = (my * vi + by) * 8
+                    x0 = (mx * hi + bx) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
+
+    # upsample to full MCU-grid resolution, then crop to (h, w)
+    full = []
+    for cid, hi, vi, _tq in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        px = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return w, h, px.reshape(h, w, 1)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    px = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
+    return w, h, px.astype(np.uint8)
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)  # pad with 1s
+
+
+def _huffman_encode_table(bits, vals):
+    """symbol -> (code, length) — same Annex C canonical generation as
+    the decode side."""
+    enc = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            enc[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return enc
+
+
+# Fixture Huffman tables: flat canonical codes (NOT the Annex K
+# defaults — any valid DHT is legal, and a generated flat table cannot
+# be mistranscribed).  DC: 12 symbols at 4 bits; AC: 162 symbols at
+# 8 bits; the all-ones code stays unused in both, per T.81 practice.
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0] * 7 + [162] + [0] * 8
+_JPEG_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def encode_jpeg(px, quant: int = 16) -> bytes:
+    """Encode ``ndarray[h, w]`` / ``[h, w, 1]`` (grayscale) or
+    ``[h, w, 3]`` (RGB) uint8 as a valid BASELINE JPEG — the
+    fixture-side inverse of :func:`decode_jpeg`, stdlib + numpy only.
+
+    4:4:4 sampling, one uniform quantization table (``quant`` for
+    every coefficient), generated flat Huffman tables.  With
+    ``quant`` divisible by 8 and block-constant even-valued pixels the
+    decode is bit-exact (DC-only blocks; see q213's analytic oracle);
+    arbitrary images round-trip within normal quantization error.
+    """
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    if nch not in (1, 3):
+        raise ValueError("encode_jpeg supports 1 or 3 channels")
+    # pad to 8x8 blocks by edge replication
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(
+        px.astype(np.float64), ((0, ph - h), (0, pw - w), (0, 0)), mode="edge"
+    )
+    if nch == 3:
+        r, g, b = padded[..., 0], padded[..., 1], padded[..., 2]
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        comps = [padded[..., 0]]
+
+    C = _jpeg_dct_matrix()
+    q = np.full((8, 8), int(quant), dtype=np.float64)
+    dc_enc = _huffman_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _huffman_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def mag(v: int) -> int:
+        return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    writer = _JpegBitWriter()
+    pred = [0] * nch
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            for ci, plane in enumerate(comps):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = C @ blk @ C.T
+                # round-half-away quantization (numpy's banker's round
+                # would make the fixture depend on tie direction)
+                zz = coef.flat[_JPEG_ZZ] / q.flat[_JPEG_ZZ]
+                zz = np.sign(zz) * np.floor(np.abs(zz) + 0.5)
+                zz = zz.astype(np.int64)
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                s = mag(diff)
+                code, ln = dc_enc[s]
+                writer.write(code, ln)
+                if s:
+                    writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+                run = 0
+                last_nz = max(
+                    (k for k in range(1, 64) if zz[k]), default=0
+                )
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_enc[0xF0]
+                        writer.write(code, ln)
+                        run -= 16
+                    s = mag(v)
+                    code, ln = ac_enc[(run << 4) | s]
+                    writer.write(code, ln)
+                    writer.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_enc[0x00]
+                    writer.write(code, ln)
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    zz_q = bytes(int(quant) for _ in range(64))
+    dqt = seg(0xDB, bytes([0x00]) + zz_q)
+    sof_comps = b"".join(
+        bytes([cid + 1, 0x11, 0]) for cid in range(nch)
+    )
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, nch) + sof_comps)
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos_comps = b"".join(bytes([cid + 1, 0x00]) for cid in range(nch))
+    sos = seg(0xDA, bytes([nch]) + sos_comps + bytes([0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bytes(writer.out) + b"\xff\xd9"
+    )
+
+
 def decode_bmp(payload: bytes):
     """REAL pixel decode of uncompressed BMP (BITMAPINFOHEADER, BI_RGB,
     24- or 32-bit) — no external dependency.  Returns
@@ -366,6 +820,10 @@ def decode_image_meta(payload: bytes, deterministic_fake: bool = True):
         dims = png_dims(payload)
         if dims:
             return fmt, dims[0], dims[1]
+    if fmt == "jpeg":
+        dims = jpeg_dims(payload)
+        if dims:
+            return fmt, dims[0], dims[1]
     if fmt == "ppm":
         w, h, _ = decode_ppm(payload)
         return fmt, w, h
@@ -440,9 +898,9 @@ FEATURES_SCHEMA = StructType(
 def extract_media_features(df: DataFrame, strict: bool = False) -> DataFrame:
     """END-TO-END content feature extraction: REAL pixel/sample decode
     for the dependency-free formats (PPM P6, BMP BI_RGB, WAV PCM16,
-    PNG 8-bit via stdlib zlib), header-only dims for undecodable PNG
-    variants, NULL stats for codec-gated formats (JPEG/MP4 — raise
-    instead when ``strict=True``).
+    PNG 8-bit via stdlib zlib, baseline JPEG per T.81), header-only
+    dims for undecodable PNG/JPEG variants, NULL stats for codec-gated
+    formats (MP4 — raise instead when ``strict=True``).
 
     Same 100 TB shape as :func:`extract_media_meta`: one Arrow-batched
     ``mapInPandas`` pass, payload crosses the JVM↔Python boundary once
@@ -490,6 +948,24 @@ def extract_media_features(df: DataFrame, strict: bool = False) -> DataFrame:
                     dims = png_dims(b)
                     if dims:
                         w, h, ch = dims[0], dims[1], png_channels(b)
+            elif fmt == "jpeg":
+                try:
+                    w, h, px = decode_jpeg(b)
+                    flat = px.reshape(-1).astype(np.int64)
+                    ch, nv = int(px.shape[2]), int(flat.size)
+                    mean = float(flat.mean()) if nv else None
+                    mn, mx = (
+                        (int(flat.min()), int(flat.max())) if nv else (None, None)
+                    )
+                except (ValueError, struct.error, IndexError, KeyError):
+                    # progressive / 12-bit / fractional-sampling variant,
+                    # corrupt scan, or header-only payload: dims from the
+                    # SOF header, no stats
+                    if strict:
+                        raise
+                    dims = jpeg_dims(b)
+                    if dims:
+                        w, h, ch = dims
             elif strict:
                 raise NotImplementedError(
                     f"decode of {fmt!r} needs a codec library (PIL/ffmpeg) "

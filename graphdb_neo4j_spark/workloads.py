@@ -12211,3 +12211,66 @@ def q212(spark: SparkSession, sf: str) -> DataFrame:
         rows, "media_id long, payload binary"
     ).repartition(4)
     return extract_media_features(media, strict=True).drop("sample_rate")
+
+
+@query(
+    "q213_jpeg_decode_audit",
+    """
+    WITH imgs AS (SELECT unnest(range(0, 16)) AS media_id),
+    dims AS (
+      SELECT media_id, 2 + media_id % 3 AS bw, 2 + media_id % 2 AS bh
+      FROM imgs
+    ),
+    blocks AS (
+      SELECT media_id, bw, bh,
+             2 * ((media_id * 7 + yy.yy * 5 + xx.xx * 3) % 128) AS v
+      FROM dims,
+           LATERAL (SELECT unnest(range(0, bh)) AS yy) yy,
+           LATERAL (SELECT unnest(range(0, bw)) AS xx) xx
+    )
+    SELECT media_id, 'jpeg' AS format,
+           CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(bw * bh * 64 AS BIGINT) AS n_values,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_val,
+           CAST(MIN(v) AS INT) AS min_val,
+           CAST(MAX(v) AS INT) AS max_val
+    FROM blocks GROUP BY media_id, bw, bh
+    """,
+)
+def q213(spark: SparkSession, sf: str) -> DataFrame:
+    """JPEG decode audit — the fifth REAL codec under the hash gate and
+    the second COMPRESSED one: payloads are genuine baseline JPEG
+    streams (multimodal.decode_jpeg: canonical Huffman entropy decode,
+    dequantization, separable IDCT per ITU-T T.81, all stdlib+numpy),
+    built by the module's own encoder from block-constant even-valued
+    grayscale images with an all-16 quantization table — the class
+    where JPEG is analytically EXACT (DC-only blocks: pixel = 2*DC +
+    128, no rounding ambiguity), so a closed-form SQL oracle exists
+    despite the codec being lossy in general.  The lossy paths (AC
+    coefficients, color transform, 4:2:0, restart markers) are pinned
+    by spec-oracle unit tests in tests/test_multimodal.py.
+
+    Scale shape: identical to q212 — one Arrow-batched mapInPandas
+    pass, payloads die at the decode stage, stats projection only."""
+    import numpy as _np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        encode_jpeg,
+        extract_media_features,
+    )
+
+    rows = []
+    for mid in range(16):
+        bw, bh = 2 + mid % 3, 2 + mid % 2
+        px = _np.zeros((bh * 8, bw * 8), dtype=_np.uint8)
+        for by in range(bh):
+            for bx in range(bw):
+                px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    2 * ((mid * 7 + by * 5 + bx * 3) % 128)
+                )
+        rows.append((mid, bytearray(encode_jpeg(px, quant=16))))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(4)
+    return extract_media_features(media, strict=True).drop("sample_rate")

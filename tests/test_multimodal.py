@@ -453,3 +453,241 @@ def test_png_fallback_channels_from_color_type(spark):
     # out-of-spec color type -> None, not a KeyError
     bad = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 16, 7, 0, 0, 0))
     assert png_channels(bad) is None
+
+
+# --- JPEG (baseline T.81) ---------------------------------------------
+
+
+def _block_gray(mid, bw, bh):
+    """Block-constant even-valued grayscale image: the analytically
+    exact decode class (DC-only blocks, quant divisible by 8)."""
+    import numpy as np
+
+    px = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+    for by in range(bh):
+        for bx in range(bw):
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                2 * ((mid * 7 + by * 5 + bx * 3) % 128)
+            )
+    return px
+
+
+def test_jpeg_dc_only_roundtrip_bit_exact():
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_dims,
+    )
+
+    px = _block_gray(3, 3, 2)
+    pay = encode_jpeg(px, quant=16)
+    w, h, dec = decode_jpeg(pay)
+    assert (w, h) == (24, 16)
+    assert np.array_equal(dec[:, :, 0], px)
+    assert jpeg_dims(pay) == (24, 16, 1)
+
+
+def test_jpeg_roundtrip_error_bounded_and_crop():
+    """Lossy roundtrip stays within quantization error; non-multiple-
+    of-8 dims crop exactly (edge-replication padding never leaks)."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (24, 40), dtype=np.uint8)
+    _, _, dec = decode_jpeg(encode_jpeg(gray, quant=4))
+    assert np.abs(dec[:, :, 0].astype(int) - gray.astype(int)).max() <= 8
+
+    color = rng.randint(0, 256, (17, 21, 3), dtype=np.uint8)
+    w, h, dec3 = decode_jpeg(encode_jpeg(color, quant=2))
+    assert (w, h) == (21, 17) and dec3.shape == (17, 21, 3)
+    assert np.abs(dec3.astype(int) - color.astype(int)).max() <= 8
+
+    # smooth content at quant=1 decodes exactly (transform+entropy
+    # pipeline is lossless when quantization is)
+    yy, xx = np.mgrid[0:16, 0:16]
+    smooth = np.stack(
+        [(yy * 3 + 10) % 200, (xx * 5 + 30) % 200, (yy + xx) % 200], -1
+    ).astype(np.uint8)
+    _, _, decs = decode_jpeg(encode_jpeg(smooth, quant=1))
+    assert np.abs(decs.astype(int) - smooth.astype(int)).max() <= 1
+
+
+def test_jpeg_idct_matches_spec_direct_form():
+    """The decoder's separable IDCT must match the T.81 definition
+    computed the slow direct way (O(64^2) per block) on random
+    coefficient blocks — implementation-independent spec oracle."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import _jpeg_dct_matrix
+
+    C = _jpeg_dct_matrix()
+    rng = np.random.RandomState(11)
+    for _ in range(5):
+        S = rng.randint(-512, 512, (8, 8)).astype(np.float64)
+        fast = C.T @ S @ C
+        direct = np.zeros((8, 8))
+        for y in range(8):
+            for x in range(8):
+                acc = 0.0
+                for v in range(8):
+                    for u in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        acc += (
+                            cu * cv * S[v, u]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                direct[y, x] = acc / 4.0
+        assert np.abs(fast - direct).max() < 1e-9
+
+
+def test_jpeg_420_subsampling_and_restart_markers():
+    """Hand-built 4:2:0 two-MCU scan with DRI=1/RST0: four flat Y
+    blocks per MCU plus one Cb/Cr block replicated 2x2 — expected RGB
+    computed from the JFIF formulas, and the DC predictor must reset
+    at the restart marker."""
+    import struct as _struct
+
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JpegBitWriter,
+        _huffman_encode_table,
+        decode_jpeg,
+    )
+
+    dc_enc = _huffman_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _huffman_encode_table(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def dc_only_block(writer, diff):
+        s = abs(diff).bit_length()
+        code, ln = dc_enc[s]
+        writer.write(code, ln)
+        if s:
+            writer.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        code, ln = ac_enc[0x00]  # EOB
+        writer.write(code, ln)
+
+    # MCU layout 4:2:0 — Y x4 then Cb then Cr; quant all-16 so a DC
+    # coefficient d decodes to the flat value 2*d + 128
+    def mcu(writer, ydiffs, cbdiff, crdiff):
+        for d in ydiffs:
+            dc_only_block(writer, d)
+        dc_only_block(writer, cbdiff)
+        dc_only_block(writer, crdiff)
+
+    w1 = _JpegBitWriter()
+    # DC DIFFS accumulate through the predictor: DCs 10/20/30/40 ->
+    # flat Y values 2*DC + 128 = 148/168/188/208, Cb=Cr=128
+    mcu(w1, [10, 10, 10, 10], 0, 0)
+    w1.flush()
+    w2 = _JpegBitWriter()
+    mcu(w2, [5, 5, 5, 5], 0, 0)  # predictors reset: Y = 138/148/158/168
+    w2.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([16] * 64))
+        + seg(
+            0xC0,
+            _struct.pack(">BHHB", 8, 16, 32, 3)  # h=16, w=32 -> 2 MCUs wide
+            + bytes([1, 0x22, 0])  # Y 2x2
+            + bytes([2, 0x11, 0])  # Cb 1x1
+            + bytes([3, 0x11, 0]),  # Cr 1x1
+        )
+        + seg(
+            0xC4,
+            bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+            + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+        )
+        + seg(0xDD, _struct.pack(">H", 1))  # DRI = 1 MCU
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + bytes(w1.out)
+        + b"\xff\xd0"  # RST0
+        + bytes(w2.out)
+        + b"\xff\xd9"
+    )
+    w, h, px = decode_jpeg(payload)
+    assert (w, h) == (32, 16) and px.shape == (16, 32, 3)
+    # Cb=Cr=128 -> R=G=B=Y exactly; check each Y block's quadrant
+    for (y0, x0), want in [
+        ((0, 0), 148), ((0, 8), 168), ((8, 0), 188), ((8, 8), 208),
+        ((0, 16), 138), ((0, 24), 148), ((8, 16), 158), ((8, 24), 168),
+    ]:
+        blk = px[y0 : y0 + 8, x0 : x0 + 8]
+        assert np.all(blk == want), (y0, x0, want, np.unique(blk))
+
+
+def test_jpeg_unsupported_variants_raise():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from graphdb_neo4j_spark.operators.multimodal import decode_jpeg
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    progressive = (
+        b"\xff\xd8"
+        + seg(0xC2, _struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + b"\xff\xd9"
+    )
+    with _pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(progressive)
+    twelve_bit = (
+        b"\xff\xd8"
+        + seg(0xC0, _struct.pack(">BHHB", 12, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + b"\xff\xd9"
+    )
+    with _pytest.raises(ValueError, match="8-bit"):
+        decode_jpeg(twelve_bit)
+    with _pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"garbage")
+
+
+def test_jpeg_features_through_arrow_kernel(spark):
+    """Real JPEG pixels through the mapInPandas feature extractor in
+    strict mode, stats analytic (DC-only grayscale); a corrupt scan
+    degrades to SOF dims non-strict."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        encode_jpeg,
+        extract_media_features,
+    )
+
+    px = _block_gray(1, 2, 2)
+    good = encode_jpeg(px, quant=16)
+    corrupt = good[: len(good) - 40] + b"\x00" * 38 + b"\xff\xd9"
+    df = spark.createDataFrame(
+        [
+            (1, "image", bytearray(good), "image/jpeg", "s3://x/a.jpg"),
+            (2, "image", bytearray(corrupt), "image/jpeg", "s3://x/b.jpg"),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in extract_media_features(df).collect()}
+    r1 = rows[1]
+    assert (r1.format, r1.width, r1.height, r1.channels) == ("jpeg", 16, 16, 1)
+    flat = px.reshape(-1).astype(np.int64)
+    assert r1.n_values == flat.size
+    assert abs(r1.mean_val - float(flat.mean())) < 1e-9
+    assert (r1.min_val, r1.max_val) == (int(flat.min()), int(flat.max()))
+    r2 = rows[2]
+    assert (r2.format, r2.width, r2.height) == ("jpeg", 16, 16)
