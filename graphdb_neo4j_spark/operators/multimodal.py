@@ -435,6 +435,9 @@ def decode_jpeg(payload: bytes):
             raise ValueError(f"bad marker alignment at byte {pos}")
         marker = payload[pos + 1]
         pos += 2
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2) — resync
+            pos -= 1
+            continue
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
@@ -710,6 +713,14 @@ def encode_jpeg(px, quant: int = 16) -> bytes:
                         writer.write(code, ln)
                         run -= 16
                     s = mag(v)
+                    if s > 10:
+                        # baseline AC magnitudes cap at 1023 (T.81
+                        # Table F.2) — reachable only when quant is
+                        # tiny on max-contrast content
+                        raise ValueError(
+                            f"quantized AC coefficient {v} exceeds the "
+                            "baseline range; raise quant"
+                        )
                     code, ln = ac_enc[(run << 4) | s]
                     writer.write(code, ln)
                     writer.write(v if v > 0 else v + (1 << s) - 1, s)
