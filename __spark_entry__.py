@@ -27,7 +27,11 @@ def _driver_confirmed() -> set[str]:
     """Query names that already hold a green row in any CORRECTNESS_r*.json.
 
     Green = hash-match against the DuckDB oracle, or a successful
-    rows-only check for the operators that have no SQL oracle.
+    rows-only check for the operators that have no SQL oracle.  A
+    rows-only confirmation is VOIDED once the query gains an oracle
+    (r6: the g40/g42/g44/g79/g80 constant oracles) — the hash gate is
+    strictly stronger, so the query re-enters the unchecked tier until
+    a driver hash row lands.
     """
     confirmed: set[str] = set()
     for path in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
@@ -42,7 +46,11 @@ def _driver_confirmed() -> set[str]:
                 continue
             if row.get("hash_match") is True:
                 confirmed.add(name)
-            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+            elif (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+                and name not in ORACLES
+            ):
                 confirmed.add(name)
     return confirmed
 
@@ -71,6 +79,8 @@ def _ordered_names() -> list[str]:
         "q198_media_decode_audit",
         "q210_wav_decode_audit",
         "q211_bmp_decode_audit",
+        "q212_png_decode_audit",
+        "q213_jpeg_decode_audit",
     ]
     confirmed = _driver_confirmed()
     names = list(QUERY_FNS)

@@ -62,6 +62,8 @@ def test_rotation_unchecked_lead_and_flagships_first():
         "q198_media_decode_audit",
         "q210_wav_decode_audit",
         "q211_bmp_decode_audit",
+        "q212_png_decode_audit",
+        "q213_jpeg_decode_audit",
     ]
     names = list(entry.queries())
     confirmed = entry._driver_confirmed()
