@@ -131,18 +131,19 @@ def contiguous_index(
 
 def ntile_distributed(
     df: DataFrame, order_cols: list[str], k: int, out_col: str = "bucket"
-) -> DataFrame:
+):
     """1-based NTILE(k) bucket assignment over a DISTRIBUTED total
     order — semantics identical to SQL ``NTILE(k) OVER (ORDER BY ...)``
     (first ``n mod k`` buckets take one extra row), but planned as a
     range shuffle instead of a single-partition window.
 
-    The returned DataFrame is backed by the contiguous-index
-    checkpoint; its release handle is attached as
-    ``out.checkpoint_handle`` — call ``.release()`` after the final
-    consuming action for deterministic block cleanup (q70 aggregates
-    to 10 rows and releases inside the query; loops that keep the
-    row-level output should do the same once done).
+    Returns ``(out_df, handle)``: the frame is backed by the
+    contiguous-index checkpoint and ``handle.release()`` must run
+    after the final consuming action for deterministic block cleanup
+    (same explicit-handle contract as checkpoint_eager /
+    prefix_sum_distributed; ADVICE r5 retired the dynamic
+    ``checkpoint_handle`` attribute pattern, which any transformation
+    silently dropped).
     """
     indexed, handle = contiguous_index(df, order_cols, out_col="__seq")
     n = indexed.count()
@@ -154,8 +155,7 @@ def ntile_distributed(
         F.col("__seq") < cut, F.floor(F.col("__seq") / size_big)
     ).otherwise(big + F.floor((F.col("__seq") - cut) / size_small))
     out = indexed.withColumn(out_col, (bucket + 1).cast("int")).drop("__seq")
-    out.checkpoint_handle = handle
-    return out
+    return out, handle
 
 
 def prefix_sum_distributed(

@@ -2853,7 +2853,7 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
     from graphdb_neo4j_spark.operators.order import ntile_distributed
 
     e = load_table(spark, sf, "events")
-    tiled = ntile_distributed(
+    tiled, th = ntile_distributed(
         e.select("value", "event_id"), ["value", "event_id"], k=10
     )
     hist = tiled.groupBy("bucket").agg(
@@ -2865,7 +2865,7 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
     # full-size index checkpoint is released deterministically — a
     # loop of q70 runs holds no growing block set
     out = hist.localCheckpoint(eager=True)
-    tiled.checkpoint_handle.release()
+    th.release()
     return out
 
 
@@ -8594,7 +8594,7 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
             " div CAST(size(split(text, ' ')) AS BIGINT)"
         ).alias("score_micro"),
     ).withColumn("neg_score", -F.col("score_micro"))
-    tiled = ntile_distributed(
+    tiled, th = ntile_distributed(
         scored, ["neg_score", "doc_id"], k=4, out_col="phase"
     )
     out = (
@@ -8609,7 +8609,7 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
                 "min_score_micro", "max_score_micro")
         .localCheckpoint(eager=True)  # 4 rows; then free the big index
     )
-    tiled.checkpoint_handle.release()
+    th.release()
     return out
 
 
@@ -10240,11 +10240,11 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
         proj = cust.select(
             "o_custkey", (-F.col(metric)).alias("__neg")
         )
-        tiled = ntile_distributed(
+        tiled, th = ntile_distributed(
             proj, ["__neg", "o_custkey"], k=4, out_col=out
         )
         tiles.append(tiled.select("o_custkey", out))
-        handles.append(tiled.checkpoint_handle)
+        handles.append(th)
     joined = tiles[0].join(tiles[1], "o_custkey").join(tiles[2], "o_custkey")
     cells = joined.groupBy("r", "f", "m").agg(
         F.count("*").cast("bigint").alias("n_customers"),

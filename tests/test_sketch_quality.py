@@ -211,7 +211,7 @@ def test_ntile_distributed_matches_sql_ntile(spark):
     )
     got = {
         (r.v, r.tie): r.bucket
-        for r in ntile_distributed(df, ["v", "tie"], k=10).collect()
+        for r in ntile_distributed(df, ["v", "tie"], k=10)[0].collect()
     }
     want = {
         (r.v, r.tie): r.nt
@@ -782,9 +782,9 @@ def test_ntile_distributed_hypothesis_matches_sql_ntile(spark):
         df = spark.createDataFrame(
             [(v, i) for i, v in enumerate(vals)], "v int, id int"
         )
-        tiled = ntile_distributed(df, ["v", "id"], k=k, out_col="b")
+        tiled, th = ntile_distributed(df, ["v", "id"], k=k, out_col="b")
         got = {(r.id, r.b) for r in tiled.collect()}
-        tiled.checkpoint_handle.release()
+        th.release()
         w = Window.orderBy("v", "id")
         want = {
             (r.id, r.b)
