@@ -81,6 +81,7 @@ def _ordered_names() -> list[str]:
         "q211_bmp_decode_audit",
         "q212_png_decode_audit",
         "q213_jpeg_decode_audit",
+        "q214_mp4_container_audit",
     ]
     confirmed = _driver_confirmed()
     names = list(QUERY_FNS)

@@ -751,6 +751,258 @@ def encode_jpeg(px, quant: int = 16) -> bytes:
     )
 
 
+# --- MP4 / ISO BMFF container metadata (ISO/IEC 14496-12) -------------
+#
+# The CONTAINER is fully decodable with zero dependencies (box walk +
+# fixed-point fields); only the contained codec payloads (H.264/AAC)
+# stay honest NotImplementedError gates.
+
+
+def mp4_boxes(payload: bytes, start: int = 0, end: int | None = None):
+    """Yield ``(box_type, body_start, body_end)`` walking sibling boxes
+    (ISO 14496-12 §4.2): 32-bit size, size==1 → 64-bit largesize,
+    size==0 → box extends to the end of the enclosing scope."""
+    pos = start
+    end = len(payload) if end is None else end
+    while pos + 8 <= end:
+        size = struct.unpack(">I", payload[pos : pos + 4])[0]
+        typ = payload[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            size = struct.unpack(">Q", payload[pos + 8 : pos + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("malformed MP4 box")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_find(payload: bytes, path: str, start: int = 0, end: int | None = None):
+    """Body span of the first box matching the '/'-separated path."""
+    head, _, rest = path.partition("/")
+    for typ, s, e in mp4_boxes(payload, start, end):
+        if typ == head.encode():
+            return _mp4_find(payload, rest, s, e) if rest else (s, e)
+    return None
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """Container metadata from the moov tree: major brand (ftyp),
+    movie duration (mvhd v0/v1), and one dict per track — track_id
+    (tkhd), handler type (hdlr), codec fourcc (first stsd sample
+    entry), display width/height (tkhd 16.16 fixed point), media
+    duration/timescale (mdhd v0/v1), sample count (stsz).  Durations
+    convert to exact integer microseconds (``* 1_000_000 // ts``) so
+    the audit query is hash-gateable.
+    """
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (ISO BMFF) payload")
+    ftyp = _mp4_find(payload, "ftyp")
+    major = payload[ftyp[0] : ftyp[0] + 4].decode("ascii", "replace")
+    moov = _mp4_find(payload, "moov")
+    if moov is None:
+        raise ValueError("missing moov box")
+    mvhd = _mp4_find(payload, "mvhd", *moov)
+    if mvhd is None:
+        raise ValueError("missing mvhd box")
+    s = mvhd[0]
+    if payload[s] == 1:  # version 1: 64-bit times
+        ts, dur = struct.unpack(">IQ", payload[s + 20 : s + 32])
+    else:
+        ts, dur = struct.unpack(">II", payload[s + 12 : s + 20])
+    movie_duration_us = dur * 1_000_000 // ts if ts else None
+    tracks = []
+    for typ, ts_, te_ in mp4_boxes(payload, *moov):
+        if typ != b"trak":
+            continue
+        tk = {
+            "track_id": None, "handler": None, "codec": None,
+            "width": None, "height": None, "duration_us": None,
+            "timescale": None, "n_samples": None,
+        }
+        tkhd = _mp4_find(payload, "tkhd", ts_, te_)
+        if tkhd:
+            s = tkhd[0]
+            id_off = 12 if payload[s] == 0 else 20
+            tk["track_id"] = struct.unpack(
+                ">I", payload[s + id_off : s + id_off + 4]
+            )[0]
+            w16, h16 = struct.unpack(">II", payload[tkhd[1] - 8 : tkhd[1]])
+            tk["width"] = w16 >> 16 or None
+            tk["height"] = h16 >> 16 or None
+        mdia = _mp4_find(payload, "mdia", ts_, te_)
+        if mdia:
+            mdhd = _mp4_find(payload, "mdhd", *mdia)
+            if mdhd:
+                s = mdhd[0]
+                if payload[s] == 1:
+                    mts, mdur = struct.unpack(">IQ", payload[s + 20 : s + 32])
+                else:
+                    mts, mdur = struct.unpack(">II", payload[s + 12 : s + 20])
+                tk["timescale"] = mts
+                tk["duration_us"] = mdur * 1_000_000 // mts if mts else None
+            hdlr = _mp4_find(payload, "hdlr", *mdia)
+            if hdlr:
+                tk["handler"] = payload[hdlr[0] + 8 : hdlr[0] + 12].decode(
+                    "ascii", "replace"
+                )
+            stbl = _mp4_find(payload, "minf/stbl", *mdia)
+            if stbl:
+                stsd = _mp4_find(payload, "stsd", *stbl)
+                if stsd:
+                    tk["codec"] = payload[
+                        stsd[0] + 12 : stsd[0] + 16
+                    ].decode("ascii", "replace")
+                stsz = _mp4_find(payload, "stsz", *stbl)
+                if stsz:
+                    tk["n_samples"] = struct.unpack(
+                        ">I", payload[stsz[0] + 8 : stsz[0] + 12]
+                    )[0]
+        tracks.append(tk)
+    return {
+        "major_brand": major,
+        "movie_duration_us": movie_duration_us,
+        "tracks": tracks,
+    }
+
+
+def _mp4_box(typ: bytes, *bodies: bytes) -> bytes:
+    body = b"".join(bodies)
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def build_mp4(movie_timescale: int, movie_duration: int, tracks) -> bytes:
+    """Minimal VALID ISO BMFF fixture: ftyp + moov(mvhd + trak*), each
+    trak carrying tkhd/mdhd/hdlr/stbl(stsd, stsz) — the writer-side
+    inverse of :func:`parse_mp4_meta` (q214's audit corpus).  ``tracks``
+    dicts: track_id, handler ('vide'/'soun'), codec fourcc, width,
+    height, timescale, duration, n_samples."""
+
+    def mvhd() -> bytes:
+        return _mp4_box(
+            b"mvhd",
+            b"\x00\x00\x00\x00",
+            struct.pack(">II", 0, 0),
+            struct.pack(">II", movie_timescale, movie_duration),
+            struct.pack(">I", 0x00010000),
+            struct.pack(">H", 0x0100),
+            b"\x00" * 10,
+            struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000),
+            b"\x00" * 24,
+            struct.pack(">I", len(tracks) + 1),
+        )
+
+    def trak(t: dict) -> bytes:
+        tkhd = _mp4_box(
+            b"tkhd",
+            b"\x00\x00\x00\x07",
+            struct.pack(">II", 0, 0),
+            struct.pack(">I", t["track_id"]),
+            b"\x00" * 4,
+            struct.pack(">I", t["duration"]),
+            b"\x00" * 8,
+            struct.pack(
+                ">HHHH", 0, 0, 0x0100 if t["handler"] == "soun" else 0, 0
+            ),
+            struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000),
+            struct.pack(
+                ">II", (t.get("width") or 0) << 16, (t.get("height") or 0) << 16
+            ),
+        )
+        mdhd = _mp4_box(
+            b"mdhd",
+            b"\x00\x00\x00\x00",
+            struct.pack(">II", 0, 0),
+            struct.pack(">II", t["timescale"], t["duration"]),
+            struct.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = _mp4_box(
+            b"hdlr",
+            b"\x00\x00\x00\x00",
+            b"\x00" * 4,
+            t["handler"].encode(),
+            b"\x00" * 12,
+            b"fixture\x00",
+        )
+        entry = _mp4_box(
+            t["codec"].encode(), b"\x00" * 6, struct.pack(">H", 1), b"\x00" * 70
+        )
+        stsd = _mp4_box(
+            b"stsd", b"\x00\x00\x00\x00", struct.pack(">I", 1), entry
+        )
+        stsz = _mp4_box(
+            b"stsz",
+            b"\x00\x00\x00\x00",
+            struct.pack(">II", 0, t["n_samples"]),
+            b"".join(struct.pack(">I", 100) for _ in range(t["n_samples"])),
+        )
+        stbl = _mp4_box(b"stbl", stsd, stsz)
+        mdia = _mp4_box(b"mdia", mdhd, hdlr, _mp4_box(b"minf", stbl))
+        return _mp4_box(b"trak", tkhd, mdia)
+
+    ftyp = _mp4_box(b"ftyp", b"isom", struct.pack(">I", 512), b"isomiso2")
+    return ftyp + _mp4_box(b"moov", mvhd(), *(trak(t) for t in tracks))
+
+
+TRACKS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("major_brand", StringType()),
+        StructField("movie_duration_us", LongType()),
+        StructField("track_id", IntegerType()),
+        StructField("handler", StringType()),
+        StructField("codec", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_us", LongType()),
+        StructField("timescale", IntegerType()),
+        StructField("n_samples", IntegerType()),
+    ]
+)
+
+
+def extract_mp4_tracks(df: DataFrame, strict: bool = False) -> DataFrame:
+    """One row PER TRACK of every MP4 payload — container-level audit
+    (brand, durations in exact integer microseconds, per-track handler
+    / codec fourcc / dims / sample counts).  Non-MP4 or malformed
+    payloads are skipped (``strict=True`` raises).
+
+    Same 100 TB shape as the other media kernels: one Arrow-batched
+    ``mapInPandas`` pass, payloads die at the parse stage, the output
+    is metadata-sized (tracks-per-file rows, never bytes)."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k.name: [] for k in TRACKS_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    meta = parse_mp4_meta(b)
+                except (ValueError, struct.error, IndexError):
+                    if strict:
+                        raise
+                    continue
+                for tk in meta["tracks"]:
+                    out["media_id"].append(mid)
+                    out["major_brand"].append(meta["major_brand"])
+                    out["movie_duration_us"].append(meta["movie_duration_us"])
+                    out["track_id"].append(tk["track_id"])
+                    out["handler"].append(tk["handler"])
+                    out["codec"].append(tk["codec"])
+                    out["width"].append(tk["width"])
+                    out["height"].append(tk["height"])
+                    out["duration_us"].append(tk["duration_us"])
+                    out["timescale"].append(tk["timescale"])
+                    out["n_samples"].append(tk["n_samples"])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=TRACKS_SCHEMA)
+
+
 def decode_bmp(payload: bytes):
     """REAL pixel decode of uncompressed BMP (BITMAPINFOHEADER, BI_RGB,
     24- or 32-bit) — no external dependency.  Returns

@@ -35,6 +35,43 @@ from graphdb_neo4j_spark.operators import similarity as S
 from graphdb_neo4j_spark.operators import text as T
 from graphdb_neo4j_spark.sources.tables import load_table
 
+from graphdb_neo4j_spark import corpus_golden as CG
+
+
+def _values_oracle(rows, cols: list[str], types: list[str]) -> str:
+    """VALUES-constant DuckDB oracle for corpus-graph analytics.
+
+    The reference corpus is a FIXED input (1,202 trace files), so these
+    queries have a single exact answer; encoding it as a typed VALUES
+    table upgrades the gate from rows-only to a full hash gate.  The
+    constants (graphdb_neo4j_spark/corpus_golden.py) are NOT derived
+    from the Spark engine: tools/corpus_golden_calc.py recomputes them
+    from the raw JSON via the independent pure-Python loader semantics
+    (tests/oracle_sim.py) plus textbook union-find / BFS / Kahn, and
+    tests/test_corpus_golden.py re-derives them on every run — so the
+    driver's hash row checks Spark against a second implementation,
+    not against itself.  Types are pinned per column (first row CAST)
+    so the pandas fetch dtype matches Spark's exactly (the q105 HUGEINT
+    lesson)."""
+
+    def lit(v, t):
+        if v is None:
+            return f"CAST(NULL AS {t})"
+        if t == "VARCHAR":
+            return "'" + str(v).replace("'", "''") + "'"
+        return str(v)
+
+    rendered = []
+    for i, r in enumerate(rows):
+        vals = [
+            f"CAST({lit(v, t)} AS {t})" if i == 0 else lit(v, t)
+            for v, t in zip(r, types)
+        ]
+        rendered.append("(" + ", ".join(vals) + ")")
+    collist = ", ".join(f'"{c}"' for c in cols)
+    return f"SELECT * FROM (VALUES {', '.join(rendered)}) AS t({collist})"
+
+
 QUERY_FNS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -1116,10 +1153,15 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
     return n_signup.crossJoin(n_conv)
 
 
-@query("g48_corpus_kcore")
+@query(
+    "g48_corpus_kcore",
+    _values_oracle(CG.G48_KCORE_SIZES, ["k", "core_size"], ["INTEGER", "BIGINT"]),
+)
 def g48(spark: SparkSession, sf: str) -> DataFrame:
     """k-core sizes of the undirected SPAWNS graph for k=1..3 — the
-    density skeleton of the process forest."""
+    density skeleton of the process forest.  Hash-gated since r6
+    against the constant oracle independently derived by textbook
+    peeling in tools/corpus_golden_calc.py."""
     from graphdb_neo4j_spark.operators.traversal import k_core
 
     g = _corpus_graph(spark)
@@ -1236,43 +1278,6 @@ def _corpus_graph(spark: SparkSession):
     return _graph_cache["g"]
 
 
-def _values_oracle(rows, cols: list[str], types: list[str]) -> str:
-    """VALUES-constant DuckDB oracle for corpus-graph analytics.
-
-    The reference corpus is a FIXED input (1,202 trace files), so these
-    queries have a single exact answer; encoding it as a typed VALUES
-    table upgrades the gate from rows-only to a full hash gate.  The
-    constants (graphdb_neo4j_spark/corpus_golden.py) are NOT derived
-    from the Spark engine: tools/corpus_golden_calc.py recomputes them
-    from the raw JSON via the independent pure-Python loader semantics
-    (tests/oracle_sim.py) plus textbook union-find / BFS / Kahn, and
-    tests/test_corpus_golden.py re-derives them on every run — so the
-    driver's hash row checks Spark against a second implementation,
-    not against itself.  Types are pinned per column (first row CAST)
-    so the pandas fetch dtype matches Spark's exactly (the q105 HUGEINT
-    lesson)."""
-
-    def lit(v, t):
-        if v is None:
-            return f"CAST(NULL AS {t})"
-        if t == "VARCHAR":
-            return "'" + str(v).replace("'", "''") + "'"
-        return str(v)
-
-    rendered = []
-    for i, r in enumerate(rows):
-        vals = [
-            f"CAST({lit(v, t)} AS {t})" if i == 0 else lit(v, t)
-            for v, t in zip(r, types)
-        ]
-        rendered.append("(" + ", ".join(vals) + ")")
-    collist = ", ".join(f'"{c}"' for c in cols)
-    return f"SELECT * FROM (VALUES {', '.join(rendered)}) AS t({collist})"
-
-
-from graphdb_neo4j_spark import corpus_golden as CG  # noqa: E402
-
-
 @query(
     "g40_corpus_components",
     _values_oracle(
@@ -1341,10 +1346,16 @@ def g42(spark: SparkSession, sf: str) -> DataFrame:
     return depths.groupBy("dist").agg(F.count("*").alias("n_processes")).orderBy("dist")
 
 
-@query("g43_corpus_motif_injector_files")
+@query(
+    "g43_corpus_motif_injector_files",
+    _values_oracle(CG.G43_INJECTOR_FILES, ["a", "n_files"], ["VARCHAR", "BIGINT"]),
+)
 def g43(spark: SparkSession, sf: str) -> DataFrame:
     """Motif: processes that injected a thread into a process that then
-    created a file — classic process-hollowing telemetry."""
+    created a file — classic process-hollowing telemetry.  Hash-gated
+    since r6 against the constant oracle independently derived by
+    tools/corpus_golden_calc.py (set joins over the oracle_sim edge
+    sets)."""
     from graphdb_neo4j_spark.operators.graph import GraphQuery
 
     g = _corpus_graph(spark)
@@ -1736,12 +1747,21 @@ def g45(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("g46_corpus_scc")
+@query(
+    "g46_corpus_scc",
+    _values_oracle(
+        CG.G46_SCC_SHAPE,
+        ["n_components", "n_vertices", "max_scc_size"],
+        ["BIGINT", "BIGINT", "BIGINT"],
+    ),
+)
 def g46(spark: SparkSession, sf: str) -> DataFrame:
     """Strongly-connected components of the SPAWNS graph (trim +
     ColorSCC).  Provenance spawn graphs are DAGs, so the expected
-    answer is all-trivial — the query asserts that shape cheaply:
-    n_components == n_vertices, max size 1."""
+    answer is all-trivial — n_components == n_vertices, max size 1.
+    Hash-gated since r6 against the constant oracle independently
+    derived by an iterative TARJAN in tools/corpus_golden_calc.py —
+    two different SCC algorithms agreeing on the corpus."""
     from graphdb_neo4j_spark.operators.traversal import (
         strongly_connected_components,
     )
@@ -2886,14 +2906,22 @@ def q71(spark: SparkSession, sf: str) -> DataFrame:
     return SP.weighted_sample(docs, k=50, weight_col="n_chars", id_col="doc_id")
 
 
-@query("g55_optional_match_spawn_files")
+@query(
+    "g55_optional_match_spawn_files",
+    _values_oracle(
+        CG.G55_OPTIONAL_SPAWN_FILES,
+        ["a", "n_children", "n_files"],
+        ["VARCHAR", "BIGINT", "BIGINT"],
+    ),
+)
 def g55(spark: SparkSession, sf: str) -> DataFrame:
     """OPTIONAL MATCH over the provenance graph: every SPAWNS edge,
     left-extended by the child's CREATED_FILE targets — parents whose
     children touch no files keep a NULL file column (count_distinct
     skips them), the Cypher OPTIONAL MATCH shape analysts reach for
-    first.  Rows-only gate; exact semantics pinned in
-    tests/test_graph_query.py."""
+    first.  Hash-gated since r6 (constant oracle from independent set
+    logic over the oracle_sim edges); operator semantics also pinned
+    in tests/test_graph_query.py."""
     from graphdb_neo4j_spark.operators.graph import GraphQuery
 
     g = _corpus_graph(spark)
@@ -6473,15 +6501,19 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
     ).limit(10)
 
 
-@query("g72_corpus_greedy_matching")
+@query(
+    "g72_corpus_greedy_matching",
+    _values_oracle(CG.G72_GREEDY_MATCHING, ["src", "dst"], ["VARCHAR", "VARCHAR"]),
+)
 def g72(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic maximal matching over the corpus SPAWNS graph
     (traversal.greedy_matching, Israeli & Itai handshake rounds) — the
     pairing primitive behind dedup-pair assignment / record-linkage
      1:1 constraints.  Returns the matching size plus the 20
-    lexicographically-first matched pairs; rows-only gate, exactness
-    pinned by the sequential-greedy-equivalence oracle in
-    tests/test_traversal.py."""
+    lexicographically-first matched pairs.  Hash-gated since r6: the
+    constant oracle is the SEQUENTIAL greedy matching in md5-priority
+    order computed independently in tools/corpus_golden_calc.py — the
+    handshake rounds must agree with it edge-for-edge."""
     from graphdb_neo4j_spark.operators.traversal import greedy_matching
 
     g = _corpus_graph(spark)
@@ -7305,15 +7337,20 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("g75_corpus_independent_set")
+@query(
+    "g75_corpus_independent_set",
+    _values_oracle(CG.G75_INDEPENDENT_SET, ["kind", "value"], ["VARCHAR", "VARCHAR"]),
+)
 def g75(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic maximal independent set over the corpus SPAWNS
     graph (traversal.maximal_independent_set, Luby rounds with static
     md5 priorities) — the scheduling/conflict-free-selection primitive
     (e.g. picking a set of processes no two of which are
     parent/child).  Returns the MIS size plus the 20 smallest member
-    keys; rows-only gate, exactness pinned by the sequential-greedy
-    equivalence oracle in tests/test_traversal.py."""
+    keys.  Hash-gated since r6: the constant oracle is the SEQUENTIAL
+    greedy MIS in (md5(v), v) order computed independently in
+    tools/corpus_golden_calc.py — Luby rounds must agree with it
+    vertex-for-vertex."""
     from graphdb_neo4j_spark.operators.traversal import maximal_independent_set
 
     g = _corpus_graph(spark)
@@ -12274,3 +12311,89 @@ def q213(spark: SparkSession, sf: str) -> DataFrame:
         rows, "media_id long, payload binary"
     ).repartition(4)
     return extract_media_features(media, strict=True).drop("sample_rate")
+
+
+@query(
+    "q214_mp4_container_audit",
+    """
+    WITH ids AS (SELECT unnest(range(0, 12)) AS media_id),
+    video AS (
+      SELECT media_id, 1 AS track_id, 'vide' AS handler,
+             CASE media_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+                  ELSE 'vp09' END AS codec,
+             320 + 16 * (media_id % 5) AS width,
+             180 + 9 * (media_id % 5) AS height,
+             90000 AS ts, 30000 * (media_id + 2) + 7 AS dur,
+             30 * (media_id + 1) + 1 AS n_samples
+      FROM ids
+    ),
+    audio AS (
+      SELECT media_id, 2 AS track_id, 'soun' AS handler, 'mp4a' AS codec,
+             0 AS width, 0 AS height,
+             48000 AS ts, 48000 * (media_id + 2) + 13 AS dur,
+             47 * (media_id + 1) AS n_samples
+      FROM ids WHERE media_id % 2 = 1
+    ),
+    tracks AS (SELECT * FROM video UNION ALL SELECT * FROM audio)
+    SELECT media_id, 'isom' AS major_brand,
+           CAST((600 * (media_id + 2) + 3) * 1000000 // 600 AS BIGINT)
+             AS movie_duration_us,
+           CAST(track_id AS INT) AS track_id, handler, codec,
+           CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(CAST(dur AS BIGINT) * 1000000 // ts AS BIGINT)
+             AS duration_us,
+           CAST(ts AS INT) AS timescale, CAST(n_samples AS INT) AS n_samples
+    FROM tracks
+    """,
+)
+def q214(spark: SparkSession, sf: str) -> DataFrame:
+    """MP4 / ISO BMFF CONTAINER audit under the hash gate: 12 fixture
+    movies (even ids video-only, odd ids video+audio) are written as
+    genuine BMFF box trees by multimodal.build_mp4, pushed through the
+    REAL box-walking parser (multimodal.extract_mp4_tracks — ftyp/
+    mvhd/tkhd/mdhd/hdlr/stsd/stsz per ISO 14496-12), and every field —
+    brand, exact integer-microsecond durations, per-track handler,
+    codec fourcc, 16.16 display dims, sample counts — must equal the
+    oracle's analytic derivation from the generation formulas.  The
+    contained codec payloads (H.264/AAC) remain honest gates; the
+    CONTAINER is now fully parsed, which is what a 100 TB video
+    pipeline needs for planning (frame sampling, duration accounting)
+    before any frame is decoded.  Audio dims coalesce to 0 on both
+    sides (a NULL int column round-trips through pandas as float64 —
+    the q105 dtype lesson).
+
+    Scale shape: one Arrow-batched mapInPandas pass, payloads die at
+    the parse stage, output is metadata-sized."""
+    from graphdb_neo4j_spark.operators.multimodal import (
+        build_mp4,
+        extract_mp4_tracks,
+    )
+
+    rows = []
+    for mid in range(12):
+        tracks = [{
+            "track_id": 1, "handler": "vide",
+            "codec": ["avc1", "hvc1", "vp09"][mid % 3],
+            "width": 320 + 16 * (mid % 5), "height": 180 + 9 * (mid % 5),
+            "timescale": 90000, "duration": 30000 * (mid + 2) + 7,
+            "n_samples": 30 * (mid + 1) + 1,
+        }]
+        if mid % 2 == 1:
+            tracks.append({
+                "track_id": 2, "handler": "soun", "codec": "mp4a",
+                "width": None, "height": None,
+                "timescale": 48000, "duration": 48000 * (mid + 2) + 13,
+                "n_samples": 47 * (mid + 1),
+            })
+        rows.append(
+            (mid, bytearray(build_mp4(600, 600 * (mid + 2) + 3, tracks)))
+        )
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(4)
+    out = extract_mp4_tracks(media, strict=True)
+    return out.withColumn(
+        "width", F.coalesce(F.col("width"), F.lit(0)).cast("int")
+    ).withColumn(
+        "height", F.coalesce(F.col("height"), F.lit(0)).cast("int")
+    )

@@ -43,3 +43,35 @@ def test_g79_topo_levels(computed):
 
 def test_g80_undirected_degree(computed):
     assert [tuple(r) for r in CG.G80_UNDIRECTED_DEGREE] == computed["g80"]
+
+
+def test_g43_injector_files(computed):
+    assert [tuple(r) for r in CG.G43_INJECTOR_FILES] == computed["g43"]
+
+
+def test_g46_scc_shape(computed):
+    assert [tuple(r) for r in CG.G46_SCC_SHAPE] == computed["g46"]
+    # independent-Tarjan sanity: the spawn graph is a forest/DAG
+    (n_comp, n_vert, max_size), = computed["g46"]
+    assert n_comp == n_vert and max_size == 1
+
+
+def test_g48_kcore_sizes(computed):
+    assert [tuple(r) for r in CG.G48_KCORE_SIZES] == computed["g48"]
+
+
+def test_g55_optional_spawn_files(computed):
+    assert [tuple(r) for r in CG.G55_OPTIONAL_SPAWN_FILES] == computed["g55"]
+
+
+def test_g72_greedy_matching(computed):
+    got = [tuple(r) for r in CG.G72_GREEDY_MATCHING]
+    assert got == computed["g72"]
+    # matching property on the independent derivation: no shared vertex
+    pairs = got[1:]
+    seen = [v for p in pairs for v in p]
+    assert len(seen) == len(set(seen))
+
+
+def test_g75_independent_set(computed):
+    assert [tuple(r) for r in CG.G75_INDEPENDENT_SET] == computed["g75"]

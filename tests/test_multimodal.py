@@ -691,3 +691,113 @@ def test_jpeg_features_through_arrow_kernel(spark):
     assert (r1.min_val, r1.max_val) == (int(flat.min()), int(flat.max()))
     r2 = rows[2]
     assert (r2.format, r2.width, r2.height) == ("jpeg", 16, 16)
+
+
+# --- MP4 / ISO BMFF container (ISO 14496-12) ----------------------------
+
+
+def test_mp4_parse_roundtrip_exact():
+    from graphdb_neo4j_spark.operators.multimodal import (
+        build_mp4,
+        parse_mp4_meta,
+    )
+
+    pay = build_mp4(600, 3003, [
+        {"track_id": 1, "handler": "vide", "codec": "hvc1", "width": 1920,
+         "height": 1080, "timescale": 90000, "duration": 123456,
+         "n_samples": 41},
+        {"track_id": 2, "handler": "soun", "codec": "mp4a", "width": None,
+         "height": None, "timescale": 48000, "duration": 96013,
+         "n_samples": 94},
+    ])
+    m = parse_mp4_meta(pay)
+    assert m["major_brand"] == "isom"
+    assert m["movie_duration_us"] == 3003 * 1_000_000 // 600
+    v, a = m["tracks"]
+    assert (v["track_id"], v["handler"], v["codec"]) == (1, "vide", "hvc1")
+    assert (v["width"], v["height"]) == (1920, 1080)
+    assert v["duration_us"] == 123456 * 1_000_000 // 90000
+    assert (v["timescale"], v["n_samples"]) == (90000, 41)
+    assert (a["handler"], a["codec"], a["width"], a["height"]) == (
+        "soun", "mp4a", None, None,
+    )
+    assert a["duration_us"] == 96013 * 1_000_000 // 48000
+    assert a["n_samples"] == 94
+
+
+def test_mp4_v1_64bit_and_largesize_boxes():
+    """mvhd version 1 (64-bit duration) and a size==1 largesize box
+    header both parse per §4.2."""
+    import struct as _struct
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        _mp4_box,
+        parse_mp4_meta,
+    )
+
+    mvhd_v1 = _mp4_box(
+        b"mvhd", b"\x01\x00\x00\x00", _struct.pack(">QQ", 0, 0),
+        _struct.pack(">IQ", 1000, 2 ** 33), _struct.pack(">I", 0x10000),
+        _struct.pack(">H", 0x100), b"\x00" * 10,
+        _struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000),
+        b"\x00" * 24, _struct.pack(">I", 2),
+    )
+    ftyp = _mp4_box(b"ftyp", b"isom", _struct.pack(">I", 512), b"isom")
+    moov_body = mvhd_v1
+    largesize_moov = (
+        _struct.pack(">I", 1) + b"moov"
+        + _struct.pack(">Q", 16 + len(moov_body)) + moov_body
+    )
+    m = parse_mp4_meta(ftyp + largesize_moov)
+    assert m["movie_duration_us"] == 2 ** 33 * 1_000_000 // 1000
+    assert m["tracks"] == []
+
+
+def test_mp4_malformed_raises():
+    import pytest as _pytest
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        build_mp4,
+        parse_mp4_meta,
+    )
+
+    with _pytest.raises(ValueError, match="not an MP4"):
+        parse_mp4_meta(b"garbage")
+    pay = build_mp4(600, 600, [])
+    with _pytest.raises(ValueError, match="malformed|moov|mvhd"):
+        parse_mp4_meta(pay[:30])
+
+
+def test_mp4_tracks_through_arrow_kernel(spark):
+    """extract_mp4_tracks end to end: per-track fan-out, non-MP4 rows
+    skipped non-strict, strict raises."""
+    import pytest as _pytest
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        TRACKS_SCHEMA,
+        build_mp4,
+        extract_mp4_tracks,
+    )
+
+    pay = build_mp4(600, 1203, [
+        {"track_id": 1, "handler": "vide", "codec": "avc1", "width": 640,
+         "height": 360, "timescale": 30000, "duration": 60007,
+         "n_samples": 61},
+        {"track_id": 2, "handler": "soun", "codec": "mp4a", "width": None,
+         "height": None, "timescale": 48000, "duration": 96013,
+         "n_samples": 94},
+    ])
+    df = spark.createDataFrame(
+        [(1, bytearray(pay)), (2, bytearray(b"not an mp4 at all"))],
+        "media_id long, payload binary",
+    )
+    out = extract_mp4_tracks(df)
+    assert out.schema == TRACKS_SCHEMA
+    rows = sorted(out.collect(), key=lambda r: r.track_id)
+    assert len(rows) == 2 and [r.media_id for r in rows] == [1, 1]
+    assert rows[0].codec == "avc1" and rows[0].width == 640
+    assert rows[0].duration_us == 60007 * 1_000_000 // 30000
+    assert rows[1].handler == "soun" and rows[1].width is None
+    assert rows[0].movie_duration_us == 1203 * 1_000_000 // 600
+    with _pytest.raises(Exception, match="not an MP4"):
+        extract_mp4_tracks(df, strict=True).collect()

@@ -64,6 +64,7 @@ def test_rotation_unchecked_lead_and_flagships_first():
         "q211_bmp_decode_audit",
         "q212_png_decode_audit",
         "q213_jpeg_decode_audit",
+        "q214_mp4_container_audit",
     ]
     names = list(entry.queries())
     confirmed = entry._driver_confirmed()

@@ -151,12 +151,180 @@ def g80_undirected_degree(edges, topk=25):
     return rows
 
 
+def g43_injector_files(edges, topk=20):
+    """Motif (a)-[INJECTED_THREAD]->(b), (b)-[CREATED_FILE]->(f):
+    distinct created files per injector, top-k by (n desc, a)."""
+    created = defaultdict(set)
+    for b, f in edges["CREATED_FILE"]:
+        created[b].add(f)
+    per_a = defaultdict(set)
+    for a, b in edges["INJECTED_THREAD"]:
+        per_a[a] |= created.get(b, set())
+    rows = [(a, len(fs)) for a, fs in per_a.items() if fs]
+    return sorted(rows, key=lambda kv: (-kv[1], kv[0]))[:topk]
+
+
+def g46_scc_shape(nodes, edges):
+    """Tarjan SCC (iterative) over SPAWNS restricted to Process verts;
+    returns the single (n_components, n_vertices, max_scc_size) row."""
+    verts = set(nodes["Process"])
+    adj = defaultdict(list)
+    for s, d in edges["SPAWNS"]:
+        if s in verts and d in verts:
+            adj[s].append(d)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    counter = [0]
+    n_comp = 0
+    max_size = 0
+    for root in verts:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            ns = adj.get(v, [])
+            for i in range(pi, len(ns)):
+                w = ns[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if pi < len(ns):
+                pass
+            if low[v] == index[v]:
+                size = 0
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    size += 1
+                    if w == v:
+                        break
+                n_comp += 1
+                max_size = max(max_size, size)
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+    return [(n_comp, len(verts), max_size)]
+
+
+def g48_kcore_sizes(nodes, edges, ks=(1, 2, 3)):
+    """k-core sizes via textbook iterative peeling over the undirected
+    deduped SPAWNS graph (isolated Process nodes peel at k>=1)."""
+    und = {(min(s, d), max(s, d)) for s, d in edges["SPAWNS"] if s != d}
+    out = []
+    for k in ks:
+        remaining = set(nodes["Process"])
+        while True:
+            deg = defaultdict(int)
+            for a, b in und:
+                if a in remaining and b in remaining:
+                    deg[a] += 1
+                    deg[b] += 1
+            keep = {v for v in remaining if deg.get(v, 0) >= k}
+            if keep == remaining:
+                break
+            remaining = keep
+        out.append((k, len(remaining)))
+    return out
+
+
+def g55_optional_spawn_files(edges, topk=20):
+    """OPTIONAL MATCH (a)-[SPAWNS]->(b) left-extended by
+    (b)-[CREATED_FILE]->(f): per parent, distinct children and the
+    union of their created files; top-k by (n_files desc,
+    n_children desc, a)."""
+    created = defaultdict(set)
+    for b, f in edges["CREATED_FILE"]:
+        created[b].add(f)
+    children = defaultdict(set)
+    for a, b in edges["SPAWNS"]:
+        children[a].add(b)
+    rows = []
+    for a, bs in children.items():
+        files = set()
+        for b in bs:
+            files |= created.get(b, set())
+        rows.append((a, len(bs), len(files)))
+    rows.sort(key=lambda r: (-r[2], -r[1], r[0]))
+    return rows[:topk]
+
+
+def _md5(s):
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def g72_greedy_matching(edges, topk=20):
+    """Sequential greedy matching in (md5('src|dst'), src, dst) order
+    over canonical src<dst SPAWNS edges — the exact sequential
+    equivalent of traversal.greedy_matching's handshake rounds.
+    Returns the size row + the topk lexicographically-first pairs,
+    in the query's (src, dst) string layout."""
+    und = {(min(s, d), max(s, d)) for s, d in edges["SPAWNS"] if s != d}
+    order = sorted(und, key=lambda e: (_md5(e[0] + "|" + e[1]), e[0], e[1]))
+    used = set()
+    matched = []
+    for a, b in order:
+        if a in used or b in used:
+            continue
+        used.add(a)
+        used.add(b)
+        matched.append((a, b))
+    rows = [("__size__", str(len(matched)))]
+    rows.extend(sorted(matched)[:topk])
+    return rows
+
+
+def g75_independent_set(edges, topk=20):
+    """Sequential greedy MIS in (md5(v), v) order over the SPAWNS
+    vertex set (edge endpoints only, matching the query's vertex
+    frame) — the exact sequential equivalent of
+    traversal.maximal_independent_set's Luby rounds with static md5
+    priorities.  Returns the size row + topk smallest members in the
+    query's (kind, value) layout."""
+    und = {(min(s, d), max(s, d)) for s, d in edges["SPAWNS"] if s != d}
+    verts = {v for e in und for v in e}
+    nbrs = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    mis = set()
+    for v in sorted(verts, key=lambda v: (_md5(v), v)):
+        if not (nbrs[v] & mis):
+            mis.add(v)
+    rows = [("size", str(len(mis)))]
+    rows.extend(("member", v) for v in sorted(mis)[:topk])
+    return rows
+
+
 def compute_all(pattern: str = CORPUS_GLOB):
     nodes, edges = corpus_sets(pattern)
     return {
         "g40": g40_component_sizes(nodes, edges),
         "g42": g42_bfs_depths(edges),
+        "g43": g43_injector_files(edges),
         "g44": g44_golden_counts(nodes, edges),
+        "g46": g46_scc_shape(nodes, edges),
+        "g48": g48_kcore_sizes(nodes, edges),
+        "g55": g55_optional_spawn_files(edges),
+        "g72": g72_greedy_matching(edges),
+        "g75": g75_independent_set(edges),
         "g79": g79_topo_levels(nodes, edges),
         "g80": g80_undirected_degree(edges),
     }
