@@ -3030,14 +3030,18 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("g58_corpus_varlen_spawns")
+@query(
+    "g58_corpus_varlen_spawns",
+    _values_oracle(CG.G58_VARLEN_PATHS, ["n_paths", "n_pairs"], ["BIGINT", "BIGINT"]),
+)
 def g58(spark: SparkSession, sf: str) -> DataFrame:
     """``(a)-[SPAWNS*1..3]->(b)`` over the corpus process tree — the
     analyst's "descendants within 3 generations" ask, straight from the
     motif parser.  The process tree is a DAG, so per-path rows equal
-    Cypher's relationship-unique semantics.  Rows-only driver gate; the
-    layered-join hash-equality oracle is
-    tests/test_graph_query.py::test_varlen_corpus_matches_layered_joins."""
+    Cypher's relationship-unique semantics.  Hash-gated since r6
+    (constant oracle from an independent layered chain walk in
+    tools/corpus_golden_calc.py); the layered-join hash-equality gate
+    stays in tests/test_graph_query.py."""
     from graphdb_neo4j_spark.operators.graph import GraphQuery
 
     g = _corpus_graph(spark)
@@ -7370,13 +7374,21 @@ def g75(spark: SparkSession, sf: str) -> DataFrame:
     return size.unionByName(members)
 
 
-@query("g76_corpus_coloring")
+@query(
+    "g76_corpus_coloring",
+    _values_oracle(
+        CG.G76_GREEDY_COLORING, ["color", "n_vertices"], ["INTEGER", "BIGINT"]
+    ),
+)
 def g76(spark: SparkSession, sf: str) -> DataFrame:
     """Jones–Plassmann greedy coloring of the corpus SPAWNS graph
     (traversal.greedy_coloring) — the conflict-scheduling primitive
     (vertices of one color can be processed concurrently).  Returns
-    color-class sizes; rows-only gate, exactness pinned by the
-    sequential-greedy equivalence oracle in tests/test_traversal.py."""
+    color-class sizes.  Hash-gated since r6: the constant oracle is
+    the SEQUENTIAL greedy coloring in (md5(v), v) order computed
+    independently in tools/corpus_golden_calc.py — Jones–Plassmann
+    rounds must reproduce it class-for-class (its color-0 class equals
+    g75's MIS by construction, an internal cross-check)."""
     from graphdb_neo4j_spark.operators.traversal import greedy_coloring
 
     g = _corpus_graph(spark)

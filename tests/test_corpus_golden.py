@@ -75,3 +75,15 @@ def test_g72_greedy_matching(computed):
 
 def test_g75_independent_set(computed):
     assert [tuple(r) for r in CG.G75_INDEPENDENT_SET] == computed["g75"]
+
+
+def test_g58_varlen_paths(computed):
+    assert [tuple(r) for r in CG.G58_VARLEN_PATHS] == computed["g58"]
+
+
+def test_g76_greedy_coloring(computed):
+    got = [tuple(r) for r in CG.G76_GREEDY_COLORING]
+    assert got == computed["g76"]
+    # internal cross-check of the md5-order greedy family: the color-0
+    # class IS the greedy MIS in the same order
+    assert got[0][1] == int(CG.G75_INDEPENDENT_SET[0][1])

@@ -313,6 +313,53 @@ def g75_independent_set(edges, topk=20):
     return rows
 
 
+def g58_varlen_paths(edges, max_len=3):
+    """(a)-[SPAWNS*1..max_len]->(b) path count + distinct endpoint
+    pairs — plain layered chain walk over the deduped edge set (the
+    corpus spawn graph is a DAG, so path rows equal Cypher's
+    relationship-unique semantics)."""
+    e = {(s, d) for s, d in edges["SPAWNS"] if s != d}
+    adj = defaultdict(list)
+    for s_, d_ in e:
+        adj[s_].append(d_)
+    n_paths = 0
+    pairs = set()
+    frontier = {(s_, d_): 1 for s_, d_ in e}  # (start, end) -> #paths
+    for _level in range(max_len):
+        n_paths += sum(frontier.values())
+        pairs |= set(frontier)
+        nxt = defaultdict(int)
+        for (a, b), c in frontier.items():
+            for d_ in adj.get(b, ()):  # extend by one edge
+                nxt[(a, d_)] += c
+        frontier = nxt
+    return [(n_paths, len(pairs))]
+
+
+def g76_greedy_coloring(edges):
+    """Sequential greedy (Jones-Plassmann-equivalent) coloring in
+    (md5(v), v) order over the SPAWNS edge endpoints: each vertex takes
+    the mex of its already-colored neighbors.  Returns color-class
+    sizes ordered by color."""
+    und = {(min(s, d), max(s, d)) for s, d in edges["SPAWNS"] if s != d}
+    verts = {v for e in und for v in e}
+    nbrs = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    color = {}
+    for v in sorted(verts, key=lambda v: (_md5(v), v)):
+        taken = {color[w] for w in nbrs[v] if w in color}
+        c = 0
+        while c in taken:
+            c += 1
+        color[v] = c
+    sizes = defaultdict(int)
+    for c in color.values():
+        sizes[c] += 1
+    return sorted(sizes.items())
+
+
 def compute_all(pattern: str = CORPUS_GLOB):
     nodes, edges = corpus_sets(pattern)
     return {
@@ -323,8 +370,10 @@ def compute_all(pattern: str = CORPUS_GLOB):
         "g46": g46_scc_shape(nodes, edges),
         "g48": g48_kcore_sizes(nodes, edges),
         "g55": g55_optional_spawn_files(edges),
+        "g58": g58_varlen_paths(edges),
         "g72": g72_greedy_matching(edges),
         "g75": g75_independent_set(edges),
+        "g76": g76_greedy_coloring(edges),
         "g79": g79_topo_levels(nodes, edges),
         "g80": g80_undirected_degree(edges),
     }
