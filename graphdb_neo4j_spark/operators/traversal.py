@@ -2858,6 +2858,13 @@ def _louvain_local_moving(
     # 96.5s vs 87.0s on the sf0.1 copurchase graph — the one-off und
     # re-layout plus a driver collect+rebroadcast of the assignment
     # every round costs more than the two candidate exchanges it saves.
+    # NEGATIVE RESULT #2 (r6, do not retry): repartitioning the joined
+    # edge frame on src so the (src,c) aggregate and the groupBy(v)
+    # argmin share ONE exchange measured cold 43.0s/362s-exec vs
+    # 28.6s/191s and warm exec 122s vs 73s (interleaved same-epoch
+    # pair) — the raw 2|E| exchange of un-aggregated rows costs far
+    # more than the two PARTIAL-AGG-reduced candidate exchanges it
+    # replaces.  Map-side combine is the whole ballgame here.
     asg, asg_rdd = _freeze(nodes.select("v", F.col("v").alias("c")))
 
     quiet_streak = 0
