@@ -8145,7 +8145,16 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
 def _q153_sql() -> str:
     from graphdb_neo4j_spark.operators.embed import scalar_quantize_sql
 
-    return scalar_quantize_sql("embeddings")
+    # VERDICT r6 #1: the driver canonicalizes results with a pandas
+    # sort, which cannot hash list cells — project the quantized vector
+    # to a scalar CSV string on BOTH sides (bigint→string is
+    # render-identical in Spark and DuckDB, so the hash gate stays
+    # bit-exact per element).
+    inner = scalar_quantize_sql("embeddings")
+    return f"""
+    SELECT vec_id, array_to_string(qvec, ',') AS qvec_csv
+    FROM ({inner})
+    """
 
 
 @query("q153_scalar_quantize_int8", _q153_sql())
@@ -8155,11 +8164,16 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
     extrema from one exploded hash aggregate, affine+round applied as a
     codegen'd arrays_zip/transform with the d-param arrays broadcast —
     hash-gated bit-for-bit against DuckDB replaying the identical
-    double-first IEEE arithmetic."""
+    double-first IEEE arithmetic.  The output vector is serialized to
+    one CSV string per row (array cells don't survive the driver's
+    pandas canonicalizer — VERDICT r6 #1)."""
     from graphdb_neo4j_spark.operators.embed import scalar_quantize
 
     emb = load_table(spark, sf, "embeddings")
-    return scalar_quantize(emb)
+    return scalar_quantize(emb).select(
+        "vec_id",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec_csv"),
+    )
 
 
 def _q154_sql(docs_table: str = "documents") -> str:

@@ -104,16 +104,29 @@ def test_oracle_output_types_stable_through_pandas():
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     unstable = ("HUGEINT", "UHUGEINT")
+
+    def _bad_type(t: str) -> bool:
+        # VERDICT r6 #1 widened the class: the driver's pandas canon
+        # sorts every output column, and list/struct/map cells are
+        # unhashable there (q153 went red on array<bigint>) — reject
+        # any nested output type alongside the HUGEINT skew.
+        u = t.upper()
+        return (
+            u in unstable
+            or "[]" in u
+            or u.startswith(("STRUCT", "MAP", "LIST", "ARRAY", "UNION"))
+        )
+
     offenders = {}
     for name, sql in ORACLES.items():
         cols = con.execute(f"DESCRIBE {sql}").fetchall()
-        bad = [(c[0], c[1]) for c in cols if c[1].upper() in unstable]
+        bad = [(c[0], c[1]) for c in cols if _bad_type(c[1])]
         if bad:
             offenders[name] = bad
     con.close()
     assert not offenders, (
-        "oracles emit pandas-unstable output types (CAST the final "
-        f"projection): {offenders}"
+        "oracles emit pandas-unstable output types (CAST or serialize "
+        f"the final projection): {offenders}"
     )
 
 
