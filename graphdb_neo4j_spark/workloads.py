@@ -1811,12 +1811,21 @@ def _corpus_derived(spark: SparkSession):
     return spark.read.parquet(os.path.join(sd, "spans"))
 
 
-@query("g49_corpus_temporal_motif")
+@query(
+    "g49_corpus_temporal_motif",
+    _values_oracle(
+        CG.G49_TEMPORAL_MOTIF,
+        ["parent", "child", "dst", "lag_us"],
+        ["VARCHAR", "VARCHAR", "VARCHAR", "BIGINT"],
+    ),
+)
 def g49(spark: SparkSession, sf: str) -> DataFrame:
     """Temporal provenance motif: a process SPAWNS a child and the
     child makes a network connection within 60 s — the classic
     dropper→beacon hunt.  An equi-join on the child key plus a time
     band; at scale both sides co-partition on the key (no range scan).
+    Hash-gated against a constant oracle independently re-derived from
+    the raw corpus every test run (corpus_golden_calc.g49).
     """
     d = _corpus_derived(spark)
     spawns = d.filter(
@@ -2678,13 +2687,22 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
     return profile_columns(e)
 
 
-@query("g53_corpus_temporal_reachability")
+@query(
+    "g53_corpus_temporal_reachability",
+    _values_oracle(
+        CG.G53_TEMPORAL_REACHABILITY,
+        ["n_reached", "first_arrival_us", "last_arrival_us"],
+        ["BIGINT", "BIGINT", "BIGINT"],
+    ),
+)
 def g53(spark: SparkSession, sf: str) -> DataFrame:
     """Time-respecting reachability from the earliest-seen process:
     earliest-arrival BFS over SPAWNS edges timestamped by spawn time —
     a process is only compromised-downstream if the spawn chain moves
-    forward in time.  Plain BFS overcounts; this is the fix.  Rows-only
-    gate; Python oracle in tests/test_traversal.py."""
+    forward in time.  Plain BFS overcounts; this is the fix.
+    Hash-gated against a constant oracle re-derived every run by the
+    independent earliest-arrival fixpoint (corpus_golden_calc.g53);
+    per-edge Python oracle additionally in tests/test_traversal.py."""
     from graphdb_neo4j_spark.operators.traversal import temporal_bfs
 
     d = _corpus_derived(spark)
@@ -3053,7 +3071,14 @@ def g58(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("g59_corpus_provenance_paths")
+@query(
+    "g59_corpus_provenance_paths",
+    _values_oracle(
+        CG.G59_PROVENANCE_PATHS,
+        ["file", "hops", "chain"],
+        ["VARCHAR", "INTEGER", "VARCHAR"],
+    ),
+)
 def g59(spark: SparkSession, sf: str) -> DataFrame:
     """Reconstructed provenance chains Trace → Process* → File — the
     analyst's #1 ask, Cypher ``shortestPath`` with the actual node
@@ -3062,9 +3087,10 @@ def g59(spark: SparkSession, sf: str) -> DataFrame:
     File targets (path bytes, not traversal, dominate at scale), then
     the root's trace prepended via one HAS_PROCESS min-join.  Returns
     the 20 deepest chains; deterministic via min-predecessor trees,
-    min-trace attribution, and (hops desc, file) ordering.  Rows-only
-    driver gate; path validity + NetworkX oracles in
-    tests/test_traversal.py."""
+    min-trace attribution, and (hops desc, file) ordering.  Hash-gated
+    against a constant oracle re-derived every run by an independent
+    min-pred BFS backtrace (corpus_golden_calc.g59); path validity +
+    NetworkX oracles in tests/test_traversal.py."""
     from graphdb_neo4j_spark.operators.traversal import bfs_paths
 
     g = _corpus_graph(spark)
@@ -4053,13 +4079,18 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
     ).limit(20)
 
 
-@query("g62_corpus_cypher_path_hubs")
+@query(
+    "g62_corpus_cypher_path_hubs",
+    _values_oracle(CG.G62_PATH_HUBS, ["n", "on_paths"], ["VARCHAR", "BIGINT"]),
+)
 def g62(spark: SparkSession, sf: str) -> DataFrame:
     """Cypher UNWIND over shortestPath bindings: which processes sit on
     the most root-to-descendant shortest paths (path-hub centrality by
     construction) — `UNWIND nodes(p) AS n` exploding the BFS backtrace
-    arrays, grouped and ranked, all from Cypher text.  Rows-only gate;
-    UNWIND/shortestPath semantics pinned in tests/test_cypher.py."""
+    arrays, grouped and ranked, all from Cypher text.  Hash-gated
+    against a constant oracle (independent BFS + backtrace explode,
+    corpus_golden_calc.g62); UNWIND/shortestPath semantics pinned in
+    tests/test_cypher.py."""
     from graphdb_neo4j_spark.operators.cypher import cypher
     from graphdb_neo4j_spark.operators.graph import GraphQuery
 
@@ -4287,13 +4318,20 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("g63_corpus_cypher_net_only")
+@query(
+    "g63_corpus_cypher_net_only",
+    _values_oracle(
+        CG.G63_NET_ONLY, ["t", "net_only_procs"], ["VARCHAR", "BIGINT"]
+    ),
+)
 def g63(spark: SparkSession, sf: str) -> DataFrame:
     """Threat-hunting Cypher: traces whose processes talk to the
     network but never touch disk (EXISTS ∧ NOT EXISTS — the classic
     fileless-malware triage question), counted per trace.  Both
-    existence predicates compile to semi/anti joins.  Rows-only gate;
-    EXISTS semantics pinned in tests/test_cypher.py."""
+    existence predicates compile to semi/anti joins.  Hash-gated
+    against a constant oracle (independent set algebra,
+    corpus_golden_calc.g63); EXISTS semantics pinned in
+    tests/test_cypher.py."""
     from graphdb_neo4j_spark.operators.cypher import cypher
     from graphdb_neo4j_spark.operators.graph import GraphQuery
 
@@ -4792,15 +4830,20 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
     return D.semdedup(emb, k=8, threshold=0.35)
 
 
-@query("g65_corpus_cypher_persistence")
+@query(
+    "g65_corpus_cypher_persistence",
+    _values_oracle(
+        CG.G65_PERSISTENCE, ["t", "persist_procs"], ["VARCHAR", "BIGINT"]
+    ),
+)
 def g65(spark: SparkSession, sf: str) -> DataFrame:
     """Persistence triage in Cypher: traces whose processes set a
     registry value under a Run/RunOnce autostart key — the classic
     T1547.001 hunt — via a CORRELATED property-filtered existence
     subquery (``EXISTS { ... WHERE rv.key CONTAINS 'Run' }``), which
     compiles to a filtered semi-join on the EXISTS side only.
-    Rows-only gate; EXISTS-with-WHERE semantics pinned in
-    tests/test_cypher.py."""
+    Hash-gated against a constant oracle (corpus_golden_calc.g65);
+    EXISTS-with-WHERE semantics pinned in tests/test_cypher.py."""
     from graphdb_neo4j_spark.operators.cypher import cypher
     from graphdb_neo4j_spark.operators.graph import GraphQuery
 
@@ -4816,16 +4859,26 @@ def g65(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("g66_corpus_graph_diff")
+@query(
+    "g66_corpus_graph_diff",
+    _values_oracle(
+        CG.G66_GRAPH_DIFF,
+        ["kind", "name", "change", "n"],
+        ["VARCHAR", "VARCHAR", "VARCHAR", "BIGINT"],
+    ),
+)
 def g66(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-VERSION diff (SURVEY §2.D: exceptAll graph diffing):
     what the full corpus adds over the ``T10*`` subset — per-label node
     adds, per-rel edge adds, and property-modified rows (last-writer-
     wins drift when later drops rewrite an edge's event_id or a
     process's command line).  Every leg co-partitions on the graph's
-    natural identity keys (operators/graph.py:graph_diff).  Rows-only
-    gate; exact semantics pinned by the hand-built fixture in
-    tests/test_graph_query.py."""
+    natural identity keys (operators/graph.py:graph_diff).  Hash-gated
+    against a constant oracle re-derived every run by the independent
+    property-tracking simulator (oracle_sim.simulate_full — last-writer
+    -wins, ON-CREATE guid drop, TAMPERED keep-old all replicated;
+    corpus_golden_calc.g66); exact semantics additionally pinned by the
+    hand-built fixture in tests/test_graph_query.py."""
     import os
 
     from graphdb_neo4j_spark.operators.graph import graph_diff
@@ -5303,13 +5356,21 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("g67_corpus_cypher_degree_triage")
+@query(
+    "g67_corpus_cypher_degree_triage",
+    _values_oracle(
+        CG.G67_DEGREE_TRIAGE,
+        ["p", "spawn_out", "net_out"],
+        ["VARCHAR", "BIGINT", "BIGINT"],
+    ),
+)
 def g67(spark: SparkSession, sf: str) -> DataFrame:
     """Degree triage in pure Cypher: processes ranked by spawn fan-out
     plus network fan-out via PATTERN-COUNT expressions
     (``size((p)-[:REL]->())`` — the analyst's degree idiom, old
-    spelling), each lowering to one grouped count join.  Rows-only
-    gate; semantics pinned in tests/test_cypher.py."""
+    spelling), each lowering to one grouped count join.  Hash-gated
+    against a constant oracle (corpus_golden_calc.g67); semantics
+    pinned in tests/test_cypher.py."""
     from graphdb_neo4j_spark.operators.cypher import cypher
     from graphdb_neo4j_spark.operators.graph import GraphQuery
 
@@ -6357,7 +6418,14 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("g71_corpus_cypher_ioc_union")
+@query(
+    "g71_corpus_cypher_ioc_union",
+    _values_oracle(
+        CG.G71_IOC_UNION,
+        ["kind", "value", "n_procs"],
+        ["VARCHAR", "VARCHAR", "BIGINT"],
+    ),
+)
 def g71(spark: SparkSession, sf: str) -> DataFrame:
     """IOC sweep in Cypher with top-level UNION: one arm per indicator
     class (network destinations, dropped files, registry keys written),
@@ -6367,7 +6435,8 @@ def g71(spark: SparkSession, sf: str) -> DataFrame:
     unionByName + one global distinct on top, wrapped in CALL { } so
     the global ORDER BY/LIMIT lives in the query text — Neo4j's
     post-UNION-processing idiom (inside an arm, ORDER BY binds to that
-    arm alone).  Rows-only gate; UNION semantics pinned exactly in
+    arm alone).  Hash-gated against a constant oracle
+    (corpus_golden_calc.g71); UNION semantics pinned exactly in
     tests/test_cypher.py."""
     from graphdb_neo4j_spark.operators.cypher import cypher
     from graphdb_neo4j_spark.operators.graph import GraphQuery
@@ -7601,13 +7670,20 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("g77_corpus_cypher_tls_beacons")
+@query(
+    "g77_corpus_cypher_tls_beacons",
+    _values_oracle(
+        CG.G77_TLS_BEACONS, ["image", "n_beacons"], ["VARCHAR", "BIGINT"]
+    ),
+)
 def g77(spark: SparkSession, sf: str) -> DataFrame:
     """Inline edge-property Cypher over the corpus: processes beaconing
     to port 443 ('{dport: '443'}' — the classic Neo4j inline map on a
     relationship, desugared by operators/cypher.py to an edge-struct
-    predicate), grouped per process image.  Rows-only; the inline ≡
-    WHERE equivalence is pinned in tests/test_cypher.py."""
+    predicate), grouped per process image.  Hash-gated against a
+    constant oracle from the independent property simulator (LWW dport
+    + process image, corpus_golden_calc.g77); the inline ≡ WHERE
+    equivalence is pinned in tests/test_cypher.py."""
     from graphdb_neo4j_spark.operators.cypher import cypher
     from graphdb_neo4j_spark.operators.graph import GraphQuery
 

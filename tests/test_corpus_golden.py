@@ -87,3 +87,58 @@ def test_g76_greedy_coloring(computed):
     # internal cross-check of the md5-order greedy family: the color-0
     # class IS the greedy MIS in the same order
     assert got[0][1] == int(CG.G75_INDEPENDENT_SET[0][1])
+
+
+def test_g49_temporal_motif(computed):
+    assert [tuple(r) for r in CG.G49_TEMPORAL_MOTIF] == computed["g49"]
+
+
+def test_g53_temporal_reachability(computed):
+    assert [tuple(r) for r in CG.G53_TEMPORAL_REACHABILITY] == computed["g53"]
+    # time-respecting sanity: arrivals move forward
+    (n, first, last), = computed["g53"]
+    assert n > 0 and first <= last
+
+
+def test_g59_provenance_paths(computed):
+    got = [tuple(r) for r in CG.G59_PROVENANCE_PATHS]
+    assert got == computed["g59"]
+    # chain sanity on the independent derivation: hops = path edges,
+    # chain ends at the file
+    for f, hops, chain in got:
+        parts = chain.split(" -> ")
+        assert parts[-1] == f
+
+
+def test_g62_path_hubs(computed):
+    got = [tuple(r) for r in CG.G62_PATH_HUBS]
+    assert got == computed["g62"]
+    # the root sits on every path, so it must hold the max count
+    assert got[0][1] == max(c for _, c in got)
+
+
+def test_g63_net_only(computed):
+    assert [tuple(r) for r in CG.G63_NET_ONLY] == computed["g63"]
+
+
+def test_g65_persistence(computed):
+    assert [tuple(r) for r in CG.G65_PERSISTENCE] == computed["g65"]
+
+
+def test_g66_graph_diff(computed):
+    got = [tuple(r) for r in CG.G66_GRAPH_DIFF]
+    assert got == computed["g66"]
+    # the old corpus is a subset of the new: nothing is ever removed
+    assert not [r for r in got if r[2] == "removed"]
+
+
+def test_g67_degree_triage(computed):
+    assert [tuple(r) for r in CG.G67_DEGREE_TRIAGE] == computed["g67"]
+
+
+def test_g71_ioc_union(computed):
+    assert [tuple(r) for r in CG.G71_IOC_UNION] == computed["g71"]
+
+
+def test_g77_tls_beacons(computed):
+    assert [tuple(r) for r in CG.G77_TLS_BEACONS] == computed["g77"]

@@ -20,7 +20,12 @@ from collections import defaultdict, deque
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tests.oracle_sim import simulate  # noqa: E402
+from tests.oracle_sim import (  # noqa: E402
+    EDGE_PROP_NAMES,
+    derive_spans,
+    simulate,
+    simulate_full,
+)
 
 CORPUS_GLOB = "/root/reference/malware/*.json"
 
@@ -360,9 +365,305 @@ def g76_greedy_coloring(edges):
     return sorted(sizes.items())
 
 
+def _multi_source_bfs(edges_set, roots):
+    """Level-synchronous BFS forest with the min-frontier-parent
+    predecessor tie-break (traversal.bfs_tree semantics).  Returns
+    (dist, pred) per reached vertex; roots have dist 0, pred None."""
+    adj = defaultdict(list)
+    for s, d in edges_set:
+        adj[s].append(d)
+    dist = {r: 0 for r in roots}
+    pred = {r: None for r in roots}
+    frontier = set(roots)
+    hop = 0
+    while frontier:
+        hop += 1
+        cand = {}
+        for u in sorted(frontier):
+            for v in adj.get(u, ()):
+                if v not in dist and (v not in cand or u < cand[v]):
+                    cand[v] = u
+        nxt = set()
+        for v, u in cand.items():
+            dist[v] = hop
+            pred[v] = u
+            nxt.add(v)
+        frontier = nxt
+    return dist, pred
+
+
+def _backtrace(pred, key):
+    path = [key]
+    while pred[path[-1]] is not None:
+        path.append(pred[path[-1]])
+    return path[::-1]
+
+
+def g49_temporal_motif(rows, topk=100):
+    """Dropper→beacon motif: SPAWNS row (parent, child, t_spawn) joined
+    to ev-3 connects (child, dst, t_conn) within 60 s; distinct tuples,
+    (parent, child, dst, lag) order, top-k."""
+    spawns = [
+        (r["parent_key"], r["pkey"], r["start_time"])
+        for r in rows if r["pkey"] and r["parent_key"]
+    ]
+    connects = []
+    for r in rows:
+        if r["ev"] == "3" and r["pkey"]:
+            dst = r["tm"].get("DestinationIp")
+            if dst is None:
+                h = r["tm"].get("DestinationHostname")
+                dst = h.lower() if h is not None else None
+            if dst is not None:
+                connects.append((r["pkey"], dst, r["start_time"]))
+    by_child = defaultdict(list)
+    for child, dst, t in connects:
+        by_child[child].append((dst, t))
+    hits = set()
+    for parent, child, t_spawn in spawns:
+        for dst, t_conn in by_child.get(child, ()):
+            lag = t_conn - t_spawn
+            if 0 <= lag <= 60_000_000:
+                hits.add((parent, child, dst, lag))
+    return sorted(hits)[:topk]
+
+
+def g53_temporal_reachability(rows):
+    """Earliest-arrival fixpoint over timestamped SPAWNS rows from the
+    (min t, min src) root — time-respecting reachability (Holme &
+    Saramäki); the root's −∞ start is excluded from the aggregate."""
+    spawns = [
+        (r["parent_key"], r["pkey"], r["start_time"])
+        for r in rows if r["pkey"] and r["parent_key"]
+    ]
+    root = min(spawns, key=lambda e: (e[2], e[0]))[0]
+    adj = defaultdict(list)
+    for s, d, t in spawns:
+        adj[s].append((d, t))
+    NEG = -(1 << 62)
+    arrive = {root: NEG}
+    frontier = {root}
+    while frontier:
+        cand = {}
+        for u in frontier:
+            au = arrive[u]
+            for v, t in adj.get(u, ()):
+                if t >= au and (v not in cand or t < cand[v]):
+                    cand[v] = t
+        improved = {
+            v: t for v, t in cand.items()
+            if v not in arrive or t < arrive[v]
+        }
+        arrive.update(improved)
+        frontier = set(improved)
+    reached = [t for v, t in arrive.items() if t > NEG]
+    return [(len(reached), min(reached), max(reached))]
+
+
+def g59_provenance_paths(nodes, edges, topk=20):
+    """Trace → Process* → File chains: min-pred BFS forest over
+    SPAWNS ∪ CREATED_FILE from spawn roots, paths materialized for
+    File targets, root's trace via min-HAS_PROCESS-src; the 20 deepest
+    (hops desc, file)."""
+    spawns = edges["SPAWNS"]
+    union_e = set(spawns) | set(edges["CREATED_FILE"])
+    roots = {s for s, _ in spawns} - {d for _, d in spawns}
+    dist, pred = _multi_source_bfs(union_e, roots)
+    trace_of = {}
+    for t, p in edges["HAS_PROCESS"]:
+        if p not in trace_of or t < trace_of[p]:
+            trace_of[p] = t
+    files = nodes["File"]
+    out = []
+    for f in files:
+        if f not in dist:
+            continue
+        path = _backtrace(pred, f)
+        trace = trace_of.get(path[0])
+        chain = " -> ".join(([trace] if trace is not None else []) + path)
+        out.append((f, dist[f] + 1, chain))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:topk]
+
+
+def g62_path_hubs(edges, topk=20):
+    """UNWIND nodes(shortestPath(root →SPAWNS*→ b)): single-source
+    min-pred BFS from the top spawner, every path's node list exploded
+    and counted; (on_paths desc, n) top-k."""
+    spawns = edges["SPAWNS"]
+    outdeg = defaultdict(int)
+    for s, _ in spawns:
+        outdeg[s] += 1
+    root = max(sorted(outdeg), key=lambda s: outdeg[s])  # count desc, key asc
+    dist, pred = _multi_source_bfs(set(spawns), {root})
+    counts = defaultdict(int)
+    for b, d in dist.items():
+        if d < 1:
+            continue
+        for n in _backtrace(pred, b):
+            counts[n] += 1
+    rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    return [(n, c) for n, c in rows]
+
+
+def g63_net_only(edges, topk=20):
+    """Per trace: processes with a CONNECTED_TO edge but no
+    CREATED_FILE edge (EXISTS ∧ NOT EXISTS), count distinct."""
+    has_net = {s for s, _ in edges["CONNECTED_TO"]}
+    has_file = {s for s, _ in edges["CREATED_FILE"]}
+    per_trace = defaultdict(set)
+    for t, p in edges["HAS_PROCESS"]:
+        if p in has_net and p not in has_file:
+            per_trace[t].add(p)
+    rows = [(t, len(ps)) for t, ps in per_trace.items()]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:topk]
+
+
+def g65_persistence(edges, topk=20):
+    """Per trace: processes SET_REG_VALUE-ing a path containing 'Run'
+    (T1547.001 autostart triage), count distinct."""
+    run_writers = {s for s, d in edges["SET_REG_VALUE"] if "Run" in d}
+    per_trace = defaultdict(set)
+    for t, p in edges["HAS_PROCESS"]:
+        if p in run_writers:
+            per_trace[t].add(p)
+    rows = [(t, len(ps)) for t, ps in per_trace.items()]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:topk]
+
+
+def g67_degree_triage(edges, topk=20):
+    """Every process (DISTINCT HAS_PROCESS dst) ranked by deduped
+    SPAWNS out-degree then CONNECTED_TO out-degree."""
+    spawn_out = defaultdict(int)
+    for s, _ in edges["SPAWNS"]:
+        spawn_out[s] += 1
+    net_out = defaultdict(int)
+    for s, _ in edges["CONNECTED_TO"]:
+        net_out[s] += 1
+    procs = {p for _, p in edges["HAS_PROCESS"]}
+    rows = [(p, spawn_out.get(p, 0), net_out.get(p, 0)) for p in procs]
+    rows.sort(key=lambda r: (-r[1], -r[2], r[0]))
+    return rows[:topk]
+
+
+def g71_ioc_union(edges, topk=25):
+    """Three IOC arms (net / file / reg), each (kind, value,
+    n_distinct_procs); UNION set semantics, (n desc, kind, value)."""
+    arms = [
+        ("net", "CONNECTED_TO"),
+        ("file", "CREATED_FILE"),
+        ("reg", "SET_REG_VALUE"),
+    ]
+    rows = set()
+    for kind, rel in arms:
+        per_dst = defaultdict(set)
+        for s, d in edges[rel]:
+            per_dst[d].add(s)
+        rows |= {(kind, d, len(ps)) for d, ps in per_dst.items()}
+    out = sorted(rows, key=lambda r: (-r[2], r[0], r[1]))
+    return out[:topk]
+
+
+def g77_tls_beacons(edge_props, process_props, topk=20):
+    """CONNECTED_TO edges whose last-writer-wins dport == '443',
+    grouped by the source process's image property.  NULL image sorts
+    FIRST within an n_beacons tie (Spark ASC null ordering — the
+    engine's ORDER BY runs in Spark)."""
+    counts = defaultdict(int)
+    for (rel, src, dst), props in edge_props.items():
+        if rel == "CONNECTED_TO" and props["dport"] == "443":
+            img = process_props[src]["image"]
+            counts[img] += 1
+    rows = sorted(
+        counts.items(),
+        key=lambda kv: (-kv[1], kv[0] is not None, kv[0] or ""),
+    )[:topk]
+    return rows
+
+
+_DIFF_NODE_PROP_TABLES = (
+    ("Process", "process", ("image", "command_line", "process_guid",
+                            "parent_process_guid")),
+    ("RegistryValue", "registry_value", None),
+    ("WmiFilter", "wmi_filter", None),
+    ("WmiConsumer", "wmi_consumer", None),
+)
+
+
+def g66_graph_diff(pattern: str = CORPUS_GLOB,
+                   old_pattern: str = "/root/reference/malware/T10*.json"):
+    """Corpus-version diff (full vs T10* subset): per-label node adds/
+    removes, per-rel edge adds/removes, property-modified edge and node
+    counts under the last-writer-wins resolution — the independent
+    mirror of operators/graph.graph_diff over tests/oracle_sim
+    .simulate_full."""
+    tn, tf = load_corpus(pattern)
+    on_, of_ = load_corpus(old_pattern)
+    new_nodes, new_edges, new_props = simulate_full(tn, tf)
+    old_nodes, old_edges, old_props = simulate_full(on_, of_)
+
+    rows = []
+
+    def emit(kind, name, change, n):
+        if n:
+            rows.append((kind, name, change, n))
+
+    labels = set(new_nodes) | set(old_nodes)
+    for lbl in labels:
+        nw, od = new_nodes.get(lbl, set()), old_nodes.get(lbl, set())
+        emit("node", lbl, "added", len(nw - od))
+        emit("node", lbl, "removed", len(od - nw))
+    rels = set(new_edges) | set(old_edges)
+    for rel in rels:
+        nw, od = new_edges.get(rel, set()), old_edges.get(rel, set())
+        emit("edge", rel, "added", len(nw - od))
+        emit("edge", rel, "removed", len(od - nw))
+    # modified edges: shared identity, any of the ten props differs
+    mod = defaultdict(int)
+    for ident, np_ in new_props["edge"].items():
+        op_ = old_props["edge"].get(ident)
+        if op_ is not None and any(
+            np_[p] != op_[p] for p in EDGE_PROP_NAMES
+        ):
+            mod[ident[0]] += 1
+    for rel, n in mod.items():
+        emit("edge", rel, "modified", n)
+    # modified typed nodes: shared key, any property differs
+    for label, attr, prop_keys in _DIFF_NODE_PROP_TABLES:
+        np_, op_ = new_props[attr], old_props[attr]
+        n = 0
+        for k, v in np_.items():
+            if k not in op_:
+                continue
+            if prop_keys is None:
+                if v != op_[k]:
+                    n += 1
+            elif any(v[p] != op_[k][p] for p in prop_keys):
+                n += 1
+        emit("node", label, "modified", n)
+    return sorted(rows)
+
+
 def compute_all(pattern: str = CORPUS_GLOB):
-    nodes, edges = corpus_sets(pattern)
-    return {
+    traces, names = load_corpus(pattern)
+    nodes, edges = simulate(traces, names)
+    rows = derive_spans(traces, names)
+    _, _, props = simulate_full(traces, names)
+    extra = {
+        "g49": g49_temporal_motif(rows),
+        "g53": g53_temporal_reachability(rows),
+        "g59": g59_provenance_paths(nodes, edges),
+        "g62": g62_path_hubs(edges),
+        "g63": g63_net_only(edges),
+        "g65": g65_persistence(edges),
+        "g66": g66_graph_diff(pattern),
+        "g67": g67_degree_triage(edges),
+        "g71": g71_ioc_union(edges),
+        "g77": g77_tls_beacons(props["edge"], props["process"]),
+    }
+    return extra | {
         "g40": g40_component_sizes(nodes, edges),
         "g42": g42_bfs_depths(edges),
         "g43": g43_injector_files(edges),
