@@ -318,6 +318,15 @@ def compact_line(detail: dict) -> dict:
             break
         out.pop(key, None)
         out["dropped_for_size"] = out.get("dropped_for_size", []) + [key]
+    # final guard (ADVICE r6): the never-dropped fields (ingest dict,
+    # headline totals) could still overflow if their key set grows —
+    # shed the last optional payloads, then truncate the drop list, so
+    # the canonical line can NEVER exceed the driver's stdout-tail
+    # window (the round-5 unparseable-tail failure mode)
+    for key in ("ingest", "dropped_for_size"):
+        if len(json.dumps(out)) > TAIL_BUDGET:
+            out.pop(key, None)
+    assert len(json.dumps(out)) <= TAIL_BUDGET, "compact_line overflow"
     return out
 
 

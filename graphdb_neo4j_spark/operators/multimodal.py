@@ -496,8 +496,22 @@ def decode_jpeg(payload: bytes):
     if frame is None or scan_comps is None:
         raise ValueError("missing SOF0/SOS")
     w, h, comps = frame
-    if len(comps) not in (1, 3) or len(scan_comps) != len(comps):
-        raise ValueError("only single-scan 1- or 3-component JPEG supported")
+    if len(comps) not in (1, 3):
+        raise ValueError("only 1- or 3-component JPEG supported")
+    if len(scan_comps) < len(comps):
+        # a conforming multi-scan (non-interleaved) baseline file puts
+        # each component in its own SOS; decoding just the first scan
+        # would die mid-MCU with a misleading truncation error (ADVICE
+        # r6) — gate it honestly up front
+        raise ValueError("multi-scan (non-interleaved) baseline JPEG unsupported")
+    if len(scan_comps) != len(comps):
+        raise ValueError("SOS component count exceeds SOF frame components")
+    # MCU interleave order follows the SOF component list; a
+    # nonconforming file whose SOS lists components in a different
+    # order (or names a cid absent from the frame) would decode
+    # silently wrong — reject instead (ADVICE r6)
+    if [sc[0] for sc in scan_comps] != [c[0] for c in comps]:
+        raise ValueError("SOS scan-component order differs from SOF frame order")
 
     # entropy segment: strip byte stuffing, split on restart markers
     segments: list[bytearray] = [bytearray()]

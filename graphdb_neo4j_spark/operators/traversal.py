@@ -123,9 +123,12 @@ def df_freeze(df_in: DataFrame, prev=None):
     deserializes the vertex state in Python once per materialization
     AND once per downstream JVM read — measured ~2x the Louvain
     kernel's exec time at sf0.1).  ``prev`` is accepted for signature
-    parity and ignored: checkpoint files are owned by the session
-    (`spark.cleaner.referenceTracking.cleanCheckpoints` GC, or the
-    tempdir dies with the box).
+    parity and ignored: checkpoint files are owned by the session —
+    ``get_spark`` sets ``spark.cleaner.referenceTracking
+    .cleanCheckpoints=true`` so the ContextCleaner deletes each round's
+    file once its RDD is GC'd (ADVICE r6: without it a long-lived
+    session accumulated checkpoints unboundedly), and on local runs the
+    tempdir dies with the box regardless.
 
     Returns ``(frozen_df, None)`` matching ``rdd_freeze``'s shape.
     """

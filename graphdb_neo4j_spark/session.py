@@ -52,6 +52,13 @@ def get_spark(app_name: str = "graphdb-neo4j-spark", **extra_conf: str) -> Spark
         # dedup expression in tags_map
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # reliable-checkpoint GC: the per-round Dataset.checkpoint in
+        # the iterative kernels (traversal.df_freeze) writes one file
+        # per round; with cleanCheckpoints on, the ContextCleaner
+        # deletes each file once its RDD is GC'd on the driver, so a
+        # long-lived session running many Louvain/PageRank invocations
+        # does not accumulate checkpoint data unboundedly (ADVICE r6)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in extra_conf.items():

@@ -79,3 +79,28 @@ def test_compact_line_sheds_in_order_when_oversized():
     assert dropped == bench._DROP_ORDER[: len(dropped)]
     # headline totals never dropped
     assert "warm_total" in out and "value" in out
+
+
+def test_compact_line_never_overflows_even_on_grown_ingest():
+    """ADVICE r6: once every _DROP_ORDER key is shed, the never-dropped
+    ingest dict could still push the line past TAIL_BUDGET if its key
+    set grows — the final guard must shed it too and keep the line
+    parseable."""
+    detail = _detail()
+    detail["queries_warm"] = {f"q{i:03d}_{'x' * 60}": 1.0 for i in range(40)}
+    detail["queries"].update(
+        {f"stage_{'y' * 80}_{i}": 1.0 for i in range(40)}
+    )
+    # make the ingest projection itself oversized
+    out = bench.compact_line(
+        {
+            **detail,
+            "queries": {
+                **detail["queries"],
+                **{f"ingest_{'z' * 90}_{i}": 1.0 for i in range(30)},
+            },
+        }
+    )
+    assert len(json.dumps(out)) <= bench.TAIL_BUDGET
+    for k in ("metric", "value", "warm_total", "sf"):
+        assert k in out, k

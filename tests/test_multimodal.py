@@ -801,3 +801,46 @@ def test_mp4_tracks_through_arrow_kernel(spark):
     assert rows[0].movie_duration_us == 1203 * 1_000_000 // 600
     with _pytest.raises(Exception, match="not an MP4"):
         extract_mp4_tracks(df, strict=True).collect()
+
+
+def test_jpeg_scan_order_and_multiscan_gates():
+    """ADVICE r6: a SOS whose component order differs from the SOF
+    frame list must be rejected (the MCU interleave would decode
+    silently wrong), and a multi-scan (non-interleaved) baseline file
+    must fail with a specific unsupported-variant error instead of a
+    misleading mid-MCU truncation."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    color = _np.zeros((16, 16, 3), dtype=_np.uint8)
+    payload = bytearray(encode_jpeg(color, quant=16))
+    # locate the SOS segment (FF DA) and its component list
+    i = payload.find(b"\xff\xda")
+    assert i > 0
+    ns = payload[i + 4]
+    assert ns == 3
+    comp0 = i + 5
+    # swap the first two scan components (cid, tables) pairs
+    a = bytes(payload[comp0:comp0 + 2])
+    b = bytes(payload[comp0 + 2:comp0 + 4])
+    payload[comp0:comp0 + 2] = b
+    payload[comp0 + 2:comp0 + 4] = a
+    with _pytest.raises(ValueError, match="scan-component order"):
+        decode_jpeg(bytes(payload))
+
+    # multi-scan: first SOS declares only 1 of the 3 frame components
+    payload2 = bytearray(encode_jpeg(color, quant=16))
+    j = payload2.find(b"\xff\xda")
+    old_len = int.from_bytes(payload2[j + 2:j + 4], "big")
+    one_comp = (
+        b"\xff\xda" + (2 + 1 + 2 + 3).to_bytes(2, "big")
+        + bytes([1]) + bytes(payload2[j + 5:j + 7]) + bytes(payload2[j + old_len - 1:j + 2 + old_len])
+    )
+    payload2[j:j + 2 + old_len] = one_comp
+    with _pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(bytes(payload2))
