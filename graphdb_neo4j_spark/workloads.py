@@ -2980,12 +2980,19 @@ def g56(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("g57_corpus_densest_subgraph")
+@query(
+    "g57_corpus_densest_subgraph",
+    _values_oracle(
+        CG.G57_DENSEST_SUBGRAPH, ["n_vertices", "density"], ["BIGINT", "DOUBLE"]
+    ),
+)
 def g57(spark: SparkSession, sf: str) -> DataFrame:
     """Densest subgraph of the undirected provenance graph (Bahmani et
     al. MapReduce peel, 2(1+ε)-approx) — the tightest activity cluster,
-    where injection/lateral-movement hubs concentrate.  Rows-only gate;
-    planted-clique oracle test in tests/test_traversal.py."""
+    where injection/lateral-movement hubs concentrate.  Hash-gated
+    against a constant oracle re-derived each run by the sequential
+    Bahmani-peel mirror (corpus_golden_calc.g57); planted-clique oracle
+    test in tests/test_traversal.py."""
     from graphdb_neo4j_spark.operators.traversal import densest_subgraph
 
     g = _corpus_graph(spark)
@@ -3806,12 +3813,18 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("g60_corpus_cypher_hubs")
+@query(
+    "g60_corpus_cypher_hubs",
+    _values_oracle(
+        CG.G60_SPAWN_ENDPOINT_HUBS, ["addr", "n_conn"], ["VARCHAR", "BIGINT"]
+    ),
+)
 def g60(spark: SparkSession, sf: str) -> DataFrame:
     """Cypher text on the reference corpus graph: which network
     endpoints do spawned processes reach (the Neo4j Browser query an
-    analyst would actually type, /root/reference/main.py:19).  Rows-only
-    gate; plan equivalence vs the hand-built GraphQuery formulation is
+    analyst would actually type, /root/reference/main.py:19).
+    Hash-gated against a constant oracle (corpus_golden_calc.g60);
+    plan equivalence vs the hand-built GraphQuery formulation is
     pinned in tests/test_cypher.py."""
     from graphdb_neo4j_spark.operators.cypher import cypher
     from graphdb_neo4j_spark.operators.graph import GraphQuery
@@ -3827,14 +3840,20 @@ def g60(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("g61_corpus_cypher_shortest_paths")
+@query(
+    "g61_corpus_cypher_shortest_paths",
+    _values_oracle(
+        CG.G61_ROOT_DESCENDANT_HOPS, ["b", "hops"], ["VARCHAR", "INTEGER"]
+    ),
+)
 def g61(spark: SparkSession, sf: str) -> DataFrame:
     """Cypher shortestPath on the corpus: how far does the busiest
     spawner's influence reach (hop distance to every descendant
     process).  The path clause compiles to the iterative BFS +
     deterministic backtrace — the Neo4j Browser idiom
-    ``shortestPath((root)-[:SPAWNS*]->(p))`` verbatim.  Rows-only gate;
-    semantics pinned by tests/test_cypher.py."""
+    ``shortestPath((root)-[:SPAWNS*]->(p))`` verbatim.  Hash-gated
+    against a constant oracle (independent BFS,
+    corpus_golden_calc.g61); semantics pinned by tests/test_cypher.py."""
     from graphdb_neo4j_spark.operators.cypher import cypher
     from graphdb_neo4j_spark.operators.graph import GraphQuery
 
@@ -4734,7 +4753,14 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("g64_corpus_cypher_pinned_path")
+@query(
+    "g64_corpus_cypher_pinned_path",
+    _values_oracle(
+        CG.G64_PINNED_PATH,
+        ["a", "b", "hops", "step"],
+        ["VARCHAR", "VARCHAR", "INTEGER", "VARCHAR"],
+    ),
+)
 def g64(spark: SparkSession, sf: str) -> DataFrame:
     """Two-pinned-endpoint Cypher shortestPath on the corpus: the exact
     SPAWNS chain from the busiest spawner to its deepest descendant —
@@ -4742,8 +4768,10 @@ def g64(spark: SparkSession, sf: str) -> DataFrame:
     with both ends known.  Compiles to the MEET-IN-THE-MIDDLE BFS with
     predecessor-tree splicing (traversal.shortest_path_bidirectional):
     ~√ the one-sided frontier cost, the 100 TB plan for point-to-point
-    paths.  Rows-only gate; path-validity/equality semantics pinned in
-    tests/test_traversal.py and tests/test_cypher.py."""
+    paths.  Hash-gated against a constant oracle mirroring the
+    bidirectional algorithm's documented determinism rules
+    (corpus_golden_calc.g64); path-validity/equality semantics pinned
+    in tests/test_traversal.py and tests/test_cypher.py."""
     from graphdb_neo4j_spark.operators.cypher import cypher
     from graphdb_neo4j_spark.operators.graph import GraphQuery
     from graphdb_neo4j_spark.operators.traversal import bfs

@@ -142,3 +142,27 @@ def test_g71_ioc_union(computed):
 
 def test_g77_tls_beacons(computed):
     assert [tuple(r) for r in CG.G77_TLS_BEACONS] == computed["g77"]
+
+
+def test_g57_densest_subgraph(computed):
+    got = [tuple(r) for r in CG.G57_DENSEST_SUBGRAPH]
+    assert got == computed["g57"]
+    (n, density), = got
+    assert n > 0 and density > 0
+
+
+def test_g60_spawn_endpoint_hubs(computed):
+    assert [tuple(r) for r in CG.G60_SPAWN_ENDPOINT_HUBS] == computed["g60"]
+
+
+def test_g61_root_descendant_hops(computed):
+    assert [tuple(r) for r in CG.G61_ROOT_DESCENDANT_HOPS] == computed["g61"]
+
+
+def test_g64_pinned_path(computed):
+    got = [tuple(r) for r in CG.G64_PINNED_PATH]
+    assert got == computed["g64"]
+    # path sanity: consecutive steps are SPAWNS edges root -> dst
+    steps = [r[3] for r in got]
+    a, b, hops = got[0][0], got[0][1], got[0][2]
+    assert steps[0] == a and steps[-1] == b and len(steps) == hops + 1

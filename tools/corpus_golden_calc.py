@@ -583,6 +583,148 @@ def g77_tls_beacons(edge_props, process_props, topk=20):
     return rows
 
 
+def g60_spawn_endpoint_hubs(edges, topk=20):
+    """Motif (a)-[SPAWNS]->(b), (b)-[CONNECTED_TO]->(ip): row count per
+    ip over the deduped edge tables = Σ_b in_spawn(b)·[b→ip]."""
+    in_spawn = defaultdict(int)
+    for _a, b in edges["SPAWNS"]:
+        in_spawn[b] += 1
+    n_conn = defaultdict(int)
+    for b, ip in edges["CONNECTED_TO"]:
+        if in_spawn.get(b):
+            n_conn[ip] += in_spawn[b]
+    rows = sorted(n_conn.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    return rows
+
+
+def g61_root_descendant_hops(edges, topk=20):
+    """shortestPath((top-spawner)-[:SPAWNS*]->(b)): BFS hop distance to
+    every descendant, (hops, b) order."""
+    spawns = edges["SPAWNS"]
+    outdeg = defaultdict(int)
+    for s, _ in spawns:
+        outdeg[s] += 1
+    root = max(sorted(outdeg), key=lambda s: outdeg[s])
+    dist, _pred = _multi_source_bfs(set(spawns), {root})
+    rows = sorted(
+        ((b, d) for b, d in dist.items() if d >= 1),
+        key=lambda r: (r[1], r[0]),
+    )[:topk]
+    return rows
+
+
+def g64_pinned_path(edges):
+    """Two-pinned shortestPath UNWOUND to per-step rows — the exact
+    sequential mirror of traversal.shortest_path_bidirectional's
+    documented determinism rules: per-side min-frontier-parent
+    predecessors, smaller-frontier expansion schedule, stop once
+    depth_f + depth_b >= best, meet node = min key realizing the
+    optimal crossing."""
+    spawns = set(edges["SPAWNS"])
+    outdeg = defaultdict(int)
+    for s, _ in spawns:
+        outdeg[s] += 1
+    root = max(sorted(outdeg), key=lambda s: outdeg[s])
+    dist, _ = _multi_source_bfs(spawns, {root})
+    # destination: min key at maximum BFS depth (excluding the root)
+    dst = min(
+        (k for k, d in dist.items() if k != root
+         and d == max(v for kk, v in dist.items() if kk != root)),
+    )
+    fwd_adj = defaultdict(list)
+    bwd_adj = defaultdict(list)
+    for s, d in spawns:
+        fwd_adj[s].append(d)
+        bwd_adj[d].append(s)
+
+    def mk(key):
+        return {
+            "dist": {key: 0}, "pred": {key: None},
+            "frontier": {key}, "depth": 0, "alive": True,
+        }
+
+    fwd, bwd = mk(root), mk(dst)
+    best = None
+    for _ in range(2 * 64):
+        if (not bwd["alive"]) or (
+            fwd["alive"] and len(fwd["frontier"]) <= len(bwd["frontier"])
+        ):
+            side, adj = fwd, fwd_adj
+        else:
+            side, adj = bwd, bwd_adj
+        if not side["alive"]:
+            break
+        cand = {}
+        for u in side["frontier"]:
+            for v in adj.get(u, ()):
+                if v not in side["dist"] and (v not in cand or u < cand[v]):
+                    cand[v] = u
+        side["depth"] += 1
+        if not cand:
+            side["alive"] = False
+            if not fwd["alive"] and not bwd["alive"]:
+                break
+        else:
+            for v, u in cand.items():
+                side["dist"][v] = side["depth"]
+                side["pred"][v] = u
+            side["frontier"] = set(cand)
+        crossing = [
+            fwd["dist"][k] + bwd["dist"][k]
+            for k in fwd["dist"].keys() & bwd["dist"].keys()
+        ]
+        if crossing:
+            m = min(crossing)
+            best = m if best is None else min(best, m)
+        if best is not None and fwd["depth"] + bwd["depth"] >= best:
+            break
+        if not fwd["alive"] and not bwd["alive"]:
+            break
+    assert best is not None
+    meet = min(
+        k for k in fwd["dist"].keys() & bwd["dist"].keys()
+        if fwd["dist"][k] + bwd["dist"][k] == best
+    )
+    left = _backtrace(fwd["pred"], meet)          # root .. meet
+    right = _backtrace(bwd["pred"], meet)          # dst .. meet
+    path = left + right[::-1][1:]                  # root .. meet .. dst
+    hops = len(path) - 1
+    return [(root, dst, hops, step) for step in path]
+
+
+def g57_densest_subgraph(edges, epsilon=0.1, max_iter=50):
+    """Sequential mirror of traversal.densest_subgraph (Bahmani et al.
+    2(1+ε)-approx peel) over the canonical undirected union of ALL
+    relationship tables: density = |E|/|V| in Python float, remove
+    every vertex with degree ≤ (1+ε)·2·density per round, keep the
+    best iterate."""
+    und = {
+        (min(s, d), max(s, d))
+        for rel_edges in edges.values()
+        for s, d in rel_edges
+        if s != d
+    }
+    cur = und
+    best_n, best_density = None, -1.0
+    for _ in range(max_iter):
+        deg = defaultdict(int)
+        for a, b in cur:
+            deg[a] += 1
+            deg[b] += 1
+        n_v = len(deg)
+        if not n_v:
+            break
+        n_e = sum(deg.values()) // 2
+        density = n_e / n_v
+        if density > best_density:
+            best_density = density
+            best_n = n_v
+        threshold = (1.0 + epsilon) * 2.0 * density
+        keep = {v for v, dv in deg.items() if dv > threshold}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+    return [(best_n, round(best_density, 6))]
+
+
 _DIFF_NODE_PROP_TABLES = (
     ("Process", "process", ("image", "command_line", "process_guid",
                             "parent_process_guid")),
@@ -662,6 +804,10 @@ def compute_all(pattern: str = CORPUS_GLOB):
         "g67": g67_degree_triage(edges),
         "g71": g71_ioc_union(edges),
         "g77": g77_tls_beacons(props["edge"], props["process"]),
+        "g57": g57_densest_subgraph(edges),
+        "g60": g60_spawn_endpoint_hubs(edges),
+        "g61": g61_root_descendant_hops(edges),
+        "g64": g64_pinned_path(edges),
     }
     return extra | {
         "g40": g40_component_sizes(nodes, edges),
