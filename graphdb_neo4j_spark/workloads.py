@@ -5513,7 +5513,14 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("g68_corpus_diameter_estimate")
+@query(
+    "g68_corpus_diameter_estimate",
+    _values_oracle(
+        CG.G68_DOUBLE_SWEEP,
+        ["start", "peripheral", "first_sweep", "diameter_lb"],
+        ["VARCHAR", "VARCHAR", "INTEGER", "INTEGER"],
+    ),
+)
 def g68(spark: SparkSession, sf: str) -> DataFrame:
     """Graph-diameter lower bound via the DOUBLE-SWEEP heuristic
     (Magnien/Latapy/Habib 2009): BFS from a deterministic start (min
@@ -5521,8 +5528,9 @@ def g68(spark: SparkSession, sf: str) -> DataFrame:
     eccentricity is a provably-valid diameter lower bound at the cost
     of TWO traversals (vs n BFS runs for the exact diameter).  Run on
     the undirected SPAWNS graph.  Returns one row (start, peripheral
-    node, estimate).  Rows-only gate; BFS semantics carry q34's
-    oracle."""
+    node, estimate).  Hash-gated against a constant oracle (two
+    independent undirected BFS sweeps, corpus_golden_calc.g68); BFS
+    semantics carry q34's oracle."""
     from graphdb_neo4j_spark.operators.traversal import bfs
 
     g = _corpus_graph(spark)

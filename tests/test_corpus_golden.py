@@ -166,3 +166,11 @@ def test_g64_pinned_path(computed):
     steps = [r[3] for r in got]
     a, b, hops = got[0][0], got[0][1], got[0][2]
     assert steps[0] == a and steps[-1] == b and len(steps) == hops + 1
+
+
+def test_g68_double_sweep(computed):
+    got = [tuple(r) for r in CG.G68_DOUBLE_SWEEP]
+    assert got == computed["g68"]
+    (start, far, first, lb), = got
+    # second sweep can only improve: lb >= first eccentricity's floor
+    assert lb >= first >= 1

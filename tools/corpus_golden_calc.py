@@ -692,6 +692,21 @@ def g64_pinned_path(edges):
     return [(root, dst, hops, step) for step in path]
 
 
+def g68_double_sweep(edges):
+    """Double-sweep diameter lower bound on the undirected SPAWNS
+    graph: BFS from the min process key, BFS again from the farthest
+    (max dist, min key) node; second eccentricity = bound."""
+    und = set()
+    for s, d in edges["SPAWNS"]:
+        und.add((s, d))
+        und.add((d, s))
+    start = min(v for e in und for v in e)
+    dist1, _ = _multi_source_bfs(und, {start})
+    far = min((k for k in dist1), key=lambda k: (-dist1[k], k))
+    dist2, _ = _multi_source_bfs(und, {far})
+    return [(start, far, dist1[far], max(dist2.values()))]
+
+
 def g57_densest_subgraph(edges, epsilon=0.1, max_iter=50):
     """Sequential mirror of traversal.densest_subgraph (Bahmani et al.
     2(1+ε)-approx peel) over the canonical undirected union of ALL
@@ -808,6 +823,7 @@ def compute_all(pattern: str = CORPUS_GLOB):
         "g60": g60_spawn_endpoint_hubs(edges),
         "g61": g61_root_descendant_hops(edges),
         "g64": g64_pinned_path(edges),
+        "g68": g68_double_sweep(edges),
     }
     return extra | {
         "g40": g40_component_sizes(nodes, edges),
