@@ -609,14 +609,18 @@ def pagerank(
         verts = nodes.select(F.col(nodes.columns[0]).alias("key")).distinct()
     verts = verts.localCheckpoint()
     # the edge table is partitioned on src ONCE, up front: the
-    # out-degree aggregate, its join back, and the checkpointed layout
-    # all reuse that single exchange, and each iteration's join then
-    # moves only the node-sized rank frame, never the edges.
-    # Deliberately NO per-round broadcast of the rank frame: it would
-    # skip that one small exchange but costs a driver collect +
-    # rebroadcast every iteration — measured 1.5-2s SLOWER on the
-    # corpus graph (Louvain broadcasts pay off only because its
-    # candidate frame is edge-sized and saved two exchanges).
+    # out-degree aggregate and its join back reuse that single
+    # exchange during SETUP.  Honesty note (r7 finding): the
+    # checkpointed `links` scans as UnknownPartitioning, so each
+    # ITERATION's join still re-exchanges it — on the small corpus
+    # graph this is sub-noise; converting to partitioned_cache (the
+    # Louvain fix) is the lever if a big graph ever lands here, but
+    # beware: cached stats let AQE broadcast the rank side, and a
+    # per-iteration rank broadcast measured 1.5-2s SLOWER on the
+    # corpus graph (driver collect + rebroadcast each round).
+    # grouped-double-sum caveat: rank contributions sum as doubles, so
+    # any layout change can move float partial order; g41 is
+    # rows-only-by-design for exactly this reason.
     n_shuffle = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
@@ -1311,11 +1315,12 @@ def label_propagation(
     count (LPA oscillates; GraphX's implementation is also fixed-iter).
     Returns (key, label).
     """
-    # src-partitioned checkpoint: the per-round message join then moves
-    # only the node-sized label frame, never the edges (pagerank's
-    # layout discipline).  Repartition BEFORE distinct: the dedup
-    # reuses the src exchange (subset rule), so setup is one 2|E|
-    # shuffle, not two.
+    # src-partitioned setup; repartition BEFORE distinct so the dedup
+    # reuses the src exchange (subset rule) — one 2|E| shuffle, not
+    # two.  Honesty note (r7): the checkpoint scans as
+    # UnknownPartitioning, so per-round joins still re-exchange the
+    # edge frame; sub-noise on the corpus graph, and partitioned_cache
+    # is the measured fix if a big graph lands here (Louvain kernel).
     n_shuffle = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
