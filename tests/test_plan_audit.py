@@ -1192,3 +1192,50 @@ def test_curate_unpersists_on_midbuild_exception(spark, monkeypatch):
     assert jsc.getPersistentRDDs().size() == before, (
         "stage frames leaked past the mid-build exception"
     )
+
+
+def test_partitioned_cache_layout_visible_to_joins(spark):
+    """r7 regression guard for the Louvain −54%/round fix: a frame laid
+    out with partitioned_cache must expose its hash-partitioning and
+    sort order to downstream plans — the cached side of a key join
+    plans NO per-query Exchange and NO Sort between the
+    InMemoryTableScan and the join (a checkpointed frame scans as
+    UnknownPartitioning and re-exchanges every round, the r5/r6 bug).
+    Executed (post-AQE) plan, not explain(); the cache's ONE-TIME
+    build plan (REPARTITION_BY_NUM inside the InMemoryRelation) is
+    not counted — it runs once, not per query."""
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.operators.traversal import partitioned_cache
+
+    e = spark.range(5000).select(
+        (F.col("id") % 97).alias("dst"), (F.col("id") % 53).alias("src"),
+        F.lit(1).cast("bigint").alias("w"),
+    )
+    und = partitioned_cache(e, "dst")
+    try:
+        # checkpoint-scan partner (unknown stats, like the per-round
+        # assignment) so the join cannot be planned broadcast-by-stats
+        asg = (
+            spark.range(97)
+            .select(F.col("id").alias("dst"), (F.col("id") * 2).alias("c"))
+            .localCheckpoint()
+        )
+        j = und.join(asg.hint("merge"), "dst").groupBy("src", "c").count()
+        j.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        # per-query exchanges are the ENSURE_REQUIREMENTS ones: exactly
+        # two — the asg side onto dst and the aggregate onto (src, c).
+        per_query_ex = [l for l in lines if "ENSURE_REQUIREMENTS" in l]
+        assert len(per_query_ex) == 2, plan
+        assert any("hashpartitioning(dst" in l for l in per_query_ex), plan
+        assert any("hashpartitioning(src" in l for l in per_query_ex), plan
+        # nothing but a Filter may sit between the join and the cached
+        # scan: no Sort, no Exchange on the cached branch
+        ji = next(i for i, l in enumerate(lines) if "SortMergeJoin" in l)
+        si = next(i for i, l in enumerate(lines) if "InMemoryTableScan" in l)
+        between = lines[ji + 1: si]
+        assert not any("Sort" in l or "Exchange" in l for l in between), plan
+    finally:
+        und.unpersist()
