@@ -108,3 +108,62 @@ def test_generated_traces_match_python_oracle(spark, tmp_path_factory, traces):
     exp_edges = {k: v for k, v in exp_edges.items() if v}
     assert got_nodes == exp_nodes
     assert got_edges == exp_edges
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(traces=st.lists(trace_st, min_size=1, max_size=3))
+def test_generated_traces_match_property_simulator(
+    spark, tmp_path_factory, traces
+):
+    """r7: the PROPERTY-tracking simulator (oracle_sim.simulate_full —
+    the independent derivation behind the g66/g77 constant oracles)
+    must reproduce the engine's property semantics on ADVERSARIAL
+    generated traces too, not just the fixed corpus: last-writer-wins
+    edge props (details keep-old), ON-CREATE guid/pguid drop,
+    last-non-null process/WMI props, RegistryValue last-write-incl-
+    NULL."""
+    from tests.oracle_sim import EDGE_PROP_NAMES, simulate_full
+
+    tmp = tmp_path_factory.mktemp("propfull")
+    fnames = []
+    for i, doc in enumerate(traces):
+        name = f"t{i:03d}.json"
+        (tmp / name).write_text(json.dumps(doc), encoding="utf-8-sig")
+        fnames.append(name)
+
+    g = build_graph(spark, f"{tmp}/*.json")
+    _nodes, _edges, props = simulate_full(traces, fnames)
+
+    got_proc = {
+        r["key"]: (r["image"], r["command_line"], r["process_guid"],
+                   r["parent_process_guid"])
+        for r in g.process.collect()
+    }
+    exp_proc = {
+        k: (v["image"], v["command_line"], v["process_guid"],
+            v["parent_process_guid"])
+        for k, v in props["process"].items()
+    }
+    assert got_proc == exp_proc
+
+    got_rv = {r["path"]: r["value_name"] for r in g.registry_value.collect()}
+    assert got_rv == dict(props["registry_value"])
+
+    got_wf = {r["name"]: r["query"] for r in g.wmi_filter.collect()}
+    assert got_wf == dict(props["wmi_filter"])
+    got_wc = {r["name"]: r["command"] for r in g.wmi_consumer.collect()}
+    assert got_wc == dict(props["wmi_consumer"])
+
+    got_edge = {
+        (r["rel"], r["src"], r["dst"]): tuple(r[p] for p in EDGE_PROP_NAMES)
+        for r in g.edges.collect()
+    }
+    exp_edge = {
+        k: tuple(v[p] for p in EDGE_PROP_NAMES)
+        for k, v in props["edge"].items()
+    }
+    assert got_edge == exp_edge
