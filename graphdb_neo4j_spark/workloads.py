@@ -1274,7 +1274,19 @@ def _corpus_graph(spark: SparkSession):
         stage = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".stage"
         )
-        _graph_cache["g"] = build_graph(spark, _CORPUS, stage_dir=stage)
+        g = build_graph(spark, _CORPUS, stage_dir=stage)
+        # pin the hot tables: the PropertyGraph object is cached, but
+        # its DataFrame PLANS re-execute the whole staged build (22
+        # branches + upsert windows over 60k spans, ~2-3s) on every
+        # materialization — and pagerank alone materializes edges 2-3
+        # times.  One persist turns every later corpus query's edge
+        # access into a cache scan (g41 setup measured 12.8s -> sub-
+        # second; ~25 corpus queries share this in a driver run).
+        for df in (g.edges, g.process, g.simple, g.registry_value,
+                   g.wmi_filter, g.wmi_consumer):
+            df.persist()
+        g.edges.count()
+        _graph_cache["g"] = g
     return _graph_cache["g"]
 
 
