@@ -9073,18 +9073,11 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
     degree joins are node-sized; the top-50 is a TakeOrdered."""
     from graphdb_neo4j_spark.operators.linkpred import link_prediction_scores
 
-    l = load_table(spark, sf, "lineitem")
+    # the cached raw pairs already carry src < dst per order row, so
+    # least/greatest are identities and support = the row count
     pairs = (
-        l.alias("a")
-        .join(
-            l.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.least("a.l_partkey", "b.l_partkey").alias("src"),
-            F.greatest("a.l_partkey", "b.l_partkey").alias("dst"),
-        )
+        _copurchase_pairs(spark, sf)
+        .groupBy("src", "dst")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 2)
         .select("src", "dst")
