@@ -12522,3 +12522,80 @@ def q214(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumn(
         "height", F.coalesce(F.col("height"), F.lit(0)).cast("int")
     )
+
+
+@query(
+    "q215_compressed_shard_audit",
+    """
+    WITH shards AS (SELECT unnest(range(0, 12)) AS shard_id),
+    lines AS (
+      SELECT shard_id, CAST(ln.i AS INT) AS line_no,
+             'shard-' || shard_id || '-line-' || ln.i || '-' ||
+             repeat(chr(97 + CAST((shard_id + ln.i) % 26 AS INT)),
+                    CAST(5 + (ln.i * 7 + shard_id) % 11 AS INT)) AS text
+      FROM shards, LATERAL (SELECT unnest(range(1, 4 + shard_id % 4)) AS i) ln
+    )
+    SELECT shard_id,
+           CASE CAST(shard_id % 4 AS INT) WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib'
+                WHEN 2 THEN 'bz2' ELSE 'xz' END AS codec,
+           line_no, CAST(length(text) AS INT) AS line_len,
+           md5(text) AS line_md5
+    FROM lines
+    """,
+)
+def q215(spark: SparkSession, sf: str) -> DataFrame:
+    """COMPRESSED TEXT-SHARD SOURCE audit under the hash gate: 12
+    fixture shards are genuine gzip / zlib / bz2 / xz streams (all
+    four stdlib codecs of sources/compressed.py), the gzip ones
+    deliberately MULTI-MEMBER (two concatenated RFC 1952 members —
+    the Common-Crawl WET shape that a naive single-member decode
+    silently truncates), decoded by the REAL incremental
+    bomb-guarded decompressor and line-split; every reconstructed
+    line's length and md5 must equal the oracle's analytic derivation
+    from the generation formulas.  This is the ingestion front door
+    for web-scale text corpora, which arrive as millions of
+    unsplittable compressed members, not parquet.
+
+    Scale shape: one Arrow-batched mapInPandas pass, parallelism =
+    shard count (compressed streams are unsplittable — documented),
+    payload dies at the decode stage, bounded-memory incremental
+    decode with a plaintext cap."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import lzma as _lzma
+    import zlib as _zlib
+
+    from graphdb_neo4j_spark.sources.compressed import decompress_text_shards
+
+    rows = []
+    for mid in range(12):
+        lines = [
+            "shard-%d-line-%d-" % (mid, i)
+            + chr(97 + (mid + i) % 26) * (5 + (i * 7 + mid) % 11)
+            for i in range(1, 4 + mid % 4)
+        ]
+        codec = ["gzip", "zlib", "bz2", "xz"][mid % 4]
+        if codec == "gzip":
+            # two concatenated members: first line | rest (WET shape)
+            payload = _gzip.compress(
+                (lines[0] + "\n").encode(), mtime=0
+            ) + _gzip.compress(("\n".join(lines[1:]) + "\n").encode(), mtime=0)
+        else:
+            raw = ("\n".join(lines) + "\n").encode()
+            payload = {
+                "zlib": _zlib.compress,
+                "bz2": _bz2.compress,
+                "xz": _lzma.compress,
+            }[codec](raw)
+        rows.append((mid, codec, bytearray(payload)))
+    shards = spark.createDataFrame(
+        rows, "shard_id long, codec string, payload binary"
+    ).repartition(4)
+    out = decompress_text_shards(shards, strict=True)
+    return out.select(
+        "shard_id",
+        "codec",
+        "line_no",
+        F.length("text").alias("line_len"),
+        F.md5("text").alias("line_md5"),
+    )
