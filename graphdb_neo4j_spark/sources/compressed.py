@@ -85,6 +85,18 @@ QUARANTINE_SCHEMA = StructType(
     ]
 )
 
+# union shape of the single-pass kernel: line rows carry text (error
+# NULL), quarantine rows carry error (line_no/text NULL)
+UNION_SCHEMA = StructType(
+    [
+        StructField("shard_id", LongType()),
+        StructField("codec", StringType()),
+        StructField("line_no", IntegerType()),
+        StructField("text", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
 
 def _new_decompressor(codec: str):
     if codec == "gzip":
@@ -161,24 +173,27 @@ def split_lines(text: str) -> list[str]:
     return parts
 
 
-def decompress_text_shards(
+def decode_shards_union(
     df: DataFrame,
     codec: str | None = None,
     max_bytes: int = 1 << 30,
-    strict: bool = True,
+    strict: bool = False,
     encoding: str = "utf-8",
 ) -> DataFrame:
-    """(shard_id, codec, line_no, text) — one row per line of every
-    shard's decompressed payload.
+    """(shard_id, codec, line_no, text, error) — the SINGLE-PASS
+    kernel: every shard decodes exactly once; good shards fan out to
+    line rows (``error`` NULL), undecodable shards yield exactly one
+    quarantine row (``line_no``/``text`` NULL, ``error`` = verbatim
+    exception).  ``strict=True`` raises on the first bad shard
+    instead (fixture/audit mode).
 
-    ``df`` carries ``(shard_id long, payload binary)`` plus an optional
-    per-shard ``codec`` string column; a uniform corpus can instead
-    pass ``codec=`` once.  ``strict=True`` raises on the first
-    undecodable shard; ``strict=False`` skips it (use
-    :func:`read_compressed_shards` to also get the quarantine frame).
-
-    One Arrow-batched ``mapInPandas`` pass; the payload column dies
-    here."""
+    This is the frame to WRITE: land it in parquet once (decode cost
+    paid once — the whole point at corpus scale, where each shard is
+    an unsplittable stream) and take the clean/quarantine views with
+    one partition-prunable filter each.  :func:`decompress_text_shards`
+    and :func:`read_compressed_shards` are those views; materializing
+    BOTH from an unwritten, unpersisted union runs the decode twice —
+    fine for tests, wrong for a 100 TB pass."""
     has_codec_col = "codec" in df.columns
     if not has_codec_col and codec is None:
         raise ValueError("pass codec= or include a 'codec' column")
@@ -194,8 +209,9 @@ def decompress_text_shards(
         for pdf in batches:
             sid_out: list[int] = []
             codec_out: list[str] = []
-            no_out: list[int] = []
-            text_out: list[str] = []
+            no_out: list[object] = []
+            text_out: list[object] = []
+            err_out: list[object] = []
             for sid, cdc, payload in zip(
                 pdf["shard_id"], pdf["codec"], pdf["payload"]
             ):
@@ -205,25 +221,57 @@ def decompress_text_shards(
                         max_bytes,
                     )
                     lines = split_lines(raw.decode(encoding))
-                except Exception:
+                except Exception as e:  # noqa: BLE001 — verbatim to audit
                     if strict:
                         raise
+                    sid_out.append(int(sid))
+                    codec_out.append(cdc)
+                    no_out.append(None)
+                    text_out.append(None)
+                    err_out.append(f"{type(e).__name__}: {e}")
                     continue
                 for i, line in enumerate(lines, start=1):
                     sid_out.append(int(sid))
                     codec_out.append(cdc)
                     no_out.append(i)
                     text_out.append(line)
+                    err_out.append(None)
             yield pd.DataFrame(
                 {
                     "shard_id": pd.Series(sid_out, dtype="int64"),
                     "codec": pd.Series(codec_out, dtype="object"),
-                    "line_no": pd.Series(no_out, dtype="int32"),
+                    "line_no": pd.Series(no_out, dtype="Int32"),
                     "text": pd.Series(text_out, dtype="object"),
+                    "error": pd.Series(err_out, dtype="object"),
                 }
             )
 
-    return src.mapInPandas(run, LINES_SCHEMA)
+    return src.mapInPandas(run, UNION_SCHEMA)
+
+
+def decompress_text_shards(
+    df: DataFrame,
+    codec: str | None = None,
+    max_bytes: int = 1 << 30,
+    strict: bool = True,
+    encoding: str = "utf-8",
+) -> DataFrame:
+    """(shard_id, codec, line_no, text) — one row per line of every
+    shard's decompressed payload.
+
+    ``df`` carries ``(shard_id long, payload binary)`` plus an optional
+    per-shard ``codec`` string column; a uniform corpus can instead
+    pass ``codec=`` once.  ``strict=True`` raises on the first
+    undecodable shard; ``strict=False`` skips it (use
+    :func:`read_compressed_shards` to also get the quarantine frame,
+    or :func:`decode_shards_union` to pay the decode exactly once).
+
+    One Arrow-batched ``mapInPandas`` pass; the payload column dies
+    here."""
+    union = decode_shards_union(
+        df, codec=codec, max_bytes=max_bytes, strict=strict, encoding=encoding
+    )
+    return union.filter(F.col("error").isNull()).drop("error")
 
 
 def read_compressed_shards(
@@ -235,46 +283,15 @@ def read_compressed_shards(
     """(lines, quarantine) — the non-strict front door: good shards
     yield their lines, undecodable shards land in the quarantine frame
     with the exception text (same contract as the CSV/JSONL sources —
-    no silent loss).  Two ``mapInPandas`` passes over the same input;
-    persist upstream if the payload scan is expensive."""
-    lines = decompress_text_shards(
+    no silent loss).  Both are filter views of ONE
+    :func:`decode_shards_union` kernel; at corpus scale, write that
+    union once and filter from storage — materializing both views
+    straight off this call decodes every shard twice."""
+    union = decode_shards_union(
         df, codec=codec, max_bytes=max_bytes, strict=False, encoding=encoding
     )
-    has_codec_col = "codec" in df.columns
-    if not has_codec_col and codec is None:
-        raise ValueError("pass codec= or include a 'codec' column")
-    src = df.select(
-        F.col("shard_id").cast("long").alias("shard_id"),
-        (F.col("codec") if has_codec_col else F.lit(codec)).alias("codec"),
-        F.col("payload"),
+    lines = union.filter(F.col("error").isNull()).drop("error")
+    quarantine = union.filter(F.col("error").isNotNull()).select(
+        "shard_id", "codec", "error"
     )
-
-    def bad(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
-        import pandas as pd
-
-        for pdf in batches:
-            sid_out: list[int] = []
-            codec_out: list[str] = []
-            err_out: list[str] = []
-            for sid, cdc, payload in zip(
-                pdf["shard_id"], pdf["codec"], pdf["payload"]
-            ):
-                try:
-                    raw = decompress_bytes(
-                        cdc, bytes(payload) if payload is not None else b"",
-                        max_bytes,
-                    )
-                    raw.decode(encoding)
-                except Exception as e:  # noqa: BLE001 — verbatim to audit
-                    sid_out.append(int(sid))
-                    codec_out.append(cdc)
-                    err_out.append(f"{type(e).__name__}: {e}")
-            yield pd.DataFrame(
-                {
-                    "shard_id": pd.Series(sid_out, dtype="int64"),
-                    "codec": pd.Series(codec_out, dtype="object"),
-                    "error": pd.Series(err_out, dtype="object"),
-                }
-            )
-
-    return lines, src.mapInPandas(bad, QUARANTINE_SCHEMA)
+    return lines, quarantine

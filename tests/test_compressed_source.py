@@ -178,3 +178,19 @@ def test_multi_member_through_operator(spark):
         "rec2",
         "rec3",
     ]
+
+
+def test_union_single_pass_shape(spark):
+    from graphdb_neo4j_spark.sources.compressed import decode_shards_union
+
+    rows = [
+        (0, "gzip", bytearray(gzip.compress(b"a\nb\n"))),
+        (1, "gzip", bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "shard_id long, codec string, payload binary")
+    got = decode_shards_union(df).orderBy("shard_id", "line_no").collect()
+    assert [(r["shard_id"], r["line_no"], r["text"], r["error"] is None) for r in got] == [
+        (0, 1, "a", True),
+        (0, 2, "b", True),
+        (1, None, None, False),
+    ]
