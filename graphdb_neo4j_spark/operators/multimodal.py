@@ -9,7 +9,8 @@ stays a single narrow stage (no shuffle).
 Codec status: these formats decode FOR REAL with no external
 dependency — PPM P6 pixels (:func:`decode_ppm`), BMP BI_RGB 24/32-bit
 pixels (:func:`decode_bmp`), WAV PCM16 samples (:func:`decode_wav`),
-PNG 8-bit gray/RGB/RGBA with all five scanline filters
+PNG at EVERY legal IHDR combination — gray/RGB/palette/gray+alpha/
+RGBA, bit depths 1-16, Adam7 interlace, all five scanline filters
 (:func:`decode_png` — DEFLATE via stdlib ``zlib``), and BASELINE
 sequential JPEG (:func:`decode_jpeg` — Huffman + dequant + IDCT per
 ITU-T T.81, gray/YCbCr, 4:4:4/4:2:2/4:2:0, restart markers) — feeding
@@ -136,57 +137,31 @@ def decode_ppm(payload: bytes):
     return w, h, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
 
 
-def decode_png(payload: bytes):
-    """REAL pixel decode of PNG — stdlib-only (``zlib`` is the whole
-    dependency: PNG's IDAT stream is DEFLATE).  Returns
-    ``(width, height, ndarray[h, w, ch] uint8)``.
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per RFC 2083 §2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Supported: 8-bit depth, color types 0 (gray, ch=1), 2 (RGB, ch=3),
-    6 (RGBA, ch=4), interlace 0, with ALL FIVE scanline filters
-    (None/Sub/Up/Average/Paeth, RFC 2083 §6) unfiltered exactly.
-    Ancillary chunks are skipped; multiple IDAT chunks concatenate
-    (they are one zlib stream split arbitrarily).  16-bit, palette,
-    and Adam7 payloads raise — honest gates, not silent wrong answers.
-    """
-    import zlib
+# legal (color_type -> raw channels) and (color_type -> legal depths)
+_PNG_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+    4: (8, 16), 6: (8, 16),
+}
 
+
+def _png_unfilter(raw, n_rows: int, stride: int, bpp: int, at: int):
+    """Unfilter ``n_rows`` scanlines of ``stride`` bytes starting at
+    ``raw[at]`` (each prefixed by its filter byte) — all five RFC 2083
+    §6 filters, operating BYTE-wise with pixel unit ``bpp`` (bytes per
+    complete pixel, min 1; filters are byte-domain at every bit
+    depth).  Returns ``(matrix[n_rows, stride] uint8, new_at)``."""
     import numpy as np
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    pos, idat, ihdr = 8, [], None
-    while pos + 8 <= len(payload):
-        ln = struct.unpack(">I", payload[pos : pos + 4])[0]
-        typ = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + ln]
-        if typ == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data[:13])
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln  # length + type + data + crc
-    if ihdr is None:
-        raise ValueError("missing IHDR")
-    w, h, depth, ctype, comp, filt, interlace = ihdr
-    nch = {0: 1, 2: 3, 6: 4}.get(ctype)
-    if depth != 8 or nch is None or comp != 0 or filt != 0 or interlace != 0:
-        raise ValueError(
-            f"only 8-bit gray/RGB/RGBA non-interlaced PNG supported "
-            f"(depth={depth}, color_type={ctype}, interlace={interlace})"
-        )
-    if not idat:
-        raise ValueError("missing IDAT")
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * nch
-    if len(raw) != (stride + 1) * h:
-        raise ValueError(
-            f"bad scanline data: need {(stride + 1) * h} bytes, got {len(raw)}"
-        )
-    out = np.empty((h, stride), dtype=np.uint8)
+    out = np.empty((n_rows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    at = 0
-    for y in range(h):
+    for y in range(n_rows):
         ftype = raw[at]
         cur = np.frombuffer(raw, np.uint8, stride, at + 1).copy()
         at += stride + 1
@@ -194,27 +169,27 @@ def decode_png(payload: bytes):
             pass
         elif ftype == 2:  # Up — vectorized (uint8 addition wraps mod 256)
             cur += prev
-        elif ftype == 1:  # Sub == per-channel cumulative sum (mod 256):
+        elif ftype == 1:  # Sub == per-byte-lane cumulative sum (mod 256):
             # accumulate in uint8 so the wrap IS the mod — fully
             # vectorized, no per-byte Python
             cur = np.add.accumulate(
-                cur.reshape(w, nch), axis=0, dtype=np.uint8
+                cur.reshape(stride // bpp, bpp), axis=0, dtype=np.uint8
             ).reshape(stride)
         elif ftype == 3:  # Average — x-sequential; plain-int lists keep
             # the loop free of numpy scalar boxing
             c_ = cur.tolist()
             p_ = prev.tolist()
             for x in range(stride):
-                a = c_[x - nch] if x >= nch else 0
+                a = c_[x - bpp] if x >= bpp else 0
                 c_[x] = (c_[x] + ((a + p_[x]) >> 1)) & 0xFF
             cur = np.asarray(c_, dtype=np.uint8)
         elif ftype == 4:  # Paeth — x-sequential, same de-boxed loop
             c_ = cur.tolist()
             p_ = prev.tolist()
             for x in range(stride):
-                a = c_[x - nch] if x >= nch else 0
+                a = c_[x - bpp] if x >= bpp else 0
                 b = p_[x]
-                cc = p_[x - nch] if x >= nch else 0
+                cc = p_[x - bpp] if x >= bpp else 0
                 p = a + b - cc
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
@@ -224,33 +199,172 @@ def decode_png(payload: bytes):
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = cur
         prev = out[y]
-    return w, h, out.reshape(h, w, nch)
+    return out, at
 
 
-def encode_png(px, filters: list[int] | None = None) -> bytes:
-    """Encode ``ndarray[h, w, ch] uint8`` (ch ∈ {1, 3, 4}) as a valid
-    PNG — the fixture-side inverse of :func:`decode_png`, stdlib-only.
+def _png_rows_to_samples(mat, n_pix: int, nch: int, depth: int):
+    """(n_rows, stride) unfiltered bytes → (n_rows, n_pix*nch) sample
+    matrix: big-endian pairs at 16-bit, bit-unpacked groups below 8."""
+    import numpy as np
 
-    ``filters`` optionally fixes the per-row filter type (default all
-    0); passing varied types makes a fixture that exercises every
-    unfilter path in the decoder — the point of the q212 audit.
+    if depth == 8:
+        return mat[:, : n_pix * nch]
+    if depth == 16:
+        return (
+            mat[:, 0::2].astype(np.uint16) << 8 | mat[:, 1::2]
+        )[:, : n_pix * nch]
+    bits = np.unpackbits(mat, axis=1)[:, : n_pix * nch * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (
+        bits.reshape(mat.shape[0], n_pix * nch, depth) * weights
+    ).sum(axis=2).astype(np.uint8)
+
+
+def _png_pass_dims(w: int, h: int, interlace: int):
+    """[(x0, y0, dx, dy, pass_w, pass_h)] — one entry per image pass
+    (a single full pass at interlace 0, the 7 Adam7 sub-images at 1),
+    empty passes skipped."""
+    if interlace == 0:
+        return [(0, 0, 1, 1, w, h)]
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def decode_png(payload: bytes):
+    """REAL pixel decode of PNG — stdlib-only (``zlib`` is the whole
+    dependency: PNG's IDAT stream is DEFLATE).  Returns
+    ``(width, height, ndarray[h, w, ch])`` — uint8, or uint16 for
+    16-bit payloads.
+
+    Supported: EVERY legal IHDR combination (RFC 2083 §4.1.1) — color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at
+    all their legal bit depths (1/2/4/8/16), interlace 0 AND Adam7,
+    with ALL FIVE scanline filters (None/Sub/Up/Average/Paeth, §6)
+    unfiltered exactly.  Palette indices map through PLTE (+ tRNS
+    alpha when present → RGBA); sub-8-bit grayscale scales by the
+    exact integer factor 255/(2^d−1) (255/85/17).  Ancillary chunks
+    are skipped; multiple IDAT chunks concatenate (they are one zlib
+    stream split arbitrarily).  Malformed payloads raise — honest
+    gates, not silent wrong answers.
     """
     import zlib
 
     import numpy as np
 
-    px = np.asarray(px, dtype=np.uint8)
-    h, w, nch = px.shape
-    ctype = {1: 0, 3: 2, 4: 6}[nch]
-    stride = w * nch
-    flat = px.reshape(h, stride).astype(np.int64)
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr, plte, trns = 8, [], None, None, None
+    while pos + 8 <= len(payload):
+        ln = struct.unpack(">I", payload[pos : pos + 4])[0]
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"tRNS":
+            trns = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    nch = _PNG_CH.get(ctype)
+    if (
+        nch is None
+        or depth not in _PNG_DEPTHS.get(ctype, ())
+        or comp != 0
+        or filt != 0
+        or interlace not in (0, 1)
+    ):
+        raise ValueError(
+            f"illegal PNG IHDR (depth={depth}, color_type={ctype}, "
+            f"interlace={interlace})"
+        )
+    if ctype == 3 and (plte is None or len(plte) % 3 or not plte):
+        raise ValueError("palette PNG missing/malformed PLTE")
+    if not idat:
+        raise ValueError("missing IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    bpp = max(1, (depth * nch) // 8)  # filter pixel unit, bytes (§6)
+    passes = _png_pass_dims(w, h, interlace)
+    need = sum((pw * nch * depth + 7) // 8 * ph + ph for _, _, _, _, pw, ph in passes)
+    if len(raw) != need:
+        raise ValueError(
+            f"bad scanline data: need {need} bytes, got {len(raw)}"
+        )
+    samples = np.zeros((h, w * nch), dtype=np.uint16 if depth == 16 else np.uint8)
+    at = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        stride = (pw * nch * depth + 7) // 8
+        mat, at = _png_unfilter(raw, ph, stride, bpp, at)
+        sub = _png_rows_to_samples(mat, pw, nch, depth)
+        cols = (
+            (x0 + dx * np.arange(pw))[:, None] * nch + np.arange(nch)
+        ).reshape(-1)
+        samples[y0::dy, cols.tolist()] = sub
+    if ctype == 3:
+        lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = samples.reshape(h, w)
+        if idx.max() >= len(lut):
+            raise ValueError("palette index out of PLTE range")
+        px = lut[idx]
+        if trns is not None:
+            alpha = np.full(len(lut), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            px = np.concatenate([px, alpha[idx][:, :, None]], axis=2)
+        return w, h, px
+    if ctype == 0 and depth < 8:
+        # exact integer scaling to full range: 255/(2^d−1) ∈ {255,85,17}
+        samples = samples * np.uint8(255 // ((1 << depth) - 1))
+    return w, h, samples.reshape(h, w, nch)
+
+
+def _png_pack_rows(sam, depth: int):
+    """(n_rows, n_samples) sample matrix → (n_rows, stride) raw bytes:
+    big-endian pairs at 16-bit, bit-packed (zero-padded to the byte
+    boundary, §2.3) below 8 — the inverse of
+    :func:`_png_rows_to_samples`."""
+    import numpy as np
+
+    if depth == 8:
+        return sam.astype(np.uint8)
+    if depth == 16:
+        s = sam.astype(np.uint16)
+        out = np.empty((s.shape[0], s.shape[1] * 2), dtype=np.uint8)
+        out[:, 0::2] = s >> 8
+        out[:, 1::2] = s & 0xFF
+        return out
+    shifts = np.arange(depth - 1, -1, -1)
+    bits = (sam[:, :, None].astype(np.uint8) >> shifts) & 1
+    return np.packbits(bits.reshape(sam.shape[0], -1), axis=1)
+
+
+def _png_filter_rows(mat, bpp: int, filters, row_base: int) -> bytearray:
+    """Filter one pass's raw scanline bytes (each pass restarts with a
+    zero prior row, §6): ``filters`` cycles by GLOBAL row index so a
+    fixture can pin every unfilter path; returns filter-byte-prefixed
+    lines."""
+    import numpy as np
+
+    n_rows, stride = mat.shape
+    flat = mat.astype(np.int64)
     lines = bytearray()
-    for y in range(h):
-        f = filters[y % len(filters)] if filters else 0
+    zero = np.zeros(stride, dtype=np.int64)
+    for y in range(n_rows):
+        f = filters[(row_base + y) % len(filters)] if filters else 0
         cur = flat[y]
-        up = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
-        left = np.concatenate([np.zeros(nch, dtype=np.int64), cur[:-nch]])
-        ul = np.concatenate([np.zeros(nch, dtype=np.int64), up[:-nch]])
+        up = flat[y - 1] if y > 0 else zero
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int64), up[:-bpp]])
         if f == 0:
             enc = cur
         elif f == 1:
@@ -270,6 +384,34 @@ def encode_png(px, filters: list[int] | None = None) -> bytes:
             raise ValueError(f"unknown filter {f}")
         lines.append(f)
         lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+    return lines
+
+
+def _png_assemble(
+    samples,  # (h, w*nch) sample matrix
+    w: int,
+    h: int,
+    nch: int,
+    depth: int,
+    ctype: int,
+    interlace: int,
+    filters,
+    extra_chunks: list[tuple[bytes, bytes]] = (),
+) -> bytes:
+    import zlib
+
+    lines = bytearray()
+    bpp = max(1, (depth * nch) // 8)
+    row_base = 0
+    for x0, y0, dx, dy, pw, ph in _png_pass_dims(w, h, interlace):
+        import numpy as np
+
+        cols = (
+            (x0 + dx * np.arange(pw))[:, None] * nch + np.arange(nch)
+        ).reshape(-1)
+        sub = samples[y0::dy][:, cols.tolist()]
+        lines += _png_filter_rows(_png_pack_rows(sub, depth), bpp, filters, row_base)
+        row_base += ph
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -279,12 +421,68 @@ def encode_png(px, filters: list[int] | None = None) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(lines)))
-        + chunk(b"IEND", b"")
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    for typ, data in extra_chunks:
+        out += chunk(typ, data)
+    return out + chunk(b"IDAT", zlib.compress(bytes(lines))) + chunk(b"IEND", b"")
+
+
+def encode_png(
+    px,
+    filters: list[int] | None = None,
+    depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    """Encode ``ndarray[h, w, ch]`` (ch ∈ {1, 2, 3, 4}) as a valid
+    PNG — the fixture-side inverse of :func:`decode_png`, stdlib-only.
+
+    ``filters`` optionally cycles the per-row filter type (default all
+    0); passing varied types makes a fixture that exercises every
+    unfilter path in the decoder — the point of the q212 audit.
+    ``depth`` 16 takes uint16 samples; 1/2/4 (gray only) take RAW
+    samples < 2^depth (the decoder scales them by 255/(2^d−1));
+    ``interlace=1`` writes Adam7 passes."""
+    import numpy as np
+
+    px = np.asarray(px)
+    h, w, nch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    if depth not in _PNG_DEPTHS[ctype]:
+        raise ValueError(f"depth {depth} illegal for color type {ctype}")
+    if depth < 8 and int(px.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"sample exceeds {depth}-bit range")
+    samples = px.reshape(h, w * nch)
+    return _png_assemble(
+        samples, w, h, nch, depth, ctype, interlace, filters
+    )
+
+
+def encode_png_palette(
+    idx,
+    palette,
+    trns: bytes | None = None,
+    depth: int = 8,
+    filters: list[int] | None = None,
+    interlace: int = 0,
+) -> bytes:
+    """Encode an index image ``idx[h, w]`` over ``palette[n, 3]`` as a
+    color-type-3 PNG (optional ``tRNS`` alpha table, bit depth
+    1/2/4/8) — fixtures for the palette path of :func:`decode_png`."""
+    import numpy as np
+
+    idx = np.asarray(idx)
+    palette = np.asarray(palette, dtype=np.uint8)
+    h, w = idx.shape
+    if len(palette) > 256 or int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("palette too large or index out of range")
+    if int(idx.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"index exceeds {depth}-bit range")
+    extra = [(b"PLTE", palette.tobytes())]
+    if trns is not None:
+        extra.append((b"tRNS", bytes(trns)))
+    return _png_assemble(
+        idx.reshape(h, w), w, h, 1, depth, 3, interlace, filters, extra
     )
 
 
@@ -1175,7 +1373,8 @@ FEATURES_SCHEMA = StructType(
 def extract_media_features(df: DataFrame, strict: bool = False) -> DataFrame:
     """END-TO-END content feature extraction: REAL pixel/sample decode
     for the dependency-free formats (PPM P6, BMP BI_RGB, WAV PCM16,
-    PNG 8-bit via stdlib zlib, baseline JPEG per T.81), header-only
+    PNG at all legal IHDR combos via stdlib zlib, baseline JPEG per
+    T.81), header-only
     dims for undecodable PNG/JPEG variants, NULL stats for codec-gated
     formats (MP4 — raise instead when ``strict=True``).
 
@@ -1217,9 +1416,9 @@ def extract_media_features(df: DataFrame, strict: bool = False) -> DataFrame:
                         (int(flat.min()), int(flat.max())) if nv else (None, None)
                     )
                 except (ValueError, _zlib.error, struct.error):
-                    # undecodable variant (16-bit / palette / Adam7),
-                    # corrupt DEFLATE stream, truncated header, or a
-                    # header-only payload: dims from IHDR, no stats
+                    # corrupt DEFLATE stream, malformed palette,
+                    # truncated header, or a header-only payload:
+                    # dims from IHDR, no stats
                     if strict:
                         raise
                     dims = png_dims(b)

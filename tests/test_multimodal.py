@@ -276,6 +276,129 @@ def test_png_roundtrip_all_filters_and_channels():
             assert np.array_equal(out, px), (nch, filters)
 
 
+def test_png_full_ihdr_matrix_roundtrip():
+    """EVERY legal IHDR combination decodes exactly: channel counts
+    1/2/3/4, bit depths 8 and 16, interlace 0 and Adam7, with the
+    filter cycle exercising all five unfilter paths per pass."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(11)
+    fil = [0, 1, 2, 3, 4]
+    for nch in (1, 2, 3, 4):
+        for il in (0, 1):
+            px8 = rng.randint(0, 256, size=(13, 11, nch), dtype=np.uint8)
+            w, h, out = decode_png(encode_png(px8, filters=fil, interlace=il))
+            assert out.dtype == np.uint8 and np.array_equal(out, px8), (nch, il)
+            px16 = rng.randint(0, 65536, size=(9, 7, nch)).astype(np.uint16)
+            w, h, out = decode_png(
+                encode_png(px16, depth=16, filters=fil, interlace=il)
+            )
+            assert out.dtype == np.uint16 and np.array_equal(out, px16), (
+                nch, il, 16,
+            )
+
+
+def test_png_subbyte_gray_exact_scaling():
+    """Gray at depths 1/2/4 scales raw samples by the EXACT integer
+    factor 255/(2^d−1) ∈ {255, 85, 17} — deterministic full-range
+    expansion, both sequential and Adam7."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(3)
+    for d in (1, 2, 4):
+        px = rng.randint(0, 1 << d, size=(10, 9, 1)).astype(np.uint8)
+        for il in (0, 1):
+            w, h, out = decode_png(
+                encode_png(px, depth=d, filters=[0, 1, 2, 3, 4], interlace=il)
+            )
+            assert np.array_equal(out, px * (255 // ((1 << d) - 1))), (d, il)
+
+
+def test_png_palette_and_trns():
+    """Palette PNGs map indices through PLTE (RGB out); a tRNS chunk
+    adds per-entry alpha (RGBA out, entries past the table default
+    255).  All palette depths 1/2/4/8, sequential and Adam7."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    for d in (1, 2, 4, 8):
+        n = min(16, 1 << d)
+        idx = rng.randint(0, n, size=(12, 10))
+        for il in (0, 1):
+            w, h, out = decode_png(
+                encode_png_palette(
+                    idx, pal[:n], depth=d, filters=[0, 1, 2, 3, 4], interlace=il
+                )
+            )
+            assert out.shape == (12, 10, 3)
+            assert np.array_equal(out, pal[:n][idx]), (d, il)
+            trns = bytes(range(0, n * 10, 10))[: max(1, n // 2)]
+            w, h, out = decode_png(
+                encode_png_palette(idx, pal[:n], trns=trns, depth=d, interlace=il)
+            )
+            assert out.shape == (12, 10, 4)
+            alpha = np.full(n, 255, np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, np.uint8)
+            assert np.array_equal(out[:, :, 3], alpha[idx]), (d, il)
+
+
+def test_png_adam7_degenerate_dims():
+    """Thin/tiny images leave some Adam7 passes empty — they must
+    round-trip without phantom scanlines."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(9)
+    for shape in ((1, 1, 3), (2, 1, 1), (1, 9, 3), (3, 2, 4), (8, 8, 1)):
+        px = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        w, h, out = decode_png(encode_png(px, interlace=1, filters=[0, 1, 2, 3, 4]))
+        assert np.array_equal(out, px), shape
+
+
+def test_png_palette_index_out_of_range_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        decode_png,
+        encode_png_palette,
+    )
+
+    # hand-build a stream whose index exceeds the PLTE: encoder refuses,
+    # so splice a 2-entry palette onto indices up to 3
+    blob = encode_png_palette(
+        np.array([[0, 1], [2, 3]]), np.zeros((4, 3), np.uint8), depth=8
+    )
+    # shrink PLTE chunk from 4 to 2 entries (re-CRC)
+    import struct as _struct
+    import zlib as _zlib
+
+    at = blob.index(b"PLTE") - 4
+    ln = _struct.unpack(">I", blob[at : at + 4])[0]
+    data = blob[at + 8 : at + 8 + ln][:6]
+    patched = (
+        blob[:at]
+        + _struct.pack(">I", 6)
+        + b"PLTE"
+        + data
+        + _struct.pack(">I", _zlib.crc32(b"PLTE" + data) & 0xFFFFFFFF)
+        + blob[at + 12 + ln :]
+    )
+    with _pytest.raises(ValueError, match="PLTE range"):
+        decode_png(patched)
+
+
 def test_png_unsupported_variants_raise():
     import struct
     import zlib
@@ -291,9 +414,22 @@ def test_png_unsupported_variants_raise():
         )
 
     sig = b"\x89PNG\r\n\x1a\n"
-    sixteen = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0))
-    with _pytest.raises(ValueError, match="8-bit"):
-        decode_png(sixteen)
+    # depth 16 palette is an ILLEGAL combination (RFC 2083 §4.1.1)
+    bad_combo = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0))
+    with _pytest.raises(ValueError, match="illegal"):
+        decode_png(bad_combo)
+    # depth 2 RGB likewise
+    bad_rgb = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 2, 2, 0, 0, 0))
+    with _pytest.raises(ValueError, match="illegal"):
+        decode_png(bad_rgb)
+    # palette stream without a PLTE chunk
+    no_plte = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", b"x")
+    )
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png(no_plte)
     header_only = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
     with _pytest.raises(ValueError, match="IDAT"):
         decode_png(header_only)
