@@ -11,11 +11,13 @@ dependency — PPM P6 pixels (:func:`decode_ppm`), BMP BI_RGB 24/32-bit
 pixels (:func:`decode_bmp`), WAV PCM16 samples (:func:`decode_wav`),
 PNG at EVERY legal IHDR combination — gray/RGB/palette/gray+alpha/
 RGBA, bit depths 1-16, Adam7 interlace, all five scanline filters
-(:func:`decode_png` — DEFLATE via stdlib ``zlib``), and BASELINE
-sequential JPEG (:func:`decode_jpeg` — Huffman + dequant + IDCT per
-ITU-T T.81, gray/YCbCr, 4:4:4/4:2:2/4:2:0, restart markers) — feeding
+(:func:`decode_png` — DEFLATE via stdlib ``zlib``), and JPEG — both
+BASELINE sequential and PROGRESSIVE (:func:`decode_jpeg` — Huffman +
+dequant + IDCT per ITU-T T.81, gray/YCbCr, 4:4:4/4:2:2/4:2:0, restart
+markers, multi-scan, spectral selection + successive approximation
+per Annex G) — feeding
 :func:`extract_media_features` end to end.  Codecs that genuinely
-need external libraries (progressive JPEG/H.264/AAC) raise
+need external libraries (H.264/AAC) raise
 ``NotImplementedError`` or ``ValueError`` unless a deterministic fake
 is requested; the Spark-side plumbing — schema, batching,
 partitioning, UDF signature — is identical for both paths.
@@ -604,17 +606,131 @@ def jpeg_dims(payload: bytes):
     return None
 
 
-def decode_jpeg(payload: bytes):
-    """REAL pixel decode of BASELINE JPEG (ITU-T T.81 SOF0) — stdlib +
-    numpy only.  Returns ``(width, height, ndarray[h, w, ch] uint8)``
-    with ch = 3 (YCbCr → RGB, JFIF conversion) or 1 (grayscale).
+def _jpeg_entropy_segments(payload: bytes, pos: int):
+    """Extract one scan's entropy-coded data starting at ``pos``:
+    strip byte stuffing, split on restart markers.  Returns
+    ``(segments, new_pos)`` with ``new_pos`` on the 0xFF of the next
+    true marker."""
+    segments: list[bytearray] = [bytearray()]
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0xFF:
+            nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                segments[-1].append(0xFF)
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:  # RSTn
+                segments.append(bytearray())
+                pos += 2
+                continue
+            break  # EOI or next marker
+        segments[-1].append(b)
+        pos += 1
+    return segments, pos
 
-    Supported: baseline sequential DCT, 8-bit, Huffman entropy coding,
-    1- or 3-component scans, any sampling factors whose chroma
-    upsampling is an integer replication (4:4:4, 4:2:2, 4:2:0),
-    restart intervals (DRI/RSTn), multi-table DQT/DHT segments, byte
-    stuffing.  Progressive (SOF2), extended/lossless/arithmetic
-    variants, and 12-bit precision raise — honest gates, not silent
+
+def _jpeg_block_band(reader, blk, Ss, Se, Ah, Al, dc_t, ac_t, pred, cid, eobrun):
+    """Decode ONE block's contribution from the current scan into the
+    zigzag coefficient vector ``blk`` — the unified T.81 band decoder:
+
+    * ``Ss=0, Se=63, Ah=Al=0`` is a BASELINE block (DC + full AC band);
+    * ``Ss=Se=0`` is a progressive DC scan (first pass shifts by Al,
+      refinement appends one raw bit — Annex G.1.2.1);
+    * ``Ss>0, Ah=0`` is a progressive AC first pass with EOB-run codes
+      (G.1.2.2);
+    * ``Ss>0, Ah>0`` is AC successive-approximation refinement with
+      correction bits (G.1.2.3).
+
+    Returns the updated EOB run (blocks whose remaining band is known
+    zero / correction-only)."""
+    if Ss == 0:
+        if Ah == 0:
+            s = reader.read_huffman(dc_t)
+            diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
+            pred[cid] += diff
+            blk[0] = pred[cid] << Al
+        elif reader.read_bit():
+            blk[0] |= 1 << Al
+        if Se == 0:
+            return eobrun
+        k = 1
+    else:
+        k = Ss
+    if Ah == 0:  # first pass (baseline AC falls in here with Al=0)
+        if eobrun > 0:
+            return eobrun - 1
+        while k <= Se:
+            rs = reader.read_huffman(ac_t)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1 + (reader.read_bits(r) if r else 0)
+                break
+            k += r
+            if k > Se:
+                raise ValueError("AC run past band end")
+            blk[k] = _jpeg_extend(reader.read_bits(s), s) << Al
+            k += 1
+        return eobrun
+    # AC successive-approximation refinement
+    p1, m1 = 1 << Al, -(1 << Al)
+    if eobrun == 0:
+        while k <= Se:
+            rs = reader.read_huffman(ac_t)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    # refinement EOB run INCLUDES this block (its
+                    # remaining coefficients still take correction bits)
+                    eobrun = (1 << r) + (reader.read_bits(r) if r else 0)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid successive-approximation code")
+                val = p1 if reader.read_bit() else m1
+            while k <= Se:
+                if blk[k] != 0:
+                    # correction bit for an already-nonzero coefficient
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > Se:
+                    raise ValueError("refinement run past band end")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= Se:  # EOB-run tail: correction bits only
+            if blk[k] != 0 and reader.read_bit() and (blk[k] & p1) == 0:
+                blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def decode_jpeg(payload: bytes):
+    """REAL pixel decode of JPEG — BASELINE (SOF0) and PROGRESSIVE
+    (SOF2, spectral selection + successive approximation per ITU-T
+    T.81 Annex G), stdlib + numpy only.  Returns
+    ``(width, height, ndarray[h, w, ch] uint8)`` with ch = 3
+    (YCbCr → RGB, JFIF conversion) or 1 (grayscale).
+
+    Supported: 8-bit Huffman entropy coding, interleaved and
+    non-interleaved (multi-scan) scans, any sampling factors whose
+    chroma upsampling is an integer replication (4:4:4, 4:2:2,
+    4:2:0), restart intervals (DRI/RSTn), multi-table DQT/DHT
+    segments redefinable between scans, byte stuffing, EOB-run and
+    correction-bit refinement coding.  Extended/lossless/arithmetic
+    variants and 12-bit precision raise — honest gates, not silent
     wrong answers.
     """
     import numpy as np
@@ -625,8 +741,12 @@ def decode_jpeg(payload: bytes):
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None
-    scan_comps = None
+    progressive = False
     restart_interval = 0
+    coef: dict[int, object] = {}
+    meta: dict[int, tuple] = {}
+    mcux = mcuy = 0
+    saw_scan = False
     pos = 2
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -665,129 +785,99 @@ def decode_jpeg(payload: bytes):
                     bits, vals
                 )
                 at += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple SOF segments")
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
             comps = []
             for i in range(nc):
-                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
+                cid, hv, tq_i = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq_i))
+            if len(comps) not in (1, 3):
+                raise ValueError("only 1- or 3-component JPEG supported")
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for cid, hi, vi, _tq in comps:
+                if hmax % hi or vmax % vi:
+                    raise ValueError("non-integer chroma upsampling unsupported")
+                # full MCU grid; non-interleaved scans cover the
+                # component's own ceil grid inside it
+                coef[cid] = np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                comp_w = -(-w * hi // hmax)
+                comp_h = -(-h * vi // vmax)
+                meta[cid] = (hi, vi, _tq, -(-comp_w // 8), -(-comp_h // 8))
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline sequential JPEG (SOF0) supported "
-                f"(SOF marker 0x{marker:02X})"
+                "only baseline (SOF0) and progressive (SOF2) JPEG "
+                f"supported (SOF marker 0x{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xDA:  # SOS — entropy-coded data follows
+        elif marker == 0xDA:  # SOS — decode this scan, keep walking
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            w, h, comps = frame
             ns = seg[0]
             scan_comps = [
                 (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0xF)
                 for i in range(ns)
             ]
+            Ss, Se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            Ah, Al = ahal >> 4, ahal & 0xF
+            # structural validation (T.81 B.2.3)
+            order = [c[0] for c in comps]
+            cids = [sc[0] for sc in scan_comps]
+            if any(c not in order for c in cids) or len(set(cids)) != ns:
+                raise ValueError("SOS names a component absent from SOF")
+            if [c for c in order if c in cids] != cids:
+                raise ValueError(
+                    "SOS scan-component order differs from SOF frame order"
+                )
+            if progressive:
+                if Ss == 0 and Se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                if Ss > 0 and ns != 1:
+                    raise ValueError("progressive AC scans are single-component")
+                if Ss > Se or Se > 63 or (Ah and Al != Ah - 1):
+                    raise ValueError("bad progressive scan parameters")
+            elif (Ss, Se, Ah, Al) != (0, 63, 0, 0):
+                raise ValueError("bad baseline scan parameters")
             pos += ln
-            break
+            segments, pos = _jpeg_entropy_segments(payload, pos)
+            _jpeg_decode_scan(
+                segments, scan_comps, Ss, Se, Ah, Al,
+                comps, meta, coef, huff_dc, huff_ac,
+                restart_interval, mcux, mcuy,
+            )
+            saw_scan = True
+            continue  # pos already sits on the next marker
         pos += ln
-    if frame is None or scan_comps is None:
+    if frame is None or not saw_scan:
         raise ValueError("missing SOF0/SOS")
     w, h, comps = frame
-    if len(comps) not in (1, 3):
-        raise ValueError("only 1- or 3-component JPEG supported")
-    if len(scan_comps) < len(comps):
-        # a conforming multi-scan (non-interleaved) baseline file puts
-        # each component in its own SOS; decoding just the first scan
-        # would die mid-MCU with a misleading truncation error (ADVICE
-        # r6) — gate it honestly up front
-        raise ValueError("multi-scan (non-interleaved) baseline JPEG unsupported")
-    if len(scan_comps) != len(comps):
-        raise ValueError("SOS component count exceeds SOF frame components")
-    # MCU interleave order follows the SOF component list; a
-    # nonconforming file whose SOS lists components in a different
-    # order (or names a cid absent from the frame) would decode
-    # silently wrong — reject instead (ADVICE r6)
-    if [sc[0] for sc in scan_comps] != [c[0] for c in comps]:
-        raise ValueError("SOS scan-component order differs from SOF frame order")
-
-    # entropy segment: strip byte stuffing, split on restart markers
-    segments: list[bytearray] = [bytearray()]
-    while pos < len(payload):
-        b = payload[pos]
-        if b == 0xFF:
-            nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
-            if nxt == 0x00:
-                segments[-1].append(0xFF)
-                pos += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segments.append(bytearray())
-                pos += 2
-                continue
-            break  # EOI or next marker
-        segments[-1].append(b)
-        pos += 1
-
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+
+    # finalize: vectorized dequant + IDCT over every block at once
     C = _jpeg_dct_matrix()
-    planes = {}
-    for cid, hi, vi, _tq in comps:
-        if hmax % hi or vmax % vi:
-            raise ValueError("non-integer chroma upsampling unsupported")
-        planes[cid] = np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
-
-    dc_tab = {sc[0]: sc[1] for sc in scan_comps}
-    ac_tab = {sc[0]: sc[2] for sc in scan_comps}
-    pred = {c[0]: 0 for c in comps}
-    seg_i = 0
-    reader = _JpegBitReader(bytes(segments[0]))
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            seg_i += 1
-            if seg_i >= len(segments):
-                raise ValueError("missing restart segment in JPEG scan")
-            reader = _JpegBitReader(bytes(segments[seg_i]))
-            pred = {c[0]: 0 for c in comps}
-        my, mx = divmod(m, mcux)
-        for cid, hi, vi, tq in comps:
-            for by in range(vi):
-                for bx in range(hi):
-                    coef = np.zeros(64, dtype=np.int64)
-                    s = reader.read_huffman(huff_dc[dc_tab[cid]])
-                    diff = _jpeg_extend(reader.read_bits(s), s) if s else 0
-                    pred[cid] += diff
-                    coef[0] = pred[cid]
-                    k = 1
-                    ac = huff_ac[ac_tab[cid]]
-                    while k < 64:
-                        rs = reader.read_huffman(ac)
-                        r, sz = rs >> 4, rs & 0xF
-                        if sz == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        coef[k] = _jpeg_extend(reader.read_bits(sz), sz)
-                        k += 1
-                    block = np.zeros((8, 8), dtype=np.float64)
-                    block.flat[_JPEG_ZZ] = coef
-                    block *= qt[tq]
-                    spatial = C.T @ block @ C + 128.0
-                    y0 = (my * vi + by) * 8
-                    x0 = (mx * hi + bx) * 8
-                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = spatial
-
-    # upsample to full MCU-grid resolution, then crop to (h, w)
     full = []
-    for cid, hi, vi, _tq in comps:
-        p = planes[cid]
+    for cid, hi, vi, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"missing quantization table {tq}")
+        cz = coef[cid]
+        gh, gw = cz.shape[:2]
+        nat = np.zeros((gh, gw, 64), dtype=np.float64)
+        nat[:, :, _JPEG_ZZ] = cz
+        blocks = nat.reshape(gh, gw, 8, 8) * qt[tq]
+        spatial = np.einsum("ij,abjk,kl->abil", C.T, blocks, C) + 128.0
+        p = spatial.transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
         p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
@@ -799,6 +889,65 @@ def decode_jpeg(payload: bytes):
     b = y + 1.772 * (cb - 128.0)
     px = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255)
     return w, h, px.astype(np.uint8)
+
+
+def _jpeg_decode_scan(
+    segments, scan_comps, Ss, Se, Ah, Al,
+    comps, meta, coef, huff_dc, huff_ac,
+    restart_interval, mcux, mcuy,
+):
+    """Decode one scan's entropy data into the per-component zigzag
+    coefficient arrays.  Interleaved scans walk the MCU grid in SOF
+    component order; single-component scans walk the component's own
+    block grid (T.81 A.2.2).  Restart markers reset the DC predictors
+    AND the EOB run."""
+    need_dc = Ss == 0 and Ah == 0
+    need_ac = Se > 0
+    for cid, td, ta in scan_comps:
+        if need_dc and td not in huff_dc:
+            raise ValueError(f"missing DC Huffman table {td}")
+        if need_ac and ta not in huff_ac:
+            raise ValueError(f"missing AC Huffman table {ta}")
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        cid0 = scan_comps[0][0]
+        _, _, _, bw, bh = meta[cid0]
+        n_units = bw * bh
+    pred = {sc[0]: 0 for sc in scan_comps}
+    eobrun = 0
+    seg_i = 0
+    reader = _JpegBitReader(bytes(segments[0]))
+    for u in range(n_units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("missing restart segment in JPEG scan")
+            reader = _JpegBitReader(bytes(segments[seg_i]))
+            pred = {sc[0]: 0 for sc in scan_comps}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for cid, td, ta in scan_comps:
+                hi, vi, _tq, _bw, _bh = meta[cid]
+                dc_t = huff_dc.get(td)
+                ac_t = huff_ac.get(ta)
+                for by in range(vi):
+                    for bx in range(hi):
+                        eobrun = _jpeg_block_band(
+                            reader, coef[cid][my * vi + by, mx * hi + bx],
+                            Ss, Se, Ah, Al, dc_t, ac_t, pred, cid, eobrun,
+                        )
+        else:
+            cid, td, ta = scan_comps[0]
+            _, _, _, bw, _bh = meta[cid]
+            by, bx = divmod(u, bw)
+            eobrun = _jpeg_block_band(
+                reader, coef[cid][by, bx],
+                Ss, Se, Ah, Al, huff_dc.get(td), huff_ac.get(ta),
+                pred, cid, eobrun,
+            )
 
 
 class _JpegBitWriter:
@@ -961,6 +1110,285 @@ def encode_jpeg(px, quant: int = 16) -> bytes:
     return (
         b"\xff\xd8" + dqt + sof + dht + sos + bytes(writer.out) + b"\xff\xd9"
     )
+
+
+# progressive fixtures additionally need the EOB-run symbols
+# (nbits<<4 | 0 for nbits 1..14, T.81 G.1.2.2) the baseline table omits
+_JPEG_AC_BITS_PROG = [0] * 7 + [176] + [0] * 8
+_JPEG_AC_VALS_PROG = (
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+
+
+def _jpeg_coef_planes(px, quant: int):
+    """Quantized zigzag coefficient planes for the scan emitters:
+    ``(h, w, [(bh, bw, 64) int64 per component])`` — 4:4:4, uniform
+    ``quant``, the same color transform / DCT / round-half-away
+    quantization as :func:`encode_jpeg`."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, nch = px.shape
+    if nch not in (1, 3):
+        raise ValueError("JPEG encoding supports 1 or 3 channels")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(
+        px.astype(np.float64), ((0, ph - h), (0, pw - w), (0, 0)), mode="edge"
+    )
+    if nch == 3:
+        r, g, b = padded[..., 0], padded[..., 1], padded[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        planes = [padded[..., 0]]
+    C = _jpeg_dct_matrix()
+    bh, bw = ph // 8, pw // 8
+    out = []
+    for plane in planes:
+        blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        coefs = np.einsum("ij,abjk,kl->abil", C, blocks, C.T)
+        zz = coefs.reshape(bh, bw, 64)[:, :, _JPEG_ZZ] / float(quant)
+        q = np.sign(zz) * np.floor(np.abs(zz) + 0.5)
+        out.append(q.astype(np.int64))
+    return h, w, out
+
+
+def _jpeg_mag(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _emit_vlc(writer, enc, sym: int, value: int | None = None, nbits: int = 0):
+    code, ln = enc[sym]
+    writer.write(code, ln)
+    if nbits:
+        writer.write(value if value >= 0 else value + (1 << nbits) - 1, nbits)
+
+
+def _emit_band_scan(writer, planes, ids, Ss, Se, Ah, Al, dc_enc, ac_enc):
+    """Emit one scan's entropy data (T.81 G.1.2): interleaved DC
+    first/refinement, single-component AC first pass with EOB runs,
+    AC successive-approximation refinement with buffered correction
+    bits, or the fused baseline band (Ss=0, Se=63)."""
+    bh, bw = planes[ids[0]].shape[:2]
+    if Ss == 0 and Se == 0:  # progressive DC scan
+        if Ah == 0:
+            pred = {c: 0 for c in ids}
+            for by in range(bh):
+                for bx in range(bw):
+                    for c in ids:
+                        v = int(planes[c][by, bx, 0]) >> Al
+                        diff = v - pred[c]
+                        pred[c] = v
+                        s = _jpeg_mag(diff)
+                        _emit_vlc(writer, dc_enc, s, diff, s)
+        else:
+            for by in range(bh):
+                for bx in range(bw):
+                    for c in ids:
+                        writer.write((int(planes[c][by, bx, 0]) >> Al) & 1, 1)
+        return
+    if Ss == 0:  # fused baseline band (DC + full AC, plain EOB)
+        pred = {c: 0 for c in ids}
+        for by in range(bh):
+            for bx in range(bw):
+                for c in ids:
+                    zz = planes[c][by, bx]
+                    diff = int(zz[0]) - pred[c]
+                    pred[c] = int(zz[0])
+                    s = _jpeg_mag(diff)
+                    _emit_vlc(writer, dc_enc, s, diff, s)
+                    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                    run = 0
+                    for k in range(1, last_nz + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            _emit_vlc(writer, ac_enc, 0xF0)
+                            run -= 16
+                        s = _jpeg_mag(v)
+                        if s > 10:
+                            raise ValueError(
+                                f"quantized AC coefficient {v} exceeds the "
+                                "baseline range; raise quant"
+                            )
+                        _emit_vlc(writer, ac_enc, (run << 4) | s, v, s)
+                        run = 0
+                    if last_nz < 63:
+                        _emit_vlc(writer, ac_enc, 0x00)
+        return
+    # AC scans are single-component (T.81 B.2.3)
+    (cid,) = ids
+    plane = planes[cid]
+    if Ah == 0:  # AC first pass with EOB runs
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                _emit_vlc(writer, ac_enc, nbits << 4)
+                if nbits:
+                    writer.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+
+        for by in range(bh):
+            for bx in range(bw):
+                zz = plane[by, bx]
+                vals = [
+                    (1 if int(zz[k]) > 0 else -1) * (abs(int(zz[k])) >> Al)
+                    for k in range(Ss, Se + 1)
+                ]
+                last = max((i for i, v in enumerate(vals) if v), default=-1)
+                if last < 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for v in vals[: last + 1]:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        _emit_vlc(writer, ac_enc, 0xF0)
+                        run -= 16
+                    s = _jpeg_mag(v)
+                    _emit_vlc(writer, ac_enc, (run << 4) | s, v, s)
+                    run = 0
+                if last < Se - Ss:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return
+    # AC refinement (Ah = Al+1): correction bits, buffered through EOB
+    # runs exactly as the decoder consumes them (G.1.2.3 mirror)
+    eobrun = 0
+    pending: list[int] = []
+
+    def flush_eob_refine():
+        nonlocal eobrun, pending
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            _emit_vlc(writer, ac_enc, nbits << 4)
+            if nbits:
+                writer.write(eobrun - (1 << nbits), nbits)
+        for bit in pending:
+            writer.write(bit, 1)
+        eobrun = 0
+        pending = []
+
+    for by in range(bh):
+        for bx in range(bw):
+            zz = plane[by, bx]
+            absv = [abs(int(zz[k])) >> Al for k in range(Ss, Se + 1)]
+            eob = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+            r = 0
+            br: list[int] = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    flush_eob_refine()
+                    _emit_vlc(writer, ac_enc, 0xF0)
+                    r -= 16
+                    for bit in br:
+                        writer.write(bit, 1)
+                    br = []
+                if t > 1:  # history-nonzero: correction bit
+                    br.append(t & 1)
+                    continue
+                # newly nonzero at this precision
+                flush_eob_refine()
+                _emit_vlc(writer, ac_enc, (r << 4) | 1)
+                writer.write(1 if int(zz[Ss + i]) > 0 else 0, 1)
+                for bit in br:
+                    writer.write(bit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob_refine()
+    flush_eob_refine()
+
+
+def encode_jpeg_scans(px, quant: int = 16, scans=None) -> bytes:
+    """Encode with an explicit SCAN SCRIPT — the fixture-side inverse
+    of the multi-scan/progressive paths of :func:`decode_jpeg`.
+
+    ``scans`` is a list of ``(component_ids, Ss, Se, Ah, Al)`` (ids
+    are 0-based positions).  All-(0,63,0,0) scripts write a SOF0
+    multi-scan BASELINE file; anything else writes SOF2 progressive.
+    4:4:4 sampling, uniform quantization, flat generated Huffman
+    tables (the progressive AC table adds the 14 EOB-run symbols)."""
+    h, w, planes = _jpeg_coef_planes(px, quant)
+    nch = len(planes)
+    if scans is None:
+        scans = [(list(range(nch)), 0, 63, 0, 0)]
+    progressive = any(s[1:] != (0, 63, 0, 0) for s in scans)
+    dc_enc = _huffman_encode_table(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_enc = _huffman_encode_table(_JPEG_AC_BITS_PROG, _JPEG_AC_VALS_PROG)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(quant) for _ in range(64)))
+    sof_comps = b"".join(bytes([c + 1, 0x11, 0]) for c in range(nch))
+    sof = seg(
+        0xC2 if progressive else 0xC0,
+        struct.pack(">BHHB", 8, h, w, nch) + sof_comps,
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS_PROG) + bytes(_JPEG_AC_VALS_PROG),
+    )
+    out = bytearray(b"\xff\xd8" + dqt + sof + dht)
+    for ids, ss, se, ah, al in scans:
+        sos_comps = b"".join(bytes([c + 1, 0x00]) for c in ids)
+        out += seg(
+            0xDA, bytes([len(ids)]) + sos_comps + bytes([ss, se, (ah << 4) | al])
+        )
+        writer = _JpegBitWriter()
+        _emit_band_scan(writer, planes, list(ids), ss, se, ah, al, dc_enc, ac_enc)
+        writer.flush()
+        out += writer.out
+    return bytes(out + b"\xff\xd9")
+
+
+def encode_jpeg_progressive(px, quant: int = 16) -> bytes:
+    """Encode as PROGRESSIVE JPEG (SOF2) with a script that exercises
+    every Annex G decode path: interleaved DC first pass at Al=1, two
+    spectral AC bands per component at Al=1 (EOB-run coding), their
+    successive-approximation refinements (correction bits), and the
+    final DC refinement.  The full script reconstructs the quantized
+    coefficients EXACTLY, so the decode is bit-identical to the
+    baseline encoding of the same image."""
+    px_arr = px
+    import numpy as np
+
+    nch = 1 if np.asarray(px_arr).ndim == 2 else np.asarray(px_arr).shape[2]
+    allc = list(range(nch))
+    scans = [(allc, 0, 0, 0, 1)]
+    scans += [([c], 1, 5, 0, 1) for c in allc]
+    scans += [([c], 6, 63, 0, 1) for c in allc]
+    scans += [([c], 1, 5, 1, 0) for c in allc]
+    scans += [([c], 6, 63, 1, 0) for c in allc]
+    scans += [(allc, 0, 0, 1, 0)]
+    return encode_jpeg_scans(px_arr, quant, scans)
 
 
 # --- MP4 / ISO BMFF container metadata (ISO/IEC 14496-12) -------------
@@ -1434,7 +1862,7 @@ def extract_media_features(df: DataFrame, strict: bool = False) -> DataFrame:
                         (int(flat.min()), int(flat.max())) if nv else (None, None)
                     )
                 except (ValueError, struct.error, IndexError, KeyError):
-                    # progressive / 12-bit / fractional-sampling variant,
+                    # 12-bit / arithmetic / fractional-sampling variant,
                     # corrupt scan, or header-only payload: dims from the
                     # SOF header, no stats
                     if strict:

@@ -12599,3 +12599,67 @@ def q215(spark: SparkSession, sf: str) -> DataFrame:
         F.length("text").alias("line_len"),
         F.md5("text").alias("line_md5"),
     )
+
+
+@query(
+    "q216_progressive_jpeg_audit",
+    """
+    WITH imgs AS (SELECT unnest(range(0, 14)) AS media_id),
+    dims AS (
+      SELECT media_id, 2 + media_id % 4 AS bw, 2 + media_id % 3 AS bh
+      FROM imgs
+    ),
+    blocks AS (
+      SELECT media_id, bw, bh,
+             2 * ((media_id * 11 + yy.yy * 3 + xx.xx * 7) % 128) AS v
+      FROM dims,
+           LATERAL (SELECT unnest(range(0, bh)) AS yy) yy,
+           LATERAL (SELECT unnest(range(0, bw)) AS xx) xx
+    )
+    SELECT media_id, 'jpeg' AS format,
+           CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(bw * bh * 64 AS BIGINT) AS n_values,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_val,
+           CAST(MIN(v) AS INT) AS min_val,
+           CAST(MAX(v) AS INT) AS max_val
+    FROM blocks GROUP BY media_id, bw, bh
+    """,
+)
+def q216(spark: SparkSession, sf: str) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2) decode audit — q213's analytic class
+    through the Annex G scan machinery: fixtures are encoded by
+    multimodal.encode_jpeg_progressive (interleaved DC first pass at
+    Al=1, spectral AC bands with EOB-run coding, successive-
+    approximation refinements with correction bits, final DC
+    refinement) and decoded by the REAL multi-scan decoder.  The
+    default script reconstructs the quantized coefficients EXACTLY,
+    so the DC-only block-constant fixture class (pixel = 2*DC + 128,
+    all-16 quant table) keeps its closed-form SQL oracle even though
+    the codec is lossy in general.  The refinement/EOB-run/ZRL paths
+    on dense-coefficient content are pinned by equality-to-baseline
+    unit tests in tests/test_multimodal.py.
+
+    Scale shape: identical to q213 — one Arrow-batched mapInPandas
+    pass, payloads die at the decode stage, stats projection only."""
+    import numpy as _np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        encode_jpeg_progressive,
+        extract_media_features,
+    )
+
+    rows = []
+    for mid in range(14):
+        bw, bh = 2 + mid % 4, 2 + mid % 3
+        px = _np.zeros((bh * 8, bw * 8), dtype=_np.uint8)
+        for by in range(bh):
+            for bx in range(bw):
+                px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    2 * ((mid * 11 + by * 3 + bx * 7) % 128)
+                )
+        rows.append((mid, bytearray(encode_jpeg_progressive(px, quant=16))))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(4)
+    return extract_media_features(media, strict=True).drop("sample_rate")

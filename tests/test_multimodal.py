@@ -939,12 +939,10 @@ def test_mp4_tracks_through_arrow_kernel(spark):
         extract_mp4_tracks(df, strict=True).collect()
 
 
-def test_jpeg_scan_order_and_multiscan_gates():
+def test_jpeg_scan_order_gate():
     """ADVICE r6: a SOS whose component order differs from the SOF
     frame list must be rejected (the MCU interleave would decode
-    silently wrong), and a multi-scan (non-interleaved) baseline file
-    must fail with a specific unsupported-variant error instead of a
-    misleading mid-MCU truncation."""
+    silently wrong)."""
     import numpy as _np
     import pytest as _pytest
 
@@ -969,14 +967,130 @@ def test_jpeg_scan_order_and_multiscan_gates():
     with _pytest.raises(ValueError, match="scan-component order"):
         decode_jpeg(bytes(payload))
 
-    # multi-scan: first SOS declares only 1 of the 3 frame components
-    payload2 = bytearray(encode_jpeg(color, quant=16))
-    j = payload2.find(b"\xff\xda")
-    old_len = int.from_bytes(payload2[j + 2:j + 4], "big")
-    one_comp = (
-        b"\xff\xda" + (2 + 1 + 2 + 3).to_bytes(2, "big")
-        + bytes([1]) + bytes(payload2[j + 5:j + 7]) + bytes(payload2[j + old_len - 1:j + 2 + old_len])
+
+def test_jpeg_multiscan_baseline_decodes_exactly():
+    """A multi-scan (non-interleaved) baseline file — each component
+    in its own full-band SOS — decodes to the SAME pixels as the
+    interleaved encoding of the same image (identical quantized
+    coefficients, different scan layout)."""
+    import numpy as _np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_scans,
     )
-    payload2[j:j + 2 + old_len] = one_comp
-    with _pytest.raises(ValueError, match="multi-scan"):
-        decode_jpeg(bytes(payload2))
+
+    rng = _np.random.RandomState(21)
+    for shape in ((16, 16, 3), (19, 13, 3), (8, 8)):
+        px = rng.randint(0, 256, shape).astype(_np.uint8)
+        nch = 1 if len(shape) == 2 else shape[2]
+        interleaved = decode_jpeg(encode_jpeg(px, quant=16))[2]
+        multiscan = decode_jpeg(
+            encode_jpeg_scans(px, 16, [([c], 0, 63, 0, 0) for c in range(nch)])
+        )[2]
+        assert _np.array_equal(interleaved, multiscan), shape
+
+
+def test_jpeg_progressive_full_script_is_exact():
+    """PROGRESSIVE (SOF2) decode: the default script — interleaved DC
+    first at Al=1, per-component spectral AC bands with EOB-run
+    coding, successive-approximation refinements with correction
+    bits, final DC refinement — reconstructs the quantized
+    coefficients EXACTLY, so the pixels equal the baseline encoding's
+    decode bit for bit."""
+    import numpy as _np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = _np.random.RandomState(42)
+    for shape in ((16, 16, 3), (24, 17, 3), (8, 8), (19, 13)):
+        px = rng.randint(0, 256, shape).astype(_np.uint8)
+        base = decode_jpeg(encode_jpeg(px, quant=16))[2]
+        prog = decode_jpeg(encode_jpeg_progressive(px, quant=16))[2]
+        assert _np.array_equal(base, prog), shape
+    # EOB-run-heavy content: constant and smooth-gradient images
+    for mk in (
+        _np.zeros((40, 40, 3), _np.uint8),
+        _np.tile(_np.arange(40, dtype=_np.uint8), (40, 1))[:, :, None].repeat(3, 2),
+    ):
+        base = decode_jpeg(encode_jpeg(mk, quant=16))[2]
+        prog = decode_jpeg(encode_jpeg_progressive(mk, quant=16))[2]
+        assert _np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_deep_ladder_and_zrl_refine():
+    """Deeper successive-approximation ladders (Al=2 → two refinement
+    levels per band) and the ZRL-inside-refinement path (a block whose
+    only nonzero is |1| at the last zigzag position → a 62-length
+    zero-history run) both reconstruct exactly."""
+    import numpy as _np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        _jpeg_dct_matrix,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_scans,
+        encode_jpeg_progressive,
+    )
+
+    rng = _np.random.RandomState(1)
+    px = rng.randint(0, 256, (24, 24, 3)).astype(_np.uint8)
+    allc = [0, 1, 2]
+    scans = (
+        [(allc, 0, 0, 0, 2)]
+        + [([c], 1, 63, 0, 2) for c in allc]
+        + [([c], 1, 63, 2, 1) for c in allc]
+        + [([c], 1, 63, 1, 0) for c in allc]
+        + [(allc, 0, 0, 2, 1), (allc, 0, 0, 1, 0)]
+    )
+    deep = decode_jpeg(encode_jpeg_scans(px, 16, scans))[2]
+    base = decode_jpeg(encode_jpeg(px, 16))[2]
+    assert _np.array_equal(deep, base)
+
+    C = _jpeg_dct_matrix()
+    coefq = _np.zeros((8, 8))
+    coefq[7, 7] = 1.0  # quantizes to exactly 1 at zigzag position 63
+    block = C.T @ (coefq * 16.0) @ C + 128.0
+    zrl_px = _np.clip(_np.round(block), 0, 255).astype(_np.uint8)
+    prog = decode_jpeg(encode_jpeg_progressive(zrl_px, quant=16))[2]
+    base = decode_jpeg(encode_jpeg(zrl_px, quant=16))[2]
+    assert _np.array_equal(prog, base)
+
+
+def test_jpeg_progressive_scan_parameter_gates():
+    """Malformed progressive scan headers raise specific errors: a DC
+    scan with Se>0, a multi-component AC scan, and Ah != Al+1."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_scans,
+    )
+
+    px = _np.zeros((8, 8, 3), dtype=_np.uint8)
+    good = encode_jpeg_scans(
+        px, 16, [([0, 1, 2], 0, 0, 0, 0)] + [([c], 1, 63, 0, 0) for c in range(3)]
+    )
+
+    def patch_sos(blob: bytes, which: int, ss: int, se: int, ahal: int) -> bytes:
+        out = bytearray(blob)
+        at = -1
+        for _ in range(which + 1):
+            at = out.find(b"\xff\xda", at + 1)
+        ln = int.from_bytes(out[at + 2 : at + 4], "big")
+        out[at + ln - 1 : at + 2 + ln] = bytes([ss, se, ahal])
+        return bytes(out)
+
+    with _pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(patch_sos(good, 0, 0, 5, 0))
+    with _pytest.raises(ValueError, match="single-component"):
+        # make the first (3-component) scan an AC band
+        decode_jpeg(patch_sos(good, 0, 1, 63, 0))
+    with _pytest.raises(ValueError, match="bad progressive scan"):
+        decode_jpeg(patch_sos(good, 1, 1, 63, 0x31))  # Ah=3, Al=1
