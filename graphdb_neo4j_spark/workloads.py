@@ -12663,3 +12663,77 @@ def q216(spark: SparkSession, sf: str) -> DataFrame:
         rows, "media_id long, payload binary"
     ).repartition(4)
     return extract_media_features(media, strict=True).drop("sample_rate")
+
+
+@query(
+    "q217_warc_wet_ingest_audit",
+    """
+    WITH shards AS (SELECT unnest(range(0, 10)) AS shard_id),
+    recs AS (
+      SELECT shard_id, CAST(r.r AS INT) AS record_no,
+             'http://site-' || shard_id || '.example/page-' || r.r AS target_uri,
+             'doc ' || shard_id || '-' || r.r || ' ' ||
+             repeat(chr(97 + CAST((shard_id * r.r) % 26 AS INT)),
+                    CAST(4 + (r.r * 5 + shard_id) % 9 AS INT)) AS text
+      FROM shards, LATERAL (SELECT unnest(range(1, 3 + shard_id % 3)) AS r) r
+    )
+    SELECT shard_id, record_no, 'conversion' AS warc_type, target_uri,
+           CAST(length(text) AS BIGINT) AS content_length,
+           md5(text) AS text_md5
+    FROM recs
+    """,
+)
+def q217(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC/WET INGESTION audit under the hash gate: 10 fixture shards
+    are genuine ISO 28500 WARC streams (sources/warc.build_warc) in
+    the exact Common-Crawl layout — ONE GZIP MEMBER PER RECORD,
+    concatenated — decompressed by the multi-member bomb-guarded
+    decoder and parsed by the REAL record parser
+    (Content-Length-counted payloads, case-insensitive headers) in a
+    single Arrow pass; every record's URI, byte length, and payload
+    md5 must equal the oracle's analytic derivation.  This is the
+    end-to-end front door for crawl-scale text: compressed container
+    in, curation-ready (uri, text) rows out.
+
+    Scale shape: one mapInPandas pass, parallelism = shard count
+    (documented — members aren't independently seekable without the
+    crawl index), quarantine channel for malformed shards, blob dies
+    at the parse stage.  ASCII payloads make content_length equal
+    char length on both sides."""
+    import gzip as _gzip
+
+    from graphdb_neo4j_spark.sources.warc import build_warc, warc_records
+
+    rows = []
+    for sid in range(10):
+        members = []
+        for r in range(1, 3 + sid % 3):
+            text = "doc %d-%d " % (sid, r) + chr(97 + (sid * r) % 26) * (
+                4 + (r * 5 + sid) % 9
+            )
+            members.append(
+                _gzip.compress(
+                    build_warc([{
+                        "warc_type": "conversion",
+                        "target_uri": f"http://site-{sid}.example/page-{r}",
+                        "record_id": f"<urn:uuid:{sid}-{r}>",
+                        "warc_date": "2024-01-01T00:00:00Z",
+                        "content_type": "text/plain",
+                        "payload": text.encode(),
+                    }]),
+                    mtime=0,
+                )
+            )
+        rows.append((sid, bytearray(b"".join(members))))
+    shards = spark.createDataFrame(
+        rows, "shard_id long, payload binary"
+    ).repartition(4)
+    out = warc_records(shards, codec="gzip", strict=True)
+    return out.select(
+        "shard_id",
+        "record_no",
+        "warc_type",
+        "target_uri",
+        "content_length",
+        F.md5("text").alias("text_md5"),
+    )
