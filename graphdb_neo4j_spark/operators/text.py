@@ -418,6 +418,97 @@ def count_pattern(text: Column, pattern: str) -> Column:
     return F.size(F.split(text, pattern)) - F.lit(1)
 
 
+# --- HTML → text (crawl-response cleanup) -----------------------------------
+# The step between a raw WARC "response" record and text curation:
+# deterministic tag stripping, PURE Catalyst codegen (a chain of
+# regexp_replace/replace expressions next to the scan — zero UDF, so a
+# 100 TB pass stays whole-stage-generated).  Patterns live in the
+# RE2 ∩ Java-regex common dialect (no \s, no backrefs, no lookaround)
+# so the DuckDB oracle applies the byte-identical chain; block-level
+# closing tags become newlines to preserve paragraph structure for the
+# downstream chunkers.  Entity decoding covers the fixed named set
+# below — numeric &#NNN; forms are out of scope (documented), as is
+# full HTML5 tree correction: this is crawl cleanup, not a browser.
+
+_HTML_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<!--.*?-->", " "),
+    (r"(?is)<script[^>]*>.*?</script[ \t\r\n]*>", " "),
+    (r"(?is)<style[^>]*>.*?</style[ \t\r\n]*>", " "),
+    (r"(?is)<noscript[^>]*>.*?</noscript[ \t\r\n]*>", " "),
+    (r"(?i)<(br|hr)[^>]*>", "\n"),
+    (
+        r"(?i)</(p|div|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|blockquote|pre)>",
+        "\n",
+    ),
+    (r"(?s)<[^>]*>", " "),
+    # whitespace discipline: explicit classes, never \s (Java includes
+    # \x0B in \s, RE2 does not — the one dialect divergence that bites)
+    (r"[ \t\r]+", " "),
+    (r"[ ]*\n[ ]*", "\n"),
+    (r"\n\n+", "\n\n"),
+    (r"^[ \n]+", ""),
+    (r"[ \n]+$", ""),
+]
+
+# order matters: &amp; must decode LAST or it re-creates entities
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+]
+
+_HREF_RE = r"""(?i)href[ \t]*=[ \t]*["']([^"'>]+)"""
+
+
+def html_to_text(text: Column) -> Column:
+    """Visible text of an HTML document: comments and
+    script/style/noscript blocks die, block-level closing tags become
+    newlines, remaining tags become spaces, the fixed named-entity set
+    decodes, whitespace collapses.  One codegen chain, no UDF."""
+    out = text
+    for pat, rep in _HTML_STEPS[:7]:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    for pat, rep in _HTML_STEPS[7:]:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def extract_links(text: Column) -> Column:
+    """array<string> of href targets, document order (crawl-graph
+    edges before any parse tree exists)."""
+    return F.regexp_extract_all(text, F.lit(_HREF_RE), 1)
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`html_to_text` — the SAME pattern chain
+    (RE2 ∩ Java dialect) with the 'g' flag RE2 needs for global
+    replacement; newlines spliced as chr(10) so the SQL literal stays
+    escape-free."""
+    out = expr
+    for i, (pat, rep) in enumerate(_HTML_STEPS):
+        rep_sql = "chr(10)" if rep == "\n" else _sql_quote(rep)
+        out = f"regexp_replace({out}, {_sql_quote(pat)}, {rep_sql}, 'g')"
+        if i == 6:  # entities decode between tag-strip and whitespace
+            for ent, ch in _HTML_ENTITIES:
+                out = f"replace({out}, {_sql_quote(ent)}, {_sql_quote(ch)})"
+    return out
+
+
+def extract_links_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`extract_links`."""
+    return f"regexp_extract_all({expr}, {_sql_quote(_HREF_RE)}, 1)"
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return df.withColumns(

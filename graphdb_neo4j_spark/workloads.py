@@ -12737,3 +12737,73 @@ def q217(spark: SparkSession, sf: str) -> DataFrame:
         "content_length",
         F.md5("text").alias("text_md5"),
     )
+
+
+def _q218_html(i: int) -> str:
+    items = "".join(f"<li>item {j}&nbsp;{i}</li>" for j in range(i % 3 + 1))
+    return (
+        f"<html><!-- comment {i} --><head>"
+        f"<script type=text/js>var x = {i} < 3 && {i} > 1;</script>"
+        f"<STYLE>p {{color: red}}</STYLE></head><body>"
+        f"<h1>Title {i}</h1>"
+        f"<p>Para &amp; one {i}</p>"
+        f'<div>link <a href="http://x{i}.example/a">A</a> and '
+        f"<a href='http://x{i}.example/b?q={i}'>B</a></div>"
+        f"<ul>{items}</ul>"
+        f"<br>tail &lt;{i}&gt; &quot;q&quot;</body></html>"
+    )
+
+
+_Q218_DOCS = [(i, _q218_html(i)) for i in range(12)]
+
+
+def _q218_oracle() -> str:
+    from graphdb_neo4j_spark.operators.text import (
+        extract_links_sql,
+        html_to_text_sql,
+    )
+
+    vals = ", ".join(
+        f"({i}, '" + h.replace("'", "''") + "')" for i, h in _Q218_DOCS
+    )
+    txt = html_to_text_sql("html")
+    links = extract_links_sql("html")
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(length({txt}) AS INT) AS text_len,
+           md5({txt}) AS text_md5,
+           CAST(len({links}) AS INT) AS n_links,
+           array_to_string({links}, '|') AS links
+    FROM (VALUES {vals}) AS t(doc_id, html)
+    """
+
+
+@query("q218_html_text_extract", _q218_oracle())
+def q218(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML → TEXT extraction audit under the hash gate: the step
+    between a raw WARC "response" record (q217's container) and text
+    curation.  text.html_to_text is a PURE Catalyst codegen chain —
+    comments/script/style blocks die, block-closing tags become
+    newlines, tags become spaces, the fixed named-entity set decodes
+    (&amp; last, so double-escaped entities decode exactly once),
+    whitespace collapses — and text.extract_links pulls the href
+    crawl-graph edges.  Patterns live in the RE2 ∩ Java-regex common
+    dialect (no \\s — Java's includes \\x0B, RE2's doesn't; no
+    backrefs, no lookaround), so the DuckDB oracle runs the
+    byte-identical chain through a DIFFERENT regex engine and the md5
+    must still agree.
+
+    Scale shape: zero UDF — the whole extraction inlines into
+    whole-stage codegen next to the scan; at 100 TB this is a map-only
+    pass with no Python boundary at all."""
+    from graphdb_neo4j_spark.operators.text import extract_links, html_to_text
+
+    docs = spark.createDataFrame(_Q218_DOCS, "doc_id long, html string")
+    t = html_to_text(F.col("html"))
+    return docs.repartition(4).select(
+        "doc_id",
+        F.length(t).alias("text_len"),
+        F.md5(t).alias("text_md5"),
+        F.size(extract_links(F.col("html"))).alias("n_links"),
+        F.array_join(extract_links(F.col("html")), "|").alias("links"),
+    )
