@@ -9,10 +9,12 @@ is the front door for that shape — input is a binary-payload frame
 ready for the curation pipeline (quality → dedup → pack) or a
 parquet repack.
 
-All four codecs are Python-stdlib (``zlib`` / ``bz2`` / ``lzma``) —
-no environment dependency.  ``zstd`` is an HONEST GATE (stdlib has no
-decoder here): ``strict=True`` raises ``NotImplementedError`` rather
-than silently dropping shards.
+Four codecs are Python-stdlib (``zlib`` / ``bz2`` / ``lzma``); ``zstd``
+— THE Common-Crawl/HF shard codec going forward — decodes through the
+dependency-free RFC 8878 implementation in
+:mod:`graphdb_neo4j_spark.sources.zstd_codec` (frames, FSE, Huffman
+literals, sequences, XXH64 checksums; dictionary frames remain an
+honest ``NotImplementedError`` gate).
 
 Semantics pinned by tests (tests/test_compressed_source.py):
 
@@ -64,7 +66,7 @@ from pyspark.sql.types import (
 if TYPE_CHECKING:  # pragma: no cover
     import pandas
 
-CODECS = ("gzip", "zlib", "bz2", "xz", "none")
+CODECS = ("gzip", "zlib", "bz2", "xz", "zstd", "none")
 
 _CHUNK = 1 << 20  # incremental decompress granularity (1 MiB)
 
@@ -116,10 +118,9 @@ def _new_decompressor(codec: str):
 
         return lambda: lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
     if codec == "zstd":
-        raise NotImplementedError(
-            "zstd decode needs a codec library (zstandard) not present "
-            "in this environment"
-        )
+        from graphdb_neo4j_spark.sources.zstd_codec import ZstdDecompressor
+
+        return ZstdDecompressor
     raise ValueError(f"unknown codec {codec!r} (supported: {CODECS})")
 
 

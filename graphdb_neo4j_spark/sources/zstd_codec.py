@@ -1,0 +1,1746 @@
+"""Dependency-free Zstandard (RFC 8878) decoder + fixture encoder.
+
+Implements the Zstandard frame format from the PUBLIC specification
+(RFC 8878 / zstd format spec v0.3.x) with no third-party codec
+library: frame headers (single-segment and windowed, all FCS widths,
+dictionary-ID fields), skippable frames, raw / RLE / compressed
+blocks, the full compressed-block machinery — FSE table descriptions
+(variable-bit-width normalized counts with zero-repeat flags), FSE
+decoding tables (spread + state-transition construction), Huffman
+literals (direct AND FSE-compressed weight descriptions, 1-stream and
+4-stream layouts, treeless repeat tables), sequence decoding with the
+predefined / RLE / FSE_Compressed / Repeat modes, repeat-offset
+history including the literals_length==0 shift and the rep0-1
+special case — plus XXH64 content checksums.
+
+The ENCODER half exists to build fixtures (this container has no zstd
+library or binary — the reason this codec was previously an honest
+gate): it emits genuinely conformant frames exercising every decoder
+path above, chooses FSE encoder states by inverting the decode table
+(the state chains are constructed backward, then the bit fields are
+written in exact reverse of the decoder's read order), and
+SELF-VERIFIES every frame by decoding it back before returning.
+Compression ratio is a non-goal; conformance and path coverage are.
+
+Conformance posture (documented, honest): with no reference zstd in
+the environment, cross-implementation checks are (a) hand-assembled
+spec-direct frames in tests/test_zstd_codec.py — raw/RLE blocks and a
+fully hand-computed compressed block with RLE-mode sequences — that
+do NOT pass through the encoder, (b) the XXH64 known vector, and
+(c) property-style roundtrips over the feature matrix.  Dictionary
+decoding (dictionary_id != 0) remains an honest NotImplementedError
+gate.
+
+100 TB notes: zstd is THE Common-Crawl/HF-dataset shard codec going
+forward (WET/WARC `.zst`, parquet-zstd side files); this decoder slots
+into sources/compressed.py's single-pass union kernel via the stdlib
+decompressor protocol (eof / unused_data / max_length), so multi-frame
+concatenated shards, the decompression-bomb guard, and the quarantine
+channel all apply unchanged.  Decoding is lazily block-by-block:
+pending plaintext never exceeds one block (≤128 KiB) past the caller's
+pull size, and match history is trimmed to the declared window, so a
+hostile frame cannot force materialization beyond the caller's cap.
+
+No reference-repo parity is implicated (the reference has no
+compressed sources); citations in this module are to RFC 8878 section
+numbers only.
+"""
+
+from __future__ import annotations
+
+MAGIC = 0xFD2FB528
+SKIPPABLE_LO = 0x184D2A50
+SKIPPABLE_HI = 0x184D2A5F
+
+MAX_BLOCK = 128 << 10  # Block_Maximum_Size upper bound (RFC 8878 §3.1.1.2.3)
+MAX_HUF_BITS = 11  # max Huffman code length (§4.2.1)
+MAX_WEIGHT_AL = 6  # max accuracy log for the weights FSE table (§4.2.1.2)
+MAX_LL_AL, MAX_OF_AL, MAX_ML_AL = 9, 8, 9  # §3.1.1.3.2.1.1
+
+
+class ZstdError(ValueError):
+    """Malformed or unsupported zstd data (subclass of ValueError so the
+    compressed-source quarantine channel catches it uniformly)."""
+
+
+# --------------------------------------------------------------- xxhash64
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, lane: int) -> int:
+    acc = (acc + lane * _P2) & _M64
+    return (_rotl(acc, 31) * _P1) & _M64
+
+
+class Xxh64:
+    """Streaming XXH64 per the public xxHash spec (zstd content
+    checksums use the low 32 bits, little-endian; RFC 8878 §3.1.1).
+    Streaming so a checksummed decompression bomb never accumulates its
+    plaintext just to be hashed.  Known vector pinned in tests:
+    xxh64(b"") == 0xEF46DB3751D8E999."""
+
+    def __init__(self, seed: int = 0):
+        self.seed = seed & _M64
+        self.v1 = (seed + _P1 + _P2) & _M64
+        self.v2 = (seed + _P2) & _M64
+        self.v3 = seed & _M64
+        self.v4 = (seed - _P1) & _M64
+        self.buf = bytearray()
+        self.total = 0
+
+    def update(self, data: bytes) -> "Xxh64":
+        self.total += len(data)
+        self.buf += data
+        n = len(self.buf) - (len(self.buf) % 32)
+        view = self.buf[:n]
+        for i in range(0, n, 32):
+            self.v1 = _round(self.v1, int.from_bytes(view[i : i + 8], "little"))
+            self.v2 = _round(self.v2, int.from_bytes(view[i + 8 : i + 16], "little"))
+            self.v3 = _round(self.v3, int.from_bytes(view[i + 16 : i + 24], "little"))
+            self.v4 = _round(self.v4, int.from_bytes(view[i + 24 : i + 32], "little"))
+        del self.buf[:n]
+        return self
+
+    def digest(self) -> int:
+        if self.total >= 32:
+            h = (
+                _rotl(self.v1, 1)
+                + _rotl(self.v2, 7)
+                + _rotl(self.v3, 12)
+                + _rotl(self.v4, 18)
+            ) & _M64
+            for v in (self.v1, self.v2, self.v3, self.v4):
+                h ^= _round(0, v)
+                h = (h * _P1 + _P4) & _M64
+        else:
+            h = (self.seed + _P5) & _M64
+        h = (h + self.total) & _M64
+        tail = bytes(self.buf)
+        i = 0
+        while i + 8 <= len(tail):
+            h ^= _round(0, int.from_bytes(tail[i : i + 8], "little"))
+            h = (_rotl(h, 27) * _P1 + _P4) & _M64
+            i += 8
+        if i + 4 <= len(tail):
+            h ^= (int.from_bytes(tail[i : i + 4], "little") * _P1) & _M64
+            h = (_rotl(h, 23) * _P2 + _P3) & _M64
+            i += 4
+        while i < len(tail):
+            h ^= (tail[i] * _P5) & _M64
+            h = (_rotl(h, 11) * _P1) & _M64
+            i += 1
+        h ^= h >> 33
+        h = (h * _P2) & _M64
+        h ^= h >> 29
+        h = (h * _P3) & _M64
+        h ^= h >> 32
+        return h
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    return Xxh64(seed).update(data).digest()
+
+
+# ---------------------------------------------------------------- bit I/O
+
+
+class BackwardBits:
+    """Reader for zstd's backward bitstreams (§3.1.1.3.2.1.2): fields are
+    written low-bits-first, the stream ends with a 1-bit sentinel in its
+    last byte, and the decoder reads the MOST-recently-written field
+    first.  ``remaining`` may go negative; reads past the start return
+    zero bits in the missing (low) positions — the overflow behavior the
+    interleaved-FSE termination rule depends on."""
+
+    def __init__(self, data: bytes):
+        if not data:
+            raise ZstdError("empty backward bitstream")
+        last = data[-1]
+        if last == 0:
+            raise ZstdError("backward bitstream has no sentinel bit")
+        self.data = data
+        self.pos = (len(data) - 1) * 8 + last.bit_length() - 1  # bits below sentinel
+
+    @property
+    def remaining(self) -> int:
+        return self.pos
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self.pos -= n
+        lo = max(self.pos, 0)
+        pad = lo - self.pos  # bits that fell off the start → zeros
+        byte_lo = lo >> 3
+        byte_hi = (self.pos + n + 7) >> 3
+        chunk = int.from_bytes(self.data[byte_lo:byte_hi], "little")
+        v = (chunk >> (lo - byte_lo * 8)) & ((1 << (n - pad)) - 1)
+        return v << pad
+
+    def peek(self, n: int) -> int:
+        pos = self.pos
+        v = self.read(n)
+        self.pos = pos
+        return v
+
+    def skip(self, n: int) -> None:
+        self.pos -= n
+
+
+class ForwardBits:
+    """Reader for FSE table descriptions (§4.1.1): a forward bitstream in
+    little-endian bit order (bit 0 of byte 0 first)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        v = self.peek(n)
+        self.pos += n
+        return v
+
+    def peek(self, n: int) -> int:
+        byte_lo = self.pos >> 3
+        byte_hi = (self.pos + n + 7) >> 3
+        if byte_hi > len(self.data):
+            # zero-extend: the spec permits the final field to be padded
+            chunk = int.from_bytes(self.data[byte_lo:], "little")
+        else:
+            chunk = int.from_bytes(self.data[byte_lo:byte_hi], "little")
+        return (chunk >> (self.pos - byte_lo * 8)) & ((1 << n) - 1)
+
+    def bytes_consumed(self) -> int:
+        return (self.pos + 7) >> 3
+
+
+class BitWriter:
+    """Writer for both stream kinds.  Fields accumulate low-bits-first
+    (the first-written field occupies the lowest bit positions);
+    ``finish_backward`` appends the sentinel bit, ``finish_forward``
+    zero-pads.  For backward streams, write fields in EXACT REVERSE of
+    the decoder's read order."""
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits < 0 or value < 0 or value >> nbits:
+            raise ZstdError(f"bit-writer field overflow: {value} in {nbits} bits")
+        self.acc |= value << self.n
+        self.n += nbits
+
+    def finish_backward(self) -> bytes:
+        self.acc |= 1 << self.n
+        self.n += 1
+        return self.acc.to_bytes((self.n + 7) >> 3, "little")
+
+    def finish_forward(self) -> bytes:
+        if self.n == 0:
+            return b""
+        return self.acc.to_bytes((self.n + 7) >> 3, "little")
+
+
+# -------------------------------------------------------------------- FSE
+
+
+def fse_build_decode_table(
+    norm: list[int], accuracy_log: int
+) -> list[tuple[int, int, int]]:
+    """Normalized counts → decode table: cell -> (symbol, nb_bits,
+    base_state).  Spread + state-transition construction per RFC 8878
+    §4.1.1: "less than 1" (-1) symbols get one cell each from the table
+    top in ascending symbol order; positive counts spread with step
+    (size>>1)+(size>>3)+3 skipping the top cells; cell i's transition is
+    nb = AL - highbit(x), base = (x << nb) - size for that symbol's
+    x-th occurrence (x counts from its normalized count upward)."""
+    size = 1 << accuracy_log
+    if sum(c if c > 0 else 1 for c in norm if c != 0) != size:
+        raise ZstdError("FSE normalized counts do not sum to table size")
+    symbols = [0] * size
+    high = size - 1
+    for s, c in enumerate(norm):
+        if c == -1:
+            symbols[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, c in enumerate(norm):
+        if c <= 0:
+            continue
+        for _ in range(c):
+            symbols[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ZstdError("FSE table spread did not close")
+    nxt = [c if c > 0 else 1 for c in norm]
+    table: list[tuple[int, int, int]] = []
+    for i in range(size):
+        s = symbols[i]
+        x = nxt[s]
+        nxt[s] += 1
+        nb = accuracy_log - (x.bit_length() - 1)
+        table.append((s, nb, (x << nb) - size))
+    return table
+
+
+def fse_read_ncount(
+    bits: ForwardBits, max_symbol: int, max_accuracy: int
+) -> tuple[list[int], int]:
+    """Read an FSE table description (§4.1.1): 4-bit accuracy_log-5, then
+    variable-width counts with the zero-repeat flag.  Returns (norm,
+    accuracy_log); the reader is left bit-positioned just past the last
+    field (caller byte-aligns via bytes_consumed)."""
+    al = bits.read(4) + 5
+    if al > max_accuracy:
+        raise ZstdError(f"FSE accuracy log {al} exceeds max {max_accuracy}")
+    size = 1 << al
+    remaining = size + 1
+    threshold = size
+    nbits = al + 1
+    norm: list[int] = []
+    while remaining > 1:
+        if len(norm) > max_symbol:
+            raise ZstdError("FSE table description has too many symbols")
+        max_small = (threshold << 1) - 1 - remaining
+        v = bits.peek(nbits)
+        if (v & (threshold - 1)) < max_small:
+            bits.pos += nbits - 1
+            count = v & (threshold - 1)
+        else:
+            bits.pos += nbits
+            count = v & ((threshold << 1) - 1)
+            if count >= threshold:
+                count -= max_small
+        proba = count - 1
+        norm.append(proba)
+        remaining -= 1 if proba == -1 else proba
+        if proba == 0:
+            while True:
+                rep = bits.read(2)
+                norm.extend([0] * (3 if rep == 3 else rep))
+                if rep != 3:
+                    break
+        while 1 < remaining < threshold:
+            nbits -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise ZstdError("FSE table description overshoots table size")
+    return norm, al
+
+
+def fse_write_ncount(norm: list[int], accuracy_log: int) -> bytes:
+    """Inverse of :func:`fse_read_ncount` (mirrors FSE_writeNCount's
+    state machine); self-verified by reading back."""
+    size = 1 << accuracy_log
+    w = BitWriter()
+    w.write(accuracy_log - 5, 4)
+    remaining = size + 1
+    threshold = size
+    nbits = accuracy_log + 1
+    i = 0
+    while remaining > 1:
+        if i >= len(norm):
+            raise ZstdError("FSE ncount writer ran out of symbols")
+        proba = norm[i]
+        i += 1
+        max_small = (threshold << 1) - 1 - remaining
+        count = proba + 1
+        if count >= threshold:
+            count += max_small
+        if count < max_small:
+            w.write(count, nbits - 1)
+        else:
+            w.write(count, nbits)
+        remaining -= 1 if proba == -1 else proba
+        if proba == 0:
+            # count the zero run that follows
+            run = 0
+            while i < len(norm) and norm[i] == 0:
+                run += 1
+                i += 1
+            while run >= 3:
+                w.write(3, 2)
+                run -= 3
+            w.write(run, 2)
+        while 1 < remaining < threshold:
+            nbits -= 1
+            threshold >>= 1
+    out = w.finish_forward()
+    got, al = fse_read_ncount(ForwardBits(out), 255, accuracy_log)
+    want = list(norm[:i])
+    if al != accuracy_log or got != want:
+        raise ZstdError("FSE ncount writer self-check failed")
+    return out
+
+
+def _fse_symbol_cells(
+    table: list[tuple[int, int, int]],
+) -> dict[int, list[int]]:
+    """symbol -> list of cell indices (ascending) — the encoder-side view."""
+    cells: dict[int, list[int]] = {}
+    for i, (s, _nb, _base) in enumerate(table):
+        cells.setdefault(s, []).append(i)
+    return cells
+
+
+def _fse_prev_cell(
+    table: list[tuple[int, int, int]],
+    cells: dict[int, list[int]],
+    symbol: int,
+    next_index: int,
+) -> tuple[int, int, int]:
+    """The unique cell of ``symbol`` whose transition range contains
+    ``next_index``; returns (cell_index, bits_value, nb_bits)."""
+    for c in cells.get(symbol, ()):
+        _s, nb, base = table[c]
+        if base <= next_index < base + (1 << nb):
+            return c, next_index - base, nb
+    raise ZstdError(f"no FSE cell of symbol {symbol} reaches state {next_index}")
+
+
+def fse_chain_states(
+    table: list[tuple[int, int, int]],
+    cells: dict[int, list[int]],
+    symbols: list[int],
+    last_cell: int | None = None,
+) -> tuple[list[int], list[tuple[int, int]]]:
+    """Backward state-chain construction for one FSE chain: returns
+    (state_indices aligned with symbols, update_bits[i] = (value, nb)
+    read by the decoder AFTER emitting symbols[i])."""
+    n = len(symbols)
+    states = [0] * n
+    if last_cell is None:
+        last_cell = cells[symbols[-1]][0]
+    states[-1] = last_cell
+    upd: list[tuple[int, int]] = [(0, 0)] * max(n - 1, 0)
+    for i in range(n - 2, -1, -1):
+        c, val, nb = _fse_prev_cell(table, cells, symbols[i], states[i + 1])
+        states[i] = c
+        upd[i] = (val, nb)
+    return states, upd
+
+
+def fse_decode_interleaved2(
+    data: bytes, table: list[tuple[int, int, int]], accuracy_log: int, max_symbols: int
+) -> list[int]:
+    """Two-state interleaved FSE stream (Huffman weights, §4.2.1.2):
+    init state1 then state2 (accuracy_log bits each), alternate decodes;
+    when a state update overruns the stream, emit the OTHER state's
+    symbol and stop."""
+    bits = BackwardBits(data)
+    s1 = bits.read(accuracy_log)
+    s2 = bits.read(accuracy_log)
+    if bits.remaining < 0:
+        raise ZstdError("FSE weights stream too short for initial states")
+    out: list[int] = []
+    while True:
+        if len(out) > max_symbols:
+            raise ZstdError("FSE weights stream decodes too many symbols")
+        sym, nb, base = table[s1]
+        out.append(sym)
+        s1 = base + bits.read(nb)
+        if bits.remaining < 0:
+            out.append(table[s2][0])
+            break
+        sym, nb, base = table[s2]
+        out.append(sym)
+        s2 = base + bits.read(nb)
+        if bits.remaining < 0:
+            out.append(table[s1][0])
+            break
+    if len(out) > max_symbols:
+        raise ZstdError("FSE weights stream decodes too many symbols")
+    return out
+
+
+def fse_encode_interleaved2(
+    symbols: list[int], norm: list[int], accuracy_log: int
+) -> bytes:
+    """Encode ``symbols`` so :func:`fse_decode_interleaved2` reproduces
+    them exactly.  Chain1 carries even indices, chain2 odd; each chain's
+    final symbol is emitted by the decoder's overflow peek, so its cell
+    is free — chosen with nb>0 so the stream terminates.  Self-verified."""
+    n = len(symbols)
+    if n < 2:
+        raise ZstdError("interleaved FSE needs at least 2 symbols")
+    table = fse_build_decode_table(norm, accuracy_log)
+    if all(nb == 0 for _s, nb, _b in table):
+        raise ZstdError(
+            "single-symbol FSE table consumes no bits and cannot terminate"
+        )
+    cells = _fse_symbol_cells(table)
+
+    def pick_last(sym: int) -> int:
+        for c in cells[sym]:
+            if table[c][1] > 0:
+                return c
+        return cells[sym][0]
+
+    chain1, chain2 = symbols[0::2], symbols[1::2]
+    st1, upd1 = fse_chain_states(table, cells, chain1, pick_last(chain1[-1]))
+    st2, upd2 = fse_chain_states(table, cells, chain2, pick_last(chain2[-1]))
+    # decoder read order: init1, init2, then updates for symbols[0..n-3]
+    reads: list[tuple[int, int]] = [
+        (st1[0], accuracy_log),
+        (st2[0], accuracy_log),
+    ]
+    for i in range(n - 2):
+        reads.append((upd1[i // 2] if i % 2 == 0 else upd2[i // 2]))
+    w = BitWriter()
+    for val, nb in reversed(reads):
+        w.write(val, nb)
+    out = w.finish_backward()
+    if fse_decode_interleaved2(out, table, accuracy_log, 256) != symbols:
+        raise ZstdError("interleaved FSE encoder self-check failed")
+    return out
+
+
+def normalize_counts(
+    hist: dict[int, int], accuracy_log: int, max_symbol: int
+) -> list[int]:
+    """Histogram → normalized counts summing to 2^accuracy_log, with -1
+    for present-but-rare symbols.  Fixture-grade largest-remainder
+    normalization; validity (not optimality) is what matters."""
+    size = 1 << accuracy_log
+    total = sum(hist.values())
+    if total == 0:
+        raise ZstdError("cannot normalize an empty histogram")
+    norm = [0] * (max_symbol + 1)
+    assigned = 0
+    fracs: list[tuple[float, int]] = []
+    for s, c in hist.items():
+        if c == 0:
+            continue
+        exact = c * size / total
+        if exact < 1.0:
+            norm[s] = -1
+            assigned += 1
+        else:
+            norm[s] = int(exact)
+            assigned += norm[s]
+            fracs.append((exact - norm[s], s))
+    fracs.sort(reverse=True)
+    i = 0
+    while assigned < size and fracs:
+        _f, s = fracs[i % len(fracs)]
+        norm[s] += 1
+        assigned += 1
+        i += 1
+    while assigned > size:
+        # shave from the largest positive count that stays >= 1
+        s = max(
+            (s for s in range(len(norm)) if norm[s] > 1),
+            key=lambda s: norm[s],
+            default=None,
+        )
+        if s is None:
+            raise ZstdError("normalization cannot reach table size")
+        norm[s] -= 1
+        assigned -= 1
+    while norm and norm[-1] == 0:
+        norm.pop()
+    return norm
+
+
+# ---------------------------------------------------------------- Huffman
+
+
+def huf_build_dtable(weights: list[int]) -> tuple[list[tuple[int, int]], int]:
+    """Weights (including the implied last one) → (table, max_bits) where
+    table[peek(max_bits)] = (symbol, nb_bits).  Weight w>0 ⇒ nb =
+    max_bits+1-w and the symbol fills 2^(w-1) consecutive cells; fill
+    order is weight-ascending then symbol-ascending (RFC 8878 §4.2.1)."""
+    total = sum(1 << (w - 1) for w in weights if w > 0)
+    if total == 0 or total & (total - 1):
+        raise ZstdError("Huffman weights do not sum to a power of two")
+    max_bits = total.bit_length() - 1
+    if max_bits > MAX_HUF_BITS:
+        raise ZstdError(f"Huffman max bits {max_bits} exceeds {MAX_HUF_BITS}")
+    table: list[tuple[int, int]] = [(0, 0)] * total
+    idx = 0
+    for w in range(1, max_bits + 1):
+        for sym, sw in enumerate(weights):
+            if sw == w:
+                n = 1 << (w - 1)
+                table[idx : idx + n] = [(sym, max_bits + 1 - w)] * n
+                idx += n
+    if idx != total:
+        raise ZstdError("Huffman table fill incomplete")
+    return table, max_bits
+
+
+def huf_complete_weights(partial: list[int]) -> list[int]:
+    """Append the implied last weight (§4.2.1.1): explicit weights sum S
+    (as 2^(w-1)); the last symbol's weight completes S to the next power
+    of two."""
+    s = sum(1 << (w - 1) for w in partial if w > 0)
+    if s == 0:
+        raise ZstdError("all-zero explicit Huffman weights")
+    nxt = 1 << s.bit_length()  # smallest power of two > s
+    rest = nxt - s
+    if rest & (rest - 1):
+        raise ZstdError("implied Huffman weight is not a power of two")
+    return partial + [rest.bit_length()]
+
+
+def huf_read_tree(data: bytes) -> tuple[list[int], int]:
+    """Huffman tree description (§4.2.1.1/.2) → (full weights incl.
+    implied last symbol, bytes consumed).  Header byte ≥128: direct
+    4-bit weights (high nibble first); <128: FSE-compressed weights of
+    that many bytes."""
+    if not data:
+        raise ZstdError("empty Huffman tree description")
+    h = data[0]
+    if h >= 128:
+        n = h - 127
+        nbytes = (n + 1) // 2
+        if len(data) < 1 + nbytes:
+            raise ZstdError("truncated direct Huffman weights")
+        partial = []
+        for i in range(n):
+            b = data[1 + i // 2]
+            partial.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        consumed = 1 + nbytes
+    else:
+        if len(data) < 1 + h:
+            raise ZstdError("truncated FSE Huffman weights")
+        payload = data[1 : 1 + h]
+        fwd = ForwardBits(payload)
+        norm, al = fse_read_ncount(fwd, 255, MAX_WEIGHT_AL)
+        table = fse_build_decode_table(norm, al)
+        stream = payload[fwd.bytes_consumed() :]
+        partial = fse_decode_interleaved2(stream, table, al, 255)
+        consumed = 1 + h
+    for w in partial:
+        if w > MAX_HUF_BITS:
+            raise ZstdError(f"Huffman weight {w} exceeds {MAX_HUF_BITS}")
+    return huf_complete_weights(partial), consumed
+
+
+def huf_write_tree(weights: list[int], mode: str = "direct") -> bytes:
+    """Serialize FULL weights (the last entry becomes implied).  ``mode``
+    'direct' (4-bit nibbles) or 'fse' (FSE-compressed).  Self-verified."""
+    partial = weights[:-1]
+    if mode == "direct":
+        if len(partial) > 128:
+            raise ZstdError("direct weights limited to 128 symbols")
+        out = bytearray([127 + len(partial)])
+        for i in range(0, len(partial), 2):
+            hi = partial[i] << 4
+            lo = partial[i + 1] if i + 1 < len(partial) else 0
+            out.append(hi | lo)
+        blob = bytes(out)
+    elif mode == "fse":
+        hist: dict[int, int] = {}
+        for w in partial:
+            hist[w] = hist.get(w, 0) + 1
+        norm = normalize_counts(hist, MAX_WEIGHT_AL, max(partial))
+        desc = fse_write_ncount(norm, MAX_WEIGHT_AL)
+        stream = fse_encode_interleaved2(partial, norm, MAX_WEIGHT_AL)
+        if len(desc) + len(stream) >= 128:
+            raise ZstdError("FSE weight description too large")
+        blob = bytes([len(desc) + len(stream)]) + desc + stream
+    else:
+        raise ZstdError(f"unknown tree mode {mode!r}")
+    got, consumed = huf_read_tree(blob)
+    if consumed != len(blob) or got != weights:
+        raise ZstdError("Huffman tree writer self-check failed")
+    return blob
+
+
+def huf_decode_stream(
+    data: bytes, table: list[tuple[int, int]], max_bits: int, count: int
+) -> bytes:
+    """One Huffman bitstream (backward): peek max_bits, emit, consume the
+    code's nb; exactly ``count`` symbols then exactly zero bits left."""
+    if count == 0:
+        if data not in (b"", b"\x01"):
+            raise ZstdError("nonempty Huffman stream for zero symbols")
+        return b""
+    bits = BackwardBits(data)
+    out = bytearray()
+    for _ in range(count):
+        if bits.remaining <= 0:
+            raise ZstdError("Huffman stream exhausted early")
+        sym, nb = table[bits.peek(max_bits)]
+        bits.skip(nb)
+        out.append(sym)
+    if bits.remaining != 0:
+        raise ZstdError("Huffman stream not fully consumed")
+    return bytes(out)
+
+
+def huf_codes(weights: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code_value, nb_bits) matching :func:`huf_build_dtable`:
+    the symbol whose cells start at idx has code idx >> (max_bits-nb)."""
+    table, max_bits = huf_build_dtable(weights)
+    codes: dict[int, tuple[int, int]] = {}
+    i = 0
+    while i < len(table):
+        sym, nb = table[i]
+        codes[sym] = (i >> (max_bits - nb), nb)
+        i += 1 << (max_bits - nb)
+    return codes
+
+
+def huf_encode_stream(symbols: bytes, codes: dict[int, tuple[int, int]]) -> bytes:
+    """Write codes so the decoder reads symbol 0 first: fields in reverse
+    symbol order, then the sentinel."""
+    w = BitWriter()
+    for s in reversed(symbols):
+        v, nb = codes[s]
+        w.write(v, nb)
+    return w.finish_backward()
+
+
+def huf_code_lengths(freqs: dict[int, int], shape: str = "balanced") -> list[int]:
+    """Fixture-grade code lengths → weights.  'balanced': lengths L-1/L
+    via the Kraft-exact split (m = 2^L - n symbols get L-1 bits);
+    'ladder': lengths 1,2,…,k-1,k,k — exercises deep tables.  Returns
+    FULL weights indexed by symbol (0 = absent)."""
+    syms = sorted(freqs, key=lambda s: (-freqs[s], s))
+    n = len(syms)
+    if n < 2:
+        raise ZstdError("Huffman needs at least 2 distinct symbols")
+    if shape == "ladder" and n <= MAX_HUF_BITS:
+        lengths = list(range(1, n)) + [n - 1]
+    else:
+        big = max(1, (n - 1).bit_length())
+        m = (1 << big) - n  # symbols promoted to big-1 bits
+        lengths = [big - 1] * m + [big] * (n - m) if m else [big] * n
+    if len(set(lengths)) == 1 and n > 128:
+        # full uniform alphabet: single-valued weights can be neither
+        # direct-coded (>128 symbols) nor FSE-coded (a one-symbol FSE
+        # table never terminates).  Kraft-preserving tweak: promote the
+        # most frequent symbol one bit, demote the two rarest one bit.
+        lengths[0] -= 1
+        lengths[-1] += 1
+        lengths[-2] += 1
+    max_len = max(lengths)
+    weights = [0] * (max(syms) + 1)
+    for s, ln in zip(syms, lengths):
+        weights[s] = max_len + 1 - ln
+    return weights
+
+
+# -------------------------------------------------- sequence code tables
+
+LL_BASE = [
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+    2048, 4096, 8192, 16384, 32768, 65536,
+]
+LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+
+ML_BASE = list(range(3, 35)) + [
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539,
+]
+ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+
+# Predefined distributions (RFC 8878 §3.1.1.3.2.2)
+LL_DEFAULT_NORM = [
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1,
+]
+ML_DEFAULT_NORM = [
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1, -1, -1,
+]
+OF_DEFAULT_NORM = [
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1,
+]
+LL_DEFAULT_AL, ML_DEFAULT_AL, OF_DEFAULT_AL = 6, 6, 5
+
+
+def ll_code(v: int) -> int:
+    if v < 16:
+        return v
+    for c in range(len(LL_BASE) - 1, 15, -1):
+        if v >= LL_BASE[c]:
+            return c
+    raise ZstdError(f"bad literal length {v}")
+
+
+def ml_code(v: int) -> int:
+    if v < 3:
+        raise ZstdError(f"match length {v} below minimum 3")
+    if v < 35:
+        return v - 3
+    for c in range(len(ML_BASE) - 1, 31, -1):
+        if v >= ML_BASE[c]:
+            return c
+    raise ZstdError(f"bad match length {v}")
+
+
+def _rle_table(symbol: int) -> list[tuple[int, int, int]]:
+    """RLE sequence mode: a one-cell table at accuracy log 0 — state
+    inits and updates read zero bits and always yield ``symbol``."""
+    return [(symbol, 0, 0)]
+
+
+class _SeqTables:
+    """Per-frame retained decoding state: the last Huffman table (for
+    Treeless literals) and the last LL/OF/ML tables (for Repeat mode),
+    plus the repeat-offset history (§3.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.huf: tuple[list[tuple[int, int]], int] | None = None
+        self.ll: tuple[list[tuple[int, int, int]], int] | None = None
+        self.of: tuple[list[tuple[int, int, int]], int] | None = None
+        self.ml: tuple[list[tuple[int, int, int]], int] | None = None
+        self.rep = [1, 4, 8]
+
+
+def _decode_literals(
+    block: bytes, st: _SeqTables
+) -> tuple[bytes, int]:
+    """Literals section (§3.1.1.3.1) → (literals, bytes consumed)."""
+    if not block:
+        raise ZstdError("empty compressed block")
+    h0 = block[0]
+    lit_type = h0 & 3
+    sf = (h0 >> 2) & 3
+    if lit_type in (0, 1):  # Raw / RLE
+        if sf & 1 == 0:
+            regen, off = h0 >> 3, 1
+        elif sf == 1:
+            if len(block) < 2:
+                raise ZstdError("truncated literals header")
+            regen, off = int.from_bytes(block[:2], "little") >> 4, 2
+        else:
+            if len(block) < 3:
+                raise ZstdError("truncated literals header")
+            regen, off = int.from_bytes(block[:3], "little") >> 4, 3
+        if lit_type == 0:
+            if len(block) < off + regen:
+                raise ZstdError("truncated raw literals")
+            return block[off : off + regen], off + regen
+        if len(block) < off + 1:
+            raise ZstdError("truncated RLE literals")
+        return block[off : off + 1] * regen, off + 1
+    # Compressed (2) / Treeless (3)
+    if sf == 0:
+        nstreams, hbytes, fbits = 1, 3, 10
+    elif sf == 1:
+        nstreams, hbytes, fbits = 4, 3, 10
+    elif sf == 2:
+        nstreams, hbytes, fbits = 4, 4, 14
+    else:
+        nstreams, hbytes, fbits = 4, 5, 18
+    if len(block) < hbytes:
+        raise ZstdError("truncated literals header")
+    v = int.from_bytes(block[:hbytes], "little")
+    regen = (v >> 4) & ((1 << fbits) - 1)
+    comp = (v >> (4 + fbits)) & ((1 << fbits) - 1)
+    body = block[hbytes : hbytes + comp]
+    if len(body) < comp:
+        raise ZstdError("truncated compressed literals")
+    pos = 0
+    if lit_type == 2:
+        weights, consumed = huf_read_tree(body)
+        st.huf = huf_build_dtable(weights)
+        pos = consumed
+    elif st.huf is None:
+        raise ZstdError("treeless literals with no previous Huffman table")
+    table, max_bits = st.huf
+    if nstreams == 1:
+        lits = huf_decode_stream(body[pos:], table, max_bits, regen)
+    else:
+        if len(body) < pos + 6:
+            raise ZstdError("truncated literals jump table")
+        s1 = int.from_bytes(body[pos : pos + 2], "little")
+        s2 = int.from_bytes(body[pos + 2 : pos + 4], "little")
+        s3 = int.from_bytes(body[pos + 4 : pos + 6], "little")
+        pos += 6
+        total = len(body) - pos
+        s4 = total - s1 - s2 - s3
+        if s4 < 0:
+            raise ZstdError("literals jump table exceeds section size")
+        per = (regen + 3) >> 2
+        counts = [per, per, per, regen - 3 * per]
+        if counts[3] < 0:
+            raise ZstdError("4-stream literals with regenerated size < 3")
+        parts = []
+        for size, cnt in zip((s1, s2, s3, s4), counts):
+            parts.append(huf_decode_stream(body[pos : pos + size], table, max_bits, cnt))
+            pos += size
+        lits = b"".join(parts)
+    if len(lits) != regen:
+        raise ZstdError("literals regenerated size mismatch")
+    return lits, hbytes + comp
+
+
+def _read_seq_table(
+    mode: int,
+    data: bytes,
+    pos: int,
+    default_norm: list[int],
+    default_al: int,
+    max_al: int,
+    max_symbol: int,
+    prev: tuple[list[tuple[int, int, int]], int] | None,
+) -> tuple[tuple[list[tuple[int, int, int]], int], int]:
+    """One symbol-compression-mode table (§3.1.1.3.2.1.1) →
+    ((table, accuracy_log), new pos)."""
+    if mode == 0:  # Predefined
+        return (fse_build_decode_table(default_norm, default_al), default_al), pos
+    if mode == 1:  # RLE
+        if pos >= len(data):
+            raise ZstdError("truncated RLE sequence table")
+        sym = data[pos]
+        if sym > max_symbol:
+            raise ZstdError(f"RLE sequence symbol {sym} out of range")
+        return (_rle_table(sym), 0), pos + 1
+    if mode == 2:  # FSE_Compressed
+        fwd = ForwardBits(data[pos:])
+        norm, al = fse_read_ncount(fwd, max_symbol, max_al)
+        return (fse_build_decode_table(norm, al), al), pos + fwd.bytes_consumed()
+    if prev is None:  # Repeat
+        raise ZstdError("repeat sequence mode with no previous table")
+    return prev, pos
+
+
+def _decode_sequences(
+    data: bytes, st: _SeqTables
+) -> list[tuple[int, int, int]]:
+    """Sequences section (§3.1.1.3.2) → [(literal_length, offset_value,
+    match_length)].  Bitstream init order LL,OF,ML; per-sequence reads
+    OF extra, ML extra, LL extra; state updates LL,ML,OF (skipped after
+    the last sequence)."""
+    if not data:
+        raise ZstdError("missing sequences section")
+    b0 = data[0]
+    if b0 == 0:
+        if len(data) != 1:
+            raise ZstdError("trailing bytes after empty sequences section")
+        return []
+    if b0 < 128:
+        nseq, pos = b0, 1
+    elif b0 < 255:
+        if len(data) < 2:
+            raise ZstdError("truncated sequence count")
+        nseq, pos = ((b0 - 128) << 8) + data[1], 2
+    else:
+        if len(data) < 3:
+            raise ZstdError("truncated sequence count")
+        nseq, pos = data[1] + (data[2] << 8) + 0x7F00, 3
+    if pos >= len(data):
+        raise ZstdError("truncated sequence modes byte")
+    modes = data[pos]
+    pos += 1
+    if modes & 3:
+        raise ZstdError("reserved sequence mode bits set")
+    ll_mode, of_mode, ml_mode = (modes >> 6) & 3, (modes >> 4) & 3, (modes >> 2) & 3
+    st.ll, pos = _read_seq_table(
+        ll_mode, data, pos, LL_DEFAULT_NORM, LL_DEFAULT_AL, MAX_LL_AL, 35, st.ll
+    )
+    st.of, pos = _read_seq_table(
+        of_mode, data, pos, OF_DEFAULT_NORM, OF_DEFAULT_AL, MAX_OF_AL, 31, st.of
+    )
+    st.ml, pos = _read_seq_table(
+        ml_mode, data, pos, ML_DEFAULT_NORM, ML_DEFAULT_AL, MAX_ML_AL, 52, st.ml
+    )
+    bits = BackwardBits(data[pos:])
+    (ll_t, ll_al), (of_t, of_al), (ml_t, ml_al) = st.ll, st.of, st.ml
+    ll_s = bits.read(ll_al)
+    of_s = bits.read(of_al)
+    ml_s = bits.read(ml_al)
+    if bits.remaining < 0:
+        raise ZstdError("sequence bitstream too short for initial states")
+    out: list[tuple[int, int, int]] = []
+    for i in range(nseq):
+        of_code = of_t[of_s][0]
+        ml_c = ml_t[ml_s][0]
+        ll_c = ll_t[ll_s][0]
+        if of_code > 31 or ml_c > 52 or ll_c > 35:
+            raise ZstdError("sequence code out of range")
+        offset_value = (1 << of_code) + bits.read(of_code)
+        ml = ML_BASE[ml_c] + bits.read(ML_BITS[ml_c])
+        ll = LL_BASE[ll_c] + bits.read(LL_BITS[ll_c])
+        if bits.remaining < 0:
+            raise ZstdError("sequence bitstream exhausted mid-sequence")
+        out.append((ll, offset_value, ml))
+        if i != nseq - 1:
+            _s, nb, base = ll_t[ll_s]
+            ll_s = base + bits.read(nb)
+            _s, nb, base = ml_t[ml_s]
+            ml_s = base + bits.read(nb)
+            _s, nb, base = of_t[of_s]
+            of_s = base + bits.read(nb)
+            if bits.remaining < 0:
+                raise ZstdError("sequence bitstream exhausted mid-update")
+    if bits.remaining != 0:
+        raise ZstdError("sequence bitstream not fully consumed")
+    return out
+
+
+def _resolve_offset(offset_value: int, ll: int, rep: list[int]) -> int:
+    """Repeat-offset logic (§3.1.1.5): values 1-3 address the history
+    (shifted when literal_length == 0, with rep0-1 as the third slot);
+    values > 3 are offset_value - 3."""
+    if offset_value > 3:
+        off = offset_value - 3
+        rep[2] = rep[1]
+        rep[1] = rep[0]
+        rep[0] = off
+        return off
+    idx = offset_value - 1 + (1 if ll == 0 else 0)
+    if idx == 0:
+        return rep[0]
+    if idx == 1:
+        off = rep[1]
+        rep[1] = rep[0]
+        rep[0] = off
+    elif idx == 2:
+        off = rep[2]
+        rep[2] = rep[1]
+        rep[1] = rep[0]
+        rep[0] = off
+    else:  # idx == 3: literal_length == 0 and offset_value == 3
+        off = rep[0] - 1
+        if off <= 0:
+            raise ZstdError("repeat offset underflow (rep0 - 1 == 0)")
+        rep[2] = rep[1]
+        rep[1] = rep[0]
+        rep[0] = off
+    return off
+
+
+def _execute_sequences(
+    literals: bytes,
+    seqs: list[tuple[int, int, int]],
+    history: bytearray,
+    rep: list[int],
+) -> bytes:
+    """Sequence execution (§3.1.1.4): copy literals, then the
+    (possibly overlapping) match from the window; leftover literals
+    flush after the last sequence.  ``history`` is the frame window
+    BEFORE this block (not mutated here)."""
+    out = bytearray()
+    lit_pos = 0
+    hist_len = len(history)
+    for ll, ofv, ml in seqs:
+        if lit_pos + ll > len(literals):
+            raise ZstdError("sequence literal run exceeds literals section")
+        out += literals[lit_pos : lit_pos + ll]
+        lit_pos += ll
+        off = _resolve_offset(ofv, ll, rep)
+        if off > hist_len + len(out):
+            raise ZstdError("match offset beyond window start")
+        # source position relative to the concatenated (history + out)
+        start = hist_len + len(out) - off
+        if start + ml <= hist_len:
+            out += history[start : start + ml]
+        else:
+            need = ml
+            pos = start
+            while need:
+                if pos < hist_len:
+                    take = min(need, hist_len - pos)
+                    out += history[pos : pos + take]
+                else:
+                    p = pos - hist_len
+                    avail = len(out) - p
+                    if avail <= 0:
+                        raise ZstdError("match source ahead of write head")
+                    take = min(need, avail)
+                    out += out[p : p + take]
+                pos += take
+                need -= take
+    out += literals[lit_pos:]
+    return bytes(out)
+
+
+# ------------------------------------------------------------- frame layer
+
+
+class _FrameHeader:
+    __slots__ = ("window", "content_size", "checksum", "header_len")
+
+    def __init__(self, window: int, content_size: int | None, checksum: bool, header_len: int):
+        self.window = window
+        self.content_size = content_size
+        self.checksum = checksum
+        self.header_len = header_len
+
+
+def _parse_frame_header(data: bytes, max_window: int) -> _FrameHeader:
+    """Frame header after the magic (§3.1.1.1).  Returns sizes; raises
+    on reserved bits, oversized windows, and (honest gate) dictionaries."""
+    if not data:
+        raise ZstdError("truncated frame header descriptor")
+    fhd = data[0]
+    fcs_flag = fhd >> 6
+    single = (fhd >> 5) & 1
+    if (fhd >> 3) & 1:
+        raise ZstdError("reserved frame header bit set")
+    checksum = bool((fhd >> 2) & 1)
+    did_flag = fhd & 3
+    pos = 1
+    window = None
+    if not single:
+        if len(data) < pos + 1:
+            raise ZstdError("truncated window descriptor")
+        wd = data[pos]
+        pos += 1
+        wlog = 10 + (wd >> 3)
+        wbase = 1 << wlog
+        window = wbase + (wbase >> 3) * (wd & 7)
+    did_len = (0, 1, 2, 4)[did_flag]
+    if did_len:
+        if len(data) < pos + did_len:
+            raise ZstdError("truncated dictionary id")
+        did = int.from_bytes(data[pos : pos + did_len], "little")
+        pos += did_len
+        if did != 0:
+            raise NotImplementedError(
+                "zstd dictionary decoding is not supported (dictionary_id="
+                f"{did}); only dictionary-less frames decode"
+            )
+    fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
+    content_size: int | None = None
+    if fcs_len:
+        if len(data) < pos + fcs_len:
+            raise ZstdError("truncated frame content size")
+        content_size = int.from_bytes(data[pos : pos + fcs_len], "little")
+        if fcs_len == 2:
+            content_size += 256
+        pos += fcs_len
+    if single:
+        if content_size is None:
+            raise ZstdError("single-segment frame without content size")
+        window = content_size
+    if window is None:
+        raise ZstdError("frame declares no window")
+    if window > max_window:
+        raise ZstdError(
+            f"frame window {window} exceeds decoder limit {max_window}"
+        )
+    return _FrameHeader(window, content_size, checksum, pos)
+
+
+class ZstdDecompressor:
+    """One-frame incremental decoder speaking the stdlib decompressor
+    protocol (``decompress(data, max_length)`` / ``eof`` /
+    ``unused_data``), so sources/compressed.py's multi-member loop and
+    decompression-bomb guard apply unchanged.  Blocks decode lazily —
+    at most one block (≤128 KiB) beyond the caller's pull size is ever
+    pending — and the match window is trimmed to the declared window
+    size, so plaintext never materializes past the caller's cap."""
+
+    def __init__(self, max_window: int = 1 << 27):
+        self._in = bytearray()
+        self._out = bytearray()
+        self._max_window = max_window
+        self._hdr: _FrameHeader | None = None
+        self._skippable_left: int | None = None
+        self._magic_done = False
+        self._last_block = False
+        self._frame_done = False
+        self._produced = 0
+        self._history = bytearray()
+        self._tables = _SeqTables()
+        self._xxh = Xxh64()
+        self.eof = False
+        self.unused_data = b""
+
+    # -- internal ---------------------------------------------------------
+
+    def _step(self) -> bool:
+        """Decode one parsing step; True if progress was made."""
+        if self._frame_done:
+            return False
+        buf = self._in
+        if self._skippable_left is not None:
+            take = min(self._skippable_left, len(buf))
+            del buf[:take]
+            self._skippable_left -= take
+            if self._skippable_left == 0:
+                self._finish_frame(verify=False)
+            return take > 0
+        if not self._magic_done:
+            if len(buf) < 4:
+                return False
+            magic = int.from_bytes(buf[:4], "little")
+            if SKIPPABLE_LO <= magic <= SKIPPABLE_HI:
+                if len(buf) < 8:
+                    return False
+                self._skippable_left = int.from_bytes(buf[4:8], "little")
+                del buf[:8]
+                self._magic_done = True
+                if self._skippable_left == 0:
+                    self._finish_frame(verify=False)
+                return True
+            if magic != MAGIC:
+                raise ZstdError(f"bad zstd magic 0x{magic:08X}")
+            del buf[:4]
+            self._magic_done = True
+            return True
+        if self._hdr is None:
+            try:
+                hdr = _parse_frame_header(bytes(buf), self._max_window)
+            except ZstdError as e:
+                if "truncated" in str(e) and len(buf) < 14:
+                    return False  # plausibly incomplete header: wait
+                raise
+            del buf[: hdr.header_len]
+            self._hdr = hdr
+            return True
+        if self._last_block:
+            # only the checksum (if any) remains
+            if self._hdr.checksum:
+                if len(buf) < 4:
+                    return False
+                want = int.from_bytes(buf[:4], "little")
+                del buf[:4]
+                got = self._xxh.digest() & 0xFFFFFFFF
+                if got != want:
+                    raise ZstdError(
+                        f"content checksum mismatch: {got:08x} != {want:08x}"
+                    )
+            self._finish_frame(verify=True)
+            return True
+        if len(buf) < 3:
+            return False
+        bh = int.from_bytes(buf[:3], "little")
+        last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+        if btype == 3:
+            raise ZstdError("reserved block type")
+        if btype == 1:  # RLE: bsize = regenerated size, content = 1 byte
+            if len(buf) < 4:
+                return False
+            if bsize > min(self._hdr.window or MAX_BLOCK, MAX_BLOCK):
+                raise ZstdError("RLE block exceeds block size limit")
+            self._emit(buf[3:4] * bsize)
+            del buf[:4]
+        elif btype == 0:  # Raw
+            if len(buf) < 3 + bsize:
+                return False
+            if bsize > min(self._hdr.window or MAX_BLOCK, MAX_BLOCK):
+                raise ZstdError("raw block exceeds block size limit")
+            self._emit(bytes(buf[3 : 3 + bsize]))
+            del buf[: 3 + bsize]
+        else:  # Compressed
+            if bsize > MAX_BLOCK:
+                raise ZstdError("compressed block exceeds 128 KiB limit")
+            if len(buf) < 3 + bsize:
+                return False
+            block = bytes(buf[3 : 3 + bsize])
+            literals, consumed = _decode_literals(block, self._tables)
+            seqs = _decode_sequences(block[consumed:], self._tables)
+            regen = _execute_sequences(
+                literals, seqs, self._history, self._tables.rep
+            )
+            if len(regen) > min(self._hdr.window or MAX_BLOCK, MAX_BLOCK):
+                raise ZstdError("block regenerates beyond block size limit")
+            self._emit(regen)
+            del buf[: 3 + bsize]
+        if last:
+            self._last_block = True
+        return True
+
+    def _emit(self, chunk: bytes) -> None:
+        self._out += chunk
+        self._produced += len(chunk)
+        if self._hdr and self._hdr.checksum:
+            self._xxh.update(chunk)
+        self._history += chunk
+        w = self._hdr.window if self._hdr else 0
+        if len(self._history) > 2 * w:
+            del self._history[: len(self._history) - w]
+
+    def _finish_frame(self, verify: bool) -> None:
+        if (
+            verify
+            and self._hdr is not None
+            and self._hdr.content_size is not None
+            and self._produced != self._hdr.content_size
+        ):
+            raise ZstdError(
+                f"frame content size mismatch: produced {self._produced}, "
+                f"declared {self._hdr.content_size}"
+            )
+        self._frame_done = True
+        self.unused_data = bytes(self._in)
+        self._in.clear()
+        self._history.clear()
+
+    # -- protocol ----------------------------------------------------------
+
+    def decompress(self, data: bytes = b"", max_length: int = -1) -> bytes:
+        if data:
+            self._in += data
+        if self._frame_done and self._in:
+            # bytes fed after frame end belong to the next member
+            self.unused_data += bytes(self._in)
+            self._in.clear()
+        target = max_length if max_length >= 0 else None
+        while not self._frame_done and (
+            target is None or len(self._out) < max(target, 1)
+        ):
+            if not self._step():
+                break
+        if target is None:
+            chunk = bytes(self._out)
+            self._out.clear()
+        else:
+            chunk = bytes(self._out[:target])
+            del self._out[:target]
+        if self._frame_done and not self._out:
+            self.eof = True
+        return chunk
+
+
+def zstd_decompress(
+    data: bytes, max_output: int | None = None, max_window: int = 1 << 27
+) -> bytes:
+    """Decode ALL concatenated frames (regular + skippable) in ``data``.
+    ``max_output`` bounds total plaintext (decompression-bomb guard)."""
+    out: list[bytes] = []
+    total = 0
+    rest = bytes(data)
+    while rest:
+        d = ZstdDecompressor(max_window=max_window)
+        feed: bytes = rest
+        while not d.eof:
+            chunk = d.decompress(feed, 1 << 20)
+            feed = b""
+            total += len(chunk)
+            if max_output is not None and total > max_output:
+                raise ZstdError(
+                    f"plaintext exceeds max_output={max_output} (bomb guard)"
+                )
+            out.append(chunk)
+            if not d.eof and not chunk:
+                raise ZstdError("truncated zstd frame")
+        rest = d.unused_data
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------- encoder
+
+
+class _EncState:
+    """Encoder-side mirror of the decoder's per-frame retained state."""
+
+    def __init__(self) -> None:
+        self.huf_weights: list[int] | None = None
+        self.huf_codes: dict[int, tuple[int, int]] | None = None
+        self.ll: tuple[list[tuple[int, int, int]], int] | None = None
+        self.of: tuple[list[tuple[int, int, int]], int] | None = None
+        self.ml: tuple[list[tuple[int, int, int]], int] | None = None
+        self.rep = [1, 4, 8]
+
+
+def _find_matches(
+    raw: bytes, min_match: int = 4, max_chain: int = 16
+) -> list[tuple[int, int, int]]:
+    """Greedy hash-chain LZ77 over one block → [(literal_length,
+    raw_offset, match_length)]; trailing literals are NOT represented
+    (they flush after the last sequence).  Fixture-grade: correctness
+    and path coverage over ratio."""
+    n = len(raw)
+    if n < min_match + 1:
+        return []
+    chains: dict[bytes, list[int]] = {}
+    seqs: list[tuple[int, int, int]] = []
+    lit_start = 0
+    i = 0
+    while i + min_match <= n:
+        key = raw[i : i + min_match]
+        best_len = 0
+        best_off = 0
+        for j in reversed(chains.get(key, ())[-max_chain:]):
+            length = min_match
+            while i + length < n and raw[j + length] == raw[i + length]:
+                length += 1
+            if length > best_len:
+                best_len, best_off = length, i - j
+        chains.setdefault(key, []).append(i)
+        if best_len >= min_match:
+            seqs.append((i - lit_start, best_off, best_len))
+            # index a sparse sample of the matched span so later matches
+            # can still find it without quadratic indexing cost
+            for k in range(i + 1, min(i + best_len, n - min_match), 7):
+                chains.setdefault(raw[k : k + min_match], []).append(k)
+            i += best_len
+            lit_start = i
+        else:
+            i += 1
+    return seqs
+
+
+def _offset_to_value(off: int, ll: int, rep: list[int]) -> int:
+    """Actual offset → offset_value, preferring repeat codes; mirrors
+    :func:`_resolve_offset` exactly (including the ll==0 shift) and
+    applies the same history update."""
+    if ll != 0:
+        cands = [(1, rep[0]), (2, rep[1]), (3, rep[2])]
+    else:
+        third = rep[0] - 1
+        cands = [(1, rep[1]), (2, rep[2])] + ([(3, third)] if third > 0 else [])
+    value = off + 3
+    for v, o in cands:
+        if o == off:
+            value = v
+            break
+    check = _resolve_offset(value, ll, rep)
+    if check != off:
+        raise ZstdError("encoder repeat-offset bookkeeping diverged")
+    return value
+
+
+def _write_literals_section(
+    lits: bytes,
+    mode: str,
+    st: _EncState,
+    streams: int = 4,
+    tree_mode: str = "direct",
+    shape: str = "balanced",
+) -> bytes:
+    """Serialize one literals section.  mode ∈ raw|rle|huffman|treeless."""
+    regen = len(lits)
+
+    def size_header(lit_type: int) -> bytes:
+        if regen < 32:
+            return bytes([(regen << 3) | lit_type])
+        if regen < 4096:
+            return ((regen << 4) | (1 << 2) | lit_type).to_bytes(2, "little")
+        return ((regen << 4) | (3 << 2) | lit_type).to_bytes(3, "little")
+
+    if mode == "raw":
+        return size_header(0) + lits
+    if mode == "rle":
+        if regen and len(set(lits)) != 1:
+            raise ZstdError("RLE literals need a single distinct byte")
+        return size_header(1) + lits[:1]
+    if mode == "huffman":
+        freqs: dict[int, int] = {}
+        for b in lits:
+            freqs[b] = freqs.get(b, 0) + 1
+        weights = huf_code_lengths(freqs, shape=shape)
+        if tree_mode == "direct" and len(weights) - 1 > 128:
+            tree_mode = "fse"  # direct nibbles carry at most 128 weights
+        try:
+            tree = huf_write_tree(weights, mode=tree_mode)
+        except ZstdError:
+            # un-serializable tree (degenerate weight distribution):
+            # real zstd falls back to raw literals here too
+            return size_header(0) + lits
+        st.huf_weights = weights
+        st.huf_codes = huf_codes(weights)
+        lit_type = 2
+    elif mode == "treeless":
+        if st.huf_codes is None:
+            raise ZstdError("treeless literals need a previous Huffman block")
+        tree = b""
+        lit_type = 3
+    else:
+        raise ZstdError(f"unknown literals mode {mode!r}")
+    codes = st.huf_codes
+    assert codes is not None
+    if streams == 1:
+        body = tree + huf_encode_stream(lits, codes)
+        sf = 0
+        fbits = 10
+        if regen >= 1 << 10 or len(body) >= 1 << 10:
+            raise ZstdError("1-stream literals exceed 10-bit sizes")
+    else:
+        per = (regen + 3) >> 2
+        parts = [
+            huf_encode_stream(lits[i * per : min((i + 1) * per, regen)], codes)
+            for i in range(4)
+        ]
+        jump = b"".join(len(p).to_bytes(2, "little") for p in parts[:3])
+        body = tree + jump + b"".join(parts)
+        for sf, fbits in ((1, 10), (2, 14), (3, 18)):
+            if regen < (1 << fbits) and len(body) < (1 << fbits):
+                break
+        else:
+            raise ZstdError("4-stream literals exceed 18-bit sizes")
+    hbytes = {10: 3, 14: 4, 18: 5}[fbits]
+    v = (len(body) << (4 + fbits)) | (regen << 4) | (sf << 2) | lit_type
+    return v.to_bytes(hbytes, "little") + body
+
+
+def _category_table(
+    mode: str,
+    codes: list[int],
+    default_norm: list[int],
+    default_al: int,
+    max_al: int,
+    prev: tuple[list[tuple[int, int, int]], int] | None,
+) -> tuple[tuple[list[tuple[int, int, int]], int], int, bytes]:
+    """One sequence category → ((table, al), mode_bits, description)."""
+    if mode == "predefined":
+        return (fse_build_decode_table(default_norm, default_al), default_al), 0, b""
+    if mode == "rle":
+        if len(set(codes)) != 1:
+            raise ZstdError("RLE sequence mode needs a single distinct code")
+        return (_rle_table(codes[0]), 0), 1, bytes([codes[0]])
+    if mode == "fse":
+        hist: dict[int, int] = {}
+        for c in codes:
+            hist[c] = hist.get(c, 0) + 1
+        need = max(1, (len(hist) - 1).bit_length())
+        al = min(max(5, need + 1), max_al)
+        norm = normalize_counts(hist, al, max(codes))
+        return (fse_build_decode_table(norm, al), al), 2, fse_write_ncount(norm, al)
+    if mode == "repeat":
+        if prev is None:
+            raise ZstdError("repeat sequence mode with no previous table")
+        return prev, 3, b""
+    raise ZstdError(f"unknown sequence mode {mode!r}")
+
+
+def _write_sequences_section(
+    seqs: list[tuple[int, int, int]],
+    st: _EncState,
+    ll_mode: str = "predefined",
+    of_mode: str = "predefined",
+    ml_mode: str = "predefined",
+) -> bytes:
+    """Serialize the sequences section: count, modes byte, table
+    descriptions (LL, OF, ML), then the backward bitstream written in
+    exact reverse of the decoder's read order."""
+    n = len(seqs)
+    if n == 0:
+        return b"\x00"
+    if n < 128:
+        count = bytes([n])
+    elif n < 0x7F00:
+        count = bytes([128 + (n >> 8), n & 0xFF])
+    else:
+        rest = n - 0x7F00
+        count = bytes([255, rest & 0xFF, rest >> 8])
+    ll_codes = [ll_code(ll) for ll, _o, _m in seqs]
+    of_codes = [v.bit_length() - 1 for _l, v, _m in seqs]
+    ml_codes = [ml_code(m) for _l, _o, m in seqs]
+    st.ll, ll_bits, ll_desc = _category_table(
+        ll_mode, ll_codes, LL_DEFAULT_NORM, LL_DEFAULT_AL, MAX_LL_AL, st.ll
+    )
+    st.of, of_bits, of_desc = _category_table(
+        of_mode, of_codes, OF_DEFAULT_NORM, OF_DEFAULT_AL, MAX_OF_AL, st.of
+    )
+    st.ml, ml_bits, ml_desc = _category_table(
+        ml_mode, ml_codes, ML_DEFAULT_NORM, ML_DEFAULT_AL, MAX_ML_AL, st.ml
+    )
+    modes = (ll_bits << 6) | (of_bits << 4) | (ml_bits << 2)
+    (ll_t, ll_al), (of_t, of_al), (ml_t, ml_al) = st.ll, st.of, st.ml
+    ll_states, ll_upd = fse_chain_states(ll_t, _fse_symbol_cells(ll_t), ll_codes)
+    of_states, of_upd = fse_chain_states(of_t, _fse_symbol_cells(of_t), of_codes)
+    ml_states, ml_upd = fse_chain_states(ml_t, _fse_symbol_cells(ml_t), ml_codes)
+    reads: list[tuple[int, int]] = [
+        (ll_states[0], ll_al),
+        (of_states[0], of_al),
+        (ml_states[0], ml_al),
+    ]
+    for i, ((ll, ofv, ml), llc, ofc, mlc) in enumerate(
+        zip(seqs, ll_codes, of_codes, ml_codes)
+    ):
+        reads.append((ofv - (1 << ofc), ofc))
+        reads.append((ml - ML_BASE[mlc], ML_BITS[mlc]))
+        reads.append((ll - LL_BASE[llc], LL_BITS[llc]))
+        if i != n - 1:
+            reads.append(ll_upd[i])
+            reads.append(ml_upd[i])
+            reads.append(of_upd[i])
+    w = BitWriter()
+    for val, nb in reversed(reads):
+        w.write(val, nb)
+    return count + bytes([modes]) + ll_desc + of_desc + ml_desc + w.finish_backward()
+
+
+def _compress_block(
+    raw: bytes,
+    st: _EncState,
+    literals: str = "auto",
+    streams: int = 4,
+    tree_mode: str = "direct",
+    shape: str = "balanced",
+    seq_modes: tuple[str, str, str] = ("predefined", "predefined", "predefined"),
+    use_sequences: bool = True,
+) -> bytes:
+    """One compressed-block body (literals section + sequences section).
+
+    The encoder mirrors the decoder's cross-block state: repeat-offset
+    history persists, treeless literals reuse the previous Huffman
+    table, repeat sequence modes reuse the previous category tables."""
+    seqs_raw = _find_matches(raw) if use_sequences else []
+    lit_parts: list[bytes] = []
+    pos = 0
+    seqs: list[tuple[int, int, int]] = []
+    for ll, off, ml in seqs_raw:
+        lit_parts.append(raw[pos : pos + ll])
+        ofv = _offset_to_value(off, ll, st.rep)
+        seqs.append((ll, ofv, ml))
+        pos += ll + ml
+    lit_parts.append(raw[pos:])
+    lits = b"".join(lit_parts)
+    mode = literals
+    if mode == "auto":
+        distinct = len(set(lits))
+        if len(lits) == 0:
+            mode = "raw"
+        elif distinct == 1:
+            mode = "rle"
+        elif distinct >= 2 and len(lits) >= 16:
+            mode = "huffman"
+        else:
+            mode = "raw"
+    if mode == "huffman" and streams == 4 and len(lits) < 8:
+        streams = 1
+    # 1-stream sections carry 10-bit sizes (§3.1.1.3.1.1); large literal
+    # sets must use the 4-stream layout
+    if mode == "huffman" and streams == 1 and len(lits) > 700:
+        streams = 4
+    lit_sec = _write_literals_section(
+        lits, mode, st, streams=streams, tree_mode=tree_mode, shape=shape
+    )
+    # RLE sequence modes only apply when each category is single-valued;
+    # fall back to predefined per category rather than failing.
+    modes = []
+    for m, codes in zip(
+        seq_modes,
+        (
+            [ll_code(s[0]) for s in seqs],
+            [s[1].bit_length() - 1 for s in seqs],
+            [ml_code(s[2]) for s in seqs],
+        ),
+    ):
+        if m == "rle" and len(set(codes)) != 1:
+            m = "predefined"
+        modes.append(m)
+    seq_sec = _write_sequences_section(seqs, st, *modes)
+    return lit_sec + seq_sec
+
+
+def zstd_compress(
+    raw: bytes,
+    *,
+    block_size: int = 1 << 16,
+    checksum: bool = True,
+    single_segment: bool = True,
+    block_types: str = "auto",
+    literals: str = "auto",
+    streams: int = 4,
+    tree_mode: str = "direct",
+    shape: str = "balanced",
+    seq_modes: tuple[str, str, str] = ("predefined", "predefined", "predefined"),
+    treeless_after_first: bool = False,
+    repeat_tables_after_first: bool = False,
+    use_sequences: bool = True,
+    verify: bool = True,
+) -> bytes:
+    """Build one conformant zstd frame around ``raw``.  Every knob
+    selects a decoder path to exercise; the result is decoded back and
+    compared before returning (fixture-grade self-verification)."""
+    out = bytearray(MAGIC.to_bytes(4, "little"))
+    n = len(raw)
+    if single_segment:
+        if n < 256:
+            fcs_flag, fcs = 0, n.to_bytes(1, "little")
+        elif n - 256 < 1 << 16:
+            fcs_flag, fcs = 1, (n - 256).to_bytes(2, "little")
+        elif n < 1 << 32:
+            fcs_flag, fcs = 2, n.to_bytes(4, "little")
+        else:
+            fcs_flag, fcs = 3, n.to_bytes(8, "little")
+        fhd = (fcs_flag << 6) | (1 << 5) | (int(checksum) << 2)
+        out.append(fhd)
+        out += fcs
+    else:
+        # smallest window descriptor covering the content
+        wd = None
+        for exp in range(0, 32):
+            for mant in range(8):
+                wbase = 1 << (10 + exp)
+                if wbase + (wbase >> 3) * mant >= max(n, 1024):
+                    wd = (exp << 3) | mant
+                    break
+            if wd is not None:
+                break
+        if wd is None:
+            raise ZstdError("content too large for a window descriptor")
+        fcs_flag, fcs = 2, n.to_bytes(4, "little")  # explicit FCS for clarity
+        fhd = (fcs_flag << 6) | (int(checksum) << 2)
+        out.append(fhd)
+        out.append(wd)
+        out += fcs
+    st = _EncState()
+    blocks = [raw[i : i + block_size] for i in range(0, n, block_size)] or [b""]
+    for bi, block in enumerate(blocks):
+        last = 1 if bi == len(blocks) - 1 else 0
+        btype = block_types
+        if btype == "auto":
+            if len(block) < 8:
+                btype = "raw"
+            elif len(set(block)) == 1:
+                btype = "rle"
+            else:
+                btype = "compressed"
+        if btype == "raw":
+            out += ((len(block) << 3) | (0 << 1) | last).to_bytes(3, "little")
+            out += block
+        elif btype == "rle":
+            if len(set(block)) != 1:
+                raise ZstdError("RLE block needs a single distinct byte")
+            out += ((len(block) << 3) | (1 << 1) | last).to_bytes(3, "little")
+            out += block[:1]
+        else:
+            lit_mode = literals
+            s_modes = seq_modes
+            if treeless_after_first:
+                # block 0 must install the Huffman table blocks 1+ reuse
+                lit_mode = "huffman" if bi == 0 else "treeless"
+            if bi > 0 and repeat_tables_after_first:
+                s_modes = ("repeat", "repeat", "repeat")
+            body = _compress_block(
+                block,
+                st,
+                literals=lit_mode,
+                streams=streams,
+                tree_mode=tree_mode,
+                shape=shape,
+                seq_modes=s_modes,
+                use_sequences=use_sequences,
+            )
+            if len(body) > MAX_BLOCK:
+                raise ZstdError("compressed block body exceeds 128 KiB")
+            out += ((len(body) << 3) | (2 << 1) | last).to_bytes(3, "little")
+            out += body
+    if checksum:
+        out += (xxh64(raw) & 0xFFFFFFFF).to_bytes(4, "little")
+    frame = bytes(out)
+    if verify and zstd_decompress(frame) != raw:
+        raise ZstdError("zstd encoder self-check failed")
+    return frame
+
+
+def build_skippable_frame(payload: bytes, nibble: int = 0) -> bytes:
+    """A skippable frame (§3.1.2) carrying opaque metadata."""
+    if not 0 <= nibble <= 0xF:
+        raise ZstdError("skippable magic nibble out of range")
+    return (
+        (SKIPPABLE_LO + nibble).to_bytes(4, "little")
+        + len(payload).to_bytes(4, "little")
+        + payload
+    )

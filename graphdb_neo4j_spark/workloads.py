@@ -12807,3 +12807,86 @@ def q218(spark: SparkSession, sf: str) -> DataFrame:
         F.size(extract_links(F.col("html"))).alias("n_links"),
         F.array_join(extract_links(F.col("html")), "|").alias("links"),
     )
+
+
+@query(
+    "q219_zstd_shard_audit",
+    """
+    WITH shards AS (SELECT unnest(range(0, 12)) AS shard_id),
+    lines AS (
+      SELECT shard_id, CAST(ln.i AS INT) AS line_no,
+             'zshard-' || shard_id || '-line-' || ln.i || '-' ||
+             repeat(chr(97 + CAST((shard_id + ln.i) % 26 AS INT)),
+                    CAST(5 + (ln.i * 7 + shard_id) % 11 AS INT)) AS text
+      FROM shards, LATERAL (SELECT unnest(range(1, 4 + shard_id % 4)) AS i) ln
+    )
+    SELECT shard_id, 'zstd' AS codec, line_no,
+           CAST(length(text) AS INT) AS line_len, md5(text) AS line_md5
+    FROM lines
+    """,
+)
+def q219(spark: SparkSession, sf: str) -> DataFrame:
+    """ZSTD TEXT-SHARD audit under the hash gate: 12 fixture shards are
+    genuine RFC 8878 Zstandard frames built by the dependency-free
+    fixture encoder (sources/zstd_codec — the container has no zstd
+    library, which is why this codec was an honest gate through r6) and
+    decoded by the REAL decoder: FSE table descriptions, Huffman
+    literals (direct and FSE-compressed weights, 1- and 4-stream),
+    predefined / FSE / RLE sequence modes, repeat offsets, XXH64
+    content checksums, and — on every third shard — MULTI-FRAME
+    concatenation with an interleaved skippable frame (the WET shape,
+    zstd edition).  Every reconstructed line's length and md5 must
+    equal the oracle's analytic derivation from the generation
+    formulas.  zstd is the Common-Crawl/HF shard codec going forward;
+    with this the compressed-ingest front door covers gzip/zlib/bz2/
+    xz/zstd.
+
+    Scale shape: identical to q215 — one Arrow-batched mapInPandas
+    pass, parallelism = shard count, bounded-memory lazy block decode
+    with the plaintext cap, payload dies at the decode stage."""
+    from graphdb_neo4j_spark.sources.zstd_codec import (
+        build_skippable_frame,
+        zstd_compress,
+    )
+
+    from graphdb_neo4j_spark.sources.compressed import decompress_text_shards
+
+    rows = []
+    for mid in range(12):
+        lines = [
+            "zshard-%d-line-%d-" % (mid, i)
+            + chr(97 + (mid + i) % 26) * (5 + (i * 7 + mid) % 11)
+            for i in range(1, 4 + mid % 4)
+        ]
+        knobs = dict(
+            checksum=mid % 2 == 0,
+            single_segment=mid % 3 != 1,
+            streams=1 if mid % 4 == 1 else 4,
+            tree_mode="fse" if mid % 4 == 2 else "direct",
+            seq_modes=(
+                ("fse", "fse", "fse")
+                if mid % 4 == 3
+                else ("predefined", "predefined", "predefined")
+            ),
+        )
+        if mid % 3 == 0:
+            # two concatenated frames + a skippable frame between them
+            payload = (
+                zstd_compress((lines[0] + "\n").encode(), **knobs)
+                + build_skippable_frame(b"crawl-meta", nibble=mid % 16)
+                + zstd_compress(("\n".join(lines[1:]) + "\n").encode(), **knobs)
+            )
+        else:
+            payload = zstd_compress(("\n".join(lines) + "\n").encode(), **knobs)
+        rows.append((mid, "zstd", bytearray(payload)))
+    shards = spark.createDataFrame(
+        rows, "shard_id long, codec string, payload binary"
+    ).repartition(4)
+    out = decompress_text_shards(shards, strict=True)
+    return out.select(
+        "shard_id",
+        "codec",
+        "line_no",
+        F.length("text").alias("line_len"),
+        F.md5("text").alias("line_md5"),
+    )

@@ -82,9 +82,46 @@ def test_empty_payload_is_empty():
     assert decompress_bytes("none", b"", MAX) == b""
 
 
-def test_zstd_is_an_honest_gate():
-    with pytest.raises(NotImplementedError, match="zstd"):
-        decompress_bytes("zstd", b"\x28\xb5\x2f\xfd", MAX)
+def test_zstd_roundtrip_single_member():
+    from graphdb_neo4j_spark.sources.zstd_codec import zstd_compress
+
+    raw = b"alpha\nbeta\ngamma\n" * 500
+    assert decompress_bytes("zstd", zstd_compress(raw), MAX) == raw
+
+
+def test_zstd_multi_member_concatenation():
+    from graphdb_neo4j_spark.sources.zstd_codec import zstd_compress
+
+    members = [zstd_compress(b"part%d\n" % i) for i in range(4)]
+    assert decompress_bytes("zstd", b"".join(members), MAX) == (
+        b"part0\npart1\npart2\npart3\n"
+    )
+
+
+def test_zstd_truncated_stream_raises():
+    from graphdb_neo4j_spark.sources.zstd_codec import zstd_compress
+
+    full = zstd_compress(b"0123456789" * 1000)
+    with pytest.raises(ValueError, match="truncated"):
+        decompress_bytes("zstd", full[: len(full) // 2], MAX)
+
+
+def test_zstd_bomb_guard():
+    from graphdb_neo4j_spark.sources.zstd_codec import zstd_compress
+
+    bomb = zstd_compress(
+        b"\0" * (64 << 20), block_types="rle", block_size=128 << 10, verify=False
+    )
+    assert len(bomb) < 4096  # the bomb is tiny on the wire
+    with pytest.raises(ValueError, match="bomb"):
+        decompress_bytes("zstd", bomb, 1 << 20)
+
+
+def test_zstd_dictionary_frames_are_an_honest_gate():
+    # frame header with dictionary_id flag 1 and a nonzero 1-byte id
+    frame = b"\x28\xb5\x2f\xfd" + bytes([0x21, 7, 0]) + b"\x01\x00\x00"
+    with pytest.raises(NotImplementedError, match="dictionary"):
+        decompress_bytes("zstd", frame, MAX)
 
 
 def test_unknown_codec_rejected():
@@ -155,7 +192,7 @@ def test_quarantine_contract(spark):
     rows = [
         (0, "gzip", bytearray(gzip.compress(b"good\n"))),
         (1, "gzip", bytearray(b"garbage")),  # bad stream
-        (2, "zstd", bytearray(b"\x28\xb5\x2f\xfd")),  # codec gate
+        (2, "zstd", bytearray(b"\x28\xb5\x2f\xfd")),  # truncated zstd frame
         (3, "gzip", bytearray(gzip.compress(b"\xff\xfe invalid utf8"))),
     ]
     df = spark.createDataFrame(rows, "shard_id long, codec string, payload binary")
@@ -163,7 +200,7 @@ def test_quarantine_contract(spark):
     assert [r["shard_id"] for r in lines.collect()] == [0]
     bad = {r["shard_id"]: r["error"] for r in quarantine.collect()}
     assert set(bad) == {1, 2, 3}
-    assert "NotImplementedError" in bad[2]
+    assert "truncated" in bad[2]
     assert "UnicodeDecodeError" in bad[3]
 
 
