@@ -12890,3 +12890,90 @@ def q219(spark: SparkSession, sf: str) -> DataFrame:
         F.length("text").alias("line_len"),
         F.md5("text").alias("line_md5"),
     )
+
+
+_Q220_URLS = [
+    "HTTP://Example.COM:80/a/../b?utm_source=x&z=2&a=1#frag",
+    "http://example.com/b",
+    "http://example.com//b?utm_campaign=z",
+    "https://user:pw@WWW.Site.co.uk.:443//x/./y/../z?b=2&a=1",
+    "https://www.site.co.uk/x/z?a=1&b=2",
+    "http://example.com",
+    "http://example.com./",
+    "ftp://Files.Example.org:21/pub//data",
+    "https://sub.deep.example.com:8443/p?gclid=g&q=term",
+    "http://192.168.0.1:8080/admin?fbclid=f",
+    "relative/path/only",
+    "  http://spaces.example.com/a  ",
+    "http://example.com/a/b/c/../../d",
+    "http://example.com/../top",
+    "http://h.example.com/x?msclkid=1&utm_a=2",
+    "https://example.com.au/shop?x=1&x=0",
+    "https://a.co.jp:443/x?z&y=",
+    "mailto:someone@example.com",
+]
+
+
+def _q220_oracle() -> str:
+    from graphdb_neo4j_spark.operators.url import (
+        registrable_domain_sql,
+        url_host_sql,
+        url_normalize_sql,
+    )
+
+    vals = ", ".join(
+        "(%d, '%s')" % (i, u.replace("'", "''"))
+        for i, u in enumerate(_Q220_URLS)
+    )
+    canon = f"coalesce({url_normalize_sql('url')}, '')"
+    return f"""
+    SELECT url_id, {canon} AS canon,
+           {url_host_sql('url')} AS host,
+           {registrable_domain_sql(url_host_sql('url'))} AS domain,
+           CAST(COUNT(*) OVER (PARTITION BY {canon}) AS BIGINT)
+             AS frontier_size
+    FROM (VALUES {vals}) AS t(url_id, url)
+    """
+
+
+@query("q220_url_canonicalize", _q220_oracle())
+def q220(spark: SparkSession, sf: str) -> DataFrame:
+    """URL CANONICALIZATION audit under the hash gate — the crawl
+    frontier's normalizer between link extraction (q218) and per-domain
+    dedup/politeness caps.  operators/url.url_normalize is a PURE
+    Catalyst chain (RFC 3986 §6 syntax-based normalization: fragment
+    drop, scheme/host lowercasing, userinfo and default-port removal,
+    bounded dot-segment resolution, duplicate-slash collapse, tracking-
+    param drop + bytewise query sort), and registrable_domain is the
+    eTLD+1 heuristic over a built-in common-suffix table.  Patterns
+    live in the RE2 ∩ Java-regex common dialect, so the DuckDB oracle
+    runs the byte-identical chain through a DIFFERENT regex engine —
+    including the frontier-dedup window count, which proves spelling
+    variants of the same page collapse identically on both engines.
+    Non-absolute URLs canonicalize to '' (not NULL — string NULLs break
+    the driver's pandas sort, the q153 output-shape lesson).
+
+    Scale shape: zero UDF, map-only normalization; the one exchange is
+    the frontier-count window on the ALREADY-canonical key, which is
+    exactly the canonicalize-then-shuffle order a 100 TB frontier needs
+    (un-normalized keys would split the same page across partitions)."""
+    from graphdb_neo4j_spark.operators.url import (
+        registrable_domain,
+        url_host,
+        url_normalize,
+    )
+
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(_Q220_URLS)], "url_id long, url string"
+    ).repartition(4)
+    canon = F.coalesce(url_normalize(F.col("url")), F.lit(""))
+    w = Window.partitionBy(canon)
+    return df.select(
+        "url_id",
+        canon.alias("canon"),
+        url_host(F.col("url")).alias("host"),
+        registrable_domain(url_host(F.col("url"))).alias("domain"),
+        F.count("*").over(w).alias("frontier_size"),
+    )
