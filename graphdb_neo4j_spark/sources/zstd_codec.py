@@ -1740,6 +1740,8 @@ def zstd_compress(
                 lit_mode = "huffman" if bi == 0 else "treeless"
             if bi > 0 and repeat_tables_after_first:
                 s_modes = ("repeat", "repeat", "repeat")
+            snap = (st.huf_weights, st.huf_codes, st.ll, st.of, st.ml,
+                    list(st.rep))
             body = _compress_block(
                 block,
                 st,
@@ -1750,10 +1752,31 @@ def zstd_compress(
                 seq_modes=s_modes,
                 use_sequences=use_sequences,
             )
-            if len(body) > MAX_BLOCK:
-                raise ZstdError("compressed block body exceeds 128 KiB")
-            out += ((len(body) << 3) | (2 << 1) | last).to_bytes(3, "little")
-            out += body
+            worse = len(body) >= len(block) + 3 and len(block) >= 1024
+            if len(body) > MAX_BLOCK or (
+                worse and block_types == "auto" and literals == "auto"
+            ):
+                # incompressible: emit a raw block instead (what real
+                # encoders do).  Size-triggered only in full-auto mode
+                # and only for blocks ≥1 KiB — tiny fixture payloads
+                # keep their entropy-coded blocks (an expanding
+                # compressed block is conformant; path coverage is the
+                # encoder's job #1).  ROLL BACK the encoder-side state
+                # the compressed attempt mutated — the decoder never
+                # sees this block, so its tables/rep history must not
+                # either
+                (st.huf_weights, st.huf_codes, st.ll, st.of, st.ml,
+                 rep) = snap
+                st.rep = rep
+                out += ((len(block) << 3) | (0 << 1) | last).to_bytes(
+                    3, "little"
+                )
+                out += block
+            else:
+                out += ((len(body) << 3) | (2 << 1) | last).to_bytes(
+                    3, "little"
+                )
+                out += body
     if checksum:
         out += (xxh64(raw) & 0xFFFFFFFF).to_bytes(4, "little")
     frame = bytes(out)

@@ -427,3 +427,28 @@ def test_decompressor_max_length_bounds_returns():
 def test_skippable_nibble_range():
     with pytest.raises(ZstdError):
         build_skippable_frame(b"", 16)
+
+
+def test_incompressible_block_falls_back_to_raw_with_state_rollback():
+    """A full-size incompressible block would exceed the 128 KiB
+    compressed-block limit; the encoder must emit a raw block instead —
+    and roll back the tables/rep state the failed compressed attempt
+    mutated, or the NEXT compressed block desyncs from the decoder."""
+    rng = random.Random(31)
+    noise = bytes(rng.randrange(256) for _ in range(128 << 10))
+    text = b"abcd" * 4096
+    raw = text + noise + text  # compressible / raw-fallback / compressible
+    f = zstd_compress(raw, block_size=128 << 10)
+    assert zstd_decompress(f) == raw
+    assert len(f) < len(raw) + 64  # the noise block did not expand
+
+
+def test_tiny_fixture_blocks_stay_entropy_coded():
+    """Path coverage is the fixture encoder's job: tiny payloads whose
+    compressed form expands must STILL produce compressed blocks (the
+    size fallback only fires for blocks >= 1 KiB in full-auto mode)."""
+    tiny = b"zshard-0-line-1-aaaaa\n"
+    f = zstd_compress(tiny)
+    bh = int.from_bytes(f[6:9], "little")  # after magic+FHD+1-byte FCS
+    assert (bh >> 1) & 3 == 2  # block type: compressed
+    assert zstd_decompress(f) == tiny
