@@ -92,12 +92,21 @@ def parse_warc(data: bytes) -> list[dict]:
                 f"expected WARC version line, got {version[:20]!r}"
             )
         headers: dict[str, str] = {}
+        last_key: str | None = None
         for line in head_lines[1:]:
+            if line[:1] in (b" ", b"\t") and last_key is not None:
+                # RFC-822-style folded continuation (ISO 28500 §4 allows
+                # long values to wrap): append to the previous header
+                headers[last_key] += " " + line.strip().decode(
+                    "utf-8", "replace"
+                )
+                continue
             sep = line.find(b":")
             if sep < 0:
                 raise ValueError(f"malformed WARC header line {line[:40]!r}")
-            headers[line[:sep].strip().lower().decode("ascii", "replace")] = (
-                line[sep + 1 :].strip().decode("utf-8", "replace")
+            last_key = line[:sep].strip().lower().decode("ascii", "replace")
+            headers[last_key] = line[sep + 1 :].strip().decode(
+                "utf-8", "replace"
             )
         try:
             length = int(headers["content-length"])

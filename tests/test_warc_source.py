@@ -106,3 +106,32 @@ def test_warc_records_strict_raises(spark):
     )
     with pytest.raises(Exception):
         warc_records(df, codec="none", strict=True).collect()
+
+
+def test_folded_header_continuation_lines():
+    # ISO 28500 §4 allows RFC-822-style folded values; Content-Length
+    # still counts the payload correctly afterwards
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://example.com/a-very-long\r\n"
+        b"\t-continued-path\r\n"
+        b"Content-Length: 5\r\n"
+        b"\r\n"
+        b"hello\r\n\r\n"
+    )
+    recs = parse_warc(raw)
+    assert len(recs) == 1
+    assert recs[0]["target_uri"] == "http://example.com/a-very-long -continued-path"
+    assert recs[0]["payload"] == b"hello"
+
+
+def test_folded_line_without_previous_header_raises():
+    raw = (
+        b"WARC/1.0\r\n"
+        b" orphan-continuation\r\n"
+        b"Content-Length: 0\r\n"
+        b"\r\n\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="malformed WARC header"):
+        parse_warc(raw)
