@@ -1453,10 +1453,12 @@ def _write_literals_section(
             return ((regen << 4) | (1 << 2) | lit_type).to_bytes(2, "little")
         return ((regen << 4) | (3 << 2) | lit_type).to_bytes(3, "little")
 
+    if mode == "rle" and regen == 0:
+        mode = "raw"  # a zero-length RLE section has no byte to repeat
     if mode == "raw":
         return size_header(0) + lits
     if mode == "rle":
-        if regen and len(set(lits)) != 1:
+        if len(set(lits)) != 1:
             raise ZstdError("RLE literals need a single distinct byte")
         return size_header(1) + lits[:1]
     if mode == "huffman":
@@ -1713,6 +1715,7 @@ def zstd_compress(
         out.append(wd)
         out += fcs
     st = _EncState()
+    block_size = min(block_size, MAX_BLOCK)  # Block_Maximum_Size (§3.1.1.2.3)
     blocks = [raw[i : i + block_size] for i in range(0, n, block_size)] or [b""]
     for bi, block in enumerate(blocks):
         last = 1 if bi == len(blocks) - 1 else 0
