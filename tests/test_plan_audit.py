@@ -1180,8 +1180,19 @@ def test_curate_unpersists_on_midbuild_exception(spark, monkeypatch):
          for i in range(20)],
         ["doc_id", "text"],
     )
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    def persistent_ids() -> set[int]:
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = jmap.keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    # compare ID SETS, not counts: the shared session's ContextCleaner
+    # asynchronously unpersists earlier tests' blocks, so a global
+    # count can legally DROP mid-test (full-suite flake); a leak means
+    # a NEW id survives the exception
+    before = persistent_ids()
 
     def boom(*a, **k):
         raise RuntimeError("injected near-dup failure")
@@ -1189,8 +1200,9 @@ def test_curate_unpersists_on_midbuild_exception(spark, monkeypatch):
     monkeypatch.setattr(dedup, "neardup_clusters", boom)
     with _pytest.raises(RuntimeError, match="injected"):
         P.curate(docs, neardup=True, pii=True)
-    assert jsc.getPersistentRDDs().size() == before, (
-        "stage frames leaked past the mid-build exception"
+    leaked = persistent_ids() - before
+    assert not leaked, (
+        f"stage frames leaked past the mid-build exception: RDD ids {leaked}"
     )
 
 
