@@ -12977,3 +12977,85 @@ def q220(spark: SparkSession, sf: str) -> DataFrame:
         registrable_domain(url_host(F.col("url"))).alias("domain"),
         F.count("*").over(w).alias("frontier_size"),
     )
+
+
+_Q221_ROBOTS = {
+    "h1.example": (
+        "# global policy\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/press/\n"
+        "\n"
+        "User-agent: trainbot\n"
+        "User-agent: otherbot\n"
+        "Disallow: /no-train/\n"
+    ),
+    "h2.example": "User-agent: *\nDisallow: /\n",
+    "h3.example": "User-agent: *\nDisallow:\n",
+    "h4.example": "User-agent: foo\nDisallow: /only-foo/\n",
+    "h5.example": (
+        "User-agent: trainbot\nDisallow: /corpus/\n"
+        "User-agent: *\nDisallow: /all/\n"
+    ),
+}
+_Q221_PATHS = [
+    "/", "/private/a", "/private/press/a", "/no-train/a",
+    "/x/y.html", "/only-foo/z", "/corpus/doc", "/all/doc",
+]
+_Q221_AGENT = "trainbot"
+
+
+def _q221_oracle() -> str:
+    """Constant oracle derived from an INDEPENDENT implementation:
+    urllib.robotparser (stdlib).  The fixture is wildcard-free with at
+    most one matching rule per path, the class where robotparser's
+    first-match and RFC 9309's longest-match semantics provably
+    coincide — so the constants are not engine-derived."""
+    from urllib.robotparser import RobotFileParser
+
+    rows = []
+    for host, text in sorted(_Q221_ROBOTS.items()):
+        rp = RobotFileParser()
+        rp.parse(text.splitlines())
+        for p in _Q221_PATHS:
+            ok = rp.can_fetch(_Q221_AGENT, f"http://{host}{p}")
+            rows.append(f"('{host}', '{p}', {'TRUE' if ok else 'FALSE'})")
+    return (
+        "SELECT host, path, allowed FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(host, path, allowed)"
+    )
+
+
+@query("q221_robots_politeness", _q221_oracle())
+def q221(spark: SparkSession, sf: str) -> DataFrame:
+    """ROBOTS.TXT POLITENESS audit under the hash gate — the last gate
+    before a frontier URL becomes a fetch.  operators/robots parses
+    RFC 9309 group structure (consecutive User-agent lines share their
+    rule block) into one rule row per Allow/Disallow line and decides
+    per-URL verdicts as a JOIN (exact-agent groups shadow '*',
+    longest-match precedence, Allow tie-break, no-rule/no-robots →
+    allowed) — crawl politeness as a DataFrame operator, not a per-URL
+    library call.  The oracle is a CONSTANT table derived from
+    urllib.robotparser — an INDEPENDENT stdlib implementation — on the
+    wildcard-free fixture class where first-match and longest-match
+    semantics provably coincide; wildcard/anchor/precedence divergence
+    cases are pinned by hand-derived unit tests (tests/test_robots.py).
+
+    Scale shape: rules are host-keyed and tiny (broadcast side);
+    verdicts are one join + one per-URL window max; the only Python is
+    plan construction."""
+    from graphdb_neo4j_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    robots = spark.createDataFrame(
+        sorted(_Q221_ROBOTS.items()), "host string, robots_txt string"
+    )
+    urls = spark.createDataFrame(
+        [(h, p) for h in sorted(_Q221_ROBOTS) for p in _Q221_PATHS],
+        "host string, path string",
+    ).repartition(4)
+    out = robots_allowed(urls, parse_robots(robots), agent=_Q221_AGENT)
+    return out.select("host", "path", "allowed")

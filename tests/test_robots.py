@@ -1,0 +1,199 @@
+"""robots.txt operators: RFC 9309 group structure, precedence,
+wildcards/anchors, agent selection — plus an independent-oracle check
+against urllib.robotparser on the wildcard-free class."""
+
+from __future__ import annotations
+
+from urllib.robotparser import RobotFileParser
+
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.operators.robots import (
+    parse_robots,
+    robots_allowed,
+    sitemap_urls,
+)
+
+ROBOTS_A = """\
+# global policy
+User-agent: *
+Disallow: /private/
+Allow: /private/press/
+Sitemap: http://a.example/sitemap.xml
+
+User-agent: trainbot
+User-agent: otherbot
+Disallow: /no-train/
+"""
+
+ROBOTS_B = """\
+User-agent: *
+Disallow: /
+"""
+
+ROBOTS_C = """\
+User-agent: *
+Disallow:
+"""
+
+
+def _rules(spark, pairs):
+    df = spark.createDataFrame(pairs, "host string, robots_txt string")
+    return parse_robots(df)
+
+
+def test_group_structure_and_shared_agent_lines(spark):
+    rules = _rules(spark, [("a.example", ROBOTS_A)]).collect()
+    by_pattern = {r.pattern: r for r in rules}
+    assert set(by_pattern) == {"/private/", "/private/press/", "/no-train/"}
+    assert sorted(by_pattern["/no-train/"].agents) == ["otherbot", "trainbot"]
+    assert by_pattern["/private/"].agents == ["*"]
+    assert by_pattern["/private/press/"].directive == "allow"
+
+
+def test_sitemaps_extracted(spark):
+    df = spark.createDataFrame(
+        [("a.example", ROBOTS_A)], "host string, robots_txt string"
+    )
+    assert [r.sitemap for r in sitemap_urls(df).collect()] == [
+        "http://a.example/sitemap.xml"
+    ]
+
+
+def _verdicts(spark, robots_pairs, url_rows, agent):
+    rules = _rules(spark, robots_pairs)
+    urls = spark.createDataFrame(url_rows, "host string, path string")
+    out = robots_allowed(urls, rules, agent=agent)
+    return {(r.host, r.path): r.allowed for r in out.collect()}
+
+
+def test_precedence_longest_match_allow_tiebreak(spark):
+    got = _verdicts(
+        spark,
+        [("a.example", ROBOTS_A)],
+        [
+            ("a.example", "/private/secret.html"),  # disallow /private/
+            ("a.example", "/private/press/x.html"),  # allow (longer)
+            ("a.example", "/public/x.html"),  # no rule → allowed
+            ("b.example", "/anything"),  # no robots → allowed
+        ],
+        agent="randombot",
+    )
+    assert got == {
+        ("a.example", "/private/secret.html"): False,
+        ("a.example", "/private/press/x.html"): True,
+        ("a.example", "/public/x.html"): True,
+        ("b.example", "/anything"): True,
+    }
+
+
+def test_exact_agent_groups_shadow_star(spark):
+    # trainbot gets ONLY its group: /no-train/ blocked, /private/ NOT
+    got = _verdicts(
+        spark,
+        [("a.example", ROBOTS_A)],
+        [
+            ("a.example", "/no-train/data.html"),
+            ("a.example", "/private/secret.html"),
+        ],
+        agent="TrainBot",  # case-insensitive
+    )
+    assert got == {
+        ("a.example", "/no-train/data.html"): False,
+        ("a.example", "/private/secret.html"): True,
+    }
+
+
+def test_wildcards_and_anchor(spark):
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /*.pdf$\n"
+        "Disallow: /tmp*/scratch/\n"
+    )
+    got = _verdicts(
+        spark,
+        [("w.example", robots)],
+        [
+            ("w.example", "/docs/report.pdf"),  # *.pdf$ → blocked
+            ("w.example", "/docs/report.pdf.html"),  # anchor → allowed
+            ("w.example", "/tmp123/scratch/x"),  # mid-wildcard → blocked
+            ("w.example", "/tmp123/keep/x"),  # allowed
+        ],
+        agent="anybot",
+    )
+    assert got == {
+        ("w.example", "/docs/report.pdf"): False,
+        ("w.example", "/docs/report.pdf.html"): True,
+        ("w.example", "/tmp123/scratch/x"): False,
+        ("w.example", "/tmp123/keep/x"): True,
+    }
+
+
+def test_regex_metachars_in_patterns_are_literal(spark):
+    robots = "User-agent: *\nDisallow: /a+b(c)/\n"
+    got = _verdicts(
+        spark,
+        [("m.example", robots)],
+        [
+            ("m.example", "/a+b(c)/x"),  # literal match → blocked
+            ("m.example", "/aab(c)/x"),  # '+' must NOT mean repeat
+        ],
+        agent="anybot",
+    )
+    assert got == {
+        ("m.example", "/a+b(c)/x"): False,
+        ("m.example", "/aab(c)/x"): True,
+    }
+
+
+def test_empty_disallow_and_deny_all(spark):
+    got = _verdicts(
+        spark,
+        [("open.example", ROBOTS_C), ("closed.example", ROBOTS_B)],
+        [
+            ("open.example", "/anything"),
+            ("closed.example", "/anything"),
+        ],
+        agent="anybot",
+    )
+    assert got == {
+        ("open.example", "/anything"): True,
+        ("closed.example", "/anything"): False,
+    }
+
+
+def test_duplicate_url_rows_each_keep_their_verdict(spark):
+    rules = _rules(spark, [("a.example", ROBOTS_B)])
+    urls = spark.createDataFrame(
+        [("a.example", "/x")] * 3, "host string, path string"
+    )
+    out = robots_allowed(urls, rules, agent="any")
+    assert [r.allowed for r in out.collect()] == [False, False, False]
+
+
+def test_independent_oracle_robotparser_wildcard_free(spark):
+    """Wildcard-free robots through BOTH implementations: this module
+    (longest-match) and urllib.robotparser (first-match) — on a corpus
+    where each path has at most one matching rule, the two semantics
+    must coincide, so any disagreement is a parsing/matching bug."""
+    robots = {
+        "h1.example": ROBOTS_A,
+        "h2.example": ROBOTS_B,
+        "h3.example": ROBOTS_C,
+        "h4.example": "User-agent: foo\nDisallow: /only-foo/\n",
+    }
+    paths = [
+        "/", "/private/a", "/private/press/a", "/no-train/a",
+        "/x/y.html", "/only-foo/z",
+    ]
+    agent = "trainbot"
+    urls = [(h, p) for h in robots for p in paths]
+    got = _verdicts(
+        spark, list(robots.items()), urls, agent=agent
+    )
+    for host, text in robots.items():
+        rp = RobotFileParser()
+        rp.parse(text.splitlines())
+        for p in paths:
+            want = rp.can_fetch(agent, f"http://{host}{p}")
+            assert got[(host, p)] == want, (host, p, want)
