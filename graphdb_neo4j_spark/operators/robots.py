@@ -189,3 +189,51 @@ def robots_allowed(
         )
     )
     return best
+
+
+_SITEMAP_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),  # last, so double-escaped entities decode once
+]
+
+
+def parse_sitemap(
+    df: DataFrame, host_col: str = "host", xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """(host, kind, loc, lastmod) — entries of a sitemaps.org document.
+
+    ``kind`` is ``url`` for ``<urlset>`` members and ``sitemap`` for
+    ``<sitemapindex>`` members (index files point at more sitemaps —
+    the caller recurses by fetching those).  ``loc`` has the XML
+    entities of the sitemaps.org escaping table decoded (``&amp;``
+    last); ``lastmod`` is NULL when absent.  Regex-shaped extraction,
+    not an XML parser — namespaces/attributes on the entry tags are
+    tolerated, CDATA sections are not (documented; crawlable sitemaps
+    in the wild escape, they don't CDATA).  Pure Catalyst — at crawl
+    scale this runs as a map-only pass over fetched sitemap bodies."""
+    def entries(kind: str, tag: str) -> DataFrame:
+        body = F.explode(
+            F.regexp_extract_all(
+                F.col(xml_col), F.lit(f"(?s)<{tag}[^>]*>(.*?)</{tag}>"), 1
+            )
+        )
+        out = df.select(F.col(host_col).alias("host"), body.alias("entry"))
+        loc = F.regexp_extract(
+            "entry", "(?s)<loc[^>]*>[ \t\r\n]*(.*?)[ \t\r\n]*</loc>", 1
+        )
+        for ent, ch in _SITEMAP_ENTITIES:
+            loc = F.replace(loc, F.lit(ent), F.lit(ch))
+        lastmod = F.regexp_extract(
+            "entry", "(?s)<lastmod[^>]*>[ \t\r\n]*(.*?)[ \t\r\n]*</lastmod>", 1
+        )
+        return out.select(
+            "host",
+            F.lit(kind).alias("kind"),
+            loc.alias("loc"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+        ).filter(F.col("loc") != "")
+
+    return entries("url", "url").unionByName(entries("sitemap", "sitemap"))

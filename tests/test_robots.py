@@ -197,3 +197,40 @@ def test_independent_oracle_robotparser_wildcard_free(spark):
         for p in paths:
             want = rp.can_fetch(agent, f"http://{host}{p}")
             assert got[(host, p)] == want, (host, p, want)
+
+
+SITEMAP_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>http://a.example/page?x=1&amp;y=2</loc>
+    <lastmod>2024-01-05</lastmod>
+  </url>
+  <url><loc> http://a.example/bare </loc></url>
+</urlset>
+"""
+
+SITEMAP_INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://b.example/sitemap-1.xml.gz</loc>
+  <lastmod>2024-02-01</lastmod></sitemap>
+  <sitemap><loc>http://b.example/sitemap-2.xml.gz</loc></sitemap>
+</sitemapindex>
+"""
+
+
+def test_parse_sitemap_urlset_and_index(spark):
+    from graphdb_neo4j_spark.operators.robots import parse_sitemap
+
+    df = spark.createDataFrame(
+        [("a.example", SITEMAP_XML), ("b.example", SITEMAP_INDEX)],
+        "host string, sitemap_xml string",
+    )
+    got = sorted(
+        (r.host, r.kind, r.loc, r.lastmod) for r in parse_sitemap(df).collect()
+    )
+    assert got == [
+        ("a.example", "url", "http://a.example/bare", None),
+        ("a.example", "url", "http://a.example/page?x=1&y=2", "2024-01-05"),
+        ("b.example", "sitemap", "http://b.example/sitemap-1.xml.gz", "2024-02-01"),
+        ("b.example", "sitemap", "http://b.example/sitemap-2.xml.gz", None),
+    ]
