@@ -2952,6 +2952,16 @@ def _louvain_local_moving(
     # driver-side broadcast it avoids.  Let AQE pick: it broadcasts
     # exactly while the assignment is actually small and degrades to
     # SMJ (edge side still zero-work via the cache metadata) beyond.
+    # REASONED SKIP (r7, not measured): dense 0..n-1 integer vertex
+    # recoding inside the kernel.  The classic GraphX/Gemini win
+    # (array-indexed vertex state, halved key bytes) does not transfer
+    # to DataFrame execution: UnsafeRow fixed-width fields occupy an
+    # 8-byte slot whether the column is int or long, Murmur3 hashing
+    # and codegen long compares are width-insensitive, and state here
+    # is relational rows, not arrays — while the recode itself would
+    # ADD two joins (encode at entry, decode at exit) plus a dense-id
+    # assignment shuffle per level.  Nothing on the profile charges to
+    # key width; skip unless rows ever become array-indexed.
     asg, asg_rdd = _freeze(nodes.select("v", F.col("v").alias("c")))
 
     quiet_streak = 0
