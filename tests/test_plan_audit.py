@@ -1251,3 +1251,52 @@ def test_partitioned_cache_layout_visible_to_joins(spark):
         assert not any("Sort" in l or "Exchange" in l for l in between), plan
     finally:
         und.unpersist()
+
+
+def test_url_normalize_plan_stays_jvm_side(spark):
+    """q220's claim: URL canonicalization is a pure Catalyst chain —
+    no Python evaluation node anywhere in the plan, and the one
+    exchange in the frontier-count query is the window on the
+    ALREADY-canonical key (canonicalize-then-shuffle)."""
+    from graphdb_neo4j_spark.operators.url import (
+        registrable_domain,
+        url_host,
+        url_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"HTTP://Example{i % 3}.COM:80/a/../b?utm_source=x&z={i}")
+         for i in range(100)],
+        "url_id long, url string",
+    )
+    out = df.select(
+        url_normalize(F.col("url")).alias("canon"),
+        registrable_domain(url_host(F.col("url"))).alias("domain"),
+    )
+    plan = explain_str(out)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert marker not in plan, f"Python boundary in URL plan: {marker}"
+    assert "Exchange" not in plan  # map-only projection, zero shuffle
+
+
+def test_robots_allowed_plan_stays_jvm_side(spark):
+    """q221's claim: robots verdicts are a join + window, no Python
+    evaluation node — the per-row pattern regexes are built by
+    Catalyst string ops and matched with a column-pattern RLIKE."""
+    from graphdb_neo4j_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    robots = spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [("h.example", f"/p{i}") for i in range(50)],
+        "host string, path string",
+    )
+    out = robots_allowed(urls, parse_robots(robots), agent="bot")
+    plan = explain_str(out)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert marker not in plan, f"Python boundary in robots plan: {marker}"
