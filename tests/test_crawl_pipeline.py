@@ -115,6 +115,37 @@ def test_crawl_chain_composes(spark):
     # the crawl graph edges come out of the SAME pass
     edges = kept.select(
         "target_uri", F.explode("links").alias("href")
-    ).collect()
-    assert len(edges) == 10
-    assert all(e["href"].startswith("http://site-") for e in edges)
+    )
+    edge_rows = edges.collect()
+    assert len(edge_rows) == 10
+    assert all(e["href"].startswith("http://site-") for e in edge_rows)
+
+    # ... and feed the NEXT crawl wave: canonicalize the extracted
+    # links, apply robots verdicts, and dedup the frontier
+    from graphdb_neo4j_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+    from graphdb_neo4j_spark.operators.url import (
+        url_host,
+        url_normalize,
+        url_path_canonical,
+    )
+
+    frontier = edges.select(
+        url_normalize(F.col("href")).alias("url"),
+        url_host(F.col("href")).alias("host"),
+        url_path_canonical(F.col("href")).alias("path"),
+    ).dropDuplicates(["url"])
+    # shard 4 duplicated shard 0's pages: its links canonicalize onto
+    # shard 0's, so 10 edges → 8 frontier URLs
+    assert frontier.count() == 8
+
+    robots = spark.createDataFrame(
+        [("site-1.example", "User-agent: *\nDisallow: /page-3\n")],
+        "host string, robots_txt string",
+    )
+    verdicts = robots_allowed(frontier, parse_robots(robots), agent="bot")
+    blocked = [r.url for r in verdicts.filter(~F.col("allowed")).collect()]
+    assert blocked == ["http://site-1.example/page-3"]
+    assert verdicts.filter(F.col("allowed")).count() == 7
