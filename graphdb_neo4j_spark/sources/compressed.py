@@ -13,8 +13,9 @@ Four codecs are Python-stdlib (``zlib`` / ``bz2`` / ``lzma``); ``zstd``
 — THE Common-Crawl/HF shard codec going forward — decodes through the
 dependency-free RFC 8878 implementation in
 :mod:`graphdb_neo4j_spark.sources.zstd_codec` (frames, FSE, Huffman
-literals, sequences, XXH64 checksums; dictionary frames remain an
-honest ``NotImplementedError`` gate).
+literals, sequences, XXH64 checksums, dictionaries; this source has
+no dictionary channel, so a dictionary-compressed shard quarantines
+loudly rather than decoding wrong).
 
 Semantics pinned by tests (tests/test_compressed_source.py):
 

@@ -11,7 +11,10 @@ literals (direct AND FSE-compressed weight descriptions, 1-stream and
 4-stream layouts, treeless repeat tables), sequence decoding with the
 predefined / RLE / FSE_Compressed / Repeat modes, repeat-offset
 history including the literals_length==0 shift and the rep0-1
-special case — plus XXH64 content checksums.
+special case — plus XXH64 content checksums AND dictionaries
+(RFC 8878 §5: entropy-table preload for Treeless/Repeat modes,
+repeat-offset preload, window prefill; 1/2/4-byte dictionary_id
+fields; a dict frame without its dictionary fails loudly).
 
 The ENCODER half exists to build fixtures (this container has no zstd
 library or binary — the reason this codec was previously an honest
@@ -27,9 +30,7 @@ the environment, cross-implementation checks are (a) hand-assembled
 spec-direct frames in tests/test_zstd_codec.py — raw/RLE blocks and a
 fully hand-computed compressed block with RLE-mode sequences — that
 do NOT pass through the encoder, (b) the XXH64 known vector, and
-(c) property-style roundtrips over the feature matrix.  Dictionary
-decoding (dictionary_id != 0) remains an honest NotImplementedError
-gate.
+(c) property-style roundtrips over the feature matrix.
 
 100 TB notes: zstd is THE Common-Crawl/HF-dataset shard codec going
 forward (WET/WARC `.zst`, parquet-zstd side files); this decoder slots
@@ -1100,13 +1101,21 @@ def _execute_sequences(
 
 
 class _FrameHeader:
-    __slots__ = ("window", "content_size", "checksum", "header_len")
+    __slots__ = ("window", "content_size", "checksum", "header_len", "dict_id")
 
-    def __init__(self, window: int, content_size: int | None, checksum: bool, header_len: int):
+    def __init__(
+        self,
+        window: int,
+        content_size: int | None,
+        checksum: bool,
+        header_len: int,
+        dict_id: int = 0,
+    ):
         self.window = window
         self.content_size = content_size
         self.checksum = checksum
         self.header_len = header_len
+        self.dict_id = dict_id
 
 
 def _parse_frame_header(data: bytes, max_window: int) -> _FrameHeader:
@@ -1132,16 +1141,12 @@ def _parse_frame_header(data: bytes, max_window: int) -> _FrameHeader:
         wbase = 1 << wlog
         window = wbase + (wbase >> 3) * (wd & 7)
     did_len = (0, 1, 2, 4)[did_flag]
+    did = 0
     if did_len:
         if len(data) < pos + did_len:
             raise ZstdError("truncated dictionary id")
         did = int.from_bytes(data[pos : pos + did_len], "little")
         pos += did_len
-        if did != 0:
-            raise NotImplementedError(
-                "zstd dictionary decoding is not supported (dictionary_id="
-                f"{did}); only dictionary-less frames decode"
-            )
     fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
     content_size: int | None = None
     if fcs_len:
@@ -1161,7 +1166,7 @@ def _parse_frame_header(data: bytes, max_window: int) -> _FrameHeader:
         raise ZstdError(
             f"frame window {window} exceeds decoder limit {max_window}"
         )
-    return _FrameHeader(window, content_size, checksum, pos)
+    return _FrameHeader(window, content_size, checksum, pos, did)
 
 
 class ZstdDecompressor:
@@ -1173,7 +1178,14 @@ class ZstdDecompressor:
     pending — and the match window is trimmed to the declared window
     size, so plaintext never materializes past the caller's cap."""
 
-    def __init__(self, max_window: int = 1 << 27):
+    def __init__(
+        self,
+        max_window: int = 1 << 27,
+        dictionary: "ZstdDictionary | bytes | None" = None,
+    ):
+        if isinstance(dictionary, (bytes, bytearray)):
+            dictionary = parse_zstd_dictionary(bytes(dictionary))
+        self._dict = dictionary
         self._in = bytearray()
         self._out = bytearray()
         self._max_window = max_window
@@ -1229,6 +1241,25 @@ class ZstdDecompressor:
                     return False  # plausibly incomplete header: wait
                 raise
             del buf[: hdr.header_len]
+            if hdr.dict_id:
+                d = self._dict
+                if d is None:
+                    raise ZstdError(
+                        f"frame requires dictionary id={hdr.dict_id} but "
+                        "no dictionary was provided"
+                    )
+                if d.dict_id != hdr.dict_id:
+                    raise ZstdError(
+                        f"frame requires dictionary id={hdr.dict_id}, got "
+                        f"id={d.dict_id}"
+                    )
+                # preload retained state + window prefill (RFC 8878 §5)
+                self._tables.huf = d.huf
+                self._tables.ll = d.ll
+                self._tables.of = d.of
+                self._tables.ml = d.ml
+                self._tables.rep = list(d.rep)
+                self._history += d.content
             self._hdr = hdr
             return True
         if self._last_block:
@@ -1337,7 +1368,10 @@ class ZstdDecompressor:
 
 
 def zstd_decompress(
-    data: bytes, max_output: int | None = None, max_window: int = 1 << 27
+    data: bytes,
+    max_output: int | None = None,
+    max_window: int = 1 << 27,
+    dictionary: "ZstdDictionary | bytes | None" = None,
 ) -> bytes:
     """Decode ALL concatenated frames (regular + skippable) in ``data``.
     ``max_output`` bounds total plaintext (decompression-bomb guard)."""
@@ -1345,7 +1379,7 @@ def zstd_decompress(
     total = 0
     rest = bytes(data)
     while rest:
-        d = ZstdDecompressor(max_window=max_window)
+        d = ZstdDecompressor(max_window=max_window, dictionary=dictionary)
         feed: bytes = rest
         while not d.eof:
             chunk = d.decompress(feed, 1 << 20)
@@ -1378,7 +1412,7 @@ class _EncState:
 
 
 def _find_matches(
-    raw: bytes, min_match: int = 4, max_chain: int = 16
+    raw: bytes, min_match: int = 4, max_chain: int = 16, start: int = 0
 ) -> list[tuple[int, int, int]]:
     """Greedy hash-chain LZ77 over one block → [(literal_length,
     raw_offset, match_length)]; trailing literals are NOT represented
@@ -1389,10 +1423,15 @@ def _find_matches(
         return []
     chains: dict[bytes, list[int]] = {}
     seqs: list[tuple[int, int, int]] = []
-    lit_start = 0
+    lit_start = start
     i = 0
     while i + min_match <= n:
         key = raw[i : i + min_match]
+        if i < start:
+            # prefix (dictionary content): index as a match SOURCE only
+            chains.setdefault(key, []).append(i)
+            i += 1
+            continue
         best_len = 0
         best_off = 0
         for j in reversed(chains.get(key, ())[-max_chain:]):
@@ -1461,6 +1500,14 @@ def _write_literals_section(
         if len(set(lits)) != 1:
             raise ZstdError("RLE literals need a single distinct byte")
         return size_header(1) + lits[:1]
+    if mode == "treeless" and st.huf_codes is not None and any(
+        b not in st.huf_codes for b in set(lits)
+    ):
+        # the retained table does not cover this block's alphabet:
+        # install a fresh table instead (a type-2 block legally
+        # replaces the retained table — what real encoders do when the
+        # dictionary's alphabet runs out)
+        mode = "huffman"
     if mode == "huffman":
         freqs: dict[int, int] = {}
         for b in lits:
@@ -1607,22 +1654,27 @@ def _compress_block(
     shape: str = "balanced",
     seq_modes: tuple[str, str, str] = ("predefined", "predefined", "predefined"),
     use_sequences: bool = True,
+    prefix: bytes = b"",
 ) -> bytes:
     """One compressed-block body (literals section + sequences section).
 
     The encoder mirrors the decoder's cross-block state: repeat-offset
     history persists, treeless literals reuse the previous Huffman
     table, repeat sequence modes reuse the previous category tables."""
-    seqs_raw = _find_matches(raw) if use_sequences else []
+    concat = prefix + raw if prefix else raw
+    base = len(prefix)
+    seqs_raw = (
+        _find_matches(concat, start=base) if use_sequences else []
+    )
     lit_parts: list[bytes] = []
-    pos = 0
+    pos = base
     seqs: list[tuple[int, int, int]] = []
     for ll, off, ml in seqs_raw:
-        lit_parts.append(raw[pos : pos + ll])
+        lit_parts.append(concat[pos : pos + ll])
         ofv = _offset_to_value(off, ll, st.rep)
         seqs.append((ll, ofv, ml))
         pos += ll + ml
-    lit_parts.append(raw[pos:])
+    lit_parts.append(concat[pos:])
     lits = b"".join(lit_parts)
     mode = literals
     if mode == "auto":
@@ -1678,10 +1730,22 @@ def zstd_compress(
     repeat_tables_after_first: bool = False,
     use_sequences: bool = True,
     verify: bool = True,
+    dictionary: "ZstdDictionary | bytes | None" = None,
 ) -> bytes:
     """Build one conformant zstd frame around ``raw``.  Every knob
     selects a decoder path to exercise; the result is decoded back and
     compared before returning (fixture-grade self-verification)."""
+    if isinstance(dictionary, (bytes, bytearray)):
+        dictionary = parse_zstd_dictionary(bytes(dictionary))
+    did = dictionary.dict_id if dictionary is not None else 0
+    if did == 0:
+        did_flag, did_bytes = 0, b""
+    elif did < 1 << 8:
+        did_flag, did_bytes = 1, did.to_bytes(1, "little")
+    elif did < 1 << 16:
+        did_flag, did_bytes = 2, did.to_bytes(2, "little")
+    else:
+        did_flag, did_bytes = 3, did.to_bytes(4, "little")
     out = bytearray(MAGIC.to_bytes(4, "little"))
     n = len(raw)
     if single_segment:
@@ -1693,8 +1757,9 @@ def zstd_compress(
             fcs_flag, fcs = 2, n.to_bytes(4, "little")
         else:
             fcs_flag, fcs = 3, n.to_bytes(8, "little")
-        fhd = (fcs_flag << 6) | (1 << 5) | (int(checksum) << 2)
+        fhd = (fcs_flag << 6) | (1 << 5) | (int(checksum) << 2) | did_flag
         out.append(fhd)
+        out += did_bytes
         out += fcs
     else:
         # smallest window descriptor covering the content
@@ -1710,11 +1775,18 @@ def zstd_compress(
         if wd is None:
             raise ZstdError("content too large for a window descriptor")
         fcs_flag, fcs = 2, n.to_bytes(4, "little")  # explicit FCS for clarity
-        fhd = (fcs_flag << 6) | (int(checksum) << 2)
+        fhd = (fcs_flag << 6) | (int(checksum) << 2) | did_flag
         out.append(fhd)
         out.append(wd)
+        out += did_bytes
         out += fcs
     st = _EncState()
+    if dictionary is not None:
+        # mirror the decoder's dictionary preload exactly
+        st.huf_weights = dictionary.huf_weights
+        st.huf_codes = huf_codes(dictionary.huf_weights)
+        st.ll, st.of, st.ml = dictionary.ll, dictionary.of, dictionary.ml
+        st.rep = list(dictionary.rep)
     block_size = min(block_size, MAX_BLOCK)  # Block_Maximum_Size (§3.1.1.2.3)
     blocks = [raw[i : i + block_size] for i in range(0, n, block_size)] or [b""]
     for bi, block in enumerate(blocks):
@@ -1741,6 +1813,10 @@ def zstd_compress(
             if treeless_after_first:
                 # block 0 must install the Huffman table blocks 1+ reuse
                 lit_mode = "huffman" if bi == 0 else "treeless"
+            if dictionary is not None and lit_mode == "auto":
+                # the dictionary's point: reuse ITS entropy tables
+                lit_mode = "treeless"
+                s_modes = ("repeat", "repeat", "repeat")
             if bi > 0 and repeat_tables_after_first:
                 s_modes = ("repeat", "repeat", "repeat")
             snap = (st.huf_weights, st.huf_codes, st.ll, st.of, st.ml,
@@ -1783,7 +1859,7 @@ def zstd_compress(
     if checksum:
         out += (xxh64(raw) & 0xFFFFFFFF).to_bytes(4, "little")
     frame = bytes(out)
-    if verify and zstd_decompress(frame) != raw:
+    if verify and zstd_decompress(frame, dictionary=dictionary) != raw:
         raise ZstdError("zstd encoder self-check failed")
     return frame
 
@@ -1797,3 +1873,103 @@ def build_skippable_frame(payload: bytes, nibble: int = 0) -> bytes:
         + len(payload).to_bytes(4, "little")
         + payload
     )
+
+
+# ------------------------------------------------------------ dictionaries
+
+DICT_MAGIC = 0xEC30A437
+
+
+class ZstdDictionary:
+    """Parsed zstd dictionary (RFC 8878 §5): entropy tables the first
+    compressed block may reference via Treeless literals / Repeat
+    sequence modes, initial repeat offsets, and raw content the frame's
+    matches may reach into (window prefill)."""
+
+    def __init__(
+        self,
+        dict_id: int,
+        huf_weights: list[int],
+        ll: tuple[list[tuple[int, int, int]], int],
+        of: tuple[list[tuple[int, int, int]], int],
+        ml: tuple[list[tuple[int, int, int]], int],
+        rep: list[int],
+        content: bytes,
+    ):
+        self.dict_id = dict_id
+        self.huf_weights = huf_weights
+        self.huf = huf_build_dtable(huf_weights)
+        self.ll, self.of, self.ml = ll, of, ml
+        self.rep = list(rep)
+        self.content = content
+
+
+def parse_zstd_dictionary(data: bytes) -> ZstdDictionary:
+    """Dictionary layout (§5, mirroring the reference loader's order):
+    magic, dict_id (LE32), Huffman literals table, FSE tables for
+    OFFSET / MATCH-LENGTH / LITERALS-LENGTH codes (standard table
+    descriptions, byte-aligned each), three LE32 repeat offsets, then
+    the raw content."""
+    if len(data) < 8 or int.from_bytes(data[:4], "little") != DICT_MAGIC:
+        raise ZstdError("bad zstd dictionary magic")
+    dict_id = int.from_bytes(data[4:8], "little")
+    if dict_id == 0:
+        raise ZstdError("dictionary id 0 is reserved")
+    pos = 8
+    weights, consumed = huf_read_tree(data[pos:])
+    pos += consumed
+
+    def fse(max_al: int, max_sym: int):
+        nonlocal pos
+        fwd = ForwardBits(data[pos:])
+        norm, al = fse_read_ncount(fwd, max_sym, max_al)
+        pos += fwd.bytes_consumed()
+        return fse_build_decode_table(norm, al), al
+
+    of = fse(MAX_OF_AL, 31)
+    ml = fse(MAX_ML_AL, 52)
+    ll = fse(MAX_LL_AL, 35)
+    if len(data) < pos + 12:
+        raise ZstdError("truncated dictionary repeat offsets")
+    rep = [
+        int.from_bytes(data[pos + 4 * i : pos + 4 * i + 4], "little")
+        for i in range(3)
+    ]
+    pos += 12
+    content = data[pos:]
+    if any(r == 0 or r > max(len(content), 1) + (1 << 31) for r in rep):
+        raise ZstdError("dictionary repeat offset out of range")
+    return ZstdDictionary(dict_id, weights, ll, of, ml, rep, content)
+
+
+def build_zstd_dictionary(
+    content: bytes, dict_id: int, sample: bytes | None = None
+) -> bytes:
+    """Fixture-grade dictionary writer: Huffman weights from the byte
+    histogram of ``sample`` (default: the content — COVERAGE matters,
+    the first block's treeless literals must all have codes), the
+    spec's predefined distributions as the three FSE tables (every
+    code has nonzero probability by construction), default repeat
+    offsets.  Self-verified by parsing back."""
+    basis = sample if sample is not None else content
+    freqs: dict[int, int] = {}
+    for b in basis:
+        freqs[b] = freqs.get(b, 0) + 1
+    if len(freqs) < 2:
+        raise ZstdError("dictionary sample needs at least 2 distinct bytes")
+    weights = huf_code_lengths(freqs, shape="balanced")
+    tree_mode = "fse" if len(weights) - 1 > 128 else "direct"
+    out = bytearray(DICT_MAGIC.to_bytes(4, "little"))
+    out += dict_id.to_bytes(4, "little")
+    out += huf_write_tree(weights, mode=tree_mode)
+    out += fse_write_ncount(OF_DEFAULT_NORM, OF_DEFAULT_AL)
+    out += fse_write_ncount(ML_DEFAULT_NORM, ML_DEFAULT_AL)
+    out += fse_write_ncount(LL_DEFAULT_NORM, LL_DEFAULT_AL)
+    for r in (1, 4, 8):
+        out += r.to_bytes(4, "little")
+    out += content
+    blob = bytes(out)
+    got = parse_zstd_dictionary(blob)
+    if got.dict_id != dict_id or got.content != content:
+        raise ZstdError("dictionary writer self-check failed")
+    return blob

@@ -117,10 +117,12 @@ def test_zstd_bomb_guard():
         decompress_bytes("zstd", bomb, 1 << 20)
 
 
-def test_zstd_dictionary_frames_are_an_honest_gate():
-    # frame header with dictionary_id flag 1 and a nonzero 1-byte id
+def test_zstd_dictionary_frames_quarantine_without_a_dictionary():
+    # dictionaries ARE supported at the codec level (zstd_decompress
+    # dictionary=), but the shard source has no dictionary channel —
+    # a dict frame must fail loudly, not decode wrong
     frame = b"\x28\xb5\x2f\xfd" + bytes([0x21, 7, 0]) + b"\x01\x00\x00"
-    with pytest.raises(NotImplementedError, match="dictionary"):
+    with pytest.raises(ValueError, match="dictionary"):
         decompress_bytes("zstd", frame, MAX)
 
 

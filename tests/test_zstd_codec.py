@@ -452,3 +452,85 @@ def test_tiny_fixture_blocks_stay_entropy_coded():
     bh = int.from_bytes(f[6:9], "little")  # after magic+FHD+1-byte FCS
     assert (bh >> 1) & 3 == 2  # block type: compressed
     assert zstd_decompress(f) == tiny
+
+
+# ------------------------------------------------------------ dictionaries
+
+
+DICT_VOCAB = (
+    b"the quick brown fox jumps over the lazy dog; shards arrive "
+    b"compressed and concatenated. "
+)
+
+
+def test_dictionary_roundtrip_and_compression_win():
+    from graphdb_neo4j_spark.sources.zstd_codec import (
+        build_zstd_dictionary,
+        parse_zstd_dictionary,
+    )
+
+    blob = build_zstd_dictionary(DICT_VOCAB * 4, 777)
+    d = parse_zstd_dictionary(blob)
+    assert d.dict_id == 777 and d.content == DICT_VOCAB * 4
+    raw = b"the lazy dog jumps over the quick fox; compressed shards arrive. " * 8
+    f_dict = zstd_compress(raw, dictionary=d)
+    f_plain = zstd_compress(raw)
+    assert zstd_decompress(f_dict, dictionary=d) == raw
+    # matches into the dictionary window + its entropy tables must
+    # actually pay off on dictionary-like content
+    assert len(f_dict) < len(f_plain)
+
+
+def test_dictionary_required_and_id_checked():
+    from graphdb_neo4j_spark.sources.zstd_codec import build_zstd_dictionary
+
+    d = build_zstd_dictionary(DICT_VOCAB, 777)
+    frame = zstd_compress(b"the quick dog", dictionary=d)
+    with pytest.raises(ZstdError, match="dictionary id=777"):
+        zstd_decompress(frame)
+    wrong = build_zstd_dictionary(DICT_VOCAB, 778)
+    with pytest.raises(ZstdError, match="id=777, got id=778"):
+        zstd_decompress(frame, dictionary=wrong)
+
+
+def test_dictionary_id_widths_and_alphabet_fallback():
+    from graphdb_neo4j_spark.sources.zstd_codec import build_zstd_dictionary
+
+    for did in (5, 300, 70_000):  # 1-, 2-, 4-byte dictionary_id fields
+        d = build_zstd_dictionary(DICT_VOCAB, did)
+        f = zstd_compress(b"the quick dog", dictionary=d)
+        assert zstd_decompress(f, dictionary=d) == b"the quick dog"
+    # content outside the dictionary alphabet: the encoder installs a
+    # fresh Huffman table instead of treeless reuse, and it decodes
+    d = build_zstd_dictionary(DICT_VOCAB * 4, 9)
+    raw = (DICT_VOCAB + b"novel tail content 12345 ") * 60
+    f = zstd_compress(raw, dictionary=d, block_size=2048)
+    assert zstd_decompress(f, dictionary=d) == raw
+
+
+def test_dictionary_window_prefill_reachable():
+    """A frame whose first sequence reaches INTO the dictionary
+    content: offsets beyond the frame's own history must resolve
+    against the prefill."""
+    from graphdb_neo4j_spark.sources.zstd_codec import build_zstd_dictionary
+
+    d = build_zstd_dictionary(DICT_VOCAB, 11)
+    raw = DICT_VOCAB  # identical to dictionary content → pure matches
+    f = zstd_compress(raw, dictionary=d)
+    assert zstd_decompress(f, dictionary=d) == raw
+    # and a plain decode of the same frame must fail, not corrupt
+    with pytest.raises(ZstdError):
+        zstd_decompress(f)
+
+
+def test_bad_dictionary_blobs_rejected():
+    from graphdb_neo4j_spark.sources.zstd_codec import (
+        build_zstd_dictionary,
+        parse_zstd_dictionary,
+    )
+
+    with pytest.raises(ZstdError, match="magic"):
+        parse_zstd_dictionary(b"\x00\x00\x00\x00rest")
+    blob = build_zstd_dictionary(DICT_VOCAB, 3)
+    with pytest.raises(ZstdError):
+        parse_zstd_dictionary(blob[: len(blob) // 2])
