@@ -87,7 +87,14 @@ def parse_robots(
     )
     w = Window.partitionBy("host").orderBy("line_no")
     is_ua = F.col("key") == "user-agent"
-    grouped = parsed.withColumn(
+    # Group detection runs over RECOGNIZED lines only (user-agent /
+    # allow / disallow): RFC 9309 §2.2's ABNF keeps a run of
+    # ``startgroupline``s in ONE group across blank lines, and
+    # unparseable/unknown lines MUST be ignored — so a comment, blank,
+    # or Crawl-delay line between consecutive User-agent lines must
+    # not split the group (a rule line between them still does).
+    recognized = parsed.filter(is_ua | F.col("key").isin("allow", "disallow"))
+    grouped = recognized.withColumn(
         "group_start",
         (is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))).cast("int"),
     ).withColumn("group_id", F.sum("group_start").over(w))

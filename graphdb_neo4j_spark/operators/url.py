@@ -59,6 +59,7 @@ _P_PARENT_SEG = "/[^/]+/\\.\\.(/|$)"
 _P_LEAD_PARENT = "^/\\.\\.(/|$)"
 _P_MULTISLASH = "//+"
 _P_TRACKING = "^(utm_[a-zA-Z0-9_]*|gclid|fbclid|msclkid)="
+_P_BRACKET_HOST = "^(\\[[^\\]]*\\])"  # RFC 3986 §3.2.2 IP-literal
 
 _DOT_PASSES = 4  # bounded dot-segment resolution depth
 
@@ -93,11 +94,16 @@ def url_scheme(url: Column) -> Column:
 
 def url_host(url: Column) -> Column:
     """Canonical host: userinfo dropped, lowercased, trailing root dot
-    stripped, port removed."""
+    stripped, port removed.  Bracketed IP-literals (RFC 3986 §3.2.2,
+    ``[::1]``) keep their brackets — the colon split only applies to
+    reg-name/IPv4 hosts; an unterminated ``[`` yields '' (→ NULL from
+    :func:`url_normalize`), never a mangled host."""
     u = F.regexp_replace(F.trim(url), _P_FRAG, "")
     auth = F.regexp_extract(_strip_scheme(u), "^([^/?]*)", 1)
     host = F.lower(F.regexp_replace(auth, _P_USERINFO, ""))
-    host = F.regexp_extract(host, "^([^:]*)", 1)
+    host = F.when(
+        host.startswith("["), F.regexp_extract(host, _P_BRACKET_HOST, 1)
+    ).otherwise(F.regexp_extract(host, "^([^:]*)", 1))
     return F.regexp_replace(host, _P_TRAILING_DOT, "")
 
 
@@ -170,7 +176,9 @@ def registrable_domain(host: Column, suffixes: tuple[str, ...] = PUBLIC_SUFFIXES
         F.element_at(labels, -2),
         F.element_at(labels, -1),
     )
-    is_ip = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$")
+    is_ip = host.rlike("^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$") | host.startswith(
+        "["
+    )
     return (
         F.when(is_ip | (n <= 1), host)
         .when((n >= 3) & last2.isin(*suffixes), last3)
@@ -213,7 +221,11 @@ def url_host_sql(expr: str) -> str:
     host = (
         f"lower(regexp_replace({auth}, {_sql_quote(_P_USERINFO)}, '', 'g'))"
     )
-    host = f"coalesce(regexp_extract({host}, '^([^:]*)', 1), '')"
+    host = (
+        f"(CASE WHEN {host} LIKE '[%' THEN "
+        f"coalesce(regexp_extract({host}, {_sql_quote(_P_BRACKET_HOST)}, 1), '') "
+        f"ELSE coalesce(regexp_extract({host}, '^([^:]*)', 1), '') END)"
+    )
     return f"regexp_replace({host}, {_sql_quote(_P_TRAILING_DOT)}, '', 'g')"
 
 
@@ -288,7 +300,8 @@ def registrable_domain_sql(
     last3 = f"({labels}[-3] || '.' || {last2})"
     suffix_list = ", ".join(_sql_quote(s) for s in suffixes)
     is_ip = (
-        f"regexp_matches({host_expr}, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$')"
+        f"(regexp_matches({host_expr}, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') "
+        f"OR {host_expr} LIKE '[%')"
     )
     return (
         f"(CASE WHEN {is_ip} OR {n} <= 1 THEN {host_expr} "

@@ -1057,22 +1057,39 @@ def _execute_sequences(
     seqs: list[tuple[int, int, int]],
     history: bytearray,
     rep: list[int],
+    max_regen: int = MAX_BLOCK,
+    max_offset: int | None = None,
 ) -> bytes:
     """Sequence execution (§3.1.1.4): copy literals, then the
     (possibly overlapping) match from the window; leftover literals
     flush after the last sequence.  ``history`` is the frame window
-    BEFORE this block (not mutated here)."""
+    BEFORE this block (not mutated here).
+
+    ``max_regen`` is enforced INCREMENTALLY — before each literal run
+    and each match copy — so a hostile block carrying tens of
+    thousands of max-length matches raises after at most one copy
+    past the cap instead of materializing gigabytes first (the
+    decompression-bomb guard must hold inside a single block, not
+    just between blocks).  ``max_offset`` bounds match offsets by the
+    declared Window_Size (+ dictionary prefill), rejecting
+    non-conformant frames that the retained-history bound alone
+    (up to 2x window) would leniently accept.
+    """
     out = bytearray()
     lit_pos = 0
     hist_len = len(history)
     for ll, ofv, ml in seqs:
         if lit_pos + ll > len(literals):
             raise ZstdError("sequence literal run exceeds literals section")
+        if len(out) + ll + ml > max_regen:
+            raise ZstdError("block regenerates beyond block size limit")
         out += literals[lit_pos : lit_pos + ll]
         lit_pos += ll
         off = _resolve_offset(ofv, ll, rep)
         if off > hist_len + len(out):
             raise ZstdError("match offset beyond window start")
+        if max_offset is not None and off > max_offset:
+            raise ZstdError("match offset exceeds declared window size")
         # source position relative to the concatenated (history + out)
         start = hist_len + len(out) - off
         if start + ml <= hist_len:
@@ -1093,6 +1110,8 @@ def _execute_sequences(
                     out += out[p : p + take]
                 pos += take
                 need -= take
+    if len(out) + len(literals) - lit_pos > max_regen:
+        raise ZstdError("block regenerates beyond block size limit")
     out += literals[lit_pos:]
     return bytes(out)
 
@@ -1195,6 +1214,7 @@ class ZstdDecompressor:
         self._last_block = False
         self._frame_done = False
         self._produced = 0
+        self._dict_prefill = 0
         self._history = bytearray()
         self._tables = _SeqTables()
         self._xxh = Xxh64()
@@ -1260,6 +1280,7 @@ class ZstdDecompressor:
                 self._tables.ml = d.ml
                 self._tables.rep = list(d.rep)
                 self._history += d.content
+                self._dict_prefill = len(d.content)
             self._hdr = hdr
             return True
         if self._last_block:
@@ -1305,10 +1326,13 @@ class ZstdDecompressor:
             literals, consumed = _decode_literals(block, self._tables)
             seqs = _decode_sequences(block[consumed:], self._tables)
             regen = _execute_sequences(
-                literals, seqs, self._history, self._tables.rep
+                literals,
+                seqs,
+                self._history,
+                self._tables.rep,
+                max_regen=min(self._hdr.window or MAX_BLOCK, MAX_BLOCK),
+                max_offset=self._hdr.window + self._dict_prefill,
             )
-            if len(regen) > min(self._hdr.window or MAX_BLOCK, MAX_BLOCK):
-                raise ZstdError("block regenerates beyond block size limit")
             self._emit(regen)
             del buf[: 3 + bsize]
         if last:

@@ -51,6 +51,47 @@ def test_group_structure_and_shared_agent_lines(spark):
     assert by_pattern["/private/press/"].directive == "allow"
 
 
+def test_interleaved_noise_does_not_split_user_agent_runs(spark):
+    """RFC 9309 §2.2 ABNF: blank / comment / unknown lines between
+    consecutive User-agent lines keep them in ONE group — agent ``a``
+    must share ``b``'s Disallow (the permissive-divergence regression:
+    a lag over all lines saw the comment and split the run, letting
+    ``a`` into /x/).  A RULE line between them still splits."""
+    noisy = (
+        "User-agent: a\n"
+        "# note\n"
+        "\n"
+        "Crawl-delay: 10\n"
+        "User-agent: b\n"
+        "Disallow: /x/\n"
+        "\n"
+        "User-agent: c\n"
+        "Disallow: /y/\n"
+        "User-agent: d\n"
+        "Disallow: /z/\n"
+    )
+    rules = _rules(spark, [("n.example", noisy)]).collect()
+    by_pattern = {r.pattern: sorted(r.agents) for r in rules}
+    assert by_pattern["/x/"] == ["a", "b"]
+    # the Disallow between c's and d's UA lines ends c's group: d is new
+    assert by_pattern["/y/"] == ["c"]
+    assert by_pattern["/z/"] == ["d"]
+
+    urls = spark.createDataFrame(
+        [("n.example", "/x/secret")], "host string, path string"
+    )
+    verdict = robots_allowed(urls, _rules(spark, [("n.example", noisy)]), "a")
+    assert verdict.collect()[0].allowed is False
+    # NOTE: urllib.robotparser DIVERGES from the RFC here — its parser
+    # resets the pending entry on a blank line between User-agent
+    # lines, so it would let agent ``a`` fetch /x/secret.  This case is
+    # therefore hand-derived (RFC 9309 §2.2 ABNF keeps the run in one
+    # group), same posture as the wildcard/anchor divergence tests.
+    rp = RobotFileParser()
+    rp.parse(noisy.splitlines())
+    assert rp.can_fetch("a", "http://n.example/x/secret") is True  # divergence
+
+
 def test_sitemaps_extracted(spark):
     df = spark.createDataFrame(
         [("a.example", ROBOTS_A)], "host string, robots_txt string"

@@ -40,6 +40,9 @@ MESSY = [
     "https://a.co.jp:443/x?z&y=",
     "mailto:someone@example.com",
     "//protocol-relative.example.com/x",
+    "http://[::1]:8080/x?b=2&a=1",
+    "https://[2001:DB8::7]/p#f",
+    "http://[::ffff:192.0.2.1]:80/y",
 ]
 
 
@@ -129,6 +132,26 @@ def test_cross_engine_battery(spark):
     )
     want = {int(r[0]): (r[1], r[2], r[3]) for r in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+def test_ipv6_bracket_hosts(spark):
+    """RFC 3986 §3.2.2 IP-literals: brackets survive, the port split
+    doesn't mangle the colons, default ports still drop, and the
+    registrable-domain heuristic passes literals through unchanged.
+    An unterminated bracket is rejected (NULL), not garbled."""
+    cases = {
+        "http://[::1]:8080/x?b=2&a=1": "http://[::1]:8080/x?a=1&b=2",
+        "https://[2001:DB8::7]/p#f": "https://[2001:db8::7]/p",
+        "http://[::ffff:192.0.2.1]:80/y": "http://[::ffff:192.0.2.1]/y",
+        "http://[::1/broken": None,
+    }
+    for url, want in cases.items():
+        assert _one(spark, url_normalize, url) == want, url
+    assert _one(spark, url_host, "http://[::1]:8080/x") == "[::1]"
+    assert (
+        _one(spark, registrable_domain, "[::ffff:192.0.2.1]")
+        == "[::ffff:192.0.2.1]"
+    )
 
 
 def test_frontier_dedup_use_case(spark):

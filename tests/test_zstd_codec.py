@@ -177,6 +177,65 @@ def test_offset_beyond_window_rejected():
         zstd_decompress(frame)
 
 
+def test_sequence_bomb_guard_is_incremental():
+    """A ~30-byte compressed block whose 4 sequences each regenerate a
+    65539-byte match (ML code 52, RLE mode) must raise the block-size
+    cap DURING sequence execution — after ~128 KiB — not after
+    materializing the full multi-hundred-KB output.  Pins the
+    incremental `max_regen` guard inside _execute_sequences (the RLE
+    bomb test alone cannot reach this path)."""
+    import tracemalloc
+
+    # raw literals "aaaa": each sequence consumes one literal (LL code 1)
+    literals = bytes([4 << 3 | 0]) + b"aaaa"
+    # nseq=4, all-RLE modes, codes LL=1 (ll=1), OF=0 (value 1 -> rep0=1),
+    # ML=52 (base 65539, 16 extra bits).  Bitstream: 4x16 zero extra
+    # bits + sentinel = 65 bits -> 8 zero bytes + 0x01 sentinel byte.
+    seqs = bytes([4, 0x54, 1, 0, 52]) + b"\x00" * 8 + b"\x01"
+    block = literals + seqs
+    bh = len(block) << 3 | 2 << 1 | 1
+    # windowed frame, window = 2^17 = 128 KiB (wd=0x38) so the cap is
+    # MAX_BLOCK — total declared regen would be 4*(1+65539) = 262160
+    frame = MAGIC + bytes([0x00, 0x38]) + bh.to_bytes(3, "little") + block
+    tracemalloc.start()
+    with pytest.raises(ZstdError, match="block size limit"):
+        zstd_decompress(frame)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # incremental guard: peak stays near one cap (128 KiB), never the
+    # full regenerated size — generous 4 MiB bound for interpreter noise
+    assert peak < 4 << 20
+
+
+def test_match_offset_beyond_declared_window_rejected():
+    """The retained history can span up to 2x the declared window; a
+    match offset that fits the retained bytes but exceeds Window_Size
+    is non-conformant (RFC 8878 §3.1.1.1.2) and must be rejected."""
+    # window = 1 KiB (wd=0x00); two raw 1 KiB blocks build 2 KiB of
+    # retained history
+    bh1 = (1024 << 3 | 0 << 1 | 0).to_bytes(3, "little")
+    bh2 = bh1
+    # compressed last block: one sequence ll=0, ml=3, offset 1500
+    # (value 1503: OF code 10, 10 extra bits = 479) -> within retained
+    # history (2048) but beyond the declared window (1024)
+    literals = bytes([0])
+    seqs = bytes([1, 0x54, 0, 10, 0]) + bytes([0xDF, 0x05])
+    block = literals + seqs
+    bh3 = (len(block) << 3 | 2 << 1 | 1).to_bytes(3, "little")
+    frame = (
+        MAGIC
+        + bytes([0x00, 0x00])
+        + bh1
+        + b"x" * 1024
+        + bh2
+        + b"y" * 1024
+        + bh3
+        + block
+    )
+    with pytest.raises(ZstdError, match="declared window"):
+        zstd_decompress(frame)
+
+
 def test_content_size_mismatch_detected():
     frame = MAGIC + bytes([0x20, 9]) + bytes([0x29, 0, 0]) + b"hello"
     with pytest.raises(ZstdError, match="content size"):
