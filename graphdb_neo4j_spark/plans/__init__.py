@@ -1,4 +1,5 @@
 from graphdb_neo4j_spark.plans.audit import (
+    cache_above_aggregation,
     explain_str,
     has_broadcast_join,
     has_partial_aggregate,
@@ -7,6 +8,7 @@ from graphdb_neo4j_spark.plans.audit import (
 )
 
 __all__ = [
+    "cache_above_aggregation",
     "explain_str",
     "has_broadcast_join",
     "has_partial_aggregate",

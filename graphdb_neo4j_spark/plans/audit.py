@@ -49,3 +49,29 @@ def wholestage_codegen_spans(df: DataFrame, execute: bool = True) -> int:
         return len(set(re.findall(r"\*\((\d+)\)", plan)))
     m = re.search(r"Found (\d+) WholeStageCodegen", explain_str(df, "codegen"))
     return int(m.group(1)) if m else 0
+
+
+def cache_above_aggregation(df: DataFrame) -> bool:
+    """True when a to-be-cached frame pins rows ABOVE its aggregation
+    boundary: the analyzed logical plan has an Aggregate node at or
+    above (printed before, top-down) every Join.
+
+    Guards the cache-granularity failure mode: persisting the raw
+    output of a fact-table self-join (O(rows²) per key) when every
+    consumer immediately aggregates it — the cache should hold the
+    aggregated frame, which is strictly smaller and serves the same
+    consumers.  A frame with no Join is trivially fine; a frame with a
+    Join but no Aggregate above it returns False (cache the aggregated
+    successor instead)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    lines = plan.splitlines()
+    join_idx = next(
+        (i for i, ln in enumerate(lines) if re.search(r"\bJoin\b", ln)), None
+    )
+    if join_idx is None:
+        return True
+    agg_idx = next(
+        (i for i, ln in enumerate(lines) if re.search(r"\bAggregate\b", ln)),
+        None,
+    )
+    return agg_idx is not None and agg_idx < join_idx

@@ -1265,15 +1265,22 @@ _CORPUS = "/root/reference/malware/*.json"
 _graph_cache: dict[str, object] = {}
 
 
-def _copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Raw co-purchase pair rows (one row per (order, src<dst) part
-    pair) — the shared edge-construction input of every copurchase
-    graph query (Louvain, coreness, MST, link prediction readouts).
+def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """AGGREGATED co-purchase edges ``(src, dst, support)`` with
+    src < dst and support = number of orders containing both parts —
+    the shared edge input of every copurchase graph query (Louvain,
+    modularity, coreness, MST, link prediction).
+
     The lineitem self-join costs ~30-50s of exec at sf0.1; built and
     PERSISTED once per sf like the corpus graph, so a multi-query run
-    (the driver's 50-sample, bench) pays it once.  Values unchanged —
-    it is the identical plan, cached."""
-    key = ("copurchase_pairs", sf)
+    (the driver's 50-sample, bench) pays it once.  The cache pins the
+    frame ABOVE the aggregation boundary: the raw pair rows are
+    O(Σ_orders k²) — memory proportional to the fact table — while
+    this frame is one row per distinct part pair, strictly smaller,
+    and every consumer derives its view from support (multiplicity
+    weights, min-support filters, distinct edges) without touching
+    lineitem again."""
+    key = ("copurchase_edges", sf)
     if key not in _graph_cache:
         l = load_table(spark, sf, "lineitem")
         _graph_cache[key] = (
@@ -1283,10 +1290,11 @@ def _copurchase_pairs(spark: SparkSession, sf: str) -> DataFrame:
                 (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
                 & (F.col("x.l_partkey") < F.col("y.l_partkey")),
             )
-            .select(
+            .groupBy(
                 F.col("x.l_partkey").alias("src"),
                 F.col("y.l_partkey").alias("dst"),
             )
+            .agg(F.count(F.lit(1)).alias("support"))
             .persist()
         )
     return _graph_cache[key]
@@ -5872,9 +5880,9 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
     per row, so the DuckDB oracle hash-matches the doubles."""
     from graphdb_neo4j_spark.operators.traversal import modularity
 
-    pairs = (
-        _copurchase_pairs(spark, sf)
-    )
+    # modularity dedups edges internally — the aggregated frame's
+    # distinct (src, dst) rows are exactly the simple graph it scores
+    pairs = _copurchase_edges(spark, sf).select("src", "dst")
     assign = load_table(spark, sf, "part").select(
         F.col("p_partkey").alias("key"), F.col("p_brand").alias("community")
     )
@@ -6209,9 +6217,9 @@ def g70(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_louvain.py)."""
     from graphdb_neo4j_spark.operators.traversal import louvain_one_level
 
-    pairs = (
-        _copurchase_pairs(spark, sf)
-    )
+    # louvain_one_level dedups edges internally (unweighted
+    # projection) — the aggregated frame's pairs are identical input
+    pairs = _copurchase_edges(spark, sf).select("src", "dst")
     asg = louvain_one_level(pairs, max_iter=4)
     return (
         asg.groupBy("community")
@@ -6910,10 +6918,8 @@ def g73(spark: SparkSession, sf: str) -> DataFrame:
     modularity-improvement tests in tests/test_louvain.py."""
     from graphdb_neo4j_spark.operators.traversal import louvain
 
-    pairs = (
-        _copurchase_pairs(spark, sf)
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
+    pairs = _copurchase_edges(spark, sf).select(
+        "src", "dst", F.col("support").alias("w")
     )
     asg = louvain(pairs, max_levels=3, max_iter=4, weight_col="w")
     return (
@@ -7757,10 +7763,8 @@ def g78(spark: SparkSession, sf: str) -> DataFrame:
     from graphdb_neo4j_spark.operators.traversal import core_decomposition
 
     pairs = (
-        _copurchase_pairs(spark, sf)
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)  # keep the repeatedly co-purchased backbone
+        _copurchase_edges(spark, sf)
+        .filter(F.col("support") >= 2)  # repeatedly co-purchased backbone
         .select("src", "dst")
     )
     verts = (
@@ -7789,10 +7793,8 @@ def g74(spark: SparkSession, sf: str) -> DataFrame:
     Kruskal oracle in tests/test_traversal.py."""
     from graphdb_neo4j_spark.operators.traversal import minimum_spanning_forest
 
-    pairs = (
-        _copurchase_pairs(spark, sf)
-        .groupBy("src", "dst")
-        .agg(F.expr("1000000 div count(1)").cast("bigint").alias("w"))
+    pairs = _copurchase_edges(spark, sf).select(
+        "src", "dst", F.expr("1000000 div support").cast("bigint").alias("w")
     )
     forest = minimum_spanning_forest(pairs, weight_col="w")
     verts = (
@@ -9073,12 +9075,10 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
     degree joins are node-sized; the top-50 is a TakeOrdered."""
     from graphdb_neo4j_spark.operators.linkpred import link_prediction_scores
 
-    # the cached raw pairs already carry src < dst per order row, so
-    # least/greatest are identities and support = the row count
+    # the cached edges already carry src < dst and the per-pair order
+    # count as support, so the market-basket prune is a filter
     pairs = (
-        _copurchase_pairs(spark, sf)
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("support"))
+        _copurchase_edges(spark, sf)
         .filter(F.col("support") >= 2)
         .select("src", "dst")
     )

@@ -1300,3 +1300,28 @@ def test_robots_allowed_plan_stays_jvm_side(spark):
     plan = explain_str(out)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
         assert marker not in plan, f"Python boundary in robots plan: {marker}"
+
+
+def test_copurchase_cache_pins_aggregated_frame(spark):
+    """The shared copurchase cache must hold the AGGREGATED
+    (src, dst, support) frame — one row per distinct part pair — not
+    the raw self-join pair rows (O(Σ_orders k²), memory proportional
+    to the fact table).  Mechanical guard for the cache-granularity
+    class: the cached plan needs an Aggregate above its Join, and the
+    schema must carry the support column the consumers derive from."""
+    from graphdb_neo4j_spark.plans import cache_above_aggregation
+    from graphdb_neo4j_spark.workloads import _copurchase_edges
+
+    edges = _copurchase_edges(spark, SF)
+    assert set(edges.columns) == {"src", "dst", "support"}
+    assert cache_above_aggregation(edges), (
+        "copurchase cache pins rows below the aggregation boundary"
+    )
+    # the helper itself: a raw self-join (no aggregate) must FAIL
+    l = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    raw = l.alias("x").join(
+        l.alias("y"),
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    )
+    assert not cache_above_aggregation(raw)
