@@ -74,6 +74,7 @@ def _ordered_names() -> list[str]:
     is deterministic and self-maintaining as new CORRECTNESS files land.
     """
     flagships = [
+        "q222_crawl_pipeline",
         "q154_curation_pipeline",
         "q203_curation_with_pii",
         "q198_media_decode_audit",

@@ -13059,3 +13059,279 @@ def q221(spark: SparkSession, sf: str) -> DataFrame:
     ).repartition(4)
     out = robots_allowed(urls, parse_robots(robots), agent=_Q221_AGENT)
     return out.select("host", "path", "allowed")
+
+# ---------------------------------------------------------------------------
+# q222: the END-TO-END crawl chain under ONE oracle — compressed WARC
+# shards → record parse → HTML text+links → URL canonicalization →
+# robots verdict → exact dedup — composed exactly as a production
+# ingest would run it, so stage-INTERFACE drift (a rename, a schema
+# change, an escaping mismatch between any two stages) fails the gate
+# even when every per-stage gate (q215-q221) stays green.
+
+
+_Q222_AGENT = "crawler"
+_Q222_NHOSTS = 6
+
+
+def _q222_npages(k: int) -> int:
+    return 2 + k % 3
+
+
+def _q222_robots(k: int) -> str:
+    base = "# policy\nUser-agent: *\nDisallow: /private/\n"
+    if k % 2 == 0:
+        # exact-agent group shadows '*' entirely (both engines agree):
+        # crawler loses /page-2 but GAINS /private/ on even hosts
+        base += "\nUser-agent: crawler\nDisallow: /page-2\n"
+    return base
+
+
+def _q222_html(k: int, j: int) -> str:
+    """Page (k, j): scripted/styled/commented HTML with three outlinks
+    — a messy cross-host link, a relative link (dies at
+    canonicalization), and a messy self-host link.  Pages with
+    (k + j) % 4 == 0 share IDENTICAL extracted text (hrefs differ but
+    tags die in extraction) — the exact-dedup class."""
+    dup = (k + j) % 4 == 0
+    nxt = (j + 1) % _q222_npages(k)
+    peer = (k + 1) % _Q222_NHOSTS
+    title = "Shared Title" if dup else f"Page {k}-{j}"
+    body = (
+        "<p>Shared corpus paragraph &amp; boilerplate.</p>"
+        if dup
+        else f"<p>Unique text {k}-{j} " + "x" * (3 + (k + j) % 5) + "</p>"
+    )
+    return (
+        f"<html><!-- gen {k}-{j} --><head><title>{title}</title>"
+        f"<script>var v={k}*{j};</script><STYLE>p {{}}</STYLE></head><body>"
+        f"<h1>{title}</h1>{body}"
+        f'<a href="http://Site-{peer}.EXAMPLE/page-0?utm_source=x">peer</a> '
+        f'<a href="/page-{nxt}">next</a> '
+        f'<a href="http://site-{k}.example//y/../page-{nxt}">self</a>'
+        f"</body></html>"
+    )
+
+
+def _q222_html_private(k: int) -> str:
+    return (
+        f"<html><head><title>Notes {k}</title></head><body>"
+        f"<h1>Notes {k}</h1><p>private notes {k} "
+        + "y" * (2 + k % 4)
+        + "</p></body></html>"
+    )
+
+
+def _q222_records(k: int) -> list[tuple[int, str, str]]:
+    """(record_no, messy_uri, html) for host k — regular pages then the
+    /private/notes page, record numbering matching warc_records."""
+    recs = []
+    for j in range(_q222_npages(k)):
+        uri = f"HTTP://Site-{k}.EXAMPLE:80/x/../page-{j}?utm_source=feed&id={j}"
+        recs.append((j + 1, uri, _q222_html(k, j)))
+    recs.append(
+        (
+            _q222_npages(k) + 1,
+            f"http://user@site-{k}.example/private/notes#sec",
+            _q222_html_private(k),
+        )
+    )
+    return recs
+
+
+def _q222_verdicts() -> list[tuple[str, str, bool]]:
+    """(host, canonical_path, allowed) constants from urllib.robotparser
+    — an INDEPENDENT stdlib implementation — on the wildcard-free,
+    single-matching-rule fixture class where first-match and RFC 9309
+    longest-match semantics provably coincide (the q221 posture)."""
+    from urllib.robotparser import RobotFileParser
+
+    out = []
+    for k in range(_Q222_NHOSTS):
+        host = f"site-{k}.example"
+        rp = RobotFileParser()
+        rp.parse(_q222_robots(k).splitlines())
+        paths = [f"/page-{j}" for j in range(_q222_npages(k))] + [
+            "/private/notes"
+        ]
+        for p in paths:
+            out.append((host, p, rp.can_fetch(_Q222_AGENT, f"http://{host}{p}")))
+    return out
+
+
+def _q222_oracle() -> str:
+    from graphdb_neo4j_spark.operators.text import (
+        extract_links_sql,
+        html_to_text_sql,
+    )
+    from graphdb_neo4j_spark.operators.url import (
+        registrable_domain_sql,
+        url_host_sql,
+        url_normalize_sql,
+        url_path_canonical_sql,
+    )
+
+    page_vals = ", ".join(
+        "(%d, %d, '%s', '%s')"
+        % (k, rno, uri.replace("'", "''"), html.replace("'", "''"))
+        for k in range(_Q222_NHOSTS)
+        for rno, uri, html in _q222_records(k)
+    )
+    verdict_vals = ", ".join(
+        "('%s', '%s', %s)" % (h, p, "TRUE" if ok else "FALSE")
+        for h, p, ok in _q222_verdicts()
+    )
+    txt = html_to_text_sql("html")
+    links = extract_links_sql("html")
+    link_canon = f"coalesce({url_normalize_sql('u')}, '')"
+    return f"""
+    WITH pages(shard_id, record_no, uri, html) AS (VALUES {page_vals}),
+    base AS (
+      SELECT CAST(shard_id AS BIGINT) AS shard_id,
+             CAST(record_no AS INT) AS record_no,
+             coalesce({url_normalize_sql('uri')}, '') AS canon,
+             {url_host_sql('uri')} AS host,
+             {registrable_domain_sql(url_host_sql('uri'))} AS domain,
+             {url_path_canonical_sql('uri')} AS path,
+             CAST(length({txt}) AS INT) AS text_len,
+             md5({txt}) AS text_md5,
+             CAST(len({links}) AS INT) AS n_links,
+             {links} AS links
+      FROM pages
+    ),
+    fron AS (
+      SELECT shard_id, record_no,
+             CAST(COUNT(DISTINCT c) AS INT) AS n_frontier
+      FROM (
+        SELECT shard_id, record_no, {link_canon} AS c
+        FROM (SELECT shard_id, record_no, unnest(links) AS u FROM base)
+      ) WHERE c <> '' GROUP BY shard_id, record_no
+    ),
+    verdict(host, path, allowed) AS (VALUES {verdict_vals})
+    SELECT b.shard_id, b.record_no, b.canon, b.host, b.domain, v.allowed,
+           b.text_len, b.text_md5, b.n_links,
+           CAST(coalesce(f.n_frontier, 0) AS INT) AS n_frontier,
+           CAST(COUNT(*) OVER (PARTITION BY b.text_md5) AS BIGINT) AS dup_size,
+           b.canon = MIN(b.canon) OVER (PARTITION BY b.text_md5) AS is_primary
+    FROM base b
+    LEFT JOIN fron f ON f.shard_id = b.shard_id AND f.record_no = b.record_no
+    JOIN verdict v ON v.host = b.host AND v.path = b.path
+    """
+
+
+@query("q222_crawl_pipeline", _q222_oracle())
+def q222(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END CRAWL CHAIN under ONE hash gate: 6 genuine
+    Common-Crawl-layout shards (one gzip member per ISO 28500 WARC
+    record, concatenated) flow through the REAL operators composed the
+    way production would run them —
+
+      warc_records (sources/warc) → html_to_text + extract_links
+      (operators/text, pure Catalyst) → url_normalize / url_host /
+      registrable_domain / url_path_canonical (operators/url) →
+      parse_robots + robots_allowed (operators/robots) → exact dedup
+      (window over text md5)
+
+    — and every output field (canonical URL, registrable domain,
+    robots verdict, extracted-text md5, raw vs canonicalized-frontier
+    link counts, duplicate-group size, primary-copy flag) must equal a
+    single DuckDB oracle that reconstructs the chain from the page
+    constants through the byte-identical SQL mirrors plus a constant
+    robots-verdict table derived from urllib.robotparser (independent
+    implementation, wildcard-free coincidence class).  Catches
+    stage-INTERFACE drift that the per-stage gates q215-q221 cannot:
+    a schema rename, an escaping mismatch, or an ordering change
+    between any two stages fails this hash even if each stage alone
+    stays green.
+
+    Scale shape: decode+parse is one Arrow pass (parallelism = shard
+    count, payload dies at the parse stage); text/link/URL work is
+    zero-UDF codegen next to it; robots is a broadcast join + per-URL
+    window; the dedup window shuffles on the ALREADY-canonical md5
+    key.  The only data-sized exchanges are the dedup/window
+    shuffles on normalized keys — the canonicalize-then-shuffle
+    order a 100 TB frontier needs."""
+    import gzip as _gzip
+
+    from pyspark.sql import Window
+
+    from graphdb_neo4j_spark.operators.robots import (
+        parse_robots,
+        robots_allowed,
+    )
+    from graphdb_neo4j_spark.operators.text import extract_links, html_to_text
+    from graphdb_neo4j_spark.operators.url import (
+        registrable_domain,
+        url_host,
+        url_normalize,
+        url_path_canonical,
+    )
+    from graphdb_neo4j_spark.sources.warc import build_warc, warc_records
+
+    shard_rows = []
+    for k in range(_Q222_NHOSTS):
+        members = [
+            _gzip.compress(
+                build_warc([{
+                    "warc_type": "conversion",
+                    "target_uri": uri,
+                    "record_id": f"<urn:uuid:{k}-{rno}>",
+                    "warc_date": "2024-01-01T00:00:00Z",
+                    "content_type": "text/html",
+                    "payload": html.encode(),
+                }]),
+                mtime=0,
+            )
+            for rno, uri, html in _q222_records(k)
+        ]
+        shard_rows.append((k, bytearray(b"".join(members))))
+    shards = spark.createDataFrame(
+        shard_rows, "shard_id long, payload binary"
+    ).repartition(3)
+
+    recs = warc_records(shards, codec="gzip", strict=True)
+    html = F.col("text")
+    uri = F.col("target_uri")
+    canon = F.coalesce(url_normalize(uri), F.lit(""))
+    host = url_host(uri)
+    txt = html_to_text(html)
+    links = extract_links(html)
+    frontier = F.array_distinct(
+        F.filter(
+            F.transform(
+                links, lambda u: F.coalesce(url_normalize(u), F.lit(""))
+            ),
+            lambda c: c != "",
+        )
+    )
+    page = recs.select(
+        "shard_id",
+        "record_no",
+        canon.alias("canon"),
+        host.alias("host"),
+        registrable_domain(host).alias("domain"),
+        url_path_canonical(uri).alias("path"),
+        F.length(txt).alias("text_len"),
+        F.md5(txt).alias("text_md5"),
+        F.size(links).alias("n_links"),
+        F.size(frontier).alias("n_frontier"),
+    )
+    robots = spark.createDataFrame(
+        [(f"site-{k}.example", _q222_robots(k)) for k in range(_Q222_NHOSTS)],
+        "host string, robots_txt string",
+    )
+    verd = robots_allowed(page, parse_robots(robots), agent=_Q222_AGENT)
+    wm = Window.partitionBy("text_md5")
+    return verd.select(
+        "shard_id",
+        "record_no",
+        "canon",
+        "host",
+        "domain",
+        "allowed",
+        "text_len",
+        "text_md5",
+        "n_links",
+        "n_frontier",
+        F.count("*").over(wm).cast("bigint").alias("dup_size"),
+        (F.col("canon") == F.min("canon").over(wm)).alias("is_primary"),
+    )

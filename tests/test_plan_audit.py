@@ -1325,3 +1325,19 @@ def test_copurchase_cache_pins_aggregated_frame(spark):
         & (F.col("x.l_partkey") < F.col("y.l_partkey")),
     )
     assert not cache_above_aggregation(raw)
+
+
+def test_q222_crawl_chain_single_arrow_boundary(spark):
+    """q222's claim: the end-to-end crawl chain crosses into Python
+    exactly ONCE — the WARC decode+parse mapInPandas — and everything
+    downstream (text extraction, link pull, URL canonicalization,
+    robots verdicts, dedup windows) is JVM-side Catalyst."""
+    import re
+
+    out = QUERY_FNS["q222_crawl_pipeline"](spark, SF)
+    plan = explain_str(out)
+    # formatted explain prints each node once in the tree and once in
+    # the detail section — count the numbered detail entries
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"extra Python boundary: {marker}"
