@@ -109,3 +109,127 @@ def streaming_crawl_ingest(
         )
 
     return shards_stream.writeStream.foreachBatch(_process)
+
+
+def streaming_frontier_dedup(
+    urls_stream: DataFrame,
+    watermark_delay: str = "1 hour",
+    url_col: str = "url",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Bounded-state streaming frontier dedup: canonicalize each URL
+    (:func:`~graphdb_neo4j_spark.operators.url.url_normalize` — the
+    q220 chain) and keep the FIRST arrival per canonical form within
+    the watermark horizon via ``dropDuplicatesWithinWatermark`` — the
+    crawl analogue of ``streaming_dedup_spans``.
+
+    Canonicalize-then-dedup is the load-bearing order: un-normalized
+    keys split the same page across state entries and re-fetch it once
+    per spelling.  Non-absolute URLs (canon '') can never be fetched
+    and are dropped here (extract-side link cleanup, not loss — the
+    batch q220 semantics keep them visible for auditing).
+
+    State is bounded by the watermark horizon; for a DURABLE ledger
+    that never re-admits a URL, use :func:`streaming_frontier_ingest`.
+    """
+    from graphdb_neo4j_spark.operators.url import url_normalize
+
+    keyed = (
+        urls_stream.withColumn(
+            "canon", F.coalesce(url_normalize(F.col(url_col)), F.lit(""))
+        )
+        .filter(F.col("canon") != "")
+        .withColumn(time_col, F.col(time_col).cast("timestamp"))
+        .withWatermark(time_col, watermark_delay)
+    )
+    return keyed.dropDuplicatesWithinWatermark(["canon"])
+
+
+def streaming_frontier_ingest(
+    urls_stream: DataFrame,
+    state_path: str,
+    url_col: str = "url",
+    time_col: str = "event_time",
+):
+    """``writeStream`` builder: DURABLE first-seen crawl frontier with
+    exactly-once batch gating — a URL admitted once is never admitted
+    again, across restarts (the ledger IS the crawl's fetch history,
+    so unlike the watermarked variant it must not expire).
+
+    Per micro-batch: canonicalize (q220 chain) and derive host +
+    registrable domain, pick the in-batch winner per canonical form
+    (first by event time, raw-URL tie-break), anti-join against every
+    PRIOR batch's admissions, and land only the NEW canonical URLs
+    under ``{state_path}/frontier`` partitioned by ``batch_id``.  The
+    meta row commits LAST: a replayed batch whose meta exists is a
+    no-op, a half-written batch rewrites only its own partition
+    (dynamic-partition overwrite) and its leftovers are excluded from
+    the prior set by the ``batch_id < current`` filter.
+
+    100 TB notes: the ledger is APPEND-ONLY — each batch writes O(new
+    URLs), never rewrites the seen-set (the neardup module's snapshot
+    rewrite would be O(ledger) per batch here, since a frontier never
+    prunes).  The anti-join scans the ledger but moves only canonical
+    keys; it shuffles on the ALREADY-canonical key, and the ledger's
+    batch_id partitioning means a periodic compaction (coalesce old
+    partitions) is a pure storage optimization, not a semantic one.
+    Read admissions with :func:`frontier_urls`.
+    """
+    from pyspark.sql import Window
+
+    from graphdb_neo4j_spark.operators.url import (
+        registrable_domain,
+        url_host,
+        url_normalize,
+    )
+
+    frontier_path = f"{state_path}/frontier"
+    meta_path = f"{state_path}/meta"
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id in _done_batches(spark, meta_path):
+            return
+        canon = F.coalesce(url_normalize(F.col(url_col)), F.lit(""))
+        pages = (
+            batch_df.withColumn("canon", canon)
+            .filter(F.col("canon") != "")
+            .withColumn("host", url_host(F.col(url_col)))
+            .withColumn("domain", registrable_domain(url_host(F.col(url_col))))
+        )
+        w = Window.partitionBy("canon").orderBy(
+            F.col(time_col).cast("timestamp"), F.col(url_col)
+        )
+        firsts = (
+            pages.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            prior = (
+                spark.read.parquet(frontier_path)
+                .filter(F.col("batch_id") < F.lit(batch_id))
+                .select("canon")
+            )
+        except AnalysisException:
+            prior = None
+        new = (
+            firsts.join(prior, "canon", "left_anti")
+            if prior is not None
+            else firsts
+        )
+        n_new = new.count()
+        _write_by_batch(new.withColumn("batch_id", F.lit(batch_id)), frontier_path)
+        _write_by_batch(
+            spark.createDataFrame(
+                [(batch_id, n_new, 0)], _META_SCHEMA
+            ),
+            meta_path,
+        )
+
+    return urls_stream.writeStream.foreachBatch(_process)
+
+
+def frontier_urls(spark: SparkSession, state_path: str) -> DataFrame:
+    """Every admitted (first-seen) frontier URL across batches."""
+    return spark.read.parquet(f"{state_path}/frontier").drop("batch_id")
