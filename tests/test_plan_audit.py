@@ -1341,3 +1341,63 @@ def test_q222_crawl_chain_single_arrow_boundary(spark):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
         assert marker not in plan, f"extra Python boundary: {marker}"
+
+
+def test_louvain_round_nbc_has_mapside_combine(spark):
+    """g70 closure (r8): the r6 'untried lever' — map-side (src,
+    community) pre-aggregation of neighbor-community weights — is
+    ALREADY realized by Spark's partial aggregation: the round's nbc
+    plan must keep a partial_sum HashAggregate BEFORE the exchange on
+    (v, c), and the edge side must stream from the partitioned cache
+    with zero exchange.  Pins the property so a future plan change
+    that silently drops map-side combine (the 'whole ballgame' per the
+    r6 negative results) fails here instead of in a bench regression."""
+    from graphdb_neo4j_spark.operators.traversal import _as_undirected
+
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200)], "src long, dst long"
+    )
+    und = (
+        _as_undirected(pairs.select("src", "dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .repartition(n_shuffle, "dst")
+        .groupBy("dst", "src")
+        .agg(F.lit(1).cast("bigint").alias("w"))
+        .select("src", "dst", "w")
+        .sortWithinPartitions("dst")
+        .persist()
+    )
+    try:
+        und.count()
+        asg = (
+            und.select(F.col("src").alias("v"))
+            .distinct()
+            .select("v", F.col("v").alias("c"))
+            .localCheckpoint()
+        )
+        nbc = (
+            und.join(asg.select(F.col("v").alias("dst"), "c"), "dst")
+            .groupBy(F.col("src").alias("v"), "c")
+            .agg(F.sum("w").cast("bigint").alias("k"))
+        )
+        plan = explain_str(nbc, "extended")
+        phys = plan[plan.index("== Physical Plan =="):]
+        lines = phys.splitlines()
+        partial = next(
+            i for i, l in enumerate(lines) if "partial_sum" in l
+        )
+        exchange = next(
+            i for i, l in enumerate(lines)
+            if "Exchange hashpartitioning" in l and "InMemory" not in l
+        )
+        # top-down print: the final agg + its exchange come first, the
+        # partial agg below (closer to the scan) — map-side combine
+        assert exchange < partial, phys
+        # edge side streams from the cache: no exchange below the join
+        join_i = next(i for i, l in enumerate(lines) if "Join" in l)
+        scan_i = next(i for i, l in enumerate(lines) if "InMemoryTableScan" in l)
+        between = lines[join_i + 1 : scan_i]
+        assert not any("Exchange" in l for l in between), phys
+    finally:
+        und.unpersist()
