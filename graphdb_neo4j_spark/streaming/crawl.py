@@ -218,6 +218,11 @@ def streaming_frontier_ingest(
             if prior is not None
             else firsts
         )
+        # freeze before writing: `new` READS the frontier path the
+        # write below targets — cutting the lineage means the write
+        # job never re-scans the ledger mid-overwrite, and the
+        # anti-join runs once, not once per action
+        new = new.localCheckpoint()
         n_new = new.count()
         _write_by_batch(new.withColumn("batch_id", F.lit(batch_id)), frontier_path)
         _write_by_batch(
