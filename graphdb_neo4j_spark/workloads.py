@@ -13335,3 +13335,181 @@ def q222(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").over(wm).cast("bigint").alias("dup_size"),
         (F.col("canon") == F.min("canon").over(wm)).alias("is_primary"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q223: sitemap-driven frontier seeding — the crawl chain's OTHER entry
+# point (robots Sitemap: lines → sitemap/sitemapindex parse → URL
+# canonicalization), closing the last crawl operator that had only
+# unit-test coverage (parse_sitemap / sitemap_urls).
+
+
+_Q223_NHOSTS = 5
+
+
+def _q223_robots(k: int) -> str:
+    txt = (
+        "User-agent: *\nDisallow: /private/\n"
+        f"Sitemap: http://m{k}.example/sitemap.xml\n"
+    )
+    if k % 2 == 0:
+        txt += f"Sitemap: http://m{k}.example/sitemap-news.xml\n"
+    return txt
+
+
+def _q223_entries(k: int, news: bool) -> list[tuple[str, str]]:
+    """(decoded_loc, lastmod-or-'') constants for host k's sitemap."""
+    tag = "news-" if news else "item-"
+    n = 2 + (k + (1 if news else 0)) % 3
+    out = []
+    for i in range(n):
+        if news and i == 0:
+            # spelling VARIANT of the main sitemap's item-0: same
+            # canonical form, so the frontier window sees a real dup
+            loc = f"http://m{k}.example/item-0?id=0&utm_campaign=c"
+        else:
+            loc = f"HTTP://M{k}.example:80/{tag}{i}?utm_source=s&id={i}"
+        lastmod = f"2024-0{1 + i % 3}-01" if i % 2 == 0 else ""
+        out.append((loc, lastmod))
+    return out
+
+
+def _q223_xml(k: int, news: bool) -> str:
+    """Genuine sitemaps.org XML: the locs carry entity-escaped '&' and
+    namespace attributes on the root; host 3's main sitemap is a
+    SITEMAPINDEX (entries of kind 'sitemap')."""
+    if k == 3 and not news:
+        body = "".join(
+            f"<sitemap><loc>http://m{k}.example/sitemap-part{j}.xml</loc>"
+            f"<lastmod>2024-01-0{j + 1}</lastmod></sitemap>"
+            for j in range(2)
+        )
+        return (
+            '<?xml version="1.0"?><sitemapindex '
+            'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{body}</sitemapindex>"
+        )
+    body = ""
+    for loc, lastmod in _q223_entries(k, news):
+        esc = loc.replace("&", "&amp;")
+        lm = f"<lastmod>{lastmod}</lastmod>" if lastmod else ""
+        body += f"<url><loc> {esc} </loc>{lm}</url>"
+    return (
+        '<?xml version="1.0"?><urlset '
+        'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        f"{body}</urlset>"
+    )
+
+
+def _q223_docs() -> list[tuple[str, str, str]]:
+    docs = []
+    for k in range(_Q223_NHOSTS):
+        docs.append(
+            (f"m{k}.example", f"http://m{k}.example/sitemap.xml", _q223_xml(k, False))
+        )
+        if k % 2 == 0:
+            docs.append(
+                (
+                    f"m{k}.example",
+                    f"http://m{k}.example/sitemap-news.xml",
+                    _q223_xml(k, True),
+                )
+            )
+    # one undeclared sitemap doc: fetched but NOT in robots — the join
+    # on sitemap_urls must drop it
+    docs.append(
+        ("m0.example", "http://m0.example/sitemap-orphan.xml", _q223_xml(0, True))
+    )
+    return docs
+
+
+def _q223_constants() -> list[tuple[str, str, str, str]]:
+    """(host, kind, decoded_loc, lastmod) — analytic truth of every
+    entry of every robots-DECLARED sitemap."""
+    rows = []
+    for k in range(_Q223_NHOSTS):
+        host = f"m{k}.example"
+        if k == 3:
+            for j in range(2):
+                rows.append(
+                    (
+                        host,
+                        "sitemap",
+                        f"http://m{k}.example/sitemap-part{j}.xml",
+                        f"2024-01-0{j + 1}",
+                    )
+                )
+        else:
+            for loc, lastmod in _q223_entries(k, False):
+                rows.append((host, "url", loc, lastmod))
+        if k % 2 == 0:
+            for loc, lastmod in _q223_entries(k, True):
+                rows.append((host, "url", loc, lastmod))
+    return rows
+
+
+def _q223_oracle() -> str:
+    from graphdb_neo4j_spark.operators.url import url_normalize_sql
+
+    vals = ", ".join(
+        "('%s', '%s', '%s', '%s')"
+        % (h, kind, loc.replace("'", "''"), lm)
+        for h, kind, loc, lm in _q223_constants()
+    )
+    canon = f"coalesce({url_normalize_sql('loc')}, loc)"
+    return f"""
+    SELECT host, kind, loc, {canon} AS canon, lastmod,
+           CAST(COUNT(*) OVER (PARTITION BY {canon}) AS BIGINT)
+             AS frontier_size
+    FROM (VALUES {vals}) AS t(host, kind, loc, lastmod)
+    """
+
+
+@query("q223_sitemap_frontier", _q223_oracle())
+def q223(spark: SparkSession, sf: str) -> DataFrame:
+    """SITEMAP-DRIVEN FRONTIER SEEDING under the hash gate — the crawl
+    chain's other entry point (q222 covers link discovery; sitemaps
+    are the publisher-declared one).  ``robots.sitemap_urls`` pulls
+    the Sitemap: lines from each host's robots.txt (group-independent
+    per RFC 9309 §2.3), an inner join against the fetched sitemap
+    bodies DROPS undeclared documents (the orphan fixture), and
+    ``robots.parse_sitemap`` extracts urlset/sitemapindex entries —
+    namespace attributes tolerated, whitespace-padded locs trimmed,
+    the sitemaps.org entity escaping table decoded (&amp; last) —
+    which then flow through the q220 URL canonicalization into
+    frontier-dedup counts.  The oracle is the analytic truth of the
+    generation formulas (the q215/q217 posture) with the canonical
+    form computed through the byte-identical SQL mirror chain; kind
+    'sitemap' rows are the index entries a production crawler would
+    recurse on.  Closes the last crawl-chain operator that had only
+    unit-test coverage.
+
+    Scale shape: robots and sitemap bodies are host-keyed metadata
+    (broadcast-sized relative to the frontier); parsing is pure
+    Catalyst regex extraction — zero UDF — and the one exchange is
+    the frontier window on the ALREADY-canonical key."""
+    from pyspark.sql import Window
+
+    from graphdb_neo4j_spark.operators.robots import parse_sitemap, sitemap_urls
+    from graphdb_neo4j_spark.operators.url import url_normalize
+
+    robots = spark.createDataFrame(
+        [(f"m{k}.example", _q223_robots(k)) for k in range(_Q223_NHOSTS)],
+        "host string, robots_txt string",
+    )
+    declared = sitemap_urls(robots)
+    docs = spark.createDataFrame(
+        _q223_docs(), "host string, sitemap string, sitemap_xml string"
+    ).repartition(3)
+    fetched = docs.join(declared, ["host", "sitemap"])
+    entries = parse_sitemap(fetched)
+    canon = F.coalesce(url_normalize(F.col("loc")), F.col("loc"))
+    w = Window.partitionBy(canon)
+    return entries.select(
+        "host",
+        "kind",
+        "loc",
+        canon.alias("canon"),
+        F.coalesce(F.col("lastmod"), F.lit("")).alias("lastmod"),
+        F.count("*").over(w).cast("bigint").alias("frontier_size"),
+    )
