@@ -160,7 +160,16 @@ def streaming_frontier_ingest(
     registrable domain, pick the in-batch winner per canonical form
     (first by event time, raw-URL tie-break), anti-join against every
     PRIOR batch's admissions, and land only the NEW canonical URLs
-    under ``{state_path}/frontier`` partitioned by ``batch_id``.  The
+    under ``{state_path}/frontier`` partitioned by ``batch_id``.
+
+    Cross-batch precedence is ARRIVAL order, not global event time: an
+    out-of-order late arrival with an earlier timestamp does NOT
+    displace an existing admission — the ledger is the crawl's fetch
+    history, and a page already fetched stays fetched (the same
+    first-arrival contract as ``dropDuplicatesWithinWatermark``).
+    Stream ≡ batch therefore holds exactly when event-time order is
+    consistent with arrival order across batches; within a batch the
+    event-time window makes the winner arrival-order independent.  The
     meta row commits LAST: a replayed batch whose meta exists is a
     no-op, a half-written batch rewrites only its own partition
     (dynamic-partition overwrite) and its leftovers are excluded from

@@ -147,3 +147,36 @@ def test_frontier_dedup_watermarked_variant(spark, tmp_path):
         "http://other.example/x?q=1",
         "https://news.site.co.uk/story-1",
     ]
+
+
+def test_frontier_ingest_arrival_order_beats_late_event_time(spark, tmp_path):
+    """Cross-batch precedence is ARRIVAL order: a late-arriving
+    spelling variant with an EARLIER event time must not displace the
+    already-admitted row — the ledger is fetch history."""
+    src = tmp_path / "urls"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    _rows(
+        spark, [("http://example.com/b", "2024-01-01 12:00:00")]
+    ).write.parquet(f"{src}/w1.parquet")
+
+    def builder():
+        return streaming_frontier_ingest(
+            spark.readStream.schema(URL_SCHEMA).parquet(str(src) + "/*"),
+            state,
+        )
+
+    _run(builder(), ckpt)
+    # a variant spelling of the SAME page arrives later with an
+    # earlier event time
+    _rows(
+        spark,
+        [("HTTP://Example.COM:80/a/../b", "2024-01-01 00:00:00")],
+    ).write.parquet(f"{src}/w2.parquet")
+    _run(builder(), ckpt)
+
+    got = frontier_urls(spark, state).collect()
+    assert len(got) == 1
+    assert got[0].url == "http://example.com/b"  # the first ARRIVAL
