@@ -51,27 +51,48 @@ def wholestage_codegen_spans(df: DataFrame, execute: bool = True) -> int:
     return int(m.group(1)) if m else 0
 
 
+def _tree_depth(line: str) -> int:
+    """Indent depth of a plan-tree line (the ``:- `` / ``+- `` prefix
+    length); the node name starts at this offset."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
 def cache_above_aggregation(df: DataFrame) -> bool:
     """True when a to-be-cached frame pins rows ABOVE its aggregation
-    boundary: the analyzed logical plan has an Aggregate node at or
-    above (printed before, top-down) every Join.
+    boundary: EVERY Join node in the analyzed logical plan has an
+    Aggregate ANCESTOR (by tree structure, not print order — an
+    Aggregate in a sibling union branch does not cover a raw join in
+    another branch).
 
     Guards the cache-granularity failure mode: persisting the raw
     output of a fact-table self-join (O(rows²) per key) when every
     consumer immediately aggregates it — the cache should hold the
     aggregated frame, which is strictly smaller and serves the same
-    consumers.  A frame with no Join is trivially fine; a frame with a
-    Join but no Aggregate above it returns False (cache the aggregated
+    consumers.  A frame with no Join is trivially fine; any Join with
+    no Aggregate above it returns False (cache the aggregated
     successor instead)."""
     plan = df._jdf.queryExecution().analyzed().toString()
-    lines = plan.splitlines()
-    join_idx = next(
-        (i for i, ln in enumerate(lines) if re.search(r"\bJoin\b", ln)), None
-    )
-    if join_idx is None:
-        return True
-    agg_idx = next(
-        (i for i, ln in enumerate(lines) if re.search(r"\bAggregate\b", ln)),
-        None,
-    )
-    return agg_idx is not None and agg_idx < join_idx
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    for j, ln in enumerate(lines):
+        d = _tree_depth(ln)
+        if not ln[d:].startswith("Join"):
+            continue
+        # ancestors = the chain of lines above with strictly
+        # decreasing depth (each new minimum is the parent hop)
+        covered = False
+        cur = d
+        for k in range(j - 1, -1, -1):
+            dk = _tree_depth(lines[k])
+            if dk < cur:
+                if lines[k][dk:].startswith("Aggregate"):
+                    covered = True
+                    break
+                cur = dk
+                if cur == 0:
+                    break
+        if not covered:
+            return False
+    return True

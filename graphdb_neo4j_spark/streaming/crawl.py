@@ -169,21 +169,32 @@ def streaming_frontier_ingest(
     first-arrival contract as ``dropDuplicatesWithinWatermark``).
     Stream ≡ batch therefore holds exactly when event-time order is
     consistent with arrival order across batches; within a batch the
-    event-time window makes the winner arrival-order independent.  The
-    meta row commits LAST: a replayed batch whose meta exists is a
-    no-op, a half-written batch rewrites only its own partition
-    (dynamic-partition overwrite) and its leftovers are excluded from
-    the prior set by the ``batch_id < current`` filter.
+    event-time window makes the winner arrival-order independent.
+
+    Replay safety is RUN-SCOPED: batch ids are only unique within one
+    checkpoint lineage, so gating on the bare id would make a restart
+    with a FRESH checkpoint (the standard recovery after checkpoint
+    loss, where ids restart at 0) silently skip batches of brand-new
+    URLs.  Each builder call mints a ``run_id``; the ledger partitions
+    on ``(run_id, batch_id)``, the meta gate skips only an exact
+    ``(run_id, batch_id)`` replay, and the anti-join excludes only the
+    CURRENT partition — so a crashed batch's half-written leftovers
+    are rewritten in place, while reprocessing already-committed data
+    under a new lineage is CONTENT-idempotent (every admitted URL is
+    in the prior set, so the new partition lands empty).  The meta row
+    commits LAST, as everywhere in this module.
 
     100 TB notes: the ledger is APPEND-ONLY — each batch writes O(new
     URLs), never rewrites the seen-set (the neardup module's snapshot
     rewrite would be O(ledger) per batch here, since a frontier never
     prunes).  The anti-join scans the ledger but moves only canonical
     keys; it shuffles on the ALREADY-canonical key, and the ledger's
-    batch_id partitioning means a periodic compaction (coalesce old
-    partitions) is a pure storage optimization, not a semantic one.
-    Read admissions with :func:`frontier_urls`.
+    partitioning means a periodic compaction (coalesce old partitions)
+    is a pure storage optimization, not a semantic one.  Read
+    admissions with :func:`frontier_urls`.
     """
+    import uuid
+
     from pyspark.sql import Window
 
     from graphdb_neo4j_spark.operators.url import (
@@ -194,10 +205,22 @@ def streaming_frontier_ingest(
 
     frontier_path = f"{state_path}/frontier"
     meta_path = f"{state_path}/meta"
+    run_id = uuid.uuid4().hex
+
+    def _done(spark: SparkSession) -> set[tuple[str, int]]:
+        try:
+            return {
+                (r.run_id, r.batch_id)
+                for r in spark.read.parquet(meta_path)
+                .select("run_id", "batch_id")
+                .collect()
+            }
+        except AnalysisException:
+            return set()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if batch_id in _done_batches(spark, meta_path):
+        if (run_id, batch_id) in _done(spark):
             return
         canon = F.coalesce(url_normalize(F.col(url_col)), F.lit(""))
         pages = (
@@ -217,7 +240,12 @@ def streaming_frontier_ingest(
         try:
             prior = (
                 spark.read.parquet(frontier_path)
-                .filter(F.col("batch_id") < F.lit(batch_id))
+                .filter(
+                    ~(
+                        (F.col("run_id") == F.lit(run_id))
+                        & (F.col("batch_id") == F.lit(batch_id))
+                    )
+                )
                 .select("canon")
             )
         except AnalysisException:
@@ -233,17 +261,24 @@ def streaming_frontier_ingest(
         # anti-join runs once, not once per action
         new = new.localCheckpoint()
         n_new = new.count()
-        _write_by_batch(new.withColumn("batch_id", F.lit(batch_id)), frontier_path)
-        _write_by_batch(
-            spark.createDataFrame(
-                [(batch_id, n_new, 0)], _META_SCHEMA
-            ),
-            meta_path,
+        (
+            new.withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("run_id", "batch_id")
+            .parquet(frontier_path)
         )
+        spark.createDataFrame(
+            [(run_id, batch_id, n_new)],
+            "run_id string, batch_id long, n_new long",
+        ).write.mode("append").parquet(meta_path)
 
     return urls_stream.writeStream.foreachBatch(_process)
 
 
 def frontier_urls(spark: SparkSession, state_path: str) -> DataFrame:
     """Every admitted (first-seen) frontier URL across batches."""
-    return spark.read.parquet(f"{state_path}/frontier").drop("batch_id")
+    return spark.read.parquet(f"{state_path}/frontier").drop(
+        "run_id", "batch_id"
+    )

@@ -1325,6 +1325,27 @@ def test_copurchase_cache_pins_aggregated_frame(spark):
         & (F.col("x.l_partkey") < F.col("y.l_partkey")),
     )
     assert not cache_above_aggregation(raw)
+    # ancestry, not print order: an Aggregate in a SIBLING union branch
+    # prints BEFORE the other branch's raw join but does not cover it
+    agg_branch = l.groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    join_branch = (
+        l.alias("x")
+        .join(l.alias("y"), "l_orderkey")
+        .select(
+            F.col("x.l_orderkey").alias("l_orderkey"),
+            F.lit(1).cast("bigint").alias("n"),
+        )
+    )
+    assert not cache_above_aggregation(agg_branch.unionByName(join_branch))
+    # and the aggregate-of-join union stays fine
+    both_agg = agg_branch.unionByName(
+        join_branch.groupBy("l_orderkey").agg(
+            F.count("*").cast("bigint").alias("n")
+        )
+    )
+    assert cache_above_aggregation(both_agg)
 
 
 def test_q222_crawl_chain_single_arrow_boundary(spark):

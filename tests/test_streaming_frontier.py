@@ -180,3 +180,41 @@ def test_frontier_ingest_arrival_order_beats_late_event_time(spark, tmp_path):
     got = frontier_urls(spark, state).collect()
     assert len(got) == 1
     assert got[0].url == "http://example.com/b"  # the first ARRIVAL
+
+
+def test_frontier_ingest_survives_checkpoint_loss(spark, tmp_path):
+    """The finding this pins: batch ids restart at 0 under a fresh
+    checkpoint lineage, so a bare-batch_id meta gate would silently
+    SKIP the recovery batch and drop its new URLs.  The run-scoped
+    gate must instead reprocess it content-idempotently: old
+    admissions stay single, new URLs are admitted."""
+    src = tmp_path / "urls"
+    src.mkdir()
+    state = str(tmp_path / "state")
+
+    _rows(spark, WAVE1).write.parquet(f"{src}/w1.parquet")
+
+    def builder():
+        return streaming_frontier_ingest(
+            spark.readStream.schema(URL_SCHEMA).parquet(str(src) + "/*"),
+            state,
+        )
+
+    _run(builder(), str(tmp_path / "ckpt1"))
+    assert frontier_urls(spark, state).count() == 2
+
+    # checkpoint is lost; new URLs arrive; recovery runs with a FRESH
+    # checkpoint — the engine replays EVERYTHING as batch 0
+    _rows(
+        spark, [("http://brand.new.example/page", "2024-01-02 00:00:00")]
+    ).write.parquet(f"{src}/w3.parquet")
+    _run(builder(), str(tmp_path / "ckpt-recovered"))
+
+    got = frontier_urls(spark, state)
+    # old admissions not duplicated, the new URL not lost
+    assert got.count() == 3
+    assert (
+        got.filter(F.col("canon") == "http://brand.new.example/page").count()
+        == 1
+    )
+    assert got.groupBy("canon").count().filter("count > 1").count() == 0
