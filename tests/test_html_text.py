@@ -114,3 +114,61 @@ def test_vertical_tab_survives_both_engines(spark, bad):
     con = duckdb.connect()
     (oracle,) = con.execute(f"SELECT {html_to_text_sql('?')}", [bad]).fetchone()
     assert r["t"] == oracle
+
+
+def test_cross_engine_generative_fuzz(spark):
+    """300 grammar-generated HTML fragments through BOTH engines —
+    random compositions of the constructs the fixed NASTY battery pins
+    one at a time (scripts with operators, comments, entities incl.
+    double-escapes, block/inline/void tags, attribute links, case
+    storms, whitespace storms).  Deterministic seed."""
+    import random as _random
+
+    rng = _random.Random(0xBEEF)
+    pieces = [
+        lambda r: f"<p>para {r.randint(0, 99)}</p>",
+        lambda r: f"<div>block {r.randint(0, 99)}</div>",
+        lambda r: f"<span>s{r.randint(0, 9)}</span>",
+        lambda r: "<script>if (a < b && c > d) { x = '</div>'; }</script>",
+        lambda r: "<STYLE>p { color: red }</STYLE>",
+        lambda r: f"<!-- hidden {r.randint(0, 99)} <p>x</p> -->",
+        lambda r: r.choice(
+            ["&amp;", "&lt;", "&gt;", "&quot;", "&apos;", "&nbsp;",
+             "&amp;lt;", "&amp;amp;"]
+        ),
+        lambda r: r.choice(["<br>", "<br/>", "<BR >", "<hr>"]),
+        lambda r: (
+            f'<a href="http://h{r.randint(0, 5)}.example/p{r.randint(0, 9)}'
+            f'?a={r.randint(0, 9)}&amp;b=2">L{r.randint(0, 9)}</a>'
+        ),
+        lambda r: f"<a href='http://q{r.randint(0, 5)}.example/x'>Q</a>",
+        lambda r: r.choice(["plain text", "  spaced\t\tout  ", "\n\n", " "]),
+        lambda r: f"<H{r.randint(1, 3)}>Head</H{r.randint(1, 3)}>",
+        lambda r: f"<ul><li>i{r.randint(0, 9)}</li></ul>",
+    ]
+
+    def gen() -> str:
+        return "".join(
+            rng.choice(pieces)(rng) for _ in range(rng.randint(1, 12))
+        )
+
+    docs = [gen() for _ in range(300)]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(docs)], "i long, html string"
+    )
+    got = {
+        r["i"]: (r["t"], r["l"])
+        for r in df.select(
+            "i",
+            html_to_text(F.col("html")).alias("t"),
+            F.array_join(extract_links(F.col("html")), "|").alias("l"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(docs):
+        (t, l) = con.execute(
+            f"SELECT {html_to_text_sql('?')}, "
+            f"coalesce(array_to_string({extract_links_sql('?')}, '|'), '')",
+            [s, s],
+        ).fetchone()
+        assert got[i] == (t, l), (i, docs[i], got[i], (t, l))

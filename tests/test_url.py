@@ -184,3 +184,66 @@ def test_documented_limits(spark):
     deep = "http://example.com/" + "a/" * 40 + "../" * 40 + "end"
     out = _one(spark, url_normalize, deep)
     assert out is not None and out.endswith("end")
+
+
+def test_cross_engine_generative_fuzz(spark):
+    """300 grammar-generated messy URLs through BOTH engines — any
+    Java-regex/RE2 dialect divergence in the chain (or either mirror
+    drifting from its Column twin) fails here before a fixed-battery
+    case exists for it.  Deterministic seed: failures reproduce."""
+    import random as _random
+
+    rng = _random.Random(0xC0FFEE)
+    schemes = ["http", "HTTP", "https", "ftp", "Http"]
+    hosts = [
+        "Example.COM", "example.com.", "WWW.Site.co.uk", "a.b.c.d.example",
+        "192.168.0.1", "[::1]", "[2001:DB8::7]", "localhost", "x.io.",
+    ]
+    ports = ["", ":80", ":443", ":21", ":8080", ":0443"]
+    segs = ["a", "b", ".", "..", "a.b", "x%2Fy", "", "name.html", "~u"]
+    params = [
+        "a=1", "z=2", "utm_source=x", "utm_campaign", "gclid=g", "q=a+b",
+        "b=", "fbclid=f", "empty", "k=v=w", "msclkid=m", "a=2",
+    ]
+
+    def gen() -> str:
+        path = "/".join(rng.choice(segs) for _ in range(rng.randint(0, 5)))
+        q = "&".join(
+            rng.choice(params) for _ in range(rng.randint(0, 4))
+        )
+        frag = rng.choice(["", "#f", "#a/b?c=1"])
+        user = rng.choice(["", "user@", "u:p@"])
+        lead = rng.choice(["", " ", "  "])
+        url = (
+            f"{lead}{rng.choice(schemes)}://{user}{rng.choice(hosts)}"
+            f"{rng.choice(ports)}/{path}"
+        )
+        if q:
+            url += f"?{q}"
+        return url + frag + lead
+
+    urls = [gen() for _ in range(300)]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    got = {
+        r["i"]: (r["c"], r["h"], r["d"])
+        for r in df.select(
+            "i",
+            url_normalize(F.col("url")).alias("c"),
+            url_host(F.col("url")).alias("h"),
+            registrable_domain(url_host(F.col("url"))).alias("d"),
+        ).collect()
+    }
+    vals = ", ".join(
+        "(%d, '%s')" % (i, u.replace("'", "''")) for i, u in enumerate(urls)
+    )
+    sql = (
+        f"SELECT i, {url_normalize_sql('url')} AS c, "
+        f"{url_host_sql('url')} AS h, "
+        f"{registrable_domain_sql(url_host_sql('url'))} AS d "
+        f"FROM (VALUES {vals}) AS t(i, url)"
+    )
+    want = {int(r[0]): (r[1], r[2], r[3]) for r in duckdb.sql(sql).fetchall()}
+    bad = {i: (got[i], want[i], urls[i]) for i in got if got[i] != want[i]}
+    assert not bad, dict(list(bad.items())[:5])
