@@ -76,6 +76,7 @@ def _ordered_names() -> list[str]:
     flagships = [
         "q222_crawl_pipeline",
         "q223_sitemap_frontier",
+        "q224_politeness_schedule",
         "q154_curation_pipeline",
         "q203_curation_with_pii",
         "q198_media_decode_audit",

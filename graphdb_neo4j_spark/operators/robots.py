@@ -58,17 +58,19 @@ def _pattern_regex(pattern: Column) -> Column:
     )
 
 
-def parse_robots(
-    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
-) -> DataFrame:
-    """(host, group_id, agents array<string>, directive, pattern,
-    pattern_len, pattern_regex) — one row per Allow/Disallow rule.
+def _robots_groups(
+    df: DataFrame, host_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared group machinery: (parsed, grouped, agents).
 
-    Group structure per RFC 9309 §2.2.1: consecutive ``User-agent``
-    lines open a group; the Allow/Disallow lines that follow belong to
-    ALL of them.  Empty-valued rules are ignored (an empty Disallow is
-    the classic allow-everything idiom).  Unknown directives are
-    skipped; ``Sitemap:`` lines live in :func:`sitemap_urls`."""
+    ``parsed`` = every line keyed/valued; ``grouped`` = recognized
+    lines (user-agent / allow / disallow) with ``group_id``;
+    ``agents`` = (host, group_id, agents array).  Group detection runs
+    over RECOGNIZED lines only: RFC 9309 §2.2's ABNF keeps a run of
+    ``startgroupline``s in ONE group across blank lines, and
+    unparseable/unknown lines MUST be ignored — so a comment, blank,
+    or Crawl-delay line between consecutive User-agent lines must not
+    split the group (a rule line between them still does)."""
     lines = df.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
@@ -87,12 +89,6 @@ def parse_robots(
     )
     w = Window.partitionBy("host").orderBy("line_no")
     is_ua = F.col("key") == "user-agent"
-    # Group detection runs over RECOGNIZED lines only (user-agent /
-    # allow / disallow): RFC 9309 §2.2's ABNF keeps a run of
-    # ``startgroupline``s in ONE group across blank lines, and
-    # unparseable/unknown lines MUST be ignored — so a comment, blank,
-    # or Crawl-delay line between consecutive User-agent lines must
-    # not split the group (a rule line between them still does).
     recognized = parsed.filter(is_ua | F.col("key").isin("allow", "disallow"))
     grouped = recognized.withColumn(
         "group_start",
@@ -103,6 +99,22 @@ def parse_robots(
         .groupBy("host", "group_id")
         .agg(F.collect_set(F.lower("value")).alias("agents"))
     )
+    return parsed, grouped, agents
+
+
+def parse_robots(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, group_id, agents array<string>, directive, pattern,
+    pattern_len, pattern_regex) — one row per Allow/Disallow rule.
+
+    Group structure per RFC 9309 §2.2.1: consecutive ``User-agent``
+    lines open a group; the Allow/Disallow lines that follow belong to
+    ALL of them.  Empty-valued rules are ignored (an empty Disallow is
+    the classic allow-everything idiom).  Unknown directives are
+    skipped; ``Sitemap:`` lines live in :func:`sitemap_urls`,
+    ``Crawl-delay:`` in :func:`crawl_delays`."""
+    _, grouped, agents = _robots_groups(df, host_col, text_col)
     rules = grouped.filter(
         F.col("key").isin("allow", "disallow") & (F.col("value") != "")
     ).select(
@@ -114,6 +126,51 @@ def parse_robots(
         _pattern_regex(F.col("value")).alias("pattern_regex"),
     )
     return rules.join(agents, ["host", "group_id"])
+
+
+def crawl_delays(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, group_id, agents array<string>, delay_s double) — the de
+    facto ``Crawl-delay:`` extension (not in RFC 9309 but honored by
+    most sites and by urllib.robotparser), group-scoped.
+
+    Since unknown lines are IGNORED for group detection (the RFC
+    MUST), a Crawl-delay line cannot split a User-agent run; it is
+    assigned to the group whose recognized lines PRECEDE it (last
+    group_id at a smaller line_no — robotparser's per-entry delay
+    semantics).  Multiple delays in one group keep the LAST
+    (last-writer-wins, matching robotparser's assignment).
+    Non-numeric values are dropped."""
+    parsed, grouped, agents = _robots_groups(df, host_col, text_col)
+    marks = grouped.select("host", "line_no", "group_id")
+    delays = parsed.filter(
+        (F.col("key") == "crawl-delay")
+        & F.col("value").rlike("^[0-9]+([.][0-9]+)?$")
+    ).select(
+        "host",
+        "line_no",
+        F.col("value").cast("double").alias("delay_s"),
+    )
+    u = marks.withColumn("delay_s", F.lit(None).cast("double")).unionByName(
+        delays.withColumn("group_id", F.lit(None).cast("bigint")).select(
+            "host", "line_no", "group_id", "delay_s"
+        )
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("line_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = (
+        u.withColumn("group_id", F.last("group_id", ignorenulls=True).over(w))
+        .filter(F.col("delay_s").isNotNull() & F.col("group_id").isNotNull())
+    )
+    last_per_group = (
+        assigned.groupBy("host", "group_id")
+        .agg(F.max_by("delay_s", "line_no").alias("delay_s"))
+    )
+    return last_per_group.join(agents, ["host", "group_id"])
 
 
 def sitemap_urls(
@@ -244,3 +301,58 @@ def parse_sitemap(
         ).filter(F.col("loc") != "")
 
     return entries("url", "url").unionByName(entries("sitemap", "sitemap"))
+
+
+def politeness_schedule(
+    urls: DataFrame,
+    delays: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    order_cols: tuple[str, ...] = ("url",),
+    default_delay_s: float = 0.0,
+) -> DataFrame:
+    """``urls`` + ``(delay_s, slot_no, fetch_offset_s)`` — per-host
+    fetch scheduling under the host's Crawl-delay: the k-th URL of a
+    host (0-based, ordered by ``order_cols`` for determinism) is
+    cleared to fetch at ``k * delay_s`` seconds after the host's
+    crawl starts.
+
+    ``delays`` is :func:`crawl_delays` output.  Group selection
+    mirrors :func:`robots_allowed`: groups naming ``agent`` exactly
+    shadow the ``*`` groups (urllib.robotparser agrees — specific
+    entries are checked before its default entry).  If several
+    selected groups declare delays, the most conservative (max) wins;
+    hosts with no delay fall back to ``default_delay_s``.
+
+    100 TB notes: delays are host-keyed metadata (broadcast side);
+    the schedule is ONE window over the frontier partitioned by host —
+    the shuffle is on the host key the downstream per-host fetch
+    queues partition by anyway, so the exchange is reused, not added.
+    """
+    agent_lc = agent.lower()
+    mine = delays.filter(
+        F.array_contains("agents", agent_lc) | F.array_contains("agents", "*")
+    ).withColumn("exact", F.array_contains("agents", agent_lc).cast("int"))
+    host_tier = mine.groupBy("host").agg(F.max("exact").alias("tier"))
+    selected = (
+        mine.join(host_tier, "host")
+        .filter(F.col("exact") == F.col("tier"))
+        .groupBy("host")
+        .agg(F.max("delay_s").alias("delay_s"))
+    )
+    joined = urls.join(
+        selected.select(F.col("host").alias("_dhost"), "delay_s"),
+        urls[host_col] == F.col("_dhost"),
+        "left",
+    )
+    d = F.coalesce(F.col("delay_s"), F.lit(float(default_delay_s)))
+    w = Window.partitionBy(urls[host_col]).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    slot = (F.row_number().over(w) - F.lit(1)).cast("int")
+    return joined.select(
+        *[urls[c] for c in urls.columns],
+        d.alias("delay_s"),
+        slot.alias("slot_no"),
+        (slot.cast("double") * d).alias("fetch_offset_s"),
+    )

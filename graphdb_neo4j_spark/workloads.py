@@ -13513,3 +13513,119 @@ def q223(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.col("lastmod"), F.lit("")).alias("lastmod"),
         F.count("*").over(w).cast("bigint").alias("frontier_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q224: per-host politeness scheduling — the crawl chain's RATE limit
+# (Crawl-delay parsing + per-host fetch-slot assignment).
+
+
+_Q224_AGENT = "trainbot"
+_Q224_DEFAULT_DELAY = 1.0
+
+_Q224_ROBOTS = {
+    # star-group delay applies to everyone
+    "p0.example": "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n",
+    # exact-agent group shadows the star delay
+    "p1.example": (
+        "User-agent: *\nDisallow: /x/\nCrawl-delay: 9\n\n"
+        "User-agent: trainbot\nDisallow: /y/\nCrawl-delay: 1\n"
+    ),
+    # no delay declared → scheduler default
+    "p2.example": "User-agent: *\nDisallow: /p/\n",
+    # delay on a SHARED User-agent run
+    "p3.example": (
+        "User-agent: trainbot\nUser-agent: otherbot\n"
+        "Disallow: /z/\nCrawl-delay: 3\n"
+    ),
+    # non-numeric delay dropped, later numeric one wins (last-writer)
+    "p4.example": (
+        "User-agent: *\nDisallow: /q/\n"
+        "Crawl-delay: fast\nCrawl-delay: 4\n"
+    ),
+}
+
+
+def _q224_urls() -> list[tuple[str, str]]:
+    out = []
+    for k, host in enumerate(sorted(_Q224_ROBOTS)):
+        for i in range(3 + k % 3):
+            out.append((host, f"http://{host}/doc-{(i * 7) % 10}-{i}"))
+    return out
+
+
+def _q224_delays() -> dict[str, float]:
+    """Per-host delay constants from urllib.robotparser — independent
+    implementation; fixtures keep delays AFTER rule lines, the layout
+    class where robotparser's entry state machine and the RFC-style
+    grouping provably agree (the delay-between-UA-lines divergence is
+    pinned hand-derived in tests/test_robots.py)."""
+    from urllib.robotparser import RobotFileParser
+
+    out = {}
+    for host, txt in _Q224_ROBOTS.items():
+        rp = RobotFileParser()
+        rp.parse(txt.splitlines())
+        d = rp.crawl_delay(_Q224_AGENT)
+        out[host] = float(d) if d is not None else _Q224_DEFAULT_DELAY
+    return out
+
+
+def _q224_oracle() -> str:
+    url_vals = ", ".join(
+        "('%s', '%s')" % (h, u) for h, u in _q224_urls()
+    )
+    delay_vals = ", ".join(
+        "('%s', %r)" % (h, d) for h, d in sorted(_q224_delays().items())
+    )
+    return f"""
+    WITH urls(host, url) AS (VALUES {url_vals}),
+    delays(host, delay_s) AS (VALUES {delay_vals})
+    SELECT u.host, u.url, CAST(d.delay_s AS DOUBLE) AS delay_s,
+           CAST(ROW_NUMBER() OVER (PARTITION BY u.host ORDER BY u.url) - 1
+                AS INT) AS slot_no,
+           CAST((ROW_NUMBER() OVER (PARTITION BY u.host ORDER BY u.url) - 1)
+                AS DOUBLE) * CAST(d.delay_s AS DOUBLE) AS fetch_offset_s
+    FROM urls u JOIN delays d ON d.host = u.host
+    """
+
+
+@query("q224_politeness_schedule", _q224_oracle())
+def q224(spark: SparkSession, sf: str) -> DataFrame:
+    """PER-HOST POLITENESS SCHEDULING under the hash gate — the crawl
+    chain's rate limit, downstream of the q221 allow/deny verdicts:
+    ``robots.crawl_delays`` parses the de facto ``Crawl-delay:``
+    extension with the RFC group machinery (group-scoped via
+    preceding-lines assignment, last-writer-wins, non-numeric dropped)
+    and ``robots.politeness_schedule`` assigns each host's k-th frontier
+    URL the fetch offset ``k * delay_s`` (exact-agent groups shadow
+    ``*``, most-conservative delay on ties, scheduler default when a
+    host declares none).  The oracle derives the per-host delays from
+    urllib.robotparser — an INDEPENDENT stdlib implementation — on the
+    delays-after-rules layout class where its entry state machine and
+    the RFC grouping provably agree, and mirrors the slot arithmetic
+    as a SQL window; the delay-between-UA-lines divergence class is
+    pinned hand-derived in tests/test_robots.py.
+
+    Scale shape: delays are host-keyed metadata (broadcast side); the
+    schedule is ONE window over the frontier partitioned by host — the
+    same key the per-host fetch queues partition by, so the exchange
+    is reused, not added."""
+    from graphdb_neo4j_spark.operators.robots import (
+        crawl_delays,
+        politeness_schedule,
+    )
+
+    robots = spark.createDataFrame(
+        sorted(_Q224_ROBOTS.items()), "host string, robots_txt string"
+    )
+    urls = spark.createDataFrame(
+        _q224_urls(), "host string, url string"
+    ).repartition(4)
+    return politeness_schedule(
+        urls,
+        crawl_delays(robots),
+        agent=_Q224_AGENT,
+        order_cols=("url",),
+        default_delay_s=_Q224_DEFAULT_DELAY,
+    )

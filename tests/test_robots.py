@@ -275,3 +275,99 @@ def test_parse_sitemap_urlset_and_index(spark):
         ("b.example", "sitemap", "http://b.example/sitemap-1.xml.gz", "2024-02-01"),
         ("b.example", "sitemap", "http://b.example/sitemap-2.xml.gz", None),
     ]
+
+
+def test_crawl_delays_group_scoping_and_last_wins(spark):
+    from graphdb_neo4j_spark.operators.robots import crawl_delays
+
+    txt = (
+        "Crawl-delay: 7\n"  # before any group: dropped
+        "User-agent: *\n"
+        "Crawl-delay: 9\n"
+        "Disallow: /x/\n"
+        "\n"
+        "User-agent: trainbot\n"
+        "User-agent: otherbot\n"
+        "Disallow: /y/\n"
+        "Crawl-delay: fast\n"  # non-numeric: dropped
+        "Crawl-delay: 2\n"
+        "Crawl-delay: 3\n"  # last wins
+    )
+    rows = crawl_delays(
+        spark.createDataFrame(
+            [("d.example", txt)], "host string, robots_txt string"
+        )
+    ).collect()
+    by_agents = {tuple(sorted(r.agents)): r.delay_s for r in rows}
+    assert by_agents[("*",)] == 9.0
+    assert by_agents[("otherbot", "trainbot")] == 3.0
+    # urllib.robotparser agrees on this layout (delays follow rules)
+    rp = RobotFileParser()
+    rp.parse(txt.splitlines())
+    assert rp.crawl_delay("somebody") == 9
+    assert rp.crawl_delay("trainbot") == 3
+
+
+def test_crawl_delay_between_user_agent_lines_stays_one_group(spark):
+    """Hand-derived divergence case: our RFC-style grouping keeps the
+    UA run together (a Crawl-delay is an ignored unknown line for
+    grouping), so both agents share the delay; robotparser's state
+    machine instead commits the entry on the delay line and gives
+    agent b a fresh delayless entry."""
+    from graphdb_neo4j_spark.operators.robots import crawl_delays
+
+    txt = (
+        "User-agent: a\n"
+        "Crawl-delay: 5\n"
+        "User-agent: b\n"
+        "Disallow: /x/\n"
+    )
+    rows = crawl_delays(
+        spark.createDataFrame(
+            [("d.example", txt)], "host string, robots_txt string"
+        )
+    ).collect()
+    assert len(rows) == 1
+    assert sorted(rows[0].agents) == ["a", "b"] and rows[0].delay_s == 5.0
+
+
+def test_politeness_schedule_shadowing_and_slots(spark):
+    from graphdb_neo4j_spark.operators.robots import (
+        crawl_delays,
+        politeness_schedule,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "s.example",
+                "User-agent: *\nDisallow: /x/\nCrawl-delay: 9\n\n"
+                "User-agent: trainbot\nDisallow: /y/\nCrawl-delay: 2\n",
+            ),
+            ("t.example", "User-agent: *\nDisallow: /p/\n"),  # no delay
+        ],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [("s.example", f"/u{i}") for i in range(3)]
+        + [("t.example", f"/v{i}") for i in range(2)],
+        "host string, url string",
+    )
+    out = politeness_schedule(
+        urls, crawl_delays(robots), agent="trainbot", order_cols=("url",),
+        default_delay_s=1.0,
+    ).collect()
+    got = {(r.host, r.url): (r.delay_s, r.slot_no, r.fetch_offset_s) for r in out}
+    # exact group shadows star: delay 2, slots 0/1/2 → offsets 0/2/4
+    assert got[("s.example", "/u0")] == (2.0, 0, 0.0)
+    assert got[("s.example", "/u1")] == (2.0, 1, 2.0)
+    assert got[("s.example", "/u2")] == (2.0, 2, 4.0)
+    # no delay declared → default
+    assert got[("t.example", "/v1")] == (1.0, 1, 1.0)
+    # robotparser agrees on the shadowing
+    rp = RobotFileParser()
+    rp.parse(
+        "User-agent: *\nDisallow: /x/\nCrawl-delay: 9\n\n"
+        "User-agent: trainbot\nDisallow: /y/\nCrawl-delay: 2\n".splitlines()
+    )
+    assert rp.crawl_delay("trainbot") == 2 and rp.crawl_delay("other") == 9
