@@ -303,6 +303,24 @@ def parse_sitemap(
     return entries("url", "url").unionByName(entries("sitemap", "sitemap"))
 
 
+def selected_delays(delays: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, delay_s) — one delay per host for ``agent``, from
+    :func:`crawl_delays` output: exact-agent groups shadow ``*``
+    (urllib.robotparser agrees — specific entries are checked before
+    its default entry), most-conservative (max) delay on ties."""
+    agent_lc = agent.lower()
+    mine = delays.filter(
+        F.array_contains("agents", agent_lc) | F.array_contains("agents", "*")
+    ).withColumn("exact", F.array_contains("agents", agent_lc).cast("int"))
+    host_tier = mine.groupBy("host").agg(F.max("exact").alias("tier"))
+    return (
+        mine.join(host_tier, "host")
+        .filter(F.col("exact") == F.col("tier"))
+        .groupBy("host")
+        .agg(F.max("delay_s").alias("delay_s"))
+    )
+
+
 def politeness_schedule(
     urls: DataFrame,
     delays: DataFrame,
@@ -329,17 +347,7 @@ def politeness_schedule(
     the shuffle is on the host key the downstream per-host fetch
     queues partition by anyway, so the exchange is reused, not added.
     """
-    agent_lc = agent.lower()
-    mine = delays.filter(
-        F.array_contains("agents", agent_lc) | F.array_contains("agents", "*")
-    ).withColumn("exact", F.array_contains("agents", agent_lc).cast("int"))
-    host_tier = mine.groupBy("host").agg(F.max("exact").alias("tier"))
-    selected = (
-        mine.join(host_tier, "host")
-        .filter(F.col("exact") == F.col("tier"))
-        .groupBy("host")
-        .agg(F.max("delay_s").alias("delay_s"))
-    )
+    selected = selected_delays(delays, agent)
     joined = urls.join(
         selected.select(F.col("host").alias("_dhost"), "delay_s"),
         urls[host_col] == F.col("_dhost"),

@@ -150,6 +150,9 @@ def streaming_frontier_ingest(
     state_path: str,
     url_col: str = "url",
     time_col: str = "event_time",
+    delays: DataFrame | None = None,
+    agent: str = "*",
+    default_delay_s: float = 0.0,
 ):
     """``writeStream`` builder: DURABLE first-seen crawl frontier with
     exactly-once batch gating — a URL admitted once is never admitted
@@ -184,6 +187,17 @@ def streaming_frontier_ingest(
     in the prior set, so the new partition lands empty).  The meta row
     commits LAST, as everywhere in this module.
 
+    With ``delays`` (a :func:`~graphdb_neo4j_spark.operators.robots.
+    crawl_delays` frame), each admission is also SCHEDULED: its
+    ``slot_no`` continues the host's arrival-order numbering across
+    batches (prior admissions count + in-batch rank) and
+    ``fetch_offset_s = slot_no * delay_s`` under the agent's selected
+    per-host Crawl-delay (exact shadows ``*``; ``default_delay_s``
+    for delayless hosts) — the incremental face of
+    :func:`~graphdb_neo4j_spark.operators.robots.politeness_schedule`,
+    with the durable slot counter being the ledger itself (a host-keyed
+    COUNT over prior partitions, no snapshot rewrite).
+
     100 TB notes: the ledger is APPEND-ONLY — each batch writes O(new
     URLs), never rewrites the seen-set (the neardup module's snapshot
     rewrite would be O(ledger) per batch here, since a frontier never
@@ -206,6 +220,11 @@ def streaming_frontier_ingest(
     frontier_path = f"{state_path}/frontier"
     meta_path = f"{state_path}/meta"
     run_id = uuid.uuid4().hex
+    sel_delays = None
+    if delays is not None:
+        from graphdb_neo4j_spark.operators.robots import selected_delays
+
+        sel_delays = selected_delays(delays, agent)
 
     def _done(spark: SparkSession) -> set[tuple[str, int]]:
         try:
@@ -238,23 +257,50 @@ def streaming_frontier_ingest(
             .drop("__rn")
         )
         try:
-            prior = (
-                spark.read.parquet(frontier_path)
-                .filter(
-                    ~(
-                        (F.col("run_id") == F.lit(run_id))
-                        & (F.col("batch_id") == F.lit(batch_id))
-                    )
+            prior_full = spark.read.parquet(frontier_path).filter(
+                ~(
+                    (F.col("run_id") == F.lit(run_id))
+                    & (F.col("batch_id") == F.lit(batch_id))
                 )
-                .select("canon")
             )
         except AnalysisException:
-            prior = None
+            prior_full = None
         new = (
-            firsts.join(prior, "canon", "left_anti")
-            if prior is not None
+            firsts.join(prior_full.select("canon"), "canon", "left_anti")
+            if prior_full is not None
             else firsts
         )
+        if sel_delays is not None:
+            # arrival-order slots continue across batches: base = the
+            # host's prior admission count (host-keyed ledger agg — the
+            # durable counter without any snapshot rewrite)
+            page_cols = new.columns
+            wslot = Window.partitionBy("host").orderBy(
+                F.col(time_col).cast("timestamp"), F.col(url_col)
+            )
+            new = new.withColumn("_rk", F.row_number().over(wslot) - F.lit(1))
+            if prior_full is not None:
+                base = prior_full.groupBy("host").agg(
+                    F.count("*").cast("int").alias("_base")
+                )
+                new = new.join(base, "host", "left")
+            else:
+                new = new.withColumn("_base", F.lit(None).cast("int"))
+            new = new.join(
+                sel_delays.select(F.col("host").alias("_dh"), "delay_s"),
+                new["host"] == F.col("_dh"),
+                "left",
+            )
+            d = F.coalesce(F.col("delay_s"), F.lit(float(default_delay_s)))
+            slot = (F.col("_rk") + F.coalesce(F.col("_base"), F.lit(0))).cast(
+                "int"
+            )
+            new = new.select(
+                *page_cols,
+                d.alias("delay_s"),
+                slot.alias("slot_no"),
+                (slot.cast("double") * d).alias("fetch_offset_s"),
+            )
         # freeze before writing: `new` READS the frontier path the
         # write below targets — cutting the lineage means the write
         # job never re-scans the ledger mid-overwrite, and the

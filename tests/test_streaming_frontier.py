@@ -218,3 +218,77 @@ def test_frontier_ingest_survives_checkpoint_loss(spark, tmp_path):
         == 1
     )
     assert got.groupBy("canon").count().filter("count > 1").count() == 0
+
+
+def test_frontier_ingest_with_politeness_schedule(spark, tmp_path):
+    """Scheduled admissions: slot numbering continues per host across
+    batches (prior-count base + in-batch rank) and stream ≡ batch
+    against politeness_schedule run over the batch frontier."""
+    from graphdb_neo4j_spark.operators.robots import (
+        crawl_delays,
+        politeness_schedule,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("example.com", "User-agent: *\nDisallow: /p/\nCrawl-delay: 2\n"),
+            ("other.example", "User-agent: *\nDisallow: /q/\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    src = tmp_path / "urls"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    w1 = [
+        ("http://example.com/a", "2024-01-01 00:00:01"),
+        ("http://example.com/b", "2024-01-01 00:00:02"),
+        ("http://other.example/x", "2024-01-01 00:00:03"),
+    ]
+    w2 = [
+        ("http://example.com/c", "2024-01-01 00:10:00"),
+        ("HTTP://Example.COM:80/a", "2024-01-01 00:10:01"),  # dup: no slot
+        ("http://other.example/y", "2024-01-01 00:10:02"),
+    ]
+    _rows(spark, w1).write.parquet(f"{src}/w1.parquet")
+
+    def builder():
+        return streaming_frontier_ingest(
+            spark.readStream.schema(URL_SCHEMA).parquet(str(src) + "/*"),
+            state,
+            delays=crawl_delays(robots),
+            agent="trainbot",
+            default_delay_s=1.0,
+        )
+
+    _run(builder(), ckpt)
+    _rows(spark, w2).write.parquet(f"{src}/w2.parquet")
+    _run(builder(), ckpt)
+
+    got = {
+        r.canon: (r.slot_no, r.delay_s, r.fetch_offset_s)
+        for r in frontier_urls(spark, state).collect()
+    }
+    assert got == {
+        "http://example.com/a": (0, 2.0, 0.0),
+        "http://example.com/b": (1, 2.0, 2.0),
+        "http://example.com/c": (2, 2.0, 4.0),  # slot continues
+        "http://other.example/x": (0, 1.0, 0.0),  # default delay
+        "http://other.example/y": (1, 1.0, 1.0),
+    }
+
+    # stream ≡ batch: politeness_schedule over the batch frontier
+    # (event-time order consistent with arrival) gives identical slots
+    frontier = _batch_frontier(spark, [w1, w2])
+    want = {
+        r.canon: (r.slot_no, r.delay_s, r.fetch_offset_s)
+        for r in politeness_schedule(
+            frontier,
+            crawl_delays(robots),
+            agent="trainbot",
+            order_cols=("canon",),
+            default_delay_s=1.0,
+        ).collect()
+    }
+    assert got == want
