@@ -371,3 +371,77 @@ def test_politeness_schedule_shadowing_and_slots(spark):
         "User-agent: trainbot\nDisallow: /y/\nCrawl-delay: 2\n".splitlines()
     )
     assert rp.crawl_delay("trainbot") == 2 and rp.crawl_delay("other") == 9
+
+
+def test_independent_oracle_generative_fuzz(spark):
+    """40 grammar-generated robots files × 3 agents × every rule path
+    through BOTH implementations.  The generator stays inside the
+    provably-coincident class (wildcard-free, one rule per path
+    prefix, each agent in at most one group per host, no noise inside
+    UA runs) so ANY disagreement with urllib.robotparser is a
+    parsing/selection bug, not a semantics difference.  Deterministic
+    seed."""
+    import random as _random
+
+    rng = _random.Random(0xD1CE)
+    agents_pool = ["alpha", "beta", "gamma"]
+    fixtures = {}  # host -> text
+    for h in range(40):
+        host = f"f{h}.example"
+        # each agent (and '*') may lead at most one group
+        leads = rng.sample(
+            agents_pool + ["*"], rng.randint(1, 3)
+        )
+        # group agent-sets must not overlap: assign each lead its own
+        # group; optionally pair two non-star leads in ONE group
+        groups = []
+        if (
+            len([x for x in leads if x != "*"]) >= 2
+            and rng.random() < 0.3
+        ):
+            a, b = [x for x in leads if x != "*"][:2]
+            rest = [x for x in leads if x not in (a, b)]
+            groups.append([a, b])
+            groups.extend([[x] for x in rest])
+        else:
+            groups = [[x] for x in leads]
+        text = "# generated\n"
+        prefix_no = 0
+        for g in groups:
+            for ag in g:
+                text += f"User-agent: {ag}\n"
+            for _ in range(rng.randint(1, 3)):
+                directive = rng.choice(["Disallow", "Allow"])
+                text += f"{directive}: /r{h}x{prefix_no}/\n"
+                prefix_no += 1
+            text += "\n"
+        fixtures[host] = text
+
+    rules = parse_robots(
+        spark.createDataFrame(
+            sorted(fixtures.items()), "host string, robots_txt string"
+        )
+    )
+    # probe every declared prefix + one unmatched path, per agent
+    probes = []
+    for host, text in fixtures.items():
+        paths = [
+            ln.split(": ", 1)[1] + "leaf.html"
+            for ln in text.splitlines()
+            if ln.startswith(("Allow: ", "Disallow: "))
+        ] + ["/unmatched/none"]
+        probes.extend((host, p) for p in paths)
+    for agent in ["alpha", "gamma", "nobody"]:
+        urls = spark.createDataFrame(probes, "host string, path string")
+        got = {
+            (r.host, r.path): r.allowed
+            for r in robots_allowed(urls, rules, agent=agent).collect()
+        }
+        for host, text in fixtures.items():
+            rp = RobotFileParser()
+            rp.parse(text.splitlines())
+            for h2, p in probes:
+                if h2 != host:
+                    continue
+                want = rp.can_fetch(agent, f"http://{host}{p}")
+                assert got[(host, p)] == want, (agent, host, p, text)
