@@ -192,6 +192,11 @@ class BackwardBits:
         self.pos -= n
         lo = max(self.pos, 0)
         pad = lo - self.pos  # bits that fell off the start → zeros
+        if pad >= n:
+            # fully overdrawn (only reachable on corrupt frames — a
+            # conformant stream overdraws at most the final states'
+            # widths): every bit fell off the start, all zeros
+            return 0
         byte_lo = lo >> 3
         byte_hi = (self.pos + n + 7) >> 3
         chunk = int.from_bytes(self.data[byte_lo:byte_hi], "little")

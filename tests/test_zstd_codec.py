@@ -593,3 +593,28 @@ def test_bad_dictionary_blobs_rejected():
     blob = build_zstd_dictionary(DICT_VOCAB, 3)
     with pytest.raises(ZstdError):
         parse_zstd_dictionary(blob[: len(blob) // 2])
+
+
+def test_corruption_fuzz_every_byte_flip_fails_cleanly():
+    """Exhaustive single-byte corruption of valid frames: the decoder
+    must either decode (flips in ignored fields) or raise ZstdError —
+    never a stray exception class (the crawl front door's quarantine
+    contract), never a hang, never unbounded allocation.  Regression:
+    deep bitstream overdraw on corrupt sequence tables raised a raw
+    'negative shift count' ValueError from BackwardBits.read."""
+    rng = random.Random(42)
+    data = bytes(rng.randrange(97, 105) for _ in range(400)) * 3
+    frames = [
+        zstd_compress(data),
+        zstd_compress(data, seq_modes=("fse", "fse", "fse")),
+    ]
+    for frame in frames:
+        for pos in range(len(frame)):
+            for delta in (1, 0x80):
+                mutated = bytearray(frame)
+                mutated[pos] ^= delta
+                try:
+                    out = zstd_decompress(bytes(mutated), max_window=1 << 22)
+                    assert isinstance(out, bytes)
+                except ZstdError:
+                    pass
