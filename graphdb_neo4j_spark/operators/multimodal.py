@@ -103,6 +103,43 @@ def png_channels(payload: bytes) -> int | None:
     return None
 
 
+def _corrupt_raises_valueerror(fmt: str):
+    """Decoder-boundary error normalization: a corrupt payload must
+    raise ValueError — the type every quarantine catch list in this
+    module handles — never a stray arithmetic/indexing type.  Found by
+    exhaustive byte-flip fuzzing (tests/test_multimodal.py): corrupt
+    JPEGs reached ZeroDivisionError (quant table zeros), IndexError
+    (Huffman tables), OverflowError and struct.error — the first two
+    of which the media-scan quarantine did NOT catch, so one corrupt
+    shard would have crashed the task instead of quarantining."""
+    import functools
+    import zlib as _zlib
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            try:
+                return fn(*args, **kwargs)
+            except ValueError:
+                raise
+            except (
+                ZeroDivisionError,
+                IndexError,
+                KeyError,
+                OverflowError,
+                struct.error,
+                _zlib.error,
+            ) as e:
+                raise ValueError(
+                    f"corrupt {fmt}: {type(e).__name__}: {e}"
+                ) from e
+
+        return wrapper
+
+    return deco
+
+
+@_corrupt_raises_valueerror("PPM")
 def decode_ppm(payload: bytes):
     """REAL pixel decode of binary PPM (P6, maxval ≤ 255) — no external
     dependency.  Returns ``(width, height, ndarray[h, w, 3] uint8)``.
@@ -237,6 +274,7 @@ def _png_pass_dims(w: int, h: int, interlace: int):
     return out
 
 
+@_corrupt_raises_valueerror("PNG")
 def decode_png(payload: bytes):
     """REAL pixel decode of PNG — stdlib-only (``zlib`` is the whole
     dependency: PNG's IDAT stream is DEFLATE).  Returns
@@ -717,6 +755,7 @@ def _jpeg_block_band(reader, blk, Ss, Se, Ah, Al, dc_t, ac_t, pred, cid, eobrun)
     return eobrun
 
 
+@_corrupt_raises_valueerror("JPEG")
 def decode_jpeg(payload: bytes):
     """REAL pixel decode of JPEG — BASELINE (SOF0) and PROGRESSIVE
     (SOF2, spectral selection + successive approximation per ITU-T
@@ -1643,6 +1682,7 @@ def extract_mp4_tracks(df: DataFrame, strict: bool = False) -> DataFrame:
     return df.mapInPandas(run, schema=TRACKS_SCHEMA)
 
 
+@_corrupt_raises_valueerror("BMP")
 def decode_bmp(payload: bytes):
     """REAL pixel decode of uncompressed BMP (BITMAPINFOHEADER, BI_RGB,
     24- or 32-bit) — no external dependency.  Returns
@@ -1676,6 +1716,7 @@ def decode_bmp(payload: bytes):
     return w, h, px[:, :, 2::-1].copy()  # BGR(A) → RGB
 
 
+@_corrupt_raises_valueerror("WAV")
 def decode_wav(payload: bytes):
     """REAL sample decode of RIFF/WAVE PCM16 — no external dependency.
     Returns ``(sample_rate, n_channels, ndarray[int16] interleaved)``.

@@ -1094,3 +1094,33 @@ def test_jpeg_progressive_scan_parameter_gates():
         decode_jpeg(patch_sos(good, 0, 1, 63, 0))
     with _pytest.raises(ValueError, match="bad progressive scan"):
         decode_jpeg(patch_sos(good, 1, 1, 63, 0x31))  # Ah=3, Al=1
+
+
+def test_decoder_corruption_fuzz_raises_valueerror_only():
+    """Exhaustive single-byte corruption of valid PNG/JPEG payloads:
+    decoders must decode or raise ValueError — never a stray
+    arithmetic/indexing exception type.  The media-scan quarantine
+    catches ValueError; before the decoder-boundary normalization a
+    corrupt JPEG reached ZeroDivisionError (zeroed quant table) and
+    OverflowError, which would have crashed the task."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        decode_jpeg,
+        decode_png,
+        encode_jpeg,
+        encode_png,
+    )
+
+    px = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    for decode, blob in (
+        (decode_png, encode_png(px)),
+        (decode_jpeg, encode_jpeg(px)),
+    ):
+        for pos in range(len(blob)):
+            mutated = bytearray(blob)
+            mutated[pos] ^= 0x80
+            try:
+                decode(bytes(mutated))
+            except ValueError:
+                pass
