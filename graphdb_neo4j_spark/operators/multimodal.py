@@ -111,7 +111,18 @@ def _corrupt_raises_valueerror(fmt: str):
     JPEGs reached ZeroDivisionError (quant table zeros), IndexError
     (Huffman tables), OverflowError and struct.error — the first two
     of which the media-scan quarantine did NOT catch, so one corrupt
-    shard would have crashed the task instead of quarantining."""
+    shard would have crashed the task instead of quarantining.
+
+    Masking tradeoff (ADVICE r8): a genuine decoder BUG on a VALID
+    payload that raises one of these types is also normalized and
+    quarantined instead of crashing visibly.  Accepted deliberately —
+    at 100 TB one adversarial shard must never kill the job — with two
+    mitigations: the message embeds the original exception class (and
+    chains it via ``from e``) so quarantine rows stay greppable for
+    non-corruption signatures, and
+    :func:`extract_media_features` counts these normalized-internal
+    errors separately in its scan counters so a masked-bug spike
+    surfaces as a metric, not silence."""
     import functools
     import zlib as _zlib
 
@@ -1839,13 +1850,46 @@ FEATURES_SCHEMA = StructType(
 )
 
 
-def extract_media_features(df: DataFrame, strict: bool = False) -> DataFrame:
+def media_scan_counters(spark) -> dict:
+    """Accumulators for :func:`extract_media_features` decode-fallback
+    accounting (ADVICE r8 — quarantined decode failures must be
+    countable, or a decoder regression masked by the error
+    normalization stays invisible):
+
+    * ``header_fallback`` — payloads whose pixel decode failed and fell
+      back to header-only dims (any cause);
+    * ``normalized_internal`` — the subset whose failure was a
+      NORMALIZED internal exception (``corrupt <fmt>: <Type>: ...``
+      from :func:`_corrupt_raises_valueerror`) rather than the decoder's own
+      validation ValueError — a spike here on payloads you believe
+      valid is the masked-decoder-bug signal.
+
+    Accumulator updates flow from Python workers through mapInPandas,
+    so the counts are job-wide; read ``.value`` after an action."""
+    sc = spark.sparkContext
+    return {
+        "header_fallback": sc.accumulator(0),
+        "normalized_internal": sc.accumulator(0),
+    }
+
+
+def extract_media_features(
+    df: DataFrame, strict: bool = False, counters: dict | None = None
+) -> DataFrame:
     """END-TO-END content feature extraction: REAL pixel/sample decode
     for the dependency-free formats (PPM P6, BMP BI_RGB, WAV PCM16,
     PNG at all legal IHDR combos via stdlib zlib, baseline JPEG per
     T.81), header-only
     dims for undecodable PNG/JPEG variants, NULL stats for codec-gated
     formats (MP4 — raise instead when ``strict=True``).
+
+    ``counters`` (:func:`media_scan_counters` output) makes the
+    fallback paths observable: every decode-failed payload bumps
+    ``header_fallback``, and the normalized-internal-exception subset
+    also bumps ``normalized_internal`` (the masked-bug signal — see
+    :func:`_corrupt_raises_valueerror`).  ``None`` (the default) adds
+    zero overhead and keeps the output schema unchanged either way —
+    the hash-gated decode audits (q198/q210-q216) are unaffected.
 
     Same 100 TB shape as :func:`extract_media_meta`: one Arrow-batched
     ``mapInPandas`` pass, payload crosses the JVM↔Python boundary once
@@ -1856,6 +1900,13 @@ def extract_media_features(df: DataFrame, strict: bool = False) -> DataFrame:
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import numpy as np
         import pandas as pd
+
+        def _count_fallback(e: BaseException) -> None:
+            if counters is None:
+                return
+            counters["header_fallback"] += 1
+            if str(e).startswith("corrupt "):
+                counters["normalized_internal"] += 1
 
         def feats(payload):
             b = bytes(payload) if payload is not None else b""
@@ -1884,12 +1935,13 @@ def extract_media_features(df: DataFrame, strict: bool = False) -> DataFrame:
                     mn, mx = (
                         (int(flat.min()), int(flat.max())) if nv else (None, None)
                     )
-                except (ValueError, _zlib.error, struct.error):
+                except (ValueError, _zlib.error, struct.error) as e:
                     # corrupt DEFLATE stream, malformed palette,
                     # truncated header, or a header-only payload:
                     # dims from IHDR, no stats
                     if strict:
                         raise
+                    _count_fallback(e)
                     dims = png_dims(b)
                     if dims:
                         w, h, ch = dims[0], dims[1], png_channels(b)
@@ -1902,12 +1954,13 @@ def extract_media_features(df: DataFrame, strict: bool = False) -> DataFrame:
                     mn, mx = (
                         (int(flat.min()), int(flat.max())) if nv else (None, None)
                     )
-                except (ValueError, struct.error, IndexError, KeyError):
+                except (ValueError, struct.error, IndexError, KeyError) as e:
                     # 12-bit / arithmetic / fractional-sampling variant,
                     # corrupt scan, or header-only payload: dims from the
                     # SOF header, no stats
                     if strict:
                         raise
+                    _count_fallback(e)
                     dims = jpeg_dims(b)
                     if dims:
                         w, h, ch = dims

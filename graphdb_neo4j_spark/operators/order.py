@@ -129,6 +129,68 @@ def contiguous_index(
     return out, handle
 
 
+def group_contiguous_index(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "seq",
+    checkpoint: bool = True,
+) -> tuple[DataFrame, CheckpointHandle]:
+    """Contiguous 0-based PER-GROUP index in (``order_cols``) order
+    without a per-group single-task window — the grouped sibling of
+    :func:`contiguous_index`.
+
+    ``row_number() OVER (PARTITION BY group ORDER BY ...)`` puts every
+    row of one group in ONE task; a dominant group (the mega-host
+    crawl frontier, the hub vertex) becomes the straggler at 100×.
+    This plans it skew-free: range-partition on
+    ``(group_cols, order_cols)`` (a big group SPANS partitions), count
+    rows per ``(partition, group)``, turn the counts into per-slice
+    offsets with a window over the COUNTS frame (≤ one row per
+    partition a group touches — bounded by the partition count, never
+    by group size), then join the offsets back and rank WITHIN each
+    ``(partition, group)`` slice.  Unlike :func:`contiguous_index`, no
+    per-group state ever reaches the driver — offsets stay distributed.
+
+    ``order_cols`` must totally order rows within a group for the
+    index to be deterministic (ties are range-split arbitrarily).
+
+    Same checkpoint contract as :func:`contiguous_index`: the
+    range-partitioned intermediate is frozen so the counts pass and
+    the rank pass see the SAME sampled range boundaries; release with
+    ``handle.release()`` after the final consuming action.
+    ``checkpoint=False`` is for PLAN INSPECTION ONLY.
+    """
+    spark = df.sparkSession
+    np = spark.sparkContext.defaultParallelism
+    keyed = df.repartitionByRange(
+        np, *(list(group_cols) + list(order_cols))
+    ).withColumn("__pid", F.spark_partition_id())
+    handle = CheckpointHandle(spark, frozenset())
+    if checkpoint:
+        keyed, handle = checkpoint_eager(keyed)
+    counts = keyed.groupBy("__pid", *group_cols).agg(
+        F.count("*").alias("__n")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).drop("__n")
+    w_rank = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
+    out = (
+        keyed.join(offs, ["__pid"] + list(group_cols))
+        .withColumn(
+            out_col, F.col("__off") + F.row_number().over(w_rank) - F.lit(1)
+        )
+        .drop("__pid", "__off")
+    )
+    return out, handle
+
+
 def ntile_distributed(
     df: DataFrame, order_cols: list[str], k: int, out_col: str = "bucket"
 ):

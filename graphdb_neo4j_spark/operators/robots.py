@@ -303,16 +303,39 @@ def parse_sitemap(
     return entries("url", "url").unionByName(entries("sitemap", "sitemap"))
 
 
-def selected_delays(delays: DataFrame, agent: str = "*") -> DataFrame:
+def selected_delays(
+    delays: DataFrame, agent: str = "*", rules: DataFrame | None = None
+) -> DataFrame:
     """(host, delay_s) — one delay per host for ``agent``, from
     :func:`crawl_delays` output: exact-agent groups shadow ``*``
-    (urllib.robotparser agrees — specific entries are checked before
-    its default entry), most-conservative (max) delay on ties."""
+    groups, most-conservative (max) delay on ties.
+
+    ``rules`` (a :func:`parse_robots` frame, optional) widens the
+    shadowing decision to ALL entry-forming groups, not just the
+    delay-carrying ones: a host whose exact-agent group has rules but
+    NO Crawl-delay then selects the exact tier and yields NO delay
+    row (the caller's default applies) even when a ``*`` group
+    declares one — urllib.robotparser agrees (``crawl_delay()``
+    returns None when the matched entry carries no delay; a group
+    with neither rules nor a delay never forms an entry there, hence
+    the rules-OR-delays union rather than every User-agent run).
+    WITHOUT ``rules`` the tier is derived from delay-carrying groups
+    only, and on that divergence class the ``*`` delay wins — a
+    documented, pinned divergence (tests/test_robots.py), kept
+    because callers holding only the delays frame cannot do better.
+    """
     agent_lc = agent.lower()
-    mine = delays.filter(
-        F.array_contains("agents", agent_lc) | F.array_contains("agents", "*")
-    ).withColumn("exact", F.array_contains("agents", agent_lc).cast("int"))
-    host_tier = mine.groupBy("host").agg(F.max("exact").alias("tier"))
+    sel = F.array_contains("agents", agent_lc) | F.array_contains(
+        "agents", "*"
+    )
+    exact = F.array_contains("agents", agent_lc).cast("int")
+    mine = delays.filter(sel).withColumn("exact", exact)
+    tier_src = mine.select("host", "exact")
+    if rules is not None:
+        tier_src = tier_src.unionByName(
+            rules.filter(sel).select("host", exact.alias("exact"))
+        )
+    host_tier = tier_src.groupBy("host").agg(F.max("exact").alias("tier"))
     return (
         mine.join(host_tier, "host")
         .filter(F.col("exact") == F.col("tier"))
@@ -328,39 +351,68 @@ def politeness_schedule(
     host_col: str = "host",
     order_cols: tuple[str, ...] = ("url",),
     default_delay_s: float = 0.0,
-) -> DataFrame:
-    """``urls`` + ``(delay_s, slot_no, fetch_offset_s)`` — per-host
-    fetch scheduling under the host's Crawl-delay: the k-th URL of a
-    host (0-based, ordered by ``order_cols`` for determinism) is
-    cleared to fetch at ``k * delay_s`` seconds after the host's
-    crawl starts.
+    rules: DataFrame | None = None,
+    checkpoint: bool = True,
+):
+    """``(schedule_df, handle)`` — ``urls`` plus ``(delay_s, slot_no,
+    fetch_offset_s)``: per-host fetch scheduling under the host's
+    Crawl-delay — the k-th URL of a host (0-based, ordered by
+    ``order_cols`` for determinism) is cleared to fetch at
+    ``k * delay_s`` seconds after the host's crawl starts.
 
     ``delays`` is :func:`crawl_delays` output.  Group selection
     mirrors :func:`robots_allowed`: groups naming ``agent`` exactly
-    shadow the ``*`` groups (urllib.robotparser agrees — specific
-    entries are checked before its default entry).  If several
+    shadow the ``*`` groups; pass ``rules`` (:func:`parse_robots`
+    output) to widen shadowing to rule-only groups exactly as
+    urllib.robotparser does — see :func:`selected_delays`.  If several
     selected groups declare delays, the most conservative (max) wins;
     hosts with no delay fall back to ``default_delay_s``.
 
-    100 TB notes: delays are host-keyed metadata (broadcast side);
-    the schedule is ONE window over the frontier partitioned by host —
-    the shuffle is on the host key the downstream per-host fetch
-    queues partition by anyway, so the exchange is reused, not added.
+    100 TB notes: delays are host-keyed metadata (broadcast side).
+    Slot numbers come from
+    :func:`~graphdb_neo4j_spark.operators.order.group_contiguous_index`
+    — a ``row_number() OVER (PARTITION BY host)`` window would put a
+    dominant host's ENTIRE frontier (10⁷+ URLs on a mega-site) in one
+    task, the grouped form of the classic single-task-window
+    bottleneck; the group index range-partitions on
+    ``(host, order_cols)`` so a big host SPANS tasks, with per-slice
+    offsets carried by a window over the tiny counts frame.  That
+    makes the schedule a materializing two-pass operator: the
+    range-partitioned intermediate is checkpointed, and the returned
+    ``handle`` must be ``release()``-d after the final consuming
+    action (the :mod:`~graphdb_neo4j_spark.operators.order` contract).
+    ``checkpoint=False`` is for PLAN INSPECTION ONLY.
+
+    ``urls`` must not already carry the three output columns — raises
+    ``ValueError`` instead of silently producing duplicate names.
     """
-    selected = selected_delays(delays, agent)
-    joined = urls.join(
+    from graphdb_neo4j_spark.operators.order import group_contiguous_index
+
+    clash = {"delay_s", "slot_no", "fetch_offset_s"} & set(urls.columns)
+    if clash:
+        raise ValueError(
+            f"urls already carries schedule output column(s) {sorted(clash)};"
+            " rename or drop them first"
+        )
+    selected = selected_delays(delays, agent, rules)
+    indexed, handle = group_contiguous_index(
+        urls,
+        [host_col],
+        list(order_cols),
+        out_col="__slot",
+        checkpoint=checkpoint,
+    )
+    joined = indexed.join(
         selected.select(F.col("host").alias("_dhost"), "delay_s"),
-        urls[host_col] == F.col("_dhost"),
+        indexed[host_col] == F.col("_dhost"),
         "left",
     )
     d = F.coalesce(F.col("delay_s"), F.lit(float(default_delay_s)))
-    w = Window.partitionBy(urls[host_col]).orderBy(
-        *[F.col(c) for c in order_cols]
-    )
-    slot = (F.row_number().over(w) - F.lit(1)).cast("int")
-    return joined.select(
-        *[urls[c] for c in urls.columns],
+    slot = F.col("__slot").cast("int")
+    out = joined.select(
+        *[indexed[c] for c in urls.columns],
         d.alias("delay_s"),
         slot.alias("slot_no"),
         (slot.cast("double") * d).alias("fetch_offset_s"),
     )
+    return out, handle

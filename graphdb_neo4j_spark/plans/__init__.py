@@ -5,6 +5,7 @@ from graphdb_neo4j_spark.plans.audit import (
     has_partial_aggregate,
     pushed_filters,
     wholestage_codegen_spans,
+    window_partition_specs,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "has_partial_aggregate",
     "pushed_filters",
     "wholestage_codegen_spans",
+    "window_partition_specs",
 ]

@@ -51,13 +51,10 @@ def wholestage_codegen_spans(df: DataFrame, execute: bool = True) -> int:
     return int(m.group(1)) if m else 0
 
 
-def _tree_depth(line: str) -> int:
-    """Indent depth of a plan-tree line (the ``:- `` / ``+- `` prefix
-    length); the node name starts at this offset."""
-    i = 0
-    while i < len(line) and line[i] in " :+-":
-        i += 1
-    return i
+def _jchildren(node):
+    """Children of a JVM TreeNode as a Python list."""
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.length())]
 
 
 def cache_above_aggregation(df: DataFrame) -> bool:
@@ -73,26 +70,54 @@ def cache_above_aggregation(df: DataFrame) -> bool:
     aggregated frame, which is strictly smaller and serves the same
     consumers.  A frame with no Join is trivially fine; any Join with
     no Aggregate above it returns False (cache the aggregated
-    successor instead)."""
-    plan = df._jdf.queryExecution().analyzed().toString()
-    lines = [ln for ln in plan.splitlines() if ln.strip()]
-    for j, ln in enumerate(lines):
-        d = _tree_depth(ln)
-        if not ln[d:].startswith("Join"):
-            continue
-        # ancestors = the chain of lines above with strictly
-        # decreasing depth (each new minimum is the parent hop)
-        covered = False
-        cur = d
-        for k in range(j - 1, -1, -1):
-            dk = _tree_depth(lines[k])
-            if dk < cur:
-                if lines[k][dk:].startswith("Aggregate"):
-                    covered = True
-                    break
-                cur = dk
-                if cur == 0:
-                    break
-        if not covered:
+    successor instead).
+
+    Walks the JVM logical-plan tree via ``nodeName()``/``children()``
+    — not the printed string, whose indentation format is
+    Spark-version-dependent and could make the guard silently vacuous
+    (ADVICE r8)."""
+    root = df._jdf.queryExecution().analyzed()
+    stack = [(root, False)]
+    while stack:
+        node, under_agg = stack.pop()
+        name = node.nodeName()
+        under_agg = under_agg or name == "Aggregate"
+        if name == "Join" and not under_agg:
             return False
+        stack.extend((c, under_agg) for c in _jchildren(node))
     return True
+
+
+def window_partition_specs(df: DataFrame) -> list[tuple[list[str], bool]]:
+    """``(partition_keys, has_aggregate_below)`` for every Window node
+    in the OPTIMIZED logical plan — the grouped-skew audit primitive.
+
+    A window partitioned by a data-skewed key (host, hub vertex) over
+    NON-aggregated input puts an entire group in one task — the
+    grouped form of the single-task-window bottleneck
+    (``operators/order.py``).  A window over an aggregated frame
+    (per-slice counts, ≤ one row per partition a group touches) is
+    bounded and fine, so each spec is paired with whether an Aggregate
+    sits below it in the tree.  Keys are expression strings
+    (``host#12``, not bare names) — match with a prefix."""
+    root = df._jdf.queryExecution().optimizedPlan()
+    out: list[tuple[list[str], bool]] = []
+
+    def has_agg_below(node) -> bool:
+        stack = _jchildren(node)
+        while stack:
+            n = stack.pop()
+            if n.nodeName() == "Aggregate":
+                return True
+            stack.extend(_jchildren(n))
+        return False
+
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window":
+            spec = node.partitionSpec()
+            keys = [spec.apply(i).toString() for i in range(spec.length())]
+            out.append((keys, has_agg_below(node)))
+        stack.extend(_jchildren(node))
+    return out

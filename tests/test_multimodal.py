@@ -1124,3 +1124,39 @@ def test_decoder_corruption_fuzz_raises_valueerror_only():
                 decode(bytes(mutated))
             except ValueError:
                 pass
+
+
+def test_media_scan_counters_surface_fallbacks(spark):
+    """ADVICE r8: normalized-internal decode failures are countable —
+    a corrupt-IDAT PNG (zlib.error normalized to 'corrupt PNG: ...')
+    bumps BOTH counters; a structurally-truncated one (the decoder's
+    own ValueError) bumps only header_fallback; clean payloads bump
+    neither and the output schema is unchanged."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        encode_png,
+        extract_media_features,
+        media_scan_counters,
+    )
+
+    good = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    gb = bytearray(good)
+    idx = bytes(gb).find(b"IDAT") + 4
+    for j in range(idx, idx + 6):
+        gb[j] ^= 0xFF
+    media = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(gb)), (2, bytearray(good[:33]))],
+        "media_id long, payload binary",
+    )
+    counters = media_scan_counters(spark)
+    rows = {
+        r.media_id: r
+        for r in extract_media_features(media, counters=counters).collect()
+    }
+    assert rows[0].n_values == 48 and rows[0].mean_val == 0.0
+    # fallbacks keep header dims, no stats
+    assert rows[1].width == 4 and rows[1].n_values is None
+    assert rows[2].width == 4 and rows[2].n_values is None
+    assert counters["header_fallback"].value == 2
+    assert counters["normalized_internal"].value == 1

@@ -353,10 +353,12 @@ def test_politeness_schedule_shadowing_and_slots(spark):
         + [("t.example", f"/v{i}") for i in range(2)],
         "host string, url string",
     )
-    out = politeness_schedule(
+    sched, handle = politeness_schedule(
         urls, crawl_delays(robots), agent="trainbot", order_cols=("url",),
         default_delay_s=1.0,
-    ).collect()
+    )
+    out = sched.collect()
+    handle.release()
     got = {(r.host, r.url): (r.delay_s, r.slot_no, r.fetch_offset_s) for r in out}
     # exact group shadows star: delay 2, slots 0/1/2 → offsets 0/2/4
     assert got[("s.example", "/u0")] == (2.0, 0, 0.0)
@@ -445,3 +447,40 @@ def test_independent_oracle_generative_fuzz(spark):
                     continue
                 want = rp.can_fetch(agent, f"http://{host}{p}")
                 assert got[(host, p)] == want, (agent, host, p, text)
+
+
+def test_selected_delays_rules_widening_matches_robotparser(spark):
+    """ADVICE r8 divergence class, closed when rules= is passed: a host
+    whose exact-agent group has RULES but no Crawl-delay, next to a
+    '*' group WITH one.  robotparser's entry shadowing returns None
+    (caller default); selected_delays agrees only when the tier is
+    derived from all entry-forming groups via rules=parse_robots(...).
+    WITHOUT rules the star delay wins — the documented legacy
+    behavior for callers holding only the delays frame."""
+    from graphdb_neo4j_spark.operators.robots import (
+        crawl_delays,
+        parse_robots,
+        selected_delays,
+    )
+
+    txt = (
+        "User-agent: *\nDisallow: /a/\nCrawl-delay: 7\n\n"
+        "User-agent: trainbot\nDisallow: /b/\n"
+    )
+    robots = spark.createDataFrame(
+        [("w.example", txt)], "host string, robots_txt string"
+    )
+    delays = crawl_delays(robots)
+    # legacy: tier from delay-carrying groups only -> star delay leaks
+    legacy = selected_delays(delays, agent="trainbot").collect()
+    assert [(r.host, r.delay_s) for r in legacy] == [("w.example", 7.0)]
+    # widened: exact rules-only group shadows -> no delay row at all
+    widened = selected_delays(
+        delays, agent="trainbot", rules=parse_robots(robots)
+    ).collect()
+    assert widened == []
+    # robotparser agrees with the widened form
+    rp = RobotFileParser()
+    rp.parse(txt.splitlines())
+    assert rp.crawl_delay("trainbot") is None
+    assert rp.crawl_delay("other") == 7

@@ -848,3 +848,35 @@ def test_q209_releases_prefix_checkpoint(spark):
         assert i.memSize() + i.diskSize() < 64 * 1024, (
             str(i.name()), i.memSize(), i.diskSize()
         )
+
+
+def test_group_contiguous_index_matches_group_window(spark):
+    """order.group_contiguous_index ≡ row_number() OVER (PARTITION BY
+    group ORDER BY order_cols) - 1, on a deliberately SKEWED frame
+    (one group holds ~80% of rows, so it spans multiple range
+    partitions — the exact shape the per-group index exists for)."""
+    import random
+
+    from graphdb_neo4j_spark.operators.order import group_contiguous_index
+
+    rnd = random.Random(11)
+    rows = [
+        (
+            "g0" if rnd.random() < 0.8 else "g%d" % rnd.randrange(1, 5),
+            rnd.randrange(10_000),
+            i,
+        )
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, id long").repartition(16)
+    out, handle = group_contiguous_index(df, ["g"], ["v", "id"], out_col="seq")
+    got = {(r.g, r.v, r.id): r.seq for r in out.collect()}
+    handle.release()
+    by_g = {}
+    for g, v, i in rows:
+        by_g.setdefault(g, []).append((v, i))
+    want = {}
+    for g, vs in by_g.items():
+        for k, (v, i) in enumerate(sorted(vs)):
+            want[(g, v, i)] = k
+    assert got == want

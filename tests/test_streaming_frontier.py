@@ -281,14 +281,16 @@ def test_frontier_ingest_with_politeness_schedule(spark, tmp_path):
     # stream ≡ batch: politeness_schedule over the batch frontier
     # (event-time order consistent with arrival) gives identical slots
     frontier = _batch_frontier(spark, [w1, w2])
+    sched, handle = politeness_schedule(
+        frontier,
+        crawl_delays(robots),
+        agent="trainbot",
+        order_cols=("canon",),
+        default_delay_s=1.0,
+    )
     want = {
         r.canon: (r.slot_no, r.delay_s, r.fetch_offset_s)
-        for r in politeness_schedule(
-            frontier,
-            crawl_delays(robots),
-            agent="trainbot",
-            order_cols=("canon",),
-            default_delay_s=1.0,
-        ).collect()
+        for r in sched.collect()
     }
+    handle.release()
     assert got == want

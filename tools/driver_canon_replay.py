@@ -33,8 +33,14 @@ def canon(df):
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    # args: [N] [sf_dir]  — or explicit query names (any non-numeric,
+    # non-path arg), for targeted pre-validation of edited queries
+    argv = sys.argv[1:]
+    names_req = [a for a in argv if not a.isdigit() and not a.startswith("/")]
+    nums = [a for a in argv if a.isdigit()]
+    paths = [a for a in argv if a.startswith("/")]
+    n = int(nums[0]) if nums else 50
+    sf_dir = paths[0] if paths else "/root/testdata/sf0.01"
 
     import duckdb
     import pandas as pd
@@ -51,7 +57,7 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    names = list(qs)[:n]
+    names = names_req if names_req else list(qs)[:n]
     green = red = rows_only = 0
     for i, name in enumerate(names, 1):
         t0 = time.time()
