@@ -126,6 +126,9 @@ class ExecClock:
 
 
 def main() -> None:
+    # box-state record (r8 verdict: contention adjudication should be
+    # mechanical, not forensic) — 1/5/15-min load averages at start/end
+    load_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark(
         "bench",
         **{
@@ -199,6 +202,20 @@ def main() -> None:
     # warm the cached corpus graph (not counted) so g40 measures the
     # components loop, not the one-off graph build
     run(QUERY_FNS["g44_corpus_golden_counts"](spark, SF_DIR))
+    # pre-build the shared copurchase cache the same way (r8 verdict:
+    # its one-off lineitem self-join previously landed in the FIRST
+    # TOUCHER's exec_ms — g70 in the graph tier, q166 in the audit
+    # tier — making cross-round exec deltas unattributable).  The
+    # build is reported as its own metric, counted in no tier total.
+    from graphdb_neo4j_spark.workloads import _copurchase_edges
+
+    clock.delta()
+    t0 = time.perf_counter()
+    _copurchase_edges(spark, SF_DIR).count()
+    cache_build = {"copurchase_s": round(time.perf_counter() - t0, 3)}
+    cb_exec, _ = clock.delta()
+    if cb_exec is not None:
+        cache_build["copurchase_exec_ms"] = cb_exec
     measure(GRAPH_QUERIES, graph, graph_exec)
 
     # audit tier (r4): link prediction, entity resolution, corpus
@@ -236,6 +253,11 @@ def main() -> None:
         "metric": "workload_total",
         "value": total,
         "unit": "sec",
+        "loadavg": {
+            "start": load_start,
+            "end": [round(x, 2) for x in os.getloadavg()],
+        },
+        "cache_build": cache_build,
         "queries": timings,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
@@ -295,6 +317,8 @@ def compact_line(detail: dict) -> dict:
         "metric": detail["metric"],
         "value": detail["value"],
         "unit": detail["unit"],
+        "loadavg": detail["loadavg"],
+        "cache_build": detail["cache_build"],
         "warm_total": detail["warm_total"],
         "graph_total": detail["graph_total"],
         "audit_total": detail["audit_total"],
@@ -323,7 +347,7 @@ def compact_line(detail: dict) -> dict:
     # shed the last optional payloads, then truncate the drop list, so
     # the canonical line can NEVER exceed the driver's stdout-tail
     # window (the round-5 unparseable-tail failure mode)
-    for key in ("ingest", "dropped_for_size"):
+    for key in ("ingest", "cache_build", "dropped_for_size"):
         if len(json.dumps(out)) > TAIL_BUDGET:
             out.pop(key, None)
     assert len(json.dumps(out)) <= TAIL_BUDGET, "compact_line overflow"
