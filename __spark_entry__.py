@@ -74,6 +74,7 @@ def _ordered_names() -> list[str]:
     is deterministic and self-maintaining as new CORRECTNESS files land.
     """
     flagships = [
+        "q225_image_phash_neardup",
         "q222_crawl_pipeline",
         "q223_sitemap_frontier",
         "q224_politeness_schedule",

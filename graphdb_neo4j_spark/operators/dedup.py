@@ -1066,3 +1066,99 @@ def remove_passages(
             .alias("cleaned_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hamming-LSH near-dup pairs over 64-bit fingerprints (pHash / SimHash)
+# ---------------------------------------------------------------------------
+
+
+def hamming_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    bands: int = 8,
+    max_hamming: int | None = None,
+    out_col: str = "hamming",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, ``out_col``) — pairs whose 64-bit fingerprints
+    (signed bigint: pHash, dHash, SimHash) differ in at most
+    ``max_hamming`` bits, found via banded Hamming LSH, never all
+    pairs: the hash splits into ``bands`` equal bit-slices, candidates
+    are the pairs that COLLIDE on at least one (band, slice) key
+    (pigeonhole: any pair within Hamming distance < ``bands`` shares
+    an untouched band, so recall is EXACT for
+    ``max_hamming <= bands - 1`` — the default), and candidates are
+    verified with a real popcount.
+
+    ``bucket_cap`` (optional) drops (band, slice) buckets with more
+    members than the cap before the join — the df-cap escape hatch for
+    adversarial skew (a constant-background corpus where one slice
+    value dominates).  It trades the recall guarantee for a bounded
+    join, exactly like the hot-shingle caps upstream; leave ``None``
+    for exactness.
+
+    100 TB shape: the explode carries (id, hash, band, slice) — 8-byte
+    keys, never content; the self-join is an equi-join on
+    (band, slice); verification is JVM-side ``bit_count(a ^ b)``.
+    """
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    bits = 64 // bands
+    if max_hamming is None:
+        max_hamming = bands - 1
+    mask = (1 << bits) - 1
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("h"), 64 - bits * (i + 1))
+            .bitwiseAND(F.lit(mask))
+            .alias("slice"),
+        )
+        for i in range(bands)
+    ]
+    stacked = (
+        hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+        .select("id", "h", F.explode(F.array(*band_structs)).alias("bb"))
+        .select(
+            "id", "h",
+            F.col("bb.band").alias("band"),
+            F.col("bb.slice").alias("slice"),
+        )
+    )
+    if bucket_cap is not None:
+        sizes = stacked.groupBy("band", "slice").agg(
+            F.count("*").alias("__n")
+        )
+        stacked = (
+            stacked.join(sizes, ["band", "slice"])
+            .filter(F.col("__n") <= bucket_cap)
+            .drop("__n")
+        )
+    stacked = stacked.persist()  # read twice by the self-join
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("__ha"),
+            F.col("b.h").alias("__hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            out_col,
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int"),
+        )
+        .filter(F.col(out_col) <= max_hamming)
+        .drop("__ha", "__hb")
+    )

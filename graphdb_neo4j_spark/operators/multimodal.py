@@ -2098,3 +2098,191 @@ def plan_resize_batches(meta: DataFrame, target_pixels: int = 256 * 256) -> Data
         "work_bucket",
         F.when(ratio <= 1, "noop").when(ratio <= 4, "small").otherwise("large"),
     )
+
+
+# ===========================================================================
+# perceptual hashing (dHash / pHash) — image-content near-dup keys
+# ===========================================================================
+#
+# Both hashes are INTEGER-EXACT by construction — grayscale is a
+# fixed-point luma, downsampling is exact box means over floor-boundary
+# cells (integer sums, floor division), and the pHash DCT-II runs in
+# fixed point (cosine table pre-rounded at 2^14, then pure int64
+# matmuls) — so an independent plain-Python mirror reproduces every bit
+# (the q213 "analytically exact" posture), which is what makes the
+# operator oracle-able despite perceptual hashing being heuristic in
+# general.  Spec, frozen (the oracle mirrors it line for line):
+#
+# * gray = (299*R + 587*G + 114*B) // 1000 (1/2-channel images use
+#   channel 0; alpha ignored)
+# * cell (y, x) of an (oh, ow) downsample covers rows
+#   [y*h//oh, (y+1)*h//oh) and the analogous columns; value =
+#   sum // count (boxes are contiguous and cover the image exactly)
+# * dHash: 8x9 cells; bit (r, c) = cell[r][c+1] > cell[r][c],
+#   row-major, MSB first → 64 bits
+# * pHash: 32x32 cells G; D = C @ G @ C.T with
+#   C[u][x] = round(cos((2x+1)·u·π/64) · 2^14) (int64-exact:
+#   |D| ≤ 32²·2^14·255 < 2^47); top-left 8x8 block row-major, bit =
+#   coef > lower-median of the 63 AC coefficients, DC bit = 0, MSB
+#   first
+# * both hashes are returned as SIGNED int64 (two's complement) so
+#   they land in a Spark/parquet/DuckDB bigint unchanged
+
+
+def _hash_to_int64(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+_PHASH_N = 32
+_PHASH_SCALE = 1 << 14
+
+
+def _phash_dct_table():
+    import math
+
+    return [
+        [
+            round(
+                math.cos((2 * x + 1) * u * math.pi / (2 * _PHASH_N))
+                * _PHASH_SCALE
+            )
+            for x in range(_PHASH_N)
+        ]
+        for u in range(_PHASH_N)
+    ]
+
+
+def _gray_i64(px):
+    """uint8 image array (h, w[, ch]) → int64 grayscale per the frozen
+    luma spec."""
+    import numpy as np
+
+    a = np.asarray(px, dtype=np.int64)
+    if a.ndim == 2:
+        return a
+    if a.shape[2] < 3:
+        return a[:, :, 0]
+    return (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+
+
+def _box_downsample_i64(g, oh: int, ow: int):
+    """Exact integer box-mean downsample of an int64 2-D array."""
+    import numpy as np
+
+    h, w = g.shape
+    if h < oh or w < ow:
+        raise ValueError(
+            f"image {w}x{h} smaller than downsample target {ow}x{oh}"
+        )
+    ys = [y * h // oh for y in range(oh)]
+    xs = [x * w // ow for x in range(ow)]
+    # boxes are contiguous and cover [0, h) exactly, so reduceat's
+    # boundary-to-boundary sums ARE the box sums
+    rows = np.add.reduceat(g, ys, axis=0)
+    cells = np.add.reduceat(rows, xs, axis=1)
+    yc = np.diff(ys + [h]).reshape(-1, 1)
+    xc = np.diff(xs + [w]).reshape(1, -1)
+    return cells // (yc * xc)
+
+
+def dhash64(px) -> int:
+    """Difference hash: 64-bit signed gradient signature (spec above).
+    Brightness-shift invariant (adjacent-cell differences are
+    unchanged); the cheap sibling of :func:`phash64`."""
+    cells = _box_downsample_i64(_gray_i64(px), 8, 9)
+    h = 0
+    for r in range(8):
+        for c in range(8):
+            h = (h << 1) | (1 if cells[r][c + 1] > cells[r][c] else 0)
+    return _hash_to_int64(h)
+
+
+def phash64(px) -> int:
+    """Perceptual hash: 64-bit signed low-frequency DCT signature
+    (spec above).  Robust to brightness shifts (DC excluded) and
+    local speckle (energy concentrates in the 8x8 low-frequency
+    block); integer-exact, so the plain-Python oracle mirror
+    reproduces it bit for bit."""
+    import numpy as np
+
+    g = _box_downsample_i64(_gray_i64(px), _PHASH_N, _PHASH_N)
+    c = np.array(_phash_dct_table(), dtype=np.int64)
+    d = c @ g @ c.T
+    block = d[:8, :8].reshape(-1)
+    med = int(np.sort(block[1:])[31])  # lower median of the 63 AC coefs
+    h = 0
+    for k in range(64):
+        bit = 0 if k == 0 else (1 if int(block[k]) > med else 0)
+        h = (h << 1) | bit
+    return _hash_to_int64(h)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("dhash", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def perceptual_hashes(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(media_id, format, width, height, dhash, phash) — decode each
+    image payload (PNG/JPEG/PPM/BMP via this module's real decoders)
+    and compute both perceptual hashes in ONE Arrow-batched
+    ``mapInPandas`` pass; the payload dies at this stage (never carry
+    blobs past the operator that consumes them).
+
+    Undecodable/corrupt payloads raise ValueError (the decoders'
+    normalized boundary) — compose with a quarantine split upstream
+    exactly like the other strict decode audits.
+
+    100 TB shape: hashes are 8-byte keys, so downstream near-dup
+    bucketing (:func:`~graphdb_neo4j_spark.operators.dedup.
+    hamming_neardup_pairs`) shuffles fixed-size integers, never
+    pixels."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        decoders = {
+            "png": decode_png,
+            "jpeg": decode_jpeg,
+            "ppm": decode_ppm,
+            "bmp": decode_bmp,
+        }
+        for pdf in batches:
+            fmts, ws, hs, dhs, phs = [], [], [], [], []
+            for payload in pdf[payload_col]:
+                b = bytes(payload) if payload is not None else b""
+                fmt = sniff_format(b)
+                dec = decoders.get(fmt)
+                if dec is None:
+                    raise ValueError(
+                        f"perceptual_hashes: undecodable format {fmt!r}"
+                    )
+                w, h, px = dec(b)
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                dhs.append(dhash64(px))
+                phs.append(phash64(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "format": fmts,
+                    "width": ws,
+                    "height": hs,
+                    "dhash": dhs,
+                    "phash": phs,
+                }
+            )
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)

@@ -13645,3 +13645,233 @@ def q224(spark: SparkSession, sf: str) -> DataFrame:
     out = sched.localCheckpoint(eager=True)
     handle.release()
     return out
+
+
+# ===========================================================================
+# q225 — image perceptual-hash near-dup (dHash/pHash + banded Hamming LSH)
+# ===========================================================================
+#
+# The composition gate the r8 verdict prescribed: REAL image decode
+# (multimodal.decode_png) → integer-exact perceptual hashes
+# (multimodal.phash64/dhash64) → banded Hamming-LSH pairing
+# (dedup.hamming_neardup_pairs), never all-pairs.  The oracle is a
+# plain-Python mirror of the FROZEN hash spec (fixed-point luma, exact
+# box means, 2^14 fixed-point DCT — multimodal.py's "perceptual
+# hashing" section) evaluated on the RAW pixel formulas, so the gate
+# checks the PNG encode/decode round-trip, the numpy kernels, and the
+# distributed LSH pairing against an independent scalar implementation
+# plus a brute-force pair scan.
+
+_Q225_W = _Q225_H = 64
+_Q225_CLUSTERS = 6
+_Q225_MAX_HAMMING = 10  # < bands=16, so LSH recall is provably exact
+
+
+def _q225_base_px(c: int):
+    import math as _math
+
+    px = []
+    for y in range(_Q225_H):
+        row = []
+        for x in range(_Q225_W):
+            r = (x * 2 + c * 37) % 256
+            g = (y * 3 + c * 59) % 256
+            b = (
+                128
+                + int(60 * _math.sin((x + y) * (c % 5 + 1) * _math.pi / 32))
+            ) % 256
+            row.append((r, g, b))
+        px.append(row)
+    return px
+
+
+def _q225_brighten(px, k: int):
+    return [
+        [(min(r + k, 255), min(g + k, 255), min(b + k, 255)) for r, g, b in row]
+        for row in px
+    ]
+
+
+def _q225_speckle(px, seed: int, n: int = 12, amp: int = 5):
+    import random as _random
+
+    rnd = _random.Random(seed)
+    px = [list(row) for row in px]
+    for _ in range(n):
+        y, x = rnd.randrange(_Q225_H), rnd.randrange(_Q225_W)
+        r, g, b = px[y][x]
+        d = rnd.randrange(-amp, amp + 1)
+        px[y][x] = (
+            max(0, min(255, r + d)),
+            max(0, min(255, g + d)),
+            max(0, min(255, b + d)),
+        )
+    return px
+
+
+def _q225_images() -> dict[int, list]:
+    """18 images: 6 clusters x (base, brightness+6 — pHash/dHash
+    invariant by construction, DC excluded / differences unchanged —
+    and a 12-pixel speckle — a few low-bit flips)."""
+    out = {}
+    for c in range(_Q225_CLUSTERS):
+        base = _q225_base_px(c)
+        out[c * 3 + 0] = base
+        out[c * 3 + 1] = _q225_brighten(base, 6)
+        out[c * 3 + 2] = _q225_speckle(base, seed=c + 1)
+    return out
+
+
+def _q225_gray(px):
+    return [
+        [(299 * r + 587 * g + 114 * b) // 1000 for r, g, b in row]
+        for row in px
+    ]
+
+
+def _q225_downsample(g, oh: int, ow: int):
+    h, w = len(g), len(g[0])
+    out = [[0] * ow for _ in range(oh)]
+    for y in range(oh):
+        y0, y1 = y * h // oh, (y + 1) * h // oh
+        for x in range(ow):
+            x0, x1 = x * w // ow, (x + 1) * w // ow
+            s = sum(
+                g[yy][xx] for yy in range(y0, y1) for xx in range(x0, x1)
+            )
+            out[y][x] = s // ((y1 - y0) * (x1 - x0))
+    return out
+
+
+def _q225_dhash(px) -> int:
+    cells = _q225_downsample(_q225_gray(px), 8, 9)
+    h = 0
+    for r in range(8):
+        for c in range(8):
+            h = (h << 1) | (1 if cells[r][c + 1] > cells[r][c] else 0)
+    return h
+
+
+def _q225_phash(px) -> int:
+    import math as _math
+
+    n, scale = 32, 1 << 14
+    tbl = [
+        [
+            round(_math.cos((2 * x + 1) * u * _math.pi / (2 * n)) * scale)
+            for x in range(n)
+        ]
+        for u in range(n)
+    ]
+    g = _q225_downsample(_q225_gray(px), n, n)
+    m1 = [
+        [sum(tbl[u][x] * g[x][y] for x in range(n)) for y in range(n)]
+        for u in range(n)
+    ]
+    block = [
+        sum(m1[u][x] * tbl[v][x] for x in range(n))
+        for u in range(8)
+        for v in range(8)
+    ]
+    med = sorted(block[1:])[31]
+    h = 0
+    for k, v in enumerate(block):
+        h = (h << 1) | (0 if k == 0 else (1 if v > med else 0))
+    return h
+
+
+def _q225_pairs() -> list[tuple[int, int, int, int]]:
+    """Brute-force (id_a, id_b, phash_hamming, dhash_hamming) over all
+    pairs at the q225 threshold — what exact-recall LSH must equal."""
+    imgs = _q225_images()
+    ph = {i: _q225_phash(p) for i, p in imgs.items()}
+    dh = {i: _q225_dhash(p) for i, p in imgs.items()}
+
+    def ham(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    out = []
+    ids = sorted(imgs)
+    for i in ids:
+        for j in ids:
+            if i < j and ham(ph[i], ph[j]) <= _Q225_MAX_HAMMING:
+                out.append((i, j, ham(ph[i], ph[j]), ham(dh[i], dh[j])))
+    return out
+
+
+def _q225_oracle() -> str:
+    vals = ", ".join("(%d, %d, %d, %d)" % p for p in _q225_pairs())
+    return f"""
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(ph AS INT) AS phash_hamming, CAST(dh AS INT) AS dhash_hamming
+    FROM (VALUES {vals}) AS t(id_a, id_b, ph, dh)
+    """
+
+
+@query("q225_image_phash_neardup", _q225_oracle())
+def q225(spark: SparkSession, sf: str) -> DataFrame:
+    """IMAGE-CONTENT NEAR-DUP under the hash gate: genuine PNG payloads
+    (multimodal.encode_png over the cluster fixtures) are pixel-decoded
+    and perceptually hashed in one Arrow pass
+    (multimodal.perceptual_hashes: integer-exact dHash + fixed-point
+    DCT pHash), then paired by banded Hamming LSH
+    (dedup.hamming_neardup_pairs: 16 bands x 4 bits, so recall at the
+    <=10-bit threshold is provably exact by pigeonhole) — the
+    multimodal-columns x dedup composition an LLM data pipeline runs
+    on scraped image corpora.  The oracle recomputes both hashes with
+    an independent plain-Python mirror of the frozen spec directly on
+    the pixel formulas (no codec, no numpy) and brute-forces all
+    pairs, embedded as constants (the q224 posture).
+
+    Scale shape: payloads die inside the one mapInPandas decode pass;
+    everything that shuffles afterwards is 8-byte hash keys — the
+    band explode is x16 rows of (id, band, slice) ints, the self-join
+    is an equi-join on (band, slice), verification is JVM-side
+    bit_count(xor).  Never all-pairs."""
+    import numpy as _np
+
+    from graphdb_neo4j_spark.operators.dedup import hamming_neardup_pairs
+    from graphdb_neo4j_spark.operators.multimodal import (
+        encode_png,
+        perceptual_hashes,
+    )
+
+    rows = [
+        (mid, bytearray(encode_png(_np.array(px, dtype=_np.uint8))))
+        for mid, px in sorted(_q225_images().items())
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(4)
+    hashes = perceptual_hashes(media)
+    pairs = hamming_neardup_pairs(
+        hashes,
+        id_col="media_id",
+        hash_col="phash",
+        bands=16,
+        max_hamming=_Q225_MAX_HAMMING,
+        out_col="phash_hamming",
+    )
+    dh = hashes.select("media_id", "dhash")
+    return (
+        pairs.join(
+            dh.select(
+                F.col("media_id").alias("id_a"), F.col("dhash").alias("_da")
+            ),
+            "id_a",
+        )
+        .join(
+            dh.select(
+                F.col("media_id").alias("id_b"), F.col("dhash").alias("_db")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "phash_hamming",
+            F.bit_count(F.col("_da").bitwiseXOR(F.col("_db")))
+            .cast("int")
+            .alias("dhash_hamming"),
+        )
+    )

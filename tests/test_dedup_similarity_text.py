@@ -1027,3 +1027,51 @@ def test_pii_scrub_planted_fixtures(spark):
     r5 = got[5]
     assert (r5.n_email, r5.n_ssn, r5.n_ipv4, r5.n_phone) == (0, 0, 0, 0)
     assert r5.text_scrubbed == rows[4][1]
+
+
+def test_hamming_neardup_pairs_exact_recall_and_cap(spark):
+    """Banded Hamming LSH equals brute force below the pigeonhole bound
+    (max_hamming < bands), on planted near pairs among random 64-bit
+    fingerprints; bucket_cap drops oversized buckets (recall trade
+    documented)."""
+    import random
+
+    from graphdb_neo4j_spark.operators.dedup import hamming_neardup_pairs
+
+    rnd = random.Random(41)
+
+    def signed(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    hashes = {}
+    for i in range(40):
+        hashes[i] = rnd.getrandbits(64)
+    # planted near-dups: flip <= 7 bits of an existing hash
+    for i in range(40, 60):
+        src = hashes[rnd.randrange(40)]
+        for _ in range(rnd.randrange(8)):
+            src ^= 1 << rnd.randrange(64)
+        hashes[i] = src
+    df = spark.createDataFrame(
+        [(i, signed(h)) for i, h in hashes.items()], "doc_id long, h long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_neardup_pairs(
+            df, id_col="doc_id", hash_col="h", bands=8, max_hamming=7
+        ).collect()
+    }
+    want = {
+        (i, j): bin(hashes[i] ^ hashes[j]).count("1")
+        for i in hashes
+        for j in hashes
+        if i < j and bin(hashes[i] ^ hashes[j]).count("1") <= 7
+    }
+    assert got == want
+    # a cap of 0 drops every bucket -> no candidates survive
+    assert (
+        hamming_neardup_pairs(
+            df, id_col="doc_id", hash_col="h", bands=8, bucket_cap=0
+        ).count()
+        == 0
+    )

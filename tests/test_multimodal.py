@@ -1160,3 +1160,76 @@ def test_media_scan_counters_surface_fallbacks(spark):
     assert rows[2].width == 4 and rows[2].n_values is None
     assert counters["header_fallback"].value == 2
     assert counters["normalized_internal"].value == 1
+
+
+def test_perceptual_hash_kernels_match_plain_python_mirror():
+    """The numpy dHash/pHash kernels and the q225 oracle's independent
+    plain-Python mirror implement the SAME frozen integer spec —
+    bit-for-bit, on random images (the property that makes the
+    operator oracle-able)."""
+    import random
+
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import dhash64, phash64
+    from graphdb_neo4j_spark.workloads import _q225_dhash, _q225_phash
+
+    rnd = random.Random(99)
+    for _ in range(4):
+        h, w = rnd.choice([(32, 32), (48, 64), (64, 64)])
+        px = [
+            [(rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+             for _ in range(w)]
+            for _ in range(h)
+        ]
+        arr = np.array(px, dtype=np.uint8)
+
+        def signed(x):
+            return x - (1 << 64) if x >= (1 << 63) else x
+
+        assert dhash64(arr) == signed(_q225_dhash(px))
+        assert phash64(arr) == signed(_q225_phash(px))
+
+
+def test_perceptual_hash_brightness_invariance():
+    """A uniform brightness shift (no clamping) changes only the DC
+    term: pHash (DC excluded) and dHash (differences unchanged) must
+    be IDENTICAL — the invariance q225's brighten variants exercise."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import dhash64, phash64
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(40, 200, size=(64, 64, 3)).astype(np.uint8)
+    shifted = (base.astype(np.int64) + 17).astype(np.uint8)
+    assert phash64(base) == phash64(shifted)
+    assert dhash64(base) == dhash64(shifted)
+
+
+def test_perceptual_hashes_operator_round_trips_png(spark):
+    """perceptual_hashes over genuine PNG payloads equals the direct
+    kernel values on the source pixels (lossless round trip + Arrow
+    plumbing), and grayscale images hash via channel 0."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        dhash64,
+        encode_png,
+        perceptual_hashes,
+        phash64,
+    )
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, size=(40, 56, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, size=(32, 32)).astype(np.uint8)
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(encode_png(rgb))),
+            (1, bytearray(encode_png(gray[:, :, None]))),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in perceptual_hashes(media).collect()}
+    assert (got[0].dhash, got[0].phash) == (dhash64(rgb), phash64(rgb))
+    assert (got[1].dhash, got[1].phash) == (dhash64(gray), phash64(gray))
+    assert (got[0].width, got[0].height, got[0].format) == (56, 40, "png")
