@@ -13843,7 +13843,11 @@ def q225(spark: SparkSession, sf: str) -> DataFrame:
     media = spark.createDataFrame(
         rows, "media_id long, payload binary"
     ).repartition(4)
-    hashes = perceptual_hashes(media)
+    # materialize the hash frame ONCE: three consumers read it (the
+    # LSH pairer and both dhash joins), and without the freeze each
+    # would re-run the Arrow decode pass — the single-decode-pass
+    # discipline every decode gate here follows (plan-audited)
+    hashes = perceptual_hashes(media).localCheckpoint(eager=True)
     pairs = hamming_neardup_pairs(
         hashes,
         id_col="media_id",

@@ -1492,3 +1492,24 @@ def test_streaming_frontier_slot_counter_deskewed():
     src = inspect.getsource(crawl_mod.streaming_frontier_ingest)
     assert "group_contiguous_index" in src
     assert 'Window.partitionBy("host")' not in src
+
+
+def test_q225_phash_dedup_plan(spark):
+    """q225's scale claims, mechanically: the Arrow decode pass runs
+    ONCE (the hash frame is frozen before its three consumers, so no
+    MapInPandas survives into the final plan), and near-dup candidate
+    generation is an equi-join on (band, slice) — never a cartesian /
+    nested-loop all-pairs."""
+    out = QUERY_FNS["q225_image_phash_neardup"](spark, SF)
+    plan = explain_str(out)
+    assert "MapInPandas" not in plan, "decode re-run leaked into the final plan"
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert marker not in plan, plan
+    from graphdb_neo4j_spark.operators.dedup import hamming_neardup_pairs
+
+    hashes = spark.range(100).selectExpr(
+        "id as doc_id", "cast(hash(id) as bigint) * 1024 as h"
+    )
+    p2 = explain_str(hamming_neardup_pairs(hashes, id_col="doc_id", hash_col="h"))
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert marker not in p2, p2

@@ -294,3 +294,50 @@ def test_frontier_ingest_with_politeness_schedule(spark, tmp_path):
     }
     handle.release()
     assert got == want
+
+
+def test_frontier_ledger_survives_delays_toggle(spark, tmp_path):
+    """ADVICE r8: a ledger whose early partitions predate a delays
+    toggle has mixed parquet schemas; the readers merge schemas, so
+    pre-toggle admissions surface with NULL schedule columns instead of
+    the read failing (or silently dropping the columns, depending on
+    which file the schema was sampled from)."""
+    from graphdb_neo4j_spark.operators.robots import crawl_delays
+
+    robots = spark.createDataFrame(
+        [("example.com", "User-agent: *\nDisallow: /p/\nCrawl-delay: 2\n")],
+        "host string, robots_txt string",
+    )
+    src = tmp_path / "urls"
+    src.mkdir()
+    state = str(tmp_path / "state")
+
+    _rows(
+        spark, [("http://example.com/a", "2024-01-01 00:00:01")]
+    ).write.parquet(f"{src}/w1.parquet")
+    unscheduled = streaming_frontier_ingest(
+        spark.readStream.schema(URL_SCHEMA).parquet(str(src) + "/*"), state
+    )
+    _run(unscheduled, str(tmp_path / "ckpt1"))
+
+    _rows(
+        spark, [("http://example.com/c", "2024-01-01 00:10:00")]
+    ).write.parquet(f"{src}/w2.parquet")
+    scheduled = streaming_frontier_ingest(
+        spark.readStream.schema(URL_SCHEMA).parquet(str(src) + "/*"),
+        state,
+        delays=crawl_delays(robots),
+        default_delay_s=1.0,
+    )
+    _run(scheduled, str(tmp_path / "ckpt2"))
+
+    got = {
+        r.canon: (r.slot_no, r.delay_s)
+        for r in frontier_urls(spark, state).collect()
+    }
+    # pre-toggle admission: NULL schedule columns, still readable;
+    # post-toggle admission: slot continues from the prior count (1)
+    assert got == {
+        "http://example.com/a": (None, None),
+        "http://example.com/c": (1, 2.0),
+    }
