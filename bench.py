@@ -317,8 +317,8 @@ def compact_line(detail: dict) -> dict:
         "metric": detail["metric"],
         "value": detail["value"],
         "unit": detail["unit"],
-        "loadavg": detail["loadavg"],
-        "cache_build": detail["cache_build"],
+        "loadavg": detail.get("loadavg"),
+        "cache_build": detail.get("cache_build"),
         "warm_total": detail["warm_total"],
         "graph_total": detail["graph_total"],
         "audit_total": detail["audit_total"],

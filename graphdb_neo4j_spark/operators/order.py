@@ -180,13 +180,28 @@ def group_contiguous_index(
     offs = counts.withColumn(
         "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
     ).drop("__n")
+    # NULL-SAFE join back: a plain equi-join on the group columns would
+    # silently DROP every NULL-keyed row (NULL never equals NULL), and
+    # groupBy has already made NULL a perfectly good group — the
+    # hostless-URL class in the crawl frontier (self-review r9)
+    offs_r = offs.select(
+        F.col("__pid").alias("__opid"),
+        *[F.col(g).alias(f"__og{i}") for i, g in enumerate(group_cols)],
+        "__off",
+    )
+    cond = F.col("__pid") == F.col("__opid")
+    for i, g in enumerate(group_cols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og{i}"))
     w_rank = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
     out = (
-        keyed.join(offs, ["__pid"] + list(group_cols))
+        keyed.join(offs_r, cond)
         .withColumn(
             out_col, F.col("__off") + F.row_number().over(w_rank) - F.lit(1)
         )
-        .drop("__pid", "__off")
+        .drop(
+            "__pid", "__opid", "__off",
+            *[f"__og{i}" for i in range(len(group_cols))],
+        )
     )
     return out, handle
 

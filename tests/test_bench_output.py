@@ -30,6 +30,8 @@ def _detail():
         "metric": "workload_total",
         "value": 123.456,
         "unit": "sec",
+        "loadavg": {"start": [12.34, 12.34, 12.34], "end": [12.34, 12.34, 12.34]},
+        "cache_build": {"copurchase_s": 123.456, "copurchase_exec_ms": 1234567},
         "queries": cold,
         "queries_warm": walls,
         "warm_total": 123.456,

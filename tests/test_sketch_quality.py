@@ -868,6 +868,10 @@ def test_group_contiguous_index_matches_group_window(spark):
         )
         for i in range(4000)
     ]
+    # NULL is a legitimate group (the hostless-URL class): a plain
+    # equi-join back to the offsets frame would silently DROP these
+    # rows — pinned here (self-review r9)
+    rows += [(None, rnd.randrange(10_000), i) for i in range(4000, 4050)]
     df = spark.createDataFrame(rows, "g string, v long, id long").repartition(16)
     out, handle = group_contiguous_index(df, ["g"], ["v", "id"], out_col="seq")
     got = {(r.g, r.v, r.id): r.seq for r in out.collect()}
