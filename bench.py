@@ -125,10 +125,48 @@ class ExecClock:
         return cur[0] - prev[0], cur[1] - prev[1]
 
 
+def _cpu_sample():
+    """(busy_jiffies, steal_jiffies, total_jiffies) from /proc/stat —
+    steal is the hypervisor taking our cores (invisible to loadavg
+    inside the VM but it inflates wall AND executorRunTime alike)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        steal = vals[7] if len(vals) > 7 else 0
+        # user..steal only: guest/guest_nice are already folded into
+        # user/nice by the kernel — summing them would double-count
+        # and deflate the steal share
+        total = sum(vals[:8])
+        return total - idle - steal, steal, total
+    except OSError:
+        return None
+
+
+def _box_state(load_start, cpu_start) -> dict:
+    """loadavg start/end plus hypervisor steal share of the window."""
+    out = {
+        "start": load_start,
+        "end": [round(x, 2) for x in os.getloadavg()],
+    }
+    cpu_end = _cpu_sample()
+    if cpu_start and cpu_end:
+        out["steal_pct"] = round(
+            100.0
+            * (cpu_end[1] - cpu_start[1])
+            / max(cpu_end[2] - cpu_start[2], 1),
+            2,
+        )
+    return out
+
+
 def main() -> None:
     # box-state record (r8 verdict: contention adjudication should be
     # mechanical, not forensic) — 1/5/15-min load averages at start/end
+    # plus the steal share of the whole bench window
     load_start = [round(x, 2) for x in os.getloadavg()]
+    cpu_start = _cpu_sample()
     spark = get_spark(
         "bench",
         **{
@@ -253,10 +291,7 @@ def main() -> None:
         "metric": "workload_total",
         "value": total,
         "unit": "sec",
-        "loadavg": {
-            "start": load_start,
-            "end": [round(x, 2) for x in os.getloadavg()],
-        },
+        "loadavg": _box_state(load_start, cpu_start),
         "cache_build": cache_build,
         "queries": timings,
         "queries_warm": warm,

@@ -1102,9 +1102,16 @@ def hamming_neardup_pairs(
     100 TB shape: the explode carries (id, hash, band, slice) — 8-byte
     keys, never content; the self-join is an equi-join on
     (band, slice); verification is JVM-side ``bit_count(a ^ b)``.
+    The exploded frame is ``persist()``-ed for the self-join's two
+    reads (the :func:`minhash_lsh_pairs` pattern — CacheManager
+    dedupes repeated identical plans, so looping the same call adds
+    no entries; callers cycling many DISTINCT inputs in one session
+    should ``spark.catalog.clearCache()`` between cycles).
     """
-    if 64 % bands != 0:
-        raise ValueError(f"bands must divide 64, got {bands}")
+    if bands < 2 or 64 % bands != 0:
+        # bands=1 is degenerate (exact-equality LSH) and its 64-bit
+        # all-ones slice mask does not fit a Spark long literal
+        raise ValueError(f"bands must divide 64 and be >= 2, got {bands}")
     bits = 64 // bands
     if max_hamming is None:
         max_hamming = bands - 1

@@ -1864,8 +1864,14 @@ def media_scan_counters(spark) -> dict:
       validation ValueError — a spike here on payloads you believe
       valid is the masked-decoder-bug signal.
 
-    Accumulator updates flow from Python workers through mapInPandas,
-    so the counts are job-wide; read ``.value`` after an action."""
+    Accumulator updates flow from Python workers through mapInPandas;
+    read ``.value`` after an action.  CAVEAT (standard Spark
+    accumulator-in-transformation semantics): counts are
+    per-EXECUTION, not exactly-once — a retried/speculative task or a
+    SECOND action over the same frame re-adds its contributions.
+    Treat them as a monitoring signal (the spike detector they exist
+    for), not an exact ledger; for exact counts, aggregate an error
+    column after the action instead."""
     sc = spark.sparkContext
     return {
         "header_fallback": sc.accumulator(0),
@@ -2152,6 +2158,21 @@ def _phash_dct_table():
     ]
 
 
+_PHASH_DCT_NP = None
+
+
+def _phash_dct_np():
+    """The DCT table as an int64 ndarray, built once per process —
+    phash64 sits in the mapInPandas hot loop, so rebuilding 1,024
+    cosines per image would be pure redundant work (self-review r9)."""
+    global _PHASH_DCT_NP
+    if _PHASH_DCT_NP is None:
+        import numpy as np
+
+        _PHASH_DCT_NP = np.array(_phash_dct_table(), dtype=np.int64)
+    return _PHASH_DCT_NP
+
+
 def _gray_i64(px):
     """uint8 image array (h, w[, ch]) → int64 grayscale per the frozen
     luma spec."""
@@ -2206,7 +2227,7 @@ def phash64(px) -> int:
     import numpy as np
 
     g = _box_downsample_i64(_gray_i64(px), _PHASH_N, _PHASH_N)
-    c = np.array(_phash_dct_table(), dtype=np.int64)
+    c = _phash_dct_np()
     d = c @ g @ c.T
     block = d[:8, :8].reshape(-1)
     med = int(np.sort(block[1:])[31])  # lower median of the 63 AC coefs

@@ -128,6 +128,30 @@ def parse_robots(
     return rules.join(agents, ["host", "group_id"])
 
 
+def entry_groups(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, agents array<string>) — one row per ENTRY-FORMING group:
+    a group with at least one Allow/Disallow line, INCLUDING
+    empty-valued ones (the allow-everything ``Disallow:`` idiom forms
+    an entry in urllib.robotparser — its parser appends
+    ``RuleLine('', False)`` and reaches the entry-closing state — even
+    though :func:`parse_robots` rightly emits no RULE row for it).
+    This is the exact tier source for :func:`selected_delays`'s
+    ``rules=`` widening: robotparser's agent shadowing considers these
+    groups, so deriving the tier from rule ROWS alone (parse_robots
+    output) would still miss the empty-rule class (self-review r9).
+    Groups whose only content is a Crawl-delay line are not here — the
+    delays frame itself contributes them to the tier union."""
+    _, grouped, agents = _robots_groups(df, host_col, text_col)
+    marks = (
+        grouped.filter(F.col("key").isin("allow", "disallow"))
+        .select("host", "group_id")
+        .distinct()
+    )
+    return marks.join(agents, ["host", "group_id"]).select("host", "agents")
+
+
 def crawl_delays(
     df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
 ) -> DataFrame:
@@ -310,19 +334,22 @@ def selected_delays(
     :func:`crawl_delays` output: exact-agent groups shadow ``*``
     groups, most-conservative (max) delay on ties.
 
-    ``rules`` (a :func:`parse_robots` frame, optional) widens the
-    shadowing decision to ALL entry-forming groups, not just the
-    delay-carrying ones: a host whose exact-agent group has rules but
-    NO Crawl-delay then selects the exact tier and yields NO delay
-    row (the caller's default applies) even when a ``*`` group
-    declares one — urllib.robotparser agrees (``crawl_delay()``
-    returns None when the matched entry carries no delay; a group
-    with neither rules nor a delay never forms an entry there, hence
-    the rules-OR-delays union rather than every User-agent run).
-    WITHOUT ``rules`` the tier is derived from delay-carrying groups
-    only, and on that divergence class the ``*`` delay wins — a
-    documented, pinned divergence (tests/test_robots.py), kept
-    because callers holding only the delays frame cannot do better.
+    ``rules`` (an :func:`entry_groups` frame — or any frame with
+    (host, agents) rows; :func:`parse_robots` output also works but
+    misses groups whose only rule is the empty allow-everything
+    ``Disallow:``) widens the shadowing decision to ALL entry-forming
+    groups, not just the delay-carrying ones: a host whose exact-agent
+    group has rules but NO Crawl-delay then selects the exact tier and
+    yields NO delay row (the caller's default applies) even when a
+    ``*`` group declares one — urllib.robotparser agrees
+    (``crawl_delay()`` returns None when the matched entry carries no
+    delay; a group with neither rules nor a delay never forms an
+    entry there, hence the rules-OR-delays union rather than every
+    User-agent run).  WITHOUT ``rules`` the tier is derived from
+    delay-carrying groups only, and on that divergence class the
+    ``*`` delay wins — a documented, pinned divergence
+    (tests/test_robots.py), kept because callers holding only the
+    delays frame cannot do better.
     """
     agent_lc = agent.lower()
     sel = F.array_contains("agents", agent_lc) | F.array_contains(

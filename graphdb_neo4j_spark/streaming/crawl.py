@@ -302,10 +302,17 @@ def streaming_frontier_ingest(
                 new, ["host"], ["_ts", url_col], out_col="_rk"
             )
             if prior_full is not None:
+                # NULL-SAFE join: hostless admissions (url_host NULL)
+                # are a legitimate slot group — a plain equi-join would
+                # never match their prior count and restart their slot
+                # numbering at 0 every batch (self-review r9, the same
+                # class as the group-index NULL fix)
                 base = prior_full.groupBy("host").agg(
                     F.count("*").cast("int").alias("_base")
-                )
-                new = new.join(base, "host", "left")
+                ).withColumnRenamed("host", "_bhost")
+                new = new.join(
+                    base, new["host"].eqNullSafe(F.col("_bhost")), "left"
+                ).drop("_bhost")
             else:
                 new = new.withColumn("_base", F.lit(None).cast("int"))
             new = new.join(

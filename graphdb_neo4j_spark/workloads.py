@@ -13551,6 +13551,14 @@ _Q224_ROBOTS = {
         "User-agent: *\nDisallow: /a/\nCrawl-delay: 7\n\n"
         "User-agent: trainbot\nDisallow: /b/\n"
     ),
+    # the EMPTY-Disallow (allow-everything) idiom also forms an entry
+    # in robotparser, so it shadows too — this is why the tier source
+    # is robots.entry_groups, not parse_robots rule rows (which
+    # rightly skip empty patterns; self-review r9)
+    "p6.example": (
+        "User-agent: *\nDisallow: /c/\nCrawl-delay: 8\n\n"
+        "User-agent: trainbot\nDisallow:\n"
+    ),
 }
 
 
@@ -13624,7 +13632,7 @@ def q224(spark: SparkSession, sf: str) -> DataFrame:
     pattern), so driver/bench loops hold no growing block set."""
     from graphdb_neo4j_spark.operators.robots import (
         crawl_delays,
-        parse_robots,
+        entry_groups,
         politeness_schedule,
     )
 
@@ -13640,7 +13648,7 @@ def q224(spark: SparkSession, sf: str) -> DataFrame:
         agent=_Q224_AGENT,
         order_cols=("url",),
         default_delay_s=_Q224_DEFAULT_DELAY,
-        rules=parse_robots(robots),
+        rules=entry_groups(robots),
     )
     out = sched.localCheckpoint(eager=True)
     handle.release()

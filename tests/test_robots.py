@@ -459,7 +459,7 @@ def test_selected_delays_rules_widening_matches_robotparser(spark):
     behavior for callers holding only the delays frame."""
     from graphdb_neo4j_spark.operators.robots import (
         crawl_delays,
-        parse_robots,
+        entry_groups,
         selected_delays,
     )
 
@@ -467,20 +467,32 @@ def test_selected_delays_rules_widening_matches_robotparser(spark):
         "User-agent: *\nDisallow: /a/\nCrawl-delay: 7\n\n"
         "User-agent: trainbot\nDisallow: /b/\n"
     )
+    # the EMPTY Disallow (allow-everything idiom) ALSO forms a
+    # robotparser entry — parse_robots rule rows rightly skip it, so
+    # the tier source must be entry_groups (self-review r9)
+    txt_empty = (
+        "User-agent: *\nDisallow: /c/\nCrawl-delay: 8\n\n"
+        "User-agent: trainbot\nDisallow:\n"
+    )
     robots = spark.createDataFrame(
-        [("w.example", txt)], "host string, robots_txt string"
+        [("w.example", txt), ("e.example", txt_empty)],
+        "host string, robots_txt string",
     )
     delays = crawl_delays(robots)
     # legacy: tier from delay-carrying groups only -> star delay leaks
-    legacy = selected_delays(delays, agent="trainbot").collect()
-    assert [(r.host, r.delay_s) for r in legacy] == [("w.example", 7.0)]
-    # widened: exact rules-only group shadows -> no delay row at all
+    legacy = {
+        r.host: r.delay_s
+        for r in selected_delays(delays, agent="trainbot").collect()
+    }
+    assert legacy == {"w.example": 7.0, "e.example": 8.0}
+    # widened: exact entry-forming groups shadow -> no delay row at all
     widened = selected_delays(
-        delays, agent="trainbot", rules=parse_robots(robots)
+        delays, agent="trainbot", rules=entry_groups(robots)
     ).collect()
     assert widened == []
-    # robotparser agrees with the widened form
-    rp = RobotFileParser()
-    rp.parse(txt.splitlines())
-    assert rp.crawl_delay("trainbot") is None
-    assert rp.crawl_delay("other") == 7
+    # robotparser agrees with the widened form on BOTH hosts
+    for t in (txt, txt_empty):
+        rp = RobotFileParser()
+        rp.parse(t.splitlines())
+        assert rp.crawl_delay("trainbot") is None
+        assert rp.crawl_delay("other") in (7, 8)

@@ -34,11 +34,16 @@ def canon(df):
 
 def main() -> int:
     # args: [N] [sf_dir]  — or explicit query names (any non-numeric,
-    # non-path arg), for targeted pre-validation of edited queries
+    # non-path arg), for targeted pre-validation of edited queries;
+    # path-ness is judged by a path separator or an existing dir, so a
+    # RELATIVE sf_dir is not mistaken for a query name
+    import os
+
     argv = sys.argv[1:]
-    names_req = [a for a in argv if not a.isdigit() and not a.startswith("/")]
+    is_path = lambda a: os.sep in a or os.path.isdir(a)  # noqa: E731
+    names_req = [a for a in argv if not a.isdigit() and not is_path(a)]
     nums = [a for a in argv if a.isdigit()]
-    paths = [a for a in argv if a.startswith("/")]
+    paths = [a for a in argv if is_path(a)]
     n = int(nums[0]) if nums else 50
     sf_dir = paths[0] if paths else "/root/testdata/sf0.01"
 
@@ -58,6 +63,10 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     names = names_req if names_req else list(qs)[:n]
+    unknown = [x for x in names if x not in qs]
+    if unknown:
+        print(f"unknown query name(s): {unknown}; see queries() registry")
+        return 2
     green = red = rows_only = 0
     for i, name in enumerate(names, 1):
         t0 = time.time()
