@@ -75,6 +75,7 @@ def _ordered_names() -> list[str]:
     """
     flagships = [
         "q225_image_phash_neardup",
+        "q226_image_neardup_clusters",
         "q222_crawl_pipeline",
         "q223_sitemap_frontier",
         "q224_politeness_schedule",

@@ -1169,3 +1169,46 @@ def hamming_neardup_pairs(
         .filter(F.col(out_col) <= max_hamming)
         .drop("__ha", "__hb")
     )
+
+
+def hamming_neardup_clusters(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    bands: int = 8,
+    max_hamming: int | None = None,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """(id, cluster_id, is_keeper) — the end-to-end fingerprint dedup
+    pass: :func:`hamming_neardup_pairs` candidates → connected
+    components → keep one member per cluster (the lexicographic-min
+    id, :func:`neardup_clusters`' contract — ids are compared as
+    STRINGS by the components operator).
+
+    Cluster closure matters: perceptual/SimHash near-duplication is
+    not transitive (A~B~C within threshold with A≁C), and pair-level
+    dedup alone keeps too much — the components pass lands the chain
+    in ONE cluster.  Same scale shape as its text sibling: the only
+    per-pair work happens on LSH candidates, the component loop moves
+    (key, label) pairs only."""
+    from graphdb_neo4j_spark.operators.traversal import connected_components
+
+    pairs = hamming_neardup_pairs(
+        hashes,
+        id_col=id_col,
+        hash_col=hash_col,
+        bands=bands,
+        max_hamming=max_hamming,
+        bucket_cap=bucket_cap,
+    )
+    ids = hashes.select(F.col(id_col).cast("string").alias("key")).distinct()
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    comp = connected_components(ids, edges)
+    return comp.select(
+        F.col("key").alias("id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("key") == F.col("component")).alias("is_keeper"),
+    )

@@ -129,11 +129,13 @@ def interval_concurrency(
 
     100 TB shape: the delta union is map-side; the per-instant net is
     one shuffle on (by, t); the running sum windows PER GROUP, so
-    parallelism = number of groups.  For a single giant group, replace
-    the window with the two-phase range-bucketed prefix sum in
-    `operators/order.py` (contiguous_index) — same numbers, no
-    SinglePartition; the grouped form here is the right plan when
-    groups ≥ cores.
+    parallelism = number of groups (the right plan when groups ≥
+    cores).  KEYLESS calls used to be the classic SinglePartition
+    cumulative window — they now run through
+    ``order.prefix_sum_distributed`` (range shuffle + per-partition
+    running sums + broadcast offsets) and return the one-row result
+    eagerly materialized (q70 pattern: tiny result checkpointed, the
+    full-size prefix-sum blocks released deterministically).
     """
     keys = [by] if by else []
     s = intervals.select(
@@ -143,20 +145,25 @@ def interval_concurrency(
         *keys, F.col(end_col).alias("t"), F.lit(-1).cast("long").alias("d")
     )
     net = s.unionByName(e).groupBy(*keys, "t").agg(F.sum("d").alias("net"))
-    w = (
-        Window.partitionBy(*keys).orderBy("t")
-        if keys
-        else Window.partitionBy(F.lit(1)).orderBy("t")
-    )
-    run = net.withColumn("c", F.sum("net").over(w))
-    return (
-        run.groupBy(*keys)
-        .agg(
-            F.max("c").cast("bigint").alias("peak"),
-            F.min_by("t", F.struct((-F.col("c")).alias("nc"), F.col("t").alias("tt")))
-            .alias("peak_t"),
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("t")
+        run = net.withColumn("c", F.sum("net").over(w))
+    else:
+        from graphdb_neo4j_spark.operators.order import (
+            prefix_sum_distributed,
         )
+
+        run, handle = prefix_sum_distributed(net, ["t"], "net", out_col="c")
+    agg = run.groupBy(*keys).agg(
+        F.max("c").cast("bigint").alias("peak"),
+        F.min_by("t", F.struct((-F.col("c")).alias("nc"), F.col("t").alias("tt")))
+        .alias("peak_t"),
     )
+    if keys:
+        return agg
+    out = agg.localCheckpoint(eager=True)
+    handle.release()
+    return out
 
 
 def gap_fill_ffill(

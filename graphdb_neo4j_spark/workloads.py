@@ -13887,3 +13887,86 @@ def q225(spark: SparkSession, sf: str) -> DataFrame:
             .alias("dhash_hamming"),
         )
     )
+
+
+def _q226_clusters() -> list[tuple[str, str, bool]]:
+    """Union-find mirror of the q226 composition: the same brute-force
+    pHash pairs as q225's oracle, closed into components, keeper = the
+    LEXICOGRAPHIC-min id string (the components operator compares keys
+    as strings — '10' < '9' — so the mirror must too)."""
+    imgs = _q225_images()
+    parent = {str(i): str(i) for i in imgs}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j, _ph, _dh in _q225_pairs():
+        ra, rb = find(str(i)), find(str(j))
+        if ra != rb:
+            parent[ra] = rb
+    members: dict[str, list[str]] = {}
+    for i in imgs:
+        members.setdefault(find(str(i)), []).append(str(i))
+    out = []
+    for mem in members.values():
+        label = min(mem)  # lexicographic, matching connected_components
+        for m in mem:
+            out.append((m, label, m == label))
+    return sorted(out)
+
+
+def _q226_oracle() -> str:
+    vals = ", ".join(
+        "('%s', '%s', %s)" % (i, c, "TRUE" if k else "FALSE")
+        for i, c, k in _q226_clusters()
+    )
+    return f"""
+    SELECT CAST(id AS VARCHAR) AS id,
+           CAST(cluster_id AS VARCHAR) AS cluster_id,
+           CAST(is_keeper AS BOOLEAN) AS is_keeper
+    FROM (VALUES {vals}) AS t(id, cluster_id, is_keeper)
+    """
+
+
+@query("q226_image_neardup_clusters", _q226_oracle())
+def q226(spark: SparkSession, sf: str) -> DataFrame:
+    """IMAGE NEAR-DUP CLUSTERS WITH KEEPER SELECTION under the hash
+    gate — the full curation pass a multimodal pipeline actually runs
+    (q225 finds pairs; production drops all but one per cluster):
+    real PNG decode → integer-exact pHash → banded Hamming LSH →
+    connected components (perceptual similarity is NOT transitive, so
+    chains A~B~C must collapse into one cluster) → lexicographic-min
+    keeper (``dedup.hamming_neardup_clusters``).  The oracle closes
+    the same brute-force mirror pairs with a plain-Python union-find
+    and embeds the expected (id, cluster_id, is_keeper) rows as
+    constants.
+
+    Scale shape: q225's (pixels die at decode, 8-byte keys shuffle,
+    equi-join candidates) plus the HashMin components loop, which
+    moves only (key, label) pairs."""
+    import numpy as _np
+
+    from graphdb_neo4j_spark.operators.dedup import hamming_neardup_clusters
+    from graphdb_neo4j_spark.operators.multimodal import (
+        encode_png,
+        perceptual_hashes,
+    )
+
+    rows = [
+        (mid, bytearray(encode_png(_np.array(px, dtype=_np.uint8))))
+        for mid, px in sorted(_q225_images().items())
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(4)
+    hashes = perceptual_hashes(media).localCheckpoint(eager=True)
+    return hamming_neardup_clusters(
+        hashes,
+        id_col="media_id",
+        hash_col="phash",
+        bands=16,
+        max_hamming=_Q225_MAX_HAMMING,
+    )

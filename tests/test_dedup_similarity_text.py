@@ -1075,3 +1075,32 @@ def test_hamming_neardup_pairs_exact_recall_and_cap(spark):
         ).count()
         == 0
     )
+
+
+def test_hamming_neardup_clusters_chain_closure(spark):
+    """Perceptual similarity is not transitive: A~B and B~C within the
+    threshold with A≁C must still land in ONE cluster (components
+    closure), keeper = lexicographic-min id string; isolated hashes
+    are their own keeper."""
+    from graphdb_neo4j_spark.operators.dedup import hamming_neardup_clusters
+
+    a = 0
+    b = a ^ 0b11111            # 5 bits from a
+    c = b ^ (0b11111 << 20)    # 5 bits from b, 10 from a (> threshold)
+    far = (1 << 62) - 1
+    assert bin(a ^ c).count("1") == 10
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (9, far)], "doc_id long, h long"
+    )
+    got = {
+        r.id: (r.cluster_id, r.is_keeper)
+        for r in hamming_neardup_clusters(
+            df, id_col="doc_id", hash_col="h", bands=8, max_hamming=7
+        ).collect()
+    }
+    assert got == {
+        "1": ("1", True),
+        "2": ("1", False),
+        "3": ("1", False),
+        "9": ("9", True),
+    }
