@@ -285,3 +285,67 @@ def prefix_sum_distributed(
         .drop("__pid", "__off")
     )
     return out, handle
+
+
+def group_prefix_sum_distributed(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    checkpoint: bool = True,
+) -> tuple[DataFrame, CheckpointHandle]:
+    """Running total of ``value_col`` PER GROUP over a distributed
+    order — the grouped sibling of :func:`prefix_sum_distributed`,
+    planned like :func:`group_contiguous_index`: range partition on
+    ``(group_cols, order_cols)`` (a dominant group SPANS partitions
+    instead of collapsing its cumulative window into one task),
+    per-(slice, group) totals, per-slice offsets via a window over the
+    tiny totals frame, NULL-SAFE join back, then an in-slice running
+    sum.  No per-group state reaches the driver.
+
+    ``order_cols`` must totally order rows within a group.  Same
+    checkpoint contract as the siblings; ``checkpoint=False`` is for
+    PLAN INSPECTION ONLY.
+    """
+    spark = df.sparkSession
+    np = spark.sparkContext.defaultParallelism
+    keyed = df.repartitionByRange(
+        np, *(list(group_cols) + list(order_cols))
+    ).withColumn("__pid", F.spark_partition_id())
+    handle = CheckpointHandle(spark, frozenset())
+    if checkpoint:
+        keyed, handle = checkpoint_eager(keyed)
+    totals = keyed.groupBy("__pid", *group_cols).agg(
+        F.sum(value_col).alias("__t")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = totals.withColumn(
+        "__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0))
+    ).drop("__t")
+    offs_r = offs.select(
+        F.col("__pid").alias("__opid"),
+        *[F.col(g).alias(f"__og{i}") for i, g in enumerate(group_cols)],
+        "__off",
+    )
+    cond = F.col("__pid") == F.col("__opid")
+    for i, g in enumerate(group_cols):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__og{i}"))
+    w_run = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        keyed.join(offs_r, cond)
+        .withColumn(out_col, F.col("__off") + F.sum(value_col).over(w_run))
+        .drop(
+            "__pid", "__opid", "__off",
+            *[f"__og{i}" for i in range(len(group_cols))],
+        )
+    )
+    return out, handle

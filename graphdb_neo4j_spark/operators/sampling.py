@@ -141,6 +141,7 @@ def pack_sequences(
     order_col: str = "doc_id",
     by_col: str | None = None,
     id_col: str = "doc_id",
+    deskew_groups: bool = False,
 ):
     """Assign documents to training-sequence bins of ~``budget`` tokens:
     adds ``bin`` = floor(exclusive-running-token-sum / budget) over a
@@ -162,15 +163,35 @@ def pack_sequences(
     overflow by at most one document.  Exact first-fit would be a
     sequential fold — O(n) driver state — for a marginal density gain.
 
-    With ``by_col`` the window partitions on the group key (bounded
-    groups — fine at scale).  WITHOUT it the global order would
-    collapse a window to ONE task, so that path runs through
-    :func:`order.prefix_sum_distributed` (range shuffle +
-    per-partition running sums + driver-side partition offsets) —
-    identical bins for a unique ``order_col``, no SinglePartition.
+    With ``by_col`` the window partitions on the group key — fine when
+    groups are bounded, but "pack per language/source" groups are NOT
+    (English dominance puts one group's whole corpus in a single
+    task): pass ``deskew_groups=True`` to run that path through
+    :func:`order.group_prefix_sum_distributed` instead (identical
+    bins, no per-group single task; returns a real handle).  WITHOUT
+    ``by_col`` the global order would collapse a window to ONE task,
+    so that path runs through :func:`order.prefix_sum_distributed`
+    (range shuffle + per-partition running sums + driver-side
+    partition offsets) — identical bins for a unique ``order_col``,
+    no SinglePartition.
     """
     from pyspark.sql import Window
 
+    if by_col is not None and deskew_groups:
+        from graphdb_neo4j_spark.operators.order import (
+            group_prefix_sum_distributed,
+        )
+
+        out, handle = group_prefix_sum_distributed(
+            df, [by_col], [order_col], token_col, out_col="__cum"
+        )
+        res = out.withColumn(
+            "bin",
+            F.floor(
+                (F.col("__cum") - F.col(token_col)) / F.lit(budget)
+            ).cast("bigint"),
+        ).drop("__cum")
+        return res, handle
     if by_col is not None:
         w = Window.partitionBy(by_col).orderBy(order_col)
         cum_excl = F.coalesce(

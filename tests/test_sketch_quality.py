@@ -884,3 +884,53 @@ def test_group_contiguous_index_matches_group_window(spark):
         for k, (v, i) in enumerate(sorted(vs)):
             want[(g, v, i)] = k
     assert got == want
+
+
+def test_group_prefix_sum_matches_group_window(spark):
+    """order.group_prefix_sum_distributed ≡ SUM() OVER (PARTITION BY
+    group ORDER BY order ROWS UNBOUNDED PRECEDING..CURRENT) on a
+    skewed frame with a NULL group, and pack_sequences' deskewed
+    grouped path assigns the SAME bins as its windowed path."""
+    import random
+
+    from graphdb_neo4j_spark.operators.order import (
+        group_prefix_sum_distributed,
+    )
+    from graphdb_neo4j_spark.operators.sampling import pack_sequences
+
+    rnd = random.Random(23)
+    rows = [
+        (
+            None if i >= 2950 else
+            ("g0" if rnd.random() < 0.8 else "g%d" % rnd.randrange(1, 4)),
+            i,
+            rnd.randrange(1, 500),
+        )
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v long").repartition(16)
+    out, handle = group_prefix_sum_distributed(df, ["g"], ["id"], "v", out_col="cum")
+    got = {(r.g, r.id): r.cum for r in out.collect()}
+    handle.release()
+    by_g = {}
+    for g, i, v in rows:
+        by_g.setdefault(g, []).append((i, v))
+    want = {}
+    for g, vs in by_g.items():
+        run = 0
+        for i, v in sorted(vs):
+            run += v
+            want[(g, i)] = run
+    assert got == want
+    # pack_sequences: deskewed grouped bins == windowed grouped bins
+    packed_w, h_w = pack_sequences(
+        df, budget=1000, token_col="v", order_col="id", by_col="g"
+    )
+    packed_d, h_d = pack_sequences(
+        df, budget=1000, token_col="v", order_col="id", by_col="g",
+        deskew_groups=True,
+    )
+    wbins = {(r.g, r.id): r.bin for r in packed_w.collect()}
+    dbins = {(r.g, r.id): r.bin for r in packed_d.collect()}
+    h_d.release()
+    assert h_w is None and wbins == dbins
