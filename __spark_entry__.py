@@ -76,6 +76,7 @@ def _ordered_names() -> list[str]:
     flagships = [
         "q225_image_phash_neardup",
         "q226_image_neardup_clusters",
+        "q227_audio_fingerprint_neardup",
         "q222_crawl_pipeline",
         "q223_sitemap_frontier",
         "q224_politeness_schedule",

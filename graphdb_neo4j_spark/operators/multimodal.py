@@ -2307,3 +2307,113 @@ def perceptual_hashes(
             )
 
     return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+# ===========================================================================
+# audio content fingerprinting — the audio sibling of dHash/pHash
+# ===========================================================================
+#
+# A 64-bit Haitsma-Kalker-style fingerprint (Haitsma & Kalker, "A
+# Highly Robust Audio Fingerprinting System", ISMIR 2002 — the
+# band-energy-difference sign scheme), made INTEGER-EXACT so a plain
+# -Python oracle mirrors it bit for bit, like the image hashes above.
+# Spec, frozen:
+#
+# * input: one int16 channel (channel 0 of an interleaved decode)
+# * 17 time frames: frame t covers samples [t*n//17, (t+1)*n//17)
+# * each frame → 32 points by exact box means (floor boundaries,
+#   floor division — Python and numpy // both floor)
+# * 32-point fixed-point DCT-II (the pHash cosine table, 2^14 scale)
+# * 5 band energies per frame: sum of |coef[u]| over u in
+#   [1,7) [7,13) [13,19) [19,25) [25,31) — DC excluded
+# * bit(t, b) for t in 1..16, b in 0..3 (t-major, MSB first):
+#   1 iff (E[t,b] − E[t,b+1]) − (E[t−1,b] − E[t−1,b+1]) > 0
+# * returned as SIGNED int64
+#
+# The sign-of-difference-of-differences is gain-robust (a uniform
+# gain scales every energy, so the sign survives up to box-mean floor
+# rounding — ≤1-2 bits in practice) and localized noise flips few
+# bits, so banded Hamming LSH (dedup.hamming_neardup_pairs) finds
+# near-duplicate clips without an all-pairs pass.
+
+_AFP_FRAMES = 17
+_AFP_BANDS = [(1 + 6 * b, 7 + 6 * b) for b in range(5)]
+
+
+def audio_fingerprint64(samples) -> int:
+    """64-bit integer-exact audio fingerprint (spec above)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    n = int(s.size)
+    if n < _AFP_FRAMES * _PHASH_N:
+        raise ValueError(
+            f"audio_fingerprint64 needs >= {_AFP_FRAMES * _PHASH_N} "
+            f"samples, got {n}"
+        )
+    c = _phash_dct_np()
+    energies = np.empty((_AFP_FRAMES, len(_AFP_BANDS)), dtype=np.int64)
+    for t in range(_AFP_FRAMES):
+        fr = s[t * n // _AFP_FRAMES : (t + 1) * n // _AFP_FRAMES]
+        m = int(fr.size)
+        xs = [k * m // _PHASH_N for k in range(_PHASH_N)]
+        sums = np.add.reduceat(fr, xs)
+        cnts = np.diff(xs + [m])
+        pts = sums // cnts
+        mag = np.abs(c @ pts)
+        for b, (lo, hi) in enumerate(_AFP_BANDS):
+            energies[t, b] = int(mag[lo:hi].sum())
+    h = 0
+    for t in range(1, _AFP_FRAMES):
+        for b in range(4):
+            d_now = int(energies[t, b] - energies[t, b + 1])
+            d_prev = int(energies[t - 1, b] - energies[t - 1, b + 1])
+            h = (h << 1) | (1 if d_now - d_prev > 0 else 0)
+    return _hash_to_int64(h)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("afp", LongType()),
+    ]
+)
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(media_id, sample_rate, n_samples, afp) — decode each WAV PCM16
+    payload (:func:`decode_wav`) and fingerprint channel 0, in ONE
+    Arrow-batched ``mapInPandas`` pass; payloads die at this stage.
+
+    Same posture as :func:`perceptual_hashes`: corrupt payloads raise
+    ValueError (quarantine upstream); downstream near-dup bucketing
+    over the 8-byte ``afp`` shuffles integers, never samples."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rates, ns, fps = [], [], []
+            for payload in pdf[payload_col]:
+                b = bytes(payload) if payload is not None else b""
+                rate, channels, samples = decode_wav(b)
+                mono = samples[:: max(int(channels), 1)]
+                rates.append(int(rate))
+                ns.append(int(mono.size))
+                fps.append(audio_fingerprint64(mono))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "sample_rate": rates,
+                    "n_samples": ns,
+                    "afp": fps,
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)

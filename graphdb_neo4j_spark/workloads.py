@@ -13970,3 +13970,151 @@ def q226(spark: SparkSession, sf: str) -> DataFrame:
         bands=16,
         max_hamming=_Q225_MAX_HAMMING,
     )
+
+
+# ===========================================================================
+# q227 — audio fingerprint near-dup (Haitsma-Kalker-style + Hamming LSH)
+# ===========================================================================
+
+_Q227_N = 2048
+_Q227_CLUSTERS = 4
+_Q227_MAX_HAMMING = 7  # < bands=8 => LSH recall provably exact
+
+
+def _q227_base_samples(c: int) -> list[int]:
+    return [
+        ((i * i * 7 + c * 997 + i * (c + 3) * 31) % 12001) - 6000
+        for i in range(_Q227_N)
+    ]
+
+
+def _q227_speckle(xs: list[int], seed: int, k: int = 20, amp: int = 300):
+    import random as _random
+
+    rnd = _random.Random(seed)
+    xs = list(xs)
+    for _ in range(k):
+        i = rnd.randrange(len(xs))
+        xs[i] = max(-30000, min(30000, xs[i] + rnd.randrange(-amp, amp + 1)))
+    return xs
+
+
+def _q227_clips() -> dict[int, list[int]]:
+    """12 PCM16 clips: 4 clusters x (base, gain x2 — the fingerprint's
+    sign scheme survives uniform gain up to box-mean floor rounding —
+    and a 20-sample speckle)."""
+    out = {}
+    for c in range(_Q227_CLUSTERS):
+        base = _q227_base_samples(c)
+        out[c * 3 + 0] = base
+        out[c * 3 + 1] = [x * 2 for x in base]
+        out[c * 3 + 2] = _q227_speckle(base, seed=c + 1)
+    return out
+
+
+def _q227_afp(samples: list[int]) -> int:
+    """Plain-Python mirror of multimodal.audio_fingerprint64's frozen
+    spec (17 frames -> 32-point box means -> fixed-point DCT -> 5 band
+    |coef| energies -> sign of difference-of-differences)."""
+    import math as _math
+
+    n32, scale, frames = 32, 1 << 14, 17
+    tbl = [
+        [
+            round(_math.cos((2 * x + 1) * u * _math.pi / (2 * n32)) * scale)
+            for x in range(n32)
+        ]
+        for u in range(n32)
+    ]
+    bands = [(1 + 6 * b, 7 + 6 * b) for b in range(5)]
+    n = len(samples)
+    energies = []
+    for t in range(frames):
+        fr = samples[t * n // frames : (t + 1) * n // frames]
+        m = len(fr)
+        pts = []
+        for k in range(n32):
+            a, b = k * m // n32, (k + 1) * m // n32
+            pts.append(sum(fr[a:b]) // (b - a))
+        coef = [sum(tbl[u][x] * pts[x] for x in range(n32)) for u in range(n32)]
+        energies.append([sum(abs(coef[u]) for u in range(a, b)) for a, b in bands])
+    h = 0
+    for t in range(1, frames):
+        for b in range(4):
+            d_now = energies[t][b] - energies[t][b + 1]
+            d_prev = energies[t - 1][b] - energies[t - 1][b + 1]
+            h = (h << 1) | (1 if d_now - d_prev > 0 else 0)
+    return h
+
+
+def _q227_pairs() -> list[tuple[int, int, int]]:
+    clips = _q227_clips()
+    fps = {i: _q227_afp(s) for i, s in clips.items()}
+    out = []
+    ids = sorted(clips)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = bin(fps[i] ^ fps[j]).count("1")
+                if d <= _Q227_MAX_HAMMING:
+                    out.append((i, j, d))
+    return out
+
+
+def _q227_oracle() -> str:
+    vals = ", ".join("(%d, %d, %d)" % p for p in _q227_pairs())
+    return f"""
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(d AS INT) AS afp_hamming
+    FROM (VALUES {vals}) AS t(id_a, id_b, d)
+    """
+
+
+@query("q227_audio_fingerprint_neardup", _q227_oracle())
+def q227(spark: SparkSession, sf: str) -> DataFrame:
+    """AUDIO-CONTENT NEAR-DUP under the hash gate — the audio sibling
+    of q225, completing the multimodal dedup story: genuine RIFF/WAVE
+    PCM16 payloads are sample-decoded (multimodal.decode_wav) and
+    fingerprinted in one Arrow pass (multimodal.audio_fingerprints:
+    an integer-exact Haitsma-Kalker-style band-energy-difference sign
+    scheme, ISMIR 2002), then paired by the SAME banded Hamming LSH as
+    the image path (dedup.hamming_neardup_pairs, 8 bands x 8 bits —
+    recall at the <=7-bit threshold provably exact).  Fixture margins:
+    intra-cluster <= 1 bit (gain x2 is sign-invariant up to box-mean
+    floor rounding; 20-sample speckle flips <=1), inter-cluster >= 25.
+    The oracle recomputes the fingerprints with an independent
+    plain-Python mirror of the frozen spec directly on the sample
+    formulas (no codec, no numpy) and brute-forces all pairs
+    (constants, the q225 posture).
+
+    Scale shape: samples die inside the one mapInPandas pass;
+    everything downstream shuffles 8-byte fingerprint keys."""
+    import struct as _struct
+
+    from graphdb_neo4j_spark.operators.dedup import hamming_neardup_pairs
+    from graphdb_neo4j_spark.operators.multimodal import audio_fingerprints
+
+    rows = []
+    for mid, samples in sorted(_q227_clips().items()):
+        data = b"".join(_struct.pack("<h", s) for s in samples)
+        hdr = (
+            b"RIFF"
+            + _struct.pack("<I", 36 + len(data))
+            + b"WAVEfmt "
+            + _struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+            + b"data"
+            + _struct.pack("<I", len(data))
+        )
+        rows.append((mid, bytearray(hdr + data)))
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(4)
+    fps = audio_fingerprints(media)
+    return hamming_neardup_pairs(
+        fps,
+        id_col="media_id",
+        hash_col="afp",
+        bands=8,
+        max_hamming=_Q227_MAX_HAMMING,
+        out_col="afp_hamming",
+    )

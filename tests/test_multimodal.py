@@ -1233,3 +1233,66 @@ def test_perceptual_hashes_operator_round_trips_png(spark):
     assert (got[0].dhash, got[0].phash) == (dhash64(rgb), phash64(rgb))
     assert (got[1].dhash, got[1].phash) == (dhash64(gray), phash64(gray))
     assert (got[0].width, got[0].height, got[0].format) == (56, 40, "png")
+
+
+def test_audio_fingerprint_mirror_gain_and_operator(spark):
+    """The numpy audio fingerprint matches the q227 plain-Python mirror
+    bit for bit on random PCM16 signals; uniform gain flips at most 2
+    bits (the sign scheme is gain-invariant up to box-mean floor
+    rounding); and the Arrow operator round-trips genuine WAV payloads
+    — including STEREO, where channel 0 is fingerprinted."""
+    import random
+    import struct
+
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        audio_fingerprint64,
+        audio_fingerprints,
+    )
+    from graphdb_neo4j_spark.workloads import _q227_afp
+
+    def signed(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    rnd = random.Random(5)
+    for _ in range(3):
+        xs = [rnd.randrange(-8000, 8001) for _ in range(1000)]
+        assert audio_fingerprint64(np.array(xs, dtype=np.int16)) == signed(
+            _q227_afp(xs)
+        )
+        g = [x * 3 for x in xs]
+        d = bin(
+            (audio_fingerprint64(np.array(xs, dtype=np.int16)) & ((1 << 64) - 1))
+            ^ (audio_fingerprint64(np.array(g, dtype=np.int16)) & ((1 << 64) - 1))
+        ).count("1")
+        assert d <= 2, d
+
+    mono = [rnd.randrange(-8000, 8001) for _ in range(800)]
+    other = [rnd.randrange(-8000, 8001) for _ in range(800)]
+    inter = [v for pair in zip(mono, other) for v in pair]
+
+    def wav(samples, channels):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        return bytearray(
+            b"RIFF"
+            + struct.pack("<I", 36 + len(data))
+            + b"WAVEfmt "
+            + struct.pack(
+                "<IHHIIHH", 16, 1, channels, 16000,
+                16000 * 2 * channels, 2 * channels, 16,
+            )
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+
+    media = spark.createDataFrame(
+        [(0, wav(mono, 1)), (1, wav(inter, 2))],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in audio_fingerprints(media).collect()}
+    want = audio_fingerprint64(np.array(mono, dtype=np.int16))
+    assert got[0].afp == want and got[0].n_samples == 800
+    # stereo: channel 0 == mono -> identical fingerprint
+    assert got[1].afp == want and got[1].n_samples == 800
