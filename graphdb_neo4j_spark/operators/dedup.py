@@ -1081,32 +1081,46 @@ def hamming_neardup_pairs(
     max_hamming: int | None = None,
     out_col: str = "hamming",
     bucket_cap: int | None = None,
-) -> DataFrame:
-    """(id_a, id_b, ``out_col``) — pairs whose 64-bit fingerprints
-    (signed bigint: pHash, dHash, SimHash) differ in at most
-    ``max_hamming`` bits, found via banded Hamming LSH, never all
-    pairs: the hash splits into ``bands`` equal bit-slices, candidates
-    are the pairs that COLLIDE on at least one (band, slice) key
-    (pigeonhole: any pair within Hamming distance < ``bands`` shares
-    an untouched band, so recall is EXACT for
+):
+    """``((id_a, id_b, out_col) DataFrame, CheckpointHandle)`` — pairs
+    whose 64-bit fingerprints (signed bigint: pHash, dHash, SimHash)
+    differ in at most ``max_hamming`` bits, found via banded Hamming
+    LSH, never all pairs: the hash splits into ``bands`` equal
+    bit-slices, candidates are the pairs that COLLIDE on at least one
+    (band, slice) key (pigeonhole: any pair within Hamming distance
+    < ``bands`` shares an untouched band, so recall is EXACT for
     ``max_hamming <= bands - 1`` — the default), and candidates are
-    verified with a real popcount.
+    verified with a real popcount.  NULL fingerprints (the undersized
+    -media class :func:`~graphdb_neo4j_spark.operators.multimodal.
+    perceptual_hashes` emits) never enter bucketing.
 
     ``bucket_cap`` (optional) drops (band, slice) buckets with more
     members than the cap before the join — the df-cap escape hatch for
-    adversarial skew (a constant-background corpus where one slice
-    value dominates).  It trades the recall guarantee for a bounded
-    join, exactly like the hot-shingle caps upstream; leave ``None``
-    for exactness.
+    adversarial skew.  Cap math: a bucket of size m contributes
+    m·(m−1)/2 candidate pairs, so ONE degenerate bucket goes quadratic
+    — a scraped-image corpus with millions of near-identical
+    blank/logo frames lands them all in the same slice values.  With
+    ``bucket_cap=B`` per-bucket work is ≤ B·(B−1)/2 and total
+    candidates ≤ (entries/B)·B·(B−1)/2 ≈ n·bands·(B−1)/2 — linear in
+    corpus size.  Production guidance: first collapse EXACT-hash
+    duplicates (a plain groupBy on the 64-bit hash — the blank-image
+    mass dedups there for free, no LSH needed), then run this with
+    ``B`` a few × the largest legitimate near-dup cluster you want
+    paired exactly (e.g. ``B = 10_000`` bounds any bucket to ≤ 5·10⁷
+    comparisons); recall loss is confined to clusters larger than B,
+    which after exact-dedup are almost always adversarial.  Leave
+    ``None`` for pigeonhole-exact recall on bounded corpora (the
+    fixture-gated q225-q228 path).
 
     100 TB shape: the explode carries (id, hash, band, slice) — 8-byte
     keys, never content; the self-join is an equi-join on
     (band, slice); verification is JVM-side ``bit_count(a ^ b)``.
-    The exploded frame is ``persist()``-ed for the self-join's two
-    reads (the :func:`minhash_lsh_pairs` pattern — CacheManager
-    dedupes repeated identical plans, so looping the same call adds
-    no entries; callers cycling many DISTINCT inputs in one session
-    should ``spark.catalog.clearCache()`` between cycles).
+    The exploded frame is read twice by the self-join, so it is
+    frozen via :func:`~graphdb_neo4j_spark.operators.order.
+    checkpoint_eager`; call ``handle.release()`` after the final
+    consuming action (the repo's materializing-operator contract —
+    ADVICE r9 retired the bare ``persist()`` that accumulated cache
+    entries across DISTINCT inputs in long sessions).
     """
     if bands < 2 or 64 % bands != 0:
         # bands=1 is degenerate (exact-equality LSH) and its 64-bit
@@ -1127,6 +1141,7 @@ def hamming_neardup_pairs(
     ]
     stacked = (
         hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+        .filter(F.col("h").isNotNull())
         .select("id", "h", F.explode(F.array(*band_structs)).alias("bb"))
         .select(
             "id", "h",
@@ -1143,7 +1158,11 @@ def hamming_neardup_pairs(
             .filter(F.col("__n") <= bucket_cap)
             .drop("__n")
         )
-    stacked = stacked.persist()  # read twice by the self-join
+    from graphdb_neo4j_spark.operators.order import checkpoint_eager
+
+    # frozen, not persist()-ed: read twice by the self-join, and the
+    # handle gives callers deterministic block release (ADVICE r9)
+    stacked, handle = checkpoint_eager(stacked)
     a = stacked.alias("a")
     b = stacked.alias("b")
     cand = (
@@ -1161,7 +1180,7 @@ def hamming_neardup_pairs(
         )
         .distinct()
     )
-    return (
+    pairs = (
         cand.withColumn(
             out_col,
             F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int"),
@@ -1169,6 +1188,7 @@ def hamming_neardup_pairs(
         .filter(F.col(out_col) <= max_hamming)
         .drop("__ha", "__hb")
     )
+    return pairs, handle
 
 
 def hamming_neardup_clusters(
@@ -1193,7 +1213,7 @@ def hamming_neardup_clusters(
     (key, label) pairs only."""
     from graphdb_neo4j_spark.operators.traversal import connected_components
 
-    pairs = hamming_neardup_pairs(
+    pairs, handle = hamming_neardup_pairs(
         hashes,
         id_col=id_col,
         hash_col=hash_col,
@@ -1207,6 +1227,10 @@ def hamming_neardup_clusters(
         F.col("id_b").cast("string").alias("dst"),
     )
     comp = connected_components(ids, edges)
+    # the components loop eagerly checkpoints its edge frame up front,
+    # so the LSH intermediate is fully consumed here — release it (the
+    # pairs-handle contract, ADVICE r9)
+    handle.release()
     return comp.select(
         F.col("key").alias("id"),
         F.col("component").alias("cluster_id"),

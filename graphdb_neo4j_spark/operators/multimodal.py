@@ -2263,7 +2263,15 @@ def perceptual_hashes(
 
     Undecodable/corrupt payloads raise ValueError (the decoders'
     normalized boundary) — compose with a quarantine split upstream
-    exactly like the other strict decode audits.
+    exactly like the other strict decode audits.  VALID but UNDERSIZED
+    images are a different class: decode succeeds, so no upstream
+    quarantine can catch them, and a raise here would let one tiny
+    thumbnail kill the whole stage.  Minimum-size contract: ``dhash``
+    needs >= 9x8 (w x h) pixels, ``phash`` >= 32x32 (the fixed
+    downsample grids); below a hash's minimum that hash is NULL (the
+    row still carries format/width/height, so callers can count or
+    quarantine the undersized class downstream — a NULL fingerprint
+    never enters near-dup bucketing, since LSH keys off the hash).
 
     100 TB shape: hashes are 8-byte keys, so downstream near-dup
     bucketing (:func:`~graphdb_neo4j_spark.operators.dedup.
@@ -2293,16 +2301,21 @@ def perceptual_hashes(
                 fmts.append(fmt)
                 ws.append(w)
                 hs.append(h)
-                dhs.append(dhash64(px))
-                phs.append(phash64(px))
+                # undersized VALID images hash to NULL, never raise:
+                # decode succeeded, so no upstream quarantine split can
+                # shield the stage from them (ADVICE r9)
+                dhs.append(dhash64(px) if w >= 9 and h >= 8 else None)
+                phs.append(
+                    phash64(px) if w >= _PHASH_N and h >= _PHASH_N else None
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
                     "format": fmts,
                     "width": ws,
                     "height": hs,
-                    "dhash": dhs,
-                    "phash": phs,
+                    "dhash": pd.array(dhs, dtype="Int64"),
+                    "phash": pd.array(phs, dtype="Int64"),
                 }
             )
 
@@ -2392,8 +2405,14 @@ def audio_fingerprints(
     Arrow-batched ``mapInPandas`` pass; payloads die at this stage.
 
     Same posture as :func:`perceptual_hashes`: corrupt payloads raise
-    ValueError (quarantine upstream); downstream near-dup bucketing
-    over the 8-byte ``afp`` shuffles integers, never samples."""
+    ValueError (quarantine upstream), while VALID but UNDERSIZED clips
+    — channel 0 shorter than 544 samples (17 frames x the 32-point
+    frame grid), which decode cleanly and so evade any upstream
+    corruption quarantine — fingerprint to NULL instead of killing the
+    stage (ADVICE r9); the row keeps sample_rate/n_samples for
+    downstream counting, and a NULL ``afp`` never enters LSH
+    bucketing.  Downstream near-dup bucketing over the 8-byte ``afp``
+    shuffles integers, never samples."""
 
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import pandas as pd
@@ -2406,13 +2425,20 @@ def audio_fingerprints(
                 mono = samples[:: max(int(channels), 1)]
                 rates.append(int(rate))
                 ns.append(int(mono.size))
-                fps.append(audio_fingerprint64(mono))
+                # undersized VALID clips fingerprint to NULL, never
+                # raise (ADVICE r9 — decode succeeded, so quarantine
+                # splits upstream cannot shield the stage)
+                fps.append(
+                    audio_fingerprint64(mono)
+                    if mono.size >= _AFP_FRAMES * _PHASH_N
+                    else None
+                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
                     "sample_rate": rates,
                     "n_samples": ns,
-                    "afp": fps,
+                    "afp": pd.array(fps, dtype="Int64"),
                 }
             )
 

@@ -349,3 +349,50 @@ def group_prefix_sum_distributed(
         )
     )
     return out, handle
+
+
+def group_argmin(
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list,
+) -> DataFrame:
+    """One FULL row per group — the row minimizing ``order_exprs``
+    (compared as a struct, field by field) — planned as a map-side
+    combinable AGGREGATION, never a per-group window.
+
+    ``row_number() OVER (PARTITION BY g ORDER BY k) = 1`` computes the
+    same "first row per group" but serializes each group into ONE task
+    — a power-law key (the hub URL every page links, the empty-text
+    simhash) becomes the straggler at 100×.  A pure argmin needs no
+    window at all: ``min_by(struct(<payload>), struct(<order>))`` has
+    a partial (map-side) phase, so each task forwards at most one
+    candidate row per group it touches and the shuffle carries
+    O(groups), not O(rows).  This is the aggregation the r9 class of
+    grouped single-task windows (``group_contiguous_index``'s
+    docstring) reduces to whenever only the FIRST row is wanted —
+    prefer it over the index primitives in that case.
+
+    Semantics notes:
+
+    * NULL group keys form their own group (``groupBy`` semantics; no
+      join-back, so no NULL-safety footgun).
+    * Ties on ``order_exprs`` pick an arbitrary winner — exactly the
+      ``row_number`` contract when its ORDER BY ties.  Add a unique
+      tie-break column for determinism.
+    * NULL fields inside the order struct sort FIRST (Spark's
+      ascending struct comparison), matching the default
+      ``orderBy`` / ``asc_nulls_first`` a window would use.
+
+    ``order_exprs`` are Columns or column-name strings; the result
+    carries ``df``'s exact schema and column order.
+    """
+    payload = [c for c in df.columns if c not in set(group_cols)]
+    if not payload:
+        return df.dropDuplicates(group_cols)
+    key = F.struct(
+        *[F.col(e) if isinstance(e, str) else e for e in order_exprs]
+    )
+    agg = df.groupBy(*group_cols).agg(
+        F.min_by(F.struct(*[F.col(c) for c in payload]), key).alias("__win")
+    )
+    return agg.select(*group_cols, "__win.*").select(*df.columns)

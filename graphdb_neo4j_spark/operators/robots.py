@@ -389,9 +389,11 @@ def politeness_schedule(
 
     ``delays`` is :func:`crawl_delays` output.  Group selection
     mirrors :func:`robots_allowed`: groups naming ``agent`` exactly
-    shadow the ``*`` groups; pass ``rules`` (:func:`parse_robots`
-    output) to widen shadowing to rule-only groups exactly as
-    urllib.robotparser does — see :func:`selected_delays`.  If several
+    shadow the ``*`` groups; pass ``rules`` (an :func:`entry_groups`
+    frame — that one keeps the empty-Disallow allow-everything
+    entries, so agent shadowing agrees with urllib.robotparser
+    EXACTLY; :func:`parse_robots` also works but is documented-lossy
+    on that entry class, see :func:`selected_delays`).  If several
     selected groups declare delays, the most conservative (max) wins;
     hosts with no delay fall back to ``default_delay_s``.
 

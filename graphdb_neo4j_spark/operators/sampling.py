@@ -141,20 +141,21 @@ def pack_sequences(
     order_col: str = "doc_id",
     by_col: str | None = None,
     id_col: str = "doc_id",
-    deskew_groups: bool = False,
+    deskew_groups: bool = True,
 ):
     """Assign documents to training-sequence bins of ~``budget`` tokens:
     adds ``bin`` = floor(exclusive-running-token-sum / budget) over a
     deterministic ``order_col`` order (per ``by_col`` group when given).
 
-    Returns ``(packed_df, handle)``.  ``handle`` is ``None`` on the
-    windowed (``by_col``) path; on the global-order path it is the
+    Returns ``(packed_df, handle)``.  ``handle`` is the
     CheckpointHandle owning the range-partitioned intermediate —
     call ``handle.release()`` after the final consuming action, after
     which the frame is unusable by design (fail-loud contract; same
     explicit-handle convention as order.checkpoint_eager.  ADVICE r5
     replaced the previous dynamic ``checkpoint_handle`` attribute,
-    which any transformation silently dropped).
+    which any transformation silently dropped).  Only the
+    ``deskew_groups=False`` bounded-groups fast path returns
+    ``handle=None`` (a pure window, nothing materialized).
 
     This is contiguous streaming packing — the shape production
     pipelines use at scale (one window, one shuffle on the group key)
@@ -163,17 +164,21 @@ def pack_sequences(
     overflow by at most one document.  Exact first-fit would be a
     sequential fold — O(n) driver state — for a marginal density gain.
 
-    With ``by_col`` the window partitions on the group key — fine when
-    groups are bounded, but "pack per language/source" groups are NOT
-    (English dominance puts one group's whole corpus in a single
-    task): pass ``deskew_groups=True`` to run that path through
-    :func:`order.group_prefix_sum_distributed` instead (identical
-    bins, no per-group single task; returns a real handle).  WITHOUT
-    ``by_col`` the global order would collapse a window to ONE task,
-    so that path runs through :func:`order.prefix_sum_distributed`
-    (range shuffle + per-partition running sums + driver-side
-    partition offsets) — identical bins for a unique ``order_col``,
-    no SinglePartition.
+    With ``by_col`` the DEFAULT plans skew-free: "pack per
+    language/source" groups are unbounded (English dominance puts one
+    group's whole corpus in a single task under a plain
+    ``PARTITION BY group`` window), so the grouped path runs through
+    :func:`order.group_prefix_sum_distributed` — bit-identical bins
+    (the prefix sum is exact), no per-group single task, a real
+    handle.  ``deskew_groups=False`` is the bounded-groups FAST PATH
+    (one window, one shuffle, nothing materialized — right when the
+    group key is known-small, e.g. packing per shard id); flipped from
+    opt-in to opt-out in r10 because skew is the default at corpus
+    scale, not the exception.  WITHOUT ``by_col`` the global order
+    would collapse a window to ONE task, so that path runs through
+    :func:`order.prefix_sum_distributed` (range shuffle +
+    per-partition running sums + driver-side partition offsets) —
+    identical bins for a unique ``order_col``, no SinglePartition.
     """
     from pyspark.sql import Window
 

@@ -98,8 +98,13 @@ def window_partition_specs(df: DataFrame) -> list[tuple[list[str], bool]]:
     (``operators/order.py``).  A window over an aggregated frame
     (per-slice counts, ≤ one row per partition a group touches) is
     bounded and fine, so each spec is paired with whether an Aggregate
-    sits below it in the tree.  Keys are expression strings
-    (``host#12``, not bare names) — match with a prefix."""
+    sits below it in the tree.  The downward search STOPS at Join
+    nodes: the window's input row count is governed by the join
+    OUTPUT, so an Aggregate on one input branch (e.g. the broadcast
+    side of a dim join) does not bound the window — counting it would
+    make the grouped-skew audit pass vacuously for a skewed window
+    over ``raw JOIN aggregated`` (ADVICE r9).  Keys are expression
+    strings (``host#12``, not bare names) — match with a prefix."""
     root = df._jdf.queryExecution().optimizedPlan()
     out: list[tuple[list[str], bool]] = []
 
@@ -107,8 +112,11 @@ def window_partition_specs(df: DataFrame) -> list[tuple[list[str], bool]]:
         stack = _jchildren(node)
         while stack:
             n = stack.pop()
-            if n.nodeName() == "Aggregate":
+            name = n.nodeName()
+            if name == "Aggregate":
                 return True
+            if name == "Join":
+                continue  # join output size ≠ bounded by a branch's agg
             stack.extend(_jchildren(n))
         return False
 

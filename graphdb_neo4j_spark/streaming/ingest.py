@@ -404,13 +404,15 @@ def streaming_neardup_dedup(
         max_ts = keyed.agg(F.max("__ts_us")).head()[0]
         horizon = (max_ts or 0) - horizon_us
         prior = prior.filter(F.col("last_seen_us") >= F.lit(horizon))
-        # in-batch winner per signature: first by (event time, id)
-        w = Window.partitionBy("simhash").orderBy("__ts_us", id_col)
-        firsts = (
-            keyed.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        # in-batch winner per signature: first by (event time, id) — a
+        # map-side-combinable min_by aggregation, NOT a row_number
+        # window partitioned by simhash: signature counts are
+        # power-law (every empty/boilerplate doc shares one), and the
+        # window form would serialize a hot signature's whole batch
+        # into one task (the r9 grouped single-task-window class)
+        from graphdb_neo4j_spark.operators.order import group_argmin
+
+        firsts = group_argmin(keyed, ["simhash"], ["__ts_us", id_col])
         kept = firsts.join(prior.select("simhash"), "simhash", "left_anti")
         kept = kept.localCheckpoint()
         # new horizon-pruned snapshot: every signature seen recently

@@ -1027,19 +1027,26 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q44(spark: SparkSession, sf: str) -> DataFrame:
     """Contiguous packing of documents into ~2048-token training
-    sequences per source (one window, one shuffle on the group key);
-    reports per-bin document and token counts."""
+    sequences per source; reports per-bin document and token counts.
+    Per-source groups are UNBOUNDED (one dominant source owns most of
+    a real corpus), so packing runs the skew-free default
+    (order.group_prefix_sum_distributed — bit-identical bins to the
+    window form, no per-group single task; r10 flipped the default).
+    The small per-bin aggregate is eager-frozen and the range
+    -partitioned intermediate released (q70/q224 handle contract)."""
     docs = load_table(spark, sf, "documents").select(
         "source", "doc_id", T.token_count(F.col("text")).alias("n_tokens")
     )
-    packed, _ = SP.pack_sequences(
+    packed, handle = SP.pack_sequences(
         docs, budget=2048, token_col="n_tokens", order_col="doc_id",
         by_col="source",
     )
-    return packed.groupBy("source", "bin").agg(
+    out = packed.groupBy("source", "bin").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
-    )
+    ).localCheckpoint(eager=True)
+    handle.release()
+    return out
 
 
 @query(
@@ -3247,14 +3254,16 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id").alias("doc_id"), "n_tokens"
     )
     keyed = docs.select("source", "doc_id").join(counts, "doc_id")
-    packed, _ = SP.pack_sequences(
+    packed, handle = SP.pack_sequences(
         keyed, budget=2048, token_col="n_tokens", order_col="doc_id",
         by_col="source",
     )
-    return packed.groupBy("source", "bin").agg(
+    out = packed.groupBy("source", "bin").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
-    )
+    ).localCheckpoint(eager=True)
+    handle.release()
+    return out
 
 
 from graphdb_neo4j_spark.operators.drift import psi_drift, psi_drift_sql  # noqa: E402
@@ -13854,9 +13863,14 @@ def q225(spark: SparkSession, sf: str) -> DataFrame:
     # materialize the hash frame ONCE: three consumers read it (the
     # LSH pairer and both dhash joins), and without the freeze each
     # would re-run the Arrow decode pass — the single-decode-pass
-    # discipline every decode gate here follows (plan-audited)
-    hashes = perceptual_hashes(media).localCheckpoint(eager=True)
-    pairs = hamming_neardup_pairs(
+    # discipline every decode gate here follows (plan-audited).
+    # checkpoint_eager, not a bare localCheckpoint: the handle gives
+    # deterministic block release below (the q70/q224 contract —
+    # bare checkpoints leak blocks until JVM GC, r9 verdict item #4)
+    from graphdb_neo4j_spark.operators.order import checkpoint_eager
+
+    hashes, h_handle = checkpoint_eager(perceptual_hashes(media))
+    pairs, p_handle = hamming_neardup_pairs(
         hashes,
         id_col="media_id",
         hash_col="phash",
@@ -13865,7 +13879,7 @@ def q225(spark: SparkSession, sf: str) -> DataFrame:
         out_col="phash_hamming",
     )
     dh = hashes.select("media_id", "dhash")
-    return (
+    out = (
         pairs.join(
             dh.select(
                 F.col("media_id").alias("id_a"), F.col("dhash").alias("_da")
@@ -13886,7 +13900,14 @@ def q225(spark: SparkSession, sf: str) -> DataFrame:
             .cast("int")
             .alias("dhash_hamming"),
         )
+        # eager-freeze the tiny pair result, then release the full-size
+        # hash + LSH intermediates so driver/bench loops hold no
+        # growing block set
+        .localCheckpoint(eager=True)
     )
+    p_handle.release()
+    h_handle.release()
+    return out
 
 
 def _q226_clusters() -> list[tuple[str, str, bool]]:
@@ -13962,14 +13983,22 @@ def q226(spark: SparkSession, sf: str) -> DataFrame:
     media = spark.createDataFrame(
         rows, "media_id long, payload binary"
     ).repartition(4)
-    hashes = perceptual_hashes(media).localCheckpoint(eager=True)
-    return hamming_neardup_clusters(
+    from graphdb_neo4j_spark.operators.order import checkpoint_eager
+
+    hashes, h_handle = checkpoint_eager(perceptual_hashes(media))
+    out = hamming_neardup_clusters(
         hashes,
         id_col="media_id",
         hash_col="phash",
         bands=16,
         max_hamming=_Q225_MAX_HAMMING,
     )
+    # the components loop inside hamming_neardup_clusters materializes
+    # eagerly (its result is checkpointed), so the hash frame is fully
+    # consumed by the time it returns — release it (q70/q224 contract,
+    # r9 verdict item #4; the LSH intermediate is released internally)
+    h_handle.release()
+    return out
 
 
 # ===========================================================================
@@ -14110,7 +14139,7 @@ def q227(spark: SparkSession, sf: str) -> DataFrame:
         rows, "media_id long, payload binary"
     ).repartition(4)
     fps = audio_fingerprints(media)
-    return hamming_neardup_pairs(
+    pairs, handle = hamming_neardup_pairs(
         fps,
         id_col="media_id",
         hash_col="afp",
@@ -14118,3 +14147,6 @@ def q227(spark: SparkSession, sf: str) -> DataFrame:
         max_hamming=_Q227_MAX_HAMMING,
         out_col="afp_hamming",
     )
+    out = pairs.localCheckpoint(eager=True)  # tiny pair result
+    handle.release()
+    return out

@@ -1296,3 +1296,82 @@ def test_audio_fingerprint_mirror_gain_and_operator(spark):
     assert got[0].afp == want and got[0].n_samples == 800
     # stereo: channel 0 == mono -> identical fingerprint
     assert got[1].afp == want and got[1].n_samples == 800
+
+
+def test_perceptual_hashes_undersized_valid_images_null_not_raise(spark):
+    """ADVICE r9: a VALID image below a hash's minimum grid (dhash 9x8,
+    phash 32x32) decodes fine — so no upstream corruption quarantine
+    can catch it — and must hash to NULL instead of killing the stage.
+    Each hash applies its own minimum independently; metadata columns
+    survive so callers can count/quarantine the undersized class."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        dhash64,
+        encode_png,
+        perceptual_hashes,
+    )
+
+    rng = np.random.RandomState(9)
+
+    def img(h, w):
+        return rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+    tiny = img(4, 4)        # below both grids
+    mid = img(16, 16)       # dhash ok (>=9x8), phash NULL (<32x32)
+    edge = img(8, 9)        # exactly the dhash minimum
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(encode_png(tiny))),
+            (1, bytearray(encode_png(mid))),
+            (2, bytearray(encode_png(edge))),
+        ],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in perceptual_hashes(media).collect()}
+    assert got[0].dhash is None and got[0].phash is None
+    assert (got[0].width, got[0].height, got[0].format) == (4, 4, "png")
+    assert got[1].dhash == dhash64(mid) and got[1].phash is None
+    assert got[2].dhash == dhash64(edge) and got[2].phash is None
+
+
+def test_audio_fingerprints_undersized_valid_clip_null_not_raise(spark):
+    """ADVICE r9, audio face: a VALID WAV whose channel 0 is shorter
+    than 544 samples (17 frames x 32 grid points) fingerprints to NULL
+    — never a mid-stage raise — while metadata survives, and the
+    NULL never enters Hamming-LSH bucketing downstream."""
+    import struct
+
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.dedup import hamming_neardup_pairs
+    from graphdb_neo4j_spark.operators.multimodal import (
+        audio_fingerprint64,
+        audio_fingerprints,
+    )
+
+    def wav(samples):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        return bytearray(
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    short = [(i * 37) % 2001 - 1000 for i in range(100)]
+    ok = [(i * 37) % 2001 - 1000 for i in range(544)]
+    media = spark.createDataFrame(
+        [(0, wav(short)), (1, wav(ok)), (2, wav(ok))],
+        "media_id long, payload binary",
+    )
+    fps = audio_fingerprints(media)
+    got = {r.media_id: r for r in fps.collect()}
+    assert got[0].afp is None and got[0].n_samples == 100
+    assert got[1].afp == audio_fingerprint64(np.array(ok, dtype=np.int16))
+    # the NULL row is filtered before band explode: pairing still works
+    # and only the two identical valid clips pair up
+    pairs, handle = hamming_neardup_pairs(
+        fps, id_col="media_id", hash_col="afp", bands=8
+    )
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs.collect()] == [(1, 2, 0)]
+    handle.release()

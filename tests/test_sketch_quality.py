@@ -886,6 +886,40 @@ def test_group_contiguous_index_matches_group_window(spark):
     assert got == want
 
 
+def test_group_argmin_matches_window_first_row(spark):
+    """order.group_argmin ≡ the row row_number() OVER (PARTITION BY g
+    ORDER BY k...) = 1 would pick, on a skewed frame with a NULL group
+    and NULL order values (NULLS FIRST, the window's default), column
+    order and schema preserved."""
+    import random
+
+    from graphdb_neo4j_spark.operators.order import group_argmin
+
+    rnd = random.Random(7)
+    rows = [
+        (
+            None if i >= 3950 else
+            ("hub" if rnd.random() < 0.8 else "g%d" % rnd.randrange(1, 5)),
+            None if rnd.random() < 0.01 else rnd.randrange(10_000),
+            i,
+            "payload-%d" % i,
+        )
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, k long, id long, extra string"
+    ).repartition(16)
+    out = group_argmin(df, ["g"], ["k", "id"])
+    assert out.columns == df.columns
+    got = {r.g: (r.k, r.id, r.extra) for r in out.collect()}
+    want = {}
+    for g, k, i, x in rows:
+        key = (k is not None, k if k is not None else 0, i)  # NULLS FIRST
+        if g not in want or key < want[g][0]:
+            want[g] = (key, (k, i, x))
+    assert got == {g: v for g, (_, v) in want.items()}
+
+
 def test_group_prefix_sum_matches_group_window(spark):
     """order.group_prefix_sum_distributed ≡ SUM() OVER (PARTITION BY
     group ORDER BY order ROWS UNBOUNDED PRECEDING..CURRENT) on a
@@ -922,13 +956,14 @@ def test_group_prefix_sum_matches_group_window(spark):
             run += v
             want[(g, i)] = run
     assert got == want
-    # pack_sequences: deskewed grouped bins == windowed grouped bins
+    # pack_sequences: deskewed grouped bins (the r10 DEFAULT) ==
+    # windowed grouped bins (the bounded-groups fast path, opt-in)
     packed_w, h_w = pack_sequences(
-        df, budget=1000, token_col="v", order_col="id", by_col="g"
+        df, budget=1000, token_col="v", order_col="id", by_col="g",
+        deskew_groups=False,
     )
     packed_d, h_d = pack_sequences(
         df, budget=1000, token_col="v", order_col="id", by_col="g",
-        deskew_groups=True,
     )
     wbins = {(r.g, r.id): r.bin for r in packed_w.collect()}
     dbins = {(r.g, r.id): r.bin for r in packed_d.collect()}
