@@ -74,6 +74,7 @@ def _ordered_names() -> list[str]:
     is deterministic and self-maintaining as new CORRECTNESS files land.
     """
     flagships = [
+        "q228_streaming_fingerprint_neardup",
         "q225_image_phash_neardup",
         "q226_image_neardup_clusters",
         "q227_audio_fingerprint_neardup",

@@ -1073,6 +1073,55 @@ def remove_passages(
 # ---------------------------------------------------------------------------
 
 
+def _band_entries(
+    hashes: DataFrame, id_col: str, hash_col: str, bands: int
+) -> DataFrame:
+    """(id, h, band, slice) — each 64-bit fingerprint exploded into its
+    ``bands`` equal bit-slices, the shared LSH keying step of
+    :func:`hamming_neardup_pairs` / :func:`hamming_neardup_join`.
+    NULL fingerprints (undersized media) are filtered out here, before
+    the explode."""
+    if bands < 2 or 64 % bands != 0:
+        # bands=1 is degenerate (exact-equality LSH) and its 64-bit
+        # all-ones slice mask does not fit a Spark long literal
+        raise ValueError(f"bands must divide 64 and be >= 2, got {bands}")
+    bits = 64 // bands
+    mask = (1 << bits) - 1
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned(F.col("h"), 64 - bits * (i + 1))
+            .bitwiseAND(F.lit(mask))
+            .alias("slice"),
+        )
+        for i in range(bands)
+    ]
+    return (
+        hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+        .filter(F.col("h").isNotNull())
+        .select("id", "h", F.explode(F.array(*band_structs)).alias("bb"))
+        .select(
+            "id", "h",
+            F.col("bb.band").alias("band"),
+            F.col("bb.slice").alias("slice"),
+        )
+    )
+
+
+def _cap_buckets(stacked: DataFrame, bucket_cap: int | None) -> DataFrame:
+    """Drop (band, slice) buckets larger than the cap — the df-cap
+    escape hatch for adversarial constant-background skew (cap math in
+    :func:`hamming_neardup_pairs`'s docstring)."""
+    if bucket_cap is None:
+        return stacked
+    sizes = stacked.groupBy("band", "slice").agg(F.count("*").alias("__n"))
+    return (
+        stacked.join(sizes, ["band", "slice"])
+        .filter(F.col("__n") <= bucket_cap)
+        .drop("__n")
+    )
+
+
 def hamming_neardup_pairs(
     hashes: DataFrame,
     id_col: str = "doc_id",
@@ -1122,42 +1171,10 @@ def hamming_neardup_pairs(
     ADVICE r9 retired the bare ``persist()`` that accumulated cache
     entries across DISTINCT inputs in long sessions).
     """
-    if bands < 2 or 64 % bands != 0:
-        # bands=1 is degenerate (exact-equality LSH) and its 64-bit
-        # all-ones slice mask does not fit a Spark long literal
-        raise ValueError(f"bands must divide 64 and be >= 2, got {bands}")
-    bits = 64 // bands
     if max_hamming is None:
         max_hamming = bands - 1
-    mask = (1 << bits) - 1
-    band_structs = [
-        F.struct(
-            F.lit(i).alias("band"),
-            F.shiftrightunsigned(F.col("h"), 64 - bits * (i + 1))
-            .bitwiseAND(F.lit(mask))
-            .alias("slice"),
-        )
-        for i in range(bands)
-    ]
-    stacked = (
-        hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
-        .filter(F.col("h").isNotNull())
-        .select("id", "h", F.explode(F.array(*band_structs)).alias("bb"))
-        .select(
-            "id", "h",
-            F.col("bb.band").alias("band"),
-            F.col("bb.slice").alias("slice"),
-        )
-    )
-    if bucket_cap is not None:
-        sizes = stacked.groupBy("band", "slice").agg(
-            F.count("*").alias("__n")
-        )
-        stacked = (
-            stacked.join(sizes, ["band", "slice"])
-            .filter(F.col("__n") <= bucket_cap)
-            .drop("__n")
-        )
+    stacked = _band_entries(hashes, id_col, hash_col, bands)
+    stacked = _cap_buckets(stacked, bucket_cap)
     from graphdb_neo4j_spark.operators.order import checkpoint_eager
 
     # frozen, not persist()-ed: read twice by the self-join, and the
@@ -1189,6 +1206,81 @@ def hamming_neardup_pairs(
         .drop("__ha", "__hb")
     )
     return pairs, handle
+
+
+def hamming_neardup_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    right_id_col: str | None = None,
+    right_hash_col: str | None = None,
+    bands: int = 8,
+    max_hamming: int | None = None,
+    out_col: str = "hamming",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, ``out_col``) — CROSS-FRAME banded Hamming LSH:
+    every (left row, right row) pair whose 64-bit fingerprints differ
+    in at most ``max_hamming`` bits, with ``id_a`` from ``left`` and
+    ``id_b`` from ``right``.  The asymmetric sibling of
+    :func:`hamming_neardup_pairs` for new-vs-seen shapes: incremental
+    dedup of an arriving batch against a kept-fingerprint ledger
+    (:func:`~graphdb_neo4j_spark.streaming.media.
+    streaming_fingerprint_neardup`), or image/audio decontamination
+    against an eval-set fingerprint frame.
+
+    Same construction and the same pigeonhole guarantee (exact recall
+    for ``max_hamming <= bands - 1``, the default): both sides explode
+    into (band, slice) keys, candidates come from the equi-join,
+    verification is JVM-side ``bit_count(xor)``.  No ``id_a < id_b``
+    ordering is applied (the frames are different sets); if an id
+    appears on BOTH sides it will pair with itself at distance 0 —
+    keep the sides disjoint or filter after.  ``bucket_cap`` applies
+    to each side independently, bounding per-bucket join work by
+    cap²; the cap-math/production guidance in
+    :func:`hamming_neardup_pairs` applies unchanged.
+
+    Unlike the self-join sibling, each exploded side is read exactly
+    ONCE, so nothing is materialized and there is no release handle —
+    the return is a plain lazy DataFrame.  100 TB shape: only (id,
+    hash, band, slice) integer keys shuffle; the ledger side is
+    re-exploded per call (cheap codegen over an 8-byte column) — at
+    extreme ledger sizes, pre-materializing the exploded ledger
+    partitioned by ``band`` is a pure storage-side optimization.
+    """
+    if max_hamming is None:
+        max_hamming = bands - 1
+    lhs = _cap_buckets(_band_entries(left, id_col, hash_col, bands), bucket_cap)
+    rhs = _cap_buckets(
+        _band_entries(
+            right, right_id_col or id_col, right_hash_col or hash_col, bands
+        ),
+        bucket_cap,
+    )
+    cand = (
+        lhs.alias("a")
+        .join(
+            rhs.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("__ha"),
+            F.col("b.h").alias("__hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            out_col,
+            F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int"),
+        )
+        .filter(F.col(out_col) <= max_hamming)
+        .drop("__ha", "__hb")
+    )
 
 
 def hamming_neardup_clusters(

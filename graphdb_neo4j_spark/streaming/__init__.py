@@ -43,6 +43,10 @@ from graphdb_neo4j_spark.streaming.sketch import (
     streaming_histogram,
     streaming_hll,
 )
+from graphdb_neo4j_spark.streaming.media import (
+    fingerprint_kept,
+    streaming_fingerprint_neardup,
+)
 from graphdb_neo4j_spark.streaming.text import (
     compact_dfreq_log,
     streaming_chunks,
@@ -57,6 +61,7 @@ __all__ = [
     "compact_graph_log",
     "compact_sketch_log",
     "drift_timeline",
+    "fingerprint_kept",
     "histogram_estimate",
     "histogram_fold",
     "hll_estimate",
@@ -76,6 +81,7 @@ __all__ = [
     "streaming_debounce",
     "streaming_dedup_spans",
     "streaming_drift",
+    "streaming_fingerprint_neardup",
     "streaming_golden_record",
     "streaming_hll",
     "streaming_neardup_dedup",

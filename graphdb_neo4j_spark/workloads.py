@@ -14150,3 +14150,178 @@ def q227(spark: SparkSession, sf: str) -> DataFrame:
     out = pairs.localCheckpoint(eager=True)  # tiny pair result
     handle.release()
     return out
+
+
+# ===========================================================================
+# q228 — STREAMING fingerprint near-dup (cross-batch first-seen keeper)
+# ===========================================================================
+#
+# The r9 verdict's prescribed growth spend: the INCREMENTAL face of the
+# q225/q226 image dedup chain — media arrives in waves, each batch is
+# decoded + perceptually hashed once, deduped against the durable
+# keeper ledger with the cross-frame Hamming LSH
+# (dedup.hamming_neardup_join), in-batch chains close into components,
+# and one (event-time, id)-first keeper per cluster survives
+# (streaming/media.py).  The oracle is a plain-Python sequential fold
+# of the same semantics over the same waves (union-find + argmin per
+# wave), embedded as constants — the q225 posture.
+
+
+def _q228_waves():
+    """Two arrival waves over the q225 image corpus.  Wave 1: clusters
+    0-2 (ids 0-8, ts=id).  Wave 2: clusters 3-5 (ids 9-17) plus id 100
+    — a re-brightened cluster-0 image, pHash distance 0 from the
+    ledgered keeper, exercising the CROSS-BATCH drop — and id 101, a
+    genuinely new pattern (min distance 14 > threshold), exercising
+    cross-batch admission."""
+    imgs = _q225_images()
+    w1 = [(i, i, imgs[i]) for i in range(9)]
+    w2 = [(i, 100 + i, imgs[i]) for i in range(9, 18)]
+    w2.append((100, 200, _q225_brighten(_q225_base_px(0), 3)))
+    w2.append((101, 201, _q225_base_px(17)))
+    return w1, w2
+
+
+def _q228_kept() -> list[tuple[int, int]]:
+    """Plain-Python fold of the streaming keeper semantics: per wave,
+    drop items within the threshold of any ledgered keeper, union-find
+    the survivors' in-batch near-dup graph, keep the (ts, id)-min
+    member per component.  Returns sorted (id, SIGNED phash)."""
+
+    def ham(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    def signed(x: int) -> int:
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    kept: list[tuple[int, int]] = []
+    for wave in _q228_waves():
+        items = sorted((ts, i, _q225_phash(px)) for i, ts, px in wave)
+        new = [
+            (ts, i, h)
+            for ts, i, h in items
+            if all(ham(h, kh) > _Q225_MAX_HAMMING for _, kh in kept)
+        ]
+        parent = {i: i for _, i, _ in new}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for ai in range(len(new)):
+            for bi in range(ai + 1, len(new)):
+                if ham(new[ai][2], new[bi][2]) <= _Q225_MAX_HAMMING:
+                    ra, rb = find(new[ai][1]), find(new[bi][1])
+                    if ra != rb:
+                        parent[ra] = rb
+        best: dict[int, tuple[int, int, int]] = {}
+        for ts, i, h in new:
+            r = find(i)
+            if r not in best or (ts, i) < best[r][:2]:
+                best[r] = (ts, i, h)
+        kept.extend((i, h) for _, i, h in sorted(best.values()))
+    return sorted((i, signed(h)) for i, h in kept)
+
+
+def _q228_oracle() -> str:
+    vals = ", ".join("(%d, %d)" % p for p in _q228_kept())
+    return f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(phash AS BIGINT) AS phash
+    FROM (VALUES {vals}) AS t(media_id, phash)
+    """
+
+
+@query("q228_streaming_fingerprint_neardup", _q228_oracle())
+def q228(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING IMAGE NEAR-DUP under the hash gate — this query runs
+    the REAL Structured Streaming builder (streaming/media.py's
+    streaming_fingerprint_neardup), not a batch stand-in: two waves of
+    genuine PNG payloads land in a file source, two availableNow
+    micro-batch runs decode + pHash each wave ONCE (Arrow pass inside
+    foreachBatch), dedup it against the durable keeper ledger via the
+    cross-frame banded Hamming LSH (dedup.hamming_neardup_join — the
+    new-vs-seen primitive, never all-pairs), close in-batch chains
+    with connected components, and keep the (event-time, id)-first
+    member per cluster (order.group_argmin — an aggregation, no
+    per-component window).  The result is the ledger: every keeper
+    with its real spark-side fingerprint.  The oracle folds the same
+    waves sequentially in plain Python (independent mirror hashes +
+    union-find + argmin), embedded as constants.
+
+    Scale shape: payloads die inside each micro-batch; the ledger is
+    append-only O(keepers); the anti-join and pairing shuffle 8-byte
+    fingerprint keys; exactly-once replay is run-scoped (the crawl
+    -frontier machinery).  Cites events.py:519's ingest-loop role: the
+    reference streams events into a store once; this streams media
+    into a deduped corpus once."""
+    import datetime as _dt
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import numpy as _np
+
+    from graphdb_neo4j_spark.operators.multimodal import (
+        encode_png,
+        perceptual_hashes,
+    )
+    from graphdb_neo4j_spark.streaming.media import (
+        fingerprint_kept,
+        streaming_fingerprint_neardup,
+    )
+
+    root = _tempfile.mkdtemp(prefix="q228_")
+    try:
+        src = f"{root}/media"
+        state = f"{root}/state"
+        ckpt = f"{root}/ckpt"
+        _os.makedirs(src)
+        schema = "media_id long, payload binary, event_time timestamp"
+
+        def rows(wave):
+            return [
+                (
+                    i,
+                    bytearray(encode_png(_np.array(px, dtype=_np.uint8))),
+                    _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=ts),
+                )
+                for i, ts, px in wave
+            ]
+
+        def run_once():
+            q = (
+                streaming_fingerprint_neardup(
+                    spark.readStream.schema(schema).parquet(src + "/*"),
+                    state,
+                    payload_col="payload",
+                    hasher=perceptual_hashes,
+                    bands=16,
+                    max_hamming=_Q225_MAX_HAMMING,
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        w1, w2 = _q228_waves()
+        spark.createDataFrame(rows(w1), schema).write.parquet(
+            f"{src}/w1.parquet"
+        )
+        run_once()
+        spark.createDataFrame(rows(w2), schema).write.parquet(
+            f"{src}/w2.parquet"
+        )
+        run_once()
+        # freeze the tiny keeper set before the temp ledger is deleted
+        out = (
+            fingerprint_kept(spark, state)
+            .select("media_id", "phash")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    return out

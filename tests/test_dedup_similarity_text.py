@@ -1076,6 +1076,52 @@ def test_hamming_neardup_pairs_exact_recall_and_cap(spark):
     h0.release()
 
 
+def test_hamming_neardup_join_cross_frame_exact_recall(spark):
+    """hamming_neardup_join (the new-vs-seen asymmetric LSH) equals
+    brute force below the pigeonhole bound on planted left/right
+    frames; no id_a < id_b ordering (different sets), NULL hashes on
+    either side never pair, and a lazy frame (no handle) comes back."""
+    import random
+
+    from graphdb_neo4j_spark.operators.dedup import hamming_neardup_join
+
+    rnd = random.Random(17)
+
+    def signed(x):
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    right = {i: rnd.getrandbits(64) for i in range(30)}
+    left = {}
+    for i in range(100, 115):
+        src = right[rnd.randrange(30)]
+        for _ in range(rnd.randrange(8)):
+            src ^= 1 << rnd.randrange(64)
+        left[i] = src
+    for i in range(115, 125):
+        left[i] = rnd.getrandbits(64)  # mostly-far randoms
+    ldf = spark.createDataFrame(
+        [(i, signed(h)) for i, h in left.items()] + [(999, None)],
+        "doc_id long, h long",
+    )
+    rdf = spark.createDataFrame(
+        [(i, signed(h)) for i, h in right.items()] + [(998, None)],
+        "doc_id long, h long",
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_neardup_join(
+            ldf, rdf, id_col="doc_id", hash_col="h", bands=8, max_hamming=7
+        ).collect()
+    }
+    want = {
+        (i, j): bin(left[i] ^ right[j]).count("1")
+        for i in left
+        for j in right
+        if bin(left[i] ^ right[j]).count("1") <= 7
+    }
+    assert got == want and want  # planted pairs exist
+
+
 def test_hamming_neardup_bucket_cap_bounds_constant_background(spark):
     """r9 verdict item #5: the adversarial-bucket case — a scraped
     corpus where ONE fingerprint value dominates (millions of

@@ -1590,3 +1590,14 @@ def test_q225_phash_dedup_plan(spark):
     handle2.release()
     for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert marker not in p2, p2
+    # the cross-frame sibling (new-vs-ledger) is equally equi-join-only
+    from graphdb_neo4j_spark.operators.dedup import hamming_neardup_join
+
+    other = spark.range(50).selectExpr(
+        "id + 1000 as doc_id", "cast(hash(id + 7) as bigint) * 512 as h"
+    )
+    p3 = explain_str(
+        hamming_neardup_join(hashes, other, id_col="doc_id", hash_col="h")
+    )
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert marker not in p3, p3
