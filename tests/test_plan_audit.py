@@ -1540,6 +1540,46 @@ def test_frontier_first_seen_picker_plans_as_aggregation(spark):
     assert len(rows) == 2
 
 
+def test_pack_sequences_default_path_deskewed(spark):
+    """r9 verdict item #3: grouped packing keys (language/source) are
+    unbounded, so pack_sequences' DEFAULT must be the skew-free plan.
+    Behaviorally: the by_col default returns a REAL handle (the
+    group_prefix_sum_distributed path), and that path's plan has no
+    group-partitioned window over non-aggregated input — every window
+    touching the group key also partitions on the range-slice id
+    (__pid) or sits above the tiny counts Aggregate (the politeness
+    -audit pattern)."""
+    from graphdb_neo4j_spark.operators.order import (
+        group_prefix_sum_distributed,
+    )
+    from graphdb_neo4j_spark.operators.sampling import pack_sequences
+    from graphdb_neo4j_spark.plans import window_partition_specs
+
+    docs = spark.createDataFrame(
+        [("en" if i % 10 else "de", i, (i * 7) % 50 + 1) for i in range(200)],
+        "source string, doc_id long, n_tokens long",
+    )
+    packed, handle = pack_sequences(
+        docs, budget=100, token_col="n_tokens", order_col="doc_id",
+        by_col="source",
+    )
+    assert handle is not None  # the deskewed path is the default
+    packed.count()
+    handle.release()
+    # plan shape (checkpoint=False exposes the full lineage to explain)
+    raw, _ = group_prefix_sum_distributed(
+        docs, ["source"], ["doc_id"], "n_tokens", out_col="cum",
+        checkpoint=False,
+    )
+    specs = window_partition_specs(raw)
+    assert specs, "expected Window nodes in the prefix-sum plan"
+    grp = [s for s in specs if any(k.startswith("source#") for k in s[0])]
+    assert grp, "expected source-partitioned windows"
+    for keys, agg_below in grp:
+        assert any("__pid" in k for k in keys) or agg_below, keys
+    assert "SinglePartition" not in explain_str(raw)
+
+
 def test_window_partition_specs_stops_at_join(spark):
     """ADVICE r9: an Aggregate on ONE input branch of a join must not
     mark a window over the JOIN OUTPUT as bounded — the window's input

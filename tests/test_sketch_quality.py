@@ -850,6 +850,50 @@ def test_q209_releases_prefix_checkpoint(spark):
         )
 
 
+def test_q225_q226_release_image_checkpoints(spark):
+    """r9 verdict item #4, the q209-style release-discipline gate for
+    the image flagships: repeated q225/q226 runs must leave only tiny
+    result blocks — the hash frame and LSH band explode are released
+    via their handles (checkpoint_eager + hamming_neardup_pairs'
+    handle), never accumulated across driver/bench loops."""
+    from graphdb_neo4j_spark.workloads import QUERY_FNS as Q
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = {i.id() for i in jsc.getRDDStorageInfo()}
+    for _ in range(2):
+        Q["q225_image_phash_neardup"](spark, "/root/testdata/sf0.001").collect()
+        Q["q226_image_neardup_clusters"](spark, "/root/testdata/sf0.001").collect()
+    infos = [i for i in jsc.getRDDStorageInfo() if i.id() not in before]
+    for i in infos:
+        assert i.memSize() + i.diskSize() < 64 * 1024, (
+            str(i.name()), i.memSize(), i.diskSize()
+        )
+
+
+def test_hamming_pairs_handle_releases_blocks_and_fails_loud(spark):
+    """The ADVICE-r9 handle contract, mechanically: release() drops
+    exactly the LSH explode's checkpoint blocks from the store, and a
+    post-release action fails loudly instead of silently recomputing
+    (the checkpoint_eager contract)."""
+    import pytest as _pytest
+
+    from graphdb_neo4j_spark.operators.dedup import hamming_neardup_pairs
+
+    df = spark.range(200).selectExpr(
+        "id as doc_id", "cast(hash(id) as bigint) * 2048 as h"
+    )
+    pairs, handle = hamming_neardup_pairs(df, id_col="doc_id", hash_col="h")
+    pairs.count()
+    jsc = spark.sparkContext._jsc.sc()
+    stored = {i.id() for i in jsc.getRDDStorageInfo()}
+    assert handle._rdd_ids and handle._rdd_ids <= stored
+    handle.release()
+    stored_after = {i.id() for i in jsc.getRDDStorageInfo()}
+    assert not (handle._rdd_ids & stored_after)
+    with _pytest.raises(Exception):
+        pairs.count()
+
+
 def test_group_contiguous_index_matches_group_window(spark):
     """order.group_contiguous_index ≡ row_number() OVER (PARTITION BY
     group ORDER BY order_cols) - 1, on a deliberately SKEWED frame
