@@ -361,16 +361,30 @@ def group_argmin(
     combinable AGGREGATION, never a per-group window.
 
     ``row_number() OVER (PARTITION BY g ORDER BY k) = 1`` computes the
-    same "first row per group" but serializes each group into ONE task
-    — a power-law key (the hub URL every page links, the empty-text
-    simhash) becomes the straggler at 100×.  A pure argmin needs no
-    window at all: ``min_by(struct(<payload>), struct(<order>))`` has
-    a partial (map-side) phase, so each task forwards at most one
-    candidate row per group it touches and the shuffle carries
-    O(groups), not O(rows).  This is the aggregation the r9 class of
-    grouped single-task windows (``group_contiguous_index``'s
-    docstring) reduces to whenever only the FIRST row is wanted —
-    prefer it over the index primitives in that case.
+    same "first row per group" through a per-group window.  A pure
+    argmin needs no window at all: ``min_by(struct(<payload>),
+    struct(<order>))`` has a partial (map-side) phase, so each task
+    forwards at most one candidate row per group it touches and the
+    shuffle carries O(groups), not O(rows).  This is the aggregation
+    the r9 class of grouped single-task windows
+    (``group_contiguous_index``'s docstring) reduces to whenever only
+    the FIRST row is wanted — prefer it over the index primitives in
+    that case.
+
+    MEASURED nuance (r10, ``tools/argmin_ab.py``, honest negative
+    result): on Spark 3.5+/4.x the ``__rn = 1``-filter window is
+    already partially de-fanged by ``InferWindowGroupLimit``, which
+    plants a map-side per-group top-k BEFORE the exchange — so on the
+    80%-hub shape the window is only ~1.2-1.9× slower than this
+    argmin (6.5/2.5/4.4s vs 3.5/2.6/3.6s interleaved), NOT the 5.4×
+    of the rank/slot case (``tools/deskew_ab.py``), where no filter
+    follows the window and no group limit can be inferred.  The
+    argmin stays the right plan: it skips the per-group sort + window
+    machinery entirely, and it cannot silently lose the optimization
+    when the pattern stops matching (a later consumer of the rank
+    column, a computed filter bound, an optimizer-rule regression) —
+    the group limit is a fragile pattern-match, the partial aggregate
+    is structural.
 
     Semantics notes:
 

@@ -1612,14 +1612,54 @@ def test_window_partition_specs_stops_at_join(spark):
 def test_q225_phash_dedup_plan(spark):
     """q225's scale claims, mechanically: the Arrow decode pass runs
     ONCE (the hash frame is frozen before its three consumers, so no
-    MapInPandas survives into the final plan), and near-dup candidate
-    generation is an equi-join on (band, slice) — never a cartesian /
-    nested-loop all-pairs."""
-    out = QUERY_FNS["q225_image_phash_neardup"](spark, SF)
-    plan = explain_str(out)
-    assert "MapInPandas" not in plan, "decode re-run leaked into the final plan"
+    MapInPandas survives into the downstream plan), and near-dup
+    candidate generation is an equi-join on (band, slice) — never a
+    cartesian / nested-loop all-pairs.  Since r10 the query itself
+    returns an eager-frozen result (handle contract), so the
+    discriminating audit rebuilds q225's internal composition here —
+    hash freeze, LSH pairing, both dhash joins — and inspects THAT
+    plan; the query result is still checked for cartesian leakage."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.operators.dedup import hamming_neardup_pairs
+    from graphdb_neo4j_spark.operators.multimodal import (
+        encode_png,
+        perceptual_hashes,
+    )
+    from graphdb_neo4j_spark.operators.order import checkpoint_eager
+
+    rng = np.random.RandomState(7)
+    media = spark.createDataFrame(
+        [
+            (i, bytearray(encode_png(
+                rng.randint(0, 256, size=(40, 40, 3)).astype(np.uint8)
+            )))
+            for i in range(6)
+        ],
+        "media_id long, payload binary",
+    )
+    hashes, h_handle = checkpoint_eager(perceptual_hashes(media))
+    pairs, p_handle = hamming_neardup_pairs(
+        hashes, id_col="media_id", hash_col="phash", bands=16, max_hamming=10
+    )
+    dh = hashes.select("media_id", "dhash")
+    composed = pairs.join(
+        dh.select(F.col("media_id").alias("id_a"), F.col("dhash").alias("_da")),
+        "id_a",
+    ).join(
+        dh.select(F.col("media_id").alias("id_b"), F.col("dhash").alias("_db")),
+        "id_b",
+    )
+    plan = explain_str(composed)
+    p_handle.release()
+    h_handle.release()
+    assert "MapInPandas" not in plan, "decode re-run leaked past the freeze"
     for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert marker not in plan, plan
+    out = QUERY_FNS["q225_image_phash_neardup"](spark, SF)
+    plan_out = explain_str(out)
+    for marker in ("CartesianProduct", "BroadcastNestedLoopJoin", "MapInPandas"):
+        assert marker not in plan_out, plan_out
     from graphdb_neo4j_spark.operators.dedup import hamming_neardup_pairs
 
     hashes = spark.range(100).selectExpr(
