@@ -53,10 +53,15 @@ class CheckpointHandle:
 def checkpoint_eager(df: DataFrame) -> tuple[DataFrame, CheckpointHandle]:
     """``localCheckpoint(eager=True)`` plus a working release handle.
 
-    The checkpoint's RDD ids are captured as the delta of the
-    persistent-RDD set around the eager materialization (assumes no
-    concurrent persist from another thread — true for the sequential
-    operator pipelines here).
+    The checkpointed frame's analyzed plan is a ``LogicalRDD`` wrapping
+    EXACTLY the persisted RDD, so the handle captures that one id
+    directly — precise under CONCURRENT queries on the same session
+    (r10 review: the streaming sinks call this from ``foreachBatch``,
+    where another stream's checkpoint may materialize at any moment;
+    the previous persistent-set-delta capture could adopt — and later
+    force-release — a foreign query's blocks).  The delta capture
+    survives only as a fallback for a future Spark whose plan shape
+    changes, with its original no-concurrent-persist assumption.
     """
     sc = df.sparkSession.sparkContext._jsc.sc()
 
@@ -69,9 +74,16 @@ def checkpoint_eager(df: DataFrame) -> tuple[DataFrame, CheckpointHandle]:
 
     before = _ids()
     out = df.localCheckpoint(eager=True)
-    return out, CheckpointHandle(
-        df.sparkSession, frozenset(_ids() - before)
-    )
+    ids: frozenset[int] | None = None
+    try:
+        node = out._jdf.queryExecution().analyzed()
+        if node.nodeName() == "LogicalRDD":
+            ids = frozenset([node.rdd().id()])
+    except Exception:
+        ids = None
+    if ids is None:
+        ids = frozenset(_ids() - before)
+    return out, CheckpointHandle(df.sparkSession, ids)
 
 
 def contiguous_index(

@@ -98,15 +98,18 @@ def window_partition_specs(df: DataFrame) -> list[tuple[list[str], bool]]:
     (``operators/order.py``).  A window over an aggregated frame
     (per-slice counts, ≤ one row per partition a group touches) is
     bounded and fine, so each spec is paired with whether an Aggregate
-    sits below it in the tree.  The downward search STOPS at Join
-    nodes: the window's input row count is governed by the join
-    OUTPUT, so an Aggregate on one input branch (e.g. the broadcast
-    side of a dim join) does not bound the window — counting it would
-    make the grouped-skew audit pass vacuously for a skewed window
-    over ``raw JOIN aggregated`` (ADVICE r9).  Keys are expression
-    strings (``host#12``, not bare names) — match with a prefix."""
+    sits below it in the tree.  The downward search STOPS at any node
+    whose OUTPUT cardinality is not governed by an aggregate beneath
+    it — Join (an Aggregate on one input branch, e.g. the broadcast
+    side of a dim join, does not bound the join output; ADVICE r9),
+    Union (an aggregated branch does not bound the other branches),
+    and Generate (explode multiplies each aggregated row by an
+    unbounded per-row factor); counting those would make the
+    grouped-skew audit pass vacuously.  Keys are expression strings
+    (``host#12``, not bare names) — match with a prefix."""
     root = df._jdf.queryExecution().optimizedPlan()
     out: list[tuple[list[str], bool]] = []
+    _stop = {"Join", "Union", "Generate"}
 
     def has_agg_below(node) -> bool:
         stack = _jchildren(node)
@@ -115,8 +118,8 @@ def window_partition_specs(df: DataFrame) -> list[tuple[list[str], bool]]:
             name = n.nodeName()
             if name == "Aggregate":
                 return True
-            if name == "Join":
-                continue  # join output size ≠ bounded by a branch's agg
+            if name in _stop:
+                continue  # output size ≠ bounded by a descendant agg
             stack.extend(_jchildren(n))
         return False
 

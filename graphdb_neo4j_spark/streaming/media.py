@@ -109,7 +109,10 @@ def streaming_fingerprint_neardup(
             hamming_neardup_join,
             hamming_neardup_pairs,
         )
-        from graphdb_neo4j_spark.operators.order import group_argmin
+        from graphdb_neo4j_spark.operators.order import (
+            checkpoint_eager,
+            group_argmin,
+        )
         from graphdb_neo4j_spark.operators.traversal import (
             connected_components,
         )
@@ -120,17 +123,26 @@ def streaming_fingerprint_neardup(
         batch = batch_df
         if hasher is not None:
             fps = hasher(batch_df.select(id_col, payload_col))
-            batch = batch_df.drop(payload_col).join(
+            # drop a pre-existing hash_col too: keeping it would make
+            # the post-join F.col(hash_col) ambiguous (r10 review)
+            batch = batch_df.drop(payload_col, hash_col).join(
                 fps.select(id_col, hash_col), id_col, "left"
             )
-        # freeze: the batch frame feeds the ledger anti-join, the
-        # in-batch LSH, the component join and the keeper pick — and
-        # when hashing in-batch, the freeze is what makes the Arrow
-        # decode pass run ONCE (the q225 single-decode discipline)
-        batch = batch.filter(F.col(hash_col).isNotNull()).localCheckpoint()
+        # freeze (handled, not a bare checkpoint — blocks release at
+        # end of batch, never accumulate across a long-lived stream):
+        # when hashing in-batch this is what makes the Arrow decode
+        # pass run ONCE (the q225 single-decode discipline)
+        batch, batch_handle = checkpoint_eager(
+            batch.filter(F.col(hash_col).isNotNull())
+        )
         try:
+            # mergeSchema: keeper rows persist the full stream schema,
+            # which may evolve across runs sharing one state_path — a
+            # single-file schema sample would silently drop columns
+            # (the frontier-ledger lesson, ADVICE r8)
             prior = (
-                spark.read.parquet(kept_path)
+                spark.read.option("mergeSchema", "true")
+                .parquet(kept_path)
                 .filter(
                     ~(
                         (F.col("run_id") == F.lit(run_id))
@@ -141,7 +153,6 @@ def streaming_fingerprint_neardup(
             )
         except AnalysisException:
             prior = None
-        new = batch
         if prior is not None:
             hit = hamming_neardup_join(
                 batch.select(id_col, hash_col),
@@ -152,7 +163,17 @@ def streaming_fingerprint_neardup(
                 max_hamming=max_hamming,
                 bucket_cap=bucket_cap,
             ).select(F.col("id_a").alias(id_col)).distinct()
-            new = batch.join(hit, id_col, "left_anti")
+            # freeze the anti-join: its lineage (ledger scan + band
+            # explode + equi-join) would otherwise re-execute in each
+            # of its three consumers — the in-batch LSH's checkpoint,
+            # the component loop's node freeze, and the keeper pick
+            # (r10 review); the batch freeze alone does not cover it
+            new, new_handle = checkpoint_eager(
+                batch.join(hit, id_col, "left_anti")
+            )
+            batch_handle.release()  # batch fully consumed by `new`
+        else:
+            new, new_handle = batch, batch_handle
         pairs, p_handle = hamming_neardup_pairs(
             new.select(id_col, hash_col),
             id_col=id_col,
@@ -173,12 +194,16 @@ def streaming_fingerprint_neardup(
             .join(comp, F.col("__k") == F.col("key"))
             .drop("key", "__k")
         )
-        kept = group_argmin(
-            labeled,
-            ["component"],
-            [F.col(time_col).cast("timestamp"), F.col(id_col)],
-        ).drop("component")
-        kept = kept.localCheckpoint()  # freeze before writing the path it anti-joined
+        # freeze before writing the path the lineage anti-joined
+        # (handled — released after the meta commit)
+        kept, kept_handle = checkpoint_eager(
+            group_argmin(
+                labeled,
+                ["component"],
+                [F.col(time_col).cast("timestamp"), F.col(id_col)],
+            ).drop("component")
+        )
+        new_handle.release()  # survivors consumed by components + kept
         (
             kept.withColumn("run_id", F.lit(run_id))
             .withColumn("batch_id", F.lit(batch_id))
@@ -192,12 +217,18 @@ def streaming_fingerprint_neardup(
             [(run_id, batch_id, n_kept)],
             "run_id string, batch_id long, n_kept long",
         ).write.mode("append").parquet(meta_path)
+        kept_handle.release()
 
     return media_stream.writeStream.foreachBatch(_process)
 
 
 def fingerprint_kept(spark: SparkSession, state_path: str) -> DataFrame:
-    """Every keeper admitted across batches (the deduped media set)."""
+    """Every keeper admitted across batches (the deduped media set).
+    Schemas are merged across partitions — keeper rows persist the
+    full stream schema, which may evolve across runs sharing one
+    ``state_path`` (the frontier-ledger mergeSchema lesson)."""
     return (
-        spark.read.parquet(f"{state_path}/kept").drop("run_id", "batch_id")
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{state_path}/kept")
+        .drop("run_id", "batch_id")
     )

@@ -14305,7 +14305,12 @@ def q228(spark: SparkSession, sf: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            if not q.awaitTermination(600):
+                # a timed-out run must fail LOUD: proceeding would read
+                # a half-processed ledger and delete the temp dirs
+                # under the live query (r10 review)
+                q.stop()
+                raise RuntimeError("q228 streaming run timed out")
 
         w1, w2 = _q228_waves()
         spark.createDataFrame(rows(w1), schema).write.parquet(

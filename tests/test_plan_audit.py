@@ -1607,6 +1607,25 @@ def test_window_partition_specs_stops_at_join(spark):
     )
     specs2 = window_partition_specs(over_agg)
     assert specs2 and all(agg for _, agg in specs2), specs2
+    # Union: an aggregated branch does not bound the raw branch
+    over_union = (
+        raw.select("host", "id")
+        .unionByName(dim.selectExpr("host", "host_n as id"))
+        .withColumn(
+            "rk", F.row_number().over(W.partitionBy("host").orderBy("id"))
+        )
+    )
+    specs3 = window_partition_specs(over_union)
+    assert specs3 and all(not agg for _, agg in specs3), specs3
+    # Generate: explode multiplies aggregated rows by an unbounded
+    # per-row factor — the aggregate below it must not count
+    over_gen = dim.select(
+        "host", F.explode(F.array(F.lit(1), F.lit(2))).alias("v")
+    ).withColumn(
+        "rk", F.row_number().over(W.partitionBy("host").orderBy("v"))
+    )
+    specs4 = window_partition_specs(over_gen)
+    assert specs4 and all(not agg for _, agg in specs4), specs4
 
 
 def test_q225_phash_dedup_plan(spark):

@@ -13,10 +13,10 @@ from graphdb_neo4j_spark.streaming.media import (
     streaming_fingerprint_neardup,
 )
 from graphdb_neo4j_spark.workloads import (
-    _q225_base_px,
-    _q225_brighten,
     _q225_images,
     _q225_phash,
+    _q228_kept,
+    _q228_waves,
 )
 
 MEDIA_SCHEMA = "media_id long, payload binary, event_time timestamp"
@@ -82,27 +82,16 @@ def _run(builder, ckpt: str):
     q = builder.option("checkpointLocation", ckpt).trigger(
         availableNow=True
     ).start()
-    q.awaitTermination(300)
-
-
-def _fixture_waves():
-    """Wave 1: clusters 0-2 (ids 0-8).  Wave 2: clusters 3-5 (ids
-    9-17) + id 100 (a re-brightened cluster-0 image, distance 0 from
-    the ledgered keeper — MUST be dropped cross-batch) + id 101 (a
-    genuinely new pattern, min distance 14 from everything — MUST be
-    admitted)."""
-    imgs = _q225_images()
-    w1 = [(i, i, imgs[i]) for i in range(9)]  # (id, ts_seconds, px)
-    w2 = [(i, 100 + i, imgs[i]) for i in range(9, 18)]
-    w2.append((100, 200, _q225_brighten(_q225_base_px(0), 3)))
-    w2.append((101, 201, _q225_base_px(17)))
-    return w1, w2
+    assert q.awaitTermination(300), "streaming run timed out"
 
 
 def test_fingerprint_neardup_stream_equals_python_fold(spark, tmp_path):
+    # one fixture source: the q228 waves (workloads) — this test's own
+    # _python_fold is the independent semantics mirror, and it must
+    # agree with the q228 oracle fold (divergence guard, r10 review)
     from graphdb_neo4j_spark.operators.multimodal import perceptual_hashes
 
-    w1, w2 = _fixture_waves()
+    w1, w2 = _q228_waves()
     src = tmp_path / "media"
     src.mkdir()
     state = str(tmp_path / "state")
@@ -144,6 +133,7 @@ def test_fingerprint_neardup_stream_equals_python_fold(spark, tmp_path):
         )
     }
     assert got == mirror
+    assert mirror == {i for i, _ in _q228_kept()}  # fold ≡ q228 oracle fold
     assert 100 not in got        # cross-batch drop against the ledger
     assert 101 in got            # genuinely new content admitted
     # ledger rows carry the REAL spark-side fingerprints: keeper 0's
