@@ -75,6 +75,7 @@ def _ordered_names() -> list[str]:
     """
     flagships = [
         "q228_streaming_fingerprint_neardup",
+        "q229_image_decontamination",
         "q225_image_phash_neardup",
         "q226_image_neardup_clusters",
         "q227_audio_fingerprint_neardup",

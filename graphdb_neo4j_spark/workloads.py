@@ -14330,3 +14330,129 @@ def q228(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         _shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ===========================================================================
+# q229 — image decontamination (train fingerprints vs eval-set fingerprints)
+# ===========================================================================
+#
+# The multimodal face of q48/q183's text decontamination: before
+# training, every image whose perceptual fingerprint is near an
+# EVAL-SET image must be flagged — the cross-frame Hamming LSH
+# (dedup.hamming_neardup_join) as a batch primitive, not just the
+# streaming ledger step.  Eval A (a speckled cluster-2 base) and eval
+# B (a re-brightened cluster-4 base) each contaminate one training
+# cluster (mirror distances 4-6 <= 10); eval C is a fresh pattern
+# (min distance 14) and hits nothing.
+
+
+def _q229_evals() -> dict[int, list]:
+    return {
+        900: _q225_speckle(_q225_base_px(2), seed=99),
+        901: _q225_brighten(_q225_base_px(4), 9),
+        902: _q225_base_px(23),
+    }
+
+
+def _q229_rows() -> list[tuple[int, int, bool]]:
+    """(media_id, n_eval_hits, contaminated) per training image —
+    brute force over the plain-Python mirror hashes."""
+
+    def ham(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    evals = [_q225_phash(px) for px in _q229_evals().values()]
+    out = []
+    for i, px in sorted(_q225_images().items()):
+        h = _q225_phash(px)
+        n = sum(1 for e in evals if ham(h, e) <= _Q225_MAX_HAMMING)
+        out.append((i, n, n > 0))
+    return out
+
+
+def _q229_oracle() -> str:
+    vals = ", ".join(
+        "(%d, %d, %s)" % (i, n, "TRUE" if c else "FALSE")
+        for i, n, c in _q229_rows()
+    )
+    return f"""
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(n_eval_hits AS INT) AS n_eval_hits,
+           CAST(contaminated AS BOOLEAN) AS contaminated
+    FROM (VALUES {vals}) AS t(media_id, n_eval_hits, contaminated)
+    """
+
+
+@query("q229_image_decontamination", _q229_oracle())
+def q229(spark: SparkSession, sf: str) -> DataFrame:
+    """IMAGE DECONTAMINATION under the hash gate — the multimodal
+    sibling of the text decontamination gates (q48/q183) and the batch
+    face of r10's cross-frame LSH: both the training corpus (the 18
+    q225 PNGs) and the eval set (3 PNGs) are pixel-decoded and
+    perceptually hashed in one Arrow pass each, then matched with
+    dedup.hamming_neardup_join (asymmetric banded Hamming LSH, 16x4
+    bands — recall at the <=10-bit threshold provably exact, never
+    all-pairs) and folded into a per-training-image verdict
+    (n_eval_hits, contaminated).  The oracle recomputes everything
+    with the independent plain-Python mirror and brute force, embedded
+    as constants.
+
+    Scale shape: the eval side is tiny (broadcast-sized) but the plan
+    never assumes it — both sides shuffle only (band, slice, 8-byte
+    hash) keys, so the same query runs with a 10⁹-image corpus and a
+    10⁶-image eval set; pixels die at decode; the per-image fold is a
+    count aggregation on the candidate pairs."""
+    import numpy as _np
+
+    from graphdb_neo4j_spark.operators.dedup import hamming_neardup_join
+    from graphdb_neo4j_spark.operators.multimodal import (
+        encode_png,
+        perceptual_hashes,
+    )
+    from graphdb_neo4j_spark.operators.order import checkpoint_eager
+
+    def media(img_map):
+        return spark.createDataFrame(
+            [
+                (mid, bytearray(encode_png(_np.array(px, dtype=_np.uint8))))
+                for mid, px in sorted(img_map.items())
+            ],
+            "media_id long, payload binary",
+        ).repartition(4)
+
+    # the train hash frame is read twice (the LSH join and the verdict
+    # join-back) — freeze it, release after the tiny result is frozen;
+    # the eval side is read once and stays lazy
+    t_hashes, t_handle = checkpoint_eager(
+        perceptual_hashes(media(_q225_images())).select("media_id", "phash")
+    )
+    e_hashes = perceptual_hashes(media(_q229_evals())).select(
+        "media_id", "phash"
+    )
+    hits = hamming_neardup_join(
+        t_hashes,
+        e_hashes,
+        id_col="media_id",
+        hash_col="phash",
+        bands=16,
+        max_hamming=_Q225_MAX_HAMMING,
+    )
+    per_train = hits.groupBy("id_a").agg(
+        F.count("*").cast("int").alias("n_eval_hits")
+    )
+    out = (
+        t_hashes.select("media_id")
+        .join(per_train, t_hashes["media_id"] == per_train["id_a"], "left")
+        .select(
+            "media_id",
+            F.coalesce(F.col("n_eval_hits"), F.lit(0))
+            .cast("int")
+            .alias("n_eval_hits"),
+            (F.coalesce(F.col("n_eval_hits"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t_handle.release()
+    return out
