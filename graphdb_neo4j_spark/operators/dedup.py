@@ -81,17 +81,29 @@ def contaminated_docs(
     hash-joins against the broadcast set map-side; the only shuffle
     carries the (id, matched-gram) hits (tiny) into the per-doc count.
     """
-    from graphdb_neo4j_spark.operators.text import word_ngrams
+    from graphdb_neo4j_spark.operators.text import tokens, word_ngrams_of
 
-    grams = F.explode(
-        F.array_distinct(word_ngrams(F.col(text_col), n))
-    ).alias("g")
-    eval_grams = (
-        eval_docs.select(grams).distinct()
+    # tokenize into an attribute first (r10): word_ngrams over the raw
+    # text re-evaluates the regex split once per n-gram element inside
+    # the transform lambda — O(n_tokens²) per row.  Values identical.
+    def _grams(df: DataFrame, *keep):
+        pre = df.select(
+            *keep, F.col(text_col), tokens(F.col(text_col)).alias("__toks")
+        )
+        return pre.select(
+            *keep,
+            F.explode(
+                F.array_distinct(
+                    word_ngrams_of(F.col(text_col), F.col("__toks"), n)
+                )
+            ).alias("g"),
+        )
+
+    eval_grams = _grams(eval_docs).distinct()
+    corpus_grams = _grams(
+        docs.join(eval_docs.select(id_col), on=id_col, how="left_anti"),
+        id_col,
     )
-    corpus_grams = docs.join(
-        eval_docs.select(id_col), on=id_col, how="left_anti"
-    ).select(F.col(id_col), grams)
     return (
         corpus_grams.join(F.broadcast(eval_grams), on="g")
         .groupBy(id_col)
@@ -125,17 +137,29 @@ def contamination_profile(
     left join marks hits map-side), so the only shuffle carries
     (id, 1, hit) triples into the per-doc count.
     """
-    from graphdb_neo4j_spark.operators.text import word_ngrams
+    from graphdb_neo4j_spark.operators.text import tokens, word_ngrams_of
 
-    gram = F.explode(
-        F.array_distinct(word_ngrams(F.col(text_col), n))
-    ).alias("g")
-    eval_grams = eval_docs.select(gram).distinct().withColumn(
-        "__hit", F.lit(1)
-    )
+    # tokens hoisted to an attribute before the n-gram lambda (r10,
+    # see contaminated_docs) — values identical, O(len) per row
+    def _grams(df: DataFrame, *keep):
+        pre = df.select(
+            *keep, F.col(text_col), tokens(F.col(text_col)).alias("__toks")
+        )
+        return pre.select(
+            *keep,
+            F.explode(
+                F.array_distinct(
+                    word_ngrams_of(F.col(text_col), F.col("__toks"), n)
+                )
+            ).alias("g"),
+        )
+
+    eval_grams = _grams(eval_docs).distinct().withColumn("__hit", F.lit(1))
     corpus = (
-        docs.join(eval_docs.select(id_col), on=id_col, how="left_anti")
-        .select(F.col(id_col), gram)
+        _grams(
+            docs.join(eval_docs.select(id_col), on=id_col, how="left_anti"),
+            id_col,
+        )
         .join(F.broadcast(eval_grams), on="g", how="left")
     )
     return (
@@ -253,11 +277,20 @@ def repeated_passages(
     """
     from pyspark.sql import Window
 
-    from graphdb_neo4j_spark.operators.text import word_ngrams
+    from graphdb_neo4j_spark.operators.text import tokens, word_ngrams_of
 
+    # lower + tokenize into attributes before the n-gram lambda (r10,
+    # see contaminated_docs) — values identical, O(len) per row
     grams = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(word_ngrams(F.lower(F.col(text_col)), n)).alias("pos", "g"),
+        F.lower(F.col(text_col)).alias("__lt"),
+    ).select(
+        "id", "__lt", tokens(F.col("__lt")).alias("__toks")
+    ).select(
+        "id",
+        F.posexplode(
+            word_ngrams_of(F.col("__lt"), F.col("__toks"), n)
+        ).alias("pos", "g"),
     ).select("id", "pos", F.md5("g").alias("g"))
     if max_doc_freq is not None:
         hot = (

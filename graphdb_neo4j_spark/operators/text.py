@@ -51,23 +51,37 @@ def char_len(text: Column) -> Column:
     return F.length(text)
 
 
+def word_ngrams_of(text: Column, toks: Column, n: int = 3) -> Column:
+    """:func:`word_ngrams` over a PRE-TOKENIZED column.  ``toks`` must
+    be (a column holding) ``tokens(text)``; pass a materialized
+    attribute, not the raw expression — a Catalyst lambda re-evaluates
+    every outer non-attribute expression once PER ELEMENT, so inlining
+    ``tokens(text)`` here costs O(n_tokens²) regex splits per row (the
+    r10 profile charged ~60 % of the curation pipeline's CPU to exactly
+    that).  Values are identical either way."""
+    cnt = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        (F.trim(text) == "") | (cnt < 1), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.array_join(F.slice(toks, i, F.lit(n)), " "),
+        )
+    )
+
+
 def word_ngrams(text: Column, n: int = 3) -> Column:
     """Word n-grams of the whitespace-tokenized text, space-joined, in
     order, duplicates kept (array<string>).  Texts with fewer than n
     tokens produce an empty array (guarded: Spark's ``sequence(1, 0)``
     DESCENDS instead of returning empty).  Mirrors the DuckDB idiom
     ``list_transform(range(1, len(t)-n+2), i -> array_to_string(t[i:i+n-1], ' '))``.
+
+    NOTE the inner tokenization is re-evaluated per n-gram element by
+    Catalyst (lambda bodies see expressions, not values) — hot paths
+    should tokenize into a column once and use :func:`word_ngrams_of`.
     """
-    t = tokens(text)
-    cnt = F.size(t) - F.lit(n - 1)
-    return F.when(
-        (F.trim(text) == "") | (cnt < 1), F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), cnt),
-            lambda i: F.array_join(F.slice(t, i, F.lit(n)), " "),
-        )
-    )
+    return word_ngrams_of(text, tokens(text), n)
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -79,27 +93,41 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     * ``dup_bigram_ratio`` — 1 − distinct bigrams / bigrams (high =
       repeated phrases).
 
-    Pure map-side codegen expressions next to the scan — no shuffle, no
-    UDF; at 100 TB this is a projection fused into the parquet read.
-    Empty / one-token documents get 0.0 ratios (guarded on both the
-    Spark and oracle side).
+    Pure map-side codegen projections next to the scan — no shuffle, no
+    UDF; at 100 TB this is a projection chain fused into the parquet
+    read.  Empty / one-token documents get 0.0 ratios (guarded on both
+    the Spark and oracle side).
+
+    The token and bigram arrays are materialized into intermediate
+    columns (r10): every stat then reads the ATTRIBUTE instead of
+    re-evaluating the regex split per reference (and per lambda
+    element) — values bit-identical, per-row work O(len) instead of
+    O(len²).  CollapseProject keeps the stages separate because the
+    hoisted arrays are non-cheap and multiply referenced.
     """
     t = F.col(text_col)
-    toks = tokens(t)
-    n_tok = token_count(t)
-    bigrams = word_ngrams(t, 2)
+    toks = F.col("__rs_toks")
+    bigrams = F.col("__rs_bi")
+    n_tok = F.when(F.trim(t) == "", F.lit(0)).otherwise(F.size(toks))
     n_bi = F.size(bigrams)
-    return df.withColumns(
-        {
-            "n_tokens": n_tok.cast("bigint"),
-            "distinct_token_ratio": F.when(n_tok == 0, F.lit(0.0)).otherwise(
-                F.size(F.array_distinct(toks)).cast("double") / n_tok
-            ),
-            "dup_bigram_ratio": F.when(n_bi <= 0, F.lit(0.0)).otherwise(
-                F.lit(1.0)
-                - F.size(F.array_distinct(bigrams)).cast("double") / n_bi
-            ),
-        }
+    return (
+        df.withColumns({"__rs_toks": tokens(t)})
+        .withColumns({"__rs_bi": word_ngrams_of(t, toks, 2)})
+        .withColumns(
+            {
+                "n_tokens": n_tok.cast("bigint"),
+                "distinct_token_ratio": F.when(
+                    n_tok == 0, F.lit(0.0)
+                ).otherwise(
+                    F.size(F.array_distinct(toks)).cast("double") / n_tok
+                ),
+                "dup_bigram_ratio": F.when(n_bi <= 0, F.lit(0.0)).otherwise(
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(bigrams)).cast("double") / n_bi
+                ),
+            }
+        )
+        .drop("__rs_toks", "__rs_bi")
     )
 
 
@@ -220,40 +248,65 @@ def punct_ratio(text: Column) -> Column:
     return F.when(total == 0, F.lit(0.0)).otherwise(punct / total)
 
 
-def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+def stopword_ratio_of(
+    ltoks: Column, stopwords: list[str] | None = None
+) -> Column:
+    """:func:`stopword_ratio` over a PRE-TOKENIZED lowered-token column
+    (``tokens(lower(text))``); pass an attribute so the split is not
+    re-evaluated per reference."""
     sw = stopwords if stopwords is not None else LANG_STOPWORDS["en"]
-    toks = tokens(F.lower(text))
-    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
-    n = F.size(toks)
+    hits = F.size(F.filter(ltoks, lambda t: t.isin(*sw)))
+    n = F.size(ltoks)
     return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
 
 
-def quality_score(text: Column) -> Column:
-    """Composite [0,1] quality heuristic: length band + low punctuation +
-    some stopwords (the classic Gopher-style trio, simplified)."""
-    n_tok = token_count(text)
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    return stopword_ratio_of(tokens(F.lower(text)), stopwords)
+
+
+def quality_score_of(text: Column, toks: Column, ltoks: Column) -> Column:
+    """:func:`quality_score` over pre-tokenized raw/lowered token
+    columns (attributes — see :func:`word_ngrams_of` for why)."""
+    n_tok = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(toks))
     len_ok = (n_tok >= 10) & (n_tok <= 100000)
     punct_ok = punct_ratio(text) < 0.3
-    sw_ok = stopword_ratio(text) > 0.01
+    sw_ok = stopword_ratio_of(ltoks) > 0.01
     return (
         len_ok.cast("int") + punct_ok.cast("int") + sw_ok.cast("int")
     ) / F.lit(3.0)
 
 
-def lang_guess(text: Column) -> Column:
-    """Stopword-vote language ID: argmax over per-language stopword hits,
-    ties broken by language code order; 'und' when no hits."""
-    toks = tokens(F.lower(text))
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    some stopwords (the classic Gopher-style trio, simplified)."""
+    return quality_score_of(text, tokens(text), tokens(F.lower(text)))
 
-    def _hits(sw: list[str]) -> Column:
-        return F.size(F.filter(toks, lambda t: t.isin(*sw)))
 
-    scores = [(code, _hits(sw)) for code, sw in sorted(LANG_STOPWORDS.items())]
+def lang_scores_of(ltoks: Column) -> list[tuple[str, Column]]:
+    """Per-language stopword-hit counts over a pre-tokenized
+    lowered-token column, sorted by language code."""
+    return [
+        (code, F.size(F.filter(ltoks, lambda t: t.isin(*sw))))
+        for code, sw in sorted(LANG_STOPWORDS.items())
+    ]
+
+
+def lang_guess_from_scores(scores: list[tuple[str, Column]]) -> Column:
+    """Argmax over already-computed per-language hit columns, ties
+    broken by language code order; 'und' when no hits.  Pass ATTRIBUTE
+    columns: the when-chain references every score ~3×, so inline
+    score expressions get re-evaluated per reference."""
     best = F.greatest(*[s for _, s in scores])
     guess = F.lit("und")
     for code, s in reversed(scores):  # earlier codes win ties → apply last
         guess = F.when((s == best) & (best > 0), F.lit(code)).otherwise(guess)
     return guess
+
+
+def lang_guess(text: Column) -> Column:
+    """Stopword-vote language ID: argmax over per-language stopword hits,
+    ties broken by language code order; 'und' when no hits."""
+    return lang_guess_from_scores(lang_scores_of(tokens(F.lower(text))))
 
 
 def shingles_all(text: Column, n: int = 3) -> Column:
@@ -312,11 +365,29 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(shingles_all(text, n))
 
 
+def fingerprint_of(lowered: Column, n: int = 8) -> Column:
+    """:func:`fingerprint` over a PRE-LOWERED text column (pass an
+    attribute holding ``lower(text)``).  Skips the former
+    ``array_distinct`` — the minimum over a multiset equals the
+    minimum over its set, so deduping before ``array_min`` was O(len²)
+    pure overhead.  Values identical."""
+    count = F.length(lowered) - F.lit(n - 1)
+    all_hashes = F.when(
+        count < 1, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.md5(F.substring(lowered, i, F.lit(n))),
+        )
+    )
+    return F.array_min(all_hashes)
+
+
 def fingerprint(text: Column, n: int = 8) -> Column:
     """Winnowing-style document fingerprint: the minimum md5 over the
     text's character n-grams (deterministic, portable to SQL as
     ``min(md5(shingle))``); NULL for texts shorter than n."""
-    return F.array_min(F.transform(shingles(text, n), F.md5))
+    return fingerprint_of(F.lower(text), n)
 
 
 # --- normalization / scrubbing (training-data cleanup) ---------------------
@@ -510,17 +581,43 @@ def extract_links_sql(expr: str) -> str:
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    # tokenize/lower ONCE into attributes, then compute every stat from
+    # them (see word_ngrams_of for the per-reference re-evaluation trap)
     t = F.col(text_col)
-    return df.withColumns(
+    toks, ltoks, lt = F.col("__ts_toks"), F.col("__ts_ltoks"), F.col("__ts_lt")
+    pre = df.withColumns(
         {
-            "n_tokens": token_count(t),
+            "__ts_toks": tokens(t),
+            "__ts_ltoks": tokens(F.lower(t)),
+            "__ts_lt": F.lower(t),
+        }
+    )
+    scored = pre.withColumns(
+        {f"__ts_s_{code}": s for code, s in lang_scores_of(ltoks)}
+    )
+    lang = lang_guess_from_scores(
+        [
+            (code, F.col(f"__ts_s_{code}"))
+            for code in sorted(LANG_STOPWORDS)
+        ]
+    )
+    return scored.withColumns(
+        {
+            "n_tokens": F.when(F.trim(t) == "", F.lit(0)).otherwise(
+                F.size(toks)
+            ),
             "n_chars_calc": char_len(t),
             "punct_ratio": punct_ratio(t),
-            "stopword_ratio": stopword_ratio(t),
-            "quality": quality_score(t),
-            "lang_guess": lang_guess(t),
-            "fingerprint": fingerprint(t),
+            "stopword_ratio": stopword_ratio_of(ltoks),
+            "quality": quality_score_of(t, toks, ltoks),
+            "lang_guess": lang,
+            "fingerprint": fingerprint_of(lt),
         }
+    ).drop(
+        "__ts_toks",
+        "__ts_ltoks",
+        "__ts_lt",
+        *[f"__ts_s_{code}" for code in sorted(LANG_STOPWORDS)],
     )
 
 
@@ -554,30 +651,69 @@ def quality_filter(
       English stopwords present (non-linguistic content).
 
     ``passed`` = 1 iff no flag fires.  Every signal is a pure Catalyst
-    expression over the tokenized text — the 100 TB plan is a single
-    scan+project with no shuffle and no UDF, and every ratio divides
-    exact integer counts so the doubles (and therefore the flags) are
-    bit-identical to the SQL oracle.
+    expression over the tokenized text — the 100 TB plan is a chain of
+    map-side projections with no shuffle and no UDF, and every ratio
+    divides exact integer counts so the doubles (and therefore the
+    flags) are bit-identical to the SQL oracle.
+
+    r10: the token/bigram arrays and every heavy scalar are hoisted
+    into materialized intermediate columns, so each regex split, array
+    build and array scan runs ONCE per row — the previous single
+    fused projection re-evaluated ``tokens(text)`` per reference and
+    (inside the bigram lambda) per element, O(n_tokens²) per row,
+    measured as the dominant CPU term of the curation pipeline at
+    sf0.1.  Values are bit-identical; CollapseProject keeps the stages
+    apart because the hoisted columns are non-cheap and multiply
+    referenced.
     """
     t = F.col(text_col)
-    toks = tokens(t)
-    n_tok = token_count(t)
-    char_sum = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
-    mean_wl = F.when(n_tok == 0, F.lit(0.0)).otherwise(
-        char_sum.cast("double") / n_tok
-    )
-    bigrams = word_ngrams(t, 2)
-    n_bi = F.size(bigrams)
-    dup_bi = F.when(n_bi <= 0, F.lit(0.0)).otherwise(
-        F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / n_bi
-    )
     sw = LANG_STOPWORDS["en"]
-    stop_hits = F.size(
-        F.array_intersect(
-            F.array_distinct(tokens(F.lower(t))), F.array(*[F.lit(s) for s in sw])
-        )
+    toks = F.col("__qf_toks")
+    bigrams = F.col("__qf_bi")
+    # stage 1: tokenize once (raw + lowered); stage 2: bigram array
+    # from the token ATTRIBUTE (lambda sees an attribute, not a split)
+    pre = df.select(
+        F.col(id_col),
+        t.alias("__qf_t"),
+        tokens(t).alias("__qf_toks"),
+        tokens(F.lower(t)).alias("__qf_ltoks"),
     )
-    p_ratio = punct_ratio(t)
+    tt = F.col("__qf_t")
+    mid = pre.select(
+        F.col(id_col),
+        "__qf_t",
+        "__qf_toks",
+        "__qf_ltoks",
+        word_ngrams_of(tt, toks, 2).alias("__qf_bi"),
+    )
+    # stage 3: every heavy scalar exactly once
+    n_tok = F.when(F.trim(tt) == "", F.lit(0)).otherwise(F.size(toks))
+    scal = mid.select(
+        F.col(id_col),
+        n_tok.alias("__n_tok"),
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).alias(
+            "__char_sum"
+        ),
+        F.size(bigrams).alias("__n_bi"),
+        F.size(F.array_distinct(bigrams)).alias("__n_bi_distinct"),
+        F.size(
+            F.array_intersect(
+                F.col("__qf_ltoks"), F.array(*[F.lit(s) for s in sw])
+            )
+        ).alias("__stop_hits"),
+        punct_ratio(tt).alias("__p_ratio"),
+    )
+    # stage 4: cheap arithmetic over the scalar attributes
+    n_tok = F.col("__n_tok")
+    mean_wl = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.col("__char_sum").cast("double") / n_tok
+    )
+    n_bi = F.col("__n_bi")
+    dup_bi = F.when(n_bi <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.col("__n_bi_distinct").cast("double") / n_bi
+    )
+    stop_hits = F.col("__stop_hits")
+    p_ratio = F.col("__p_ratio")
     flag_short = (n_tok < min_tokens).cast("int")
     flag_word_len = (
         (n_tok > 0)
@@ -586,7 +722,7 @@ def quality_filter(
     flag_repeat = (dup_bi > max_dup_bigram_ratio).cast("int")
     flag_punct = (p_ratio > max_punct_ratio).cast("int")
     flag_stopword = (stop_hits < min_stopword_hits).cast("int")
-    return df.select(
+    return scal.select(
         F.col(id_col),
         n_tok.cast("bigint").alias("n_tokens"),
         F.round(mean_wl, 6).alias("mean_word_len"),
@@ -828,36 +964,61 @@ def quality_feature_score(
     adds terms in a fixed left-to-right order).
     """
     t = F.col(text_col)
-    toks = tokens(t)
-    n_tok = token_count(t)
+    # tokens/bigrams hoisted into attribute columns (r10, see
+    # word_ngrams_of) — values identical, O(len) per row
+    toks = F.col("__fv_toks")
+    pre = df.select(
+        F.col(id_col),
+        t.alias("__fv_t"),
+        tokens(t).alias("__fv_toks"),
+        tokens(F.lower(t)).alias("__fv_ltoks"),
+    )
+    tt = F.col("__fv_t")
+    mid = pre.select(
+        F.col(id_col),
+        "__fv_t",
+        "__fv_toks",
+        "__fv_ltoks",
+        word_ngrams_of(tt, toks, 2).alias("__fv_bi"),
+    )
+    bigrams = F.col("__fv_bi")
+    n_tok = F.when(F.trim(tt) == "", F.lit(0)).otherwise(F.size(toks))
     char_sum = F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x))
     mean_wl = F.when(n_tok == 0, F.lit(0.0)).otherwise(
         char_sum.cast("double") / n_tok
     )
-    bigrams = word_ngrams(t, 2)
     n_bi = F.size(bigrams)
     dup_bi = F.when(n_bi <= 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / n_bi
     )
-    p_ratio = punct_ratio(t)
-    sw_ratio = stopword_ratio(t)
+    p_ratio = punct_ratio(tt)
+    sw_ratio = stopword_ratio_of(F.col("__fv_ltoks"))
     log_tok = F.log(F.lit(1.0) + n_tok.cast("double"))
+    # heavy scalars once, then the cheap dot product over attributes
+    scal = mid.select(
+        F.col(id_col),
+        log_tok.alias("__f_lt"),
+        mean_wl.alias("__f_wl"),
+        dup_bi.alias("__f_db"),
+        p_ratio.alias("__f_pr"),
+        sw_ratio.alias("__f_sw"),
+    )
     w = QUALITY_WEIGHTS if weights is None else list(weights)
     score = (
-        F.lit(w[0]) * log_tok
-        + F.lit(w[1]) * mean_wl
-        + F.lit(w[2]) * dup_bi
-        + F.lit(w[3]) * p_ratio
-        + F.lit(w[4]) * sw_ratio
+        F.lit(w[0]) * F.col("__f_lt")
+        + F.lit(w[1]) * F.col("__f_wl")
+        + F.lit(w[2]) * F.col("__f_db")
+        + F.lit(w[3]) * F.col("__f_pr")
+        + F.lit(w[4]) * F.col("__f_sw")
         + F.lit(w[5])
     )
-    return df.select(
+    return scal.select(
         F.col(id_col),
-        F.round(log_tok, 6).alias("f_log_tokens"),
-        F.round(mean_wl, 6).alias("f_mean_word_len"),
-        F.round(dup_bi, 6).alias("f_dup_bigram"),
-        F.round(p_ratio, 6).alias("f_punct"),
-        F.round(sw_ratio, 6).alias("f_stopword"),
+        F.round(F.col("__f_lt"), 6).alias("f_log_tokens"),
+        F.round(F.col("__f_wl"), 6).alias("f_mean_word_len"),
+        F.round(F.col("__f_db"), 6).alias("f_dup_bigram"),
+        F.round(F.col("__f_pr"), 6).alias("f_punct"),
+        F.round(F.col("__f_sw"), 6).alias("f_stopword"),
         F.round(score, 6).alias("score"),
     )
 
@@ -969,9 +1130,18 @@ def bigram_logprob_score(
     and AQE broadcasts it).
     """
     per_doc = (
+        # lower + tokenize into attributes before the bigram lambda
+        # (r10, see word_ngrams_of) — values identical, O(len) per row
         df.select(
             F.col(id_col).alias("id"),
-            F.explode(word_ngrams(F.lower(F.col(text_col)), 2)).alias("bg"),
+            F.lower(F.col(text_col)).alias("__lt"),
+        )
+        .select("id", "__lt", tokens(F.col("__lt")).alias("__toks"))
+        .select(
+            "id",
+            F.explode(
+                word_ngrams_of(F.col("__lt"), F.col("__toks"), 2)
+            ).alias("bg"),
         )
         .groupBy("id", "bg")
         .agg(F.count("*").alias("n"))

@@ -701,13 +701,41 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
     # single-file input → one split; spread the regex/md5-heavy row work
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     t = F.col("text")
-    return docs.select(
+    # tokenize/lower ONCE into attributes (r10): the fused single
+    # projection re-evaluated the regex splits per stat reference and,
+    # inside lambdas, per element — values identical, O(len) per row
+    toks, ltoks, lt = F.col("__toks"), F.col("__ltoks"), F.col("__lt")
+    pre = docs.select(
         "doc_id",
-        T.token_count(t).cast("bigint").alias("n_tokens"),
+        t,
+        T.tokens(t).alias("__toks"),
+        T.tokens(F.lower(t)).alias("__ltoks"),
+        F.lower(t).alias("__lt"),
+    )
+    scored = pre.select(
+        "doc_id",
+        "text",
+        "__toks",
+        "__ltoks",
+        "__lt",
+        *[
+            s.alias(f"__s_{code}")
+            for code, s in T.lang_scores_of(ltoks)
+        ],
+    )
+    lang = T.lang_guess_from_scores(
+        [(code, F.col(f"__s_{code}")) for code in sorted(T.LANG_STOPWORDS)]
+    )
+    return scored.select(
+        "doc_id",
+        F.when(F.trim(t) == "", F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("bigint")
+        .alias("n_tokens"),
         T.punct_ratio(t).alias("punct_ratio"),
-        T.stopword_ratio(t).alias("stopword_ratio"),
-        T.lang_guess(t).alias("lang_guess"),
-        T.fingerprint(t).alias("fingerprint"),
+        T.stopword_ratio_of(ltoks).alias("stopword_ratio"),
+        lang.alias("lang_guess"),
+        T.fingerprint_of(lt).alias("fingerprint"),
     )
 
 
@@ -735,9 +763,19 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q25(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    q3 = (T.quality_score(F.col("text")) * 3).cast("int")
+    t = F.col("text")
+    # tokenize once into attributes (r10, see q24) — values identical
+    pre = docs.select(
+        "source",
+        t,
+        T.tokens(t).alias("__toks"),
+        T.tokens(F.lower(t)).alias("__ltoks"),
+    )
+    q3 = (
+        T.quality_score_of(t, F.col("__toks"), F.col("__ltoks")) * 3
+    ).cast("int")
     return (
-        docs.select("source", q3.alias("q3"))
+        pre.select("source", q3.alias("q3"))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -5425,9 +5463,21 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
     of ONE documents scan (scan count pinned in test_plan_audit);
     integer counts fold map-side."""
     docs = load_table(spark, sf, "documents")
-    q3 = (T.quality_score(F.col("text")) * 3).cast("int")
-    scored = docs.select(
-        T.token_count(F.col("text")).alias("n_tok"), q3.alias("q3")
+    t = F.col("text")
+    # tokenize once into attributes (r10, see q24) — values identical
+    pre = docs.select(
+        t,
+        T.tokens(t).alias("__toks"),
+        T.tokens(F.lower(t)).alias("__ltoks"),
+    )
+    q3 = (
+        T.quality_score_of(t, F.col("__toks"), F.col("__ltoks")) * 3
+    ).cast("int")
+    scored = pre.select(
+        F.when(F.trim(t) == "", F.lit(0))
+        .otherwise(F.size(F.col("__toks")))
+        .alias("n_tok"),
+        q3.alias("q3"),
     )
     levels = spark.range(4).select(F.col("id").cast("int").alias("min_q3"))
     return (
@@ -8880,13 +8930,19 @@ def q163(spark: SparkSession, sf: str) -> DataFrame:
     passage detection (q73).  Scale shape: explode → per-gram MIN
     aggregation (map-side combine) → one join back on the gram —
     both shuffles carry (gram, doc_id) pairs, never text."""
-    from graphdb_neo4j_spark.operators.text import word_ngrams
+    from graphdb_neo4j_spark.operators.text import tokens, word_ngrams_of
 
     d = load_table(spark, sf, "documents")
+    # tokens hoisted to an attribute before the n-gram lambda (r10,
+    # see word_ngrams_of) — values identical, O(len) per row
     grams = d.select(
+        "doc_id", "text", tokens(F.col("text")).alias("__toks")
+    ).select(
         "doc_id",
         F.explode(
-            F.array_distinct(word_ngrams(F.col("text"), 3))
+            F.array_distinct(
+                word_ngrams_of(F.col("text"), F.col("__toks"), 3)
+            )
         ).alias("g"),
     )
     first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
