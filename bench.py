@@ -195,6 +195,26 @@ def main() -> None:
     for t in TABLE_NAMES:
         load_table(spark, SF_DIR, t).count()
 
+    # Python-worker warm-up (r10, same uncounted-fixed-cost class as the
+    # footer caches): the first Arrow mapInPandas query otherwise pays
+    # the one-per-core daemon fork + numpy/pandas import storm inside
+    # its cold measurement (~200s of summed task wait at local[32]) —
+    # interpreter startup, not engine work.  One trivial batch per core
+    # runs it here; spark.python.worker.reuse (default) keeps the
+    # workers alive for every measured query.
+    def _noop_batches(batches):
+        import numpy as _np  # noqa: F401 — force the heavy import here
+
+        for b in batches:
+            yield b
+
+    (
+        spark.range(spark.sparkContext.defaultParallelism * 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_noop_batches, schema="id long")
+        .write.format("noop").mode("overwrite").save()
+    )
+
     clock = ExecClock(spark)
 
     def measure(names, wall_out, exec_out):

@@ -696,25 +696,47 @@ def simhash_signatures(
     if impl != "relational":
         raise ValueError(f"unknown impl {impl!r}")
     spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # md5 → ONE 64-bit integer per token row BEFORE the aggregate (r10):
+    # the previous form re-derived nibble/bit values from the md5 hex
+    # string inside each of the 64 vote aggregates, re-hashing the token
+    # per aggregate expression; materializing the packed bigint makes
+    # every vote update a shift-and-add.  Two 32-bit conv halves avoid
+    # the ANSI string→bigint overflow a full 16-hex-digit conv would
+    # risk; shiftLeft wraps bitwise (no overflow check), giving the
+    # exact two's-complement bit pattern of the digest's first 8 bytes.
     toks = spread.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
+    ).select(
+        "id", F.md5(F.col("t")).alias("h")
+    ).select(
+        "id",
+        F.shiftleft(
+            F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("bigint"), 32
+        ).bitwiseOR(
+            F.conv(F.substring(F.col("h"), 9, 8), 16, 10).cast("bigint")
+        ).alias("hv"),
     )
     hexdigits = "0123456789abcdef"
-    h = F.md5(F.col("t"))
-    vote_aggs = []
+    # bit (pos, b) of the hex form = bit (16-pos)*4 + b of the bigint;
+    # vote = Σ±1 = 2·Σbit − n, sign preserved exactly
+    vote_aggs = [F.count(F.lit(1)).alias("n")]
     for pos in range(1, 17):  # 16 md5 nibbles = 64 bits
-        nib = F.instr(F.lit(hexdigits), F.substring(h, pos, 1)) - F.lit(1)
         for bit in range(4):
-            is_set = F.shiftright(nib, bit).bitwiseAND(F.lit(1)) == 1
+            k = (16 - pos) * 4 + bit
             vote_aggs.append(
-                F.sum(F.when(is_set, 1).otherwise(-1)).alias(f"v{pos}_{bit}")
+                F.sum(
+                    F.shiftright(F.col("hv"), k).bitwiseAND(F.lit(1))
+                ).alias(f"c{pos}_{bit}")
             )
     votes = toks.groupBy("id").agg(*vote_aggs)
     nibble_cols = []
     for pos in range(1, 17):
         bits = [
-            F.when(F.col(f"v{pos}_{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+            F.when(
+                F.lit(2) * F.col(f"c{pos}_{bit}") > F.col("n"),
+                F.lit(1 << bit),
+            ).otherwise(F.lit(0))
             for bit in range(4)
         ]
         nibble_val = bits[0] + bits[1] + bits[2] + bits[3]
@@ -829,6 +851,16 @@ def embedding_neardup_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+    # exact-cosine verify is CPU-bound (an interpreted 64-element fold
+    # per pair) while the candidate rows are a few BYTES each — AQE's
+    # byte-based partition coalescing collapses the post-distinct
+    # exchange to one task and serializes the whole verify (measured:
+    # a single 14s-CPU task at sf0.1).  Re-spread candidates by pair id
+    # before attaching vectors so the verify keeps the session's
+    # parallelism; the exchange moves only (id_a, id_b) pairs.
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
     )
     normed = normed.persist()  # read twice by the verify joins below
     na = normed.select(F.col("id").alias("id_a"), F.col("vn").alias("va"))

@@ -33,6 +33,52 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _block_pairs(
+    proj: DataFrame, i: int, max_dist: int, max_block: int | None
+) -> DataFrame:
+    """Length-filtered candidate pairs co-blocked under key ``__bk{i}``
+    of the shared projection — the lazy per-key join fragment of
+    :func:`candidate_pairs` (extracted so the plan shape is testable).
+    """
+    keyed = proj.select(
+        F.col(f"__bk{i}").alias("bkey"), "rid", "name"
+    ).filter(F.col("bkey").isNotNull())
+    if max_block is not None:
+        sizes = keyed.groupBy("bkey").agg(F.count("*").alias("bn"))
+        keyed = keyed.join(
+            sizes.filter(F.col("bn") <= int(max_block)).select("bkey"),
+            "bkey",
+        )
+    # pin block-level parallelism (r10): block keys are few and the
+    # keyed rows are tiny, so AQE's byte-based coalescing collapses
+    # the join input to ONE partition — and the block self-join's
+    # quadratic fan-out plus the per-pair levenshtein then run in a
+    # single task (measured: one 5s-CPU task at sf0.1; spreading it
+    # cut q172's warm wall 6.9s → 3.9s).  An explicit user partition
+    # count is exempt from AQE coalescing; the exchange moves only
+    # (bkey, rid, name) rows, and the two join legs reuse it
+    # (ReuseExchange).
+    keyed = keyed.repartition(
+        proj.sparkSession.sparkContext.defaultParallelism, "bkey"
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return a.join(
+        b,
+        (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.rid") < F.col("b.rid"))
+        & (
+            F.abs(F.length(F.col("a.name")) - F.length(F.col("b.name")))
+            <= int(max_dist)
+        ),
+    ).select(
+        F.col("a.rid").alias("id_a"),
+        F.col("b.rid").alias("id_b"),
+        F.col("a.name").alias("name_a"),
+        F.col("b.name").alias("name_b"),
+    )
+
+
 def candidate_pairs(
     records: DataFrame,
     id_col: str,
@@ -76,31 +122,7 @@ def candidate_pairs(
 
     all_pairs = None
     for i in range(len(kcols)):
-        keyed = proj.select(
-            F.col(f"__bk{i}").alias("bkey"), "rid", "name"
-        ).filter(F.col("bkey").isNotNull())
-        if max_block is not None:
-            sizes = keyed.groupBy("bkey").agg(F.count("*").alias("bn"))
-            keyed = keyed.join(
-                sizes.filter(F.col("bn") <= int(max_block)).select("bkey"),
-                "bkey",
-            )
-        a = keyed.alias("a")
-        b = keyed.alias("b")
-        pairs = a.join(
-            b,
-            (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.rid") < F.col("b.rid"))
-            & (
-                F.abs(F.length(F.col("a.name")) - F.length(F.col("b.name")))
-                <= int(max_dist)
-            ),
-        ).select(
-            F.col("a.rid").alias("id_a"),
-            F.col("b.rid").alias("id_b"),
-            F.col("a.name").alias("name_a"),
-            F.col("b.name").alias("name_b"),
-        )
+        pairs = _block_pairs(proj, i, max_dist, max_block)
         all_pairs = pairs if all_pairs is None else all_pairs.unionByName(pairs)
 
     verified = (

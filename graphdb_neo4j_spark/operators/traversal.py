@@ -2507,6 +2507,7 @@ def hits(
 def louvain_one_level(
     edges: DataFrame,
     max_iter: int = 8,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """One level of Louvain community detection (Blondel et al. 2008)
     by distributed local moving — returns ``(v, community)``.
@@ -2542,12 +2543,25 @@ def louvain_one_level(
         _as_undirected(edges.select("src", "dst"))
         .filter(F.col("src") != F.col("dst"))
         .repartition(n_shuffle, "dst")
-        .groupBy("dst", "src")
-        .agg(F.lit(1).cast("bigint").alias("w"))
-        .select("src", "dst", "w")
-        .sortWithinPartitions("dst")
-        .persist()
     )
+    if edges_distinct:
+        # caller promises DISTINCT undirected pairs (e.g. a support-
+        # aggregated co-occurrence table: one row per (src<dst) pair),
+        # so both orientations are distinct by construction and the
+        # dedup aggregate below would be an identity hash-agg over 2|E|
+        # groups — pure CPU with zero effect (r10: it was ~2/3 of the
+        # one-off edge-build exec on the copurchase graph).  Emit w=1
+        # directly; the repartition still pins hashpartitioning(dst).
+        und = und.select(
+            "src", "dst", F.lit(1).cast("bigint").alias("w")
+        )
+    else:
+        und = (
+            und.groupBy("dst", "src")
+            .agg(F.lit(1).cast("bigint").alias("w"))
+            .select("src", "dst", "w")
+        )
+    und = und.sortWithinPartitions("dst").persist()
     # no eager count: the kernel's first aggregate (ideg) materializes
     # the cache as a side effect of a job it runs anyway
     asg = _louvain_local_moving(und, None, max_iter)

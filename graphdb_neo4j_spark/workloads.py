@@ -6276,10 +6276,12 @@ def g70(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_louvain.py)."""
     from graphdb_neo4j_spark.operators.traversal import louvain_one_level
 
-    # louvain_one_level dedups edges internally (unweighted
-    # projection) — the aggregated frame's pairs are identical input
+    # the support-aggregated cache is one row per distinct (src<dst)
+    # pair, so the kernel's internal dedup aggregate is an identity —
+    # edges_distinct=True skips it (bit-identical assignment, pinned
+    # in tests/test_louvain.py)
     pairs = _copurchase_edges(spark, sf).select("src", "dst")
-    asg = louvain_one_level(pairs, max_iter=4)
+    asg = louvain_one_level(pairs, max_iter=4, edges_distinct=True)
     return (
         asg.groupBy("community")
         .agg(F.count(F.lit(1)).cast("bigint").alias("size"))

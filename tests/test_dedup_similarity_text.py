@@ -1187,3 +1187,23 @@ def test_hamming_neardup_clusters_chain_closure(spark):
         "3": ("1", False),
         "9": ("9", True),
     }
+
+
+def test_embedding_lsh_verify_keeps_parallelism(spark):
+    """The exact-cosine verify after LSH candidate generation is
+    CPU-bound per pair while candidate rows are tiny, so the r10
+    explicit pair-key repartition must sit between the candidate
+    distinct and the vector-attach joins (AQE's byte-based coalescing
+    had serialized a measured 14s-CPU verify into one task)."""
+    from graphdb_neo4j_spark.operators.dedup import embedding_neardup_pairs
+    from graphdb_neo4j_spark.plans.audit import explain_str
+
+    rows = [
+        (i, [float((i * 7 + d * 3) % 13) - 6.0 for d in range(64)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = embedding_neardup_pairs(df, threshold=0.0)
+    plan = explain_str(out)
+    npart = spark.sparkContext.defaultParallelism
+    assert f"hashpartitioning(id_a" in plan and f", {npart})" in plan, plan

@@ -118,3 +118,35 @@ def test_max_block_guard_drops_giant_block(spark):
         df, "rid", "name", ["country"], max_dist=1, max_block=10
     )
     assert res.filter(F.col("rid") != F.col("entity_id")).count() == 0
+
+
+def test_candidate_pairs_block_join_keeps_parallelism(spark):
+    """The block self-join must run at the session's parallelism, not
+    the AQE-coalesced byte count: the keyed frame is tiny but the
+    quadratic fan-out + per-pair levenshtein is CPU-bound, so the r10
+    explicit repartition pins a user-count exchange on the block key
+    (AQE never coalesces a user-specified partition count)."""
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.operators.entity import _block_pairs, candidate_pairs
+    from graphdb_neo4j_spark.plans.audit import explain_str
+
+    rows = [(i, f"name{i % 7}x", f"b{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["rid_in", "nm", "blk"])
+    proj = df.select(
+        F.col("rid_in").alias("rid"),
+        F.col("nm").alias("name"),
+        F.col("blk").alias("__bk0"),
+    )
+    plan = explain_str(_block_pairs(proj, 0, 2, 10_000))
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    # the user-count exchange on the block key (AQE never coalesces a
+    # user-specified partition count) must sit under the self-join
+    assert f"hashpartitioning(bkey" in plan and f", {npart})" in plan, plan
+    # and the operator end-to-end still yields the verified pair set
+    pairs, handle = candidate_pairs(df, "rid_in", "nm", ["blk"], max_dist=2)
+    try:
+        got = pairs.collect()
+        assert got and all(r.dist <= 2 for r in got)
+    finally:
+        handle.release()

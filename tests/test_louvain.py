@@ -133,3 +133,28 @@ def test_louvain_weighted_edges(spark):
     assert asg["a"] == asg["b"]
     assert asg["c"] == asg["d"]
     assert asg["a"] != asg["c"]
+
+
+def test_louvain_edges_distinct_fast_path_identical(spark):
+    """edges_distinct=True (the r10 fast path skipping the internal
+    dedup aggregate) must produce the bit-identical assignment when
+    the input really is one row per distinct undirected pair."""
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.operators.traversal import louvain_one_level
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"),           # triangle
+        ("d", "e"), ("d", "f"), ("e", "f"),           # triangle
+        ("c", "d"),                                   # bridge
+        ("g", "h"),                                   # isolated pair
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    slow = louvain_one_level(df, max_iter=6, edges_distinct=False)
+    fast = louvain_one_level(df, max_iter=6, edges_distinct=True)
+    diff = (
+        slow.alias("a")
+        .join(fast.alias("b"), "v", "full")
+        .filter(F.expr("a.community IS DISTINCT FROM b.community"))
+    )
+    assert diff.count() == 0
