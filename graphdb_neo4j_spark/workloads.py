@@ -9141,21 +9141,32 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
     shuffle is the wedge self-join keyed on the shared neighbor;
     degree joins are node-sized; the top-50 is a TakeOrdered."""
     from graphdb_neo4j_spark.operators.linkpred import link_prediction_scores
+    from graphdb_neo4j_spark.operators.order import checkpoint_eager
 
     # the cached edges already carry src < dst and the per-pair order
-    # count as support, so the market-basket prune is a filter
-    pairs = (
+    # count as support, so the market-basket prune is a filter.  The
+    # thresholded edge set is TINY (~4k rows at sf0.1 vs the 1.2M-row
+    # cache) but the wedge pipeline reads it from ~10 distinct subtrees
+    # (adj ×2, deg, centers ×2, anti-join, deg_u/deg_v …) — each one
+    # re-scanning and re-filtering the full cache (r10 profile: ~2/3 of
+    # q166's exec).  Freeze it once (q70/q224 handle contract), run the
+    # scores off the 4k-row frame, eager-freeze the 50-row result and
+    # release the edge blocks before returning.
+    pairs, handle = checkpoint_eager(
         _copurchase_edges(spark, sf)
         .filter(F.col("support") >= 2)
         .select("src", "dst")
     )
-    return (
+    out = (
         link_prediction_scores(pairs)
         .orderBy(
             F.col("ra_micro").desc(), F.col("cn").desc(), "u", "v"
         )
         .limit(50)
+        .localCheckpoint(eager=True)
     )
+    handle.release()
+    return out
 
 
 _PHRASE = ["slow", "hash", "batch"]
