@@ -684,11 +684,39 @@ def test_q161_curriculum_no_single_partition(spark):
 
 def test_q166_linkpred_no_cartesian_takeordered(spark):
     """Wedge join and degree joins are all equi-joins; the top-50 is a
-    TakeOrdered, never a global sort."""
+    TakeOrdered, never a global sort.
+
+    r10: the query itself now freezes the support-pruned edge set and
+    eager-materializes the 50-row result (releasing the edge blocks
+    in-query), so its RETURNED plan is a LogicalRDD scan — assert that
+    contract, and audit the join/top-k shape on the same lazy scores
+    pipeline the query builds internally."""
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.operators.linkpred import link_prediction_scores
+    from graphdb_neo4j_spark.operators.order import checkpoint_eager
+    from graphdb_neo4j_spark.workloads import _copurchase_edges
+
     df = QUERY_FNS["q166_link_prediction_copurchase"](spark, SF)
-    plan = explain_str(df)
-    assert "CartesianProduct" not in plan, plan
-    assert "TakeOrderedAndProject" in plan, plan
+    assert "ExistingRDD" in explain_str(df)  # frozen 50-row result
+    assert df.count() <= 50
+
+    pairs, handle = checkpoint_eager(
+        _copurchase_edges(spark, SF)
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    try:
+        scores = (
+            link_prediction_scores(pairs)
+            .orderBy(F.col("ra_micro").desc(), F.col("cn").desc(), "u", "v")
+            .limit(50)
+        )
+        plan = explain_str(scores)
+        assert "CartesianProduct" not in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+    finally:
+        handle.release()
 
 
 def test_q167_phrase_filters_below_joins(spark):
