@@ -265,7 +265,10 @@ def main() -> None:
     # TOUCHER's exec_ms — g70 in the graph tier, q166 in the audit
     # tier — making cross-round exec deltas unattributable).  The
     # build is reported as its own metric, counted in no tier total.
-    from graphdb_neo4j_spark.workloads import _copurchase_edges
+    from graphdb_neo4j_spark.workloads import (
+        _copurchase_edges,
+        _copurchase_louvain_und,
+    )
 
     clock.delta()
     t0 = time.perf_counter()
@@ -274,6 +277,16 @@ def main() -> None:
     cb_exec, _ = clock.delta()
     if cb_exec is not None:
         cache_build["copurchase_exec_ms"] = cb_exec
+    # r11: the Louvain per-round edge layout (undirected + dst-
+    # partitioned + sorted) is loop-invariant and now lives with the
+    # cache, not inside every louvain call — build it here, reported
+    # as its own cache_build metric like the support cache above
+    t0 = time.perf_counter()
+    _copurchase_louvain_und(spark, SF_DIR).count()
+    cache_build["louvain_und_s"] = round(time.perf_counter() - t0, 3)
+    cb_exec, _ = clock.delta()
+    if cb_exec is not None:
+        cache_build["louvain_und_exec_ms"] = cb_exec
     measure(GRAPH_QUERIES, graph, graph_exec)
 
     # audit tier (r4): link prediction, entity resolution, corpus

@@ -2504,10 +2504,58 @@ def hits(
     )
 
 
+def louvain_undirected_edges(
+    edges: DataFrame,
+    edges_distinct: bool = False,
+) -> DataFrame:
+    """The undirected weighted ``(src, dst, w)`` frame
+    :func:`louvain_one_level` consumes, in the per-round join layout:
+    both orientations, self-loops dropped, hash-partitioned on ``dst``
+    (``spark.sql.shuffle.partitions``) — exactly what the kernel built
+    internally before r11.  Exposed so a caller that runs Louvain over
+    a long-lived edge cache can pay the 2|E| repartition+sort+encode
+    ONCE (e.g. at cache-build time) and pass the persisted result back
+    with ``prepartitioned=True``; the caller owns ``persist()`` /
+    ``unpersist()`` and must apply ``sortWithinPartitions("dst")``
+    implicitly via this function's output (it is the terminal op here,
+    so persisting the returned frame captures the layout metadata).
+
+    ``edges_distinct=True``: caller promises DISTINCT undirected pairs
+    (e.g. a support-aggregated co-occurrence table: one row per
+    (src<dst) pair), so both orientations are distinct by construction
+    and the dedup aggregate would be an identity hash-agg over 2|E|
+    groups (r10: ~2/3 of the one-off edge-build exec on the copurchase
+    graph).  Emit ``w=1`` directly; the repartition still pins
+    hashpartitioning(dst)."""
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    und = (
+        _as_undirected(edges.select("src", "dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .repartition(n_shuffle, "dst")
+    )
+    if edges_distinct:
+        und = und.select(
+            "src", "dst", F.lit(1).cast("bigint").alias("w")
+        )
+    else:
+        # repartition on dst FIRST: hashpartitioning(dst) satisfies the
+        # dedup groupBy's (dst, src) clustering (subset rule), so the
+        # dedup reuses the exchange — one 2|E| shuffle total
+        und = (
+            und.groupBy("dst", "src")
+            .agg(F.lit(1).cast("bigint").alias("w"))
+            .select("src", "dst", "w")
+        )
+    return und.sortWithinPartitions("dst")
+
+
 def louvain_one_level(
     edges: DataFrame,
     max_iter: int = 8,
     edges_distinct: bool = False,
+    prepartitioned: bool = False,
 ) -> DataFrame:
     """One level of Louvain community detection (Blondel et al. 2008)
     by distributed local moving — returns ``(v, community)``.
@@ -2530,38 +2578,21 @@ def louvain_one_level(
     round (iterative-operator discipline; swap for checkpoint() on a
     cluster).
     """
-    # repartition on dst FIRST: hashpartitioning(dst) satisfies the
-    # dedup groupBy's (dst, src) clustering (subset rule), so the
-    # dedup reuses the exchange and the CACHE lands already in the
-    # per-round join layout — one 2|E| shuffle total, and (unlike a
-    # checkpoint) the cache's partitioning/ordering metadata stays
-    # visible to every round's plan (partitioned_cache)
-    n_shuffle = int(
-        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
-    und = (
-        _as_undirected(edges.select("src", "dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .repartition(n_shuffle, "dst")
-    )
-    if edges_distinct:
-        # caller promises DISTINCT undirected pairs (e.g. a support-
-        # aggregated co-occurrence table: one row per (src<dst) pair),
-        # so both orientations are distinct by construction and the
-        # dedup aggregate below would be an identity hash-agg over 2|E|
-        # groups — pure CPU with zero effect (r10: it was ~2/3 of the
-        # one-off edge-build exec on the copurchase graph).  Emit w=1
-        # directly; the repartition still pins hashpartitioning(dst).
-        und = und.select(
-            "src", "dst", F.lit(1).cast("bigint").alias("w")
-        )
-    else:
-        und = (
-            und.groupBy("dst", "src")
-            .agg(F.lit(1).cast("bigint").alias("w"))
-            .select("src", "dst", "w")
-        )
-    und = und.sortWithinPartitions("dst").persist()
+    if prepartitioned:
+        # ``edges`` IS the undirected weighted frame in the per-round
+        # layout (the output of :func:`louvain_undirected_edges`,
+        # persisted by the caller so its InMemoryRelation keeps the
+        # partitioning/ordering metadata visible to every round's
+        # plan).  Caller owns the cache lifecycle — do NOT unpersist:
+        # a long-lived edge cache outlives one call (r11, the g70
+        # per-call 2|E| repartition+sort+encode moved to cache-build).
+        asg = _louvain_local_moving(edges, None, max_iter)
+        return asg.select("v", F.col("c").alias("community"))
+    # the CACHE lands already in the per-round join layout — one 2|E|
+    # shuffle total, and (unlike a checkpoint) the cache's
+    # partitioning/ordering metadata stays visible to every round's
+    # plan (partitioned_cache)
+    und = louvain_undirected_edges(edges, edges_distinct).persist()
     # no eager count: the kernel's first aggregate (ideg) materializes
     # the cache as a side effect of a job it runs anyway
     asg = _louvain_local_moving(und, None, max_iter)

@@ -1345,6 +1345,26 @@ def _copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
     return _graph_cache[key]
 
 
+def _copurchase_louvain_und(spark: SparkSession, sf: str) -> DataFrame:
+    """The copurchase graph in Louvain's per-round join layout —
+    ``(src, dst, w)`` both orientations, hash-partitioned + sorted on
+    ``dst`` — built ONCE per sf and persisted, like the support cache
+    it derives from (r11: the per-call 2|E| repartition+sort+cache
+    encode was ~2/3 of g70's exec; the layout is loop-invariant, so it
+    belongs with the cache build, not inside every query call)."""
+    key = ("copurchase_louvain_und", sf)
+    if key not in _graph_cache:
+        from graphdb_neo4j_spark.operators.traversal import (
+            louvain_undirected_edges,
+        )
+
+        _graph_cache[key] = louvain_undirected_edges(
+            _copurchase_edges(spark, sf).select("src", "dst"),
+            edges_distinct=True,
+        ).persist()
+    return _graph_cache[key]
+
+
 def _corpus_graph(spark: SparkSession):
     if "g" not in _graph_cache:
         import os
@@ -6276,12 +6296,14 @@ def g70(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_louvain.py)."""
     from graphdb_neo4j_spark.operators.traversal import louvain_one_level
 
-    # the support-aggregated cache is one row per distinct (src<dst)
-    # pair, so the kernel's internal dedup aggregate is an identity —
-    # edges_distinct=True skips it (bit-identical assignment, pinned
-    # in tests/test_louvain.py)
-    pairs = _copurchase_edges(spark, sf).select("src", "dst")
-    asg = louvain_one_level(pairs, max_iter=4, edges_distinct=True)
+    # the undirected per-round edge layout is loop-invariant and shared
+    # with every future Louvain call on this sf: built once in
+    # _copurchase_louvain_und (support-aggregated cache is one row per
+    # distinct (src<dst) pair → edges_distinct fast path), persisted,
+    # and passed prepartitioned (bit-identical assignment pinned in
+    # tests/test_louvain.py)
+    und = _copurchase_louvain_und(spark, sf)
+    asg = louvain_one_level(und, max_iter=4, prepartitioned=True)
     return (
         asg.groupBy("community")
         .agg(F.count(F.lit(1)).cast("bigint").alias("size"))

@@ -158,3 +158,39 @@ def test_louvain_edges_distinct_fast_path_identical(spark):
         .filter(F.expr("a.community IS DISTINCT FROM b.community"))
     )
     assert diff.count() == 0
+
+
+def test_louvain_prepartitioned_identical(spark):
+    """louvain_one_level(prepartitioned=True) over a caller-persisted
+    louvain_undirected_edges frame (the r11 g70 path: the loop-invariant
+    edge layout built once at cache time) must produce the bit-identical
+    assignment to the internal build, and must NOT unpersist the
+    caller's cache."""
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.operators.traversal import (
+        louvain_one_level,
+        louvain_undirected_edges,
+    )
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"),
+        ("d", "e"), ("d", "f"), ("e", "f"),
+        ("c", "d"),
+        ("g", "h"),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    base = louvain_one_level(df, max_iter=6, edges_distinct=True)
+    und = louvain_undirected_edges(df, edges_distinct=True).persist()
+    try:
+        pre = louvain_one_level(und, max_iter=6, prepartitioned=True)
+        diff = (
+            base.alias("a")
+            .join(pre.alias("b"), "v", "full")
+            .filter(F.expr("a.community IS DISTINCT FROM b.community"))
+        )
+        assert diff.count() == 0
+        # the kernel must leave the caller's cache pinned
+        assert und.storageLevel.useMemory or und.storageLevel.useDisk
+    finally:
+        und.unpersist()

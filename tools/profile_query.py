@@ -55,7 +55,11 @@ def main() -> int:
         with urllib.request.urlopen(ep, timeout=10) as r:
             return json.load(r)
 
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r10"
+    plans_dir = (
+        Path(__file__).resolve().parent.parent
+        / "plans"
+        / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11")
+    )
     plans_dir.mkdir(parents=True, exist_ok=True)
 
     # warm the input tables (not counted)
