@@ -631,6 +631,7 @@ def quality_filter(
     max_dup_bigram_ratio: float = 0.30,
     max_punct_ratio: float = 0.50,
     min_stopword_hits: int = 2,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Composite Gopher/C4-style document quality gate:
     ``(doc_id, n_tokens, mean_word_len, dup_bigram_ratio, stop_hits,
@@ -665,8 +666,18 @@ def quality_filter(
     sf0.1.  Values are bit-identical; CollapseProject keeps the stages
     apart because the hoisted columns are non-cheap and multiply
     referenced.
+
+    ``keep_cols`` (r11): extra input columns carried through the chain
+    and appended to the output — lets a pipeline attach the verdict to
+    the text (or audit columns) WITHOUT an id self-join of two full-
+    text frames (the old ``docs.join(quality_filter(docs), id)`` in
+    pipeline.curate shuffled the corpus text a second time just to
+    re-attach it).  ``text_col`` itself is allowed in ``keep_cols`` and
+    re-emitted from the already-carried attribute, not recomputed.
     """
     t = F.col(text_col)
+    keep = [c for c in (keep_cols or []) if c != text_col]
+    keep_text = keep_cols is not None and text_col in keep_cols
     sw = LANG_STOPWORDS["en"]
     toks = F.col("__qf_toks")
     bigrams = F.col("__qf_bi")
@@ -674,6 +685,7 @@ def quality_filter(
     # from the token ATTRIBUTE (lambda sees an attribute, not a split)
     pre = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         t.alias("__qf_t"),
         tokens(t).alias("__qf_toks"),
         tokens(F.lower(t)).alias("__qf_ltoks"),
@@ -681,6 +693,7 @@ def quality_filter(
     tt = F.col("__qf_t")
     mid = pre.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         "__qf_t",
         "__qf_toks",
         "__qf_ltoks",
@@ -690,6 +703,8 @@ def quality_filter(
     n_tok = F.when(F.trim(tt) == "", F.lit(0)).otherwise(F.size(toks))
     scal = mid.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
+        *([tt.alias("__qf_t")] if keep_text else []),
         n_tok.alias("__n_tok"),
         F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).alias(
             "__char_sum"
@@ -737,6 +752,8 @@ def quality_filter(
             (flag_short + flag_word_len + flag_repeat + flag_punct + flag_stopword)
             == 0
         ).cast("int").alias("passed"),
+        *[F.col(c) for c in keep],
+        *([F.col("__qf_t").alias(text_col)] if keep_text else []),
     )
 
 

@@ -159,6 +159,27 @@ def curate(
         raise
 
 
+def quality_base(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra: list[str] | None = None,
+) -> DataFrame:
+    """The pipeline's single pre-pin stage frame: quality verdict +
+    the text column (+ ``extra`` audit columns) in ONE projection
+    chain — no id self-join re-attaching text to the verdict.  Shared
+    with the plan-audit suite so the scrub-runs-once / no-join
+    assertions cover the production code path."""
+    from graphdb_neo4j_spark.operators.text import quality_filter
+
+    extra = list(extra or [])
+    return quality_filter(
+        docs, id_col=id_col, text_col=text_col,
+        keep_cols=[text_col] + extra,
+    ).select(id_col, text_col, "n_tokens", "passed", *extra)
+
+
 def _curate_build(
     docs, eval_docs, *, pii, neardup, seq_budget, split_weights,
     split_seed, n_gram, min_shared, neardup_kwargs, id_col, text_col,
@@ -173,34 +194,33 @@ def _curate_build(
     from graphdb_neo4j_spark.operators.text import pii_scrub, quality_filter
 
     pii_counts = None
+    extra: list[str] = []
     if pii:
         # redaction FIRST: every downstream stage (quality stats,
         # dedup hashes, contamination grams) sees the scrubbed text,
         # so documents differing only in redacted PII collapse as the
         # duplicates they are.  Eval docs stay raw (they are the
         # benchmark, not the corpus).  Per-doc match counts ride along
-        # for the audit column.  The scrub is PINNED, not fused into
-        # the quality projection: inlining the 4-regex scrub expression
-        # into every stat subexpression re-evaluates the regexes per
-        # stat and pushes the fused projection past codegen size
-        # limits (measured 2x slower than materialize-then-read).
-        scr = _pin(
-            pii_scrub(docs.select(id_col, text_col), keep_cols=[id_col])
-        )
-        pii_counts = scr.select(
-            id_col,
-            (
-                F.col("n_email")
-                + F.col("n_ssn")
-                + F.col("n_ipv4")
-                + F.col("n_phone")
-            )
-            .cast("bigint")
-            .alias("n_pii"),
-        )
+        # for the audit column.  r11: the scrub is a PROJECTION STAGE
+        # of the single base pin below, not its own pin — the scrubbed
+        # text lands as a materialized attribute that the quality
+        # stages read (the r10 hoist discipline), so the regexes still
+        # run once per row but the pipeline pays one materialization
+        # and one pass over the corpus instead of two.  (The r4-r10
+        # negative result — inlining the scrub expression into every
+        # stat subexpression, 2x slower — was per-STAT re-evaluation;
+        # CollapseProject cannot re-inline a non-cheap multiply-
+        # referenced attribute, asserted by the plan-audit suite.)
+        scr = pii_scrub(docs.select(id_col, text_col), keep_cols=[id_col])
         docs = scr.select(
-            id_col, F.col(f"{text_col}_scrubbed").alias(text_col)
+            id_col,
+            F.col(f"{text_col}_scrubbed").alias(text_col),
+            "n_email",
+            "n_ssn",
+            "n_ipv4",
+            "n_phone",
         )
+        extra = ["n_email", "n_ssn", "n_ipv4", "n_phone"]
 
     def drop_row(df: DataFrame, stage: str) -> DataFrame:
         return df.select(
@@ -211,14 +231,28 @@ def _curate_build(
             F.lit(None).cast("bigint").alias("bin"),
         )
 
-    q = quality_filter(docs, id_col=id_col, text_col=text_col)
-    base = _pin(
-        docs.select(id_col, text_col).join(
-            q.select(id_col, "n_tokens", "passed"), id_col
+    # ONE pinned frame carries text + verdict columns: quality_filter
+    # threads the text (and the scrub audit counts) through its
+    # projection chain (keep_cols), so the old id self-join that
+    # re-attached text to the verdict — a second shuffle and scan of
+    # the full corpus text — is gone (r11, guide §2.3/§2.4).
+    base = _pin(quality_base(docs, id_col=id_col, text_col=text_col, extra=extra))
+    if pii:
+        pii_counts = base.select(
+            id_col,
+            (
+                F.col("n_email")
+                + F.col("n_ssn")
+                + F.col("n_ipv4")
+                + F.col("n_phone")
+            )
+            .cast("bigint")
+            .alias("n_pii"),
         )
-    )
     dropped = [drop_row(base.filter(F.col("passed") == 0), "quality")]
-    s1 = base.filter(F.col("passed") == 1)
+    s1 = base.select(id_col, text_col, "n_tokens", "passed").filter(
+        F.col("passed") == 1
+    )
 
     ed = exact_dedup(s1, text_col=text_col, id_col=id_col)
     s1h = s1.withColumn("_h", F.md5(F.col(text_col)))

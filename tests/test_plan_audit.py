@@ -584,6 +584,39 @@ def test_q154_pipeline_broadcasts_eval_grams_no_cartesian(spark):
     res.release()
 
 
+def test_curate_quality_base_scrubs_once_no_join(spark):
+    """r11: the pipeline's base stage fuses the PII scrub and the
+    quality verdict into ONE projection chain over the scan — the
+    scrub chain must be evaluated exactly once per row (the r4-r10
+    failure mode was per-stat re-evaluation: the <email> sentinel
+    appearing in N subexpressions), the tokenizer split exactly twice
+    (raw + lowered), and no join may re-attach text to the verdict.
+    Runs against the shared production helper (pipeline.quality_base),
+    not a hand-rebuilt copy."""
+    from graphdb_neo4j_spark.operators.text import pii_scrub
+    from graphdb_neo4j_spark.pipeline import quality_base
+
+    docs = spark.createDataFrame(
+        [(1, "reach me at someone@example.com with words enough")],
+        ["doc_id", "text"],
+    )
+    scr = pii_scrub(docs.select("doc_id", "text"), keep_cols=["doc_id"])
+    extra = ["n_email", "n_ssn", "n_ipv4", "n_phone"]
+    fused = quality_base(
+        scr.select(
+            "doc_id", F.col("text_scrubbed").alias("text"), *extra
+        ),
+        id_col="doc_id",
+        text_col="text",
+        extra=extra,
+    )
+    plan = explain_str(fused)
+    assert plan.count("<email>") == 1, plan.count("<email>")
+    assert plan.count("split(") == 2, plan.count("split(")
+    assert "Join" not in plan, "quality_base must not join"
+    assert "Exchange" not in plan, "quality_base must stay shuffle-free"
+
+
 def test_q155_bm25_broadcasts_stats_and_takeordered(spark):
     """BM25: df + corpus stats are broadcast scalars, the top-k is a
     TakeOrdered (no global sort), postings aggregate partial-combines."""
