@@ -29,6 +29,8 @@ long text; use it as the blocker here when names are long strings).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -55,17 +57,55 @@ def _block_pairs(
     # quadratic fan-out plus the per-pair levenshtein then run in a
     # single task (measured: one 5s-CPU task at sf0.1; spreading it
     # cut q172's warm wall 6.9s → 3.9s).  An explicit user partition
-    # count is exempt from AQE coalescing; the exchange moves only
-    # (bkey, rid, name) rows, and the two join legs reuse it
-    # (ReuseExchange).
-    keyed = keyed.repartition(
-        proj.sparkSession.sparkContext.defaultParallelism, "bkey"
-    )
-    a = keyed.alias("a")
-    b = keyed.alias("b")
+    # count is exempt from AQE coalescing.
+    #
+    # r11 (guide §2.5 salting): hashing on bkey alone caps parallelism
+    # at n_blocks and leaves a hot block WHOLE in one task, so when the
+    # block count is below the core count each row also gets a
+    # deterministic sub-bucket u = xxhash64(rid) mod s: the a-leg fans
+    # out over partner buckets j, the b-leg over i, and the join runs
+    # per CELL (bkey, i, j) — a block's quadratic work splits s² ways
+    # and every pair lands in exactly one cell (i = bucket(id_a),
+    # j = bucket(id_b)).  s derives from the MEASURED block count (one
+    # tiny agg over the persisted projection), because the salt is not
+    # free — s× row replication and a second exchange (ReuseExchange
+    # gone); with plentiful blocks it buys nothing (measured at sf0.1:
+    # unconditional s=5 cost +15-50% CPU on q172's 25-block join), so
+    # s stays 1 and the r10 single-exchange plan stands unchanged.
+    np_ = proj.sparkSession.sparkContext.defaultParallelism
+    n_blocks = keyed.select("bkey").distinct().count()
+    s = 1
+    if 0 < n_blocks < np_ // 2:
+        s = min(8, math.isqrt(int(np_) // n_blocks) + 1)
+    if s > 1:
+        bucket = F.pmod(F.xxhash64(F.col("rid")), F.lit(s)).cast("int")
+        fanout = F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+        a_leg = (
+            keyed.withColumn("__ui", bucket)
+            .withColumn("__uj", fanout)
+            .repartition(np_, "bkey", "__ui", "__uj")
+        )
+        b_leg = (
+            keyed.withColumn("__uj", bucket)
+            .withColumn("__ui", fanout)
+            .repartition(np_, "bkey", "__ui", "__uj")
+        )
+        a = a_leg.alias("a")
+        b = b_leg.alias("b")
+        cell = (F.col("a.__ui") == F.col("b.__ui")) & (
+            F.col("a.__uj") == F.col("b.__uj")
+        )
+    else:
+        # the exchange moves only (bkey, rid, name) rows and both join
+        # legs reuse it (ReuseExchange)
+        keyed = keyed.repartition(np_, "bkey")
+        a = keyed.alias("a")
+        b = keyed.alias("b")
+        cell = F.lit(True)
     return a.join(
         b,
         (F.col("a.bkey") == F.col("b.bkey"))
+        & cell
         & (F.col("a.rid") < F.col("b.rid"))
         & (
             F.abs(F.length(F.col("a.name")) - F.length(F.col("b.name")))

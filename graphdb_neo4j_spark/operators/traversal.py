@@ -236,7 +236,16 @@ def bfs(
         nxt = nxt.localCheckpoint()
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        # visited stays a LAZY union of already-checkpointed frontier
+        # frames (r11): every child is frozen, so the anti-join above
+        # scans the same rows either way, and the per-hop re-checkpoint
+        # of the whole visited set — one extra action + full copy per
+        # hop, O(hops·|V|) total writes — is gone (guide §2 fewer
+        # jobs).  Consolidate every 32 hops so an unbounded-depth chain
+        # graph cannot grow the union plan without limit.
+        visited = visited.unionByName(nxt)
+        if hop % 32 == 0:
+            visited = visited.localCheckpoint()
         frontier = nxt
     return visited
 
@@ -549,7 +558,11 @@ def connected_components_twophase(
             .filter(F.col("v") > F.col("src"))
             .select(F.col("v").alias("src"), F.col("m").alias("dst"))
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
+            # no distinct here (r11): the small-star groupBy's
+            # collect_set/min dedup duplicate (src,dst) rows anyway, and
+            # ``small`` keeps its own distinct, so ``e`` stays a SET and
+            # every round (and the convergence signature) is identical —
+            # one full exchange per round removed (guide §2.4)
         )
         # small-star: canonicalize to (hi, lo), hang each lo-neighbor
         # (and hi itself) off the minimum

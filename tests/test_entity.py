@@ -140,9 +140,25 @@ def test_candidate_pairs_block_join_keeps_parallelism(spark):
     )
     plan = explain_str(_block_pairs(proj, 0, 2, 10_000))
     npart = df.sparkSession.sparkContext.defaultParallelism
-    # the user-count exchange on the block key (AQE never coalesces a
-    # user-specified partition count) must sit under the self-join
-    assert f"hashpartitioning(bkey" in plan and f", {npart})" in plan, plan
+    # the user-count exchange must carry the salted CELL key (r11:
+    # bkey + sub-buckets, so one hot block splits s² ways instead of
+    # landing whole in a single task) at the session's parallelism
+    assert "hashpartitioning(bkey" in plan and f", {npart})" in plan, plan
+    assert "__ui" in plan and "__uj" in plan, plan
+    # the salted cells must reproduce the exact unsalted pair set:
+    # every (id_a < id_b) pair lands in exactly one (bucket_a,
+    # bucket_b) cell
+    got_pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in _block_pairs(proj, 0, 2, 10_000).collect()
+    )
+    naive = proj.alias("a").join(
+        proj.alias("b"),
+        (F.col("a.__bk0") == F.col("b.__bk0"))
+        & (F.col("a.rid") < F.col("b.rid"))
+        & (F.abs(F.length(F.col("a.name")) - F.length(F.col("b.name"))) <= 2),
+    ).select(F.col("a.rid").alias("id_a"), F.col("b.rid").alias("id_b"))
+    assert got_pairs == sorted((r.id_a, r.id_b) for r in naive.collect())
     # and the operator end-to-end still yields the verified pair set
     pairs, handle = candidate_pairs(df, "rid_in", "nm", ["blk"], max_dist=2)
     try:
