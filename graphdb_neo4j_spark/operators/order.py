@@ -50,7 +50,9 @@ class CheckpointHandle:
     unpersist = release
 
 
-def checkpoint_eager(df: DataFrame) -> tuple[DataFrame, CheckpointHandle]:
+def checkpoint_eager(
+    df: DataFrame, reliable: bool | None = None
+) -> tuple[DataFrame, CheckpointHandle]:
     """``localCheckpoint(eager=True)`` plus a working release handle.
 
     The checkpointed frame's analyzed plan is a ``LogicalRDD`` wrapping
@@ -62,7 +64,39 @@ def checkpoint_eager(df: DataFrame) -> tuple[DataFrame, CheckpointHandle]:
     force-release — a foreign query's blocks).  The delta capture
     survives only as a fallback for a future Spark whose plan shape
     changes, with its original no-concurrent-persist assumption.
+
+    RECOVERY CONTRACT (r11): ``localCheckpoint`` stores blocks on
+    executor-local storage — fast, but a lost executor (dynamic
+    allocation, preemption, hardware) makes the frozen blocks
+    unrecoverable MID-QUERY and the query fails.  On deployments where
+    that matters, pass ``reliable=True`` — or set
+    ``SPARK_GRAFT_RELIABLE_FREEZE=1`` to flip every call site at once
+    (q166's edge freeze, the curation pack stage, the Hamming-LSH
+    keeper ledgers) — and the freeze becomes an eager RELIABLE
+    ``Dataset.checkpoint`` to the configured checkpoint dir (set a
+    durable FS dir up front on a cluster; a session tempdir is created
+    locally).  Semantics are identical; the handle's ``release()`` is
+    then a no-op because checkpoint files are owned by the session
+    (``spark.cleaner.referenceTracking.cleanCheckpoints=true`` deletes
+    them once the RDD is GC'd).  Local default stays ``localCheckpoint``:
+    at local[n] there is no executor to lose, and the reliable write
+    costs a filesystem round-trip per freeze.
     """
+    if reliable is None:
+        import os
+
+        reliable = (
+            os.environ.get("SPARK_GRAFT_RELIABLE_FREEZE", "0") == "1"
+        )
+    if reliable:
+        from graphdb_neo4j_spark.operators.traversal import (
+            _ensure_checkpoint_dir,
+        )
+
+        _ensure_checkpoint_dir(df.sparkSession)
+        return df.checkpoint(eager=True), CheckpointHandle(
+            df.sparkSession, frozenset()
+        )
     sc = df.sparkSession.sparkContext._jsc.sc()
 
     def _ids() -> set[int]:

@@ -9147,6 +9147,38 @@ def _q166_sql() -> str:
     """
 
 
+def _q166_scores(spark: SparkSession, sf: str):
+    """q166's lazy scores pipeline + the edge-freeze handle — shared
+    with the plan-audit suite (ADVICE r10: the audit previously
+    hand-rebuilt this chain, so a drifting query body would silently
+    keep passing on the stale copy).  Caller owns ``handle.release()``
+    after its final action."""
+    from graphdb_neo4j_spark.operators.linkpred import link_prediction_scores
+    from graphdb_neo4j_spark.operators.order import checkpoint_eager
+
+    # the cached edges already carry src < dst and the per-pair order
+    # count as support, so the market-basket prune is a filter.  The
+    # thresholded edge set is TINY (~4k rows at sf0.1 vs the 1.2M-row
+    # cache) but the wedge pipeline reads it from ~10 distinct subtrees
+    # (adj ×2, deg, centers ×2, anti-join, deg_u/deg_v …) — each one
+    # re-scanning and re-filtering the full cache (r10 profile: ~2/3 of
+    # q166's exec).  Freeze it once (q70/q224 handle contract) and run
+    # the scores off the 4k-row frame.
+    pairs, handle = checkpoint_eager(
+        _copurchase_edges(spark, sf)
+        .filter(F.col("support") >= 2)
+        .select("src", "dst")
+    )
+    scores = (
+        link_prediction_scores(pairs)
+        .orderBy(
+            F.col("ra_micro").desc(), F.col("cn").desc(), "u", "v"
+        )
+        .limit(50)
+    )
+    return scores, handle
+
+
 @query("q166_link_prediction_copurchase", _q166_sql())
 def q166(spark: SparkSession, sf: str) -> DataFrame:
     """Link prediction on the SUPPORT-THRESHOLDED part co-purchase
@@ -9162,31 +9194,13 @@ def q166(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape (see operators/linkpred.py): the only data-sized
     shuffle is the wedge self-join keyed on the shared neighbor;
     degree joins are node-sized; the top-50 is a TakeOrdered."""
-    from graphdb_neo4j_spark.operators.linkpred import link_prediction_scores
-    from graphdb_neo4j_spark.operators.order import checkpoint_eager
-
-    # the cached edges already carry src < dst and the per-pair order
-    # count as support, so the market-basket prune is a filter.  The
-    # thresholded edge set is TINY (~4k rows at sf0.1 vs the 1.2M-row
-    # cache) but the wedge pipeline reads it from ~10 distinct subtrees
-    # (adj ×2, deg, centers ×2, anti-join, deg_u/deg_v …) — each one
-    # re-scanning and re-filtering the full cache (r10 profile: ~2/3 of
-    # q166's exec).  Freeze it once (q70/q224 handle contract), run the
-    # scores off the 4k-row frame, eager-freeze the 50-row result and
-    # release the edge blocks before returning.
-    pairs, handle = checkpoint_eager(
-        _copurchase_edges(spark, sf)
-        .filter(F.col("support") >= 2)
-        .select("src", "dst")
-    )
-    out = (
-        link_prediction_scores(pairs)
-        .orderBy(
-            F.col("ra_micro").desc(), F.col("cn").desc(), "u", "v"
-        )
-        .limit(50)
-        .localCheckpoint(eager=True)
-    )
+    scores, handle = _q166_scores(spark, sf)
+    # eager-freeze the 50-row result, then release the edge blocks.
+    # INTENTIONAL small leak (ADVICE r10): the result freeze has no
+    # handle because the caller consumes it AFTER return — releasing
+    # here would break it; ContextCleaner frees the blocks on GC like
+    # every other tiny result checkpoint here.
+    out = scores.localCheckpoint(eager=True)
     handle.release()
     return out
 

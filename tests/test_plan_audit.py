@@ -584,6 +584,45 @@ def test_q154_pipeline_broadcasts_eval_grams_no_cartesian(spark):
     res.release()
 
 
+def test_checkpoint_eager_reliable_flag_switches_plan(spark):
+    """r11 freeze recovery contract: checkpoint_eager(reliable=True)
+    must freeze via an eager RELIABLE Dataset.checkpoint (survives
+    executor loss; no executor-local persisted blocks) while the
+    default stays localCheckpoint (one persisted RDD, released by the
+    handle).  Values identical either way."""
+    from graphdb_neo4j_spark.operators.order import checkpoint_eager
+
+    def persistent_ids() -> set[int]:
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = jmap.keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+
+    before = persistent_ids()
+    loc, lh = checkpoint_eager(df)
+    assert persistent_ids() - before, "local freeze must persist blocks"
+    node = loc._jdf.queryExecution().analyzed()
+    assert node.nodeName() == "LogicalRDD"
+    assert node.rdd().isLocallyCheckpointed()
+
+    before = persistent_ids()
+    rel, rh = checkpoint_eager(df, reliable=True)
+    assert not (persistent_ids() - before), (
+        "reliable freeze must not hold executor-local persisted blocks"
+    )
+    rnode = rel._jdf.queryExecution().analyzed()
+    assert rnode.nodeName() == "LogicalRDD"
+    assert not rnode.rdd().isLocallyCheckpointed()
+    assert rnode.rdd().getCheckpointFile().isDefined()  # reliable files
+    assert sorted(map(tuple, rel.collect())) == sorted(map(tuple, loc.collect()))
+    lh.release()
+    rh.release()  # no-op by contract
+
+
 def test_curate_quality_base_scrubs_once_no_join(spark):
     """r11: the pipeline's base stage fuses the PII scrub and the
     quality verdict into ONE projection chain over the scan — the
@@ -722,29 +761,17 @@ def test_q166_linkpred_no_cartesian_takeordered(spark):
     r10: the query itself now freezes the support-pruned edge set and
     eager-materializes the 50-row result (releasing the edge blocks
     in-query), so its RETURNED plan is a LogicalRDD scan — assert that
-    contract, and audit the join/top-k shape on the same lazy scores
-    pipeline the query builds internally."""
-    from pyspark.sql import functions as F
-
-    from graphdb_neo4j_spark.operators.linkpred import link_prediction_scores
-    from graphdb_neo4j_spark.operators.order import checkpoint_eager
-    from graphdb_neo4j_spark.workloads import _copurchase_edges
+    contract, and audit the join/top-k shape on the PRODUCTION lazy
+    scores pipeline via the shared helper (ADVICE r10: a hand-rebuilt
+    copy would silently keep passing if the query body drifted)."""
+    from graphdb_neo4j_spark.workloads import _q166_scores
 
     df = QUERY_FNS["q166_link_prediction_copurchase"](spark, SF)
     assert "ExistingRDD" in explain_str(df)  # frozen 50-row result
     assert df.count() <= 50
 
-    pairs, handle = checkpoint_eager(
-        _copurchase_edges(spark, SF)
-        .filter(F.col("support") >= 2)
-        .select("src", "dst")
-    )
+    scores, handle = _q166_scores(spark, SF)
     try:
-        scores = (
-            link_prediction_scores(pairs)
-            .orderBy(F.col("ra_micro").desc(), F.col("cn").desc(), "u", "v")
-            .limit(50)
-        )
         plan = explain_str(scores)
         assert "CartesianProduct" not in plan, plan
         assert "TakeOrderedAndProject" in plan, plan
