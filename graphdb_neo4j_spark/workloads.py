@@ -9683,12 +9683,18 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
     cell = lanes.groupBy("lane", "mh").agg(
         F.count("*").cast("bigint").alias("c")
     )
+    # ONE scalar fold yields both aggregates (r11): the unpivot emits
+    # exactly K lane rows per signature row, so n_docs = Σc div K —
+    # the old separate sig.agg(count) subtree re-ran the whole shingle
+    # explode + signature scan a second time (Spark shares no common
+    # subplans across branches; r10 profile: the explode IS q175's
+    # dominant CPU), and the 1x1 crossJoin is gone with it.
     coll = cell.agg(
-        F.sum(F.expr("c * (c - 1) div 2")).cast("bigint").alias("collisions")
+        F.sum(F.expr("c * (c - 1) div 2")).cast("bigint").alias("collisions"),
+        F.expr(f"sum(c) div {K}").cast("bigint").alias("n_docs"),
     )
-    nn = sig.agg(F.count("*").cast("bigint").alias("n_docs"))
     return (
-        coll.crossJoin(F.broadcast(nn))  # two 1x1 scalar frames
+        coll
         .select(
             "n_docs",
             "collisions",
