@@ -10,3 +10,100 @@ def spark():
     s = get_spark("tests")
     s.sparkContext.setLogLevel("ERROR")
     yield s
+
+# ---------------------------------------------------------------------------
+# slow-test marking (r11, VERDICT r10 #3): the full suite takes ~70-80
+# minutes — longer than the driver's verification window, so every round
+# the driver's "tests pass" signal truncated mid-stream (tests_ok: false
+# with zero failure markers).  Tests measured >= 10s in a full-suite
+# durations run (2026-08-18; the threshold cuts the default run to ~20
+# minutes) are marked `slow` by node id below, and pytest.ini deselects
+# them by default (`addopts = -m "not slow"`).  Run EVERYTHING with:
+#   python -m pytest tests/ -m "slow or not slow"
+# The full set (slow included) remains the canonical pre-commit gate.
+
+_SLOW_TESTS = frozenset((
+    "test_oracle_parity.py::test_all_queries_run",  # 480s
+    "test_traversal.py::test_backtrace_deep_chain_beyond_256",  # 333s
+    "test_streaming.py::test_stateful_process_tracker",  # 303s
+    "test_property_parity.py::test_generated_traces_match_python_oracle",  # 79s
+    "test_traversal.py::test_bidirectional_path_reconstruction",  # 79s
+    "test_traversal.py::test_backtrace_doubling_equals_step",  # 68s
+    "test_streaming.py::test_streaming_cc_rewrites_only_touched_shards",  # 66s
+    "test_property_parity.py::test_generated_traces_match_property_simulator",  # 61s
+    "test_streaming.py::test_streaming_triangle_count_incremental",  # 54s
+    "test_streaming.py::test_streaming_connected_components_incremental",  # 50s
+    "test_dedup_similarity_text.py::test_pq_recall_determinism_and_index",  # 50s
+    "test_traversal.py::test_bidirectional_shortest_path_matches_one_sided",  # 42s
+    "test_streaming_sketch.py::test_streaming_debounce_matches_batch",  # 40s
+    "test_streaming_sketch.py::test_streaming_scd2_matches_batch",  # 38s
+    "test_streaming.py::test_streaming_neardup_dedup",  # 38s
+    "test_streaming.py::test_streaming_cusum_equals_batch",  # 35s
+    "test_ingest_golden.py::test_idempotency_under_reingest",  # 31s
+    "test_streaming.py::test_graph_asof_time_travel",  # 30s
+    "test_streaming_sketch.py::test_streaming_golden_record_matches_batch",  # 30s
+    "test_ingest_golden.py::test_staged_build_matches_golden",  # 30s
+    "test_enrich.py::test_build_stitched_graph_time_aware",  # 29s
+    "test_streaming_media.py::test_fingerprint_neardup_precomputed_hashes_and_chain_semantics",  # 27s
+    "test_oracle_parity.py::test_oracle_parity[g68_corpus_diameter_estimate]",  # 26s
+    "test_traversal.py::test_shortest_path_reconstruction",  # 24s
+    "test_streaming.py::test_streaming_tfidf_prefix_equivalence",  # 24s
+    "test_streaming_media.py::test_fingerprint_neardup_stream_equals_python_fold",  # 22s
+    "test_traversal.py::test_pregel_pagerank_equals_operator",  # 22s
+    "test_streaming.py::test_streaming_neardup_null_text_and_seen_gc",  # 21s
+    "test_plan_audit.py::test_ivf_index_probe_prunes_partitions",  # 21s
+    "test_streaming.py::test_streaming_chunks_offset_continuity",  # 21s
+    "test_louvain.py::test_louvain_multilevel_not_worse_than_one_level",  # 20s
+    "test_sketch_quality.py::test_ntile_distributed_hypothesis_matches_sql_ntile",  # 20s
+    "test_traversal.py::test_twophase_components_match_hashmin",  # 20s
+    "test_streaming.py::test_streaming_ingest_incremental_restart",  # 19s
+    "test_cypher_write.py::test_reference_process_pipeline_replay",  # 19s
+    "test_streaming_frontier.py::test_frontier_ingest_with_politeness_schedule",  # 19s
+    "test_traversal.py::test_k_core_matches_python",  # 18s
+    "test_cypher_write.py::test_reference_template_parity_created_file",  # 17s
+    "test_streaming_sketch.py::test_streaming_histogram_matches_batch",  # 17s
+    "test_streaming.py::test_streaming_ingest_matches_batch",  # 17s
+    "test_streaming_sketch.py::test_progress_metrics_counts_late_drops",  # 17s
+    "test_sketch_quality.py::test_streaming_drift_matches_batch",  # 17s
+    "test_streaming.py::test_compaction_cross_batch_last_non_null",  # 16s
+    "test_crawl_pipeline.py::test_crawl_chain_composes",  # 15s
+    "test_streaming_frontier.py::test_frontier_ingest_stream_equals_batch_and_replays",  # 15s
+    "test_layout.py::test_zorder_tightens_both_columns",  # 15s
+    "test_traversal.py::test_core_decomposition_matches_python_peel",  # 15s
+    "test_streaming.py::test_streaming_ann_probe",  # 15s
+    "test_streaming_sketch.py::test_streaming_cms_matches_batch",  # 14s
+    "test_streaming_sketch.py::test_streaming_hll_matches_batch",  # 14s
+    "test_traversal.py::test_topological_levels_dag_and_cycle",  # 14s
+    "test_streaming_crawl.py::test_streaming_warc_ingest_waves_and_replay",  # 13s
+    "test_traversal.py::test_scc_matches_tarjan",  # 13s
+    "test_oracle_parity.py::test_oracle_parity[g79_corpus_spawn_topology]",  # 13s
+    "test_streaming.py::test_stream_stream_interval_join_matches_batch",  # 13s
+    "test_streaming.py::test_stream_stream_left_outer_emits_unmatched",  # 13s
+    "test_oracle_parity.py::test_oracle_parity[q203_curation_with_pii]",  # 13s
+    "test_traversal.py::test_betweenness_approx_matches_python",  # 13s
+    "test_traversal.py::test_pregel_components_fixpoint",  # 13s
+    "test_oracle_parity.py::test_oracle_parity[g64_corpus_cypher_pinned_path]",  # 13s
+    "test_traversal.py::test_pagerank_weighted_matches_python",  # 12s
+    "test_graph_query.py::test_graph_diff_fixture",  # 12s
+    "test_enrich.py::test_identity_stitching_reduces_dual_parents",  # 12s
+    "test_oracle_parity.py::test_oracle_parity[g66_corpus_graph_diff]",  # 12s
+    "test_streaming.py::test_interval_join_state_metrics",  # 12s
+    "test_plan_audit.py::test_lsh_index_probe_prunes_partitions",  # 12s
+    "test_oracle_parity.py::test_oracle_parity[g48_corpus_kcore]",  # 11s
+    "test_traversal.py::test_shortest_path",  # 11s
+    "test_sketch_quality.py::test_prefix_sum_distributed_hypothesis_matches_window",  # 11s
+    "test_traversal.py::test_greedy_coloring_equals_sequential_and_proper",  # 11s
+    "test_plan_audit.py::test_graph_rel_filter_prunes_partitions",  # 11s
+    "test_streaming_frontier.py::test_frontier_ledger_survives_delays_toggle",  # 11s
+    "test_louvain.py::test_louvain_multilevel_ring_of_cliques",  # 10s
+    "test_traversal.py::test_pagerank_sums_and_ranks",  # 10s
+    "test_oracle_parity.py::test_oracle_parity[q228_streaming_fingerprint_neardup]",  # 10s
+))
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        # nodeid relative to the tests/ dir regardless of invocation cwd
+        nid = item.nodeid.split("tests/")[-1]
+        if nid in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

@@ -1000,11 +1000,16 @@ def test_walk_cache_discipline(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"]
     )
+    # DELTA-based (r11): clearCache() drops SQL-cached frames but not
+    # persisted RDDs owned by other operators' session-lived caches
+    # (e.g. workloads._graph_cache), so a global ceiling is
+    # order-dependent across the suite — count only what the walk adds.
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     out = random_walks(edges, walks_per_node=2, walk_length=6)
     n = out.count()
     assert n == 4 * 2 * 7
     live = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(live) <= 2, [str(i.name()) for i in live]
+    assert len(live) - before <= 2, [str(i.name()) for i in live]
     out.unpersist()
 
 
